@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory for the graft engine.
+  *
+  * Defaults chosen for correctness parity with the external DuckDB oracle
+  * (UTC session time zone, ANSI off to match permissive reference behavior)
+  * and for the local[32] test harness (32 shuffle partitions, AQE on).
+  * On a real cluster the same builder applies — only master/memory change.
+  * Reference behavior mirrored: revenue_analysis/main.ipynb:36-61 (local
+  * master, explicit parallelism, Arrow flag — moot on the JVM).
+  */
+object Sessions {
+  def local(cpus: Int = 32, appName: String = "graft"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Apply graft defaults to an externally-built session (driver-owned
+    * sessions in Verify/Bench): only runtime-settable confs.
+    */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark
+  }
+}

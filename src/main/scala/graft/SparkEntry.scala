@@ -1,13 +1,43 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  * Queries are assembled from the domain modules under graft.operators.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  private def registry: Seq[QuerySpec] =
+    operators.Relational.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Mirrors the reference's flagship revenue_analysis daily-KPI pipeline
+    * (revenue_analysis/main.ipynb:198-289): conditional revenue → daily
+    * multi-agg → 7-day moving window.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    Sessions.tune(spark)
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+      .withColumn("d", to_date(col("ts")))
+      .withColumn("revenue",
+        when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)))
+    val daily = ev.groupBy("d", "event_type").agg(
+      count(lit(1)).as("n_events"),
+      round(sum("revenue"), 2).as("revenue"),
+      countDistinct("user_id").as("n_users"))
+    val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    daily.withColumn("revenue_7d", round(sum("revenue").over(w), 2))
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.run).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

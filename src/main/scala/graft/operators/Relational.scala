@@ -1,0 +1,355 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator inventory over the star schema — covers SURVEY.md
+  * §2.2 (filters/projections), §2.3 (joins), §2.4 (aggregations), §2.5
+  * (windows), §2.6 (sort/limit), §2.7 (set ops), §2.8 (scalar functions).
+  *
+  * Scale posture: dimension joins broadcast (region/nation/supplier/part
+  * are small at any SF); fact-fact joins shuffle on their keys and rely on
+  * AQE for skew; aggregations are partial+final hash aggs; top-k uses
+  * TakeOrderedAndProject (no global sort materialization).
+  */
+object Relational {
+
+  private def mny(c: Column): Column = round(c, 2) // order-insensitive money agg
+
+  /** TPC-H Q1-style pricing summary: filter → multi-agg groupBy.
+    * Ref: revenue_analysis/main.ipynb:258-277 (multi-agg), lab03 HAVING.
+    */
+  val q1Agg: QuerySpec = QuerySpec.sql(
+    "q1_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |       ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+      |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+      |       ROUND(AVG(l_quantity), 4) AS avg_qty,
+      |       ROUND(AVG(l_discount), 4) AS avg_disc,
+      |       COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        mny(sum("l_quantity")).as("sum_qty"),
+        mny(sum("l_extendedprice")).as("sum_base_price"),
+        mny(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** Row-level projection + conjunctive filter; arithmetic left exact
+    * (row-level IEEE ops are engine-independent).
+    * Ref: lab01/tasks.ipynb:594-606 (point filter), F2/F4/F6.
+    */
+  val q2Filter: QuerySpec = QuerySpec.sql(
+    "q2_filter_project",
+    """SELECT l_orderkey, l_partkey, l_linenumber,
+      |       l_extendedprice * l_discount AS disc_amount
+      |FROM lineitem
+      |WHERE l_discount >= 0.05 AND l_quantity < 10
+      |  AND l_returnflag IN ('A', 'R')""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .filter(col("l_discount") >= 0.05 && col("l_quantity") < 10 &&
+        col("l_returnflag").isin("A", "R"))
+      .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        (col("l_extendedprice") * col("l_discount")).as("disc_amount"))
+  }
+
+  /** Multi-way join with broadcast dims: lineitem⋈orders⋈customer⋈nation⋈region,
+    * revenue per nation. Ref: J4 (broadcast left joins,
+    * revenue_analysis/main.ipynb:239-257), J6.
+    */
+  val q3JoinNation: QuerySpec = QuerySpec.sql(
+    "q3_revenue_by_nation",
+    """SELECT n.n_name AS nation, r.r_name AS region,
+      |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |GROUP BY n.n_name, r.r_name""".stripMargin) { (s, dir) =>
+    val l = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
+      .agg(
+        mny(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** Semi-join: customers having at least one order (the lab03 J1 intent —
+    * join against a DISTINCT key set ≡ EXISTS). Ref: lab03/sql/script1.sql:37-38.
+    */
+  val q4Semi: QuerySpec = QuerySpec.sql(
+    "q4_exists_orders",
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  /** Anti-join: customers with no open ('O') order (NOT EXISTS over a
+    * filtered subquery — non-trivial at every SF).
+    */
+  val q5Anti: QuerySpec = QuerySpec.sql(
+    "q5_no_open_orders",
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'O')""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "O").select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+  }
+
+  /** Top-k with deterministic tie-break → TakeOrderedAndProject physically.
+    * Ref: O1/O4 (start_wars ORDER BY … DESC + LIMIT).
+    */
+  val q6TopK: QuerySpec = QuerySpec.sql(
+    "q6_top_customers",
+    """SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend,
+      |       COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_custkey
+      |ORDER BY total_spend DESC, o_custkey
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(mny(sum("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  /** Moving-frame window sum (the reference's single window use, W1):
+    * daily revenue per order priority, 7-day ROWS frame.
+    * Ref: revenue_analysis/main.ipynb:278-289.
+    */
+  val q7Window: QuerySpec = QuerySpec.sql(
+    "q7_window_7d",
+    """WITH daily AS (
+      |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
+      |         ROUND(SUM(o_totalprice), 2) AS daily_rev
+      |  FROM orders
+      |  GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+      |)
+      |SELECT o_orderpriority, d, daily_rev,
+      |       ROUND(SUM(daily_rev) OVER (
+      |         PARTITION BY o_orderpriority ORDER BY d
+      |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+      |FROM daily""".stripMargin) { (s, dir) =>
+    val daily = Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("d"))
+      .agg(mny(sum("o_totalprice")).as("daily_rev"))
+    val w = Window.partitionBy("o_orderpriority").orderBy("d").rowsBetween(-6, 0)
+    daily.withColumn("rev_7d", round(sum("daily_rev").over(w), 2))
+  }
+
+  /** Exact distinct aggregation (A4's count_distinct) + plain counts. */
+  val q8Distinct: QuerySpec = QuerySpec.sql(
+    "q8_count_distinct",
+    """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_customers,
+      |       COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY o_orderstatus""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(countDistinct("o_custkey").as("n_customers"), count(lit(1)).as("n_orders"))
+  }
+
+  /** Group-by + HAVING (A5: lab03 coffee-culprits shape). */
+  val q9Having: QuerySpec = QuerySpec.sql(
+    "q9_having",
+    """SELECT c_nationkey, COUNT(*) AS n
+      |FROM customer
+      |GROUP BY c_nationkey
+      |HAVING COUNT(*) >= 3""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .groupBy("c_nationkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 3)
+  }
+
+  /** UNION ALL by position (U1: my_first_dbt_model.sql:12-18). */
+  val q10Union: QuerySpec = QuerySpec.sql(
+    "q10_union_all",
+    """SELECT s_name AS name, s_acctbal AS acctbal, 'supplier' AS kind FROM supplier
+      |UNION ALL
+      |SELECT c_name AS name, c_acctbal AS acctbal, 'customer' AS kind FROM customer""".stripMargin) { (s, dir) =>
+    val sup = Tables.supplier(s, dir)
+      .select(col("s_name").as("name"), col("s_acctbal").as("acctbal"), lit("supplier").as("kind"))
+    val cus = Tables.customer(s, dir)
+      .select(col("c_name").as("name"), col("c_acctbal").as("acctbal"), lit("customer").as("kind"))
+    sup.union(cus)
+  }
+
+  /** Case-insensitive pattern filter (F3: ILIKE, lab03/sql/script1.sql:36). */
+  val q11Ilike: QuerySpec = QuerySpec.sql(
+    "q11_ilike",
+    """SELECT p_partkey, p_name, p_type
+      |FROM part
+      |WHERE p_name ILIKE '%WiDgEt%' AND p_type ILIKE '%econ%'""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .filter(col("p_name").ilike("%WiDgEt%") && col("p_type").ilike("%econ%"))
+      .select("p_partkey", "p_name", "p_type")
+  }
+
+  /** Conditional projection (F6: when/otherwise revenue derivation,
+    * revenue_analysis/main.ipynb:210-230) — row-level, exact.
+    */
+  val q12CaseWhen: QuerySpec = QuerySpec.sql(
+    "q12_case_when",
+    """SELECT event_id, user_id,
+      |       CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS revenue,
+      |       CASE WHEN value >= 100 THEN 'high' WHEN value >= 50 THEN 'mid'
+      |            ELSE 'low' END AS band
+      |FROM events
+      |WHERE value >= 0""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(col("value") >= 0)
+      .select(col("event_id"), col("user_id"),
+        when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)).as("revenue"),
+        when(col("value") >= 100, "high").when(col("value") >= 50, "mid")
+          .otherwise("low").as("band"))
+  }
+
+  /** Date + time-of-day predicates (F5: lab03/sql/script1.sql:16-18,39-40). */
+  val q13DatePred: QuerySpec = QuerySpec.sql(
+    "q13_date_pred",
+    """SELECT event_id, user_id, event_type
+      |FROM events
+      |WHERE CAST(ts AS DATE) >= DATE '2024-01-02'
+      |  AND CAST(ts AS DATE) < DATE '2024-01-05'
+      |  AND EXTRACT(hour FROM ts) >= 13 AND EXTRACT(hour FROM ts) < 15""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .filter(to_date(col("ts")) >= lit("2024-01-02") &&
+        to_date(col("ts")) < lit("2024-01-05") &&
+        hour(col("ts")) >= 13 && hour(col("ts")) < 15)
+      .select("event_id", "user_id", "event_type")
+  }
+
+  /** Multi-key sort over a dim join (O2; small-table global sort). */
+  val q14MultiSort: QuerySpec = QuerySpec.sql(
+    "q14_multi_sort",
+    """SELECT r.r_name AS region, n.n_name AS nation, n.n_nationkey
+      |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      |ORDER BY region, nation""".stripMargin) { (s, dir) =>
+    Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"), col("n_nationkey"))
+      .orderBy("region", "nation")
+  }
+
+  /** md5 proof-hash over normalized names (lab03/sql/script1.sql:67,70). */
+  val q15Md5: QuerySpec = QuerySpec.sql(
+    "q15_md5",
+    """SELECT c_custkey, md5(lower(trim(c_name))) AS name_hash
+      |FROM customer""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), md5(lower(trim(col("c_name")))).as("name_hash"))
+  }
+
+  /** Join to pre-aggregated subquery + null coalescing (J5 + F12:
+    * fct_orders.sql:20-46 shape — LEFT JOIN aggregate, ifNull → 0).
+    */
+  val q16AggJoin: QuerySpec = QuerySpec.sql(
+    "q16_agg_join_coalesce",
+    """SELECT c.c_custkey, c.c_name,
+      |       ROUND(COALESCE(t.total, 0.0), 2) AS spend,
+      |       COALESCE(t.n, 0) AS n_orders
+      |FROM customer c
+      |LEFT JOIN (
+      |  SELECT o_custkey, SUM(o_totalprice) AS total, COUNT(*) AS n
+      |  FROM orders GROUP BY o_custkey
+      |) t ON c.c_custkey = t.o_custkey""".stripMargin) { (s, dir) =>
+    val agg = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("total"), count(lit(1)).as("n"))
+    Tables.customer(s, dir)
+      .join(agg, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        round(coalesce(col("total"), lit(0.0)), 2).as("spend"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+  }
+
+  /** Ranking window: top account per nation via row_number (full Window
+    * surface beyond the reference's single frame use).
+    */
+  val q17Rank: QuerySpec = QuerySpec.sql(
+    "q17_rank_per_nation",
+    """SELECT c_nationkey, c_custkey, c_acctbal
+      |FROM (
+      |  SELECT c_nationkey, c_custkey, c_acctbal,
+      |         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+      |                            ORDER BY c_acctbal DESC, c_custkey) AS rn
+      |  FROM customer
+      |) WHERE rn = 1""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("c_nationkey", "c_custkey", "c_acctbal")
+  }
+
+  /** ROLLUP grouping sets (free from Catalyst; exposed for completeness). */
+  val q18Rollup: QuerySpec = QuerySpec.sql(
+    "q18_rollup",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |       ROUND(SUM(o_totalprice), 2) AS total
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), mny(sum("o_totalprice")).as("total"))
+  }
+
+  /** JSON field extraction from a string column (§2.8 struct/JSON:
+    * get_json_object ≡ DuckDB json_extract_string).
+    */
+  val q19Json: QuerySpec = QuerySpec.sql(
+    "q19_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |       COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+  }
+
+  /** Regex extraction (F9: zgrep error_type + filename patterns). */
+  val q20Regex: QuerySpec = QuerySpec.sql(
+    "q20_regex_extract",
+    """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS k_mod,
+      |       COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("bigint").as("k_mod"))
+      .groupBy("k_mod").agg(count(lit(1)).as("n"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    q1Agg, q2Filter, q3JoinNation, q4Semi, q5Anti, q6TopK, q7Window,
+    q8Distinct, q9Having, q10Union, q11Ilike, q12CaseWhen, q13DatePred,
+    q14MultiSort, q15Md5, q16AggJoin, q17Rank, q18Rollup, q19Json, q20Regex)
+}

@@ -1,0 +1,87 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle correctness gate.
+
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+
+Reads each <outDir>/<name>/ parquet (Spark result), runs the matching
+oracle SQL from <outDir>/oracle_sql.json in DuckDB against the sf parquet
+tables, and compares: column names (sorted), row count, and a hash of the
+value matrix after sorting columns by name and rows by their stringified
+values. Prints per-query PASS/FAIL.
+"""
+import sys, json, glob, hashlib
+import duckdb
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        # driver tolerance unknown; mirror a strict repr — queries are
+        # responsible for rounding order-sensitive aggregates
+        return repr(round(v, 9))
+    return str(v)
+
+
+def table_hash(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    mat = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for r in mat:
+        h.update("\x1f".join(r).encode())
+        h.update(b"\x1e")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for p in glob.glob(f"{sf_dir}/*.parquet"):
+        name = p.split("/")[-1].removesuffix(".parquet")
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        sql = oracle[name]
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchall()
+            got_cols = [d[0] for d in con.description]
+            want = con.execute(sql).fetchall()
+            want_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        if sorted(got_cols) != sorted(want_cols):
+            print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(want_cols)}")
+            n_fail += 1
+        elif len(got) != len(want):
+            print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            n_fail += 1
+        elif table_hash(got_cols, got) != table_hash(want_cols, want):
+            print(f"FAIL {name}: hash mismatch ({len(got)} rows)")
+            ordg = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
+            ordw = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
+            sg = sorted(tuple(canon(r[i]) for i in ordg) for r in got)
+            sw = sorted(tuple(canon(r[i]) for i in ordw) for r in want)
+            shown = 0
+            for a, b in zip(sg, sw):
+                if a != b and shown < 3:
+                    print(f"  spark={a}\n  duck ={b}")
+                    shown += 1
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
