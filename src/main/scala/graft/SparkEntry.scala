@@ -10,7 +10,8 @@ import org.apache.spark.sql.expressions.Window
 object SparkEntry {
 
   private def registry: Seq[QuerySpec] =
-    operators.Relational.all
+    operators.Relational.all ++ operators.TextAnalysis.all ++
+      operators.Dedup.all ++ operators.Similarity.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's flagship revenue_analysis daily-KPI pipeline

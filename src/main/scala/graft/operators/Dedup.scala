@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.Column
+
+/** Deduplication operators over `documents` — the training-data-pipeline
+  * workhorses: exact (hash groupBy), word-n-gram Jaccard (shingle join),
+  * MinHash+LSH (signature → band → bucket join), SimHash (bitwise
+  * signature).
+  *
+  * Scale posture: exact dedup partitions by md5(text) (uniform, bounded
+  * key width — never by raw text). MinHash signatures are computed purely
+  * with array expressions (no explode, no shuffle, codegen'd); only the
+  * band→bucket join shuffles, on short band-key strings. The exact-Jaccard
+  * shingle self-join is the quadratic verifier — at 100 TB it runs only on
+  * LSH candidates, which is exactly how d3 composes (candidates → est).
+  */
+object Dedup {
+
+  private val K = 16      // minhash permutations
+  private val Bands = 4   // 4 bands × 4 rows
+  private val P = Portable.MinHashP
+
+  /** Exact dedup: copies + canonical flag per identical-text group.
+    * Ref intent: S21/T7 idempotent dedup (ON CONFLICT DO NOTHING ≡
+    * keep-first-by-key).
+    */
+  val dExact: QuerySpec = QuerySpec.sql(
+    "d1_dedup_exact",
+    """SELECT doc_id,
+      |       COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+      |       (doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))) AS is_canonical
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(md5(col("text")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        count(lit(1)).over(w).as("n_copies"),
+        (col("doc_id") === min("doc_id").over(w)).as("is_canonical"))
+  }
+
+  /** Exact word-trigram Jaccard near-dup pairs (j >= 0.6): distinct
+    * shingles → self-join → |∩| / |∪|.
+    */
+  val dJaccard: QuerySpec = QuerySpec.sql(
+    "d2_ngram_jaccard",
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${Portable.shinglesSql(3).replace("\n", " ")}) AS s
+       |  FROM documents
+       |), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b,
+       |       ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6""".stripMargin) { (s, dir) =>
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("s"))
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.as("a"); val b = sh.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("i"))
+    val j = col("i") * lit(1.0) /
+      (col("ca.n") + col("cb.n") - col("i"))
+    inter
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .filter(j >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+  }
+
+  /** MinHash signature as a pure array expression (no shuffle):
+    * sig[i] = min over shingle hashes x of (2i+1)·x + 104729·i mod P.
+    */
+  private def sigCol: Column = {
+    val hs = transform(Portable.shingles(col("text"), 3), s => Portable.h32(s))
+    transform(sequence(lit(1), lit(K)),
+      i => array_min(transform(hs,
+        x => ((i.cast("long") * 2L + 1L) * x + lit(104729L) * i) % P)))
+  }
+
+  /** MinHash + LSH near-dup candidates: band buckets → pair join →
+    * signature-agreement estimate (est >= 0.5).
+    */
+  val dMinHash: QuerySpec = QuerySpec.sql(
+    "d3_minhash_lsh",
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${Portable.shinglesSql(3).replace("\n", " ")} AS sh FROM documents
+       |), hs AS (
+       |  SELECT doc_id, list_transform(sh,
+       |    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hs FROM sh
+       |), sig AS (
+       |  SELECT doc_id, list_transform(generate_series(1, $K),
+       |    i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % $P))) AS sig
+       |  FROM hs
+       |), bands AS (
+       |  SELECT doc_id, sig, unnest(list_transform(generate_series(0, ${Bands - 1}),
+       |    j -> j || ':' || array_to_string(sig[j*4+1:j*4+4], ','))) AS bk
+       |  FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       ROUND(len(list_filter(generate_series(1, $K),
+       |             i -> sa.sig[i] = sb.sig[i])) * 1.0 / $K, 4) AS est_jaccard
+       |FROM cand
+       |JOIN sig sa ON sa.doc_id = doc_a
+       |JOIN sig sb ON sb.doc_id = doc_b
+       |WHERE len(list_filter(generate_series(1, $K),
+       |      i -> sa.sig[i] = sb.sig[i])) * 1.0 / $K >= 0.5""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select(col("doc_id"), sigCol.as("sig"))
+    val bands = docs.select(col("doc_id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        j => concat_ws(":", j.cast("string"),
+          concat_ws(",", transform(slice(col("sig"), j * 4 + 1, lit(4)),
+            v => v.cast("string")))))).as("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val est = size(filter(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => x === y),
+      b => b)) * lit(1.0) / K
+    cand
+      .join(docs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(docs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .filter(est >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(est, 4).as("est_jaccard"))
+  }
+
+  /** SimHash: 60-bit signature from distinct-token hash bit votes.
+    * Pure expression (no shuffle); hamming-join composes downstream.
+    */
+  val dSimHash: QuerySpec = QuerySpec.sql(
+    "d4_simhash",
+    """WITH th AS (
+      |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+      |    t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS th
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(list_sum(list_transform(generate_series(0, 59),
+      |         b -> CASE WHEN list_sum(list_transform(th,
+      |                h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+      |FROM documents_th""".stripMargin
+      .replace("FROM documents_th", "FROM th")) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("th", transform(array_distinct(split(col("text"), " ")),
+        t => Portable.h60(t)))
+      .select(col("doc_id"), expr(
+        """aggregate(sequence(0, 59), cast(0 as bigint), (acc, b) -> acc +
+          |  IF(aggregate(th, cast(0 as bigint),
+          |       (s, h) -> s + IF((shiftright(h, b) & 1) = 1, cast(1 as bigint), cast(-1 as bigint))) > 0,
+          |     shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin).as("simhash"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(dExact, dJaccard, dMinHash, dSimHash)
+}

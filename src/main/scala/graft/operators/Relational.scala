@@ -16,7 +16,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational {
 
-  private def mny(c: Column): Column = round(c, 2) // order-insensitive money agg
+  /** Exact money aggregate: sum in DECIMAL(18,4) (order-independent,
+    * no FP accumulation), surface as double. Oracle mirror:
+    * CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE). Avoids both
+    * summation-order ULP noise and engine round() half-boundary skew.
+    */
+  private def msum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
 
   /** TPC-H Q1-style pricing summary: filter → multi-agg groupBy.
     * Ref: revenue_analysis/main.ipynb:258-277 (multi-agg), lab03 HAVING.
@@ -24,11 +30,11 @@ object Relational {
   val q1Agg: QuerySpec = QuerySpec.sql(
     "q1_agg",
     """SELECT l_returnflag, l_linestatus,
-      |       ROUND(SUM(l_quantity), 2) AS sum_qty,
-      |       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-      |       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |       ROUND(AVG(l_quantity), 4) AS avg_qty,
-      |       ROUND(AVG(l_discount), 4) AS avg_disc,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |       CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
       |       COUNT(*) AS count_order
       |FROM lineitem
       |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -37,11 +43,11 @@ object Relational {
       .filter(to_date(col("l_shipdate")) <= lit("1998-09-02"))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        mny(sum("l_quantity")).as("sum_qty"),
-        mny(sum("l_extendedprice")).as("sum_base_price"),
-        mny(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        msum(col("l_quantity")).as("sum_qty"),
+        msum(col("l_extendedprice")).as("sum_base_price"),
+        msum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        (msum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (msum(col("l_discount")) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
   }
 
@@ -70,7 +76,7 @@ object Relational {
   val q3JoinNation: QuerySpec = QuerySpec.sql(
     "q3_revenue_by_nation",
     """SELECT n.n_name AS nation, r.r_name AS region,
-      |       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
       |       COUNT(*) AS n_lines
       |FROM lineitem l
       |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -89,7 +95,7 @@ object Relational {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
       .agg(
-        mny(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+        msum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_lines"))
   }
 
@@ -128,7 +134,7 @@ object Relational {
     */
   val q6TopK: QuerySpec = QuerySpec.sql(
     "q6_top_customers",
-    """SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS total_spend,
+    """SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend,
       |       COUNT(*) AS n_orders
       |FROM orders
       |GROUP BY o_custkey
@@ -136,7 +142,7 @@ object Relational {
       |LIMIT 10""".stripMargin) { (s, dir) =>
     Tables.orders(s, dir)
       .groupBy("o_custkey")
-      .agg(mny(sum("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
+      .agg(msum(col("o_totalprice")).as("total_spend"), count(lit(1)).as("n_orders"))
       .orderBy(col("total_spend").desc, col("o_custkey"))
       .limit(10)
   }
@@ -149,7 +155,7 @@ object Relational {
     "q7_window_7d",
     """WITH daily AS (
       |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS d,
-      |         ROUND(SUM(o_totalprice), 2) AS daily_rev
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS daily_rev
       |  FROM orders
       |  GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
       |)
@@ -160,7 +166,7 @@ object Relational {
       |FROM daily""".stripMargin) { (s, dir) =>
     val daily = Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"), to_date(col("o_orderdate")).as("d"))
-      .agg(mny(sum("o_totalprice")).as("daily_rev"))
+      .agg(msum(col("o_totalprice")).as("daily_rev"))
     val w = Window.partitionBy("o_orderpriority").orderBy("d").rowsBetween(-6, 0)
     daily.withColumn("rev_7d", round(sum("daily_rev").over(w), 2))
   }
@@ -274,20 +280,20 @@ object Relational {
   val q16AggJoin: QuerySpec = QuerySpec.sql(
     "q16_agg_join_coalesce",
     """SELECT c.c_custkey, c.c_name,
-      |       ROUND(COALESCE(t.total, 0.0), 2) AS spend,
+      |       COALESCE(t.total, 0.0) AS spend,
       |       COALESCE(t.n, 0) AS n_orders
       |FROM customer c
       |LEFT JOIN (
-      |  SELECT o_custkey, SUM(o_totalprice) AS total, COUNT(*) AS n
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total, COUNT(*) AS n
       |  FROM orders GROUP BY o_custkey
       |) t ON c.c_custkey = t.o_custkey""".stripMargin) { (s, dir) =>
     val agg = Tables.orders(s, dir)
       .groupBy("o_custkey")
-      .agg(sum("o_totalprice").as("total"), count(lit(1)).as("n"))
+      .agg(msum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
     Tables.customer(s, dir)
       .join(agg, col("c_custkey") === col("o_custkey"), "left")
       .select(col("c_custkey"), col("c_name"),
-        round(coalesce(col("total"), lit(0.0)), 2).as("spend"),
+        coalesce(col("total"), lit(0.0)).as("spend"),
         coalesce(col("n"), lit(0L)).as("n_orders"))
   }
 
@@ -314,12 +320,12 @@ object Relational {
   val q18Rollup: QuerySpec = QuerySpec.sql(
     "q18_rollup",
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      |       ROUND(SUM(o_totalprice), 2) AS total
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
       |FROM orders
       |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin) { (s, dir) =>
     Tables.orders(s, dir)
       .rollup("o_orderstatus", "o_orderpriority")
-      .agg(count(lit(1)).as("n"), mny(sum("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n"), msum(col("o_totalprice")).as("total"))
   }
 
   /** JSON field extraction from a string column (§2.8 struct/JSON:
