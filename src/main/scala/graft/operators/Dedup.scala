@@ -42,17 +42,21 @@ object Dedup {
   }
 
   /** Exact word-trigram Jaccard near-dup pairs (j >= 0.6): distinct
-    * shingles → self-join → |∩| / |∪|.
+    * shingles → hash → self-join on the 64-bit hash (narrow shuffle key;
+    * the oracle joins on the identical md5-derived hash so any collision
+    * affects both engines the same way) → |∩| / |∪|.
     */
   val dJaccard: QuerySpec = QuerySpec.sql(
     "d2_ngram_jaccard",
-    s"""WITH sh AS (
+    s"""WITH sh0 AS (
        |  SELECT doc_id, unnest(${Portable.shinglesSql(3).replace("\n", " ")}) AS s
        |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0
        |), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-       |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2
        |)
        |SELECT doc_a, doc_b,
@@ -63,9 +67,10 @@ object Dedup {
        |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6""".stripMargin) { (s, dir) =>
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), Portable.h32(col("s")).as("h"))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+    val inter = a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
     val j = col("i") * lit(1.0) /
@@ -77,14 +82,22 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
   }
 
-  /** MinHash signature as a pure array expression (no shuffle):
-    * sig[i] = min over shingle hashes x of (2i+1)·x + 104729·i mod P.
+  /** MinHash signatures: explode shingle hashes, then K codegen'd `min`
+    * aggregates in one hash aggregation (sig[i] = min over shingle hashes
+    * x of (2i+1)·x + 104729·i mod P). The array-expression form
+    * (transform/array_min HOFs) evaluates lambdas interpretively and was
+    * ~30× slower; this shape is one narrow shuffle on doc_id and scales
+    * as plain partial+final aggregation.
     */
-  private def sigCol: Column = {
-    val hs = transform(Portable.shingles(col("text"), 3), s => Portable.h32(s))
-    transform(sequence(lit(1), lit(K)),
-      i => array_min(transform(hs,
-        x => ((i.cast("long") * 2L + 1L) * x + lit(104729L) * i) % P)))
+  private def signatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hs = docs
+      .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("s"))
+      .select(col("doc_id"), Portable.h32(col("s")).as("x"))
+    val mins = (1 to K).map(i =>
+      min((lit(2L * i + 1) * col("x") + lit(104729L * i)) % P).as(s"s$i"))
+    hs.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), array((1 to K).map(i => col(s"s$i")): _*).as("sig"))
   }
 
   /** MinHash + LSH near-dup candidates: band buckets → pair join →
@@ -117,7 +130,7 @@ object Dedup {
        |JOIN sig sb ON sb.doc_id = doc_b
        |WHERE len(list_filter(generate_series(1, $K),
        |      i -> sa.sig[i] = sb.sig[i])) * 1.0 / $K >= 0.5""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir).select(col("doc_id"), sigCol.as("sig"))
+    val docs = signatures(Tables.documents(s, dir))
     val bands = docs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         j => concat_ws(":", j.cast("string"),

@@ -1,35 +1,38 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
-import graft.functions.Portable
+import graft.functions.VecOps.vec_dot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** Similarity search over the `embeddings` table (Array[Float], dim 64).
   *
-  * Brute-force cosine top-k is the correctness baseline (broadcast the
-  * small query side, expression-level dot products inside codegen, rank
-  * with a window). The LSH-bucketed variant is the scale path: candidate
-  * generation touches only same-bucket rows, so the quadratic term drops
-  * to bucket-local work — at 100 TB the bucket join shuffles on a short
-  * integer key instead of materializing the cross product.
+  * Brute-force cosine top-k is the correctness baseline: broadcast the
+  * small query side, per-row norms precomputed once, dot products through
+  * the native DotProduct expression (tight primitive loop — the
+  * functions._ HOF form interprets lambdas per element and is ~10×
+  * slower on the all-pairs path). The LSH-bucketed variant is the scale
+  * path: candidates come only from same-bucket rows, so the quadratic
+  * term drops to bucket-local work — at 100 TB the bucket join shuffles
+  * on a short integer key instead of materializing the cross product.
+  *
+  * Cosine formula is dot(a,b)/(sqrt(dot(a,a))·sqrt(dot(b,b))) with
+  * left-to-right folds — bit-identical to the DuckDB oracle's
+  * list_dot_product/sqrt composition.
   */
 object Similarity {
 
-  /** embedding as double[] — float math differs between engines; double
-    * arithmetic with a fixed fold order is bit-reproducible.
-    */
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
-
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
   private val cosineSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
+
+  /** vectors with precomputed norm: (vec_id, v: array<double>, nrm). */
+  private def vecs(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
 
   /** Brute-force cosine top-5 neighbors for query vectors vec_id < 10. */
   val sKnn: QuerySpec = QuerySpec.sql(
@@ -49,12 +52,13 @@ object Similarity {
        |)
        |SELECT query_id, neighbor_id, rank, ROUND(c, 4) AS cosine
        |FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), dvec(col("embedding")).as("v"))
-    val q = e.filter(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
-    val c = cosine(col("qv"), col("v"))
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy("query_id").orderBy(round(col("c"), 6).desc, col("neighbor_id"))
     e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"), c.as("c"))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        (vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("c"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("c"), 4).as("cosine"))
@@ -70,42 +74,51 @@ object Similarity {
        |       ROUND(${cosineSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")}, 4) AS cosine
        |FROM e a JOIN e b ON a.vec_id < b.vec_id
        |WHERE ${cosineSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")} >= 0.45""".stripMargin) { (s, dir) =>
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), dvec(col("embedding")).as("v"))
-    val c = cosine(col("a.v"), col("b.v"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .filter(c >= 0.45)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(c, 4).as("cosine"))
+    val e = vecs(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        (vec_dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("c"))
+      .filter(col("c") >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(col("c"), 4).as("cosine"))
+  }
+
+  /** Deterministic hyperplane weights for sign-random-projection LSH:
+    * w(p)(i) = (h32("p:i") % 2001 - 1000) / 1000 — md5-derived so any
+    * engine can reproduce the bucketing. Materialized driver-side as
+    * literals (they are constants; computing md5 per row per dim was
+    * pure waste).
+    */
+  private def planeWeights(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes, dim) { (p, i) =>
+      val hex = digest.digest(s"$p:$i".getBytes("UTF-8"))
+        .take(4).map(b => f"${b & 0xff}%02x").mkString
+      ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L).toDouble / 1000.0
+    }
   }
 
   /** Sign-random-projection LSH bucketing — the ANN scale path.
-    * Hyperplane weights are portable integers: w[p][i] =
-    * (h32("p:i") % 2001 - 1000) / 1000, so the bucketing is deterministic
-    * and engine-independent. Top-5 within bucket only (approximate —
-    * rows-only correctness check; recall measured in tests against s1).
+    * Top-5 within bucket only (approximate — rows-only correctness
+    * check; recall vs s1 measured in tests).
     */
   val sAnnLsh: QuerySpec = QuerySpec.rowsOnly("s3_ann_lsh") { (s, dir) =>
     val nPlanes = 8
-    val e = Tables.embeddings(s, dir).select(col("vec_id"), dvec(col("embedding")).as("v"))
-    // bucket = sign bits of 8 hyperplane projections
-    val bucket = aggregate(
-      sequence(lit(0), lit(nPlanes - 1)), lit(0L),
-      (acc, p) => acc + when(
-        aggregate(
-          zip_with(col("v"),
-            transform(sequence(lit(0), size(col("v")) - 1),
-              i => (Portable.h32(concat_ws(":", p.cast("string"), i.cast("string"))) % 2001L
-                - 1000L).cast("double") / 1000.0),
-            (x, w) => x * w),
-          lit(0.0), (a2, v2) => a2 + v2) > 0,
-        pow(lit(2.0), p).cast("long")).otherwise(0L))
+    val weights = planeWeights(nPlanes, 64)
+    val e = vecs(s, dir)
+    val bucket = (0 until nPlanes).map { p =>
+      val wlit = array(weights(p).map(lit): _*)
+      when(vec_dot(col("v"), wlit) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
     val eb = e.withColumn("bucket", bucket)
     val q = eb.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket").as("qb"))
-    val c = cosine(col("qv"), col("v"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("bucket").as("qb"))
     val w = Window.partitionBy("query_id").orderBy(round(col("c"), 6).desc, col("neighbor_id"))
     eb.join(broadcast(q), col("bucket") === col("qb") && col("vec_id") =!= col("qid"))
-      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"), c.as("c"))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        (vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("c"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("c"), 4).as("cosine"))

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the sql-private Column↔Expression converters (Spark 4 moved
+  * them behind `private[sql]` in org.apache.spark.sql.classic). Lives in
+  * the spark package solely to re-export the two conversions the graft
+  * expression layer needs.
+  */
+object GraftShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}
