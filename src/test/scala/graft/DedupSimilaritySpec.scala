@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VecOps.vec_dot
+
+class DedupSimilaritySpec extends SparkTestBase {
+
+  test("d1 exact dedup: all docs canonical when corpus has no exact dups") {
+    val df = run("d1_dedup_exact")
+    assert(df.count() === 500)
+    assert(df.filter(!col("is_canonical")).count() === 0)
+    assert(df.filter(col("n_copies") =!= 1).count() === 0)
+  }
+
+  test("d2 exact jaccard finds the planted near-dup pairs") {
+    val df = run("d2_ngram_jaccard")
+    assert(df.count() === 28)
+    assert(df.filter(col("jaccard") > 0.9).count() > 10)
+  }
+
+  test("d3 minhash LSH recalls high-jaccard pairs from d2") {
+    val exact = run("d2_ngram_jaccard").filter(col("jaccard") >= 0.9)
+      .select(col("doc_a"), col("doc_b"))
+    val lsh = run("d3_minhash_lsh").select(col("doc_a"), col("doc_b"))
+    val missed = exact.join(lsh, Seq("doc_a", "doc_b"), "left_anti").count()
+    val total = exact.count()
+    assert(total > 0)
+    // 4x4 LSH at j>=0.9: detection prob per pair = 1-(1-j^4)^4 > 0.99
+    assert(missed.toDouble / total < 0.15, s"missed $missed of $total")
+  }
+
+  test("d4 simhash: near-dup docs have small hamming distance") {
+    val sim = run("d4_simhash")
+    val pairs = run("d2_ngram_jaccard").filter(col("jaccard") >= 0.9)
+    val withSig = pairs
+      .join(sim.withColumnRenamed("simhash", "ha"), col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(sim.withColumnRenamed("simhash", "hb"), col("doc_b") === col("doc_id"))
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+    val avgNearDup = withSig.agg(avg("hamming")).head.getDouble(0)
+    assert(avgNearDup < 10, s"near-dup avg hamming $avgNearDup")
+  }
+
+  test("s1 kNN: 5 neighbors per query, ranks 1..5, cosine in [-1,1]") {
+    val df = run("s1_knn_cosine")
+    assert(df.count() === 50)
+    assert(df.groupBy("query_id").count().filter(col("count") =!= 5).count() === 0)
+    assert(df.filter(abs(col("cosine")) > 1.0001).count() === 0)
+  }
+
+  test("s3 LSH ANN results are a subset of same-bucket brute force with consistent scores") {
+    val ann = run("s3_ann_lsh")
+    val brute = run("s1_knn_cosine")
+      .withColumnRenamed("cosine", "bcos").withColumnRenamed("rank", "brank")
+    // every ANN hit that brute force also ranked must agree on the score
+    val joined = ann.join(brute, Seq("query_id", "neighbor_id"))
+    assert(joined.filter(col("cosine") =!= col("bcos")).count() === 0)
+  }
+
+  test("vec_dot matches the interpreted HOF fold bit-for-bit") {
+    val e = Tables.embeddings(spark, sf0001).limit(50)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val hof = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = e.select((vec_dot(col("v"), col("v")) - hof).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diff === 0)
+  }
+}
