@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.functions.AvroCodec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured-streaming operator layer (SURVEY §2.9).
+  *
+  * Sources are passed in as streaming DataFrames so the identical plan
+  * runs from Kafka in production and from MemoryStream / the file source
+  * in tests (the spark-sql-kafka jar is absent in this environment —
+  * SURVEY S16). Every builder is a pure DataFrame→DataFrame transform;
+  * sinks are separate so checkpointing stays caller-controlled.
+  */
+object Streams {
+
+  /** T6/A7: streaming word count (socket word count,
+    * lab06-avro-streaming/socket_streaming.py:17-18). Complete-mode state
+    * grows with vocabulary — see windowedCounts for the bounded variant.
+    */
+  def wordCount(lines: DataFrame): DataFrame =
+    lines.select(explode(split(col("value"), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").count()
+
+  /** T3/T4: Avro-decode the `value` column, star-expand, keep whatever
+    * source-metadata columns the input carries (topic/partition/offset on
+    * Kafka). Ref: spark_kafka_foreachbatch.py:51-75.
+    */
+  def decodeAvro(raw: DataFrame, schemaJson: String): DataFrame = {
+    val meta = raw.columns.filter(_ != "value").map(col)
+    raw.select(AvroCodec.from_avro(col("value"), schemaJson).as("data") +: meta: _*)
+      .select(col("data.*") +: meta: _*)
+  }
+
+  /** T5/S19: foreachBatch parquet sink — per-batch `batch_id` +
+    * `ingest_ts` enrichment, append partitioned by batch_id, exactly-once
+    * via checkpoint. Ref: spark_kafka_foreachbatch.py:79-98.
+    */
+  def foreachBatchParquetSink(df: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch
+          .withColumn("batch_id", lit(batchId))
+          .withColumn("ingest_ts", current_timestamp())
+          .write.mode("append").partitionBy("batch_id").parquet(outDir)
+      }
+      .start()
+
+  /** T7: idempotent file-stream ingest — the lab05 Airflow DAG
+    * (dags/fuel_ingest_dag.py:92-208) re-expressed Spark-native: the file
+    * source + checkpoint replaces the filename watermark, per-batch
+    * dropDuplicates(key) + append replaces ON CONFLICT DO NOTHING (the
+    * file source never re-serves a processed file, so batch-local dedup +
+    * checkpoint gives the same at-most-once-per-key sink behavior).
+    */
+  def fileIngest(spark: SparkSession, srcDir: String, schema: StructType,
+      key: String, outDir: String, checkpointDir: String): StreamingQuery = {
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 10) // T1: bounded micro-batches
+      .parquet(srcDir)
+      .withColumn("source_file", input_file_name()) // F15 metadata col
+    src.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.dropDuplicates(key).write.mode("append").parquet(outDir)
+      }
+      .start()
+  }
+
+  /** The idiomatic upgrade of T6's unbounded state (SURVEY §2.9 "absent
+    * from reference"): event-time watermark + tumbling window counts.
+    * Append mode, state pruned by the watermark — bounded at any scale.
+    */
+  def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
+      windowLen: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col(keyCol), col("n"),
+        col("total_value"))
+}

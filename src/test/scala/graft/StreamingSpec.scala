@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.AvroCodec
+import graft.streaming.{KeyedCounters, Streams}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  // The reference's Event avro schema (lab06 spark_kafka_foreachbatch.py:53-65 shape)
+  val eventSchema =
+    """{"type":"record","name":"Event","fields":[
+      |{"name":"user_id","type":"long"},
+      |{"name":"event","type":"string"},
+      |{"name":"amount","type":["null","double"],"default":null},
+      |{"name":"ts","type":"long"}]}""".stripMargin
+
+  test("avro round-trip: to_avro then from_avro preserves values") {
+    val df = Seq((1L, "view", Some(9.5), 1700000000000L),
+      (2L, "purchase", None, 1700000001000L))
+      .toDF("user_id", "event", "amount", "ts")
+    val bin = df.select(AvroCodec.to_avro(
+      struct(col("user_id"), col("event"), col("amount"), col("ts")), eventSchema).as("value"))
+    val back = bin.select(AvroCodec.from_avro(col("value"), eventSchema).as("data"))
+      .select("data.*")
+    val rows = back.orderBy("user_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getLong(0) === 1L && rows(0).getString(1) === "view"
+      && rows(0).getDouble(2) === 9.5)
+    assert(rows(1).isNullAt(2))
+  }
+
+  test("streaming word count from memory source (socket word-count parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val wc = Streams.wordCount(input.toDF())
+    val q = wc.writeStream.outputMode("complete")
+      .format("memory").queryName("wc_test").start()
+    input.addData("spark streams spark", "hello streams")
+    q.processAllAvailable()
+    val counts = spark.table("wc_test").as[(String, Long)].collect().toMap
+    q.stop()
+    assert(counts === Map("spark" -> 2L, "streams" -> 2L, "hello" -> 1L))
+  }
+
+  test("avro decode inside a stream, keeping metadata columns") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Array[Byte], Int)]
+    // pre-encode two events
+    val bin = Seq((7L, "click", Option.empty[Double], 5L))
+      .toDF("user_id", "event", "amount", "ts")
+      .select(AvroCodec.to_avro(struct(col("user_id"), col("event"),
+        col("amount"), col("ts")), eventSchema).as("v"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    val decoded = Streams.decodeAvro(
+      input.toDF().toDF("value", "partition"), eventSchema)
+    val q = decoded.writeStream.outputMode("append")
+      .format("memory").queryName("avro_test").start()
+    input.addData((bin(0), 3))
+    q.processAllAvailable()
+    val row = spark.table("avro_test").collect().head
+    q.stop()
+    assert(row.getAs[Long]("user_id") === 7L)
+    assert(row.getAs[String]("event") === "click")
+    assert(row.getAs[Int]("partition") === 3)
+  }
+
+  test("foreachBatch parquet sink partitions by batch_id with checkpoint") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val out = tmp("fb_out"); val ck = tmp("fb_ck")
+    val q = Streams.foreachBatchParquetSink(input.toDF(), out, ck)
+    input.addData("a", "b")
+    q.processAllAvailable()
+    input.addData("c")
+    q.processAllAvailable()
+    q.stop()
+    val res = spark.read.parquet(out)
+    assert(res.count() === 3)
+    assert(res.select("batch_id").distinct().count() === 2)
+    assert(res.columns.contains("ingest_ts"))
+  }
+
+  test("file ingest dedups within batch and carries source_file (lab05 parity)") {
+    val src = tmp("ing_src"); val out = tmp("ing_out"); val ck = tmp("ing_ck")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "transaction_id STRING, amount DOUBLE")
+    Seq(("t1", 1.0), ("t2", 2.0), ("t2", 2.0))
+      .toDF("transaction_id", "amount")
+      .write.mode("overwrite").parquet(src)
+    val q = Streams.fileIngest(spark, src, schema, "transaction_id", out, ck)
+    q.processAllAvailable()
+    q.stop()
+    val res = spark.read.parquet(out)
+    assert(res.count() === 2) // within-batch dup dropped
+    assert(res.columns.contains("source_file"))
+  }
+
+  test("watermark + tumbling window counts (idiomatic T6 upgrade)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "k", "value")
+    val agg = Streams.windowedCounts(events, "ts", "k", "10 minutes", "20 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("win_test").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    input.addData((t(1), "a", 1.0), (t(2), "a", 2.0), (t(11), "b", 5.0))
+    q.processAllAvailable()
+    input.addData((t(59), "a", 9.0)) // advances watermark past first windows
+    q.processAllAvailable()
+    val rows = spark.table("win_test")
+      .select("k", "n", "total_value").as[(String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows.contains(("a", 2L, 3.0)))
+    assert(rows.contains(("b", 1L, 5.0)))
+  }
+
+  test("TTL keyed counters: INCR semantics then expiry tombstone") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedCounters.Hit]
+    val counters = KeyedCounters.ttlCounters(input.toDS(), ttlMs = 50)
+    val q = counters.writeStream.outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .format("memory").queryName("ttl_test").start()
+    // NOTE: once processing-time timeouts are armed the engine schedules
+    // no-data batches on its own, so processAllAvailable() never settles —
+    // this test polls the sink instead.
+    try {
+      input.addData(KeyedCounters.Hit("alice", 1), KeyedCounters.Hit("alice", 1))
+      def rows() = spark.table("ttl_test").as[KeyedCounters.KeyCount].collect()
+      def pollFor(what: String)(p: KeyedCounters.KeyCount => Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (!rows().exists(p) && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        assert(rows().exists(p), s"expected $what, got ${rows().mkString(",")}")
+      }
+      pollFor("alice count=2")(r => r.key == "alice" && r.count == 2 && !r.expired)
+      pollFor("alice expiry tombstone")(r => r.key == "alice" && r.expired)
+    } finally q.stop()
+  }
+}
