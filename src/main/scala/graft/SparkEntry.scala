@@ -11,7 +11,8 @@ object SparkEntry {
 
   private def registry: Seq[QuerySpec] =
     operators.Relational.all ++ operators.TextAnalysis.all ++
-      operators.Dedup.all ++ operators.Similarity.all
+      operators.Dedup.all ++ operators.Similarity.all ++
+      operators.MultimodalQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's flagship revenue_analysis daily-KPI pipeline
@@ -20,17 +21,7 @@ object SparkEntry {
     */
   def entry(spark: SparkSession): DataFrame = {
     Sessions.tune(spark)
-    val dir = "/root/testdata/sf0.001"
-    val ev = Tables.events(spark, dir)
-      .withColumn("d", to_date(col("ts")))
-      .withColumn("revenue",
-        when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)))
-    val daily = ev.groupBy("d", "event_type").agg(
-      count(lit(1)).as("n_events"),
-      round(sum("revenue"), 2).as("revenue"),
-      countDistinct("user_id").as("n_users"))
-    val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
-    daily.withColumn("revenue_7d", round(sum("revenue").over(w), 2))
+    operators.Relational.q21DailyKpi.run(spark, "/root/testdata/sf0.001")
   }
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -354,8 +354,41 @@ object Relational {
       .groupBy("k_mod").agg(count(lit(1)).as("n"))
   }
 
+  /** The flagship revenue_analysis daily-KPI pipeline as an oracle query
+    * (conditional revenue F6 → multi-agg A4 → 7-day moving window W1 —
+    * revenue_analysis/main.ipynb:198-289).
+    */
+  val q21DailyKpi: QuerySpec = QuerySpec.sql(
+    "q21_daily_kpi",
+    """WITH daily AS (
+      |  SELECT CAST(ts AS DATE) AS d, event_type,
+      |         COUNT(*) AS n_events,
+      |         CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value
+      |                            ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |         COUNT(DISTINCT user_id) AS n_users
+      |  FROM events
+      |  GROUP BY 1, 2
+      |)
+      |SELECT d, event_type, n_events, revenue, n_users,
+      |       ROUND(SUM(revenue) OVER (
+      |         PARTITION BY event_type ORDER BY d
+      |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS revenue_7d
+      |FROM daily""".stripMargin) { (s, dir) =>
+    val daily = Tables.events(s, dir)
+      .withColumn("d", to_date(col("ts")))
+      .groupBy("d", "event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        msum(when(col("event_type") === "purchase", col("value")).otherwise(lit(0.0)))
+          .as("revenue"),
+        countDistinct("user_id").as("n_users"))
+    val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-6, 0)
+    daily.withColumn("revenue_7d", round(sum("revenue").over(w), 2))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, q2Filter, q3JoinNation, q4Semi, q5Anti, q6TopK, q7Window,
     q8Distinct, q9Having, q10Union, q11Ilike, q12CaseWhen, q13DatePred,
-    q14MultiSort, q15Md5, q16AggJoin, q17Rank, q18Rollup, q19Json, q20Regex)
+    q14MultiSort, q15Md5, q16AggJoin, q17Rank, q18Rollup, q19Json, q20Regex,
+    q21DailyKpi)
 }

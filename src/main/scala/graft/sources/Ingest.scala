@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Batch ingestion surface (SURVEY §2.1).
+  *
+  * Spark's multi-file readers subsume the reference's manual loops: a
+  * 50k-file glob is one `csv(dir)` call (S1 — pandas loop+concat in
+  * lab01/tasks.ipynb:298-415), gzip is transparent via codec (S3), and
+  * small-files cost is governed by `spark.sql.files.openCostInBytes`
+  * rather than shell merges (S25). Schema-first everywhere — inference
+  * double-scans (SURVEY §4).
+  */
+object Ingest {
+
+  /** S1: many headerless CSVs with caller-supplied schema (lab01's
+    * `names=[id,timestamp,items,category]` read).
+    */
+  def readHeaderlessCsv(spark: SparkSession, pathOrGlob: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema).option("header", "false").csv(pathOrGlob)
+
+  /** S2/S13: header CSV; schema-first if given, else inference (the
+    * reference's inferSchema wart — elevation_ft as string — is the
+    * caller's trade-off; SURVEY §1.4).
+    */
+  def readCsv(spark: SparkSession, path: String,
+      schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  /** S4/S5: schema-first JSONL (gzip transparent — part-*.jsonl.gz). */
+  def readJsonl(spark: SparkSession, schema: StructType,
+      paths: String*): DataFrame =
+    spark.read.schema(schema).json(paths: _*)
+
+  /** S6: one multi-line JSON document holding an array field; explode to
+    * rows (lab02 users.json: `users[]` of nested structs).
+    */
+  def readJsonDocArray(spark: SparkSession, path: String,
+      arrayField: String): DataFrame =
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col(arrayField)).as("r"))
+      .select("r.*")
+
+  /** Apache combined log format + the reference's trailing kv fields
+    * (lab02/tasks.ipynb:12-216):
+    * ip - user [ts] "METHOD path proto" status bytes "ref" "ua"
+    * level=L request_id=R error_type=E
+    */
+  val apacheLogPattern: String =
+    """^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]*)" (\d{3}) (\d+|-) "([^"]*)" "([^"]*)"(?: level=(\S+))?(?: request_id=(\S+))?(?: error_type=(\S+))?.*$"""
+
+  /** S7/F9: project structured columns out of raw log lines via
+    * regexp_extract (the Spark-native zgrep/awk — A7/A11).
+    */
+  def parseApacheLogs(lines: DataFrame, column: String = "value"): DataFrame = {
+    val c = col(column)
+    def g(i: Int) = regexp_extract(c, apacheLogPattern, i)
+    lines.select(
+      g(1).as("ip"),
+      g(3).as("user"),
+      // CASE guards the parse: unmatched lines yield '' which would throw
+      // under Spark 4's ANSI default (CaseWhen branches evaluate lazily)
+      when(g(4) === "", lit(null))
+        .otherwise(to_timestamp(g(4), "dd/MMM/yyyy:HH:mm:ss Z")).as("ts"),
+      g(5).as("method"),
+      g(6).as("path"),
+      g(8).try_cast("int").as("status"),
+      when(g(9) === "-", lit(null)).otherwise(g(9)).try_cast("long").as("bytes"),
+      g(10).as("referrer"),
+      g(11).as("user_agent"),
+      when(g(12) === "", lit(null)).otherwise(g(12)).as("level"),
+      when(g(13) === "", lit(null)).otherwise(g(13)).as("request_id"),
+      when(g(14) === "", lit(null)).otherwise(g(14)).as("error_type"))
+      .filter(col("ip") =!= "")
+  }
+
+  /** A11: the lab02 error-type histogram over parsed logs. */
+  def errorHistogram(parsed: DataFrame): DataFrame =
+    parsed.filter(col("error_type").isNotNull)
+      .groupBy("error_type").count()
+      .orderBy(desc("count"), col("error_type"))
+
+  /** S25/U2: small-files compaction — bounded output file count without a
+    * full shuffle.
+    */
+  def compact(df: DataFrame, files: Int): DataFrame = df.coalesce(files)
+
+  /** S10: partitioned parquet write (overwrite), snappy. */
+  def writePartitioned(df: DataFrame, dir: String, cols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(dir)
+}
