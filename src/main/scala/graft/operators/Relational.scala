@@ -386,9 +386,52 @@ object Relational {
     daily.withColumn("revenue_7d", round(sum("revenue").over(w), 2))
   }
 
+  /** The lab03 multi-step SQL investigation shape (script1.sql:11-70):
+    * temp-table chain — DISTINCT key set → join/filter window → HAVING
+    * culprits → final lookup with md5 proof column. Runs through the
+    * spark.sql text path with temp views (SURVEY §3.3); the oracle
+    * expresses the same chain as CTEs.
+    */
+  val q22Investigation: QuerySpec = QuerySpec.sql(
+    "q22_sql_investigation",
+    """WITH suspects AS (
+      |  SELECT DISTINCT o_custkey AS custkey
+      |  FROM orders
+      |  WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+      |    AND o_orderstatus = 'F'
+      |), repeat_offenders AS (
+      |  SELECT o.o_custkey AS custkey, COUNT(*) AS n
+      |  FROM orders o JOIN suspects s ON o.o_custkey = s.custkey
+      |  WHERE o.o_orderstatus = 'F'
+      |  GROUP BY o.o_custkey
+      |  HAVING COUNT(*) >= 3
+      |)
+      |SELECT c.c_custkey, c.c_name, r.n AS f_orders,
+      |       md5(lower(trim(c.c_name))) AS proof
+      |FROM repeat_offenders r
+      |JOIN customer c ON c.c_custkey = r.custkey""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir).createOrReplaceTempView("g_orders")
+    Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+    s.sql(
+      """SELECT DISTINCT o_custkey AS custkey FROM g_orders
+        |WHERE to_date(o_orderdate) >= DATE '1995-01-01' AND o_orderstatus = 'F'
+        |""".stripMargin).createOrReplaceTempView("g_suspects")
+    s.sql(
+      """SELECT o.o_custkey AS custkey, COUNT(*) AS n
+        |FROM g_orders o JOIN g_suspects s ON o.o_custkey = s.custkey
+        |WHERE o.o_orderstatus = 'F'
+        |GROUP BY o.o_custkey HAVING COUNT(*) >= 3
+        |""".stripMargin).createOrReplaceTempView("g_offenders")
+    s.sql(
+      """SELECT c.c_custkey, c.c_name, r.n AS f_orders,
+        |       md5(lower(trim(c.c_name))) AS proof
+        |FROM g_offenders r JOIN g_customer c ON c.c_custkey = r.custkey
+        |""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, q2Filter, q3JoinNation, q4Semi, q5Anti, q6TopK, q7Window,
     q8Distinct, q9Having, q10Union, q11Ilike, q12CaseWhen, q13DatePred,
     q14MultiSort, q15Md5, q16AggJoin, q17Rank, q18Rollup, q19Json, q20Regex,
-    q21DailyKpi)
+    q21DailyKpi, q22Investigation)
 }
