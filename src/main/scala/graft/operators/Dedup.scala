@@ -69,8 +69,15 @@ object Dedup {
       .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("s"))
       .select(col("doc_id"), Portable.h32(col("s")).as("h"))
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.as("a"); val b = sh.as("b")
-    val inter = a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    // size-ratio prefilter: j >= 0.6 implies min(na,nb)/max(na,nb) >= 0.6
+    // (i <= min and j <= min/max), so pairs failing 5·min >= 3·max can be
+    // pruned before the heavy pair aggregation. Sound — never drops a
+    // qualifying pair; the oracle needs no mirror (its final filter is
+    // the same predicate).
+    val shn = sh.join(broadcast(cnt), "doc_id")
+    val a = shn.as("a"); val b = shn.as("b")
+    val inter = a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.n") * 5 >= col("b.n") * 3 && col("b.n") * 5 >= col("a.n") * 3)
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("i"))
     val j = col("i") * lit(1.0) /

@@ -429,9 +429,41 @@ object Relational {
         |""".stripMargin)
   }
 
+  /** A8: mode / most-common value via count+sort+limit (lab01 "most
+    * common category among sampled rows").
+    */
+  val q23Mode: QuerySpec = QuerySpec.sql(
+    "q23_mode",
+    """SELECT p_type, COUNT(*) AS n
+      |FROM part
+      |GROUP BY p_type
+      |ORDER BY n DESC, p_type
+      |LIMIT 1""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .groupBy("p_type").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p_type"))
+      .limit(1)
+  }
+
+  /** F13: deterministic "seeded" sample — hash-ordered take-k is the
+    * engine-portable analog of sample(seed=42) (any engine reproduces the
+    * same rows from the md5 order).
+    */
+  val q24Sample: QuerySpec = QuerySpec.sql(
+    "q24_hash_sample",
+    """SELECT doc_id, lang, source
+      |FROM documents
+      |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .limit(10)
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, q2Filter, q3JoinNation, q4Semi, q5Anti, q6TopK, q7Window,
     q8Distinct, q9Having, q10Union, q11Ilike, q12CaseWhen, q13DatePred,
     q14MultiSort, q15Md5, q16AggJoin, q17Rank, q18Rollup, q19Json, q20Regex,
-    q21DailyKpi, q22Investigation)
+    q21DailyKpi, q22Investigation, q23Mode, q24Sample)
 }
