@@ -1,0 +1,45 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table helpers — the co-located-join scale path (SURVEY §4 /
+  * builder prompt): writing both sides of a recurring join bucketed on
+  * the join key lets Spark plan a shuffle-free sort-merge join. At 100 TB
+  * this removes the dominant exchange from every fact-fact join that
+  * reuses the layout.
+  */
+object Bucketing {
+
+  /** Persist `df` as a bucketed (and optionally sorted) catalog table.
+    * Drops any previous table AND its orphaned location first (a crashed
+    * run can leave the warehouse dir without catalog metadata, which
+    * CTAS then refuses).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int, sorted: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val warehouse = new java.net.URI(
+      spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = new java.io.File(warehouse, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(loc)
+    }
+    val w = df.write.mode("overwrite")
+      .bucketBy(buckets, bucketCol)
+    (if (sorted) w.sortBy(bucketCol) else w)
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Join two same-bucketed tables on their bucket key — planner elides
+    * both shuffles when bucket counts match.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+      key: String, joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key), joinType)
+}

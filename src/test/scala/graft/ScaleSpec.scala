@@ -1,0 +1,100 @@
+package graft
+
+import java.io.PrintWriter
+import java.net.ServerSocket
+import java.nio.file.Files
+
+import graft.sources.Bucketing
+import graft.streaming.Streams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Scale-path behaviors: bucketed shuffle-free joins, checkpoint-restart
+  * exactly-once, and the real TCP socket source (lab06 parity).
+  */
+class ScaleSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("bucketed join elides both shuffle exchanges") {
+    Bucketing.writeBucketed(
+      Tables.orders(spark, sf0001).select("o_orderkey", "o_custkey", "o_totalprice"),
+      "b_orders", "o_orderkey", 8)
+    Bucketing.writeBucketed(
+      Tables.lineitem(spark, sf0001)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "b_lineitem", "o_orderkey", 8)
+    // force the shuffle-or-bucket decision (broadcast would win at this SF)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+      assert(j.count() === Tables.lineitem(spark, sf0001).count())
+      // contrast: the plain parquet join shuffles both sides
+      val plain = Tables.orders(spark, sf0001).join(
+        Tables.lineitem(spark, sf0001),
+        col("o_orderkey") === col("l_orderkey"))
+      assert(plain.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
+  test("T2: file-source restart from checkpoint neither duplicates nor drops") {
+    val src = Files.createTempDirectory("ck_src").toString
+    val out = Files.createTempDirectory("ck_out").toString
+    val ck = Files.createTempDirectory("ck_ck").toString
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "transaction_id STRING, amount DOUBLE")
+    Seq(("t1", 1.0), ("t2", 2.0)).toDF("transaction_id", "amount")
+      .write.parquet(s"$src/f1")
+    val q1 = Streams.fileIngest(spark, s"$src/*", schema, "transaction_id", out, ck)
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() === 2)
+    // new file lands while the job is down; restart resumes from the
+    // checkpoint: old files are not re-served, the new one is
+    Seq(("t3", 3.0)).toDF("transaction_id", "amount")
+      .write.parquet(s"$src/f2")
+    val q2 = Streams.fileIngest(spark, s"$src/*", schema, "transaction_id", out, ck)
+    q2.processAllAvailable(); q2.stop()
+    val res = spark.read.parquet(out)
+    assert(res.count() === 3, "restart must not duplicate or drop")
+    assert(res.select("transaction_id").distinct().count() === 3)
+  }
+
+  test("S17: word count over a real TCP socket source") {
+    val server = new ServerSocket(0)
+    val port = server.getLocalPort
+    val writerThread = new Thread(() => {
+      val sock = server.accept()
+      val out = new PrintWriter(sock.getOutputStream, true)
+      out.println("graft spark graft")
+      out.println("spark")
+      Thread.sleep(3000) // keep the connection open while batches run
+      out.close(); sock.close()
+    })
+    writerThread.start()
+    val lines = spark.readStream.format("socket")
+      .option("host", "127.0.0.1").option("port", port).load()
+    val q = Streams.wordCount(lines).writeStream
+      .outputMode("complete").format("memory").queryName("sock_wc").start()
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      def counts() = spark.table("sock_wc").as[(String, Long)].collect().toMap
+      while (counts().getOrElse("graft", 0L) < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(200)
+      assert(counts() === Map("graft" -> 2L, "spark" -> 2L))
+    } finally {
+      q.stop(); server.close(); writerThread.join(5000)
+    }
+  }
+
+  test("exact percentiles group-by (median / p90)") {
+    val df = Tables.lineitem(spark, sf0001)
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9)").as("p90_qty"))
+    assert(df.count() === 3)
+    val r = df.filter(col("median_qty") > col("p90_qty")).count()
+    assert(r === 0)
+  }
+}
