@@ -65,9 +65,13 @@ object Dedup {
        |JOIN cnt ca ON ca.doc_id = doc_a
        |JOIN cnt cb ON cb.doc_id = doc_b
        |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6""".stripMargin) { (s, dir) =>
+    // materialize the hashed-shingle relation once: it feeds the count
+    // aggregate and BOTH sides of the self-join, and recomputing the
+    // interpreted shingle expression 3x dominates runtime otherwise
     val sh = Tables.documents(s, dir)
       .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("s"))
       .select(col("doc_id"), Portable.h32(col("s")).as("h"))
+      .localCheckpoint()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // size-ratio prefilter: j >= 0.6 implies min(na,nb)/max(na,nb) >= 0.6
     // (i <= min and j <= min/max), so pairs failing 5·min >= 3·max can be
@@ -137,7 +141,9 @@ object Dedup {
        |JOIN sig sb ON sb.doc_id = doc_b
        |WHERE len(list_filter(generate_series(1, $K),
        |      i -> sa.sig[i] = sb.sig[i])) * 1.0 / $K >= 0.5""".stripMargin) { (s, dir) =>
-    val docs = signatures(Tables.documents(s, dir))
+    // signatures feed the band explode and both est-join sides — one
+    // materialization instead of three recomputes
+    val docs = signatures(Tables.documents(s, dir)).localCheckpoint()
     val bands = docs.select(col("doc_id"), col("sig"),
       explode(transform(sequence(lit(0), lit(Bands - 1)),
         j => concat_ws(":", j.cast("string"),

@@ -74,6 +74,33 @@ object Streams {
       .start()
   }
 
+  /** S21/T7: the `INSERT … ON CONFLICT (key) DO NOTHING` sink without a
+    * transactional store (dags/fuel_ingest_dag.py:169-182): per batch,
+    * dedup within the batch, then anti-join against the keys already in
+    * the sink before appending. At scale the anti-join prunes via
+    * partition/file skipping on the key-sorted sink layout.
+    */
+  def upsertAppendSink(df: DataFrame, key: String, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fresh = batch.dropDuplicates(key)
+        val existingKeys =
+          try batch.sparkSession.read.parquet(outDir).select(col(key).as("__sunk"))
+          catch { case _: Exception => // first batch: sink dir empty
+            fresh.select(col(key).as("__sunk")).limit(0)
+          }
+        fresh.join(existingKeys, col(key) === col("__sunk"), "left_anti")
+          .write.mode("append").parquet(outDir)
+      }
+      .start()
+
+  /** S20: console sink in complete mode (the socket word-count's sink). */
+  def consoleSink(df: DataFrame, mode: String = "complete"): StreamingQuery =
+    df.writeStream.outputMode(mode).format("console").start()
+
   /** The idiomatic upgrade of T6's unbounded state (SURVEY §2.9 "absent
     * from reference"): event-time watermark + tumbling window counts.
     * Append mode, state pruned by the watermark — bounded at any scale.

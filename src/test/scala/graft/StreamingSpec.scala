@@ -104,6 +104,33 @@ class StreamingSpec extends SparkTestBase {
     assert(res.columns.contains("source_file"))
   }
 
+  test("S21: upsert-append sink skips keys already in the sink across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val out = tmp("ups_out"); val ck = tmp("ups_ck")
+    val q = Streams.upsertAppendSink(
+      input.toDF().toDF("transaction_id", "amount"), "transaction_id", out, ck)
+    try {
+      input.addData(("t1", 1.0), ("t2", 2.0), ("t1", 1.0)) // in-batch dup
+      q.processAllAvailable()
+      input.addData(("t2", 99.0), ("t3", 3.0)) // t2 conflicts with sink
+      q.processAllAvailable()
+      val res = spark.read.parquet(out)
+      assert(res.count() === 3)
+      // first write wins — ON CONFLICT DO NOTHING semantics
+      assert(res.filter($"transaction_id" === "t2").head.getDouble(1) === 2.0)
+    } finally q.stop()
+  }
+
+  test("from_json with explicit schema parses the events props column") {
+    val df = Tables.events(spark, sf0001)
+      .select(from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")).as("p"))
+      .select(col("p.k"))
+    assert(df.filter(col("k").isNull).count() === 0)
+    assert(df.agg(max("k")).head.getInt(0) <= 99)
+  }
+
   test("watermark + tumbling window counts (idiomatic T6 upgrade)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
