@@ -61,9 +61,8 @@ object Streams {
     */
   def fileIngest(spark: SparkSession, srcDir: String, schema: StructType,
       key: String, outDir: String, checkpointDir: String): StreamingQuery = {
-    val src = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 10) // T1: bounded micro-batches
-      .parquet(srcDir)
+    val src = SourceFactory.open(spark,
+        SourceFactory.Dir(srcDir, schema, maxFilesPerTrigger = 10)) // T1 bound
       .withColumn("source_file", input_file_name()) // F15 metadata col
     src.writeStream
       .outputMode("append")

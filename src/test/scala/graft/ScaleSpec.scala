@@ -73,8 +73,8 @@ class ScaleSpec extends SparkTestBase {
       out.close(); sock.close()
     })
     writerThread.start()
-    val lines = spark.readStream.format("socket")
-      .option("host", "127.0.0.1").option("port", port).load()
+    val lines = graft.streaming.SourceFactory.open(spark,
+      graft.streaming.SourceFactory.Socket("127.0.0.1", port))
     val q = Streams.wordCount(lines).writeStream
       .outputMode("complete").format("memory").queryName("sock_wc").start()
     try {
