@@ -189,5 +189,43 @@ object Dedup {
           |     shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin).as("simhash"))
   }
 
-  val all: Seq[QuerySpec] = Seq(dExact, dJaccard, dMinHash, dSimHash)
+  /** Near-dup clustering: connected components over the MinHash candidate
+    * pairs (est >= 0.5) by distributed min-label propagation — each doc
+    * converges to the smallest doc_id reachable through near-dup edges,
+    * giving keep-one-per-cluster dedup without any driver-side
+    * union-find. Iteration count is bounded by component diameter (near-
+    * dup clusters are tiny); 15 rounds is far past convergence here.
+    * Output: one row per doc that belongs to a multi-doc cluster.
+    */
+  val dClusters: QuerySpec = QuerySpec.rowsOnly("d5_dedup_clusters") { (s, dir) =>
+    val pairs = dMinHash.run(s, dir).select("doc_a", "doc_b")
+      .localCheckpoint()
+    // undirected edge list
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val members = edges.select(col("doc_a").as("doc_id")).distinct()
+    var labels = members.withColumn("label", col("doc_id"))
+    var i = 0
+    var converged = false
+    while (i < 15 && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("doc_b") === labels("doc_id"))
+        .groupBy(edges("doc_a").as("doc_id"))
+        .agg(min("label").as("nlabel"))
+      val next = labels.drop("label")
+        .join(neighborMin, Seq("doc_id"), "left")
+        .join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
+        .select(col("doc_id"),
+          least(coalesce(col("nlabel"), col("old")), col("old")).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old2"), Seq("doc_id"))
+        .filter(col("label") =!= col("old2")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .orderBy("cluster_id", "doc_id")
+  }
+
+  val all: Seq[QuerySpec] = Seq(dExact, dJaccard, dMinHash, dSimHash, dClusters)
 }

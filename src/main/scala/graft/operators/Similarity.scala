@@ -124,5 +124,65 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("c"), 4).as("cosine"))
   }
 
-  val all: Seq[QuerySpec] = Seq(sKnn, sNearDup, sAnnLsh)
+  /** IVF-style ANN: deterministic coarse centroids (the 16 vectors with
+    * the smallest md5(vec_id) — hash-ordered, so any engine picks the
+    * same ones), assign every vector to its nearest centroid (one
+    * broadcast pass), then search only the query's cell. The inverted-
+    * file layout is the standard scale path when LSH recall is too
+    * layout-sensitive: at 100 TB the cell assignment partitions the
+    * corpus so each query touches ~1/K of it. Rows-only check; recall
+    * vs s1 asserted in tests.
+    */
+  val sAnnIvf: QuerySpec = QuerySpec.rowsOnly("s4_ann_ivf") { (s, dir) =>
+    val e = vecs(s, dir)
+    val cents = e
+      .withColumn("ord", md5(col("vec_id").cast("string")))
+      .orderBy("ord", "vec_id").limit(16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    // nearest centroid per vector (argmax cosine, centroid id tie-break)
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(round(col("cc"), 6).desc, col("cid"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("cc", vec_dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell").as("qcell"))
+    val w = Window.partitionBy("query_id").orderBy(round(col("c"), 6).desc, col("neighbor_id"))
+    assigned.join(broadcast(q), col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        (vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("c"), 4).as("cosine"))
+  }
+
+  /** Symmetric int8 quantization per vector (embedding compression for
+    * storage/transfer at scale): scale = 127 / max|x|; checksum column
+    * keeps the oracle array-free. Row-level deterministic arithmetic.
+    */
+  val sQuantize: QuerySpec = QuerySpec.sql(
+    "s5_quantize_int8",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v,
+      |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e)
+      |SELECT vec_id,
+      |       CAST(list_sum(list_transform(v,
+      |         x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT))) AS BIGINT) AS qsum,
+      |       CAST(list_max(list_transform(v,
+      |         x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT))) AS BIGINT) AS qmax
+      |FROM m""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+    val quant = transform(col("v"),
+      x => round(x * (lit(127.0) / col("mx")), 0).cast("long"))
+    e.select(col("vec_id"),
+      aggregate(quant, lit(0L), (a, x) => a + x).as("qsum"),
+      array_max(quant).as("qmax"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(sKnn, sNearDup, sAnnLsh, sAnnIvf, sQuantize)
 }
