@@ -461,9 +461,74 @@ object Relational {
       .limit(10)
   }
 
+  /** Stratified deterministic sample: k rows per group in md5 order —
+    * the per-class downsampling a training-data pipeline runs (balanced
+    * corpora), reproducible in any engine.
+    */
+  val q25Stratified: QuerySpec = QuerySpec.sql(
+    "q25_stratified_sample",
+    """SELECT doc_id, lang
+      |FROM (
+      |  SELECT doc_id, lang,
+      |         ROW_NUMBER() OVER (PARTITION BY lang
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents
+      |) WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("doc_id", "lang")
+  }
+
+  /** Sessionization: split each user's event stream on >30-minute gaps
+    * (lag + running sum of session-start flags). All arithmetic is
+    * integer epoch-microseconds so both engines cut sessions on exactly
+    * the same boundaries.
+    */
+  val q26Sessionize: QuerySpec = QuerySpec.sql(
+    "q26_sessionize",
+    """WITH t AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, us,
+      |         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |                   > 1800000000 OR
+      |              LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM t
+      |), sessions AS (
+      |  SELECT user_id, event_id,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no,
+      |         us
+      |  FROM flagged
+      |)
+      |SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+      |       COUNT(*) AS n_events,
+      |       CAST((MAX(us) - MIN(us)) // 1000000 AS BIGINT) AS duration_s
+      |FROM sessions
+      |GROUP BY user_id, session_no""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val t = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val flagged = t.withColumn("prev_us", lag("us", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > 1800000000L, 1L)
+          .otherwise(0L))
+    flagged
+      .withColumn("session_no",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_no")
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(us) - min(us)) div 1000000").as("duration_s"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, q2Filter, q3JoinNation, q4Semi, q5Anti, q6TopK, q7Window,
     q8Distinct, q9Having, q10Union, q11Ilike, q12CaseWhen, q13DatePred,
     q14MultiSort, q15Md5, q16AggJoin, q17Rank, q18Rollup, q19Json, q20Regex,
-    q21DailyKpi, q22Investigation, q23Mode, q24Sample)
+    q21DailyKpi, q22Investigation, q23Mode, q24Sample, q25Stratified,
+    q26Sessionize)
 }
