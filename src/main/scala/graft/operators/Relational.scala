@@ -525,10 +525,33 @@ object Relational {
         expr("(max(us) - min(us)) div 1000000").as("duration_s"))
   }
 
+  /** CUBE grouping sets (the §2.4 note: free from Catalyst, exposed). */
+  val q27Cube: QuerySpec = QuerySpec.sql(
+    "q27_cube",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), msum(col("l_quantity")).as("qty"))
+  }
+
+  /** EXCEPT set difference (§2.7 "available free in Spark if exposed"). */
+  val q28Except: QuerySpec = QuerySpec.sql(
+    "q28_except",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "F").select("o_custkey")
+      .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, q2Filter, q3JoinNation, q4Semi, q5Anti, q6TopK, q7Window,
     q8Distinct, q9Having, q10Union, q11Ilike, q12CaseWhen, q13DatePred,
     q14MultiSort, q15Md5, q16AggJoin, q17Rank, q18Rollup, q19Json, q20Regex,
     q21DailyKpi, q22Investigation, q23Mode, q24Sample, q25Stratified,
-    q26Sessionize)
+    q26Sessionize, q27Cube, q28Except)
 }
