@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Batch ingestion surface (SURVEY §2.1).
   *
@@ -36,6 +36,29 @@ object Ingest {
   def readJsonl(spark: SparkSession, schema: StructType,
       paths: String*): DataFrame =
     spark.read.schema(schema).json(paths: _*)
+
+  /** T7 quarantine: PERMISSIVE read that splits clean rows from corrupt
+    * lines — the lab05 `_bad/` directory behavior
+    * (dags/fuel_ingest_dag.py:184-194) without the Airflow machinery.
+    * Corrupt raw lines are preserved verbatim in `quarantineDir`.
+    */
+  def readJsonlWithQuarantine(spark: SparkSession, schema: StructType,
+      path: String, quarantineDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType))
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache() // one scan feeds both splits; permissive+corrupt requires it
+    raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+      .write.mode("overwrite").text(quarantineDir)
+    val clean = raw.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    clean
+  }
 
   /** S6: one multi-line JSON document holding an array field; explode to
     * rows (lab02 users.json: `users[]` of nested structs).

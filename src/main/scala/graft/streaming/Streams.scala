@@ -96,6 +96,14 @@ object Streams {
       }
       .start()
 
+  /** Stream-static enrichment: join a stream against a broadcast
+    * dimension table (the streaming analog of the flagship's J4 joins —
+    * dims ship to every task, no stream-side shuffle).
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), keys, "left")
+
   /** S20: console sink in complete mode (the socket word-count's sink). */
   def consoleSink(df: DataFrame, mode: String = "complete"): StreamingQuery =
     df.writeStream.outputMode(mode).format("console").start()

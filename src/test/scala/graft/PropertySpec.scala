@@ -1,0 +1,87 @@
+package graft
+
+import graft.functions.Portable
+import graft.operators.Skew
+import graft.pipeline.Checks
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-style invariants over generated inputs (scalacheck Gens with
+  * a fixed seed for reproducibility — SURVEY §5 test strategy).
+  */
+class PropertySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  val word: Gen[String] = Gen.oneOf(
+    "spark", "join", "scan", "merge", "sort", "hash", "agg", "row", "col")
+  val doc: Gen[String] = Gen.chooseNum(1, 40)
+    .flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+
+  test("portable h32 is non-negative, bounded, and equals the SQL definition") {
+    val docs = samples(doc, 60).distinct
+    val df = docs.toDF("text")
+      .select(col("text"), Portable.h32(col("text")).as("h"),
+        expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)").as("h2"))
+    assert(df.filter(col("h") < 0 || col("h") >= (1L << 32)).count() === 0)
+    assert(df.filter(col("h") =!= col("h2")).count() === 0)
+  }
+
+  test("shingles: count is max(tokens-2, 1) bounded and distinct") {
+    val docs = samples(doc, 60).distinct
+    val df = docs.toDF("text")
+      .select(col("text"),
+        size(split(col("text"), " ")).as("toks"),
+        Portable.shingles(col("text"), 3).as("sh"))
+    // distinct shingles ≤ tokens-2 for 3+ tokens, exactly 1 otherwise
+    assert(df.filter(col("toks") >= 3 && size(col("sh")) > col("toks") - 2)
+      .count() === 0)
+    assert(df.filter(col("toks") < 3 && size(col("sh")) =!= 1).count() === 0)
+    assert(df.filter(size(array_distinct(col("sh"))) =!= size(col("sh")))
+      .count() === 0)
+  }
+
+  test("salted aggregation equals direct aggregation on random data") {
+    val rows = samples(Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(-100.0, 100.0)), 200)
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+    val salted = Skew.saltedSumCount(df, Seq("k"), "v", salts = 7)
+    val j = direct.as("d").join(salted.as("s"), Seq("k"))
+    assert(j.filter(col("d.n") =!= col("s.n")).count() === 0)
+    assert(j.filter(abs(col("d.sum_v") - col("s.sum_v")) > 1e-9).count() === 0)
+  }
+
+  test("unique check flags exactly when generated data has duplicates") {
+    val lists = samples(Gen.listOfN(30, Gen.chooseNum(0, 1000)), 20)
+    lists.foreach { xs =>
+      val hasDup = xs.distinct.size != xs.size
+      val res = Checks.unique(xs.toDF("x"), "x")
+      assert(res.passed === !hasDup, s"xs=$xs")
+      assert(res.violations === (xs.size - xs.distinct.size))
+    }
+  }
+
+  test("minhash signature agreement upper-bounds nothing below exact containment") {
+    // over random docs: identical docs ⇒ est = 1.0 exactly
+    val docs = samples(doc, 20).distinct
+    val dup = docs ++ docs
+    val df = dup.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    df.createOrReplaceTempView("prop_docs")
+    // reuse the d3 signature builder shape inline: same text → same sig
+    val sigs = df
+      .select(col("doc_id"), col("text"), Portable.shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), col("text"),
+        transform(col("sh"), x => Portable.h32(x)).as("hs"))
+      .select(col("doc_id"), col("text"),
+        transform(sequence(lit(1), lit(16)),
+          i => array_min(transform(col("hs"),
+            x => ((i.cast("long") * 2L + 1L) * x + lit(104729L) * i) % Portable.MinHashP)))
+          .as("sig"))
+    val byText = sigs.groupBy("text").agg(countDistinct("sig").as("nsig"))
+    assert(byText.filter(col("nsig") =!= 1).count() === 0)
+  }
+}
