@@ -1,0 +1,116 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftShim, SparkSessionExtensions}
+import org.apache.spark.sql.execution.SparkStrategy
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+import scala.collection.mutable
+
+/** Per-key top-k as a first-class operator — the whole-operator rung of
+  * the extension ladder (custom LogicalPlan + Strategy + SparkPlan via
+  * SparkSessionExtensions).
+  *
+  * The DataFrame route (window row_number + filter) sorts every row of
+  * every key before discarding all but k. This operator keeps a bounded
+  * heap per key instead: a partial pass caps each partition's output at
+  * k rows per key BEFORE the exchange, so the shuffle moves at most
+  * (#partitions × k) rows per key no matter how hot the key — the
+  * aggregation-style partial/final shape applied to top-k. Order is by
+  * `order` descending, ties broken arbitrarily (callers needing total
+  * determinism add a tie-break column to `order` via a struct).
+  */
+case class TopKPerKeyNode(keys: Seq[Expression], order: Expression, k: Int,
+    global: Boolean, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Expression, k: Int,
+    global: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (global) Seq(ClusteredDistribution(keys)) else Seq(UnspecifiedDistribution)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val orderExpr = order
+    val childOutput = child.output
+    val kk = k
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordEval = BindReferences.bindReference(orderExpr, childOutput)
+      // per-key bounded min-heap of (orderValue, row); evict the smallest
+      // so the k largest survive
+      implicit val ord: Ordering[(Double, UnsafeRow)] =
+        Ordering.by[(Double, UnsafeRow), Double](_._1).reverse
+      val heaps = mutable.Map.empty[UnsafeRow, mutable.PriorityQueue[(Double, UnsafeRow)]]
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+      it.foreach { row =>
+        val key = keyProj(row).copy()
+        val v = ordEval.eval(row) match {
+          case null => Double.NegativeInfinity
+          case n: java.lang.Number => n.doubleValue()
+          case other => throw new IllegalArgumentException(
+            s"topKPerKey order expression must be numeric, got $other")
+        }
+        val heap = heaps.getOrElseUpdate(key,
+          mutable.PriorityQueue.empty[(Double, UnsafeRow)])
+        if (heap.size < kk) heap.enqueue((v, toUnsafe(row).copy()))
+        else if (heap.head._1 < v) {
+          heap.dequeue()
+          heap.enqueue((v, toUnsafe(row).copy()))
+        }
+      }
+      heaps.iterator.flatMap(_._2.iterator.map(_._2))
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, k, global, child) =>
+      TopKPerKeyExec(keys, order, k, global, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopKPerKey {
+  /** keys → the k rows with the largest `order` value per key. Two-phase:
+    * partition-local top-k, exchange on keys, final top-k. Attributes are
+    * resolved here against the child plan (Column placeholders report
+    * resolved=true and would slip through analysis inside a custom node).
+    */
+  def apply(df: DataFrame, keyCols: Seq[String], orderCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    val plan = GraftShim.logicalPlan(df)
+    def attr(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$n' not in ${plan.output.map(_.name).mkString(",")}"))
+    val keyExprs = keyCols.map(attr)
+    val ordExpr = attr(orderCol)
+    val partial = TopKPerKeyNode(keyExprs, ordExpr, k, global = false, plan)
+    val fin = TopKPerKeyNode(keyExprs, ordExpr, k, global = true, partial)
+    GraftShim.ofRows(spark, fin)
+  }
+}
+
+/** Extensions entry point registering both graft planner/optimizer hooks. */
+class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
+    e.injectOptimizerRule(_ => SemiJoinRewrite)
+  }
+}
