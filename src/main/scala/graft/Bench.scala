@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Sessions.tune(spark)
     // warm the JVM / codegen / parquet footers once so per-query numbers
     // measure the queries, not first-touch setup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }

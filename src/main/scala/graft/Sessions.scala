@@ -25,14 +25,23 @@ object Sessions {
       .config("spark.sql.parquet.compression.codec", "snappy")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark
+    tune(spark)
   }
 
   /** Apply graft defaults to an externally-built session (driver-owned
-    * sessions in Verify/Bench): only runtime-settable confs.
+    * sessions in Verify/Bench): runtime-settable confs plus the graft
+    * planner/optimizer hooks (experimental.* is the post-construction
+    * registration point; builder-owned sessions would use
+    * .withExtensions(new plans.GraftPlannerExtensions)).
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if (!spark.experimental.extraStrategies.contains(plans.TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ plans.TopKPerKeyStrategy
+    if (!spark.experimental.extraOptimizations.contains(plans.SemiJoinRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ plans.SemiJoinRewrite
     spark
   }
 }

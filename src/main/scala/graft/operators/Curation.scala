@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.functions.Portable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** The end-to-end training-corpus curation pipeline as one oracle-checked
+  * operator — the composition a 100 TB LLM data pipeline runs nightly:
+  *
+  *   quality filter → exact dedup (fingerprint) → near-dup dedup
+  *   (identical MinHash signature) → per-language stratified cap.
+  *
+  * Every stage is deterministic integer/string arithmetic (see
+  * TextAnalysis / Dedup for the primitives), so the full composition
+  * hash-matches the DuckDB oracle. Dedup keeps the smallest doc_id per
+  * group (keep-first); the stratified cap is hash-ordered (q25).
+  */
+object Curation {
+
+  private val QualityMin = 6000 // basis points; keeps ~3/4 of the corpus
+  private val PerLangCap = 50
+
+  val pCorpus: QuerySpec = QuerySpec.sql(
+    "p1_training_corpus",
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, text,
+       |         (47 * least(len(string_split(text, ' ')) * 10000 // 64, 10000)
+       |        + 31 * (10000 - len(list_filter(string_split(text, ' '),
+       |                t -> t IN ('the', 'a'))) * 10000 // len(string_split(text, ' ')))
+       |        + 22 * least(n_chars * 10000 // 400, 10000)) // 100 AS quality_bp
+       |  FROM documents
+       |), hs AS (
+       |  SELECT doc_id, list_transform(${Portable.shinglesSql(3).replace("\n", " ")},
+       |    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hs
+       |  FROM documents
+       |), sig AS (
+       |  SELECT doc_id, array_to_string(list_transform(generate_series(1, 16),
+       |    i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % ${Portable.MinHashP}))), ',') AS sigstr
+       |  FROM hs
+       |), eligible AS (
+       |  SELECT s.doc_id, s.lang, s.quality_bp,
+       |         md5(regexp_replace(lower(s.text), '\\s+', ' ', 'g')) AS fp,
+       |         g.sigstr
+       |  FROM scored s JOIN sig g ON s.doc_id = g.doc_id
+       |  WHERE s.quality_bp >= $QualityMin
+       |), deduped AS (
+       |  SELECT doc_id, lang, quality_bp,
+       |         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn_fp,
+       |         ROW_NUMBER() OVER (PARTITION BY sigstr ORDER BY doc_id) AS rn_sig
+       |  FROM eligible
+       |), capped AS (
+       |  SELECT doc_id, lang, quality_bp,
+       |         ROW_NUMBER() OVER (PARTITION BY lang
+       |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn_lang
+       |  FROM deduped WHERE rn_fp = 1 AND rn_sig = 1
+       |)
+       |SELECT doc_id, lang, quality_bp
+       |FROM capped WHERE rn_lang <= $PerLangCap""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val nTok = size(split(col("text"), " ")).cast("long")
+    val nStop = size(filter(split(col("text"), " "), t => t.isin("the", "a"))).cast("long")
+    val scored = docs
+      .withColumn("n_tokens", nTok).withColumn("n_stop", nStop)
+      .selectExpr("doc_id", "lang", "text",
+        """(47 * least(n_tokens * 10000L div 64, 10000)
+          | + 31 * (10000 - n_stop * 10000L div n_tokens)
+          | + 22 * least(n_chars * 10000L div 400, 10000)) div 100 AS quality_bp""".stripMargin)
+    // identical signature definition as Dedup.signatures, serialized
+    val hs = docs
+      .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), Portable.h32(col("sh")).as("x"))
+    val mins = (1 to 16).map(i =>
+      min((lit(2L * i + 1) * col("x") + lit(104729L * i)) % Portable.MinHashP).as(s"s$i"))
+    val sig = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id").as("sig_doc_id"),
+        concat_ws(",", (1 to 16).map(i => col(s"s$i").cast("string")): _*).as("sigstr"))
+    val eligible = scored
+      .filter(col("quality_bp") >= QualityMin)
+      .join(sig, col("doc_id") === col("sig_doc_id"))
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val deduped = eligible
+      .withColumn("rn_fp", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+      .withColumn("rn_sig", row_number().over(Window.partitionBy("sigstr").orderBy("doc_id")))
+      .filter(col("rn_fp") === 1 && col("rn_sig") === 1)
+    deduped
+      .withColumn("rn_lang", row_number().over(Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rn_lang") <= PerLangCap)
+      .select("doc_id", "lang", "quality_bp")
+  }
+
+  val all: Seq[QuerySpec] = Seq(pCorpus)
+}
