@@ -71,6 +71,45 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(doc_id: Long, media_type: String,
+      width: Int, height: Int, new_width: Int, new_height: Int)
+
+  /** Resize stage: fit into maxW×maxH preserving aspect ratio, never
+    * upscaling. Pure integer arithmetic (scale in thousandths) so the
+    * result is engine-reproducible; runs as a batched per-partition
+    * stage like the decoder (the real implementation would resample
+    * pixels here — the geometry contract is what downstream consumes).
+    */
+  def resize(features: Dataset[MediaFeatures], maxW: Int,
+      maxH: Int): Dataset[ResizedMedia] = {
+    implicit val enc = Encoders.product[ResizedMedia]
+    features.mapPartitions { it =>
+      it.map { f =>
+        val scale = math.min(1000L,
+          math.min(maxW * 1000L / f.width, maxH * 1000L / f.height))
+        ResizedMedia(f.doc_id, f.media_type, f.width, f.height,
+          (f.width * scale / 1000L).toInt, (f.height * scale / 1000L).toInt)
+      }
+    }
+  }
+
+  final case class FrameSample(doc_id: Long, media_type: String,
+      n_frames: Int, n_sampled: Int, last_frame: Int)
+
+  /** Frame-sampling stage: every `everyN`-th frame starting at 0 (video/
+    * audio); images keep their single frame. Integer arithmetic only.
+    */
+  def sampleFrames(features: Dataset[MediaFeatures],
+      everyN: Int): Dataset[FrameSample] = {
+    implicit val enc = Encoders.product[FrameSample]
+    features.mapPartitions { it =>
+      it.map { f =>
+        val n = (f.n_frames + everyN - 1) / everyN
+        FrameSample(f.doc_id, f.media_type, f.n_frames, n, (n - 1) * everyN)
+      }
+    }
+  }
+
   /** Test/demo fixture: wrap a text table as fake media rows (the bytes
     * are the UTF-8 text — deterministic, no external data needed).
     */

@@ -35,5 +35,56 @@ object MultimodalQ {
     Multimodal.extractFeatures(media, Multimodal.FakeMediaDecoder).toDF()
   }
 
-  val all: Seq[QuerySpec] = Seq(mFeatures)
+  private val hSql = "CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)"
+
+  /** Resize geometry over the decoded features (fit 320×240, no
+    * upscaling) — integer thousandths arithmetic, oracle-reproducible.
+    */
+  val mResize: QuerySpec = QuerySpec.sql(
+    "m2_media_resize",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'video' END AS media_type,
+       |         CAST(16 + $hSql % 624 AS BIGINT) AS w,
+       |         CAST(16 + ($hSql // 7) % 464 AS BIGINT) AS h
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, media_type, w, h,
+       |         least(1000, least(320000 // w, 240000 // h)) AS sc
+       |  FROM m
+       |)
+       |SELECT doc_id, media_type,
+       |       CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       |       CAST(w * sc // 1000 AS INTEGER) AS new_width,
+       |       CAST(h * sc // 1000 AS INTEGER) AS new_height
+       |FROM s""".stripMargin) { (s, dir) =>
+    val media = Multimodal.fakeMediaFromDocuments(Tables.documents(s, dir))
+    val feats = Multimodal.extractFeatures(media, Multimodal.FakeMediaDecoder)
+    Multimodal.resize(feats, maxW = 320, maxH = 240).toDF()
+  }
+
+  /** Frame sampling (every 10th frame) over the decoded features. */
+  val mFrames: QuerySpec = QuerySpec.sql(
+    "m3_frame_sample",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'video' END AS media_type,
+       |         CAST(CASE WHEN doc_id % 3 = 0 THEN 1
+       |              ELSE 1 + $hSql % 300 END AS BIGINT) AS n_frames
+       |  FROM documents
+       |)
+       |SELECT doc_id, media_type, CAST(n_frames AS INTEGER) AS n_frames,
+       |       CAST((n_frames + 9) // 10 AS INTEGER) AS n_sampled,
+       |       CAST(((n_frames + 9) // 10 - 1) * 10 AS INTEGER) AS last_frame
+       |FROM m""".stripMargin) { (s, dir) =>
+    val media = Multimodal.fakeMediaFromDocuments(Tables.documents(s, dir))
+    val feats = Multimodal.extractFeatures(media, Multimodal.FakeMediaDecoder)
+    Multimodal.sampleFrames(feats, everyN = 10).toDF()
+  }
+
+  val all: Seq[QuerySpec] = Seq(mFeatures, mResize, mFrames)
 }

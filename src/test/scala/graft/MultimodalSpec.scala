@@ -23,6 +23,26 @@ class MultimodalSpec extends SparkTestBase {
     assert(a.toDF().exceptAll(b.toDF()).count() === 0)
   }
 
+  test("resize fits inside the box, preserves aspect, never upscales") {
+    val df = run("m2_media_resize")
+    assert(df.filter(col("new_width") > 320 || col("new_height") > 240).count() === 0)
+    assert(df.filter(col("new_width") > col("width") ||
+      col("new_height") > col("height")).count() === 0)
+    // scaled-down media keeps aspect within integer-rounding tolerance
+    val skewed = df.filter(col("new_width") < col("width"))
+      .filter(abs(col("new_width") * col("height") - col("new_height") * col("width"))
+        > col("width") + col("height"))
+    assert(skewed.count() === 0)
+  }
+
+  test("frame sampling: images keep one frame, strides cover the clip") {
+    val df = run("m3_frame_sample")
+    assert(df.filter(col("media_type") === "image" &&
+      (col("n_sampled") =!= 1 || col("last_frame") =!= 0)).count() === 0)
+    assert(df.filter(col("last_frame") >= col("n_frames")).count() === 0)
+    assert(df.filter(col("n_sampled") =!= expr("(n_frames + 9) div 10")).count() === 0)
+  }
+
   test("real decoder seam is a clearly-marked stub") {
     intercept[NotImplementedError] {
       Multimodal.RealMediaDecoder.decodeBatch(Seq(
