@@ -97,4 +97,32 @@ class ScaleSpec extends SparkTestBase {
     val r = df.filter(col("median_qty") > col("p90_qty")).count()
     assert(r === 0)
   }
+
+  test("AQE splits a skewed join partition at runtime") {
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key carrying most rows vs a uniform right side
+      val left = ((1 to 200000).map(_ => 1) ++ (2 to 2000)).toDF("k")
+      val right = (1 to 2000).map(i => (i, s"v$i")).toDF("k", "v")
+      val joined = left.join(right, "k")
+      // collect through the SAME QueryExecution — count() builds its own,
+      // leaving this plan un-executed (isFinalPlan would stay false)
+      assert(joined.collect().length === 200000 + 1999)
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"))
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
