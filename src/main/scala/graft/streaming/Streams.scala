@@ -96,6 +96,21 @@ object Streams {
       }
       .start()
 
+  /** Stream-stream interval join: match right-side events to left-side
+    * events within [0, withinSecs] after the left event, both sides
+    * watermarked so join state is pruned (the full "absent from
+    * reference" streaming surface — SURVEY §2.9 note).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      withinSecs: Int, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r, expr(
+      s"""$leftKey = $rightKey AND $rightTs >= $leftTs AND
+         |$rightTs <= $leftTs + interval $withinSecs seconds""".stripMargin))
+  }
+
   /** Stream-static enrichment: join a stream against a broadcast
     * dimension table (the streaming analog of the flagship's J4 joins —
     * dims ship to every task, no stream-side shuffle).

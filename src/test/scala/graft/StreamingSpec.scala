@@ -150,6 +150,28 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("b", 1L, 5.0)))
   }
 
+  test("stream-stream interval join matches clicks to views within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Int, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Int, java.sql.Timestamp)]
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val joined = Streams.intervalJoin(
+      views.toDF().toDF("v_item", "v_ts"), clicks.toDF().toDF("c_item", "c_ts"),
+      "v_item", "c_item", "v_ts", "c_ts", withinSecs = 300, watermark = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_test").start()
+    try {
+      views.addData((1, t(0)), (2, t(0)))
+      clicks.addData((1, t(2)), (2, t(9)), (3, t(2))) // item2 too late, item3 unmatched
+      q.processAllAvailable()
+      views.addData((9, t(30))) // advance watermarks
+      clicks.addData((9, t(31)))
+      q.processAllAvailable()
+      val rows = spark.table("ssj_test").select("v_item").as[Int].collect().toSet
+      assert(rows.contains(1) && !rows.contains(2) && !rows.contains(3))
+    } finally q.stop()
+  }
+
   test("TTL keyed counters: INCR semantics then expiry tombstone") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KeyedCounters.Hit]
