@@ -75,10 +75,14 @@ object Curation {
     val sig = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
       .select(col("doc_id").as("sig_doc_id"),
         concat_ws(",", (1 to 16).map(i => col(s"s$i").cast("string")): _*).as("sigstr"))
+    // materialize before the three window passes — each would otherwise
+    // recompute the scan + signature aggregation
     val eligible = scored
       .filter(col("quality_bp") >= QualityMin)
       .join(sig, col("doc_id") === col("sig_doc_id"))
       .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .drop("text")
+      .localCheckpoint()
     val deduped = eligible
       .withColumn("rn_fp", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
       .withColumn("rn_sig", row_number().over(Window.partitionBy("sigstr").orderBy("doc_id")))
