@@ -94,5 +94,66 @@ object Curation {
       .select("doc_id", "lang", "quality_bp")
   }
 
-  val all: Seq[QuerySpec] = Seq(pCorpus)
+  /** Deterministic train/val/test split (80/10/10) keyed on a portable
+    * document hash — any engine (and any rerun at any scale) assigns the
+    * same split, the property that matters for reproducible corpora.
+    */
+  val pSplit: QuerySpec = QuerySpec.sql(
+    "p2_train_test_split",
+    """SELECT doc_id, lang,
+      |       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80 THEN 'train'
+      |            WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'val'
+      |            ELSE 'test' END AS split
+      |FROM documents""".stripMargin) { (s, dir) =>
+    val bucket = Portable.h32(col("doc_id").cast("string")) % 100
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+  }
+
+  /** Eval-contamination detection: eval-split documents whose MinHash
+    * signature is identical to any train-split document's — the dedup
+    * machinery pointed across corpus boundaries, catching exact AND
+    * near-duplicate leakage. At 100 TB this is a shuffle join on short
+    * signature strings, never on text.
+    */
+  val pContamination: QuerySpec = QuerySpec.sql(
+    "p3_contamination",
+    s"""WITH hs AS (
+       |  SELECT doc_id, list_transform(${Portable.shinglesSql(3).replace("\n", " ")},
+       |    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hs
+       |  FROM documents
+       |), sig AS (
+       |  SELECT doc_id,
+       |         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+       |              THEN 'train' ELSE 'eval' END AS split,
+       |         array_to_string(list_transform(generate_series(1, 16),
+       |           i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % ${Portable.MinHashP}))), ',') AS sigstr
+       |  FROM hs
+       |)
+       |SELECT e.doc_id AS eval_doc, MIN(t.doc_id) AS train_doc
+       |FROM sig e JOIN sig t
+       |  ON e.sigstr = t.sigstr AND e.split = 'eval' AND t.split = 'train'
+       |GROUP BY e.doc_id""".stripMargin) { (s, dir) =>
+    val hs = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("sh"))
+      .select(col("doc_id"), Portable.h32(col("sh")).as("x"))
+    val mins = (1 to 16).map(i =>
+      min((lit(2L * i + 1) * col("x") + lit(104729L * i)) % Portable.MinHashP).as(s"s$i"))
+    val bucket = Portable.h32(col("doc_id").cast("string")) % 100
+    val sig = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        when(bucket < 80, "train").otherwise("eval").as("split"),
+        concat_ws(",", (1 to 16).map(i => col(s"s$i").cast("string")): _*).as("sigstr"))
+      .localCheckpoint()
+    val ev = sig.filter(col("split") === "eval")
+      .select(col("doc_id").as("eval_doc"), col("sigstr"))
+    val tr = sig.filter(col("split") === "train")
+      .select(col("doc_id").as("train_doc_id"), col("sigstr"))
+    ev.join(tr, "sigstr")
+      .groupBy("eval_doc").agg(min("train_doc_id").as("train_doc"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(pCorpus, pSplit, pContamination)
 }
