@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word-n-gram shingle hashes as one native expression:
+  * split on spaces → n-gram shingles (whole text when shorter than n) →
+  * first-occurrence dedupe → md5 → first 8 hex chars as int64.
+  *
+  * Value-identical to the composable form
+  * `transform(Portable.shingles(text, n), h32)` and to the DuckDB oracle
+  * (`Portable.shinglesSql` + the '0x'||substring(md5) cast), but runs as
+  * a single tight loop — the HOF chain interprets a lambda per shingle
+  * and dominated the dedup-family runtime.
+  */
+case class ShingleHash32(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // plan objects are shared across local-mode task threads and
+  // MessageDigest is not thread-safe
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private def hash(s: String): Long = {
+    val d = md5.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 8 hex chars == first 4 bytes, big-endian unsigned
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val words = text.split(" ", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = new java.util.HashSet[String]()
+    if (words.length >= n) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        val sh = sb.toString
+        if (seen.add(sh)) out += hash(sh)
+        i += 1
+      }
+    } else {
+      out += hash(text)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash32 =
+    copy(child = newChild)
+}
+
+object ShingleHash {
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    GraftShim.column(ShingleHash32(GraftShim.expression(text), n))
+}

@@ -68,8 +68,8 @@ object Curation {
           | + 22 * least(n_chars * 10000L div 400, 10000)) div 100 AS quality_bp""".stripMargin)
     // identical signature definition as Dedup.signatures, serialized
     val hs = docs
-      .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("sh"))
-      .select(col("doc_id"), Portable.h32(col("sh")).as("x"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash.shingleHashes(col("text"), 3)).as("x"))
     val mins = (1 to 16).map(i =>
       min((lit(2L * i + 1) * col("x") + lit(104729L * i)) % Portable.MinHashP).as(s"s$i"))
     val sig = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
@@ -137,8 +137,8 @@ object Curation {
        |  ON e.sigstr = t.sigstr AND e.split = 'eval' AND t.split = 'train'
        |GROUP BY e.doc_id""".stripMargin) { (s, dir) =>
     val hs = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("sh"))
-      .select(col("doc_id"), Portable.h32(col("sh")).as("x"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash.shingleHashes(col("text"), 3)).as("x"))
     val mins = (1 to 16).map(i =>
       min((lit(2L * i + 1) * col("x") + lit(104729L * i)) % Portable.MinHashP).as(s"s$i"))
     val bucket = Portable.h32(col("doc_id").cast("string")) % 100
@@ -155,5 +155,40 @@ object Curation {
       .groupBy("eval_doc").agg(min("train_doc_id").as("train_doc"))
   }
 
-  val all: Seq[QuerySpec] = Seq(pCorpus, pSplit, pContamination)
+  /** Data-quality report as a single-row query — the dbt-style schema
+    * tests (Checks/D3) surfaced through the oracle gate: violation
+    * counts for not_null / uniqueness / accepted_values / referential
+    * integrity over the star schema.
+    */
+  val pQualityReport: QuerySpec = QuerySpec.sql(
+    "p4_quality_report",
+    """SELECT
+      |  (SELECT COUNT(*) FROM orders WHERE o_orderkey IS NULL) AS null_orderkeys,
+      |  (SELECT CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+      |     FROM orders) AS dup_orderkeys,
+      |  (SELECT COUNT(*) FROM orders
+      |    WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS bad_status,
+      |  (SELECT COUNT(*) FROM orders o
+      |    WHERE NOT EXISTS (SELECT 1 FROM customer c
+      |                      WHERE c.c_custkey = o.o_custkey)) AS orphan_orders,
+      |  (SELECT COUNT(*) FROM lineitem l
+      |    WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                      WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lines""".stripMargin) { (s, dir) =>
+    val orders = Tables.orders(s, dir)
+    val nulls = orders.filter(col("o_orderkey").isNull).count()
+    val dupRow = orders.agg(count("o_orderkey").as("n"),
+      countDistinct("o_orderkey").as("d")).head
+    val dups = dupRow.getLong(0) - dupRow.getLong(1)
+    val badStatus = orders.filter(!col("o_orderstatus").isin("O", "F", "P")).count()
+    val orphanOrders = orders.join(Tables.customer(s, dir),
+      col("o_custkey") === col("c_custkey"), "left_anti").count()
+    val orphanLines = Tables.lineitem(s, dir).join(orders,
+      col("l_orderkey") === col("o_orderkey"), "left_anti").count()
+    import s.implicits._
+    Seq((nulls, dups, badStatus, orphanOrders, orphanLines))
+      .toDF("null_orderkeys", "dup_orderkeys", "bad_status",
+        "orphan_orders", "orphan_lines")
+  }
+
+  val all: Seq[QuerySpec] = Seq(pCorpus, pSplit, pContamination, pQualityReport)
 }

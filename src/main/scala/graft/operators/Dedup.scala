@@ -69,8 +69,8 @@ object Dedup {
     // aggregate and BOTH sides of the self-join, and recomputing the
     // interpreted shingle expression 3x dominates runtime otherwise
     val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("s"))
-      .select(col("doc_id"), Portable.h32(col("s")).as("h"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash.shingleHashes(col("text"), 3)).as("h"))
       .localCheckpoint()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // size-ratio prefilter: j >= 0.6 implies min(na,nb)/max(na,nb) >= 0.6
@@ -102,8 +102,8 @@ object Dedup {
     */
   private def signatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val hs = docs
-      .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("s"))
-      .select(col("doc_id"), Portable.h32(col("s")).as("x"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash.shingleHashes(col("text"), 3)).as("x"))
     val mins = (1 to K).map(i =>
       min((lit(2L * i + 1) * col("x") + lit(104729L * i)) % P).as(s"s$i"))
     hs.groupBy("doc_id")

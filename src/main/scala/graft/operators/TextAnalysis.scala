@@ -104,8 +104,8 @@ object TextAnalysis {
     Tables.documents(s, dir)
       .select(col("doc_id"),
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp_md5"),
-        array_min(transform(Portable.shingles(col("text"), 3),
-          s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))).as("fp_min"))
+        array_min(graft.functions.ShingleHash.shingleHashes(col("text"), 3))
+          .as("fp_min"))
   }
 
   val all: Seq[QuerySpec] = Seq(tTokens, tQuality, tLangId, tFingerprint)
