@@ -195,9 +195,44 @@ object Dedup {
     * giving keep-one-per-cluster dedup without any driver-side
     * union-find. Iteration count is bounded by component diameter (near-
     * dup clusters are tiny); 15 rounds is far past convergence here.
-    * Output: one row per doc that belongs to a multi-doc cluster.
+    * Output: one row per doc that belongs to a multi-doc cluster. The
+    * oracle computes the same components via a recursive-CTE transitive
+    * closure over the identical candidate-pair set.
     */
-  val dClusters: QuerySpec = QuerySpec.rowsOnly("d5_dedup_clusters") { (s, dir) =>
+  val dClusters: QuerySpec = QuerySpec.sql(
+    "d5_dedup_clusters",
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${Portable.shinglesSql(3).replace("\n", " ")} AS sh FROM documents
+       |), hs AS (
+       |  SELECT doc_id, list_transform(sh,
+       |    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hs FROM sh
+       |), sig AS (
+       |  SELECT doc_id, list_transform(generate_series(1, $K),
+       |    i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % $P))) AS sig
+       |  FROM hs
+       |), bands AS (
+       |  SELECT doc_id, sig, unnest(list_transform(generate_series(0, ${Bands - 1}),
+       |    j -> j || ':' || array_to_string(sig[j*4+1:j*4+4], ','))) AS bk
+       |  FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.doc_a
+       |  JOIN sig sb ON sb.doc_id = cand.doc_b
+       |  WHERE len(list_filter(generate_series(1, $K),
+       |        i -> sa.sig[i] = sb.sig[i])) * 1.0 / $K >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS t FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach(s, t) AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+       |)
+       |SELECT s AS doc_id, least(s, MIN(t)) AS cluster_id
+       |FROM reach GROUP BY s""".stripMargin) { (s, dir) =>
     val pairs = dMinHash.run(s, dir).select("doc_a", "doc_b")
       .localCheckpoint()
     // undirected edge list

@@ -99,11 +99,38 @@ object Similarity {
     }
   }
 
-  /** Sign-random-projection LSH bucketing — the ANN scale path.
-    * Top-5 within bucket only (approximate — rows-only correctness
-    * check; recall vs s1 measured in tests).
+  /** Sign-random-projection LSH bucketing — the ANN scale path. The
+    * md5-derived hyperplane weights make even this approximate search
+    * exactly reproducible in the oracle: identical buckets, identical
+    * within-bucket top-5.
     */
-  val sAnnLsh: QuerySpec = QuerySpec.rowsOnly("s3_ann_lsh") { (s, dir) =>
+  val sAnnLsh: QuerySpec = QuerySpec.sql(
+    "s3_ann_lsh",
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), eb AS (
+       |  SELECT vec_id, v,
+       |         CAST(list_sum(list_transform(generate_series(0, 7), p ->
+       |           CASE WHEN list_dot_product(v,
+       |             list_transform(generate_series(0, 63), i ->
+       |               (CAST(('0x' || substring(md5(p || ':' || i), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0)) > 0
+       |           THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM e
+       |), q AS (
+       |  SELECT vec_id AS qid, v AS qv, bucket AS qb FROM eb WHERE vec_id < 10
+       |), scored AS (
+       |  SELECT q.qid AS query_id, eb.vec_id AS neighbor_id,
+       |         ${cosineSql.format("q.qv", "eb.v", "q.qv", "q.qv", "eb.v", "eb.v")} AS c
+       |  FROM q JOIN eb ON eb.bucket = q.qb AND eb.vec_id <> q.qid
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY ROUND(c, 6) DESC, neighbor_id) AS rank,
+       |         c
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rank, ROUND(c, 4) AS cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
     val nPlanes = 8
     val weights = planeWeights(nPlanes, 64)
     val e = vecs(s, dir)
@@ -130,10 +157,41 @@ object Similarity {
     * broadcast pass), then search only the query's cell. The inverted-
     * file layout is the standard scale path when LSH recall is too
     * layout-sensitive: at 100 TB the cell assignment partitions the
-    * corpus so each query touches ~1/K of it. Rows-only check; recall
-    * vs s1 asserted in tests.
+    * corpus so each query touches ~1/K of it. Deterministic end-to-end →
+    * full oracle; recall vs s1 additionally asserted in tests.
     */
-  val sAnnIvf: QuerySpec = QuerySpec.rowsOnly("s4_ann_ivf") { (s, dir) =>
+  val sAnnIvf: QuerySpec = QuerySpec.sql(
+    "s4_ann_ivf",
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+       |), ac AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |         ${cosineSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} AS cc
+       |  FROM e CROSS JOIN cents c
+       |), assigned AS (
+       |  SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT vec_id, v, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                              ORDER BY ROUND(cc, 6) DESC, cid) AS rn
+       |    FROM ac) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS qid, v AS qv, cell AS qcell FROM assigned WHERE vec_id < 10
+       |), scored AS (
+       |  SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
+       |         ${cosineSql.format("q.qv", "a.v", "q.qv", "q.qv", "a.v", "a.v")} AS c
+       |  FROM q JOIN assigned a ON a.cell = q.qcell AND a.vec_id <> q.qid
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY ROUND(c, 6) DESC, neighbor_id) AS rank,
+       |         c
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rank, ROUND(c, 4) AS cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
     val e = vecs(s, dir)
     val cents = e
       .withColumn("ord", md5(col("vec_id").cast("string")))
