@@ -28,6 +28,16 @@ object Sessions {
     tune(spark)
   }
 
+  /** S14: point the session's default filesystem at an HDFS (or any
+    * Hadoop-compatible) namenode — the mini-lab `fs.defaultFS` setup
+    * (mini-lab-hdfs+spark-local/spark.ipynb:15-58). Local paths keep
+    * working via explicit `file://` URIs.
+    */
+  def withDefaultFs(spark: SparkSession, uri: String): SparkSession = {
+    spark.sparkContext.hadoopConfiguration.set("fs.defaultFS", uri)
+    spark
+  }
+
   /** Apply graft defaults to an externally-built session (driver-owned
     * sessions in Verify/Bench): runtime-settable confs plus the graft
     * planner/optimizer hooks (experimental.* is the post-construction
