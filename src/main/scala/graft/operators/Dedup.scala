@@ -180,13 +180,8 @@ object Dedup {
       |FROM documents_th""".stripMargin
       .replace("FROM documents_th", "FROM th")) { (s, dir) =>
     Tables.documents(s, dir)
-      .withColumn("th", transform(array_distinct(split(col("text"), " ")),
-        t => Portable.h60(t)))
-      .select(col("doc_id"), expr(
-        """aggregate(sequence(0, 59), cast(0 as bigint), (acc, b) -> acc +
-          |  IF(aggregate(th, cast(0 as bigint),
-          |       (s, h) -> s + IF((shiftright(h, b) & 1) = 1, cast(1 as bigint), cast(-1 as bigint))) > 0,
-          |     shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SimHash.simhash60(col("text")).as("simhash"))
   }
 
   /** Near-dup clustering: connected components over the MinHash candidate
@@ -262,5 +257,38 @@ object Dedup {
       .orderBy("cluster_id", "doc_id")
   }
 
-  val all: Seq[QuerySpec] = Seq(dExact, dJaccard, dMinHash, dSimHash, dClusters)
+  /** SimHash near-dup pairs: hamming distance ≤ 6 over the 60-bit
+    * signatures (the d4 signature put to its intended use — at scale the
+    * all-pairs form is replaced by multi-probe banding on signature
+    * chunks, but the distance semantics are identical).
+    */
+  val dSimHashPairs: QuerySpec = QuerySpec.sql(
+    "d6_simhash_pairs",
+    """WITH th AS (
+      |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
+      |    t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS th
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |         CAST(list_sum(list_transform(generate_series(0, 59),
+      |           b -> CASE WHEN list_sum(list_transform(th,
+      |                  h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+      |                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
+      |  FROM th
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin) { (s, dir) =>
+    val sigs = dSimHash.run(s, dir).localCheckpoint()
+    val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    val hamming = bit_count(col("ha").bitwiseXOR(col("hb")))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .filter(hamming <= 6)
+      .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(dExact, dJaccard, dMinHash, dSimHash, dClusters, dSimHashPairs)
 }
