@@ -125,15 +125,22 @@ case class FromAvro(child: Expression, schemaJson: String)
     extends UnaryExpression with CodegenFallback {
 
   @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
-  @transient private lazy val reader = new GenericDatumReader[GenericRecord](schema)
-  @transient private var decoder: BinaryDecoder = _
+  // one plan object is shared across local-mode task threads (same
+  // assumption as ShingleHash32's ThreadLocal MessageDigest): reader and
+  // the reused decoder both carry per-read mutable state, so they must be
+  // per-thread or concurrent tasks corrupt each other's decodes
+  @transient private lazy val readerTL =
+    ThreadLocal.withInitial[GenericDatumReader[GenericRecord]](
+      () => new GenericDatumReader[GenericRecord](schema))
+  @transient private lazy val decoderTL = new ThreadLocal[BinaryDecoder]
 
   override def dataType: DataType = AvroCodec.sparkType(schema)
 
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
-    decoder = DecoderFactory.get().binaryDecoder(bytes, decoder)
-    AvroCodec.toCatalyst(reader.read(null, decoder), schema)
+    val decoder = DecoderFactory.get().binaryDecoder(bytes, decoderTL.get())
+    decoderTL.set(decoder)
+    AvroCodec.toCatalyst(readerTL.get().read(null, decoder), schema)
   }
 
   override protected def withNewChildInternal(newChild: Expression): FromAvro =

@@ -46,29 +46,38 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression, k: Int,
     val orderExpr = order
     val childOutput = child.output
     val kk = k
+    // the column's native ordering — a Double coercion would misorder
+    // long/decimal values beyond 2^53
+    val baseOrd = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(order.dataType)
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordEval = BindReferences.bindReference(orderExpr, childOutput)
+      val anyOrd: Ordering[Any] = new Ordering[Any] { // nulls sort lowest
+        def compare(x: Any, y: Any): Int =
+          if (x == null && y == null) 0
+          else if (x == null) -1
+          else if (y == null) 1
+          else baseOrd.asInstanceOf[Ordering[Any]].compare(x, y)
+      }
       // per-key bounded min-heap of (orderValue, row); evict the smallest
       // so the k largest survive
-      implicit val ord: Ordering[(Double, UnsafeRow)] =
-        Ordering.by[(Double, UnsafeRow), Double](_._1).reverse
-      val heaps = mutable.Map.empty[UnsafeRow, mutable.PriorityQueue[(Double, UnsafeRow)]]
+      implicit val ord: Ordering[(Any, UnsafeRow)] =
+        Ordering.by[(Any, UnsafeRow), Any](_._1)(anyOrd).reverse
+      val heaps = mutable.Map.empty[UnsafeRow, mutable.PriorityQueue[(Any, UnsafeRow)]]
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       it.foreach { row =>
         val key = keyProj(row).copy()
-        val v = ordEval.eval(row) match {
-          case null => Double.NegativeInfinity
-          case n: java.lang.Number => n.doubleValue()
-          case other => throw new IllegalArgumentException(
-            s"topKPerKey order expression must be numeric, got $other")
-        }
+        val v = ordEval.eval(row)
         val heap = heaps.getOrElseUpdate(key,
-          mutable.PriorityQueue.empty[(Double, UnsafeRow)])
-        if (heap.size < kk) heap.enqueue((v, toUnsafe(row).copy()))
-        else if (heap.head._1 < v) {
-          heap.dequeue()
-          heap.enqueue((v, toUnsafe(row).copy()))
+          mutable.PriorityQueue.empty[(Any, UnsafeRow)])
+        if (heap.size < kk || anyOrd.lt(heap.head._1, v)) {
+          if (heap.size >= kk) heap.dequeue()
+          // re-evaluate from the copied row: non-primitive order values
+          // (UTF8String, binary) returned by eval alias the input row's
+          // buffer, which the iterator reuses
+          val copied = toUnsafe(row).copy()
+          heap.enqueue((ordEval.eval(copied), copied))
         }
       }
       heaps.iterator.flatMap(_._2.iterator.map(_._2))

@@ -48,6 +48,29 @@ class TopKPerKeySpec extends SparkTestBase {
     }
   }
 
+  test("long order values beyond 2^53 keep native ordering") {
+    withStrategy {
+      import spark.implicits._
+      // adjacent longs above 2^53 collapse to the same Double — a lossy
+      // coercion would treat them as ties and may keep the wrong rows
+      val base = (1L << 53) + 10
+      val rows = (0 to 9).map(i => ("k", base + i))
+      val top = TopKPerKey(rows.toDF("k", "v"), Seq("k"), "v", 3)
+        .select("v").as[Long].collect().sorted.reverse
+      assert(top.toSeq === Seq(base + 9, base + 8, base + 7))
+    }
+  }
+
+  test("string order values are heap-safe (no buffer aliasing)") {
+    withStrategy {
+      import spark.implicits._
+      val rows = ('a' to 'z').map(c => ("k", c.toString * 3))
+      val top = TopKPerKey(rows.toDF("k", "v"), Seq("k"), "v", 2)
+        .select("v").as[String].collect().sorted.reverse
+      assert(top.toSeq === Seq("zzz", "yyy"))
+    }
+  }
+
   test("partial phase caps shuffled rows per key") {
     withStrategy {
       // a hot key spread over many partitions still only ships
