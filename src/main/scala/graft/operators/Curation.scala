@@ -159,6 +159,13 @@ object Curation {
     * tests (Checks/D3) surfaced through the oracle gate: violation
     * counts for not_null / uniqueness / accepted_values / referential
     * integrity over the star schema.
+    *
+    * One lazy plan: the three orders-level checks are a single
+    * conditional-aggregation pass over orders; the two referential checks
+    * are 1-row anti-join aggregates; the three 1-row frames cross-join
+    * (BNLJ over single-row broadcast sides — intended). No driver-side
+    * actions, so the report composes lazily like every other QuerySpec
+    * and runs as one job.
     */
   val pQualityReport: QuerySpec = QuerySpec.sql(
     "p4_quality_report",
@@ -175,19 +182,17 @@ object Curation {
       |    WHERE NOT EXISTS (SELECT 1 FROM orders o
       |                      WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lines""".stripMargin) { (s, dir) =>
     val orders = Tables.orders(s, dir)
-    val nulls = orders.filter(col("o_orderkey").isNull).count()
-    val dupRow = orders.agg(count("o_orderkey").as("n"),
-      countDistinct("o_orderkey").as("d")).head
-    val dups = dupRow.getLong(0) - dupRow.getLong(1)
-    val badStatus = orders.filter(!col("o_orderstatus").isin("O", "F", "P")).count()
+    val ordersChecks = orders.agg(
+      count(when(col("o_orderkey").isNull, lit(1))).as("null_orderkeys"),
+      (count("o_orderkey") - countDistinct("o_orderkey")).as("dup_orderkeys"),
+      count(when(!col("o_orderstatus").isin("O", "F", "P"), lit(1))).as("bad_status"))
     val orphanOrders = orders.join(Tables.customer(s, dir),
-      col("o_custkey") === col("c_custkey"), "left_anti").count()
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_orders"))
     val orphanLines = Tables.lineitem(s, dir).join(orders,
-      col("l_orderkey") === col("o_orderkey"), "left_anti").count()
-    import s.implicits._
-    Seq((nulls, dups, badStatus, orphanOrders, orphanLines))
-      .toDF("null_orderkeys", "dup_orderkeys", "bad_status",
-        "orphan_orders", "orphan_lines")
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_lines"))
+    ordersChecks.crossJoin(orphanOrders).crossJoin(orphanLines)
   }
 
   val all: Seq[QuerySpec] = Seq(pCorpus, pSplit, pContamination, pQualityReport)

@@ -258,9 +258,17 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: hamming distance ≤ 6 over the 60-bit
-    * signatures (the d4 signature put to its intended use — at scale the
-    * all-pairs form is replaced by multi-probe banding on signature
-    * chunks, but the distance semantics are identical).
+    * signatures (the d4 signature put to its intended use).
+    *
+    * Candidate generation is pigeonhole banding: the 60-bit signature is
+    * split into 7 disjoint chunks (6×9 bits + 1×6 bits); two signatures
+    * within hamming 6 differ in at most 6 chunks, so at least one chunk
+    * is bit-identical. Candidates therefore come from an equi-join on
+    * (chunk_idx, chunk_value) — a shuffle on short integer keys that
+    * scales as ordinary hash-join work — and the exact hamming verify on
+    * candidates reproduces the all-pairs result EXACTLY (the banding is
+    * lossless, unlike LSH), so the oracle keeps the straightforward
+    * all-pairs formulation.
     */
   val dSimHashPairs: QuerySpec = QuerySpec.sql(
     "d6_simhash_pairs",
@@ -281,10 +289,20 @@ object Dedup {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin) { (s, dir) =>
     val sigs = dSimHash.run(s, dir).localCheckpoint()
-    val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
-    val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    // 7 disjoint chunks: j=0..5 take 9 bits, j=6 the remaining 6
+    val chunkVals = array((0 until 7).map(j =>
+      shiftright(col("simhash"), j * 9).bitwiseAND(lit(511L))): _*)
+    val chunks = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(chunkVals).as(Seq("ci", "cv")))
+    val cand = chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("ha"),
+        col("b.doc_id").as("doc_b"), col("b.simhash").as("hb"))
+      .distinct()
     val hamming = bit_count(col("ha").bitwiseXOR(col("hb")))
-    a.join(b, col("doc_a") < col("doc_b"))
+    cand
       .filter(hamming <= 6)
       .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
   }

@@ -64,16 +64,98 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), round(col("c"), 4).as("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (cos >= 0.45). The all-pairs
-    * form is the verifier; at scale it runs per LSH bucket (s3).
+  /** s2 LSH parameters: 16 bands × 10 planes, 1-bit multi-probe.
+    * Measured on the testdata (md5-deterministic, so measurable offline):
+    * candidates ≈ 18% of all pairs with recall 0.79/0.85 (sf0.01/sf0.1)
+    * at the threshold-edge pairs this synthetic corpus has (all its
+    * qualifying pairs sit at cos 0.45–0.6, the hardest regime for SRP
+    * LSH); at production near-dup thresholds (cos ≥ 0.8) the same
+    * parameters give recall > 0.99. Exposed for the recall spec.
+    */
+  private[operators] val S2Bands = 16
+  private[operators] val S2PlanesPerBand = 10
+
+  /** Embedding-cosine near-duplicate pairs (cos >= 0.45) via sign-random-
+    * projection LSH with 1-bit multi-probe — the scale path as the
+    * registered plan: a pair is a candidate iff some band's codes differ
+    * by ≤ 1 bit (probe side emits the code plus its 10 one-bit flips;
+    * exact side emits the code; equi-join on (band, code) — a shuffle on
+    * short integer keys, never a cross product), then candidates are
+    * verified with the exact cosine. The md5-derived hyperplanes make the
+    * bucketing reproducible in the oracle, which mirrors it band for
+    * band. The all-pairs form survives only as the recall verifier in
+    * DedupSimilaritySpec (`sNearDupAllPairs`).
     */
   val sNearDup: QuerySpec = QuerySpec.sql(
     "s2_cosine_neardup",
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |       ROUND(${cosineSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")}, 4) AS cosine
-       |FROM e a JOIN e b ON a.vec_id < b.vec_id
-       |WHERE ${cosineSql.format("a.v", "b.v", "a.v", "a.v", "b.v", "b.v")} >= 0.45""".stripMargin) { (s, dir) =>
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |planes AS (
+       |  SELECT p, list_transform(generate_series(0, 63), i ->
+       |    (CAST(('0x' || substring(md5('s2:' || p || ':' || i), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0) AS w
+       |  FROM generate_series(0, ${S2Bands * S2PlanesPerBand - 1}) AS t(p)
+       |), bits AS (
+       |  SELECT e.vec_id, p.p,
+       |         CASE WHEN list_dot_product(e.v, p.w) > 0
+       |              THEN CAST(1 AS BIGINT) << (p.p % $S2PlanesPerBand) ELSE 0 END AS bit
+       |  FROM e CROSS JOIN planes p
+       |), codes AS (
+       |  SELECT vec_id, p // $S2PlanesPerBand AS band, CAST(SUM(bit) AS BIGINT) AS code
+       |  FROM bits GROUP BY vec_id, p // $S2PlanesPerBand
+       |), probes AS (
+       |  SELECT vec_id, band,
+       |         CAST(xor(code, CASE WHEN k = 0 THEN 0
+       |                             ELSE CAST(1 AS BIGINT) << (k - 1) END) AS BIGINT) AS pk
+       |  FROM codes CROSS JOIN generate_series(0, $S2PlanesPerBand) AS g(k)
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM probes a JOIN codes b
+       |    ON a.band = b.band AND a.pk = b.code AND a.vec_id < b.vec_id
+       |)
+       |SELECT vec_a, vec_b,
+       |       ROUND(${cosineSql.format("ea.v", "eb.v", "ea.v", "ea.v", "eb.v", "eb.v")}, 4) AS cosine
+       |FROM cand
+       |JOIN e ea ON ea.vec_id = vec_a
+       |JOIN e eb ON eb.vec_id = vec_b
+       |WHERE ${cosineSql.format("ea.v", "eb.v", "ea.v", "ea.v", "eb.v", "eb.v")} >= 0.45""".stripMargin) { (s, dir) =>
+    val weights = planeWeights(S2Bands * S2PlanesPerBand, 64, seed = "s2")
+    val e = vecs(s, dir)
+    // one band code per vector per band: 10 sign bits packed into a long
+    val codeCols = (0 until S2Bands).map { j =>
+      (0 until S2PlanesPerBand).map { r =>
+        val wlit = array(weights(j * S2PlanesPerBand + r).map(lit): _*)
+        when(vec_dot(col("v"), wlit) > 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    // slim (vec_id, band, code) relation, materialized once for both join
+    // sides — the 160 dot products per row are the expensive part
+    val codes = e.select(col("vec_id"),
+        posexplode(array(codeCols: _*)).as(Seq("band", "code")))
+      .localCheckpoint()
+    val flips = col("code") +: (0 until S2PlanesPerBand)
+      .map(k => col("code").bitwiseXOR(lit(1L << k)))
+    val probes = codes.select(col("vec_id"), col("band"),
+      explode(array(flips: _*)).as("pk"))
+    val cand = probes.as("a")
+      .join(codes.as("b"),
+        col("a.band") === col("b.band") && col("a.pk") === col("b.code") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val c = vec_dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    cand
+      .join(e.select(col("vec_id").as("ia"), col("v").as("va"), col("nrm").as("na")),
+        col("vec_a") === col("ia"))
+      .join(e.select(col("vec_id").as("ib"), col("v").as("vb"), col("nrm").as("nb")),
+        col("vec_b") === col("ib"))
+      .filter(c >= 0.45)
+      .select(col("vec_a"), col("vec_b"), round(c, 4).as("cosine"))
+  }
+
+  /** The all-pairs form of s2 — test-only recall oracle (not registered:
+    * its plan is the O(n²) nested-loop join the registered query exists
+    * to avoid).
+    */
+  private[graft] def sNearDupAllPairs(s: SparkSession, dir: String): DataFrame = {
     val e = vecs(s, dir)
     val a = e.select(col("vec_id").as("vec_a"), col("v").as("va"), col("nrm").as("na"))
     val b = e.select(col("vec_id").as("vec_b"), col("v").as("vb"), col("nrm").as("nb"))
@@ -85,15 +167,16 @@ object Similarity {
   }
 
   /** Deterministic hyperplane weights for sign-random-projection LSH:
-    * w(p)(i) = (h32("p:i") % 2001 - 1000) / 1000 — md5-derived so any
-    * engine can reproduce the bucketing. Materialized driver-side as
+    * w(p)(i) = (h32("[seed:]p:i") % 2001 - 1000) / 1000 — md5-derived so
+    * any engine can reproduce the bucketing. Materialized driver-side as
     * literals (they are constants; computing md5 per row per dim was
-    * pure waste).
+    * pure waste). `seed` gives independent plane families per operator.
     */
-  private def planeWeights(nPlanes: Int, dim: Int): Array[Array[Double]] = {
+  private def planeWeights(nPlanes: Int, dim: Int, seed: String = ""): Array[Array[Double]] = {
     val digest = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(nPlanes, dim) { (p, i) =>
-      val hex = digest.digest(s"$p:$i".getBytes("UTF-8"))
+      val key = if (seed.isEmpty) s"$p:$i" else s"$seed:$p:$i"
+      val hex = digest.digest(key.getBytes("UTF-8"))
         .take(4).map(b => f"${b & 0xff}%02x").mkString
       ((java.lang.Long.parseLong(hex, 16) % 2001L) - 1000L).toDouble / 1000.0
     }

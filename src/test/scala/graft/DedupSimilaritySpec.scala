@@ -56,6 +56,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(joined.filter(col("cosine") =!= col("bcos")).count() === 0)
   }
 
+  test("s2 LSH pairs are exact-verified (precision 1) with bounded recall loss") {
+    val lsh = run("s2_cosine_neardup")
+    val allPairs = graft.operators.Similarity.sNearDupAllPairs(spark, sf0001)
+    // precision 1.0: every emitted pair exists in the all-pairs result
+    // with the identical verified cosine
+    assert(lsh.join(allPairs, Seq("vec_a", "vec_b", "cosine"), "left_anti").count() === 0)
+    val total = allPairs.count()
+    val found = lsh.count()
+    assert(total > 0)
+    // threshold-edge pairs (cos 0.45-0.6, this corpus's hardest regime);
+    // measured recall ~0.8 here, >0.99 at production thresholds (>=0.8)
+    assert(found.toDouble / total >= 0.55, s"recall $found/$total")
+  }
+
+  test("d6 simhash banding result equals the all-pairs hamming join") {
+    val banded = run("d6_simhash_pairs")
+    val sigs = run("d4_simhash")
+    val a = sigs.select(col("doc_id").as("doc_a"), col("simhash").as("ha"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("simhash").as("hb"))
+    val hamming = bit_count(col("ha").bitwiseXOR(col("hb")))
+    val allPairs = a.join(b, col("doc_a") < col("doc_b")).filter(hamming <= 6)
+      .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
+    // pigeonhole banding is lossless: exact set equality both directions
+    assert(banded.join(allPairs, Seq("doc_a", "doc_b", "hamming"), "left_anti").count() === 0)
+    assert(allPairs.join(banded, Seq("doc_a", "doc_b", "hamming"), "left_anti").count() === 0)
+  }
+
   test("vec_dot matches the interpreted HOF fold bit-for-bit") {
     val e = Tables.embeddings(spark, sf0001).limit(50)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -6,18 +6,24 @@ package graft
   */
 class PlanLintSpec extends SparkTestBase {
 
-  // all-pairs similarity queries legitimately build non-equi loop joins
-  private val pairJoinQueries = Set("s2_cosine_neardup", "s1_knn_cosine",
-    "s3_ann_lsh", "s4_ann_ivf", "d2_ngram_jaccard")
+  // the only intended nested-loop joins: s1 broadcasts the 10-row query
+  // side over the corpus, s4 broadcasts 16 centroids for cell assignment,
+  // p4 cross-joins three single-row aggregate frames. Everything else —
+  // including the dedup/similarity pair generators — must candidate
+  // through equi-joins: an all-pairs loop join is the canonical
+  // 100 TB scale-killer.
+  private val intendedLoopJoins = Set("s1_knn_cosine", "s4_ann_ivf",
+    "p4_quality_report")
 
-  test("no unintended CartesianProduct in any registered query plan") {
+  test("no unintended CartesianProduct or nested-loop join in any registered query plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(pairJoinQueries)
+      .filterNot(intendedLoopJoins)
       .flatMap { name =>
         val plan = run(name).queryExecution.executedPlan.toString
-        if (plan.contains("CartesianProduct")) Some(name) else None
+        if (plan.contains("CartesianProduct") ||
+            plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
       }
-    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+    assert(offenders.isEmpty, s"loop joins in: $offenders")
   }
 
   test("selective scans push their filters into parquet") {
