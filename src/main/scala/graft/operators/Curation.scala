@@ -66,15 +66,10 @@ object Curation {
         """(47 * least(n_tokens * 10000L div 64, 10000)
           | + 31 * (10000 - n_stop * 10000L div n_tokens)
           | + 22 * least(n_chars * 10000L div 400, 10000)) div 100 AS quality_bp""".stripMargin)
-    // identical signature definition as Dedup.signatures, serialized
-    val hs = docs
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleHash.shingleHashes(col("text"), 3)).as("x"))
-    val mins = (1 to 16).map(i =>
-      min((lit(2L * i + 1) * col("x") + lit(104729L * i)) % Portable.MinHashP).as(s"s$i"))
-    val sig = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    // the one shared MinHash builder (Dedup.signatures), serialized
+    val sig = Dedup.signatures(docs)
       .select(col("doc_id").as("sig_doc_id"),
-        concat_ws(",", (1 to 16).map(i => col(s"s$i").cast("string")): _*).as("sigstr"))
+        concat_ws(",", transform(col("sig"), v => v.cast("string"))).as("sigstr"))
     // materialize before the three window passes — each would otherwise
     // recompute the scan + signature aggregation
     val eligible = scored
@@ -136,16 +131,11 @@ object Curation {
        |FROM sig e JOIN sig t
        |  ON e.sigstr = t.sigstr AND e.split = 'eval' AND t.split = 'train'
        |GROUP BY e.doc_id""".stripMargin) { (s, dir) =>
-    val hs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleHash.shingleHashes(col("text"), 3)).as("x"))
-    val mins = (1 to 16).map(i =>
-      min((lit(2L * i + 1) * col("x") + lit(104729L * i)) % Portable.MinHashP).as(s"s$i"))
     val bucket = Portable.h32(col("doc_id").cast("string")) % 100
-    val sig = hs.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val sig = Dedup.signatures(Tables.documents(s, dir))
       .select(col("doc_id"),
         when(bucket < 80, "train").otherwise("eval").as("split"),
-        concat_ws(",", (1 to 16).map(i => col(s"s$i").cast("string")): _*).as("sigstr"))
+        concat_ws(",", transform(col("sig"), v => v.cast("string"))).as("sigstr"))
       .localCheckpoint()
     val ev = sig.filter(col("split") === "eval")
       .select(col("doc_id").as("eval_doc"), col("sigstr"))

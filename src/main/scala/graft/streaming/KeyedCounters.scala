@@ -16,6 +16,8 @@ object KeyedCounters {
 
   case class Hit(key: String, n: Long)
   case class KeyCount(key: String, count: Long, expired: Boolean)
+  case class KVSet(key: String, value: String)
+  case class KVLatest(key: String, value: Option[String], expired: Boolean)
 
   /** Streaming INCR-with-TTL: emits the running count per key on every
     * update; on TTL expiry emits a final tombstone (expired=true) and
@@ -39,6 +41,34 @@ object KeyedCounters {
             state.update(next)
             state.setTimeoutDuration(ttlMs)
             Iterator(KeyCount(key, next, expired = false))
+          }
+      }
+  }
+
+  /** Streaming SET-with-TTL: plain Redis SET/GET of arbitrary values
+    * (coffee_shop/main.ipynb:36-54, `SET key value EX ttl`) — each
+    * incoming row overwrites the key's value (last set in the batch
+    * wins), every update emits the current value, and TTL expiry emits a
+    * `value=None` tombstone and drops the state (read-after-expiry ≡
+    * GET → nil). Same flatMapGroupsWithState machinery as ttlCounters —
+    * INCR and SET differ only in the state merge function.
+    */
+  def latestValuePerKey(sets: Dataset[KVSet], ttlMs: Long): Dataset[KVLatest] = {
+    implicit val enc = Encoders.product[KVLatest]
+    implicit val kenc = Encoders.STRING // doubles as the String state encoder
+    sets.groupByKey(_.key)
+      .flatMapGroupsWithState[String, KVLatest](
+        OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
+        (key: String, rows: Iterator[KVSet], state: GroupState[String]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator(KVLatest(key, None, expired = true))
+          } else {
+            var last = state.getOption.orNull
+            rows.foreach(r => last = r.value)
+            state.update(last)
+            state.setTimeoutDuration(ttlMs)
+            Iterator(KVLatest(key, Option(last), expired = false))
           }
       }
   }

@@ -76,23 +76,40 @@ object Streams {
   /** S21/T7: the `INSERT … ON CONFLICT (key) DO NOTHING` sink without a
     * transactional store (dags/fuel_ingest_dag.py:169-182): per batch,
     * dedup within the batch, then anti-join against the keys already in
-    * the sink before appending. At scale the anti-join prunes via
-    * partition/file skipping on the key-sorted sink layout.
+    * the sink before appending.
+    *
+    * The sink is laid out partitioned by `__bucket` = hash(key) mod
+    * nBuckets — a stable key-hash bucket — so the conflict check reads
+    * only the partitions the current batch's keys can possibly collide
+    * with: the batch's bucket set (≤ nBuckets integers, a bounded
+    * driver-side set) becomes a partition-pruning `isin` filter instead
+    * of a full sink rescan per micro-batch. Only a genuinely missing
+    * sink counts as "first batch"; any other read failure propagates —
+    * silently treating it as empty would append duplicate keys and break
+    * the ON CONFLICT DO NOTHING contract.
     */
   def upsertAppendSink(df: DataFrame, key: String, outDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, nBuckets: Int = 64): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
         val fresh = batch.dropDuplicates(key)
+          .withColumn("__bucket", pmod(xxhash64(col(key)), lit(nBuckets)).cast("int"))
+        val buckets = fresh.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // only a genuinely absent/empty sink means "first batch"
+        val sinkHasData = fs.exists(outPath) && fs.listStatus(outPath).nonEmpty
         val existingKeys =
-          try batch.sparkSession.read.parquet(outDir).select(col(key).as("__sunk"))
-          catch { case _: Exception => // first batch: sink dir empty
-            fresh.select(col(key).as("__sunk")).limit(0)
-          }
+          if (!sinkHasData) fresh.select(col(key).as("__sunk")).limit(0)
+          else spark.read.parquet(outDir)
+            .filter(col("__bucket").isin(buckets: _*)) // partition pruning
+            .select(col(key).as("__sunk"))
         fresh.join(existingKeys, col(key) === col("__sunk"), "left_anti")
-          .write.mode("append").parquet(outDir)
+          .write.mode("append").partitionBy("__bucket").parquet(outDir)
       }
       .start()
 

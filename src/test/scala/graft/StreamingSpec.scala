@@ -119,6 +119,15 @@ class StreamingSpec extends SparkTestBase {
       assert(res.count() === 3)
       // first write wins — ON CONFLICT DO NOTHING semantics
       assert(res.filter($"transaction_id" === "t2").head.getDouble(1) === 2.0)
+      // sink layout is key-hash bucketed…
+      assert(new java.io.File(out).listFiles()
+        .exists(_.getName.startsWith("__bucket=")), "sink not bucket-partitioned")
+      // …and the conflict check's filter shape prunes partitions: the scan
+      // carries a non-empty PartitionFilters on __bucket
+      val plan = spark.read.parquet(out).filter($"__bucket".isin(0, 1))
+        .queryExecution.executedPlan.toString
+      val pf = plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+      assert(pf.contains("__bucket"), s"no partition pruning in: $plan")
     } finally q.stop()
   }
 
@@ -194,5 +203,53 @@ class StreamingSpec extends SparkTestBase {
       pollFor("alice count=2")(r => r.key == "alice" && r.count == 2 && !r.expired)
       pollFor("alice expiry tombstone")(r => r.key == "alice" && r.expired)
     } finally q.stop()
+  }
+
+  test("latest-value-per-key: set, overwrite, expiry → None (Redis SET/GET parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedCounters.KVSet]
+    val latest = KeyedCounters.latestValuePerKey(input.toDS(), ttlMs = 50)
+    val q = latest.writeStream.outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .format("memory").queryName("kv_test").start()
+    try {
+      // two SETs in one batch: last one wins (overwrite semantics)
+      input.addData(KeyedCounters.KVSet("drink", "latte"),
+        KeyedCounters.KVSet("drink", "mocha"))
+      def rows() = spark.table("kv_test").as[KeyedCounters.KVLatest].collect()
+      def pollFor(what: String)(p: KeyedCounters.KVLatest => Boolean): Unit = {
+        val deadline = System.currentTimeMillis() + 60000
+        while (!rows().exists(p) && System.currentTimeMillis() < deadline)
+          Thread.sleep(200)
+        assert(rows().exists(p), s"expected $what, got ${rows().mkString(",")}")
+      }
+      pollFor("overwrite to mocha")(r =>
+        r.key == "drink" && r.value.contains("mocha") && !r.expired)
+      // GET after TTL ≡ nil: tombstone with value=None
+      pollFor("expiry tombstone")(r =>
+        r.key == "drink" && r.value.isEmpty && r.expired)
+    } finally q.stop()
+  }
+
+  test("S20: console sink prints the complete-mode word-count table") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val counts = Streams.wordCount(input.toDF().toDF("value"))
+    val buf = new java.io.ByteArrayOutputStream()
+    val oldOut = System.out
+    System.setOut(new java.io.PrintStream(buf, true))
+    // the sink prints from the stream-execution thread, which inherits
+    // Console.out when started inside withOut
+    try Console.withOut(buf) {
+      val q = Streams.consoleSink(counts)
+      try {
+        input.addData("hello hello world")
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally System.setOut(oldOut)
+    val out = buf.toString
+    assert(out.contains("Batch:"), s"no console batch header in output")
+    assert(out.contains("hello") && out.contains("word"),
+      "word-count table not printed")
   }
 }
