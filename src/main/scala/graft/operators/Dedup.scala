@@ -304,17 +304,24 @@ object Dedup {
       shiftright(col("simhash"), j * 9).bitwiseAND(lit(511L))): _*)
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(chunkVals).as(Seq("ci", "cv")))
-    val cand = chunks.as("a")
+    // dedup WITHOUT a distinct: a near-identical pair matches on most of
+    // its 7 chunks, so a distinct would shuffle every duplicate
+    // candidate. Instead each pair is emitted exactly once, at its FIRST
+    // equal chunk — the codegen'd filter `no earlier chunk equal` kills
+    // duplicates as the join streams, no second exchange
+    val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    def xorChunk(i: Int): Column = shiftright(x, i * 9).bitwiseAND(lit(511L))
+    val firstEqualChunk = (0 until 6).map(i =>
+      when(col("a.ci") > i, xorChunk(i) =!= 0L).otherwise(lit(true)))
+      .reduce(_ && _)
+    val hamming = bit_count(x)
+    chunks.as("a")
       .join(chunks.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("a.simhash").as("ha"),
-        col("b.doc_id").as("doc_b"), col("b.simhash").as("hb"))
-      .distinct()
-    val hamming = bit_count(col("ha").bitwiseXOR(col("hb")))
-    cand
-      .filter(hamming <= 6)
-      .select(col("doc_a"), col("doc_b"), hamming.cast("int").as("hamming"))
+      .filter(hamming <= 6 && firstEqualChunk)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.cast("int").as("hamming"))
   }
 
   val all: Seq[QuerySpec] =
