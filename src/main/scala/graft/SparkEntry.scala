@@ -12,7 +12,8 @@ object SparkEntry {
   private def registry: Seq[QuerySpec] =
     operators.Relational.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
-      operators.MultimodalQ.all ++ operators.Curation.all
+      operators.MultimodalQ.all ++ operators.Curation.all ++
+      operators.Temporal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's flagship revenue_analysis daily-KPI pipeline

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal join operators over `events` — the two join shapes Spark has
+  * no native operator for, each expressed through its standard scalable
+  * composition rather than an inequality join:
+  *
+  *  - AS-OF join: tag both sides, union, one window pass per key ordered
+  *    by time — `last(right-side, ignoreNulls)` carries the most recent
+  *    right row forward to every left row. ONE shuffle on the join key,
+  *    state bounded by the window frame; never a per-row range probe.
+  *  - RANGE join: quantize each interval into coarse time buckets,
+  *    equi-join point events on (key, bucket), then verify exact
+  *    containment. The candidate join is a hash join on short keys; the
+  *    verify is a codegen'd filter. (DuckDB's native inequality join is
+  *    the oracle, so the bucketing is checked against true range-join
+  *    semantics, not mirrored.)
+  *
+  * Both work in integer epoch-µs (unix_micros / epoch_us) — the q26
+  * convention that makes window arithmetic bit-identical across engines.
+  */
+object Temporal {
+
+  /** Click→view attribution as-of join: for every click, the same user's
+    * most recent view at-or-before the click. Views at the exact click
+    * timestamp count (side orders views first); ties on (us) cannot occur
+    * in this corpus but the (us, side, event_id) total order pins
+    * determinism anyway.
+    */
+  val qAsOf: QuerySpec = QuerySpec.sql(
+    "q29_asof_join",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events
+      |), tagged AS (
+      |  SELECT user_id, us, event_id, 0 AS side FROM e WHERE event_type = 'view'
+      |  UNION ALL
+      |  SELECT user_id, us, event_id, 1 AS side FROM e WHERE event_type = 'click'
+      |), w AS (
+      |  SELECT user_id, us, event_id, side,
+      |         LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY us, side, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_id,
+      |         LAST_VALUE(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY us, side, event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS view_us
+      |  FROM tagged
+      |)
+      |SELECT event_id AS click_id, user_id, view_id,
+      |       CAST((us - view_us) // 1000000 AS BIGINT) AS gap_s
+      |FROM w WHERE side = 1 AND view_id IS NOT NULL""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("us"), col("event_id"), lit(0).as("side"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("event_id"), lit(1).as("side"))
+    val w = Window.partitionBy("user_id").orderBy("us", "side", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionAll(clicks)
+      .withColumn("view_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("view_us",
+        last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("view_id").isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"), col("view_id"),
+        expr("(us - view_us) div 1000000").as("gap_s")) // integer µs→s, no float
+  }
+
+  private val DayUs = 86400000000L
+
+  /** Signup→purchase range join: purchases of the same user inside the
+    * 24 h window a signup opens. Spark side buckets each window into its
+    * ≤ 2 covering UTC days and equi-joins purchases on (user, day); a
+    * (signup, purchase) pair can match only in the purchase's own day
+    * bucket, so no dedup pass is needed. The oracle runs the genuine
+    * inequality join.
+    */
+  val qRange: QuerySpec = QuerySpec.sql(
+    "q30_range_join",
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events
+       |), s AS (SELECT event_id AS signup_id, user_id, us AS s_us FROM e
+       |         WHERE event_type = 'signup'),
+       |p AS (SELECT event_id AS purchase_id, user_id, us AS p_us FROM e
+       |      WHERE event_type = 'purchase')
+       |SELECT s.signup_id, p.purchase_id, s.user_id,
+       |       CAST((p.p_us - s.s_us) // 60000000 AS BIGINT) AS mins_after
+       |FROM s JOIN p
+       |  ON p.user_id = s.user_id
+       | AND p.p_us >= s.s_us AND p.p_us < s.s_us + $DayUs""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    // a 24h window covers at most 2 UTC days — explode into day buckets
+    val dayOf = expr(s"us div $DayUs")
+    val signups = e.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id").as("s_user"),
+        col("us").as("s_us"), explode(array(dayOf, dayOf + 1)).as("day"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("us").as("p_us"), dayOf.as("day"))
+    purchases
+      .join(signups, col("user_id") === col("s_user") && purchases("day") === signups("day"))
+      .filter(col("p_us") >= col("s_us") && col("p_us") < col("s_us") + DayUs)
+      .select(col("signup_id"), col("purchase_id"), col("user_id"),
+        expr("(p_us - s_us) div 60000000").as("mins_after"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(qAsOf, qRange)
+}
