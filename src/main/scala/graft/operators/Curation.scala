@@ -185,5 +185,42 @@ object Curation {
     ordersChecks.crossJoin(orphanOrders).crossJoin(orphanLines)
   }
 
-  val all: Seq[QuerySpec] = Seq(pCorpus, pSplit, pContamination, pQualityReport)
+  /** GPT-style sequence packing: documents are concatenated per shard in
+    * deterministic doc_id order and chunked into fixed token budgets —
+    * pack_id = starting-offset div SeqLen (a doc may span a pack
+    * boundary, the standard concat-and-chunk semantics). The shard is a
+    * portable hash bucket, so packing parallelizes as one window pass per
+    * shard partition — at 100 TB the running sum never leaves the shard.
+    */
+  val pPacking: QuerySpec = QuerySpec.sql(
+    "p5_sequence_packing",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, shard, n_tok,
+      |         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t
+      |)
+      |SELECT doc_id, shard, n_tok,
+      |       CAST(cum - n_tok AS BIGINT) AS offset,
+      |       CAST((cum - n_tok) // 512 AS BIGINT) AS pack_id
+      |FROM c""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        (Portable.h32(col("doc_id").cast("string")) % 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .selectExpr("doc_id", "shard", "n_tok",
+        "CAST(cum - n_tok AS BIGINT) AS offset",
+        "(cum - n_tok) div 512 AS pack_id")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(pCorpus, pSplit, pContamination, pQualityReport, pPacking)
 }

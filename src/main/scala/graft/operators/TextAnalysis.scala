@@ -108,5 +108,61 @@ object TextAnalysis {
           .as("fp_min"))
   }
 
-  val all: Seq[QuerySpec] = Seq(tTokens, tQuality, tLangId, tFingerprint)
+  /** Repetitiveness filter (the Gopher-style repeated-n-gram signal):
+    * distinct-trigram share per document in basis points — boilerplate
+    * and degenerate generations repeat shingles, dropping the ratio.
+    * Row-level, expression-only, shuffle-free.
+    */
+  val tRepetition: QuerySpec = QuerySpec.sql(
+    "t5_repetition",
+    // raw trigram occurrences (duplicates kept — unlike Portable.shingles,
+    // which dedups for MinHash)
+    """WITH sh AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(string_split(text, ' ')) >= 3
+      |           THEN list_transform(
+      |             generate_series(1, len(string_split(text, ' ')) - 2),
+      |             i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))
+      |           ELSE [text] END AS sh
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CAST(len(sh) AS BIGINT) AS n_trigrams,
+      |       CAST(len(list_distinct(sh)) * 10000 // len(sh) AS BIGINT) AS distinct_bp
+      |FROM sh""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("sh", expr(
+        """CASE WHEN size(split(text, ' ')) >= 3
+          |  THEN transform(sequence(0, size(split(text, ' ')) - 3),
+          |    i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))
+          |  ELSE array(text) END""".stripMargin))
+      .selectExpr("doc_id",
+        "CAST(size(sh) AS BIGINT) AS n_trigrams",
+        "CAST(size(array_distinct(sh)) * 10000L div size(sh) AS BIGINT) AS distinct_bp")
+  }
+
+  /** Corpus vocabulary build: per-token document frequency — explode
+    * distinct tokens per doc, aggregate on the token (partial map-side
+    * combine; the shuffle key is the token, bounded by vocabulary size,
+    * not corpus size). doc_share_bp = df/n_docs in basis points.
+    */
+  val tVocabDf: QuerySpec = QuerySpec.sql(
+    "t6_vocab_df",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents
+      |), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT token, COUNT(*) AS df,
+      |       CAST(COUNT(*) * 10000 // (SELECT n_docs FROM n) AS BIGINT) AS doc_share_bp
+      |FROM tok GROUP BY token""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    docs.select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .selectExpr("token", "df", "df * 10000L div n_docs AS doc_share_bp")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(tTokens, tQuality, tLangId, tFingerprint, tRepetition, tVocabDf)
 }

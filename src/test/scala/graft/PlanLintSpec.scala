@@ -12,8 +12,9 @@ class PlanLintSpec extends SparkTestBase {
   // including the dedup/similarity pair generators — must candidate
   // through equi-joins: an all-pairs loop join is the canonical
   // 100 TB scale-killer.
+  // t6 broadcasts a 1-row corpus-count aggregate, like p4's report frames
   private val intendedLoopJoins = Set("s1_knn_cosine", "s4_ann_ivf",
-    "p4_quality_report")
+    "p4_quality_report", "t6_vocab_df")
 
   test("no unintended CartesianProduct or nested-loop join in any registered query plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -27,4 +27,30 @@ class TextAnalysisSpec extends SparkTestBase {
     val b = run("t4_fingerprint")
     assert(a.exceptAll(b).count() === 0)
   }
+
+  test("t5 repetition: distinct share bounded, and repeats exist in corpus") {
+    val df = run("t5_repetition")
+    assert(df.count() === 500)
+    assert(df.filter(col("distinct_bp") <= 0 || col("distinct_bp") > 10000).count() === 0)
+    // this vocab-dense corpus repeats trigrams — the signal discriminates
+    assert(df.filter(col("distinct_bp") < 10000).count() > 0)
+  }
+
+  test("t6 vocab df: df bounded by corpus size, share consistent") {
+    val df = run("t6_vocab_df")
+    assert(df.filter(col("df") > 500 || col("df") < 1).count() === 0)
+    assert(df.filter(col("doc_share_bp") =!= expr("df * 10000 div 500")).count() === 0)
+  }
+
+  test("p5 packing: per-shard streams are contiguous and pack ids match offsets") {
+    val df = run("p5_sequence_packing")
+    assert(df.count() === 500)
+    // offsets tile each shard's stream exactly: sum of spans = max end
+    val byShard = df.groupBy("shard").agg(
+      sum("n_tok").as("total"),
+      max(col("offset") + col("n_tok")).as("end"),
+      min("offset").as("start"))
+    assert(byShard.filter(col("total") =!= col("end") || col("start") =!= 0).count() === 0)
+    assert(df.filter(col("pack_id") =!= expr("offset div 512")).count() === 0)
+  }
 }
