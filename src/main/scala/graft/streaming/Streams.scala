@@ -140,6 +140,22 @@ object Streams {
   def consoleSink(df: DataFrame, mode: String = "complete"): StreamingQuery =
     df.writeStream.outputMode(mode).format("console").start()
 
+  /** Streaming sessionization — q26's gap-based sessions as a stream:
+    * built-in `session_window` (dynamic gap-merged windows) + watermark,
+    * so session state finalizes and is pruned as event time advances.
+    * The batch q26 window formulation and this agree on session
+    * boundaries for the same gap.
+    */
+  def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol),
+        col("n_events"), col("total_value"))
+
   /** The idiomatic upgrade of T6's unbounded state (SURVEY §2.9 "absent
     * from reference"): event-time watermark + tumbling window counts.
     * Append mode, state pruned by the watermark — bounded at any scale.

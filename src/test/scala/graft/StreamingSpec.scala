@@ -159,6 +159,27 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("b", 1L, 5.0)))
   }
 
+  test("streaming session windows merge by gap and finalize on watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "k", "value")
+    val agg = Streams.sessionCounts(events, "ts", "k", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("sess_test").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // a: one session (1,3 merge via <5m gap), then a separate burst at 20
+    input.addData((t(1), "a", 1.0), (t(3), "a", 2.0), (t(20), "a", 4.0))
+    q.processAllAvailable()
+    input.addData((t(59), "z", 0.0)) // advance watermark, finalize sessions
+    q.processAllAvailable()
+    val rows = spark.table("sess_test")
+      .select("k", "n_events", "total_value").as[(String, Long, Double)]
+      .collect().toSet
+    q.stop()
+    assert(rows.contains(("a", 2L, 3.0)), s"merged session missing: $rows")
+    assert(rows.contains(("a", 1L, 4.0)), s"separate session missing: $rows")
+  }
+
   test("stream-stream interval join matches clicks to views within the window") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[(Int, java.sql.Timestamp)]
