@@ -65,7 +65,73 @@ case class ShingleHash32(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** The K MinHash signature values in one row-level pass: shingle hashes
+  * (exactly ShingleHash32's loop) folded directly into the K running
+  * minima of `(2i+1)·h + 104729·i mod P` — no explode, no aggregation,
+  * no shuffle. Value-identical to
+  * `explode(shingleHashes(text)) → groupBy(doc).agg(min(perm_i(x)))`
+  * (the shape d3 used through round 1) and to the DuckDB oracle's
+  * list_transform/list_min composition; turns the signature build into
+  * an embarrassingly parallel projection.
+  */
+case class MinHashSig(child: Expression, n: Int, k: Int, p: Long)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private def hash(s: String): Long = {
+    val d = md5.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val words = text.split(" ", -1)
+    val mins = Array.fill(k)(Long.MaxValue)
+    val seen = new java.util.HashSet[String]()
+    def fold(h: Long): Unit = {
+      var i = 1
+      while (i <= k) {
+        val v = ((2L * i + 1) * h + 104729L * i) % p
+        if (v < mins(i - 1)) mins(i - 1) = v
+        i += 1
+      }
+    }
+    if (words.length >= n) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        val sh = sb.toString
+        if (seen.add(sh)) fold(hash(sh))
+        i += 1
+      }
+    } else {
+      fold(hash(text))
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 object ShingleHash {
   def shingleHashes(text: Column, n: Int = 3): Column =
     GraftShim.column(ShingleHash32(GraftShim.expression(text), n))
+
+  def minHashSig(text: Column, n: Int = 3, k: Int = 16,
+      p: Long = Portable.MinHashP): Column =
+    GraftShim.column(MinHashSig(GraftShim.expression(text), n, k, p))
 }

@@ -93,23 +93,17 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
   }
 
-  /** MinHash signatures: explode shingle hashes, then K codegen'd `min`
-    * aggregates in one hash aggregation (sig[i] = min over shingle hashes
-    * x of (2i+1)·x + 104729·i mod P). The array-expression form
-    * (transform/array_min HOFs) evaluates lambdas interpretively and was
-    * ~30× slower; this shape is one narrow shuffle on doc_id and scales
-    * as plain partial+final aggregation.
+  /** MinHash signatures (sig[i] = min over shingle hashes x of
+    * (2i+1)·x + 104729·i mod P) via the native MinHashSig expression:
+    * one row-level pass, no explode, no aggregation, NO shuffle — the
+    * signature build is an embarrassingly parallel projection. (History:
+    * HOF lambdas were ~30× slower; the explode + K min-aggs shape fixed
+    * that but still shuffled one row per shingle — this removes the
+    * shuffle entirely.)
     */
-  private[operators] def signatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val hs = docs
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleHash.shingleHashes(col("text"), 3)).as("x"))
-    val mins = (1 to K).map(i =>
-      min((lit(2L * i + 1) * col("x") + lit(104729L * i)) % P).as(s"s$i"))
-    hs.groupBy("doc_id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"), array((1 to K).map(i => col(s"s$i")): _*).as("sig"))
-  }
+  private[operators] def signatures(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.ShingleHash.minHashSig(col("text"), 3, K, P).as("sig"))
 
   /** MinHash + LSH near-dup candidates: band buckets → pair join →
     * signature-agreement estimate (est >= 0.5).
