@@ -84,4 +84,21 @@ class PropertySpec extends SparkTestBase {
     val byText = sigs.groupBy("text").agg(countDistinct("sig").as("nsig"))
     assert(byText.filter(col("nsig") =!= 1).count() === 0)
   }
+
+  test("native MinHashSig equals the HOF transform/array_min composition") {
+    val docs = samples(doc, 60).distinct
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val viaHof = df
+      .select(col("doc_id"),
+        transform(Portable.shingles(col("text"), 3), x => Portable.h32(x)).as("hs"))
+      .select(col("doc_id"),
+        transform(sequence(lit(1), lit(16)),
+          i => array_min(transform(col("hs"),
+            x => ((i.cast("long") * 2L + 1L) * x + lit(104729L) * i) % Portable.MinHashP)))
+          .as("sig_hof"))
+    val viaNative = df.select(col("doc_id"),
+      graft.functions.ShingleHash.minHashSig(col("text"), 3, 16).as("sig"))
+    val joined = viaNative.join(viaHof, "doc_id")
+    assert(joined.filter(to_json(col("sig")) =!= to_json(col("sig_hof"))).count() === 0)
+  }
 }
