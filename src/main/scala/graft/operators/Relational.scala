@@ -548,10 +548,123 @@ object Relational {
       .except(o.filter(col("o_orderstatus") === "O").select("o_custkey"))
   }
 
+  /** SCD2 interval build: run-length encode each user's event_type
+    * stream into validity intervals (change detection via lag, run ids
+    * via running sum, one interval row per run, valid_to = next run's
+    * start). Every window shares the user_id partitioning — one shuffle
+    * total, the slowly-changing-dimension shape at any scale.
+    */
+  val q31Scd2: QuerySpec = QuerySpec.sql(
+    "q31_scd2_intervals",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+      |), chg AS (
+      |  SELECT user_id, us, event_id, event_type,
+      |         CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_chg
+      |  FROM e
+      |), runs AS (
+      |  SELECT user_id, us, event_type,
+      |         SUM(is_chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM chg
+      |), iv AS (
+      |  SELECT user_id, event_type, CAST(run_id AS BIGINT) AS version,
+      |         MIN(us) AS valid_from_us, COUNT(*) AS n_events
+      |  FROM runs GROUP BY user_id, event_type, run_id
+      |)
+      |SELECT user_id, event_type, version, valid_from_us, n_events,
+      |       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+      |       (LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) IS NULL) AS is_current
+      |FROM iv""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val cum = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byFrom = Window.partitionBy("user_id").orderBy("valid_from_us")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+      .withColumn("is_chg",
+        when(!lag("event_type", 1).over(byUser).eqNullSafe(col("event_type")), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum("is_chg").over(cum))
+      .groupBy("user_id", "event_type", "run_id")
+      .agg(min("us").as("valid_from_us"), count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("event_type"), col("run_id").as("version"),
+        col("valid_from_us"), col("n_events"),
+        lead("valid_from_us", 1).over(byFrom).as("valid_to_us"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
+  /** Pivot with an explicit value list (no driver-side distinct scan to
+    * discover columns — the declared domain keeps the plan static at any
+    * input size). Oracle = conditional aggregation, the portable
+    * equivalent.
+    */
+  val q32Pivot: QuerySpec = QuerySpec.sql(
+    "q32_pivot",
+    """SELECT CAST(ts AS DATE) AS d,
+      |       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      |       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(to_date(col("ts")).as("d"), col("event_type"))
+      .groupBy("d")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+  }
+
+  /** Exact discrete percentiles per group without any approximate sketch:
+    * rank rows once, pick the ceil(n·p) row value — the portable
+    * percentile_disc. One window shuffle on the group key.
+    */
+  val q33Percentiles: QuerySpec = QuerySpec.sql(
+    "q33_percentile_disc",
+    """WITH r AS (
+      |  SELECT event_type, value,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+      |         COUNT(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |       MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN value END) AS p50,
+      |       MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN value END) AS p90,
+      |       MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN value END) AS p99
+      |FROM r GROUP BY event_type""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    val n = Window.partitionBy("event_type")
+    Tables.events(s, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(n))
+      .groupBy("event_type")
+      .agg(
+        max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("value"))).as("p50"),
+        max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("value"))).as("p90"),
+        max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("value"))).as("p99"))
+  }
+
+  /** The salted two-phase aggregation surfaced through the oracle gate:
+    * identical result to a direct group-by (sum/count are decomposable),
+    * but hot keys spread over 16 reducers in the partial phase —
+    * l_returnflag has 3 values, the canonical hot-key aggregation.
+    */
+  val q34Salted: QuerySpec = QuerySpec.sql(
+    "q34_salted_agg",
+    """SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity, COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
+    Skew.saltedSumCount(Tables.lineitem(s, dir), Seq("l_returnflag"), "l_quantity")
+  }
+
   val all: Seq[QuerySpec] = Seq(
     q1Agg, q2Filter, q3JoinNation, q4Semi, q5Anti, q6TopK, q7Window,
     q8Distinct, q9Having, q10Union, q11Ilike, q12CaseWhen, q13DatePred,
     q14MultiSort, q15Md5, q16AggJoin, q17Rank, q18Rollup, q19Json, q20Regex,
     q21DailyKpi, q22Investigation, q23Mode, q24Sample, q25Stratified,
-    q26Sessionize, q27Cube, q28Except)
+    q26Sessionize, q27Cube, q28Except, q31Scd2, q32Pivot, q33Percentiles,
+    q34Salted)
 }
