@@ -318,6 +318,51 @@ object Dedup {
         hamming.cast("int").as("hamming"))
   }
 
+  /** Containment dedup (c = |A∩B| / |A| ≥ 0.9): doc_a's shingles nearly
+    * all appear in doc_b — catches truncated copies and
+    * subset/superset boilerplate that symmetric Jaccard misses (a short
+    * doc inside a long one has low Jaccard but containment ≈ 1).
+    * Same shingle-hash equi-join as d2; the prune is one-sided
+    * (i ≤ min(na, nb) and i ≥ 0.9·na force nb·10 ≥ na·9 — b may be
+    * arbitrarily larger but not much smaller), sound for the 0.9
+    * threshold. Emitted per direction: (contained, container).
+    */
+  val dContainment: QuerySpec = QuerySpec.sql(
+    "d7_containment",
+    s"""WITH sh0 AS (
+       |  SELECT doc_id, unnest(${Portable.shinglesSql(3).replace("\n", " ")}) AS s
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0
+       |), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a AS contained, doc_b AS container,
+       |       CAST(i * 10000 // ca.n AS BIGINT) AS containment_bp
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |WHERE i * 10 >= ca.n * 9""".stripMargin) { (s, dir) =>
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash.shingleHashes(col("text"), 3)).as("h"))
+      .localCheckpoint()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val shn = sh.join(broadcast(cnt), "doc_id")
+    val a = shn.as("a"); val b = shn.as("b")
+    a.join(b, col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id") &&
+        col("b.n") * 10 >= col("a.n") * 9) // sound one-sided prune
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"))
+      .agg(count(lit(1)).as("i"))
+      .filter(col("i") * 10 >= col("na") * 9)
+      .select(col("doc_a").as("contained"), col("doc_b").as("container"),
+        expr("i * 10000 div na").as("containment_bp"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(dExact, dJaccard, dMinHash, dSimHash, dClusters, dSimHashPairs)
+    Seq(dExact, dJaccard, dMinHash, dSimHash, dClusters, dSimHashPairs,
+      dContainment)
 }
