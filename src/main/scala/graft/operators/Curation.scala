@@ -221,6 +221,71 @@ object Curation {
         "(cum - n_tok) div 512 AS pack_id")
   }
 
+  /** Domain mixing: per-source sampling rates (the data-mixture knob every
+    * pretraining corpus tunes — upweight curated sources, downsample the
+    * crawl). Deterministic: a doc is kept iff its salted portable hash
+    * falls under its source's rate in basis points, so the same mixture
+    * reproduces on any engine, any rerun, any scale. Row-level filter —
+    * no shuffle, scales with input splits.
+    */
+  val pDomainMix: QuerySpec = QuerySpec.sql(
+    "p6_domain_mix",
+    """WITH r AS (
+      |  SELECT doc_id, source, lang,
+      |         CASE WHEN CAST(substring(source, 4) AS INT) < 5 THEN 10000
+      |              WHEN CAST(substring(source, 4) AS INT) < 10 THEN 5000
+      |              ELSE 2500 END AS rate_bp,
+      |         CAST(('0x' || substring(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS bucket
+      |  FROM documents
+      |)
+      |SELECT doc_id, source, lang, CAST(rate_bp AS BIGINT) AS rate_bp
+      |FROM r WHERE bucket < rate_bp""".stripMargin) { (s, dir) =>
+    val srcIdx = substring(col("source"), 4, 8).cast("int")
+    val rate = when(srcIdx < 5, 10000L).when(srcIdx < 10, 5000L)
+      .otherwise(2500L)
+    val bucket = Portable.h32(concat(lit("mix"), col("doc_id").cast("string"))) % 10000
+    Tables.documents(s, dir)
+      .withColumn("rate_bp", rate)
+      .filter(bucket < col("rate_bp"))
+      .select("doc_id", "source", "lang", "rate_bp")
+  }
+
+  /** N-gram decontamination (the GPT-3-style 13-gram scrub, scaled to
+    * 5-grams for this corpus's doc lengths): an eval document is
+    * contaminated if ANY of its distinct word 5-grams also occurs in any
+    * train document. Both sides reduce to 60-bit portable shingle hashes,
+    * so the join shuffles fixed-width longs — never text — and the
+    * train side dedups to the distinct n-gram set before the join.
+    * Complements p3 (whole-doc signature match) with passage-level leaks.
+    */
+  val pNgramDecontam: QuerySpec = QuerySpec.sql(
+    "p7_ngram_decontam",
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+       |              THEN 'train' ELSE 'eval' END AS split,
+       |         unnest(${Portable.shinglesSql(5).replace("\n", " ")}) AS g
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, split, CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h FROM g
+       |), tr AS (SELECT DISTINCT h FROM h WHERE split = 'train')
+       |SELECT e.doc_id AS eval_doc, COUNT(*) AS n_shared
+       |FROM h e JOIN tr USING (h) WHERE e.split = 'eval'
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(Portable.h32(col("doc_id").cast("string")) % 100 < 80, "train")
+          .otherwise("eval").as("split"),
+        explode(Portable.shingles(col("text"), 5)).as("g"))
+      .withColumn("h", Portable.h60(col("g")))
+    val train = grams.filter(col("split") === "train").select("h").distinct()
+    grams.filter(col("split") === "eval")
+      .select(col("doc_id").as("eval_doc"), col("h"))
+      .join(train, "h")
+      .groupBy("eval_doc").agg(count(lit(1)).as("n_shared"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(pCorpus, pSplit, pContamination, pQualityReport, pPacking)
+    Seq(pCorpus, pSplit, pContamination, pQualityReport, pPacking,
+      pDomainMix, pNgramDecontam)
 }

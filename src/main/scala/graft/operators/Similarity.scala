@@ -325,5 +325,34 @@ object Similarity {
       array_max(quant).as("qmax"))
   }
 
-  val all: Seq[QuerySpec] = Seq(sKnn, sNearDup, sAnnLsh, sAnnIvf, sQuantize)
+  /** Per-cluster centroids over int8-quantized embeddings — the codebook
+    * refresh step of an IVF index build. Quantizing first (s5's exact
+    * per-vector formula) makes the per-dimension sums INTEGER, so the
+    * aggregation is order-independent and engine-exact — a float centroid
+    * sum would be non-deterministic under distributed summation order.
+    * Shape: posexplode to (label, dim) keys, one map-side-combined
+    * shuffle bounded by |labels| × dim, not corpus size.
+    */
+  val sCentroid: QuerySpec = QuerySpec.sql(
+    "s6_centroid_int8",
+    """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |q AS (SELECT label, list_transform(v,
+      |        x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT)) AS qv FROM m),
+      |x AS (SELECT label, unnest(generate_series(1, len(qv))) AS pos1, qv FROM q)
+      |SELECT label, CAST(pos1 - 1 AS BIGINT) AS pos,
+      |       SUM(qv[pos1]) AS qsum, COUNT(*) AS n
+      |FROM x GROUP BY label, pos1""".stripMargin) { (s, dir) =>
+    val e = Tables.embeddings(s, dir)
+      .select(col("label"), dvec(col("embedding")).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => round(x * (lit(127.0) / col("mx")), 0).cast("long")))
+    e.select(col("label"), posexplode(col("qv")).as(Seq("pos", "qval")))
+      .groupBy(col("label"), col("pos").cast("long").as("pos"))
+      .agg(sum("qval").as("qsum"), count(lit(1)).as("n"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(sKnn, sNearDup, sAnnLsh, sAnnIvf, sQuantize, sCentroid)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QuerySpec, Tables}
 import graft.functions.Portable
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for a training-data pipeline, over the
   * `documents` table: token counting, quality scoring, language-ID
@@ -163,6 +164,44 @@ object TextAnalysis {
       .selectExpr("token", "df", "df * 10000L div n_docs AS doc_share_bp")
   }
 
+  /** Unigram-surprisal proxy (the classifier-free perplexity stand-in):
+    * rank every vocabulary token by document frequency (rarest = highest
+    * rank), then score each document by its mean token rank. High mean
+    * rank = rare-word-heavy (OCR noise, gibberish); low = stopword soup.
+    * Integer ranks + basis-point mean keep it engine-exact — a float
+    * -log(p) sum would be summation-order-dependent.
+    *
+    * Scale shape: the rank window is global but runs over the VOCABULARY
+    * (bounded, ~millions), not the corpus; the per-doc score joins tokens
+    * against the broadcast vocab and aggregates on doc_id.
+    */
+  val tSurprisal: QuerySpec = QuerySpec.sql(
+    "t7_surprisal",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+      |), df AS (
+      |  SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+      |), v AS (
+      |  SELECT token, DENSE_RANK() OVER (ORDER BY df DESC, token) AS rnk FROM df
+      |)
+      |SELECT doc_id, SUM(rnk) AS rank_sum, COUNT(*) AS n_tok,
+      |       CAST(SUM(rnk) * 10000 // COUNT(*) AS BIGINT) AS mean_rank_bp
+      |FROM tok JOIN v USING (token) GROUP BY 1""".stripMargin) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val vocab = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .withColumn("rnk",
+        dense_rank().over(Window.orderBy(col("df").desc, col("token"))))
+      .select("token", "rnk")
+    tok.join(broadcast(vocab), "token")
+      .groupBy("doc_id")
+      .agg(sum("rnk").as("rank_sum"), count(lit(1)).as("n_tok"))
+      .selectExpr("doc_id", "rank_sum", "n_tok",
+        "rank_sum * 10000L div n_tok AS mean_rank_bp")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(tTokens, tQuality, tLangId, tFingerprint, tRepetition, tVocabDf)
+    Seq(tTokens, tQuality, tLangId, tFingerprint, tRepetition, tVocabDf,
+      tSurprisal)
 }

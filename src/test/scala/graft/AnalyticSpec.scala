@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the analytic-window family (q35–q39) and the round-2
+  * curation/text/similarity additions (p6, p7, t7, s6). The oracle gate
+  * hash-checks values; these specs assert the semantic invariants and
+  * determinism properties the hashes alone don't explain.
+  */
+class AnalyticSpec extends SparkTestBase {
+
+  test("q35 lag delta: delta equals rev - prev_rev and first row is null") {
+    val rows = run("q35_lag_delta").orderBy("d").collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.isNullAt(rows.head.fieldIndex("prev_rev")))
+    rows.drop(1).foreach { r =>
+      val rev = r.getDouble(r.fieldIndex("rev"))
+      val prev = r.getDouble(r.fieldIndex("prev_rev"))
+      val delta = r.getDouble(r.fieldIndex("delta"))
+      assert(math.abs((rev - prev) - delta) < 1e-6)
+    }
+  }
+
+  test("q36 ntile: four quartiles, sizes differ by at most one, ordered") {
+    val rows = run("q36_ntile").collect()
+    val sizes = rows.groupBy(_.getInt(2)).view.mapValues(_.length).toMap
+    assert(sizes.keySet == Set(1, 2, 3, 4))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // every member of quartile 1 outranks (>= balance) every member of 4
+    val q1min = rows.filter(_.getInt(2) == 1).map(_.getDouble(1)).min
+    val q4max = rows.filter(_.getInt(2) == 4).map(_.getDouble(1)).max
+    assert(q1min >= q4max)
+  }
+
+  test("q37 intersect: subset of both sides, distinct") {
+    val out = run("q37_intersect").collect().map(_.getInt(0)).toSeq
+    assert(out.distinct.size == out.size)
+    val c = Tables.customer(spark, sf0001)
+      .select(col("c_nationkey")).distinct().collect().map(_.getInt(0)).toSet
+    val s = Tables.supplier(spark, sf0001)
+      .select(col("s_nationkey")).distinct().collect().map(_.getInt(0)).toSet
+    assert(out.toSet == (c intersect s))
+  }
+
+  test("q38 above-nation-average: every kept row beats its nation mean") {
+    val kept = run("q38_above_nation_avg")
+    val stats = Tables.customer(spark, sf0001)
+      .groupBy(col("c_nationkey").as("nk"))
+      .agg(avg("c_acctbal").as("mean")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    kept.collect().foreach { r =>
+      assert(r.getDouble(2) > stats(r.getInt(1)) - 1e-9)
+    }
+  }
+
+  test("q39 range frame: 30-day window matches brute-force recompute") {
+    val out = run("q39_range_frame_30d").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val perDay = Tables.orders(spark, sf0001)
+      .groupBy(col("o_custkey"),
+        datediff(col("o_orderdate").cast("date"), lit("1970-01-01"))
+          .cast("long").as("day"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("rev"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    val byCust = perDay.groupBy(_._1._1)
+    out.foreach { case ((ck, day), got) =>
+      val want = byCust(ck)
+        .filter { case ((_, d), _) => d <= day && d >= day - 29 }
+        .map(_._2).sum
+      assert(math.abs(got - want) < 1e-4, s"cust $ck day $day")
+    }
+  }
+
+  test("p6 domain mix: kept-rate per source tier tracks rate_bp, deterministic") {
+    val a = run("p6_domain_mix", sf001).collect()
+    val b = run("p6_domain_mix", sf001).collect()
+    assert(a.map(_.getLong(0)).sorted.sameElements(b.map(_.getLong(0)).sorted))
+    val keptBySrc = a.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // full-rate tier keeps everything (25 docs/source at sf0.01)
+    assert((0 until 5).forall(i => keptBySrc.getOrElse(s"src$i", 0) == 25))
+    // sampled tiers keep strictly fewer in aggregate
+    val lowTier = keptBySrc.filter { case (k, _) => k.drop(3).toInt >= 10 }.values.sum
+    assert(lowTier < 10 * 25)
+  }
+
+  test("p7 decontamination: flags exactly the eval docs sharing a 5-gram with train") {
+    val flagged = run("p7_ngram_decontam", sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(flagged.nonEmpty)
+    assert(flagged.values.forall(_ >= 1))
+    // brute-force recompute on the raw text
+    val docs = Tables.documents(spark, sf001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length >= 5) w.sliding(5).map(_.mkString(" ")).toSet else Set(t)
+    }
+    def isTrain(id: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 100 < 80
+    }
+    val trainGrams = docs.filter(d => isTrain(d._1)).flatMap(d => grams(d._2)).toSet
+    val expect = docs.filterNot(d => isTrain(d._1))
+      .map { case (id, t) => id -> grams(t).count(trainGrams.contains) }
+      .filter(_._2 >= 1).toMap
+    assert(flagged == expect.map { case (k, v) => k -> v.toLong })
+  }
+
+  test("t7 surprisal: rank 1 is the highest-df token; mean_rank_bp = sum/n") {
+    val rows = run("t7_surprisal", sf001).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) * 10000L / r.getLong(2))
+    }
+  }
+
+  test("s6 centroid: |labels| x dim rows; n is the label's vector count") {
+    val rows = run("s6_centroid_int8", sf001).collect()
+    val labels = Tables.embeddings(spark, sf001)
+      .groupBy("label").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows.length == labels.size * 64)
+    rows.foreach(r => assert(r.getLong(3) == labels(r.getInt(0))))
+  }
+}
