@@ -129,6 +129,67 @@ object Analytic {
         sum("rev").over(w).cast("double").as("rev_30d"))
   }
 
+  /** Strict ordered funnel over the event stream: first signup, first
+    * view AFTER that signup, first purchase AFTER that view, per user.
+    * Three conditional-min aggregations chained by user_id equi-joins —
+    * every shuffle keys on user_id so AQE coalesces them onto one
+    * exchange footprint; each events scan pushes its event_type filter
+    * into the parquet reader. Timestamps flow as epoch-µs longs (the
+    * house rule for cross-engine time arithmetic).
+    */
+  val qFunnel: QuerySpec = QuerySpec.sql(
+    "q40_funnel",
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+      |s AS (SELECT user_id, MIN(us) AS signup_us FROM e
+      |      WHERE event_type = 'signup' GROUP BY 1),
+      |v AS (SELECT e.user_id, MIN(us) AS view_us FROM e JOIN s USING (user_id)
+      |      WHERE event_type = 'view' AND us > signup_us GROUP BY 1),
+      |p AS (SELECT e.user_id, MIN(us) AS purchase_us FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'purchase' AND us > view_us GROUP BY 1)
+      |SELECT s.user_id, s.signup_us, v.view_us, p.purchase_us
+      |FROM s LEFT JOIN v USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val signup = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("us").as("signup_us"))
+    val view = e.filter(col("event_type") === "view")
+      .join(signup, "user_id").filter(col("us") > col("signup_us"))
+      .groupBy("user_id").agg(min("us").as("view_us"))
+    val purchase = e.filter(col("event_type") === "purchase")
+      .join(view, "user_id").filter(col("us") > col("view_us"))
+      .groupBy("user_id").agg(min("us").as("purchase_us"))
+    signup.join(view, Seq("user_id"), "left")
+      .join(purchase, Seq("user_id"), "left")
+      .select("user_id", "signup_us", "view_us", "purchase_us")
+  }
+
+  /** Weekly cohort retention: users grouped by their first-activity week,
+    * counted once per (cohort, week-offset) cell. Day/week numbers are
+    * floor-divided epoch-µs — pure integer arithmetic, engine-exact.
+    * Two shuffles (first-day agg, cohort-cell count-distinct), both on
+    * bounded keys once the per-user reduction lands.
+    */
+  val qCohort: QuerySpec = QuerySpec.sql(
+    "q41_cohort_retention",
+    """WITH e AS (SELECT user_id,
+      |             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+      |f AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY 1),
+      |r AS (SELECT e.user_id, CAST(f.first_day // 7 AS BIGINT) AS cohort_week,
+      |             CAST((e.day - f.first_day) // 7 AS BIGINT) AS week_offset
+      |      FROM e JOIN f USING (user_id))
+      |SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_users
+      |FROM r GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day")
+    val first = ev.groupBy("user_id").agg(min("day").as("first_day"))
+    ev.join(first, "user_id")
+      .selectExpr("user_id", "first_day div 7 AS cohort_week",
+        "(day - first_day) div 7 AS week_offset")
+      .groupBy("cohort_week", "week_offset")
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame)
+    Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
+      qFunnel, qCohort)
 }

@@ -272,12 +272,16 @@ object Curation {
        |SELECT e.doc_id AS eval_doc, COUNT(*) AS n_shared
        |FROM h e JOIN tr USING (h) WHERE e.split = 'eval'
        |GROUP BY 1""".stripMargin) { (s, dir) =>
+    // materialize (doc_id, split, h) once — both join sides would
+    // otherwise rescan the text and re-explode the shingles (the
+    // dominant cost at scale); the checkpoint holds fixed-width longs
     val grams = Tables.documents(s, dir)
       .select(col("doc_id"),
         when(Portable.h32(col("doc_id").cast("string")) % 100 < 80, "train")
           .otherwise("eval").as("split"),
         explode(Portable.shingles(col("text"), 5)).as("g"))
-      .withColumn("h", Portable.h60(col("g")))
+      .select(col("doc_id"), col("split"), Portable.h60(col("g")).as("h"))
+      .localCheckpoint()
     val train = grams.filter(col("split") === "train").select("h").distinct()
     grams.filter(col("split") === "eval")
       .select(col("doc_id").as("eval_doc"), col("h"))

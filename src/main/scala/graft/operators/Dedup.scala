@@ -362,7 +362,55 @@ object Dedup {
         expr("i * 10000 div na").as("containment_bp"))
   }
 
+  /** Quality-aware canonical selection: within each near-dup cluster
+    * (d5's connected components) keep the HIGHEST-QUALITY member, not the
+    * first — production dedup discards boilerplate copies in favor of the
+    * cleanest one. Composes the cluster labels with the t2 quality score;
+    * the argmax is one window pass partitioned by cluster_id (cluster
+    * sizes are near-dup groups — small by construction, no skew risk).
+    */
+  val dKeepBest: QuerySpec = QuerySpec.sql(
+    "d8_keep_best",
+    s"""WITH labels AS (
+       |${dClusters.oracle.get}
+       |), q AS (
+       |  SELECT doc_id,
+       |         (47 * least(len(string_split(text, ' ')) * 10000 // 64, 10000)
+       |        + 31 * (10000 - len(list_filter(string_split(text, ' '),
+       |                t -> t IN ('the', 'a'))) * 10000 // len(string_split(text, ' ')))
+       |        + 22 * least(n_chars * 10000 // 400, 10000)) // 100 AS quality_bp
+       |  FROM documents
+       |), r AS (
+       |  SELECT l.cluster_id, l.doc_id, q.quality_bp,
+       |         ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+       |           ORDER BY q.quality_bp DESC, l.doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY l.cluster_id) AS n_members
+       |  FROM labels l JOIN q USING (doc_id)
+       |)
+       |SELECT cluster_id, doc_id AS kept_doc, quality_bp AS kept_quality_bp,
+       |       n_members
+       |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+    val labels = dClusters.run(s, dir)
+    val docs = Tables.documents(s, dir)
+    val quality = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(split(col("text"), " "), t => t.isin("the", "a"))).cast("long"))
+      .selectExpr("doc_id",
+        """(47 * least(n_tokens * 10000L div 64, 10000)
+          | + 31 * (10000 - n_stop * 10000L div n_tokens)
+          | + 22 * least(n_chars * 10000L div 400, 10000)) div 100 AS quality_bp""".stripMargin)
+    val w = Window.partitionBy("cluster_id")
+    labels.join(quality, "doc_id")
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("quality_bp").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("kept_doc"),
+        col("quality_bp").as("kept_quality_bp"), col("n_members"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dExact, dJaccard, dMinHash, dSimHash, dClusters, dSimHashPairs,
-      dContainment)
+      dContainment, dKeepBest)
 }

@@ -109,6 +109,50 @@ class AnalyticSpec extends SparkTestBase {
     assert(flagged == expect.map { case (k, v) => k -> v.toLong })
   }
 
+  test("q40 funnel: stage timestamps strictly ordered, nulls propagate forward") {
+    val rows = run("q40_funnel").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val signup = r.getLong(1)
+      if (!r.isNullAt(2)) assert(r.getLong(2) > signup)
+      if (!r.isNullAt(3)) { assert(!r.isNullAt(2)); assert(r.getLong(3) > r.getLong(2)) }
+    }
+  }
+
+  test("q41 cohort retention: offsets non-negative, cell count bounded by cohort size") {
+    val rows = run("q41_cohort_retention").collect()
+    assert(rows.nonEmpty)
+    val cohortSize = rows.filter(_.getLong(1) == 0L)
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L)
+      assert(r.getLong(2) <= cohortSize(r.getLong(0)))
+    }
+  }
+
+  test("d8 keep-best: kept doc is the cluster's max-quality member") {
+    val kept = run("d8_keep_best", sf001).collect()
+    assert(kept.nonEmpty)
+    val labels = run("d5_dedup_clusters", sf001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byCluster = labels.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val quality = Tables.documents(spark, sf001)
+      .selectExpr("doc_id",
+        """(47 * least(size(split(text, ' ')) * 10000L div 64, 10000)
+          | + 31 * (10000 - size(filter(split(text, ' '), t -> t IN ('the', 'a'))) * 10000L div size(split(text, ' ')))
+          | + 22 * least(n_chars * 10000L div 400, 10000)) div 100 AS q""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kept.foreach { r =>
+      val (cid, kdoc, kq, n) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val members = byCluster(cid)
+      assert(members.size.toLong == n)
+      assert(members.contains(kdoc))
+      assert(kq == members.map(quality).max)
+      // tie-break: smallest doc_id among max-quality members
+      assert(kdoc == members.filter(quality(_) == kq).min)
+    }
+  }
+
   test("t7 surprisal: rank 1 is the highest-df token; mean_rank_bp = sum/n") {
     val rows = run("t7_surprisal", sf001).collect()
     assert(rows.length == 500)
