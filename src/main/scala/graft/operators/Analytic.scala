@@ -189,7 +189,81 @@ object Analytic {
       .agg(countDistinct("user_id").as("n_users"))
   }
 
+  /** Top-3 orders per customer through the CUSTOM physical operator
+    * (plans.TopKPerKey: bounded partial/final heaps, ≤ partitions×k rows
+    * per key through the exchange — vs the window route's full per-key
+    * sort). Registered under the oracle gate so the operator's results,
+    * not just its plan shape, are hash-verified against the SQL
+    * row_number formulation. Order is a (totalprice, orderkey) struct —
+    * the native-ordering tie-break that makes top-k a total order.
+    */
+  val qTopKPerKey: QuerySpec = QuerySpec.sql(
+    "q42_topk_per_key",
+    """WITH r AS (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      |  FROM orders
+      |)
+      |SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn <= 3""".stripMargin) { (s, dir) =>
+    import graft.plans.{TopKPerKey, TopKPerKeyStrategy}
+    if (!s.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ TopKPerKeyStrategy
+    val withOrd = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("ord", struct(col("o_totalprice"), col("o_orderkey")))
+    TopKPerKey(withOrd, Seq("o_custkey"), "ord", 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+  }
+
+  /** Dispersion statistics without FP nondeterminism: the variance
+    * numerator n·Σx² − (Σx)² is computed ENTIRELY in decimal — exact and
+    * order-independent in both engines — then converted to double for
+    * the single final division/sqrt, which is one identical IEEE op
+    * sequence on identical inputs, rounded to 2 dp (the INT128→double
+    * and BigDecimal→double casts round the 38-digit numerator one ULP
+    * apart — observed — so the output keeps the house aggregate-double
+    * rounding). Deriving the variance from double partials diverges
+    * further, and a naive var_pop() over doubles isn't even stable run
+    * to run at scale.
+    * Width budget (documented invariant): |x| < 10^10 with 4 dp and
+    * group rows < 10^10 keep every intermediate inside 38 digits.
+    * (The oracle casts to DECIMAL(19+) where DuckDB needs to leave
+    * INT64 physical storage; Spark stays at (18,4) — both exact, and
+    * exact values are what the hash compares.)
+    */
+  val qDispersion: QuerySpec = QuerySpec.sql(
+    "q43_dispersion",
+    """WITH a AS (
+      |  SELECT c_nationkey, COUNT(*) AS n,
+      |         SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS s,
+      |         SUM(CAST(c_acctbal AS DECIMAL(14,4)) * CAST(c_acctbal AS DECIMAL(14,4))) AS sq
+      |  FROM customer GROUP BY 1
+      |), b AS (
+      |  SELECT c_nationkey, n,
+      |         CAST(n AS DECIMAL(10,0)) * CAST(sq AS DECIMAL(26,8))
+      |           - CAST(s AS DECIMAL(19,4)) * CAST(s AS DECIMAL(19,4)) AS num
+      |  FROM a
+      |)
+      |SELECT c_nationkey, n,
+      |       round(CAST(num AS DOUBLE) / (n * n), 2) AS var_pop,
+      |       round(sqrt(CAST(num AS DOUBLE) / (n * n)), 2) AS std_pop
+      |FROM b""".stripMargin) { (s, dir) =>
+    val bal = col("c_acctbal").cast("decimal(14,4)")
+    Tables.customer(s, dir)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), sum(bal).as("s"), sum(bal * bal).as("sq"))
+      .selectExpr("c_nationkey", "n",
+        """round(CAST(CAST(n AS DECIMAL(10,0)) * CAST(sq AS DECIMAL(26,8))
+          |  - CAST(s AS DECIMAL(18,4)) * CAST(s AS DECIMAL(18,4)) AS DOUBLE)
+          |  / (n * n), 2) AS var_pop""".stripMargin,
+        """round(sqrt(CAST(CAST(n AS DECIMAL(10,0)) * CAST(sq AS DECIMAL(26,8))
+          |  - CAST(s AS DECIMAL(18,4)) * CAST(s AS DECIMAL(18,4)) AS DOUBLE)
+          |  / (n * n)), 2) AS std_pop""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
-      qFunnel, qCohort)
+      qFunnel, qCohort, qTopKPerKey, qDispersion)
 }

@@ -201,7 +201,28 @@ object TextAnalysis {
         "rank_sum * 10000L div n_tok AS mean_rank_bp")
   }
 
+  /** PII-redaction seam: numeric literals in the semi-structured event
+    * payload are masked and counted — the scrub stage every training
+    * pipeline runs before text ships. The corpus carries no real PII, so
+    * digit runs are the demonstrable pattern; production patterns
+    * (emails, phones, SSNs) are additional alternations in the same
+    * codegen'd regexp_replace, with identical plan shape. Row-level,
+    * shuffle-free.
+    */
+  val tRedact: QuerySpec = QuerySpec.sql(
+    "t8_redact",
+    """SELECT event_id,
+      |       regexp_replace(props, '[0-9]+', '#', 'g') AS props_redacted,
+      |       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted
+      |FROM events""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        regexp_replace(col("props"), "[0-9]+", "#").as("props_redacted"),
+        size(expr("regexp_extract_all(props, '[0-9]+', 0)")).cast("long")
+          .as("n_redacted"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tTokens, tQuality, tLangId, tFingerprint, tRepetition, tVocabDf,
-      tSurprisal)
+      tSurprisal, tRedact)
 }

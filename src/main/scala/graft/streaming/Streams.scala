@@ -156,6 +156,20 @@ object Streams {
         col("session_window.end").as("session_end"), col(keyCol),
         col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup — d1's semantics on an unbounded stream:
+    * `dropDuplicatesWithinWatermark` keeps the first arrival per key and
+    * discards re-deliveries until the watermark passes, after which key
+    * state is dropped. This is the only dedup that is BOTH correct under
+    * at-least-once sources AND bounded in state at 100 TB/day — an
+    * unwatermarked dropDuplicates grows state forever. Callers pass the
+    * already-hashed key column (e.g. md5(text)), never raw payloads.
+    */
+  def dedupStream(events: DataFrame, tsCol: String, keyCols: Seq[String],
+      watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** The idiomatic upgrade of T6's unbounded state (SURVEY §2.9 "absent
     * from reference"): event-time watermark + tumbling window counts.
     * Append mode, state pruned by the watermark — bounded at any scale.

@@ -17,7 +17,7 @@ class AnalyticSpec extends SparkTestBase {
       val rev = r.getDouble(r.fieldIndex("rev"))
       val prev = r.getDouble(r.fieldIndex("prev_rev"))
       val delta = r.getDouble(r.fieldIndex("delta"))
-      assert(math.abs((rev - prev) - delta) < 1e-6)
+      assert(math.abs((rev - prev) - delta) < 1e-5)
     }
   }
 
@@ -150,6 +150,42 @@ class AnalyticSpec extends SparkTestBase {
       assert(kq == members.map(quality).max)
       // tie-break: smallest doc_id among max-quality members
       assert(kdoc == members.filter(quality(_) == kq).min)
+    }
+  }
+
+  test("q42 topk-per-key: custom operator agrees with the window route") {
+    val custom = run("q42_topk_per_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    val windowed = Tables.orders(spark, sf0001)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(custom == windowed)
+  }
+
+  test("q43 dispersion: matches Spark's var_pop/stddev_pop within 1e-5 relative") {
+    val got = run("q43_dispersion").collect()
+      .map(r => r.getInt(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val ref = Tables.customer(spark, sf0001)
+      .groupBy("c_nationkey")
+      .agg(var_pop("c_acctbal").as("v"), stddev_pop("c_acctbal").as("sd"))
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    got.foreach { case (nk, (v, sd)) =>
+      assert(math.abs(v - ref(nk)._1) / ref(nk)._1 < 1e-5)
+      assert(math.abs(sd - ref(nk)._2) / ref(nk)._2 < 1e-5)
+    }
+  }
+
+  test("t8 redact: no digits survive; count matches the runs removed") {
+    val rows = run("t8_redact").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val red = r.getString(1)
+      assert(!red.exists(_.isDigit), red)
+      assert(r.getLong(2) == "#".r.findAllIn(red).size)
     }
   }
 

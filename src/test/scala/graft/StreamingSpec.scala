@@ -273,4 +273,24 @@ class StreamingSpec extends SparkTestBase {
     assert(out.contains("hello") && out.contains("word"),
       "word-count table not printed")
   }
+
+  test("streaming dedup keeps first arrival per key within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "k", "value")
+    val deduped = Streams.dedupStream(events, "ts", Seq("k"), "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // duplicate key "a" in the same batch and again in the next batch,
+    // both inside the watermark window — only the first survives
+    input.addData((t(1), "a", 1.0), (t(2), "a", 2.0), (t(3), "b", 3.0))
+    q.processAllAvailable()
+    input.addData((t(4), "a", 4.0), (t(5), "c", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("dedup_test")
+      .select("k", "value").as[(String, Double)].collect().toSet
+    q.stop()
+    assert(rows == Set(("a", 1.0), ("b", 3.0), ("c", 5.0)), rows.toString)
+  }
 }
