@@ -263,7 +263,26 @@ object Analytic {
           |  / (n * n)), 2) AS std_pop""".stripMargin)
   }
 
+  /** GROUPING SETS in its general form — the custom set list
+    * {(status), (priority), ()} that neither ROLLUP (q18) nor CUBE
+    * (q27) can express (no (status, priority) cell). Same expand +
+    * partial/final aggregate machinery underneath.
+    */
+  val qGroupingSets: QuerySpec = QuerySpec.sql(
+    "q44_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
-      qFunnel, qCohort, qTopKPerKey, qDispersion)
+      qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets)
 }

@@ -120,12 +120,16 @@ object Streams {
     */
   def intervalJoin(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
-      withinSecs: Int, watermark: String): DataFrame = {
+      withinSecs: Int, watermark: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withWatermark(rightTs, watermark)
+    // with left_outer, unmatched left rows emit null-padded once the
+    // watermark closes their interval — state stays bounded either way
     l.join(r, expr(
       s"""$leftKey = $rightKey AND $rightTs >= $leftTs AND
-         |$rightTs <= $leftTs + interval $withinSecs seconds""".stripMargin))
+         |$rightTs <= $leftTs + interval $withinSecs seconds""".stripMargin),
+      joinType)
   }
 
   /** Stream-static enrichment: join a stream against a broadcast

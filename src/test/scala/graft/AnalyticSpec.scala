@@ -189,6 +189,21 @@ class AnalyticSpec extends SparkTestBase {
     }
   }
 
+  test("q44 grouping sets: exactly the three requested cells, no cross cell") {
+    val rows = run("q44_grouping_sets").collect()
+    val statusCells = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+    val prioCells = rows.filter(r => r.isNullAt(0) && !r.isNullAt(1))
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    val cross = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    assert(cross.isEmpty, "GROUPING SETS must not contain the cross cell")
+    assert(grand.length == 1)
+    assert(rows.length == statusCells.length + prioCells.length + 1)
+    val total = Tables.orders(spark, sf0001).count()
+    assert(grand.head.getLong(2) == total)
+    assert(statusCells.map(_.getLong(2)).sum == total)
+    assert(prioCells.map(_.getLong(2)).sum == total)
+  }
+
   test("t7 surprisal: rank 1 is the highest-df token; mean_rank_bp = sum/n") {
     val rows = run("t7_surprisal", sf001).collect()
     assert(rows.length == 500)

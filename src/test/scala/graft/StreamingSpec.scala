@@ -202,6 +202,33 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("left-outer interval join emits unmatched views null-padded after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Int, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Int, java.sql.Timestamp)]
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val joined = Streams.intervalJoin(
+      views.toDF().toDF("v_item", "v_ts"), clicks.toDF().toDF("c_item", "c_ts"),
+      "v_item", "c_item", "v_ts", "c_ts", withinSecs = 300,
+      watermark = "10 minutes", joinType = "left_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("loj_test").start()
+    try {
+      views.addData((1, t(0)), (2, t(0)))
+      clicks.addData((1, t(2))) // item 2 never clicked
+      q.processAllAvailable()
+      views.addData((9, t(40))) // advance watermark far past item 2's interval
+      clicks.addData((9, t(41)))
+      q.processAllAvailable()
+      val rows = spark.table("loj_test")
+        .select("v_item", "c_item").collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+        .toSet
+      assert(rows.contains(1 -> Some(1)), rows.toString)
+      assert(rows.contains(2 -> None), s"unmatched view not emitted: $rows")
+    } finally q.stop()
+  }
+
   test("TTL keyed counters: INCR semantics then expiry tombstone") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KeyedCounters.Hit]
