@@ -282,7 +282,46 @@ object Analytic {
         sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("total"))
   }
 
+  /** first_value / last_value / nth_value over the full-partition frame
+    * (UNBOUNDED PRECEDING → UNBOUNDED FOLLOWING — last_value under the
+    * default frame is the famous wrong-answer trap), reduced to one row
+    * per customer. Fully tie-broken ordering; nth_value(2) is null for
+    * single-order customers in both engines.
+    */
+  val qFirstLast: QuerySpec = QuerySpec.sql(
+    "q45_first_last",
+    """WITH w AS (
+      |  SELECT o_custkey,
+      |         FIRST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_price,
+      |         LAST_VALUE(o_totalprice) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_price,
+      |         NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders
+      |)
+      |SELECT o_custkey, first_price, second_price, last_price
+      |FROM w WHERE rn = 1""".stripMargin) { (s, dir) =>
+    val order = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        first("o_totalprice").over(full).as("first_price"),
+        last("o_totalprice").over(full).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"),
+        row_number().over(order).as("rn"))
+      .filter(col("rn") === 1)
+      .select("o_custkey", "first_price", "second_price", "last_price")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
-      qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets)
+      qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
+      qFirstLast)
 }

@@ -204,6 +204,21 @@ class AnalyticSpec extends SparkTestBase {
     assert(prioCells.map(_.getLong(2)).sum == total)
   }
 
+  test("q45 first/last: single-order customers have first=last and null second") {
+    val counts = Tables.orders(spark, sf0001)
+      .groupBy("o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = run("q45_first_last").collect()
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val n = counts(r.getLong(0))
+      if (n == 1L) {
+        assert(r.getDouble(1) == r.getDouble(3))
+        assert(r.isNullAt(2))
+      } else assert(!r.isNullAt(2))
+    }
+  }
+
   test("t7 surprisal: rank 1 is the highest-df token; mean_rank_bp = sum/n") {
     val rows = run("t7_surprisal", sf001).collect()
     assert(rows.length == 500)
