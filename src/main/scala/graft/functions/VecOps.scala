@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftShim}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
@@ -11,12 +11,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * The functions._ route (`aggregate(zip_with(...))`) evaluates
   * higher-order lambdas interpretively per element — orders of magnitude
   * slower on the all-pairs similarity path. This expression runs a tight
-  * primitive loop over the unsafe array data. Summation is the same
+  * primitive loop over the unsafe array data, and implements `doGenCode`
+  * so the loop is emitted INSIDE the whole-stage-codegen span — a
+  * CodegenFallback here would break the span around the similarity
+  * verify, the hottest scalar in the ANN family. Summation is the same
   * left-to-right fold the HOF form and DuckDB's list_dot_product use, so
   * oracle results are bit-identical.
   */
 case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -41,6 +44,21 @@ case class DotProduct(left: Expression, right: Expression)
     }
     s
   }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct =

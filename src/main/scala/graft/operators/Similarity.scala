@@ -119,17 +119,13 @@ object Similarity {
        |WHERE ${cosineSql.format("ea.v", "eb.v", "ea.v", "ea.v", "eb.v", "eb.v")} >= 0.45""".stripMargin) { (s, dir) =>
     val weights = planeWeights(S2Bands * S2PlanesPerBand, 64, seed = "s2")
     val e = vecs(s, dir)
-    // one band code per vector per band: 10 sign bits packed into a long
-    val codeCols = (0 until S2Bands).map { j =>
-      (0 until S2PlanesPerBand).map { r =>
-        val wlit = array(weights(j * S2PlanesPerBand + r).map(lit): _*)
-        when(vec_dot(col("v"), wlit) > 0, lit(1L << r)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
-    // slim (vec_id, band, code) relation, materialized once for both join
-    // sides — the 160 dot products per row are the expensive part
+    // all 16 band codes (10 packed sign bits each) in ONE native row
+    // pass — see SrpBandCodes for why the 160-expression composition
+    // is a codegen trap. Slim (vec_id, band, code) relation,
+    // materialized once for both join sides.
     val codes = e.select(col("vec_id"),
-        posexplode(array(codeCols: _*)).as(Seq("band", "code")))
+        posexplode(graft.functions.SrpCodes.srp_band_codes(
+          col("v"), weights, S2PlanesPerBand)).as(Seq("band", "code")))
       .localCheckpoint()
     val flips = col("code") +: (0 until S2PlanesPerBand)
       .map(k => col("code").bitwiseXOR(lit(1L << k)))
@@ -217,10 +213,9 @@ object Similarity {
     val nPlanes = 8
     val weights = planeWeights(nPlanes, 64)
     val e = vecs(s, dir)
-    val bucket = (0 until nPlanes).map { p =>
-      val wlit = array(weights(p).map(lit): _*)
-      when(vec_dot(col("v"), wlit) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    // one band of 8 sign bits via the native SRP pass (see SrpBandCodes)
+    val bucket = element_at(
+      graft.functions.SrpCodes.srp_band_codes(col("v"), weights, nPlanes), 1)
     val eb = e.withColumn("bucket", bucket)
     val q = eb.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),

@@ -101,4 +101,31 @@ class PropertySpec extends SparkTestBase {
     val joined = viaNative.join(viaHof, "doc_id")
     assert(joined.filter(to_json(col("sig")) =!= to_json(col("sig_hof"))).count() === 0)
   }
+
+  test("native SrpBandCodes equals the composed per-plane vec_dot form") {
+    import graft.functions.VecOps.vec_dot
+    val bands = 4
+    val ppb = 6
+    val dim = 16
+    // deterministic pseudo-random planes and vectors (no Math.random —
+    // md5-derived like production planeWeights)
+    def h(key: String): Double =
+      ((java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8")).take(4)
+          .map(b => f"${b & 0xff}%02x").mkString, 16) % 2001L) - 1000L) / 1000.0
+    val planes = Array.tabulate(bands * ppb, dim)((p, i) => h(s"pl:$p:$i"))
+    val rows = (0 until 40).map(v => (v.toLong, (0 until dim).map(i => h(s"v:$v:$i")).toArray))
+    val df = rows.toDF("vec_id", "v")
+    val composed = (0 until bands).map { j =>
+      (0 until ppb).map { r =>
+        val wlit = array(planes(j * ppb + r).map(lit).toIndexedSeq: _*)
+        when(vec_dot(col("v"), wlit) > 0, lit(1L << r)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    val both = df.select(col("vec_id"),
+      graft.functions.SrpCodes.srp_band_codes(col("v"), planes, ppb).as("native"),
+      array(composed: _*).as("composed"))
+    assert(both.filter(to_json(col("native")) =!= to_json(col("composed"))).count() === 0)
+  }
 }
