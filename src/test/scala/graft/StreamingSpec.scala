@@ -3,7 +3,7 @@ package graft
 import java.nio.file.Files
 
 import graft.functions.AvroCodec
-import graft.streaming.{KeyedCounters, Streams}
+import graft.streaming.{KVStateTws, KeyedCounters, Streams}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
@@ -227,6 +227,42 @@ class StreamingSpec extends SparkTestBase {
       assert(rows.contains(1 -> Some(1)), rows.toString)
       assert(rows.contains(2 -> None), s"unmatched view not emitted: $rows")
     } finally q.stop()
+  }
+
+  test("transformWithState latest-value: RocksDB-backed set/overwrite semantics") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.Encoders
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(providerKey)
+    val prevParts = spark.conf.get(partsKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // state partition count is pinned at query start; 2 keeps the
+    // per-batch RocksDB snapshot/cleanup fork storm out of test time
+    spark.conf.set(partsKey, "2")
+    implicit val kvEnc = Encoders.product[KVStateTws.KVSet]
+    val input = MemoryStream[KVStateTws.KVSet]
+    val out = KVStateTws.latestValueTws(input.toDS(), ttl = None)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("tws_test").start()
+    try {
+      input.addData(KVStateTws.KVSet("a", "1"), KVStateTws.KVSet("b", "x"))
+      q.processAllAvailable()
+      input.addData(KVStateTws.KVSet("a", "2"), KVStateTws.KVSet("a", "2b"))
+      q.processAllAvailable() // state present across batches, last set wins
+      val rows = spark.table("tws_test")
+        .as[(String, String, Boolean)].collect().toList.sortBy(r => (r._1, r._2))
+      assert(rows == List(("a", "1", false), ("a", "2b", true), ("b", "x", false)),
+        rows.toString)
+    } finally {
+      q.stop()
+      spark.conf.set(partsKey, prevParts)
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
   }
 
   test("TTL keyed counters: INCR semantics then expiry tombstone") {
