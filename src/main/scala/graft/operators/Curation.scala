@@ -289,7 +289,59 @@ object Curation {
       .groupBy("eval_doc").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Proportional stratified sampling with an EXACT total: a fixed
+    * budget of 100 documents allocated across languages by the
+    * largest-remainder method (floor quotas, then +1 to the largest
+    * remainders until the budget is spent) — all integer arithmetic, so
+    * the allocation is identical in any engine — then a deterministic
+    * hash-ordered take per stratum. Unlike rate-based sampling (p6/q25)
+    * the output size is exact, which is what an eval-set budget needs.
+    * The quota relations are |langs|-sized broadcasts; the only
+    * corpus-scale pass is the per-stratum rank.
+    */
+  val pProportional: QuerySpec = QuerySpec.sql(
+    "p8_proportional_sample",
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+      |), tot AS (SELECT SUM(n) AS t FROM c),
+      |alloc AS (
+      |  SELECT lang, n,
+      |         CAST(100 * n // t AS BIGINT) AS base,
+      |         ROW_NUMBER() OVER (ORDER BY (100 * n % t) DESC, lang) AS rr
+      |  FROM c CROSS JOIN tot
+      |), quota AS (
+      |  SELECT lang,
+      |         base + CASE WHEN rr <= 100 - (SELECT SUM(base) FROM alloc)
+      |                     THEN 1 ELSE 0 END AS k
+      |  FROM alloc
+      |), ranked AS (
+      |  SELECT d.doc_id, d.lang,
+      |         ROW_NUMBER() OVER (PARTITION BY d.lang
+      |           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rn
+      |  FROM documents d
+      |)
+      |SELECT r.doc_id, r.lang FROM ranked r JOIN quota q USING (lang)
+      |WHERE r.rn <= q.k""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("t"))
+    val alloc = counts.crossJoin(broadcast(tot))
+      .selectExpr("lang", "n", "100 * n div t AS base", "100 * n % t AS rem")
+      .withColumn("rr",
+        row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+    val baseSum = alloc.agg(sum("base").as("bs"))
+    val quota = alloc.crossJoin(broadcast(baseSum))
+      .selectExpr("lang",
+        "base + CASE WHEN rr <= 100 - bs THEN 1 ELSE 0 END AS k")
+    docs
+      .withColumn("rn", row_number().over(Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .join(broadcast(quota), "lang")
+      .filter(col("rn") <= col("k"))
+      .select("doc_id", "lang")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pCorpus, pSplit, pContamination, pQualityReport, pPacking,
-      pDomainMix, pNgramDecontam)
+      pDomainMix, pNgramDecontam, pProportional)
 }

@@ -219,6 +219,23 @@ class AnalyticSpec extends SparkTestBase {
     }
   }
 
+  test("p8 proportional sample: exact budget, quotas within 1 of proportional") {
+    val rows = run("p8_proportional_sample", sf001).collect()
+    assert(rows.length == 100)
+    val got = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val pop = Tables.documents(spark, sf001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = pop.values.sum.toDouble
+    got.foreach { case (lang, k) =>
+      val exact = 100.0 * pop(lang) / total
+      assert(math.abs(k - exact) < 1.0, s"$lang: $k vs $exact")
+    }
+    // deterministic: same docs on a second run
+    val again = run("p8_proportional_sample", sf001).collect()
+    assert(rows.map(_.getLong(0)).sorted.sameElements(again.map(_.getLong(0)).sorted))
+  }
+
   test("t7 surprisal: rank 1 is the highest-df token; mean_rank_bp = sum/n") {
     val rows = run("t7_surprisal", sf001).collect()
     assert(rows.length == 500)
