@@ -121,5 +121,6 @@ class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     e.injectOptimizerRule(_ => SemiJoinRewrite)
+    e.injectOptimizerRule(_ => TopKRewrite)
   }
 }

@@ -6,6 +6,72 @@ import org.apache.spark.sql.functions._
 
 class TopKPerKeySpec extends SparkTestBase {
 
+  private def withTopKRewrite[T](body: => T): T = {
+    import graft.plans.TopKRewrite
+    spark.experimental.extraStrategies =
+      spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ TopKRewrite
+    try body
+    finally {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies.filterNot(_ == TopKPerKeyStrategy)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ == TopKRewrite)
+    }
+  }
+
+  test("TopKRewrite: rn<=k over desc row_number rewrites to heap operator") {
+    withTopKRewrite {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      def query = Tables.orders(spark, sf0001)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val plan = query.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"rewrite did not fire:\n$plan")
+      assert(!plan.contains("Window"), s"window survived the rewrite:\n$plan")
+      val got = query.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // reference result from the un-rewritten window route
+      val want = {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ == graft.plans.TopKRewrite)
+        val r = Tables.orders(spark, sf0001)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "o_orderkey")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.TopKRewrite
+        r
+      }
+      assert(got == want)
+    }
+  }
+
+  test("TopKRewrite guards: keeps the Window when rn is projected or order is asc") {
+    withTopKRewrite {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      // rank column survives into the output → no rewrite
+      val keepsRank = Tables.orders(spark, sf0001)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn")
+      assert(keepsRank.queryExecution.executedPlan.toString.contains("Window"))
+      // ascending order → no rewrite
+      val asc = Window.partitionBy("o_custkey").orderBy(col("o_orderkey").asc)
+      val ascQ = Tables.orders(spark, sf0001)
+        .withColumn("rn", row_number().over(asc))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey")
+      assert(ascQ.queryExecution.executedPlan.toString.contains("Window"))
+    }
+  }
+
   private def withStrategy[A](body: => A): A = {
     spark.experimental.extraStrategies =
       spark.experimental.extraStrategies :+ TopKPerKeyStrategy
