@@ -320,8 +320,34 @@ object Analytic {
       .select("o_custkey", "first_price", "second_price", "last_price")
   }
 
+  /** INTERSECT ALL — multiset semantics: a user appears min(#views,
+    * #clicks) times, not once (q37 is the distinct form). Spark plans
+    * this as a counted aggregate + generate, not a row-by-row loop.
+    */
+  val qIntersectAll: QuerySpec = QuerySpec.sql(
+    "q46_intersect_all",
+    """SELECT user_id FROM events WHERE event_type = 'view'
+      |INTERSECT ALL
+      |SELECT user_id FROM events WHERE event_type = 'click'""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    e.filter(col("event_type") === "view").select("user_id")
+      .intersectAll(e.filter(col("event_type") === "click").select("user_id"))
+  }
+
+  /** EXCEPT ALL — multiset difference: a user keeps
+    * max(0, #views − #clicks) copies (q28 is the distinct form). */
+  val qExceptAll: QuerySpec = QuerySpec.sql(
+    "q47_except_all",
+    """SELECT user_id FROM events WHERE event_type = 'view'
+      |EXCEPT ALL
+      |SELECT user_id FROM events WHERE event_type = 'click'""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    e.filter(col("event_type") === "view").select("user_id")
+      .exceptAll(e.filter(col("event_type") === "click").select("user_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
-      qFirstLast)
+      qFirstLast, qIntersectAll, qExceptAll)
 }

@@ -236,6 +236,25 @@ class AnalyticSpec extends SparkTestBase {
     assert(rows.map(_.getLong(0)).sorted.sameElements(again.map(_.getLong(0)).sorted))
   }
 
+  test("q46/q47 multiset ops: copies = min / clamped difference of multiplicities") {
+    val e = Tables.events(spark, sf0001)
+    val views = e.filter(col("event_type") === "view")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clicks = e.filter(col("event_type") === "click")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val inter = run("q46_intersect_all").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    val diff = run("q47_except_all").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.length.toLong).toMap
+    (views.keySet ++ clicks.keySet).foreach { u =>
+      val v = views.getOrElse(u, 0L); val c = clicks.getOrElse(u, 0L)
+      assert(inter.getOrElse(u, 0L) == math.min(v, c), s"user $u intersect")
+      assert(diff.getOrElse(u, 0L) == math.max(0L, v - c), s"user $u except")
+    }
+  }
+
   test("t7 surprisal: rank 1 is the highest-df token; mean_rank_bp = sum/n") {
     val rows = run("t7_surprisal", sf001).collect()
     assert(rows.length == 500)
