@@ -346,8 +346,53 @@ object Analytic {
       .exceptAll(e.filter(col("event_type") === "click").select("user_id"))
   }
 
+  /** K-minimum-values distinct sketch — the deterministic alternative to
+    * HLL for cross-engine pipelines: engine-native HLLs (Spark's HLL++,
+    * DuckDB's approx_count_distinct) can never agree bit-for-bit, but
+    * KMV over the portable md5 hash gives the SAME estimate on any
+    * engine, any cluster size, any run. Estimator: with h uniform on
+    * [0, 2^32), est = (k−1)·2^32 / kth_min — all integer arithmetic.
+    * Scale shape: the per-group k-th order statistic flows through a
+    * (group, hash)-distinct then one rank window per group; at 100 TB
+    * the sketch state per group is k hashes, mergeable across partitions.
+    */
+  val qKmvSketch: QuerySpec = QuerySpec.sql(
+    "q48_kmv_distinct",
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, h,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM h
+      |), x AS (SELECT event_type, h AS kth_min FROM r WHERE rn = 16),
+      |d AS (
+      |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      |  FROM events GROUP BY 1
+      |)
+      |SELECT d.event_type, x.kth_min,
+      |       CAST(15 * 4294967296 // x.kth_min AS BIGINT) AS est_distinct,
+      |       d.exact_distinct
+      |FROM d JOIN x USING (event_type)""".stripMargin) { (s, dir) =>
+    import graft.functions.Portable
+    val e = Tables.events(s, dir)
+    val hashes = e.select(col("event_type"),
+        Portable.h32(col("user_id").cast("string")).as("h")).distinct()
+    val kth = hashes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") === 16)
+      .select(col("event_type"), col("h").as("kth_min"))
+    val exact = e.groupBy("event_type")
+      .agg(countDistinct("user_id").as("exact_distinct"))
+    exact.join(kth, "event_type")
+      .selectExpr("event_type", "kth_min",
+        "15L * 4294967296L div kth_min AS est_distinct", "exact_distinct")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
-      qFirstLast, qIntersectAll, qExceptAll)
+      qFirstLast, qIntersectAll, qExceptAll, qKmvSketch)
 }

@@ -255,6 +255,17 @@ class AnalyticSpec extends SparkTestBase {
     }
   }
 
+  test("q48 KMV sketch: estimate lands within the k=16 error envelope, deterministic") {
+    val rows = run("q48_kmv_distinct", sf001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val est = r.getLong(2); val exact = r.getLong(3)
+      assert(est >= exact / 3 && est <= exact * 3, s"${r.getString(0)}: $est vs $exact")
+    }
+    val again = run("q48_kmv_distinct", sf001).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
   test("t7 surprisal: rank 1 is the highest-df token; mean_rank_bp = sum/n") {
     val rows = run("t7_surprisal", sf001).collect()
     assert(rows.length == 500)
