@@ -391,8 +391,39 @@ object Analytic {
         "15L * 4294967296L div kth_min AS est_distinct", "exact_distinct")
   }
 
+  /** Calendar-dimension derivation over the distinct order dates — the
+    * scalar date-function surface (§2.8) beyond predicates: year,
+    * quarter, ISO week, ISO year, day-of-week, day-of-year. The
+    * cross-engine numbering traps are mapped explicitly: Spark's
+    * dayofweek is 1=Sunday vs DuckDB's 0=Sunday (shift by one), and ISO
+    * year comes from the Thursday-of-the-week trick in BOTH engines
+    * (year(d + 3 − weekday_mon0)) rather than trusting either engine's
+    * week-year function.
+    */
+  val qCalendar: QuerySpec = QuerySpec.sql(
+    "q49_calendar",
+    """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+      |SELECT d,
+      |       CAST(year(d) AS INTEGER) AS y,
+      |       CAST(quarter(d) AS INTEGER) AS q,
+      |       CAST(week(d) AS INTEGER) AS iso_week,
+      |       CAST(year(d + CAST(3 - (isodow(d) - 1) AS INTEGER)) AS INTEGER) AS iso_year,
+      |       CAST(dayofweek(d) AS INTEGER) AS dow_sun0,
+      |       CAST(dayofyear(d) AS INTEGER) AS doy
+      |FROM d""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_orderdate").cast("date").as("d")).distinct()
+      .select(col("d"),
+        year(col("d")).as("y"),
+        quarter(col("d")).as("q"),
+        weekofyear(col("d")).as("iso_week"),
+        year(date_add(col("d"), lit(3) - weekday(col("d")))).as("iso_year"),
+        (dayofweek(col("d")) - 1).as("dow_sun0"),
+        dayofyear(col("d")).as("doy"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
-      qFirstLast, qIntersectAll, qExceptAll, qKmvSketch)
+      qFirstLast, qIntersectAll, qExceptAll, qKmvSketch, qCalendar)
 }
