@@ -1,0 +1,17 @@
+package graft
+
+/** Dev tool: prints the Exchange count (shuffle + broadcast) of every
+  * registered query's executed plan — the source of truth for
+  * ShuffleBudgetSpec's budgets (run: sbt "runMain graft.ExchangeCount").
+  */
+object ExchangeCount {
+  def main(a: Array[String]): Unit = {
+    val spark = Sessions.local(cpus = 8, appName = "xcount")
+    val dir = if (a.nonEmpty) a(0) else "/root/testdata/sf0.001"
+    SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+      val plan = SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString
+      println(s"XC $n ${"Exchange".r.findAllIn(plan).size}")
+    }
+    spark.stop()
+  }
+}

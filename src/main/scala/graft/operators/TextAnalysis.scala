@@ -222,7 +222,38 @@ object TextAnalysis {
           .as("n_redacted"))
   }
 
+  /** Keyword extraction: each document's three RAREST tokens by corpus
+    * document frequency (full tie-break on token text) — the
+    * deterministic integer cousin of TF-IDF top-terms, reusing t6's df
+    * relation as a broadcast. One rank window partitioned by doc_id;
+    * no floating point anywhere.
+    */
+  val tKeywords: QuerySpec = QuerySpec.sql(
+    "t9_keywords",
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+      |  FROM documents
+      |), df AS (
+      |  SELECT token, COUNT(*) AS df FROM tok GROUP BY 1
+      |), r AS (
+      |  SELECT tok.doc_id, tok.token, df.df,
+      |         ROW_NUMBER() OVER (PARTITION BY tok.doc_id
+      |           ORDER BY df.df, tok.token) AS rnk
+      |  FROM tok JOIN df USING (token)
+      |)
+      |SELECT doc_id, token, df, rnk FROM r WHERE rnk <= 3""".stripMargin) { (s, dir) =>
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("token"))
+    val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    tok.join(broadcast(df), "token")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("token"))))
+      .filter(col("rnk") <= 3)
+      .select("doc_id", "token", "df", "rnk")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tTokens, tQuality, tLangId, tFingerprint, tRepetition, tVocabDf,
-      tSurprisal, tRedact)
+      tSurprisal, tRedact, tKeywords)
 }

@@ -1,0 +1,63 @@
+package graft
+
+/** Shuffle-budget regression gate: every registered query's executed
+  * plan carries at most its budgeted number of Exchange operators
+  * (shuffle AND broadcast — both move data). "Minimize shuffles"
+  * automated: an edit that sneaks an extra exchange into a query fails
+  * here with the before/after counts, the same way PlanLint catches
+  * loop joins. Budgets are the audited counts from
+  * `runMain graft.ExchangeCount` — lower is always acceptable.
+  *
+  * High budgets are themselves documentation: q40's 10 exchanges are
+  * five user_id-keyed aggregations/joins AQE will co-partition; p8's 13
+  * are |langs|-row quota mini-plans; d2's 10 span the three-consumer
+  * signature relation. Each was reviewed when pinned (PLANS.md).
+  */
+class ShuffleBudgetSpec extends SparkTestBase {
+
+  private val budget: Map[String, Int] = Map(
+    "d1_dedup_exact" -> 1, "d2_ngram_jaccard" -> 10, "d3_minhash_lsh" -> 4,
+    "d4_simhash" -> 0, "d5_dedup_clusters" -> 1, "d6_simhash_pairs" -> 1,
+    "d7_containment" -> 6, "d8_keep_best" -> 2,
+    "m1_media_features" -> 0, "m2_media_resize" -> 0, "m3_frame_sample" -> 0,
+    "p1_training_corpus" -> 3, "p2_train_test_split" -> 0,
+    "p3_contamination" -> 2, "p4_quality_report" -> 8,
+    "p5_sequence_packing" -> 1, "p6_domain_mix" -> 0,
+    "p7_ngram_decontam" -> 3, "p8_proportional_sample" -> 13,
+    "q10_union_all" -> 0, "q11_ilike" -> 0, "q12_case_when" -> 0,
+    "q13_date_pred" -> 0, "q14_multi_sort" -> 2, "q15_md5" -> 0,
+    "q16_agg_join_coalesce" -> 2, "q17_rank_per_nation" -> 1,
+    "q18_rollup" -> 1, "q19_json_extract" -> 1, "q1_agg" -> 1,
+    "q20_regex_extract" -> 1, "q21_daily_kpi" -> 3,
+    "q22_sql_investigation" -> 4, "q23_mode" -> 1, "q24_hash_sample" -> 0,
+    "q25_stratified_sample" -> 1, "q26_sessionize" -> 1, "q27_cube" -> 1,
+    "q28_except" -> 2, "q29_asof_join" -> 1, "q2_filter_project" -> 0,
+    "q30_range_join" -> 1, "q31_scd2_intervals" -> 1, "q32_pivot" -> 2,
+    "q33_percentile_disc" -> 1, "q34_salted_agg" -> 2, "q35_lag_delta" -> 2,
+    "q36_ntile" -> 1, "q37_intersect" -> 2, "q38_above_nation_avg" -> 2,
+    "q39_range_frame_30d" -> 2, "q3_revenue_by_nation" -> 5,
+    "q40_funnel" -> 10, "q41_cohort_retention" -> 4,
+    "q42_topk_per_key" -> 1, "q43_dispersion" -> 1,
+    "q44_grouping_sets" -> 1, "q45_first_last" -> 1,
+    "q46_intersect_all" -> 1, "q47_except_all" -> 1,
+    "q48_kmv_distinct" -> 5, "q49_calendar" -> 1, "q4_exists_orders" -> 1,
+    "q5_no_open_orders" -> 1, "q6_top_customers" -> 1, "q7_window_7d" -> 2,
+    "q8_count_distinct" -> 2, "q9_having" -> 1,
+    "s1_knn_cosine" -> 2, "s2_cosine_neardup" -> 4, "s3_ann_lsh" -> 2,
+    "s4_ann_ivf" -> 6, "s5_quantize_int8" -> 0, "s6_centroid_int8" -> 1,
+    "t1_token_count" -> 1, "t2_quality_score" -> 0, "t3_lang_id" -> 0,
+    "t4_fingerprint" -> 0, "t5_repetition" -> 0, "t6_vocab_df" -> 3,
+    "t7_surprisal" -> 5, "t8_redact" -> 0, "t9_keywords" -> 3)
+
+  test("every registered query stays within its exchange budget") {
+    val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
+    assert(unbudgeted.isEmpty,
+      s"new queries need a reviewed budget (runMain graft.ExchangeCount): $unbudgeted")
+    val over = budget.keys.toSeq.sorted.flatMap { name =>
+      val plan = run(name).queryExecution.executedPlan.toString
+      val n = "Exchange".r.findAllIn(plan).size
+      if (n > budget(name)) Some(s"$name: $n > ${budget(name)}") else None
+    }
+    assert(over.isEmpty, s"exchange budget exceeded: $over")
+  }
+}
