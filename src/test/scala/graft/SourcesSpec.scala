@@ -92,6 +92,26 @@ class SourcesSpec extends SparkTestBase {
     assert(top.count() === 1)
   }
 
+  test("ORC round-trip preserves decimal, array, and struct columns") {
+    val dir = java.nio.file.Files.createTempDirectory("orc_rt").toString
+    val df = Seq(
+      (1L, BigDecimal("12.34"), Seq(1, 2, 3), ("a", 9)),
+      (2L, BigDecimal("-0.01"), Seq.empty[Int], ("b", 0)))
+      .toDF("id", "amount", "xs", "kv")
+      .select(col("id"), col("amount").cast("decimal(10,2)").as("amount"),
+        col("xs"), col("kv"))
+    df.write.mode("overwrite").orc(s"$dir/t")
+    val back = spark.read.orc(s"$dir/t").orderBy("id").collect()
+    assert(back.length === 2)
+    assert(back(0).getDecimal(1).toString === "12.34")
+    assert(back(0).getSeq[Int](2) === Seq(1, 2, 3))
+    assert(back(1).getStruct(3).getString(0) === "b")
+    // predicate pushdown reaches the ORC scan too
+    val plan = spark.read.orc(s"$dir/t").filter(col("id") === 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan)
+  }
+
   test("S15: in-memory literal table via createDataFrame and SQL INSERT") {
     val chars = Seq(("Luke", "Tatooine", 15000), ("Leia", "Alderaan", 14000),
       ("Vader", "Tatooine", 27000)).toDF("name", "homeworld", "midichlorians")
