@@ -422,8 +422,46 @@ object Analytic {
         dayofyear(col("d")).as("doy"))
   }
 
+  /** Gaps-and-islands: consecutive-day activity streaks per user. The
+    * classic trick — day minus row_number over (user, day-order) is
+    * constant within a run of consecutive days — turns streak detection
+    * into two hash aggregations; everything after the distinct-day
+    * reduction is per-user arithmetic on epoch-day longs. All shuffles
+    * key on user_id (bounded width, naturally uniform).
+    */
+  val qStreaks: QuerySpec = QuerySpec.sql(
+    "q50_streaks",
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events
+      |), g AS (
+      |  SELECT user_id, day,
+      |         day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      |  FROM d
+      |), s AS (
+      |  SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len, MIN(day) AS start_day
+      |  FROM g GROUP BY 1, 2
+      |)
+      |SELECT user_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+      |       CAST(MAX(len) AS BIGINT) AS max_len,
+      |       CAST(MIN(start_day) AS BIGINT) AS first_day
+      |FROM s GROUP BY 1""".stripMargin) { (s, dir) =>
+    val days = Tables.events(s, dir)
+      .selectExpr("user_id", "unix_micros(ts) div 86400000000 AS day")
+      .distinct()
+    days
+      .withColumn("grp", col("day") - row_number().over(
+        Window.partitionBy("user_id").orderBy("day")))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_streaks"), max("len").as("max_len"),
+        min("start_day").as("first_day"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
-      qFirstLast, qIntersectAll, qExceptAll, qKmvSketch, qCalendar)
+      qFirstLast, qIntersectAll, qExceptAll, qKmvSketch, qCalendar,
+      qStreaks)
 }

@@ -341,7 +341,34 @@ object Curation {
       .select("doc_id", "lang")
   }
 
+  /** Document-length histogram: fixed character-count boundaries (no
+    * floating-point bucketing — log2 rounds differently across engines
+    * near integer boundaries) with each bucket's corpus share in basis
+    * points. One hash aggregation; the share divides by an unpartitioned
+    * window sum over the handful of bucket rows, not a second scan.
+    */
+  val pLengthHist: QuerySpec = QuerySpec.sql(
+    "p9_length_histogram",
+    """WITH b AS (
+      |  SELECT CASE WHEN n_chars < 100 THEN 'lt100' WHEN n_chars < 200 THEN 'lt200'
+      |              WHEN n_chars < 400 THEN 'lt400' WHEN n_chars < 800 THEN 'lt800'
+      |              ELSE 'ge800' END AS bucket
+      |  FROM documents
+      |), c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1)
+      |SELECT bucket, n,
+      |       CAST(n * 10000 // (SELECT SUM(n) FROM c) AS BIGINT) AS share_bp
+      |FROM c""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .selectExpr(
+        """CASE WHEN n_chars < 100 THEN 'lt100' WHEN n_chars < 200 THEN 'lt200'
+          |     WHEN n_chars < 400 THEN 'lt400' WHEN n_chars < 800 THEN 'lt800'
+          |     ELSE 'ge800' END AS bucket""".stripMargin)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_bp", expr("n * 10000L div sum(n) over ()"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pCorpus, pSplit, pContamination, pQualityReport, pPacking,
-      pDomainMix, pNgramDecontam, pProportional)
+      pDomainMix, pNgramDecontam, pProportional, pLengthHist)
 }

@@ -410,7 +410,45 @@ object Dedup {
         col("quality_bp").as("kept_quality_bp"), col("n_members"))
   }
 
+  /** Boilerplate n-gram coverage (the CCNet/RefinedWeb-style corpus-level
+    * repetition signal, distinct from t5's within-document repetition):
+    * a trigram is boilerplate when it occurs in >= 5 documents; each
+    * document reports how much of its distinct-trigram set is boilerplate.
+    * The gram relation reduces to 60-bit portable hashes before any
+    * shuffle, so the doc-frequency aggregation and the coverage join move
+    * fixed-width longs — never text. Materialized once (localCheckpoint)
+    * for its two consumers, exactly like p7's decontamination grams.
+    */
+  val dBoilerplate: QuerySpec = QuerySpec.sql(
+    "d9_boilerplate",
+    s"""WITH g AS (
+       |  SELECT doc_id, unnest(${Portable.shinglesSql(3).replace("\n", " ")}) AS g
+       |  FROM documents
+       |), h AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h FROM g
+       |), df AS (
+       |  SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM h GROUP BY 1
+       |)
+       |SELECT doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |       CAST(COUNT(*) FILTER (df >= 5) AS BIGINT) AS n_boiler,
+       |       CAST(COUNT(*) FILTER (df >= 5) * 10000 // COUNT(*) AS BIGINT) AS boiler_bp
+       |FROM h JOIN df USING (h)
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("g"))
+      .select(col("doc_id"), Portable.h60(col("g")).as("h"))
+      .localCheckpoint()
+    val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
+    grams.join(dfreq, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 5, 1L).otherwise(0L)).as("n_boiler"))
+      .selectExpr("doc_id", "n_grams", "n_boiler",
+        "n_boiler * 10000L div n_grams AS boiler_bp")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dExact, dJaccard, dMinHash, dSimHash, dClusters, dSimHashPairs,
-      dContainment, dKeepBest)
+      dContainment, dKeepBest, dBoilerplate)
 }

@@ -253,7 +253,50 @@ object TextAnalysis {
       .select("doc_id", "token", "df", "rnk")
   }
 
+  /** Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1, scaled
+    * to this corpus's doc lengths): token-count bounds, mean-word-length
+    * bounds, minimum alphabetic-word share, minimum stopword evidence —
+    * each an independent 0/1 flag plus the conjunctive pass bit. All
+    * arithmetic is integer (scaled centi-chars / basis points) so the
+    * flags are engine-exact; row-level and shuffle-free like t2/t3.
+    */
+  val tGopher: QuerySpec = QuerySpec.sql(
+    "t10_gopher_rules",
+    """WITH q AS (
+      |  SELECT doc_id, n_chars,
+      |         len(string_split(text, ' ')) AS n_tokens,
+      |         len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop,
+      |         len(list_filter(string_split(text, ' '), t -> regexp_matches(t, '[a-z]'))) AS n_alpha
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |       CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS r_len,
+      |       CASE WHEN (n_chars - n_tokens + 1) * 100 // n_tokens BETWEEN 150 AND 1000 THEN 1 ELSE 0 END AS r_wlen,
+      |       CASE WHEN n_alpha * 10000 // n_tokens >= 8000 THEN 1 ELSE 0 END AS r_alpha,
+      |       CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop,
+      |       (CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END)
+      |       * (CASE WHEN (n_chars - n_tokens + 1) * 100 // n_tokens BETWEEN 150 AND 1000 THEN 1 ELSE 0 END)
+      |       * (CASE WHEN n_alpha * 10000 // n_tokens >= 8000 THEN 1 ELSE 0 END)
+      |       * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass
+      |FROM q""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(split(col("text"), " "), t => t.isin("the", "a"))).cast("long"))
+      .withColumn("n_alpha",
+        size(filter(split(col("text"), " "), t => t.rlike("[a-z]"))).cast("long"))
+      .selectExpr("doc_id",
+        "CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END AS r_len",
+        "CASE WHEN (n_chars - n_tokens + 1) * 100L div n_tokens BETWEEN 150 AND 1000 THEN 1 ELSE 0 END AS r_wlen",
+        "CASE WHEN n_alpha * 10000L div n_tokens >= 8000 THEN 1 ELSE 0 END AS r_alpha",
+        "CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop",
+        """(CASE WHEN n_tokens BETWEEN 20 AND 1000 THEN 1 ELSE 0 END)
+          | * (CASE WHEN (n_chars - n_tokens + 1) * 100L div n_tokens BETWEEN 150 AND 1000 THEN 1 ELSE 0 END)
+          | * (CASE WHEN n_alpha * 10000L div n_tokens >= 8000 THEN 1 ELSE 0 END)
+          | * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tTokens, tQuality, tLangId, tFingerprint, tRepetition, tVocabDf,
-      tSurprisal, tRedact, tKeywords)
+      tSurprisal, tRedact, tKeywords, tGopher)
 }

@@ -18,12 +18,13 @@ class ShuffleBudgetSpec extends SparkTestBase {
   private val budget: Map[String, Int] = Map(
     "d1_dedup_exact" -> 1, "d2_ngram_jaccard" -> 10, "d3_minhash_lsh" -> 4,
     "d4_simhash" -> 0, "d5_dedup_clusters" -> 1, "d6_simhash_pairs" -> 1,
-    "d7_containment" -> 6, "d8_keep_best" -> 2,
+    "d7_containment" -> 6, "d8_keep_best" -> 2, "d9_boilerplate" -> 3,
     "m1_media_features" -> 0, "m2_media_resize" -> 0, "m3_frame_sample" -> 0,
     "p1_training_corpus" -> 3, "p2_train_test_split" -> 0,
     "p3_contamination" -> 2, "p4_quality_report" -> 8,
     "p5_sequence_packing" -> 1, "p6_domain_mix" -> 0,
     "p7_ngram_decontam" -> 3, "p8_proportional_sample" -> 13,
+    "p9_length_histogram" -> 2,
     "q10_union_all" -> 0, "q11_ilike" -> 0, "q12_case_when" -> 0,
     "q13_date_pred" -> 0, "q14_multi_sort" -> 2, "q15_md5" -> 0,
     "q16_agg_join_coalesce" -> 2, "q17_rank_per_nation" -> 1,
@@ -42,12 +43,13 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q46_intersect_all" -> 1, "q47_except_all" -> 1,
     "q48_kmv_distinct" -> 5, "q49_calendar" -> 1, "q4_exists_orders" -> 1,
     "q5_no_open_orders" -> 1, "q6_top_customers" -> 1, "q7_window_7d" -> 2,
-    "q8_count_distinct" -> 2, "q9_having" -> 1,
+    "q8_count_distinct" -> 2, "q9_having" -> 1, "q50_streaks" -> 2,
     "s1_knn_cosine" -> 2, "s2_cosine_neardup" -> 4, "s3_ann_lsh" -> 2,
     "s4_ann_ivf" -> 6, "s5_quantize_int8" -> 0, "s6_centroid_int8" -> 1,
     "t1_token_count" -> 1, "t2_quality_score" -> 0, "t3_lang_id" -> 0,
     "t4_fingerprint" -> 0, "t5_repetition" -> 0, "t6_vocab_df" -> 3,
-    "t7_surprisal" -> 5, "t8_redact" -> 0, "t9_keywords" -> 3)
+    "t7_surprisal" -> 5, "t8_redact" -> 0, "t9_keywords" -> 3,
+    "t10_gopher_rules" -> 0)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
