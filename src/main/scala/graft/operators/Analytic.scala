@@ -459,9 +459,51 @@ object Analytic {
         min("start_day").as("first_day"))
   }
 
+  /** percent_rank / cume_dist per nation over account balances. Both are
+    * exact rational functions of integer rank and partition count, so the
+    * IEEE double each engine computes is bit-identical (same operands,
+    * same ops); floor() before the ×10000 cast because DuckDB's
+    * double→BIGINT cast rounds while Spark's truncates.
+    */
+  val qPercentRank: QuerySpec = QuerySpec.sql(
+    "q51_percent_rank",
+    """SELECT c_custkey, c_nationkey,
+      |       CAST(floor(percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) * 10000) AS BIGINT) AS pr_bp,
+      |       CAST(floor(cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) * 10000) AS BIGINT) AS cd_bp
+      |FROM customer""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        floor(percent_rank().over(w) * 10000).cast("long").as("pr_bp"),
+        floor(cume_dist().over(w) * 10000).cast("long").as("cd_bp"))
+  }
+
+  /** Latest-event snapshot per user (the CDC/compaction pattern: reduce a
+    * change log to current state). row_number DESC with an event_id
+    * tie-break keyed on user_id — one shuffle, and the TopKRewrite rule
+    * is free to collapse it into the bounded-heap operator.
+    */
+  val qLatestEvent: QuerySpec = QuerySpec.sql(
+    "q52_latest_event",
+    """WITH e AS (
+      |  SELECT user_id, event_type, value, CAST(epoch_us(ts) AS BIGINT) AS us, event_id,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+      |  FROM events
+      |)
+      |SELECT user_id, event_type, value, us, event_id FROM e WHERE rn = 1""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"), col("event_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "value", "us", "event_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
       qFirstLast, qIntersectAll, qExceptAll, qKmvSketch, qCalendar,
-      qStreaks)
+      qStreaks, qPercentRank, qLatestEvent)
 }

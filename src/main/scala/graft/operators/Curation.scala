@@ -368,7 +368,78 @@ object Curation {
       .withColumn("share_bp", expr("n * 10000L div sum(n) over ()"))
   }
 
+  /** Curation filter funnel: the end-to-end keep/drop accounting a
+    * corpus build publishes — survivors after each cumulative stage
+    * (Gopher quality gate → repetition gate → per-source budget cap).
+    * One text pass computes every flag; the stage counts are lazy 1-row
+    * aggregates unioned together (the p4 lesson: no driver-side actions
+    * inside a query builder). The only corpus-keyed shuffle is the
+    * per-source rank for the cap.
+    */
+  val pFilterFunnel: QuerySpec = QuerySpec.sql(
+    "p10_filter_funnel",
+    """WITH f AS (
+      |  SELECT doc_id, source, n_chars,
+      |         len(string_split(text,' ')) AS n_tokens,
+      |         len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS n_stop,
+      |         len(list_filter(string_split(text,' '), t -> regexp_matches(t,'[a-z]'))) AS n_alpha,
+      |         CASE WHEN len(string_split(text,' ')) >= 3
+      |           THEN len(list_distinct(list_transform(
+      |                  generate_series(1, len(string_split(text,' ')) - 2),
+      |                  i -> array_to_string(string_split(text,' ')[i:i+2], ' ')))) * 10000
+      |                // (len(string_split(text,' ')) - 2)
+      |           ELSE 10000 END AS distinct_bp
+      |  FROM documents
+      |), flags AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN n_tokens BETWEEN 20 AND 1000
+      |          AND (n_chars - n_tokens + 1) * 100 // n_tokens BETWEEN 150 AND 1000
+      |          AND n_alpha * 10000 // n_tokens >= 8000
+      |          AND n_stop >= 2 THEN 1 ELSE 0 END AS g,
+      |    CASE WHEN distinct_bp >= 9800 THEN 1 ELSE 0 END AS r
+      |  FROM f
+      |), s2 AS (SELECT doc_id, source FROM flags WHERE g = 1 AND r = 1),
+      |s3 AS (
+      |  SELECT doc_id FROM (
+      |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT), doc_id) AS rn
+      |    FROM s2) WHERE rn <= 15)
+      |SELECT 's0_all' AS stage, CAST(COUNT(*) AS BIGINT) AS survivors FROM flags
+      |UNION ALL SELECT 's1_gopher', CAST(SUM(g) AS BIGINT) FROM flags
+      |UNION ALL SELECT 's2_repetition', CAST(COUNT(*) AS BIGINT) FROM s2
+      |UNION ALL SELECT 's3_source_cap', CAST(COUNT(*) AS BIGINT) FROM s3""".stripMargin) { (s, dir) =>
+    val flags = Tables.documents(s, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_stop",
+        size(filter(split(col("text"), " "), t => t.isin("the", "a"))).cast("long"))
+      .withColumn("n_alpha",
+        size(filter(split(col("text"), " "), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("distinct_bp", expr(
+        """CASE WHEN size(split(text, ' ')) >= 3
+          |  THEN size(array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
+          |         i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))) * 10000L
+          |       div (size(split(text, ' ')) - 2)
+          |  ELSE 10000L END""".stripMargin))
+      .selectExpr("doc_id", "source",
+        """CASE WHEN n_tokens BETWEEN 20 AND 1000
+          |      AND (n_chars - n_tokens + 1) * 100L div n_tokens BETWEEN 150 AND 1000
+          |      AND n_alpha * 10000L div n_tokens >= 8000
+          |      AND n_stop >= 2 THEN 1L ELSE 0L END AS g""".stripMargin,
+        "CASE WHEN distinct_bp >= 9800 THEN 1L ELSE 0L END AS r")
+      .localCheckpoint()
+    val s2 = flags.filter(col("g") === 1 && col("r") === 1)
+    val s3 = s2
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(Portable.h32(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("rn") <= 15)
+    flags.agg(count(lit(1)).as("survivors")).select(lit("s0_all").as("stage"), col("survivors"))
+      .unionAll(flags.agg(sum(col("g")).as("survivors")).select(lit("s1_gopher").as("stage"), col("survivors")))
+      .unionAll(s2.agg(count(lit(1)).as("survivors")).select(lit("s2_repetition").as("stage"), col("survivors")))
+      .unionAll(s3.agg(count(lit(1)).as("survivors")).select(lit("s3_source_cap").as("stage"), col("survivors")))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pCorpus, pSplit, pContamination, pQualityReport, pPacking,
-      pDomainMix, pNgramDecontam, pProportional, pLengthHist)
+      pDomainMix, pNgramDecontam, pProportional, pLengthHist, pFilterFunnel)
 }

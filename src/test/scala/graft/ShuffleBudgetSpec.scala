@@ -24,7 +24,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "p3_contamination" -> 2, "p4_quality_report" -> 8,
     "p5_sequence_packing" -> 1, "p6_domain_mix" -> 0,
     "p7_ngram_decontam" -> 3, "p8_proportional_sample" -> 13,
-    "p9_length_histogram" -> 2,
+    "p9_length_histogram" -> 2, "p10_filter_funnel" -> 5,
     "q10_union_all" -> 0, "q11_ilike" -> 0, "q12_case_when" -> 0,
     "q13_date_pred" -> 0, "q14_multi_sort" -> 2, "q15_md5" -> 0,
     "q16_agg_join_coalesce" -> 2, "q17_rank_per_nation" -> 1,
@@ -44,6 +44,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q48_kmv_distinct" -> 5, "q49_calendar" -> 1, "q4_exists_orders" -> 1,
     "q5_no_open_orders" -> 1, "q6_top_customers" -> 1, "q7_window_7d" -> 2,
     "q8_count_distinct" -> 2, "q9_having" -> 1, "q50_streaks" -> 2,
+    "q51_percent_rank" -> 1, "q52_latest_event" -> 1,
     "s1_knn_cosine" -> 2, "s2_cosine_neardup" -> 4, "s3_ann_lsh" -> 2,
     "s4_ann_ivf" -> 6, "s5_quantize_int8" -> 0, "s6_centroid_int8" -> 1,
     "t1_token_count" -> 1, "t2_quality_score" -> 0, "t3_lang_id" -> 0,
