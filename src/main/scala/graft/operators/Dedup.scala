@@ -448,7 +448,72 @@ object Dedup {
         "n_boiler * 10000L div n_grams AS boiler_bp")
   }
 
+  /** Sketch-error audit: for every LSH candidate pair, the MinHash
+    * signature-agreement estimate next to the EXACT shingle-set Jaccard
+    * and their absolute gap — the accuracy report that justifies (or
+    * indicts) the K=16 sketch before a corpus-wide dedup run trusts it.
+    * Exact Jaccard is computed only on the LSH-bounded candidate set
+    * (array intersect per pair), never all pairs; both joins key on
+    * doc_id. Integer basis points throughout.
+    */
+  val dSketchError: QuerySpec = QuerySpec.sql(
+    "d10_sketch_error",
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${Portable.shinglesSql(3).replace("\n", " ")} AS sh FROM documents
+       |), hs AS (
+       |  SELECT doc_id, list_distinct(list_transform(sh,
+       |    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT))) AS hs FROM sh
+       |), sig AS (
+       |  SELECT doc_id, hs, list_transform(generate_series(1, $K),
+       |    i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % $P))) AS sig
+       |  FROM hs
+       |), bands AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(0, ${Bands - 1}),
+       |    j -> j || ':' || array_to_string(sig[j*4+1:j*4+4], ','))) AS bk
+       |  FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(len(list_filter(generate_series(1, $K), i -> sa.sig[i] = sb.sig[i])) * 10000 // $K AS BIGINT) AS est_bp,
+       |       CAST(len(list_intersect(sa.hs, sb.hs)) * 10000
+       |            // (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS BIGINT) AS exact_bp,
+       |       CAST(abs(len(list_filter(generate_series(1, $K), i -> sa.sig[i] = sb.sig[i])) * 10000 // $K
+       |            - len(list_intersect(sa.hs, sb.hs)) * 10000
+       |            // (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))) AS BIGINT) AS err_bp
+       |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(transform(Portable.shingles(col("text"), 3),
+          sh => Portable.h32(sh))).as("hs"),
+        graft.functions.ShingleHash.minHashSig(col("text"), 3, K, P).as("sig"))
+      .localCheckpoint()
+    val bands = base.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        j => concat_ws(":", j.cast("string"),
+          concat_ws(",", transform(slice(col("sig"), j * 4 + 1, lit(4)),
+            v => v.cast("string")))))).as("bk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val agree = size(filter(zip_with(col("sa.sig"), col("sb.sig"), (x, y) => x === y),
+      b => b)).cast("long")
+    val inter = size(array_intersect(col("sa.hs"), col("sb.hs"))).cast("long")
+    val union = size(col("sa.hs")) + size(col("sb.hs")) - inter
+    cand
+      .join(base.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(base.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        agree.as("agree"), inter.as("inter"), union.as("uni"))
+      .selectExpr("doc_a", "doc_b",
+        s"agree * 10000L div $K AS est_bp",
+        "inter * 10000L div uni AS exact_bp",
+        s"abs(agree * 10000L div $K - inter * 10000L div uni) AS err_bp")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dExact, dJaccard, dMinHash, dSimHash, dClusters, dSimHashPairs,
-      dContainment, dKeepBest, dBoilerplate)
+      dContainment, dKeepBest, dBoilerplate, dSketchError)
 }

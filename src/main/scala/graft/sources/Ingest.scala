@@ -116,4 +116,19 @@ object Ingest {
   /** S10: partitioned parquet write (overwrite), snappy. */
   def writePartitioned(df: DataFrame, dir: String, cols: String*): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(dir)
+
+  /** Clustered write: hive-partitioned layout + rows sorted within each
+    * task before writing + a hard per-file row bound. At 100 TB this is
+    * the layout that makes downstream reads cheap: partition pruning on
+    * the directory column, min/max row-group skipping on the sort
+    * column (parquet stats are tight when data is sorted), and bounded
+    * file sizes so no task reads a monster file.
+    */
+  def writeClustered(df: DataFrame, dir: String, partCol: String,
+      sortCol: String, maxRecordsPerFile: Long): Unit =
+    df.sortWithinPartitions(partCol, sortCol)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partCol)
+      .parquet(dir)
 }

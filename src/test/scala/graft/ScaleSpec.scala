@@ -125,4 +125,80 @@ class ScaleSpec extends SparkTestBase {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("clustered write bounds per-file rows and sorts within files") {
+    val dir = Files.createTempDirectory("clustered").toString
+    sources.Ingest.writeClustered(
+      Tables.lineitem(spark, sf0001)
+        .select("l_orderkey", "l_returnflag", "l_shipdate", "l_quantity"),
+      dir, "l_returnflag", "l_shipdate", 1000L)
+    // hive layout: one directory per partition value
+    val partDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("l_returnflag="))
+    assert(partDirs.nonEmpty)
+    val files = partDirs.flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length > 1, "maxRecordsPerFile should split output files")
+    files.foreach { f =>
+      val rows = spark.read.parquet(f.getAbsolutePath)
+        .select(col("l_shipdate").cast("string")).collect().map(_.getString(0))
+      assert(rows.length <= 1000, s"${f.getName}: ${rows.length} rows")
+      assert(rows.sameElements(rows.sorted),
+        s"${f.getName} not sorted on l_shipdate")
+    }
+  }
+
+  test("dynamic partition pruning reaches the fact scan through a dim join") {
+    val dir = Files.createTempDirectory("dpp").toString
+    sources.Ingest.writePartitioned(
+      Tables.lineitem(spark, sf0001)
+        .select("l_orderkey", "l_returnflag", "l_quantity"),
+      dir, "l_returnflag")
+    // the dim must be file-backed: a LocalRelation's filter constant-folds
+    // away at plan time, leaving no selective predicate for DPP to detect
+    val dimDir = Files.createTempDirectory("dpp_dim").toString
+    Seq(("R", "returned"), ("A", "accepted"), ("N", "in-flight"))
+      .toDF("flag", "label").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val fact = spark.read.parquet(dir)
+    // tiny test partitions defeat the stats-based benefit estimate; the
+    // pruning decision itself is what this test pins
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      val q = fact.join(dim, col("l_returnflag") === col("flag"))
+        .filter(col("label") === "returned")
+        .groupBy("l_returnflag").agg(sum("l_quantity"))
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruning"),
+        s"no dynamic partition pruning in plan:\n$plan")
+    } finally spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+  }
+
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // selective creation side (filtered orders) injects a bloom filter
+      // into the lineitem scan, cutting shuffle volume before the join
+      val orders = Tables.orders(spark, sf0001)
+        .filter(col("o_totalprice") > 300000)
+        .select("o_orderkey")
+      val q = Tables.lineitem(spark, sf0001)
+        .select("l_orderkey", "l_quantity")
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+      val plan = q.queryExecution.optimizedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected:\n$plan")
+      assert(q.count() > 0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

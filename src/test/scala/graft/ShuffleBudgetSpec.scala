@@ -19,6 +19,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "d1_dedup_exact" -> 1, "d2_ngram_jaccard" -> 10, "d3_minhash_lsh" -> 4,
     "d4_simhash" -> 0, "d5_dedup_clusters" -> 1, "d6_simhash_pairs" -> 1,
     "d7_containment" -> 6, "d8_keep_best" -> 2, "d9_boilerplate" -> 3,
+    "d10_sketch_error" -> 4,
     "m1_media_features" -> 0, "m2_media_resize" -> 0, "m3_frame_sample" -> 0,
     "p1_training_corpus" -> 3, "p2_train_test_split" -> 0,
     "p3_contamination" -> 2, "p4_quality_report" -> 8,
