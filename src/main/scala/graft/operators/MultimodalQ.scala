@@ -86,5 +86,40 @@ object MultimodalQ {
     Multimodal.sampleFrames(feats, everyN = 10).toDF()
   }
 
-  val all: Seq[QuerySpec] = Seq(mFeatures, mResize, mFrames)
+  /** Per-modality corpus report over the decoded features: volume, byte
+    * mass, duration, and mean width (centi-pixels, integer div) — the
+    * rollup a multimodal training mix is planned from. One aggregation
+    * keyed on the 3-value modality column.
+    */
+  val mModalityReport: QuerySpec = QuerySpec.sql(
+    "m4_modality_report",
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+       |              WHEN doc_id % 3 = 1 THEN 'audio'
+       |              ELSE 'video' END AS media_type,
+       |         CAST(strlen(text) AS BIGINT) AS n_bytes,
+       |         CAST(16 + $hSql % 624 AS BIGINT) AS w,
+       |         CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+       |              ELSE 1000 + $hSql % 60000 END AS BIGINT) AS duration_ms
+       |  FROM documents
+       |)
+       |SELECT media_type,
+       |       CAST(COUNT(*) AS BIGINT) AS n,
+       |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       |       CAST(SUM(duration_ms) AS BIGINT) AS total_ms,
+       |       CAST(SUM(w) * 100 // COUNT(*) AS BIGINT) AS avg_w_c
+       |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
+    val media = Multimodal.fakeMediaFromDocuments(Tables.documents(s, dir))
+    Multimodal.extractFeatures(media, Multimodal.FakeMediaDecoder).toDF()
+      .groupBy("media_type")
+      .agg(count(lit(1)).as("n"),
+        sum("n_bytes").as("total_bytes"),
+        sum("duration_ms").as("total_ms"),
+        sum(col("width").cast("long")).as("sw"))
+      .selectExpr("media_type", "n", "total_bytes", "total_ms",
+        "sw * 100L div n AS avg_w_c")
+  }
+
+  val all: Seq[QuerySpec] = Seq(mFeatures, mResize, mFrames, mModalityReport)
 }

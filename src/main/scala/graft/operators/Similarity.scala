@@ -348,6 +348,68 @@ object Similarity {
       .agg(sum("qval").as("qsum"), count(lit(1)).as("n"))
   }
 
+  /** ANN recall audit: per query, how many of the exact top-5 (s1) the
+    * LSH search (s3) recovered — the metric that decides whether the
+    * approximate index is trustworthy before it replaces the exact scan.
+    * Composes the two registered operators directly (same code paths the
+    * driver grades) and joins their outputs on (query, neighbor); the
+    * audit relation is queries×k rows, so the join cost is the two
+    * searches themselves. Integer basis points.
+    */
+  val sAnnRecall: QuerySpec = QuerySpec.sql(
+    "s7_ann_recall",
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+       |         ${cosineSql.format("q.qv", "e.v", "q.qv", "q.qv", "e.v", "e.v")} AS c
+       |  FROM q JOIN e ON e.vec_id <> q.qid
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY ROUND(c, 6) DESC, neighbor_id) AS rank
+       |    FROM scored) WHERE rank <= 5
+       |), eb AS (
+       |  SELECT vec_id, v,
+       |         CAST(list_sum(list_transform(generate_series(0, 7), p ->
+       |           CASE WHEN list_dot_product(v,
+       |             list_transform(generate_series(0, 63), i ->
+       |               (CAST(('0x' || substring(md5(p || ':' || i), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0)) > 0
+       |           THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM e
+       |), q3 AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM eb WHERE vec_id < 10),
+       |scored3 AS (
+       |  SELECT q3.qid AS query_id, eb.vec_id AS neighbor_id,
+       |         ${cosineSql.format("q3.qv", "eb.v", "q3.qv", "q3.qv", "eb.v", "eb.v")} AS c
+       |  FROM q3 JOIN eb ON eb.bucket = q3.qb AND eb.vec_id <> q3.qid
+       |), ann AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY ROUND(c, 6) DESC, neighbor_id) AS rank
+       |    FROM scored3) WHERE rank <= 5
+       |)
+       |SELECT x.query_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |       CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       |       CAST(COUNT(a.neighbor_id) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+       |FROM exact x LEFT JOIN ann a
+       |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val exact = sKnn.run(s, dir).select("query_id", "neighbor_id")
+    val ann = sAnnLsh.run(s, dir)
+      .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+    exact.join(ann,
+        col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("a_nid")).as("n_hit"))
+      .selectExpr("query_id", "n_exact", "n_hit",
+        "n_hit * 10000L div n_exact AS recall_bp")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(sKnn, sNearDup, sAnnLsh, sAnnIvf, sQuantize, sCentroid)
+    Seq(sKnn, sNearDup, sAnnLsh, sAnnIvf, sQuantize, sCentroid, sAnnRecall)
 }

@@ -13,9 +13,12 @@ class PlanLintSpec extends SparkTestBase {
   // through equi-joins: an all-pairs loop join is the canonical
   // 100 TB scale-killer.
   // t6 broadcasts a 1-row corpus-count aggregate, like p4's report frames;
-  // p8 cross-joins the |langs|-row allocation against two 1-row totals
+  // p8 cross-joins the |langs|-row allocation against two 1-row totals;
+  // s7 composes s1 (the exact baseline), so it inherits s1's intended
+  // broadcast-query loop join
   private val intendedLoopJoins = Set("s1_knn_cosine", "s4_ann_ivf",
-    "p4_quality_report", "t6_vocab_df", "p8_proportional_sample")
+    "p4_quality_report", "t6_vocab_df", "p8_proportional_sample",
+    "s7_ann_recall")
 
   test("no unintended CartesianProduct or nested-loop join in any registered query plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -21,6 +21,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "d7_containment" -> 6, "d8_keep_best" -> 2, "d9_boilerplate" -> 3,
     "d10_sketch_error" -> 4,
     "m1_media_features" -> 0, "m2_media_resize" -> 0, "m3_frame_sample" -> 0,
+    "m4_modality_report" -> 1, "s7_ann_recall" -> 7,
     "p1_training_corpus" -> 3, "p2_train_test_split" -> 0,
     "p3_contamination" -> 2, "p4_quality_report" -> 8,
     "p5_sequence_packing" -> 1, "p6_domain_mix" -> 0,

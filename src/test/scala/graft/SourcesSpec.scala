@@ -112,6 +112,32 @@ class SourcesSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters: ["), plan)
   }
 
+  test("DSv2 source: range pushdown and column pruning reach the scan") {
+    val df = spark.read.format("graft.sources.v2.SyntheticDocsProvider")
+      .option("rows", "10000").option("partitions", "8").load()
+    assert(df.count() === 10000)
+    assert(df.rdd.getNumPartitions === 8)
+
+    val q = df.filter(col("doc_id") >= 9000 && col("doc_id") < 9500)
+      .select("doc_id", "lang")
+    assert(q.count() === 500)
+    val scan = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.get
+    // the generator itself was narrowed — rows outside the range are
+    // never produced — and only the two requested columns materialize
+    assert(scan.description().contains("range=[9000,9500)"), scan.description())
+    assert(scan.description().contains("cols=doc_id,lang"), scan.description())
+
+    // deterministic content: same options => identical rows
+    val again = spark.read.format("graft.sources.v2.SyntheticDocsProvider")
+      .option("rows", "10000").option("partitions", "3").load()
+      .filter(col("doc_id") === 9123).select("text", "n_chars").collect()
+    val once = df.filter(col("doc_id") === 9123).select("text", "n_chars").collect()
+    assert(again.sameElements(once))
+    assert(once.head.getLong(1) === once.head.getString(0).length.toLong)
+  }
+
   test("S15: in-memory literal table via createDataFrame and SQL INSERT") {
     val chars = Seq(("Luke", "Tatooine", 15000), ("Leia", "Alderaan", 14000),
       ("Vader", "Tatooine", 27000)).toDF("name", "homeworld", "midichlorians")
