@@ -501,9 +501,46 @@ object Analytic {
       .select("user_id", "event_type", "value", "us", "event_id")
   }
 
+  /** UNION DISTINCT (completing the set-op family alongside UNION ALL /
+    * INTERSECT [ALL] / EXCEPT [ALL]): customers reachable either as
+    * open-order holders or as F-order holders, deduplicated — one
+    * hash-distinct over the concatenated branches.
+    */
+  val qUnionDistinct: QuerySpec = QuerySpec.sql(
+    "q53_union_distinct",
+    """SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |UNION
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_orderstatus") === "O").select("o_custkey")
+      .union(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+      .distinct()
+  }
+
+  /** Correlated EXISTS with a row-level inequality inside the subquery:
+    * orders containing at least one lineitem discounted beyond its tax
+    * rate. The inequality is between the subquery's own columns, so it
+    * filters before the semi-join — the join itself stays a plain
+    * equi-semi-join on the order key.
+    */
+  val qLateOrders: QuerySpec = QuerySpec.sql(
+    "q54_discount_anomaly",
+    """SELECT o_orderkey, o_custkey, o_orderstatus
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_discount > l.l_tax)""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir)
+          .filter(col("l_discount") > col("l_tax"))
+          .select("l_orderkey"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_custkey", "o_orderstatus")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
       qFirstLast, qIntersectAll, qExceptAll, qKmvSketch, qCalendar,
-      qStreaks, qPercentRank, qLatestEvent)
+      qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders)
 }

@@ -513,7 +513,37 @@ object Dedup {
         s"abs(agree * 10000L div $K - inter * 10000L div uni) AS err_bp")
   }
 
+  /** Dedup-rate report by source: per source, document count, distinct
+    * normalized-text count, and the duplicate share in basis points —
+    * the per-provider summary a corpus intake pipeline publishes. One
+    * aggregation on (source, md5) then one on source; both shuffle
+    * bounded-width keys.
+    */
+  val dDupRateBySource: QuerySpec = QuerySpec.sql(
+    "d11_dup_rate_by_source",
+    """WITH d AS (
+      |  SELECT source, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      |  FROM documents
+      |), g AS (
+      |  SELECT source, fp, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1, 2
+      |)
+      |SELECT source,
+      |       CAST(SUM(n) AS BIGINT) AS n_docs,
+      |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |       CAST((SUM(n) - COUNT(*)) * 10000 // SUM(n) AS BIGINT) AS dup_bp
+      |FROM g GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .groupBy("source", "fp")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum("n").as("n_docs"), count(lit(1)).as("n_distinct"))
+      .selectExpr("source", "n_docs", "n_distinct",
+        "(n_docs - n_distinct) * 10000L div n_docs AS dup_bp")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dExact, dJaccard, dMinHash, dSimHash, dClusters, dSimHashPairs,
-      dContainment, dKeepBest, dBoilerplate, dSketchError)
+      dContainment, dKeepBest, dBoilerplate, dSketchError, dDupRateBySource)
 }

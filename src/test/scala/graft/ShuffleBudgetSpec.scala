@@ -19,7 +19,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "d1_dedup_exact" -> 1, "d2_ngram_jaccard" -> 10, "d3_minhash_lsh" -> 4,
     "d4_simhash" -> 0, "d5_dedup_clusters" -> 1, "d6_simhash_pairs" -> 1,
     "d7_containment" -> 6, "d8_keep_best" -> 2, "d9_boilerplate" -> 3,
-    "d10_sketch_error" -> 4,
+    "d10_sketch_error" -> 4, "d11_dup_rate_by_source" -> 2,
     "m1_media_features" -> 0, "m2_media_resize" -> 0, "m3_frame_sample" -> 0,
     "m4_modality_report" -> 1, "s7_ann_recall" -> 7,
     "p1_training_corpus" -> 3, "p2_train_test_split" -> 0,
@@ -47,6 +47,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q5_no_open_orders" -> 1, "q6_top_customers" -> 1, "q7_window_7d" -> 2,
     "q8_count_distinct" -> 2, "q9_having" -> 1, "q50_streaks" -> 2,
     "q51_percent_rank" -> 1, "q52_latest_event" -> 1,
+    "q53_union_distinct" -> 1, "q54_discount_anomaly" -> 1,
     "s1_knn_cosine" -> 2, "s2_cosine_neardup" -> 4, "s3_ann_lsh" -> 2,
     "s4_ann_ivf" -> 6, "s5_quantize_int8" -> 0, "s6_centroid_int8" -> 1,
     "t1_token_count" -> 1, "t2_quality_score" -> 0, "t3_lang_id" -> 0,
