@@ -538,9 +538,41 @@ object Analytic {
       .select("o_orderkey", "o_custkey", "o_orderstatus")
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): walk a derived key
+    * hierarchy (parent = key div 10 — a tree rooted at 0 with
+    * log10-bounded depth) to each node's depth and root-branch id. Each
+    * recursion step is one equi-join on the frontier, so total work is
+    * rows × depth — the scale-sane recursion shape (frontiers shrink,
+    * never enumerate paths).
+    */
+  val qRecursiveDepth: QuerySpec = QuerySpec.sql(
+    "q55_recursive_depth",
+    """WITH RECURSIVE chain AS (
+      |  SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth FROM customer
+      |  UNION ALL
+      |  SELECT node, anc // 10 AS anc, depth + 1 FROM chain WHERE anc >= 10
+      |)
+      |SELECT node,
+      |       CAST(MAX(depth) AS BIGINT) AS depth_to_top,
+      |       CAST(MIN(CASE WHEN anc < 10 THEN anc END) AS BIGINT) AS top_branch
+      |FROM chain GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("g_rec_customer")
+    s.sql(
+      """WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth FROM g_rec_customer
+        |  UNION ALL
+        |  SELECT node, anc div 10 AS anc, depth + 1 FROM chain WHERE anc >= 10
+        |)
+        |SELECT node,
+        |       CAST(MAX(depth) AS BIGINT) AS depth_to_top,
+        |       CAST(MIN(CASE WHEN anc < 10 THEN anc END) AS BIGINT) AS top_branch
+        |FROM chain GROUP BY node""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
       qFirstLast, qIntersectAll, qExceptAll, qKmvSketch, qCalendar,
-      qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders)
+      qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders,
+      qRecursiveDepth)
 }
