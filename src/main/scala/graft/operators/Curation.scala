@@ -439,7 +439,74 @@ object Curation {
       .unionAll(s3.agg(count(lit(1)).as("survivors")).select(lit("s3_source_cap").as("stage"), col("survivors")))
   }
 
+  /** Combined contamination report: every eval-split document with both
+    * leak signals side by side — whole-doc near-duplication (p3's
+    * signature match) and passage-level overlap (p7's shared 5-gram
+    * count) — resolved into one verdict. Composes the two registered
+    * operators' run functions, then left-joins their doc-keyed outputs
+    * onto the eval universe; all joins key on doc_id.
+    */
+  val pContaminationReport: QuerySpec = QuerySpec.sql(
+    "p11_contamination_report",
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
+       |              THEN 'train' ELSE 'eval' END AS split
+       |  FROM documents
+       |), hs AS (
+       |  SELECT doc_id, list_transform(${Portable.shinglesSql(3).replace("\n", " ")},
+       |    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hs
+       |  FROM documents
+       |), sig AS (
+       |  SELECT h.doc_id, sp.split,
+       |         array_to_string(list_transform(generate_series(1, 16),
+       |           i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % ${Portable.MinHashP}))), ',') AS sigstr
+       |  FROM hs h JOIN sp ON sp.doc_id = h.doc_id
+       |), sigm AS (
+       |  SELECT DISTINCT e.doc_id FROM sig e JOIN sig t
+       |    ON e.sigstr = t.sigstr AND e.split = 'eval' AND t.split = 'train'
+       |), g AS (
+       |  SELECT d.doc_id, sp.split, unnest(${Portable.shinglesSql(5).replace("\n", " ")}) AS g
+       |  FROM documents d JOIN sp ON sp.doc_id = d.doc_id
+       |), gh AS (
+       |  SELECT doc_id, split, CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) AS h FROM g
+       |), tr AS (SELECT DISTINCT h FROM gh WHERE split = 'train'),
+       |shared AS (
+       |  SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM gh e JOIN tr USING (h) WHERE e.split = 'eval' GROUP BY 1
+       |)
+       |SELECT sp.doc_id AS eval_doc,
+       |       CAST(CASE WHEN sigm.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS sig_match,
+       |       CAST(COALESCE(shared.n_shared, 0) AS BIGINT) AS n_shared_grams,
+       |       CASE WHEN sigm.doc_id IS NOT NULL THEN 'near_dup'
+       |            WHEN COALESCE(shared.n_shared, 0) >= 3 THEN 'passage_leak'
+       |            WHEN COALESCE(shared.n_shared, 0) >= 1 THEN 'minor_overlap'
+       |            ELSE 'clean' END AS verdict
+       |FROM sp LEFT JOIN sigm ON sigm.doc_id = sp.doc_id
+       |        LEFT JOIN shared ON shared.doc_id = sp.doc_id
+       |WHERE sp.split = 'eval'""".stripMargin) { (s, dir) =>
+    val bucket = Portable.h32(col("doc_id").cast("string")) % 100
+    val evalDocs = Tables.documents(s, dir)
+      .filter(bucket >= 80).select(col("doc_id").as("eval_doc"))
+    val sigMatches = pContamination.run(s, dir)
+      .select(col("eval_doc").as("sm_doc"), lit(1L).as("sig_match"))
+    val shared = pNgramDecontam.run(s, dir)
+      .select(col("eval_doc").as("sh_doc"), col("n_shared"))
+    evalDocs
+      .join(sigMatches, col("eval_doc") === col("sm_doc"), "left")
+      .join(shared, col("eval_doc") === col("sh_doc"), "left")
+      .select(col("eval_doc"),
+        coalesce(col("sig_match"), lit(0L)).as("sig_match"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared_grams"))
+      .withColumn("verdict",
+        when(col("sig_match") === 1, "near_dup")
+          .when(col("n_shared_grams") >= 3, "passage_leak")
+          .when(col("n_shared_grams") >= 1, "minor_overlap")
+          .otherwise("clean"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pCorpus, pSplit, pContamination, pQualityReport, pPacking,
-      pDomainMix, pNgramDecontam, pProportional, pLengthHist, pFilterFunnel)
+      pDomainMix, pNgramDecontam, pProportional, pLengthHist, pFilterFunnel,
+      pContaminationReport)
 }

@@ -27,6 +27,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "p5_sequence_packing" -> 1, "p6_domain_mix" -> 0,
     "p7_ngram_decontam" -> 3, "p8_proportional_sample" -> 13,
     "p9_length_histogram" -> 2, "p10_filter_funnel" -> 5,
+    "p11_contamination_report" -> 7,
     "q10_union_all" -> 0, "q11_ilike" -> 0, "q12_case_when" -> 0,
     "q13_date_pred" -> 0, "q14_multi_sort" -> 2, "q15_md5" -> 0,
     "q16_agg_join_coalesce" -> 2, "q17_rank_per_nation" -> 1,
