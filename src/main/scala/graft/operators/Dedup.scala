@@ -485,8 +485,10 @@ object Dedup {
        |FROM cand JOIN sig sa ON sa.doc_id = doc_a JOIN sig sb ON sb.doc_id = doc_b""".stripMargin) { (s, dir) =>
     val base = Tables.documents(s, dir)
       .select(col("doc_id"),
-        array_distinct(transform(Portable.shingles(col("text"), 3),
-          sh => Portable.h32(sh))).as("hs"),
+        // native shingle-hash pass (ShingleHash32 dedups shingle strings;
+        // the outer distinct collapses hash-value collisions to match the
+        // oracle's list_distinct-over-hashes semantics)
+        array_distinct(graft.functions.ShingleHash.shingleHashes(col("text"), 3)).as("hs"),
         graft.functions.ShingleHash.minHashSig(col("text"), 3, K, P).as("sig"))
       .localCheckpoint()
     val bands = base.select(col("doc_id"),
