@@ -356,4 +356,29 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
     assert(rows == Set(("a", 1.0), ("b", 3.0), ("c", 5.0)), rows.toString)
   }
+
+  test("Trigger.AvailableNow drains the backlog, stops, resumes incrementally") {
+    // the batch-catch-up trigger: process everything present, terminate,
+    // and on the next run continue from the checkpoint — the shape a
+    // scheduled 100 TB incremental ingest runs on (no always-on cluster)
+    val srcDir = tmp("an_src")
+    val outDir = tmp("an_out") + "/sink"
+    val ckDir = tmp("an_ck")
+    val schema = new org.apache.spark.sql.types.StructType().add("v", "long")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(srcDir)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .format("parquet").option("path", outDir).start()
+      assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    }
+    Seq(1L, 2L, 3L).toDF("v").write.mode("append").json(srcDir)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() === 3)
+    Seq(4L, 5L).toDF("v").write.mode("append").json(srcDir)
+    runOnce()
+    val vs = spark.read.parquet(outDir).as[Long].collect().sorted
+    assert(vs.sameElements(Array(1L, 2L, 3L, 4L, 5L)), vs.mkString(","))
+  }
 }
