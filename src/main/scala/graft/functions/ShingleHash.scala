@@ -65,6 +65,61 @@ case class ShingleHash32(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** 60-bit variant of [[ShingleHash32]]: first 15 md5 hex chars as int64
+  * (sign-safe), value-identical to
+  * `transform(Portable.shingles(text, n), h60)` and the oracle's
+  * `('0x' || substring(md5(g), 1, 15))::BIGINT`. Used where downstream
+  * joins need the wider key (5-gram decontamination, boilerplate df) —
+  * at corpus scale 32 bits collide on n-grams, 60 bits do not.
+  */
+case class ShingleHash60(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val md5 =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private def hash(s: String): Long = {
+    val d = md5.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = 7 full bytes + the high nibble of byte 8
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val words = text.split(" ", -1)
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val seen = new java.util.HashSet[String]()
+    if (words.length >= n) {
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= words.length - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(i + j))
+          j += 1
+        }
+        val sh = sb.toString
+        if (seen.add(sh)) out += hash(sh)
+        i += 1
+      }
+    } else {
+      out += hash(text)
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash60 =
+    copy(child = newChild)
+}
+
 /** The K MinHash signature values in one row-level pass: shingle hashes
   * (exactly ShingleHash32's loop) folded directly into the K running
   * minima of `(2i+1)·h + 104729·i mod P` — no explode, no aggregation,
@@ -130,6 +185,9 @@ case class MinHashSig(child: Expression, n: Int, k: Int, p: Long)
 object ShingleHash {
   def shingleHashes(text: Column, n: Int = 3): Column =
     GraftShim.column(ShingleHash32(GraftShim.expression(text), n))
+
+  def shingleHashes60(text: Column, n: Int = 3): Column =
+    GraftShim.column(ShingleHash60(GraftShim.expression(text), n))
 
   def minHashSig(text: Column, n: Int = 3, k: Int = 16,
       p: Long = Portable.MinHashP): Column =

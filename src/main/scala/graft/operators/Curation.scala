@@ -279,8 +279,9 @@ object Curation {
       .select(col("doc_id"),
         when(Portable.h32(col("doc_id").cast("string")) % 100 < 80, "train")
           .otherwise("eval").as("split"),
-        explode(Portable.shingles(col("text"), 5)).as("g"))
-      .select(col("doc_id"), col("split"), Portable.h60(col("g")).as("h"))
+        // native single-pass shingle→h60 (value-identical to the
+        // explode(shingles)+h60 composition; one tight loop per row)
+        explode(graft.functions.ShingleHash.shingleHashes60(col("text"), 5)).as("h"))
       .localCheckpoint()
     val train = grams.filter(col("split") === "train").select("h").distinct()
     grams.filter(col("split") === "eval")

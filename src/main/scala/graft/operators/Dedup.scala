@@ -436,8 +436,8 @@ object Dedup {
        |FROM h JOIN df USING (h)
        |GROUP BY 1""".stripMargin) { (s, dir) =>
     val grams = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("g"))
-      .select(col("doc_id"), Portable.h60(col("g")).as("h"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleHash.shingleHashes60(col("text"), 3)).as("h"))
       .localCheckpoint()
     val dfreq = grams.groupBy("h").agg(count(lit(1)).as("df"))
     grams.join(dfreq, "h")

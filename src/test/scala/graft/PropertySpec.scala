@@ -102,6 +102,20 @@ class PropertySpec extends SparkTestBase {
     assert(joined.filter(to_json(col("sig")) =!= to_json(col("sig_hof"))).count() === 0)
   }
 
+  test("native ShingleHash60 equals the transform(shingles, h60) composition") {
+    val docs = samples(doc, 60).distinct
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    Seq(3, 5).foreach { n =>
+      val viaHof = df.select(col("doc_id"),
+        transform(Portable.shingles(col("text"), n), x => Portable.h60(x)).as("hs_hof"))
+      val viaNative = df.select(col("doc_id"),
+        graft.functions.ShingleHash.shingleHashes60(col("text"), n).as("hs"))
+      val joined = viaNative.join(viaHof, "doc_id")
+      assert(joined.filter(to_json(col("hs")) =!= to_json(col("hs_hof"))).count() === 0,
+        s"n=$n mismatch")
+    }
+  }
+
   test("native SrpBandCodes equals the composed per-plane vec_dot form") {
     import graft.functions.VecOps.vec_dot
     val bands = 4
