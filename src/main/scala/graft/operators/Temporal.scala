@@ -110,5 +110,53 @@ object Temporal {
         expr("(p_us - s_us) div 60000000").as("mins_after"))
   }
 
-  val all: Seq[QuerySpec] = Seq(qAsOf, qRange)
+  /** Forward as-of join (time-to-conversion): for every click, the same
+    * user's EARLIEST purchase at-or-after it. The q29 machinery scanned
+    * in reverse — tag, union, one descending window pass per user
+    * carrying the nearest future purchase backward. Purchases at the
+    * exact click timestamp count (side orders purchases first at equal
+    * us). Still one shuffle on user_id.
+    */
+  val qForwardAsOf: QuerySpec = QuerySpec.sql(
+    "q56_forward_asof",
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events
+      |), tagged AS (
+      |  SELECT user_id, us, event_id, 0 AS side FROM e WHERE event_type = 'purchase'
+      |  UNION ALL
+      |  SELECT user_id, us, event_id, 1 AS side FROM e WHERE event_type = 'click'
+      |), w AS (
+      |  SELECT user_id, us, event_id, side,
+      |         LAST_VALUE(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY us DESC, side ASC, event_id DESC
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS purchase_id,
+      |         LAST_VALUE(CASE WHEN side = 0 THEN us END IGNORE NULLS)
+      |           OVER (PARTITION BY user_id ORDER BY us DESC, side ASC, event_id DESC
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_us
+      |  FROM tagged
+      |)
+      |SELECT event_id AS click_id, user_id, purchase_id,
+      |       CAST((p_us - us) // 1000000 AS BIGINT) AS wait_s
+      |FROM w WHERE side = 1 AND purchase_id IS NOT NULL""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("us"), col("event_id"), lit(0).as("side"))
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us"), col("event_id"), lit(1).as("side"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("us").desc, col("side").asc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionAll(clicks)
+      .withColumn("purchase_id",
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("p_us",
+        last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("purchase_id").isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"), col("purchase_id"),
+        expr("(p_us - us) div 1000000").as("wait_s"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(qAsOf, qRange, qForwardAsOf)
 }

@@ -296,7 +296,50 @@ object TextAnalysis {
           | * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass""".stripMargin)
   }
 
+  /** Corpus bigram language model (the KenLM-style filter model CCNet
+    * scores documents with, built on the engine itself): conditional
+    * next-token probability in basis points for every bigram seen >= 5
+    * times. Bigram counts shuffle on the (w1,w2) pair — vocabulary-
+    * bounded keys, not corpus-bounded — and the conditional divides by
+    * the w1 margin via one window over the bigram relation (no second
+    * corpus pass).
+    */
+  val tBigramLm: QuerySpec = QuerySpec.sql(
+    "t11_bigram_lm",
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents
+      |), bg AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+      |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      |  FROM toks WHERE len(ws) >= 2
+      |), c AS (
+      |  SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM bg GROUP BY 1, 2
+      |), m AS (
+      |  SELECT w1, w2, cnt, SUM(cnt) OVER (PARTITION BY w1) AS w1_total
+      |  FROM c
+      |)
+      |SELECT w1, w2, cnt,
+      |       CAST(cnt * 10000 // w1_total AS BIGINT) AS cond_bp
+      |FROM m WHERE cnt >= 5""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(ws) - 2),
+          |  i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))""".stripMargin))
+        .as("bigram"))
+      .select(substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+      .groupBy("w1", "w2")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("w1_total", sum("cnt").over(Window.partitionBy("w1")))
+      .filter(col("cnt") >= 5)
+      .selectExpr("w1", "w2", "cnt", "cnt * 10000L div w1_total AS cond_bp")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tTokens, tQuality, tLangId, tFingerprint, tRepetition, tVocabDf,
-      tSurprisal, tRedact, tKeywords, tGopher)
+      tSurprisal, tRedact, tKeywords, tGopher, tBigramLm)
 }

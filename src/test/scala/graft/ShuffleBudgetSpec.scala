@@ -49,13 +49,13 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q8_count_distinct" -> 2, "q9_having" -> 1, "q50_streaks" -> 2,
     "q51_percent_rank" -> 1, "q52_latest_event" -> 1,
     "q53_union_distinct" -> 1, "q54_discount_anomaly" -> 1,
-    "q55_recursive_depth" -> 1,
+    "q55_recursive_depth" -> 1, "q56_forward_asof" -> 1,
     "s1_knn_cosine" -> 2, "s2_cosine_neardup" -> 4, "s3_ann_lsh" -> 2,
     "s4_ann_ivf" -> 6, "s5_quantize_int8" -> 0, "s6_centroid_int8" -> 1,
     "t1_token_count" -> 1, "t2_quality_score" -> 0, "t3_lang_id" -> 0,
     "t4_fingerprint" -> 0, "t5_repetition" -> 0, "t6_vocab_df" -> 3,
     "t7_surprisal" -> 5, "t8_redact" -> 0, "t9_keywords" -> 3,
-    "t10_gopher_rules" -> 0)
+    "t10_gopher_rules" -> 0, "t11_bigram_lm" -> 2)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
