@@ -415,11 +415,13 @@ object Curation {
         size(filter(split(col("text"), " "), t => t.isin("the", "a"))).cast("long"))
       .withColumn("n_alpha",
         size(filter(split(col("text"), " "), t => t.rlike("[a-z]"))).cast("long"))
+      // native distinct-trigram count (ShingleHash32 dedups on the
+      // shingle string, identical to the list_distinct the oracle runs)
+      .withColumn("n_distinct_tri",
+        size(graft.functions.ShingleHash.shingleHashes(col("text"), 3)).cast("long"))
       .withColumn("distinct_bp", expr(
         """CASE WHEN size(split(text, ' ')) >= 3
-          |  THEN size(array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),
-          |         i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))))) * 10000L
-          |       div (size(split(text, ' ')) - 2)
+          |  THEN n_distinct_tri * 10000L div (size(split(text, ' ')) - 2)
           |  ELSE 10000L END""".stripMargin))
       .selectExpr("doc_id", "source",
         """CASE WHEN n_tokens BETWEEN 20 AND 1000
