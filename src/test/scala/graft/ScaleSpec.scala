@@ -126,6 +126,23 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("observe() collects data-quality metrics in the same pass") {
+    // the no-extra-scan DQ pattern: at 100 TB a second quality pass is a
+    // second 100 TB read — observe rides the existing job
+    val obs = new org.apache.spark.sql.Observation("dq")
+    val df = Tables.lineitem(spark, sf0001)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity") > 45, 1L).otherwise(0L)).as("high_qty"),
+        count(when(col("l_shipdate").isNull, 1)).as("null_shipdates"))
+      .filter(col("l_quantity") > 0)
+    val total = df.count()
+    val m = obs.get
+    assert(m("n_rows").asInstanceOf[Long] === total)
+    assert(m("high_qty").asInstanceOf[Long] > 0)
+    assert(m("null_shipdates").asInstanceOf[Long] === 0L)
+  }
+
   test("clustered write bounds per-file rows and sorts within files") {
     val dir = Files.createTempDirectory("clustered").toString
     sources.Ingest.writeClustered(
