@@ -47,4 +47,23 @@ class PlanLintSpec extends SparkTestBase {
     assert(!cols.contains("l_orderkey") && !cols.contains("l_partkey"),
       s"q1 reads unneeded columns: $cols")
   }
+
+  test("hot row-level paths stay inside whole-stage codegen") {
+    // the scan→filter→project→partial-agg pipeline of each of these must
+    // run generated code (an interpreted expression in the hot path shows
+    // up here as a missing WholeStageCodegen wrapper)
+    val expectCodegen = Seq("q1_agg", "q2_filter_project", "q9_having",
+      "q12_case_when", "q13_date_pred", "q21_daily_kpi",
+      "t2_quality_score", "t3_lang_id", "t8_redact", "s5_quantize_int8")
+    val missing = expectCodegen.flatMap { name =>
+      // codegen stages print as `*(n) Operator`, but only once AQE has
+      // executed the stages — collect through the SAME QueryExecution
+      // (count() would build a fresh one and leave this plan unexecuted)
+      val df = run(name)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      if (plan.contains("*(")) None else Some(name)
+    }
+    assert(missing.isEmpty, s"no codegen span in: $missing")
+  }
 }
