@@ -545,7 +545,81 @@ object Dedup {
         "(n_docs - n_distinct) * 10000L div n_docs AS dup_bp")
   }
 
+  /** Cluster-quality audit: for every near-dup cluster (d5), its member
+    * count, edge count, and the mean/min signature-agreement of its
+    * edges — the cohesion report that tells a dedup run whether its
+    * clusters are tight duplicates or chained false positives before it
+    * deletes anything. est_bp = agreement×625 is exact in both engines
+    * (agreement/16 is a dyadic rational, 4 decimal digits exact), so the
+    * stats stay integer. Pair and label relations join on doc ids.
+    */
+  val dClusterQuality: QuerySpec = QuerySpec.sql(
+    "d12_cluster_quality",
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${Portable.shinglesSql(3).replace("\n", " ")} AS sh FROM documents
+       |), hs AS (
+       |  SELECT doc_id, list_transform(sh,
+       |    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hs FROM sh
+       |), sig AS (
+       |  SELECT doc_id, list_transform(generate_series(1, $K),
+       |    i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % $P))) AS sig
+       |  FROM hs
+       |), bands AS (
+       |  SELECT doc_id, sig, unnest(list_transform(generate_series(0, ${Bands - 1}),
+       |    j -> j || ':' || array_to_string(sig[j*4+1:j*4+4], ','))) AS bk
+       |  FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |), pe AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(len(list_filter(generate_series(1, $K),
+       |              i -> sa.sig[i] = sb.sig[i])) * 625 AS BIGINT) AS est_bp
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.doc_a
+       |  JOIN sig sb ON sb.doc_id = cand.doc_b
+       |  WHERE len(list_filter(generate_series(1, $K),
+       |        i -> sa.sig[i] = sb.sig[i])) * 1.0 / $K >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS t FROM pe
+       |  UNION ALL SELECT doc_b, doc_a FROM pe
+       |), reach(s, t) AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+       |), clusters AS (
+       |  SELECT s AS doc_id, least(s, MIN(t)) AS cluster_id FROM reach GROUP BY s
+       |), memb AS (
+       |  SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM clusters GROUP BY 1
+       |), pstats AS (
+       |  SELECT c.cluster_id,
+       |         CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |         CAST(SUM(est_bp) AS BIGINT) AS sum_est,
+       |         CAST(MIN(est_bp) AS BIGINT) AS min_est_bp
+       |  FROM pe JOIN clusters c ON pe.doc_a = c.doc_id GROUP BY 1
+       |)
+       |SELECT m.cluster_id, m.n_members, p.n_edges,
+       |       CAST(p.sum_est // p.n_edges AS BIGINT) AS avg_est_bp,
+       |       p.min_est_bp
+       |FROM memb m JOIN pstats p ON p.cluster_id = m.cluster_id""".stripMargin) { (s, dir) =>
+    val labels = dClusters.run(s, dir).localCheckpoint()
+    val pairs = dMinHash.run(s, dir)
+      .select(col("doc_a"), col("doc_b"),
+        (col("est_jaccard") * 10000).cast("long").as("est_bp"))
+    val memb = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    val pstats = pairs
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id")), "doc_a")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_edges"), sum("est_bp").as("sum_est"),
+        min("est_bp").as("min_est_bp"))
+    memb.join(pstats, "cluster_id")
+      .selectExpr("cluster_id", "n_members", "n_edges",
+        "sum_est div n_edges AS avg_est_bp", "min_est_bp")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dExact, dJaccard, dMinHash, dSimHash, dClusters, dSimHashPairs,
-      dContainment, dKeepBest, dBoilerplate, dSketchError, dDupRateBySource)
+      dContainment, dKeepBest, dBoilerplate, dSketchError, dDupRateBySource,
+      dClusterQuality)
 }

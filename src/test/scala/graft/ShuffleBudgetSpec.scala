@@ -20,6 +20,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "d4_simhash" -> 0, "d5_dedup_clusters" -> 1, "d6_simhash_pairs" -> 1,
     "d7_containment" -> 6, "d8_keep_best" -> 2, "d9_boilerplate" -> 3,
     "d10_sketch_error" -> 4, "d11_dup_rate_by_source" -> 2,
+    "d12_cluster_quality" -> 8,
     "m1_media_features" -> 0, "m2_media_resize" -> 0, "m3_frame_sample" -> 0,
     "m4_modality_report" -> 1, "s7_ann_recall" -> 7,
     "p1_training_corpus" -> 3, "p2_train_test_split" -> 0,
