@@ -569,10 +569,52 @@ object Analytic {
         |FROM chain GROUP BY node""".stripMargin)
   }
 
+  /** Pearson correlation per group by the q43 recipe: every sum is an
+    * exact decimal (n·Σxy − ΣxΣy etc. have no FP noise), then ONE double
+    * op sequence (cast, divide, sqrt, round) that is bit-identical
+    * across engines. Groups here are bounded; at corpus scale the same
+    * shape runs per bounded key (the decimal widths hold to ~1e18 sums).
+    */
+  val qCorrelation: QuerySpec = QuerySpec.sql(
+    "q57_correlation",
+    """WITH a AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |         SUM(CAST(l_quantity AS DECIMAL(14,4))) AS sx,
+      |         -- 19 digits forces int128 physical in DuckDB: the per-row
+      |         -- y*y product overflows an int64-backed DECIMAL(18)
+      |         SUM(CAST(l_extendedprice AS DECIMAL(19,4))) AS sy,
+      |         SUM(CAST(l_quantity AS DECIMAL(14,4)) * CAST(l_quantity AS DECIMAL(14,4))) AS sxx,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS syy,
+      |         SUM(CAST(l_quantity AS DECIMAL(14,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS sxy
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT l_returnflag, n,
+      |       round(CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(26,8))
+      |               - CAST(sx AS DECIMAL(19,4)) * CAST(sy AS DECIMAL(19,4)) AS DOUBLE)
+      |         / sqrt(CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(26,8))
+      |                  - CAST(sx AS DECIMAL(19,4)) * CAST(sx AS DECIMAL(19,4)) AS DOUBLE)
+      |              * CAST(CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(26,8))
+      |                  - CAST(sy AS DECIMAL(19,4)) * CAST(sy AS DECIMAL(19,4)) AS DOUBLE)), 4) AS corr_r
+      |FROM a""".stripMargin) { (s, dir) =>
+    val x = col("l_quantity").cast("decimal(14,4)")
+    val y = col("l_extendedprice").cast("decimal(18,4)")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
+      .selectExpr("l_returnflag", "n",
+        """round(CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(26,8))
+          |    - CAST(sx AS DECIMAL(19,4)) * CAST(sy AS DECIMAL(19,4)) AS DOUBLE)
+          |  / sqrt(CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(26,8))
+          |       - CAST(sx AS DECIMAL(19,4)) * CAST(sx AS DECIMAL(19,4)) AS DOUBLE)
+          |     * CAST(CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(26,8))
+          |       - CAST(sy AS DECIMAL(19,4)) * CAST(sy AS DECIMAL(19,4)) AS DOUBLE)), 4) AS corr_r""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
       qFirstLast, qIntersectAll, qExceptAll, qKmvSketch, qCalendar,
       qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders,
-      qRecursiveDepth)
+      qRecursiveDepth, qCorrelation)
 }
