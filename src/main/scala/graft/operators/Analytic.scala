@@ -611,10 +611,47 @@ object Analytic {
           |       - CAST(sy AS DECIMAL(19,4)) * CAST(sy AS DECIMAL(19,4)) AS DOUBLE)), 4) AS corr_r""".stripMargin)
   }
 
+  /** Native batch session_window (the built-in SessionWindow operator —
+    * a different code path than q26's manual lag/sum sessionization):
+    * merge events into sessions closed by a 30-minute silence. Spark's
+    * merge rule is `gap >= 30min starts a new session` (window end is
+    * exclusive), which the oracle mirrors with the >= boundary; session
+    * end is last event + gap by definition.
+    */
+  val qSessionWindow: QuerySpec = QuerySpec.sql(
+    "q58_session_window",
+    """WITH t AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events
+      |), flagged AS (
+      |  SELECT user_id, us,
+      |         CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |               OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) >= 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM t
+      |), sessions AS (
+      |  SELECT user_id, us,
+      |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      |  FROM flagged
+      |)
+      |SELECT user_id,
+      |       CAST(MIN(us) AS BIGINT) AS session_start_us,
+      |       CAST(MAX(us) + 1800000000 AS BIGINT) AS session_end_us,
+      |       COUNT(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_no""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        unix_micros(col("session_window.end")).as("session_end_us"),
+        col("n_events"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
       qFirstLast, qIntersectAll, qExceptAll, qKmvSketch, qCalendar,
       qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders,
-      qRecursiveDepth, qCorrelation)
+      qRecursiveDepth, qCorrelation, qSessionWindow)
 }
