@@ -410,6 +410,72 @@ object Similarity {
         "n_hit * 10000L div n_exact AS recall_bp")
   }
 
+  /** Quantization-error audit: on the exact top-5 pairs (s1), the cosine
+    * recomputed from the int8-quantized vectors (s5's exact formula)
+    * next to the full-precision cosine. Per-vector scale factors cancel
+    * in the cosine, so the quantized dot products are INTEGER arithmetic
+    * — only the final divide/sqrt/round touch floats, in the identical
+    * op sequence both engines run. Verdict for the index designer: how
+    * much ranking signal 8-bit storage costs.
+    */
+  val sQuantError: QuerySpec = QuerySpec.sql(
+    "s8_quant_error",
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+       |         ${cosineSql.format("q.qv", "e.v", "q.qv", "q.qv", "e.v", "e.v")} AS c
+       |  FROM q JOIN e ON e.vec_id <> q.qid
+       |), pairs AS (
+       |  SELECT query_id, neighbor_id, c FROM (
+       |    SELECT query_id, neighbor_id, c,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY ROUND(c, 6) DESC, neighbor_id) AS rank
+       |    FROM scored) WHERE rank <= 5
+       |), quant AS (
+       |  SELECT vec_id, list_transform(v,
+       |    x -> CAST(round(x * (127.0 / list_max(list_transform(v, y -> abs(y)))), 0) AS DOUBLE)) AS qv
+       |  FROM e
+       |)
+       |SELECT p.query_id, p.neighbor_id,
+       |       ROUND(p.c, 4) AS cos_exact,
+       |       ROUND(${cosineSql.format("a.qv", "b.qv", "a.qv", "a.qv", "b.qv", "b.qv")}, 4) AS cos_q,
+       |       ROUND(abs(p.c - ${cosineSql.format("a.qv", "b.qv", "a.qv", "a.qv", "b.qv", "b.qv")}), 4) AS err
+       |FROM pairs p
+       |JOIN quant a ON a.vec_id = p.query_id
+       |JOIN quant b ON b.vec_id = p.neighbor_id""".stripMargin) { (s, dir) =>
+    val pairs = sKnn.run(s, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    // re-derive the unrounded exact cosine for the err arithmetic (s1
+    // rounds its output; the oracle differences the raw doubles)
+    val e = vecs(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("p_qid"), col("v").as("pqv"), col("nrm").as("pqn"))
+    val exact = pairs
+      .join(broadcast(q), col("query_id") === col("p_qid"))
+      .join(e.select(col("vec_id"), col("v"), col("nrm")),
+        col("neighbor_id") === col("vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (vec_dot(col("pqv"), col("v")) / (col("pqn") * col("nrm"))).as("c"))
+    val quant = Tables.embeddings(s, dir)
+      .select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"), transform(col("v"),
+        x => round(x * (lit(127.0) / col("mx")), 0).cast("double")).as("qv"))
+    val cosQ = vec_dot(col("a_qv"), col("b_qv")) /
+      (sqrt(vec_dot(col("a_qv"), col("a_qv"))) * sqrt(vec_dot(col("b_qv"), col("b_qv"))))
+    exact
+      .join(quant.select(col("vec_id").as("a_id"), col("qv").as("a_qv")),
+        col("query_id") === col("a_id"))
+      .join(quant.select(col("vec_id").as("b_id"), col("qv").as("b_qv")),
+        col("neighbor_id") === col("b_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("c"), 4).as("cos_exact"),
+        round(cosQ, 4).as("cos_q"),
+        round(abs(col("c") - cosQ), 4).as("err"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(sKnn, sNearDup, sAnnLsh, sAnnIvf, sQuantize, sCentroid, sAnnRecall)
+    Seq(sKnn, sNearDup, sAnnLsh, sAnnIvf, sQuantize, sCentroid, sAnnRecall,
+      sQuantError)
 }

@@ -339,7 +339,40 @@ object TextAnalysis {
       .selectExpr("w1", "w2", "cnt", "cnt * 10000L div w1_total AS cond_bp")
   }
 
+  /** Language-ID confusion matrix: t3's heuristic predictions crossed
+    * with the labeled lang column — the accuracy report that decides
+    * whether the cheap classifier is good enough to route the corpus.
+    * share_bp is the per-actual-language row share (recall of the
+    * diagonal cell). One aggregation on a (langs × predictions)-bounded
+    * key.
+    */
+  val tLangConfusion: QuerySpec = QuerySpec.sql(
+    "t12_langid_confusion",
+    """WITH q AS (
+      |  SELECT doc_id, lang,
+      |         len(list_filter(string_split(text, ' '),
+      |                         t -> t IN ('the', 'a'))) AS n_stop,
+      |         len(string_split(text, ' ')) AS n_tokens
+      |  FROM documents
+      |), p AS (
+      |  SELECT lang,
+      |         CASE WHEN n_stop * 20 >= n_tokens THEN 'en' ELSE 'und' END AS predicted
+      |  FROM q
+      |), c AS (
+      |  SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM p GROUP BY 1, 2
+      |)
+      |SELECT lang, predicted, n,
+      |       CAST(n * 10000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_bp
+      |FROM c""".stripMargin) { (s, dir) =>
+    tLangId.run(s, dir)
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share_bp",
+        expr("n * 10000L div sum(n) over (partition by lang)"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tTokens, tQuality, tLangId, tFingerprint, tRepetition, tVocabDf,
-      tSurprisal, tRedact, tKeywords, tGopher, tBigramLm)
+      tSurprisal, tRedact, tKeywords, tGopher, tBigramLm, tLangConfusion)
 }

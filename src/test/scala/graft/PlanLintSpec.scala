@@ -14,11 +14,11 @@ class PlanLintSpec extends SparkTestBase {
   // 100 TB scale-killer.
   // t6 broadcasts a 1-row corpus-count aggregate, like p4's report frames;
   // p8 cross-joins the |langs|-row allocation against two 1-row totals;
-  // s7 composes s1 (the exact baseline), so it inherits s1's intended
+  // s7/s8 compose s1 (the exact baseline), so they inherit s1's intended
   // broadcast-query loop join
   private val intendedLoopJoins = Set("s1_knn_cosine", "s4_ann_ivf",
     "p4_quality_report", "t6_vocab_df", "p8_proportional_sample",
-    "s7_ann_recall")
+    "s7_ann_recall", "s8_quant_error")
 
   test("no unintended CartesianProduct or nested-loop join in any registered query plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -22,7 +22,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "d10_sketch_error" -> 4, "d11_dup_rate_by_source" -> 2,
     "d12_cluster_quality" -> 8,
     "m1_media_features" -> 0, "m2_media_resize" -> 0, "m3_frame_sample" -> 0,
-    "m4_modality_report" -> 1, "s7_ann_recall" -> 7,
+    "m4_modality_report" -> 1, "s7_ann_recall" -> 7, "s8_quant_error" -> 6,
+    "t12_langid_confusion" -> 2,
     "p1_training_corpus" -> 3, "p2_train_test_split" -> 0,
     "p3_contamination" -> 2, "p4_quality_report" -> 8,
     "p5_sequence_packing" -> 1, "p6_domain_mix" -> 0,
