@@ -648,10 +648,56 @@ object Analytic {
         col("n_events"))
   }
 
+  /** Aggregate FILTER clause (the SQL-standard conditional-aggregation
+    * syntax, supported by both engines' parsers): one pass over customer
+    * computing per-nation totals alongside filtered sub-counts — the
+    * declarative form of the when/otherwise pattern q12 builds by hand.
+    */
+  val qFilteredAgg: QuerySpec = QuerySpec.sql(
+    "q59_filtered_agg",
+    """SELECT c_nationkey,
+      |       COUNT(*) AS n,
+      |       COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+      |       COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_debt,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE) AS building_bal
+      |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir).createOrReplaceTempView("g_f_customer")
+    s.sql(
+      """SELECT c_nationkey,
+        |       COUNT(*) AS n,
+        |       COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
+        |       COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_debt,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE) AS building_bal
+        |FROM g_f_customer GROUP BY 1""".stripMargin)
+  }
+
+  /** Correlated LATERAL derived table: for each nation, its top customer
+    * by (balance, key) from a lateral subquery — the per-row-subquery
+    * SQL surface Catalyst decorrelates into a join rather than executing
+    * per nation.
+    */
+  val qLateral: QuerySpec = QuerySpec.sql(
+    "q60_lateral",
+    """SELECT n.n_nationkey, n.n_name, t.c_custkey AS top_custkey, t.bal
+      |FROM nation n,
+      |LATERAL (SELECT c_custkey, c_acctbal AS bal FROM customer c
+      |         WHERE c.c_nationkey = n.n_nationkey
+      |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t""".stripMargin) { (s, dir) =>
+    Tables.nation(s, dir).createOrReplaceTempView("g_l_nation")
+    Tables.customer(s, dir).createOrReplaceTempView("g_l_customer")
+    s.sql(
+      """SELECT n.n_nationkey, n.n_name, t.c_custkey AS top_custkey, t.bal
+        |FROM g_l_nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal AS bal FROM g_l_customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
       qFirstLast, qIntersectAll, qExceptAll, qKmvSketch, qCalendar,
       qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders,
-      qRecursiveDepth, qCorrelation, qSessionWindow)
+      qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
+      qLateral)
 }
