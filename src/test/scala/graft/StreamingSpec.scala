@@ -229,6 +229,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("full-outer interval join emits unmatched rows from BOTH sides") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Int, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Int, java.sql.Timestamp)]
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val joined = Streams.intervalJoin(
+      views.toDF().toDF("v_item", "v_ts"), clicks.toDF().toDF("c_item", "c_ts"),
+      "v_item", "c_item", "v_ts", "c_ts", withinSecs = 300,
+      watermark = "10 minutes", joinType = "full_outer")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("foj_test").start()
+    try {
+      views.addData((1, t(0)), (2, t(0)))   // 2 never clicked
+      clicks.addData((1, t(2)), (3, t(1)))  // 3 never viewed
+      q.processAllAvailable()
+      views.addData((9, t(40)))             // advance both watermarks
+      clicks.addData((9, t(41)))
+      q.processAllAvailable()
+      val rows = spark.table("foj_test")
+        .select("v_item", "c_item").collect()
+        .map(r => (if (r.isNullAt(0)) None else Some(r.getInt(0))) ->
+          (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toSet
+      assert(rows.contains(Some(1) -> Some(1)), rows.toString)
+      assert(rows.contains(Some(2) -> None), s"unmatched view missing: $rows")
+      assert(rows.contains(None -> Some(3)), s"unmatched click missing: $rows")
+    } finally q.stop()
+  }
+
   test("transformWithState latest-value: RocksDB-backed set/overwrite semantics") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.Encoders
