@@ -25,6 +25,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 case class SrpBandCodes(child: Expression, weights: Seq[Seq[Double]],
     planesPerBand: Int) extends UnaryExpression with CodegenFallback {
 
+  require(planesPerBand > 0 && weights.length % planesPerBand == 0,
+    s"weights.length=${weights.length} must be a positive multiple of " +
+      s"planesPerBand=$planesPerBand — a remainder would silently drop " +
+      "trailing hyperplanes")
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(

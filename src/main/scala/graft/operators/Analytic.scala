@@ -206,10 +206,11 @@ object Analytic {
       |  FROM orders
       |)
       |SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn <= 3""".stripMargin) { (s, dir) =>
-    import graft.plans.{TopKPerKey, TopKPerKeyStrategy}
-    if (!s.experimental.extraStrategies.contains(TopKPerKeyStrategy))
-      s.experimental.extraStrategies =
-        s.experimental.extraStrategies :+ TopKPerKeyStrategy
+    import graft.plans.TopKPerKey
+    // TopKPerKeyStrategy registration is Sessions.tune's job (or
+    // .withExtensions(GraftPlannerExtensions)) — mutating
+    // experimental.extraStrategies here would be a racy read-modify-write
+    // of shared session state inside query construction.
     val withOrd = Tables.orders(s, dir)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("ord", struct(col("o_totalprice"), col("o_orderkey")))

@@ -336,7 +336,7 @@ object Similarity {
       |        x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT)) AS qv FROM m),
       |x AS (SELECT label, unnest(generate_series(1, len(qv))) AS pos1, qv FROM q)
       |SELECT label, CAST(pos1 - 1 AS BIGINT) AS pos,
-      |       SUM(qv[pos1]) AS qsum, COUNT(*) AS n
+      |       CAST(SUM(qv[pos1]) AS BIGINT) AS qsum, COUNT(*) AS n
       |FROM x GROUP BY label, pos1""".stripMargin) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
       .select(col("label"), dvec(col("embedding")).as("v"))

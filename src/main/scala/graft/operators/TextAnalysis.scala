@@ -184,7 +184,7 @@ object TextAnalysis {
       |), v AS (
       |  SELECT token, DENSE_RANK() OVER (ORDER BY df DESC, token) AS rnk FROM df
       |)
-      |SELECT doc_id, SUM(rnk) AS rank_sum, COUNT(*) AS n_tok,
+      |SELECT doc_id, CAST(SUM(rnk) AS BIGINT) AS rank_sum, COUNT(*) AS n_tok,
       |       CAST(SUM(rnk) * 10000 // COUNT(*) AS BIGINT) AS mean_rank_bp
       |FROM tok JOIN v USING (token) GROUP BY 1""".stripMargin) { (s, dir) =>
     val tok = Tables.documents(s, dir)

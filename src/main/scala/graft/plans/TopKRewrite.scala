@@ -66,7 +66,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case p @ Project(projList, Filter(cond, w: Window)) =>
       rowNumberAlias(w) match {
         case Some((rn, part, order))
-          if order.nonEmpty &&
+          // part.nonEmpty: a global top-k (empty PARTITION BY) would give
+          // TopKPerKeyNode a ClusteredDistribution(Nil), which Spark 4.1
+          // rejects at planning; leave the global form to Spark's own
+          // InferWindowGroupLimit instead.
+          if part.nonEmpty && order.nonEmpty &&
             order.forall(_.direction == Descending) &&
             order.forall(_.nullOrdering == NullsLast) && // heap sorts nulls last
 

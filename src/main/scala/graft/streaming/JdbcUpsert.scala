@@ -33,12 +33,27 @@ object JdbcUpsert {
     def create(columns: Seq[String]): UpsertExecutor
   }
 
+  /** Identifiers are interpolated into statement text, so they must be
+    * plain SQL names — anything else (quotes, spaces, semicolons) would
+    * break the statement or smuggle SQL in. `table` additionally allows
+    * one schema qualifier dot.
+    */
+  private val Ident = "[A-Za-z_][A-Za-z0-9_]*".r
+  private def checkIdent(kind: String, s: String): String = {
+    val parts = if (kind == "table") s.split('.').toSeq else Seq(s)
+    require(parts.nonEmpty && parts.forall(Ident.matches),
+      s"unsafe $kind identifier for SQL interpolation: '$s'")
+    s
+  }
+
   /** The statement text the real path prepares — kept as a pure function
     * so tests can pin it without a database.
     */
   def insertOnConflictSql(table: String, columns: Seq[String], key: String): String =
-    s"INSERT INTO $table (${columns.mkString(", ")}) VALUES " +
-      s"(${columns.map(_ => "?").mkString(", ")}) ON CONFLICT ($key) DO NOTHING"
+    s"INSERT INTO ${checkIdent("table", table)} " +
+      s"(${columns.map(checkIdent("column", _)).mkString(", ")}) VALUES " +
+      s"(${columns.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${checkIdent("key", key)}) DO NOTHING"
 
   /** Real java.sql-backed factory. Compiles against the JDK's java.sql;
     * needs the target database's driver jar on the executor classpath at

@@ -87,6 +87,15 @@ object Streams {
     * sink counts as "first batch"; any other read failure propagates —
     * silently treating it as empty would append duplicate keys and break
     * the ON CONFLICT DO NOTHING contract.
+    *
+    * The bucket count is part of the sink's physical contract: pruning
+    * with a different modulus than the one the sink was written with
+    * would prune the WRONG partitions and silently re-admit existing
+    * keys. The count is persisted in a `_graft_buckets` sidecar on first
+    * write (underscore prefix → invisible to parquet scans) and
+    * validated every batch; a populated sink without the sidecar (e.g.
+    * written by an incompatible layout) fails loudly rather than
+    * guessing.
     */
   def upsertAppendSink(df: DataFrame, key: String, outDir: String,
       checkpointDir: String, nBuckets: Int = 64): StreamingQuery =
@@ -100,16 +109,41 @@ object Streams {
         val buckets = fresh.select("__bucket").distinct()
           .collect().map(_.getInt(0)).toSeq
         val outPath = new org.apache.hadoop.fs.Path(outDir)
+        val metaPath = new org.apache.hadoop.fs.Path(outDir, "_graft_buckets")
         val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         // only a genuinely absent/empty sink means "first batch"
-        val sinkHasData = fs.exists(outPath) && fs.listStatus(outPath).nonEmpty
+        val sinkHasData = fs.exists(outPath) && fs.listStatus(outPath)
+          .exists { st =>
+            val n = st.getPath.getName
+            // partition dirs are data; _SUCCESS/_graft_buckets/.crc are not
+            n.startsWith("__bucket=") ||
+              !(n.startsWith("_") || n.startsWith("."))
+          }
         val existingKeys =
           if (!sinkHasData) fresh.select(col(key).as("__sunk")).limit(0)
-          else spark.read.parquet(outDir)
-            .filter(col("__bucket").isin(buckets: _*)) // partition pruning
-            .select(col(key).as("__sunk"))
+          else {
+            require(fs.exists(metaPath),
+              s"upsert sink $outDir has data but no _graft_buckets sidecar; " +
+                "refusing to prune with an unverified bucket layout")
+            val written = {
+              val in = fs.open(metaPath)
+              try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+              finally in.close()
+            }
+            require(written == nBuckets,
+              s"upsert sink $outDir was written with nBuckets=$written, " +
+                s"got $nBuckets — pruning would miss existing keys")
+            spark.read.parquet(outDir)
+              .filter(col("__bucket").isin(buckets: _*)) // partition pruning
+              .select(col(key).as("__sunk"))
+          }
         fresh.join(existingKeys, col(key) === col("__sunk"), "left_anti")
           .write.mode("append").partitionBy("__bucket").parquet(outDir)
+        if (!fs.exists(metaPath)) {
+          val out = fs.create(metaPath, true)
+          try out.write(nBuckets.toString.getBytes("UTF-8"))
+          finally out.close()
+        }
       }
       .start()
 

@@ -131,6 +131,61 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("S21: sink written with a different nBuckets fails loudly, never mis-prunes") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = tmp("ups_nb_out"); val ck1 = tmp("ups_nb_ck1"); val ck2 = tmp("ups_nb_ck2")
+    val in1 = MemoryStream[(String, Double)]
+    val q1 = Streams.upsertAppendSink(
+      in1.toDF().toDF("transaction_id", "amount"), "transaction_id", out, ck1,
+      nBuckets = 8)
+    in1.addData(("t1", 1.0))
+    q1.processAllAvailable(); q1.stop()
+    // same sink, different modulus: pruning would read the wrong
+    // partitions and silently append duplicates — must throw instead
+    val in2 = MemoryStream[(String, Double)]
+    val q2 = Streams.upsertAppendSink(
+      in2.toDF().toDF("transaction_id", "amount"), "transaction_id", out, ck2,
+      nBuckets = 16)
+    in2.addData(("t2", 2.0))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      try q2.processAllAvailable() finally q2.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(ex).exists(c =>
+      Option(c.getMessage).exists(_.contains("nBuckets"))), ex.toString)
+    // and the sink is untouched by the failed batch
+    assert(spark.read.parquet(out).count() === 1)
+  }
+
+  test("S21/T7: replay after a lost checkpoint commit is exactly-once") {
+    // Crash model: the batch's parquet append SUCCEEDED but the
+    // checkpoint commit was lost (lab05's idempotency contract). The
+    // engine then re-delivers the same data — simulated with a fresh
+    // checkpoint dir — and the sink-side anti-join must drop every
+    // already-sunk key: no duplicates, no loss.
+    implicit val sqlCtx = spark.sqlContext
+    val out = tmp("ups_xo_out"); val ck1 = tmp("ups_xo_ck1"); val ck2 = tmp("ups_xo_ck2")
+    val in1 = MemoryStream[(String, Double)]
+    val q1 = Streams.upsertAppendSink(
+      in1.toDF().toDF("transaction_id", "amount"), "transaction_id", out, ck1)
+    in1.addData(("t1", 1.0), ("t2", 2.0))
+    q1.processAllAvailable(); q1.stop()
+    assert(spark.read.parquet(out).count() === 2)
+    // replay the whole input plus one genuinely new row
+    val in2 = MemoryStream[(String, Double)]
+    val q2 = Streams.upsertAppendSink(
+      in2.toDF().toDF("transaction_id", "amount"), "transaction_id", out, ck2)
+    try {
+      in2.addData(("t1", 1.0), ("t2", 2.0), ("t3", 3.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val res = spark.read.parquet(out)
+    assert(res.count() === 3) // no dupes
+    assert(res.select("transaction_id").as[String].collect().toSet
+      === Set("t1", "t2", "t3")) // no loss
+  }
+
   test("from_json with explicit schema parses the events props column") {
     val df = Tables.events(spark, sf0001)
       .select(from_json(col("props"),

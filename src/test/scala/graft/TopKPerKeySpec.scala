@@ -69,6 +69,17 @@ class TopKPerKeySpec extends SparkTestBase {
         .filter(col("rn") <= 3)
         .select("o_custkey", "o_orderkey")
       assert(ascQ.queryExecution.executedPlan.toString.contains("Window"))
+      // empty PARTITION BY (global top-k) → no rewrite: TopKPerKeyNode
+      // would request ClusteredDistribution(Nil), which Spark rejects at
+      // planning. Must still plan and execute via the window route.
+      val global = Window.orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+      val globalQ = Tables.orders(spark, sf0001)
+        .withColumn("rn", row_number().over(global))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+      val gPlan = globalQ.queryExecution.executedPlan.toString
+      assert(!gPlan.contains("TopKPerKey"), gPlan)
+      assert(globalQ.count() === 3)
     }
   }
 

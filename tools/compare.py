@@ -9,17 +9,23 @@ tables, and compares: column names (sorted), row count, and a hash of the
 value matrix after sorting columns by name and rows by their stringified
 values. Prints per-query PASS/FAIL.
 """
-import sys, json, glob, hashlib
+import sys, json, glob, hashlib, math
 import duckdb
+import pandas as pd
 
 
 def canon(v):
-    if v is None:
+    if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, float):
-        # driver tolerance unknown; mirror a strict repr — queries are
-        # responsible for rounding order-sensitive aggregates
-        return repr(round(v, 9))
+        # np.float64 subclasses float; convert so repr has no np prefix.
+        # DuckDB HUGEINT (uncast SUM(int)) reaches pandas as float64 and
+        # renders "8711.0" vs Spark BIGINT "8711" — exactly what the
+        # driver's hash sees, so an uncast oracle fails here too.
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        return repr(round(f, 9))
     return str(v)
 
 
@@ -49,11 +55,16 @@ def main():
             n_fail += 1
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet({files!r})").fetchall()
-            got_cols = [d[0] for d in con.description]
-            want = con.execute(sql).fetchall()
-            want_cols = [d[0] for d in con.description]
+            # Fetch via pandas, not fetchall(): Python ints erase the
+            # HUGEINT-vs-BIGINT distinction the driver's hash is
+            # sensitive to (round-2 lesson: local gate said 107/107
+            # while the driver failed 2 on exactly this).
+            gdf = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
+            got_cols = list(gdf.columns)
+            got = list(gdf.itertuples(index=False, name=None))
+            wdf = con.execute(sql).df()
+            want_cols = list(wdf.columns)
+            want = list(wdf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
