@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.concurrent.TrieMap
+
+/** Materialize-once registry for composed operators.
+  *
+  * Audit/report queries compose other operators (d8/d12 build on d5's
+  * cluster labels, s7 on s1+s3, p11 on p3+p7). Re-running the parent
+  * pipeline inline per consumer is correct but wasteful — at 100 TB a
+  * production DAG materializes each intermediate once and every consumer
+  * reads the materialized copy (the dbt staged-model pattern:
+  * magic_shop/models/marts/fct_orders.sql builds on staged intermediates,
+  * it never re-derives them).
+  *
+  * This registry is that seam inside one Spark application:
+  * `Intermediates.of(spec)(s, dir)` runs the spec AT MOST ONCE per
+  * (session, data dir) and hands every consumer the same
+  * `localCheckpoint`ed result — materialized to block storage, lineage
+  * truncated, freed with the session. On a cluster the same seam would
+  * write a temp parquet instead; the contract (materialize once, reuse
+  * everywhere) is identical, and the cached results here are the small
+  * ones by construction: labels, candidate pairs, top-k lists — never
+  * the corpus.
+  *
+  * Keyed by session identity so a restarted session can never see
+  * another session's orphaned blocks.
+  */
+object Intermediates {
+  private val cache = TrieMap.empty[(Int, String, String), DataFrame]
+
+  def of(spec: QuerySpec)(s: SparkSession, dir: String): DataFrame =
+    cache.getOrElseUpdate((System.identityHashCode(s), dir, spec.name),
+      spec.run(s, dir).localCheckpoint())
+
+  /** Test seam: drop all cached results (e.g. between suites that reuse
+    * one session but mutate inputs).
+    */
+  def clear(): Unit = cache.clear()
+}

@@ -47,15 +47,94 @@ object Multimodal {
     }
   }
 
-  /** The real decoder seam: wire an actual codec here when the runtime
-    * has one. Deliberately unimplemented in this environment.
+  /** The real decoder seam for audio/video: wire an actual codec here
+    * when the runtime has one. Deliberately unimplemented in this
+    * environment (no audio/video codec libs). Images have a REAL path:
+    * [[ImageIoDecoder]].
     */
   object RealMediaDecoder extends MediaDecoder {
     def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] =
       throw new NotImplementedError(
-        "media codecs (image/audio/video) are not available in this " +
-          "container — use FakeMediaDecoder for plumbing tests; STUB per " +
-          "builder contract")
+        "audio/video codecs are not available in this container — images " +
+          "decode for real via ImageIoDecoder; use FakeMediaDecoder for " +
+          "non-image plumbing tests")
+  }
+
+  /** REAL image decode: javax.imageio ships with the JDK (headless-safe,
+    * no native libs), so PNG/JPEG/GIF/BMP bytes decode to actual pixels
+    * here — width/height are read from the image, and the fingerprint is
+    * a genuine 8×8 average-hash over decoded luminance. Batched like
+    * every decoder (codec setup amortizes per partition, memory bounded
+    * by batch size × image size at 100 TB).
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    def decodeBatch(rows: Seq[MediaRow]): Seq[MediaFeatures] = rows.map { r =>
+      require(r.media_type == "image",
+        s"ImageIoDecoder got media_type=${r.media_type} for doc ${r.doc_id}")
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.media))
+      require(img != null, s"undecodable image bytes for doc ${r.doc_id}")
+      MediaFeatures(r.doc_id, r.media_type, r.media.length,
+        img.getWidth, img.getHeight, duration_ms = 0L, n_frames = 1,
+        fingerprint = f"${averageHash(img)}%016x")
+    }
+  }
+
+  /** 8×8 average-hash (aHash): box-mean luminance per grid cell, bit
+    * `row*8+col` set where the cell is DARKER than the global mean.
+    * Integer arithmetic throughout (sums and cross-multiplied
+    * comparisons, no division) so the hash is bit-reproducible across
+    * JVMs — no Graphics2D rescale, whose rendering hints are not pinned.
+    */
+  def averageHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var total = 0L
+    var y = 0
+    while (y < h) {
+      val cr = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        // luminance proxy r+g+b — monotonic, division-free
+        val lum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+        val c = cr * 8 + x * 8 / w
+        sums(c) += lum; counts(c) += 1; total += lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      // cellMean < globalMean  ⟺  cellSum * n < total * cellCount
+      if (counts(i) > 0 && sums(i) * n < total * counts(i)) bits |= 1L << i
+      i += 1
+    }
+    bits
+  }
+
+  /** Test-image generator: w×h PNG, columns left of `splitX` black, the
+    * rest white. Encoded through the real ImageIO PNG writer so decode
+    * paths exercise genuine codec bytes.
+    */
+  def encodeSplitPng(w: Int, h: Int, splitX: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, if (x < splitX) 0x000000 else 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
   }
 
   /** Batched per-partition feature extraction. `batchSize` bounds decoder

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QuerySpec, Tables}
+import graft.{Intermediates, QuerySpec, Tables}
 import graft.functions.Portable
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -491,9 +491,9 @@ object Curation {
     val bucket = Portable.h32(col("doc_id").cast("string")) % 100
     val evalDocs = Tables.documents(s, dir)
       .filter(bucket >= 80).select(col("doc_id").as("eval_doc"))
-    val sigMatches = pContamination.run(s, dir)
+    val sigMatches = Intermediates.of(pContamination)(s, dir)
       .select(col("eval_doc").as("sm_doc"), lit(1L).as("sig_match"))
-    val shared = pNgramDecontam.run(s, dir)
+    val shared = Intermediates.of(pNgramDecontam)(s, dir)
       .select(col("eval_doc").as("sh_doc"), col("n_shared"))
     evalDocs
       .join(sigMatches, col("eval_doc") === col("sm_doc"), "left")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QuerySpec, Tables}
+import graft.{Intermediates, QuerySpec, Tables}
 import graft.functions.Portable
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -222,8 +222,7 @@ object Dedup {
        |)
        |SELECT s AS doc_id, least(s, MIN(t)) AS cluster_id
        |FROM reach GROUP BY s""".stripMargin) { (s, dir) =>
-    val pairs = dMinHash.run(s, dir).select("doc_a", "doc_b")
-      .localCheckpoint()
+    val pairs = Intermediates.of(dMinHash)(s, dir).select("doc_a", "doc_b")
     // undirected edge list
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
@@ -292,7 +291,7 @@ object Dedup {
       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin) { (s, dir) =>
-    val sigs = dSimHash.run(s, dir).localCheckpoint()
+    val sigs = Intermediates.of(dSimHash)(s, dir)
     // 7 disjoint chunks: j=0..5 take 9 bits, j=6 the remaining 6
     val chunkVals = array((0 until 7).map(j =>
       shiftright(col("simhash"), j * 9).bitwiseAND(lit(511L))): _*)
@@ -390,7 +389,7 @@ object Dedup {
        |SELECT cluster_id, doc_id AS kept_doc, quality_bp AS kept_quality_bp,
        |       n_members
        |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
-    val labels = dClusters.run(s, dir)
+    val labels = Intermediates.of(dClusters)(s, dir)
     val docs = Tables.documents(s, dir)
     val quality = docs
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
@@ -603,8 +602,8 @@ object Dedup {
        |       CAST(p.sum_est // p.n_edges AS BIGINT) AS avg_est_bp,
        |       p.min_est_bp
        |FROM memb m JOIN pstats p ON p.cluster_id = m.cluster_id""".stripMargin) { (s, dir) =>
-    val labels = dClusters.run(s, dir).localCheckpoint()
-    val pairs = dMinHash.run(s, dir)
+    val labels = Intermediates.of(dClusters)(s, dir)
+    val pairs = Intermediates.of(dMinHash)(s, dir)
       .select(col("doc_a"), col("doc_b"),
         (col("est_jaccard") * 10000).cast("long").as("est_bp"))
     val memb = labels.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))

@@ -121,5 +121,56 @@ object MultimodalQ {
         "sw * 100L div n AS avg_w_c")
   }
 
-  val all: Seq[QuerySpec] = Seq(mFeatures, mResize, mFrames, mModalityReport)
+  /** REAL image decode under the oracle gate: per doc, synthesize a PNG
+    * with analytically-known geometry (w×h from doc_id, left `k` of 8
+    * grid columns black), push it through the genuine ImageIO
+    * encode→decode→average-hash path, and emit decoded width/height,
+    * the 8×8 aHash, and fit-32×32 resize geometry. The oracle reproduces
+    * every value in closed form — so a broken decoder, a flipped hash
+    * bit, or wrong geometry all fail the hash compare. Split columns are
+    * 8-grid-aligned (w is a multiple of 16), so each aHash cell is
+    * uniformly black or white and the hash is exactly
+    * (2^k − 1) · 0x0101010101010101.
+    */
+  val mImageDecode: QuerySpec = QuerySpec.sql(
+    "m5_image_decode",
+    """WITH m AS (
+      |  SELECT doc_id,
+      |         16 * (1 + doc_id % 4) AS w,
+      |         16 * (1 + doc_id % 3) AS h,
+      |         2 * (doc_id % 3 + 1) AS k
+      |  FROM documents WHERE doc_id < 200
+      |), s AS (
+      |  SELECT doc_id, w, h, k,
+      |         least(1000, least(32000 // w, 32000 // h)) AS sc
+      |  FROM m
+      |)
+      |SELECT doc_id,
+      |       CAST(w AS INTEGER) AS width,
+      |       CAST(h AS INTEGER) AS height,
+      |       printf('%016x', ((CAST(1 AS BIGINT) << k) - 1) * 72340172838076673) AS ahash,
+      |       CAST(w * sc // 1000 AS INTEGER) AS new_width,
+      |       CAST(h * sc // 1000 AS INTEGER) AS new_height
+      |FROM s""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val media = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (16 * (1 + id % 4)).toInt
+        val h = (16 * (1 + id % 3)).toInt
+        val k = (2 * (id % 3 + 1)).toInt
+        Multimodal.MediaRow(id, "image",
+          Multimodal.encodeSplitPng(w, h, w * k / 8))
+      })
+    val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
+    val resized = Multimodal.resize(feats, maxW = 32, maxH = 32).toDF()
+      .select(col("doc_id"), col("new_width"), col("new_height"))
+    feats.toDF()
+      .select(col("doc_id"), col("width"), col("height"),
+        col("fingerprint").as("ahash"))
+      .join(resized, "doc_id")
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(mFeatures, mResize, mFrames, mModalityReport, mImageDecode)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QuerySpec, Tables}
+import graft.{Intermediates, QuerySpec, Tables}
 import graft.functions.VecOps.vec_dot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -398,8 +398,8 @@ object Similarity {
        |FROM exact x LEFT JOIN ann a
        |  ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
        |GROUP BY 1""".stripMargin) { (s, dir) =>
-    val exact = sKnn.run(s, dir).select("query_id", "neighbor_id")
-    val ann = sAnnLsh.run(s, dir)
+    val exact = Intermediates.of(sKnn)(s, dir).select("query_id", "neighbor_id")
+    val ann = Intermediates.of(sAnnLsh)(s, dir)
       .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
     exact.join(ann,
         col("query_id") === col("a_qid") && col("neighbor_id") === col("a_nid"),
@@ -444,7 +444,7 @@ object Similarity {
        |FROM pairs p
        |JOIN quant a ON a.vec_id = p.query_id
        |JOIN quant b ON b.vec_id = p.neighbor_id""".stripMargin) { (s, dir) =>
-    val pairs = sKnn.run(s, dir)
+    val pairs = Intermediates.of(sKnn)(s, dir)
       .select(col("query_id"), col("neighbor_id"))
     // re-derive the unrounded exact cosine for the err arithmetic (s1
     // rounds its output; the oracle differences the raw doubles)

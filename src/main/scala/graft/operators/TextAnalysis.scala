@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.{QuerySpec, Tables}
+import graft.{Intermediates, QuerySpec, Tables}
 import graft.functions.Portable
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -171,9 +171,12 @@ object TextAnalysis {
     * Integer ranks + basis-point mean keep it engine-exact — a float
     * -log(p) sum would be summation-order-dependent.
     *
-    * Scale shape: the rank window is global but runs over the VOCABULARY
-    * (bounded, ~millions), not the corpus; the per-doc score joins tokens
-    * against the broadcast vocab and aggregates on doc_id.
+    * Scale shape: the rank is global over the VOCABULARY but never runs
+    * as a single-partition window — `rankedVocab` range-partitions on the
+    * sort key, ranks within each partition, and adds broadcast partition
+    * offsets (the standard distributed global-rank shape). The per-doc
+    * score then joins tokens against the broadcast vocab and aggregates
+    * on doc_id.
     */
   val tSurprisal: QuerySpec = QuerySpec.sql(
     "t7_surprisal",
@@ -189,16 +192,50 @@ object TextAnalysis {
       |FROM tok JOIN v USING (token) GROUP BY 1""".stripMargin) { (s, dir) =>
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val vocab = tok.select("doc_id", "token").distinct()
-      .groupBy("token").agg(count(lit(1)).as("df"))
-      .withColumn("rnk",
-        dense_rank().over(Window.orderBy(col("df").desc, col("token"))))
-      .select("token", "rnk")
+    val vocab = rankedVocab(s,
+      tok.select("doc_id", "token").distinct()
+        .groupBy("token").agg(count(lit(1)).as("df")))
     tok.join(broadcast(vocab), "token")
       .groupBy("doc_id")
       .agg(sum("rnk").as("rank_sum"), count(lit(1)).as("n_tok"))
       .selectExpr("doc_id", "rank_sum", "n_tok",
         "rank_sum * 10000L div n_tok AS mean_rank_bp")
+  }
+
+  /** Distributed global rank over (df DESC, token): because the token
+    * tie-break makes the sort key unique, DENSE_RANK == ROW_NUMBER, and a
+    * global row number decomposes into range-partition → per-partition
+    * row_number → plus the row count of all earlier partitions. No
+    * single-partition window anywhere: the wide stages are a range
+    * exchange and a P-key hash exchange; the only driver-side data is one
+    * row count per partition (≤ shuffle-partition count — same bounded
+    * shape as the upsert sink's bucket pruning).
+    *
+    * The ranged frame is localCheckpoint'ed so the partition-count job
+    * and the rank job read the SAME materialized partitioning — partition
+    * ids are data, not a recomputation hazard.
+    */
+  private[graft] def rankedVocab(s: org.apache.spark.sql.SparkSession,
+      dfTable: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = dfTable
+      .repartitionByRange(p, col("df").desc, col("token"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) =>
+      (pid + 1, acc + cnt)
+    }.take(counts.length).map { case (_, off) => off }
+    val offByPid = counts.map(_._1).zip(offsets).toMap
+    val offCol = offByPid.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("pid") === pid, lit(off)).otherwise(acc)
+    }
+    val wLocal = Window.partitionBy("pid")
+      .orderBy(col("df").desc, col("token"))
+    ranged
+      .withColumn("rnk", (row_number().over(wLocal) + offCol).cast("int"))
+      .select("token", "rnk")
   }
 
   /** PII-redaction seam: numeric literals in the semi-structured event
@@ -365,7 +402,7 @@ object TextAnalysis {
       |SELECT lang, predicted, n,
       |       CAST(n * 10000 // SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS share_bp
       |FROM c""".stripMargin) { (s, dir) =>
-    tLangId.run(s, dir)
+    Intermediates.of(tLangId)(s, dir)
       .groupBy("lang", "predicted")
       .agg(count(lit(1)).as("n"))
       .withColumn("share_bp",

@@ -274,6 +274,32 @@ class AnalyticSpec extends SparkTestBase {
     }
   }
 
+  test("t7 vocab rank is distributed: equals dense_rank with no global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.window.WindowExec
+    val tok = Tables.documents(spark, sf001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val dfT = tok.distinct().groupBy("token").agg(count(lit(1)).as("df"))
+    val got = operators.TextAnalysis.rankedVocab(spark, dfT)
+    // the token tie-break makes the key unique, so dense_rank is the
+    // ground truth the two-pass rank must reproduce exactly
+    val want = dfT.withColumn("rnk", dense_rank()
+        .over(Window.orderBy(col("df").desc, col("token"))).cast("int"))
+      .select("token", "rnk")
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // and the distributed form never plans a partition-less window
+    // (unwrap AQE — collect() does not recurse into AdaptiveSparkPlanExec)
+    val root = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val wins = root.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      got.queryExecution.executedPlan.toString)
+  }
+
   test("s6 centroid: |labels| x dim rows; n is the label's vector count") {
     val rows = run("s6_centroid_int8", sf001).collect()
     val labels = Tables.embeddings(spark, sf001)

@@ -43,10 +43,55 @@ class MultimodalSpec extends SparkTestBase {
     assert(df.filter(col("n_sampled") =!= expr("(n_frames + 9) div 10")).count() === 0)
   }
 
-  test("real decoder seam is a clearly-marked stub") {
+  test("real decoder seam is a clearly-marked stub for audio/video") {
     intercept[NotImplementedError] {
       Multimodal.RealMediaDecoder.decodeBatch(Seq(
-        Multimodal.MediaRow(1, "image", Array[Byte](1, 2))))
+        Multimodal.MediaRow(1, "video", Array[Byte](1, 2))))
     }
+  }
+
+  test("ImageIO decode: real PNG round-trip recovers geometry and aHash") {
+    // 32×16, left quarter black → aHash dark cells = cols 0-1 every row
+    val bytes = Multimodal.encodeSplitPng(32, 16, 8)
+    val Seq(f) = Multimodal.ImageIoDecoder.decodeBatch(Seq(
+      Multimodal.MediaRow(7, "image", bytes)))
+    assert(f.width === 32 && f.height === 16)
+    assert(f.n_bytes === bytes.length)
+    assert(f.fingerprint === f"${3L * 72340172838076673L}%016x")
+  }
+
+  test("ImageIO decode: aHash is exact on non-8-aligned dimensions") {
+    // 33×17 with the split at x=9: cells straddling the boundary get a
+    // mixed mean — the hash must still be deterministic and the clearly
+    // dark/bright cells must land on the right side of the global mean
+    val bytes = Multimodal.encodeSplitPng(33, 17, 9)
+    val a = Multimodal.ImageIoDecoder.decodeBatch(Seq(
+      Multimodal.MediaRow(1, "image", bytes))).head.fingerprint
+    val b = Multimodal.ImageIoDecoder.decodeBatch(Seq(
+      Multimodal.MediaRow(1, "image", bytes))).head.fingerprint
+    assert(a === b)
+    val bits = java.lang.Long.parseUnsignedLong(a, 16)
+    // col 0 (pure black) dark in every row; col 7 (pure white) never
+    (0 until 8).foreach { r =>
+      assert((bits & (1L << (r * 8))) !== 0L, s"row $r col 0 not dark")
+      assert((bits & (1L << (r * 8 + 7))) === 0L, s"row $r col 7 dark")
+    }
+  }
+
+  test("ImageIO decode: garbage bytes fail loudly, not silently") {
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decodeBatch(Seq(
+        Multimodal.MediaRow(1, "image", Array[Byte](1, 2, 3, 4))))
+    }
+  }
+
+  test("m5: oracle-shaped image decode query over real codec bytes") {
+    val df = run("m5_image_decode")
+    assert(df.count() === 200)
+    // every row's decoded geometry matches the closed form
+    assert(df.filter(col("width") =!= (lit(16) * (lit(1) + col("doc_id") % 4)))
+      .count() === 0)
+    assert(df.filter(col("new_width") > 32 || col("new_height") > 32)
+      .count() === 0)
   }
 }

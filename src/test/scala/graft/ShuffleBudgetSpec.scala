@@ -20,16 +20,16 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "d4_simhash" -> 0, "d5_dedup_clusters" -> 1, "d6_simhash_pairs" -> 1,
     "d7_containment" -> 6, "d8_keep_best" -> 2, "d9_boilerplate" -> 3,
     "d10_sketch_error" -> 4, "d11_dup_rate_by_source" -> 2,
-    "d12_cluster_quality" -> 8,
+    "d12_cluster_quality" -> 4,
     "m1_media_features" -> 0, "m2_media_resize" -> 0, "m3_frame_sample" -> 0,
-    "m4_modality_report" -> 1, "s7_ann_recall" -> 7, "s8_quant_error" -> 6,
+    "m4_modality_report" -> 1, "m5_image_decode" -> 1, "s7_ann_recall" -> 3, "s8_quant_error" -> 6,
     "t12_langid_confusion" -> 2,
     "p1_training_corpus" -> 3, "p2_train_test_split" -> 0,
     "p3_contamination" -> 2, "p4_quality_report" -> 8,
     "p5_sequence_packing" -> 1, "p6_domain_mix" -> 0,
     "p7_ngram_decontam" -> 3, "p8_proportional_sample" -> 13,
     "p9_length_histogram" -> 2, "p10_filter_funnel" -> 5,
-    "p11_contamination_report" -> 7,
+    "p11_contamination_report" -> 3,
     "q10_union_all" -> 0, "q11_ilike" -> 0, "q12_case_when" -> 0,
     "q13_date_pred" -> 0, "q14_multi_sort" -> 2, "q15_md5" -> 0,
     "q16_agg_join_coalesce" -> 2, "q17_rank_per_nation" -> 1,
@@ -58,7 +58,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "s4_ann_ivf" -> 6, "s5_quantize_int8" -> 0, "s6_centroid_int8" -> 1,
     "t1_token_count" -> 1, "t2_quality_score" -> 0, "t3_lang_id" -> 0,
     "t4_fingerprint" -> 0, "t5_repetition" -> 0, "t6_vocab_df" -> 3,
-    "t7_surprisal" -> 5, "t8_redact" -> 0, "t9_keywords" -> 3,
+    "t7_surprisal" -> 3, "t8_redact" -> 0, "t9_keywords" -> 3,
     "t10_gopher_rules" -> 0, "t11_bigram_lm" -> 2)
 
   test("every registered query stays within its exchange budget") {
