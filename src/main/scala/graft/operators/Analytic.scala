@@ -694,11 +694,60 @@ object Analytic {
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t""".stripMargin)
   }
 
+  /** Skewed-key shuffle join — the AQE skew-split benchmark fixture.
+    * l_returnflag has 3 values, so a shuffle join on it lands a third of
+    * the fact table in each of 3 partitions while the rest sit empty:
+    * textbook partition skew. The SHUFFLE_MERGE hint pins the
+    * sort-merge-join shape that AQE's OptimizeSkewedJoin protects
+    * (splitting oversized partitions into advisory-sized chunks at
+    * runtime — proven plan-level in ScaleSpec on this very query). A
+    * 3-row totals side would of course broadcast by default (q3's
+    * shape); the hint models the general case where the aggregated side
+    * is itself large (per-user/per-day totals at 100 TB) and broadcast
+    * is not an option. Results are hint-independent, so the oracle is
+    * plain SQL.
+    *
+    * The downstream aggregation is keyed on l_linestatus — deliberately
+    * NOT the join key: an agg on the join key would reuse the join's
+    * partitioning, and AQE (correctly) refuses to skew-split a join
+    * whose output partitioning a downstream operator depends on. Keying
+    * the agg differently inserts its own exchange, leaving the join free
+    * to split — the shape a real skewed enrich-then-rollup pipeline has.
+    */
+  val qSkewJoin: QuerySpec = QuerySpec.sql(
+    "q61_skew_join",
+    """WITH ft AS (
+      |  SELECT l_returnflag,
+      |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS flag_qty
+      |  FROM lineitem GROUP BY 1
+      |)
+      |SELECT l.l_linestatus,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(SUM(CAST(l_quantity AS BIGINT) * 10000 // ft.flag_qty) AS BIGINT) AS wshare_sum
+      |FROM lineitem l JOIN ft USING (l_returnflag)
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    // l_quantity is integral by construction, so the BIGINT cast is
+    // exact in both engines (DuckDB rounds, Spark truncates — moot here)
+    val li = Tables.lineitem(s, dir).select(col("l_returnflag"),
+      col("l_linestatus"), col("l_quantity").cast("long").as("qty"))
+    // materialized like a precomputed dim (3 rows): AQE's skew handler
+    // only matches a join whose children are sorts over direct shuffle
+    // stages — an inline aggregate under the right sort would disqualify
+    // the join from splitting
+    val ft = li.groupBy("l_returnflag").agg(sum("qty").as("flag_qty"))
+      .localCheckpoint()
+    li.hint("SHUFFLE_MERGE").join(ft, "l_returnflag")
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n_rows"), sum("qty").as("sum_qty"),
+        sum(expr("qty * 10000L div flag_qty")).as("wshare_sum"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
       qFirstLast, qIntersectAll, qExceptAll, qKmvSketch, qCalendar,
       qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders,
       qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
-      qLateral)
+      qLateral, qSkewJoin)
 }

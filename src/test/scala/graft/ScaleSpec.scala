@@ -126,6 +126,46 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("AQE skew-split fires on the registered q61 skew join over real data") {
+    // thresholds lowered so sf0.01's ~60k lineitem rows trip the same
+    // machinery 100 TB partitions trip at the 256MB defaults
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // measured skew, not asserted-by-construction: hash-partitioning
+      // the fact on the 3-value join key leaves ≥29 of 32 partitions
+      // empty with everything piled into ≤3
+      val sizes = Tables.lineitem(spark, sf001)
+        .select("l_returnflag").repartition(32, col("l_returnflag"))
+        .rdd.mapPartitions(it => Iterator(it.size)).collect()
+      assert(sizes.count(_ > 0) <= 3, sizes.mkString(","))
+      assert(sizes.max > sizes.sum / 4, "expected ≥25% of rows in one partition")
+      // production layout: many files → many mappers. AQE splits a skewed
+      // reduce partition along MAPPER boundaries, so the single-row-group
+      // test file must be re-chunked first (at 100 TB this is the natural
+      // state; the sandbox's one-file table is the artifact)
+      val tmpDir = Files.createTempDirectory("skew_sf").toString
+      Tables.lineitem(spark, sf001).repartition(8)
+        .write.mode("overwrite").parquet(s"$tmpDir/lineitem.parquet")
+      // the registered query's own plan gets the runtime split
+      val df = run("q61_skew_join", tmpDir)
+      assert(df.collect().length === 2)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"))
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed q61 partitions:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("observe() collects data-quality metrics in the same pass") {
     // the no-extra-scan DQ pattern: at 100 TB a second quality pass is a
     // second 100 TB read — observe rides the existing job

@@ -53,7 +53,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q53_union_distinct" -> 1, "q54_discount_anomaly" -> 1,
     "q55_recursive_depth" -> 1, "q56_forward_asof" -> 1,
     "q57_correlation" -> 1, "q58_session_window" -> 1,
-    "q59_filtered_agg" -> 1, "q60_lateral" -> 3,
+    "q59_filtered_agg" -> 1, "q60_lateral" -> 3, "q61_skew_join" -> 3,
     "s1_knn_cosine" -> 2, "s2_cosine_neardup" -> 4, "s3_ann_lsh" -> 2,
     "s4_ann_ivf" -> 6, "s5_quantize_int8" -> 0, "s6_centroid_int8" -> 1,
     "t1_token_count" -> 1, "t2_quality_score" -> 0, "t3_lang_id" -> 0,
