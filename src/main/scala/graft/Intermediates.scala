@@ -30,8 +30,16 @@ object Intermediates {
   private val cache = TrieMap.empty[(Int, String, String), DataFrame]
 
   def of(spec: QuerySpec)(s: SparkSession, dir: String): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(s), dir, spec.name),
-      spec.run(s, dir).localCheckpoint())
+    cached(s, dir, spec.name)(spec.run(s, dir))
+
+  /** Same contract for shared sub-relations that are not themselves
+    * registered queries (e.g. the exploded shingle-hash relation d2 and
+    * d7 both aggregate over).
+    */
+  def cached(s: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((System.identityHashCode(s), dir, key),
+      build.localCheckpoint())
 
   /** Test seam: drop all cached results (e.g. between suites that reuse
     * one session but mutate inputs).

@@ -18,7 +18,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QuerySpec(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String]) {
+
+  /** Registry variant that routes through the Intermediates registry —
+    * the producer side of the materialize-once seam: whichever of the
+    * registered query and its consumers runs first builds and
+    * checkpoints, everyone else (same session + dir) reads the
+    * materialized result. Results are identical; only recomputation is
+    * eliminated.
+    */
+  def memo: QuerySpec = copy(run = (s, d) => Intermediates.of(this)(s, d))
+}
 
 object QuerySpec {
   def sql(name: String, oracle: String)(run: (SparkSession, String) => DataFrame): QuerySpec =

@@ -509,7 +509,7 @@ object Curation {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(pCorpus, pSplit, pContamination, pQualityReport, pPacking,
-      pDomainMix, pNgramDecontam, pProportional, pLengthHist, pFilterFunnel,
+    Seq(pCorpus, pSplit, pContamination.memo, pQualityReport, pPacking,
+      pDomainMix, pNgramDecontam.memo, pProportional, pLengthHist, pFilterFunnel,
       pContaminationReport)
 }

@@ -41,6 +41,17 @@ object Dedup {
         (col("doc_id") === min("doc_id").over(w)).as("is_canonical"))
   }
 
+  /** Shared exploded shingle-hash relation (doc_id, h): d2 and d7 join
+    * and aggregate over the IDENTICAL relation — materialized once per
+    * session+dir through the Intermediates seam instead of per query.
+    */
+  private def shingleHashRel(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Intermediates.cached(s, dir, "dedup_sh3") {
+      Tables.documents(s, dir).select(col("doc_id"),
+        explode(graft.functions.ShingleHash.shingleHashes(col("text"), 3)).as("h"))
+    }
+
   /** Exact word-trigram Jaccard near-dup pairs (j >= 0.6): distinct
     * shingles → hash → self-join on the 64-bit hash (narrow shuffle key;
     * the oracle joins on the identical md5-derived hash so any collision
@@ -65,13 +76,10 @@ object Dedup {
        |JOIN cnt ca ON ca.doc_id = doc_a
        |JOIN cnt cb ON cb.doc_id = doc_b
        |WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.6""".stripMargin) { (s, dir) =>
-    // materialize the hashed-shingle relation once: it feeds the count
-    // aggregate and BOTH sides of the self-join, and recomputing the
-    // interpreted shingle expression 3x dominates runtime otherwise
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleHash.shingleHashes(col("text"), 3)).as("h"))
-      .localCheckpoint()
+    // the hashed-shingle relation feeds the count aggregate and BOTH
+    // sides of the self-join; it comes from the shared materialized
+    // relation (d7 reads the same one)
+    val sh = shingleHashRel(s, dir)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     // size-ratio prefilter: j >= 0.6 implies min(na,nb)/max(na,nb) >= 0.6
     // (i <= min and j <= min/max), so pairs failing 5·min >= 3·max can be
@@ -344,10 +352,7 @@ object Dedup {
        |FROM inter
        |JOIN cnt ca ON ca.doc_id = doc_a
        |WHERE i * 10 >= ca.n * 9""".stripMargin) { (s, dir) =>
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(graft.functions.ShingleHash.shingleHashes(col("text"), 3)).as("h"))
-      .localCheckpoint()
+    val sh = shingleHashRel(s, dir)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val shn = sh.join(broadcast(cnt), "doc_id")
     val a = shn.as("a"); val b = shn.as("b")
@@ -618,7 +623,7 @@ object Dedup {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(dExact, dJaccard, dMinHash, dSimHash, dClusters, dSimHashPairs,
+    Seq(dExact, dJaccard, dMinHash.memo, dSimHash.memo, dClusters.memo, dSimHashPairs,
       dContainment, dKeepBest, dBoilerplate, dSketchError, dDupRateBySource,
       dClusterQuality)
 }

@@ -476,6 +476,6 @@ object Similarity {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(sKnn, sNearDup, sAnnLsh, sAnnIvf, sQuantize, sCentroid, sAnnRecall,
+    Seq(sKnn.memo, sNearDup, sAnnLsh.memo, sAnnIvf, sQuantize, sCentroid, sAnnRecall,
       sQuantError)
 }

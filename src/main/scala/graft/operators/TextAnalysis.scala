@@ -410,6 +410,6 @@ object TextAnalysis {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(tTokens, tQuality, tLangId, tFingerprint, tRepetition, tVocabDf,
+    Seq(tTokens, tQuality, tLangId.memo, tFingerprint, tRepetition, tVocabDf,
       tSurprisal, tRedact, tKeywords, tGopher, tBigramLm, tLangConfusion)
 }

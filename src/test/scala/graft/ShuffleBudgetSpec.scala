@@ -16,18 +16,18 @@ package graft
 class ShuffleBudgetSpec extends SparkTestBase {
 
   private val budget: Map[String, Int] = Map(
-    "d1_dedup_exact" -> 1, "d2_ngram_jaccard" -> 10, "d3_minhash_lsh" -> 4,
-    "d4_simhash" -> 0, "d5_dedup_clusters" -> 1, "d6_simhash_pairs" -> 1,
+    "d1_dedup_exact" -> 1, "d2_ngram_jaccard" -> 10, "d3_minhash_lsh" -> 0,
+    "d4_simhash" -> 0, "d5_dedup_clusters" -> 0, "d6_simhash_pairs" -> 1,
     "d7_containment" -> 6, "d8_keep_best" -> 2, "d9_boilerplate" -> 3,
     "d10_sketch_error" -> 4, "d11_dup_rate_by_source" -> 2,
     "d12_cluster_quality" -> 4,
     "m1_media_features" -> 0, "m2_media_resize" -> 0, "m3_frame_sample" -> 0,
-    "m4_modality_report" -> 1, "m5_image_decode" -> 1, "s7_ann_recall" -> 3, "s8_quant_error" -> 6,
+    "m4_modality_report" -> 1, "m5_image_decode" -> 1, "s7_ann_recall" -> 3, "s8_quant_error" -> 4,
     "t12_langid_confusion" -> 2,
     "p1_training_corpus" -> 3, "p2_train_test_split" -> 0,
-    "p3_contamination" -> 2, "p4_quality_report" -> 8,
+    "p3_contamination" -> 0, "p4_quality_report" -> 8,
     "p5_sequence_packing" -> 1, "p6_domain_mix" -> 0,
-    "p7_ngram_decontam" -> 3, "p8_proportional_sample" -> 13,
+    "p7_ngram_decontam" -> 0, "p8_proportional_sample" -> 13,
     "p9_length_histogram" -> 2, "p10_filter_funnel" -> 5,
     "p11_contamination_report" -> 3,
     "q10_union_all" -> 0, "q11_ilike" -> 0, "q12_case_when" -> 0,
@@ -54,7 +54,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q55_recursive_depth" -> 1, "q56_forward_asof" -> 1,
     "q57_correlation" -> 1, "q58_session_window" -> 1,
     "q59_filtered_agg" -> 1, "q60_lateral" -> 3, "q61_skew_join" -> 3,
-    "s1_knn_cosine" -> 2, "s2_cosine_neardup" -> 4, "s3_ann_lsh" -> 2,
+    "s1_knn_cosine" -> 0, "s2_cosine_neardup" -> 4, "s3_ann_lsh" -> 0,
     "s4_ann_ivf" -> 6, "s5_quantize_int8" -> 0, "s6_centroid_int8" -> 1,
     "t1_token_count" -> 1, "t2_quality_score" -> 0, "t3_lang_id" -> 0,
     "t4_fingerprint" -> 0, "t5_repetition" -> 0, "t6_vocab_df" -> 3,
