@@ -743,11 +743,38 @@ object Analytic {
         sum(expr("qty * 10000L div flag_qty")).as("wshare_sum"))
   }
 
+  /** Z-order (Morton) clustering key over (custkey, orderkey) — the
+    * multi-dimensional data-layout primitive (OPTIMIZE ZORDER): rows
+    * sorted by the interleaved code are co-located in BOTH dimensions,
+    * so file min/max statistics prune either predicate. The registered
+    * query histograms the code space (top-8-bit buckets) with per-bucket
+    * extremes — every output value covers the full interleave, so a
+    * single wrong bit anywhere fails the oracle hash. The identical
+    * mask-spread formula (multiply-as-shift, & |) runs in both engines;
+    * see functions.ZOrder for the clustered-write locality spec.
+    */
+  val qZOrder: QuerySpec = QuerySpec.sql(
+    "q62_zorder",
+    s"""WITH b AS (SELECT o_custkey % 65536 AS x, o_orderkey % 65536 AS y FROM orders),
+       |${graft.functions.ZOrder.zorderSqlCtes("b")}
+       |SELECT CAST(z // 16777216 AS BIGINT) AS bucket,
+       |       COUNT(*) AS n,
+       |       CAST(MIN(z) AS BIGINT) AS zmin,
+       |       CAST(MAX(z) AS BIGINT) AS zmax
+       |FROM zz GROUP BY 1""".stripMargin) { (s, dir) =>
+    import graft.functions.ZOrder
+    Tables.orders(s, dir)
+      .select(ZOrder.zorder2(col("o_custkey") % 65536,
+        col("o_orderkey") % 65536).as("z"))
+      .groupBy(expr("z div 16777216").as("bucket"))
+      .agg(count(lit(1)).as("n"), min("z").as("zmin"), max("z").as("zmax"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
       qFirstLast, qIntersectAll, qExceptAll, qKmvSketch, qCalendar,
       qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders,
       qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
-      qLateral, qSkewJoin)
+      qLateral, qSkewJoin, qZOrder)
 }

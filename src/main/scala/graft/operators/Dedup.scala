@@ -622,8 +622,56 @@ object Dedup {
         "sum_est div n_edges AS avg_est_bp", "min_est_bp")
   }
 
+  /** Triangle census of the near-dup candidate graph (d3's LSH pairs as
+    * canonical a<b edges): triangle count, wedge count, and the global
+    * clustering coefficient 3·Δ/wedges in basis points. True near-dup
+    * clusters are transitive, so their candidate subgraphs are cliques
+    * and gcc sits near 10000 — a falling gcc is the canary for LSH
+    * banding that fabricates edges between unrelated docs (the graph
+    * diagnostic production dedup watches next to d10's sketch error).
+    *
+    * Scale shape: triangles enumerate via two equi-joins on canonically
+    * ordered edges (a<b<c — each triangle counted exactly once, never an
+    * all-pairs product); degrees are one aggregation on the exploded
+    * endpoint list. The edge relation is the memoized d3 result.
+    */
+  val dTriangles: QuerySpec = QuerySpec.sql(
+    "d13_triangles",
+    s"""WITH pairs AS (
+       |${dMinHash.oracle.get}
+       |), e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+       |tri AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+       |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+       |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+       |), deg AS (
+       |  SELECT v, COUNT(*) AS d
+       |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+       |  GROUP BY 1
+       |), wed AS (
+       |  SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+       |)
+       |SELECT t.n_triangles, w.n_wedges,
+       |       CAST(t.n_triangles * 3 * 10000 // w.n_wedges AS BIGINT) AS gcc_bp
+       |FROM tri t, wed w""".stripMargin) { (s, dir) =>
+    val e = Intermediates.of(dMinHash)(s, dir)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val tri = e.as("e1")
+      .join(e.as("e2"), col("e2.a") === col("e1.b"))
+      .join(e.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val deg = e.select(col("a").as("v"))
+      .union(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val wed = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
+    tri.crossJoin(wed)
+      .selectExpr("n_triangles", "n_wedges",
+        "n_triangles * 3 * 10000 div n_wedges AS gcc_bp")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dExact, dJaccard, dMinHash.memo, dSimHash.memo, dClusters.memo, dSimHashPairs,
       dContainment, dKeepBest, dBoilerplate, dSketchError, dDupRateBySource,
-      dClusterQuality)
+      dClusterQuality, dTriangles)
 }

@@ -475,7 +475,53 @@ object Similarity {
         round(abs(col("c") - cosQ), 4).as("err"))
   }
 
+  /** Covariance matrix over int8-quantized embeddings — the PCA/whitening
+    * prep a production ANN index builds before choosing projection dims.
+    * Quantizing first (s5's scheme) makes every aggregate INTEGER, so the
+    * covariance numerator n·Σxy − Σx·Σy is exact and order-independent in
+    * both engines (the q43 dispersion recipe, lifted to the matrix case).
+    *
+    * Scale shape: double posexplode (no self-join — generators compose
+    * row-locally), upper triangle only, then ONE shuffle keyed on (i, j)
+    * — bounded by dim² = 4096 groups with map-side partial aggregation,
+    * independent of corpus size. Width budget: |q| ≤ 127 so Σxy ≤
+    * 16129·n — BIGINT-safe to n ≈ 5.7·10¹⁴ vectors; beyond that the same
+    * shape runs on DECIMAL.
+    */
+  val sCovariance: QuerySpec = QuerySpec.sql(
+    "s9_covariance",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |q AS (SELECT vec_id, list_transform(v,
+      |        x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT)) AS qv FROM m),
+      |xi AS (SELECT vec_id, qv, unnest(generate_series(1, len(qv))) AS i1 FROM q),
+      |xij AS (SELECT vec_id, qv, i1, qv[i1] AS qi,
+      |               unnest(generate_series(1, len(qv))) AS j1 FROM xi)
+      |SELECT CAST(i1 - 1 AS BIGINT) AS i, CAST(j1 - 1 AS BIGINT) AS j,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(qi * qv[j1]) AS BIGINT) AS sum_xy,
+      |       CAST(SUM(qi) AS BIGINT) AS sum_x,
+      |       CAST(SUM(qv[j1]) AS BIGINT) AS sum_y,
+      |       CAST(COUNT(*) * SUM(qi * qv[j1]) - SUM(qi) * SUM(qv[j1]) AS BIGINT) AS cov_num
+      |FROM xij WHERE j1 >= i1
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .select(col("vec_id"), transform(col("v"),
+        x => round(x * (lit(127.0) / col("mx")), 0).cast("long")).as("qv"))
+    q.select(col("qv"), posexplode(col("qv")).as(Seq("i", "qi")))
+      .select(col("qi"), col("i"), posexplode(col("qv")).as(Seq("j", "qj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qi") * col("qj")).as("sum_xy"),
+        sum("qi").as("sum_x"), sum("qj").as("sum_y"))
+      .withColumn("cov_num",
+        col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(sKnn.memo, sNearDup, sAnnLsh.memo, sAnnIvf, sQuantize, sCentroid, sAnnRecall,
-      sQuantError)
+      sQuantError, sCovariance)
 }

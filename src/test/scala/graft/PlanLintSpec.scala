@@ -15,10 +15,11 @@ class PlanLintSpec extends SparkTestBase {
   // t6 broadcasts a 1-row corpus-count aggregate, like p4's report frames;
   // p8 cross-joins the |langs|-row allocation against two 1-row totals;
   // s7/s8 compose s1 (the exact baseline), so they inherit s1's intended
-  // broadcast-query loop join
+  // broadcast-query loop join; d13 crosses its two single-row census
+  // aggregates (triangles × wedges) like p4's report frames
   private val intendedLoopJoins = Set("s1_knn_cosine", "s4_ann_ivf",
     "p4_quality_report", "t6_vocab_df", "p8_proportional_sample",
-    "s7_ann_recall", "s8_quant_error")
+    "s7_ann_recall", "s8_quant_error", "d13_triangles")
 
   test("no unintended CartesianProduct or nested-loop join in any registered query plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

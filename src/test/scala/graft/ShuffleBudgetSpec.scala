@@ -20,7 +20,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "d4_simhash" -> 0, "d5_dedup_clusters" -> 0, "d6_simhash_pairs" -> 1,
     "d7_containment" -> 6, "d8_keep_best" -> 2, "d9_boilerplate" -> 3,
     "d10_sketch_error" -> 4, "d11_dup_rate_by_source" -> 2,
-    "d12_cluster_quality" -> 4,
+    "d12_cluster_quality" -> 4, "d13_triangles" -> 8,
     "m1_media_features" -> 0, "m2_media_resize" -> 0, "m3_frame_sample" -> 0,
     "m4_modality_report" -> 1, "m5_image_decode" -> 1, "s7_ann_recall" -> 3, "s8_quant_error" -> 4,
     "t12_langid_confusion" -> 2,
@@ -56,6 +56,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q59_filtered_agg" -> 1, "q60_lateral" -> 3, "q61_skew_join" -> 3,
     "s1_knn_cosine" -> 0, "s2_cosine_neardup" -> 4, "s3_ann_lsh" -> 0,
     "s4_ann_ivf" -> 6, "s5_quantize_int8" -> 0, "s6_centroid_int8" -> 1,
+    "s9_covariance" -> 1, "q62_zorder" -> 1,
     "t1_token_count" -> 1, "t2_quality_score" -> 0, "t3_lang_id" -> 0,
     "t4_fingerprint" -> 0, "t5_repetition" -> 0, "t6_vocab_df" -> 3,
     "t7_surprisal" -> 3, "t8_redact" -> 0, "t9_keywords" -> 3,
