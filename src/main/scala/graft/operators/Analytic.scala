@@ -770,11 +770,47 @@ object Analytic {
       .agg(count(lit(1)).as("n"), min("z").as("zmin"), max("z").as("zmax"))
   }
 
+  /** Bloom filter built by the custom BloomAgg TypedImperativeAggregate
+    * over one nation's customer keys — the explicit semi-join filter: at
+    * 100 TB you build this over the selective dimension (executors merge
+    * `words` longs, never keys), broadcast it, and probe the fact scan
+    * (ScaleSpec's optimizer-injected runtime bloom is the automatic
+    * twin). md5-derived positions make the bit array BIT-REPRODUCIBLE:
+    * the oracle computes the identical words with SQL bit_or — possible
+    * precisely because OR-merge is order- and topology-independent.
+    * DuckDB refuses `1 << 63`, hence the sign-bit CASE.
+    */
+  val qBloom: QuerySpec = QuerySpec.sql(
+    "q63_bloom_filter",
+    """WITH keys AS (
+      |  SELECT CAST(c_custkey AS VARCHAR) AS k FROM customer WHERE c_nationkey = 7
+      |), pos AS (
+      |  SELECT CAST(('0x' || substring(md5('bloom:' || i || ':' || k), 1, 8)) AS BIGINT) % 1024 AS p
+      |  FROM keys CROSS JOIN generate_series(0, 2) AS g(i)
+      |), w AS (
+      |  SELECT p // 64 AS word_idx,
+      |         bit_or(CASE WHEN p % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+      |                     ELSE CAST(1 AS BIGINT) << CAST(p % 64 AS INTEGER) END) AS word_bits
+      |  FROM pos GROUP BY 1
+      |)
+      |SELECT CAST(s.i AS BIGINT) AS word_idx,
+      |       CAST(COALESCE(w.word_bits, 0) AS BIGINT) AS word_bits,
+      |       CAST(bit_count(COALESCE(w.word_bits, 0)) AS BIGINT) AS n_set
+      |FROM generate_series(0, 15) AS s(i) LEFT JOIN w ON w.word_idx = s.i""".stripMargin) { (s, dir) =>
+    import graft.functions.BloomAgg
+    Tables.customer(s, dir).filter(col("c_nationkey") === 7)
+      .select(col("c_custkey").cast("string").as("k"))
+      .agg(BloomAgg.bloom_build(col("k"), words = 16, hashes = 3).as("bf"))
+      .select(posexplode(col("bf")).as(Seq("word_idx", "word_bits")))
+      .selectExpr("CAST(word_idx AS BIGINT) AS word_idx", "word_bits",
+        "CAST(bit_count(word_bits) AS BIGINT) AS n_set")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
       qFirstLast, qIntersectAll, qExceptAll, qKmvSketch, qCalendar,
       qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders,
       qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
-      qLateral, qSkewJoin, qZOrder)
+      qLateral, qSkewJoin, qZOrder, qBloom)
 }

@@ -56,7 +56,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q59_filtered_agg" -> 1, "q60_lateral" -> 3, "q61_skew_join" -> 3,
     "s1_knn_cosine" -> 0, "s2_cosine_neardup" -> 4, "s3_ann_lsh" -> 0,
     "s4_ann_ivf" -> 6, "s5_quantize_int8" -> 0, "s6_centroid_int8" -> 1,
-    "s9_covariance" -> 1, "q62_zorder" -> 1,
+    "s9_covariance" -> 1, "q62_zorder" -> 1, "q63_bloom_filter" -> 1,
     "t1_token_count" -> 1, "t2_quality_score" -> 0, "t3_lang_id" -> 0,
     "t4_fingerprint" -> 0, "t5_repetition" -> 0, "t6_vocab_df" -> 3,
     "t7_surprisal" -> 3, "t8_redact" -> 0, "t9_keywords" -> 3,

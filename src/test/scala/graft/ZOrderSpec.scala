@@ -60,6 +60,34 @@ class ZOrderSpec extends SparkTestBase {
     assert(row.getLong(0) >= 1L)
   }
 
+  test("bloom: no false negatives, real rejections, merge-order-free") {
+    import graft.functions.BloomAgg._
+    val members = Tables.customer(spark, sf0001)
+      .filter(col("c_nationkey") === 7)
+      .select(col("c_custkey").cast("string").as("k"))
+    val bf = members.agg(bloom_build(col("k")).as("bf"))
+    // probe every member through the filter — a Bloom filter NEVER
+    // false-negatives
+    val misses = members.crossJoin(broadcast(bf))
+      .filter(!bloom_probe(col("bf"), col("k")))
+    assert(misses.count() === 0, "false negative")
+    // non-members are mostly rejected (16 words / ~6 keys at this SF —
+    // far under saturation)
+    val nonMembers = Tables.customer(spark, sf0001)
+      .filter(col("c_nationkey") =!= 7)
+      .select(col("c_custkey").cast("string").as("k"))
+    val accepted = nonMembers.crossJoin(broadcast(bf))
+      .filter(bloom_probe(col("bf"), col("k"))).count()
+    assert(accepted < nonMembers.count() / 2,
+      s"filter rejects too little: $accepted of ${nonMembers.count()}")
+    // partial/final merge across many partitions = single-partition build
+    val many = members.repartition(13)
+      .agg(bloom_build(col("k")).as("bf")).head.getSeq[Long](0)
+    val one = members.coalesce(1)
+      .agg(bloom_build(col("k")).as("bf")).head.getSeq[Long](0)
+    assert(many === one, "merge topology changed the filter")
+  }
+
   test("s9: covariance matrix is upper-triangular, diagonal nonnegative") {
     val rows = run("s9_covariance", sf0001).collect()
     assert(rows.length === 64 * 65 / 2)
