@@ -142,4 +142,71 @@ class PropertySpec extends SparkTestBase {
       array(composed: _*).as("composed"))
     assert(both.filter(to_json(col("native")) =!= to_json(col("composed"))).count() === 0)
   }
+
+  test("zorder interleave is a bijection: deinterleave recovers both inputs") {
+    import graft.functions.ZOrder
+    def deinterleave(z: Long): (Int, Int) = {
+      var x = 0; var y = 0
+      (0 until 16).foreach { i =>
+        x |= (((z >> (2 * i)) & 1) << i).toInt
+        y |= (((z >> (2 * i + 1)) & 1) << i).toInt
+      }
+      (x, y)
+    }
+    val xy = for {
+      x <- Gen.chooseNum(0, 0xFFFF); y <- Gen.chooseNum(0, 0xFFFF)
+    } yield (x, y)
+    val cases = samples(xy, 200).distinct
+    // Spark column implementation == reference == invertible
+    val got = cases.toDF("x", "y")
+      .select(col("x"), col("y"),
+        ZOrder.zorder2(col("x"), col("y")).as("z"))
+      .collect()
+    got.foreach { r =>
+      val (x, y, z) = (r.getInt(0), r.getInt(1), r.getLong(2))
+      assert(z === ZOrder.zorderRef(x, y))
+      assert(deinterleave(z) === ((x, y)))
+    }
+    // distinct inputs → distinct codes over the sample (injectivity)
+    assert(got.map(_.getLong(2)).distinct.length === cases.length)
+  }
+
+  test("Kafka wire format round-trips arbitrary batches") {
+    import graft.streaming.KafkaWire
+    val bytesGen: Gen[Array[Byte]] =
+      Gen.chooseNum(0, 64).flatMap(n => Gen.listOfN(n,
+        Gen.chooseNum(Byte.MinValue, Byte.MaxValue))).map(_.toArray)
+    val recGen = for {
+      tsDelta <- Gen.chooseNum(0L, 1000000L)
+      key <- Gen.option(bytesGen)
+      value <- bytesGen
+    } yield (1700000000000L + tsDelta, key.orNull, value)
+    val batches = (0 until 20).map { i =>
+      val recs = samples(recGen, 1 + i % 7)
+      (i * 1000L, recs)
+    }
+    batches.foreach { case (base, recs) =>
+      val decoded = KafkaWire.decodeBatch(
+        KafkaWire.encodeBatch(base, recs.map(_._1).min, recs))
+      assert(decoded.length === recs.length)
+      decoded.zip(recs).zipWithIndex.foreach { case ((d, (ts, k, v)), i) =>
+        assert(d.offset === base + i)
+        assert(d.timestamp === ts)
+        assert(java.util.Arrays.equals(d.key, k))
+        assert(java.util.Arrays.equals(d.value, v))
+      }
+    }
+  }
+
+  test("bloom positions: aggregate-side and probe-side hashing agree") {
+    import graft.functions.BloomAgg._
+    val keys = samples(Gen.listOfN(8, Gen.alphaNumChar).map(_.mkString), 80)
+      .distinct
+    val bf = keys.toDF("k").agg(bloom_build(col("k")).as("bf"))
+    val missed = keys.toDF("k").crossJoin(broadcast(bf))
+      .filter(!bloom_probe(col("bf"), col("k"))).count()
+    // if the executor-side MessageDigest path and the expression-side
+    // md5/conv path ever disagreed on one position, a member would miss
+    assert(missed === 0L)
+  }
 }
