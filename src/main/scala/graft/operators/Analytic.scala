@@ -45,19 +45,20 @@ object Analytic {
 
   /** NTILE(4) wealth quartiles over customers, fully tie-broken
     * (acctbal DESC, custkey) so both engines assign identical buckets.
-    * NTILE needs a total order; at 100 TB the same statistic comes from
-    * approx quantile boundaries + a bucket join — this operator is the
-    * exact small-dimension form (customer is the dimension side here).
+    * NTILE needs a total order, but NOT a single-partition window: the
+    * plan is [[GlobalRank.ntile]]'s two-pass global row number (range
+    * partition → local row_number → broadcast offsets) plus the
+    * closed-form NTILE bucket from (row, n) — exact NTILE semantics
+    * with every wide stage distributed.
     */
   val qNtile: QuerySpec = QuerySpec.sql(
     "q36_ntile",
     """SELECT c_custkey, c_acctbal,
       |       NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS quartile
       |FROM customer""".stripMargin) { (s, dir) =>
-    Tables.customer(s, dir)
-      .select(col("c_custkey"), col("c_acctbal"),
-        ntile(4).over(Window.orderBy(col("c_acctbal").desc, col("c_custkey")))
-          .as("quartile"))
+    GlobalRank.ntile(
+      Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal")),
+      Seq(col("c_acctbal").desc, col("c_custkey")), 4, "quartile")
   }
 
   /** INTERSECT (distinct set semantics): nations present on BOTH the
@@ -806,11 +807,108 @@ object Analytic {
         "CAST(bit_count(word_bits) AS BIGINT) AS n_set")
   }
 
+  /** Market-basket co-occurrence: support counts for part pairs bought
+    * in the same order — the classic affinity query. The pair space is
+    * generated per order by a self equi-join on l_orderkey, so the work
+    * is bounded by Σ(basket size choose 2) per order, never |parts|²;
+    * pair counting gets map-side partial aggregation and the top-100 is
+    * a TakeOrderedAndProject, not a global sort.
+    */
+  val qBasketPairs: QuerySpec = QuerySpec.sql(
+    "q64_basket_pairs",
+    """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |p AS (
+      |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |         COUNT(*) AS support
+      |  FROM i a JOIN i b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT part_a, part_b, support
+      |FROM p ORDER BY support DESC, part_a, part_b LIMIT 100""".stripMargin) { (s, dir) =>
+    val i = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
+    i.as("a").join(i.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
+  /** Gaps-and-islands over the order-key sequence: consecutive runs of
+    * present keys (key minus global row number is constant within a
+    * run). The global row number is [[GlobalRank]]'s two-pass rank —
+    * sequence-completeness auditing with no single-partition window.
+    */
+  val qOrderGaps: QuerySpec = QuerySpec.sql(
+    "q65_order_gaps",
+    """WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+      |g AS (SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp FROM k)
+      |SELECT MIN(k) AS island_start, MAX(k) AS island_end,
+      |       COUNT(*) AS n_keys
+      |FROM g GROUP BY grp""".stripMargin) { (s, dir) =>
+    val k = Tables.orders(s, dir).select(col("o_orderkey").as("k")).distinct()
+    GlobalRank.rowNumber(k, Seq(col("k")), "rn")
+      .withColumn("grp", col("k") - col("rn"))
+      .groupBy("grp")
+      .agg(min("k").as("island_start"), max("k").as("island_end"),
+        count(lit(1)).as("n_keys"))
+      .select("island_start", "island_end", "n_keys")
+  }
+
+  /** Median absolute deviation of extended price per return flag —
+    * robust dispersion. Both medians are exact rank-based
+    * percentile_disc picks (q33's decomposition); the deviation is one
+    * IEEE subtraction on identical operands in either engine (no
+    * summation, so no ordering noise). Each window shares the same
+    * per-flag partitioning — one key's worth of shuffles.
+    */
+  val qMad: QuerySpec = QuerySpec.sql(
+    "q66_mad",
+    """WITH x AS (SELECT l_returnflag AS f, l_extendedprice AS x FROM lineitem),
+      |r1 AS (
+      |  SELECT f, x, ROW_NUMBER() OVER (PARTITION BY f ORDER BY x) AS rn,
+      |         COUNT(*) OVER (PARTITION BY f) AS n
+      |  FROM x
+      |), med AS (
+      |  SELECT f, MAX(CASE WHEN rn = (n + 1) // 2 THEN x END) AS med
+      |  FROM r1 GROUP BY f
+      |), d AS (
+      |  SELECT x.f, med.med, abs(x.x - med.med) AS dev
+      |  FROM x JOIN med ON x.f = med.f
+      |), r2 AS (
+      |  SELECT f, med, dev, ROW_NUMBER() OVER (PARTITION BY f ORDER BY dev) AS rn,
+      |         COUNT(*) OVER (PARTITION BY f) AS n
+      |  FROM d
+      |)
+      |SELECT f AS l_returnflag, CAST(MAX(med) AS DOUBLE) AS median_price,
+      |       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN dev END) AS DOUBLE) AS mad
+      |FROM r2 GROUP BY f""".stripMargin) { (s, dir) =>
+    val x = Tables.lineitem(s, dir)
+      .select(col("l_returnflag").as("f"), col("l_extendedprice").as("x"))
+    val byF = Window.partitionBy("f")
+    val med = x
+      .withColumn("rn", row_number().over(byF.orderBy("x")))
+      .withColumn("n", count(lit(1)).over(byF))
+      .groupBy("f")
+      .agg(max(when(col("rn") === expr("(n + 1) div 2"), col("x"))).as("med"))
+    x.join(med, "f")
+      .select(col("f"), col("med"), abs(col("x") - col("med")).as("dev"))
+      .withColumn("rn", row_number().over(byF.orderBy("dev")))
+      .withColumn("n", count(lit(1)).over(byF))
+      .groupBy("f")
+      .agg(max("med").cast("double").as("median_price"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("dev")))
+          .cast("double").as("mad"))
+      .withColumnRenamed("f", "l_returnflag")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
       qFirstLast, qIntersectAll, qExceptAll, qKmvSketch, qCalendar,
       qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders,
       qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
-      qLateral, qSkewJoin, qZOrder, qBloom)
+      qLateral, qSkewJoin, qZOrder, qBloom, qBasketPairs, qOrderGaps, qMad)
 }

@@ -508,8 +508,28 @@ object Curation {
           .otherwise("clean"))
   }
 
+  /** Curriculum assignment: per-language quality quartiles over the t2
+    * quality score, best first — the staged-training data ordering
+    * (clean buckets early, noisy late). The quality producer is shared
+    * through the materialize-once registry; the NTILE window is
+    * partitioned by lang, so bucketing distributes across the language
+    * dimension (per-language row counts bound each partition's sort).
+    */
+  val pCurriculum: QuerySpec = QuerySpec.sql(
+    "p12_curriculum",
+    s"""WITH q AS (${TextAnalysis.tQuality.oracle.get})
+       |SELECT doc_id, lang, quality_bp,
+       |       NTILE(4) OVER (PARTITION BY lang
+       |                      ORDER BY quality_bp DESC, doc_id) AS bucket
+       |FROM q""".stripMargin) { (s, dir) =>
+    Intermediates.of(TextAnalysis.tQuality)(s, dir)
+      .select(col("doc_id"), col("lang"), col("quality_bp"),
+        ntile(4).over(Window.partitionBy("lang")
+          .orderBy(col("quality_bp").desc, col("doc_id"))).as("bucket"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pCorpus, pSplit, pContamination.memo, pQualityReport, pPacking,
       pDomainMix, pNgramDecontam.memo, pProportional, pLengthHist, pFilterFunnel,
-      pContaminationReport)
+      pContaminationReport, pCurriculum)
 }

@@ -231,40 +231,8 @@ object Dedup {
        |SELECT s AS doc_id, least(s, MIN(t)) AS cluster_id
        |FROM reach GROUP BY s""".stripMargin) { (s, dir) =>
     val pairs = Intermediates.of(dMinHash)(s, dir).select("doc_a", "doc_b")
-    // undirected edge list
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-    val members = edges.select(col("doc_a").as("doc_id")).distinct()
-    val MaxRounds = 15
-    var labels = members.withColumn("label", col("doc_id"))
-    var i = 0
-    var converged = false
-    while (i < MaxRounds && !converged) {
-      val neighborMin = edges
-        .join(labels, edges("doc_b") === labels("doc_id"))
-        .groupBy(edges("doc_a").as("doc_id"))
-        .agg(min("label").as("nlabel"))
-      // carry a `changed` flag through the checkpoint so the convergence
-      // check is a scan of the just-materialized cached blocks, not a
-      // second join job per round (min-propagation only ever lowers a
-      // label, so changed ⟺ neighbor min < old label)
-      val next = labels.drop("label")
-        .join(neighborMin, Seq("doc_id"), "left")
-        .join(labels.select(col("doc_id"), col("label").as("old")), Seq("doc_id"))
-        .select(col("doc_id"),
-          least(coalesce(col("nlabel"), col("old")), col("old")).as("label"),
-          (coalesce(col("nlabel"), col("old")) < col("old")).as("changed"))
-        .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
-      labels = next.select("doc_id", "label")
-      i += 1
-    }
-    // possibly-wrong labels must fail loudly, not flow into the output:
-    // a component with diameter > MaxRounds would disagree with the
-    // transitive-closure oracle
-    if (!converged) throw new IllegalStateException(
-      s"d5 label propagation did not converge within $MaxRounds rounds")
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    ConnectedComponents.labels(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
       .orderBy("cluster_id", "doc_id")
   }
 

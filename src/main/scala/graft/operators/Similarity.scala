@@ -86,9 +86,13 @@ object Similarity {
     * band. The all-pairs form survives only as the recall verifier in
     * DedupSimilaritySpec (`sNearDupAllPairs`).
     */
-  val sNearDup: QuerySpec = QuerySpec.sql(
-    "s2_cosine_neardup",
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  /** s2's oracle CTE chain ending in `pr(vec_a, vec_b, c)` — LSH
+    * candidates with their exact cosine — shared verbatim between the
+    * s2 pair oracle and the s10 cluster oracle so both gates grade the
+    * same candidate set.
+    */
+  private lazy val s2PairCtes: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |planes AS (
        |  SELECT p, list_transform(generate_series(0, 63), i ->
        |    (CAST(('0x' || substring(md5('s2:' || p || ':' || i), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0) AS w
@@ -110,13 +114,19 @@ object Similarity {
        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
        |  FROM probes a JOIN codes b
        |    ON a.band = b.band AND a.pk = b.code AND a.vec_id < b.vec_id
-       |)
-       |SELECT vec_a, vec_b,
-       |       ROUND(${cosineSql.format("ea.v", "eb.v", "ea.v", "ea.v", "eb.v", "eb.v")}, 4) AS cosine
-       |FROM cand
-       |JOIN e ea ON ea.vec_id = vec_a
-       |JOIN e eb ON eb.vec_id = vec_b
-       |WHERE ${cosineSql.format("ea.v", "eb.v", "ea.v", "ea.v", "eb.v", "eb.v")} >= 0.45""".stripMargin) { (s, dir) =>
+       |), pr AS (
+       |  SELECT vec_a, vec_b,
+       |         ${cosineSql.format("ea.v", "eb.v", "ea.v", "ea.v", "eb.v", "eb.v")} AS c
+       |  FROM cand
+       |  JOIN e ea ON ea.vec_id = vec_a
+       |  JOIN e eb ON eb.vec_id = vec_b
+       |)""".stripMargin
+
+  val sNearDup: QuerySpec = QuerySpec.sql(
+    "s2_cosine_neardup",
+    s"""WITH $s2PairCtes
+       |SELECT vec_a, vec_b, ROUND(c, 4) AS cosine
+       |FROM pr WHERE c >= 0.45""".stripMargin) { (s, dir) =>
     val weights = planeWeights(S2Bands * S2PlanesPerBand, 64, seed = "s2")
     val e = vecs(s, dir)
     // all 16 band codes (10 packed sign bits each) in ONE native row
@@ -521,7 +531,38 @@ object Similarity {
         col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
   }
 
+  /** SemDeDup-style semantic clustering: connected components over the
+    * s2 embedding near-dup pairs (cos ≥ 0.45) — each vector labelled
+    * with the smallest vec_id reachable through near-dup edges, the
+    * keep-one-per-group reduction for embedding-level dedup. The pair
+    * generation is s2's banded LSH equi-join (shared through the
+    * materialize-once registry, never recomputed), and the clustering is
+    * the same bounded-round distributed min-label propagation as d5 —
+    * every round an equi-join on vec_id, no driver-side union-find. The
+    * oracle is a recursive-CTE transitive closure over the identical
+    * candidate-pair SQL (`s2PairCtes`, shared string).
+    */
+  val sSemClusters: QuerySpec = QuerySpec.sql(
+    "s10_semantic_clusters",
+    s"""WITH RECURSIVE $s2PairCtes,
+       |pairs AS (SELECT vec_a, vec_b FROM pr WHERE c >= 0.45),
+       |edges AS (
+       |  SELECT vec_a AS s, vec_b AS t FROM pairs
+       |  UNION ALL SELECT vec_b, vec_a FROM pairs
+       |), reach(s, t) AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT r.s, e2.t FROM reach r JOIN edges e2 ON r.t = e2.s
+       |)
+       |SELECT s AS vec_id, least(s, MIN(t)) AS cluster_id
+       |FROM reach GROUP BY s""".stripMargin) { (s, dir) =>
+    val pairs = Intermediates.of(sNearDup)(s, dir).select("vec_a", "vec_b")
+    ConnectedComponents.labels(pairs, "vec_a", "vec_b")
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+      .orderBy("cluster_id", "vec_id")
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(sKnn.memo, sNearDup, sAnnLsh.memo, sAnnIvf, sQuantize, sCentroid, sAnnRecall,
-      sQuantError, sCovariance)
+    Seq(sKnn.memo, sNearDup.memo, sAnnLsh.memo, sAnnIvf, sQuantize, sCentroid, sAnnRecall,
+      sQuantError, sCovariance, sSemClusters)
 }

@@ -202,41 +202,16 @@ object TextAnalysis {
         "rank_sum * 10000L div n_tok AS mean_rank_bp")
   }
 
-  /** Distributed global rank over (df DESC, token): because the token
-    * tie-break makes the sort key unique, DENSE_RANK == ROW_NUMBER, and a
-    * global row number decomposes into range-partition → per-partition
-    * row_number → plus the row count of all earlier partitions. No
-    * single-partition window anywhere: the wide stages are a range
-    * exchange and a P-key hash exchange; the only driver-side data is one
-    * row count per partition (≤ shuffle-partition count — same bounded
-    * shape as the upsert sink's bucket pruning).
-    *
-    * The ranged frame is localCheckpoint'ed so the partition-count job
-    * and the rank job read the SAME materialized partitioning — partition
-    * ids are data, not a recomputation hazard.
+  /** Distributed global rank over (df DESC, token): the token tie-break
+    * makes the sort key unique, so DENSE_RANK == ROW_NUMBER and the
+    * shared two-pass [[GlobalRank]] decomposition applies — no
+    * single-partition window anywhere.
     */
   private[graft] def rankedVocab(s: org.apache.spark.sql.SparkSession,
-      dfTable: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val p = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = dfTable
-      .repartitionByRange(p, col("df").desc, col("token"))
-      .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = ranged.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) =>
-      (pid + 1, acc + cnt)
-    }.take(counts.length).map { case (_, off) => off }
-    val offByPid = counts.map(_._1).zip(offsets).toMap
-    val offCol = offByPid.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("pid") === pid, lit(off)).otherwise(acc)
-    }
-    val wLocal = Window.partitionBy("pid")
-      .orderBy(col("df").desc, col("token"))
-    ranged
-      .withColumn("rnk", (row_number().over(wLocal) + offCol).cast("int"))
+      dfTable: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    GlobalRank.rowNumber(dfTable, Seq(col("df").desc, col("token")), "rnk0")
+      .withColumn("rnk", col("rnk0").cast("int"))
       .select("token", "rnk")
-  }
 
   /** PII-redaction seam: numeric literals in the semi-structured event
     * payload are masked and counted — the scrub stage every training
@@ -409,7 +384,42 @@ object TextAnalysis {
         expr("n * 10000L div sum(n) over (partition by lang)"))
   }
 
+  /** Character-level Shannon entropy per document — the compression-
+    * style quality signal (gibberish and templated boilerplate sit at
+    * the entropy extremes). Explode to (doc, char) → two map-side-
+    * combined aggregations keyed by doc; rounding to 4dp absorbs
+    * summation-order ULP across engines.
+    */
+  val tCharEntropy: QuerySpec = QuerySpec.sql(
+    "t13_char_entropy",
+    """WITH ch AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+      |), f AS (
+      |  SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY doc_id, ch
+      |), tot AS (
+      |  SELECT doc_id, SUM(c) AS n FROM f GROUP BY doc_id
+      |)
+      |SELECT f.doc_id, COUNT(*) AS n_distinct_chars,
+      |       ROUND(-SUM((c * 1.0 / n) * log2(c * 1.0 / n)), 4) AS entropy
+      |FROM f JOIN tot ON f.doc_id = tot.doc_id
+      |GROUP BY f.doc_id""".stripMargin) { (s, dir) =>
+    val f = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      // Java regex split keeps a trailing "" that DuckDB's char split
+      // does not emit
+      .filter(col("ch") =!= "")
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    // total chars per doc as a doc-partitioned window, so the window and
+    // the final aggregation share one doc_id exchange (no tot-join)
+    f.withColumn("n", sum("c").over(Window.partitionBy("doc_id")))
+      .withColumn("p", col("c") * lit(1.0) / col("n"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_chars"),
+        round(-sum(col("p") * log2(col("p"))), 4).as("entropy"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(tTokens, tQuality, tLangId.memo, tFingerprint, tRepetition, tVocabDf,
-      tSurprisal, tRedact, tKeywords, tGopher, tBigramLm, tLangConfusion)
+    Seq(tTokens, tQuality.memo, tLangId.memo, tFingerprint, tRepetition, tVocabDf,
+      tSurprisal, tRedact, tKeywords, tGopher, tBigramLm, tLangConfusion,
+      tCharEntropy)
 }

@@ -300,6 +300,40 @@ class AnalyticSpec extends SparkTestBase {
       got.queryExecution.executedPlan.toString)
   }
 
+  test("q36 ntile is distributed: equals built-in NTILE, no global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.execution.window.WindowExec
+    val got = run("q36_ntile", sf001)
+    val want = Tables.customer(spark, sf001)
+      .select(col("c_custkey"), col("c_acctbal"),
+        ntile(4).over(Window.orderBy(col("c_acctbal").desc, col("c_custkey")))
+          .as("quartile"))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    val root = got.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.inputPlan
+      case p => p
+    }
+    val wins = root.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      got.queryExecution.executedPlan.toString)
+  }
+
+  test("GlobalRank.ntile matches SQL NTILE for sizes that do not divide k") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // n = 10, k = 4 -> buckets of 3,3,2,2; n = 3, k = 4 -> bucket = row
+    for (n <- Seq(3, 10, 17)) {
+      val df = (1 to n).map(i => (i.toLong, (i * 37 % n).toLong)).toDF("id", "v")
+      val got = operators.GlobalRank.ntile(df, Seq(col("v").desc, col("id")), 4, "b")
+      val want = df.withColumn("b",
+        ntile(4).over(Window.orderBy(col("v").desc, col("id"))))
+      assert(got.exceptAll(want).count() === 0, s"n=$n")
+      assert(want.exceptAll(got).count() === 0, s"n=$n")
+    }
+  }
+
   test("s6 centroid: |labels| x dim rows; n is the label's vector count") {
     val rows = run("s6_centroid_int8", sf001).collect()
     val labels = Tables.embeddings(spark, sf001)
@@ -307,5 +341,47 @@ class AnalyticSpec extends SparkTestBase {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(rows.length == labels.size * 64)
     rows.foreach(r => assert(r.getLong(3) == labels(r.getInt(0))))
+  }
+
+  test("q64 basket pairs: ordered pairs, support equals a recount") {
+    val rows = run("q64_basket_pairs", sf001).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1) && r.getLong(2) >= 1))
+    // support of the top pair recounted from the raw table
+    val top = rows.head
+    val i = Tables.lineitem(spark, sf001)
+      .select("l_orderkey", "l_partkey").distinct()
+    val n = i.filter(col("l_partkey") === top.getLong(0))
+      .join(i.filter(col("l_partkey") === top.getLong(1)), "l_orderkey")
+      .count()
+    assert(n === top.getLong(2))
+  }
+
+  test("q65 islands partition the key set: disjoint, complete, ordered") {
+    val rows = run("q65_order_gaps", sf001)
+      .orderBy("island_start").collect()
+    val nKeys = Tables.orders(spark, sf001)
+      .select("o_orderkey").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === nKeys)
+    rows.foreach(r =>
+      assert(r.getLong(1) - r.getLong(0) + 1 === r.getLong(2)))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(1) < b.getLong(0) - 1)
+      case _ =>
+    }
+  }
+
+  test("q66 MAD: 3 flags; mad bounded by max |x - median|") {
+    val rows = run("q66_mad", sf001).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val f = r.getString(0); val med = r.getDouble(1); val mad = r.getDouble(2)
+      val ext = Tables.lineitem(spark, sf001)
+        .filter(col("l_returnflag") === f)
+        .agg(max(abs(col("l_extendedprice") - med)),
+          min("l_extendedprice"), max("l_extendedprice")).head()
+      assert(mad >= 0 && mad <= ext.getDouble(0))
+      assert(med >= ext.getDouble(1) && med <= ext.getDouble(2))
+    }
   }
 }

@@ -83,6 +83,26 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(allPairs.join(banded, Seq("doc_a", "doc_b", "hamming"), "left_anti").count() === 0)
   }
 
+  test("s10 semantic clusters equal the transitive closure of s2 pairs") {
+    val pairs = run("s2_cosine_neardup", sf001).select("vec_a", "vec_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find is the test-scale ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => (v, find(v))).toSet
+    val got = run("s10_semantic_clusters", sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
   test("vec_dot matches the interpreted HOF fold bit-for-bit") {
     val e = Tables.embeddings(spark, sf0001).limit(50)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

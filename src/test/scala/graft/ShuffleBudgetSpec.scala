@@ -60,7 +60,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "t1_token_count" -> 1, "t2_quality_score" -> 0, "t3_lang_id" -> 0,
     "t4_fingerprint" -> 0, "t5_repetition" -> 0, "t6_vocab_df" -> 3,
     "t7_surprisal" -> 3, "t8_redact" -> 0, "t9_keywords" -> 3,
-    "t10_gopher_rules" -> 0, "t11_bigram_lm" -> 2)
+    "t10_gopher_rules" -> 0, "t11_bigram_lm" -> 2,
+    "s10_semantic_clusters" -> 1, "p12_curriculum" -> 1,
+    "q64_basket_pairs" -> 4, "q65_order_gaps" -> 2, "q66_mad" -> 3,
+    "t13_char_entropy" -> 2)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet

@@ -53,4 +53,32 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(byShard.filter(col("total") =!= col("end") || col("start") =!= 0).count() === 0)
     assert(df.filter(col("pack_id") =!= expr("offset div 512")).count() === 0)
   }
+
+  test("t13 entropy bounded by log2(distinct chars); uniform text exact") {
+    val rows = run("t13_char_entropy").collect()
+    assert(rows.length === Tables.documents(spark, sf0001).count())
+    rows.foreach { r =>
+      val k = r.getLong(1); val h = r.getDouble(2)
+      assert(h >= 0.0 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-9,
+        s"doc ${r.getLong(0)}: H=$h k=$k")
+    }
+  }
+
+  test("p12 curriculum: buckets 1..4 per lang, sizes differ by at most 1") {
+    val rows = run("p12_curriculum", sf001).collect()
+    assert(rows.length === Tables.documents(spark, sf001).count())
+    val sizes = rows.groupBy(r => (r.getString(1), r.getInt(3)))
+      .view.mapValues(_.length)
+    sizes.keys.map(_._1).toSeq.distinct.foreach { lang =>
+      val s = sizes.filter(_._1._1 == lang).values.toSeq
+      assert(s.max - s.min <= 1, s"$lang: $s")
+      assert(sizes.keys.filter(_._1 == lang).map(_._2).toSeq.sorted == Seq(1, 2, 3, 4))
+    }
+    // best quality in bucket 1: per lang, min quality in bucket 1 >= max in bucket 4
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val b1 = rs.filter(_.getInt(3) == 1).map(_.getLong(2))
+      val b4 = rs.filter(_.getInt(3) == 4).map(_.getLong(2))
+      assert(b1.min >= b4.max)
+    }
+  }
 }
