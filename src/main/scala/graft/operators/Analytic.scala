@@ -808,11 +808,14 @@ object Analytic {
   }
 
   /** Market-basket co-occurrence: support counts for part pairs bought
-    * in the same order — the classic affinity query. The pair space is
-    * generated per order by a self equi-join on l_orderkey, so the work
-    * is bounded by Σ(basket size choose 2) per order, never |parts|²;
-    * pair counting gets map-side partial aggregation and the top-100 is
-    * a TakeOrderedAndProject, not a global sort.
+    * in the same order — the classic affinity query. One shuffle
+    * gathers each order's basket (baskets are bounded — a handful of
+    * parts — so collect_set rows stay tiny at any corpus size), the
+    * C(k,2) pairs are generated INSIDE the row by codegen'd array
+    * functions (no self-join, no second scan), pair counting gets
+    * map-side partial aggregation, and the top-100 is a
+    * TakeOrderedAndProject, not a global sort. The oracle keeps the
+    * equivalent self-join formulation.
     */
   val qBasketPairs: QuerySpec = QuerySpec.sql(
     "q64_basket_pairs",
@@ -826,11 +829,16 @@ object Analytic {
       |)
       |SELECT part_a, part_b, support
       |FROM p ORDER BY support DESC, part_a, part_b LIMIT 100""".stripMargin) { (s, dir) =>
-    val i = Tables.lineitem(s, dir).select("l_orderkey", "l_partkey").distinct()
-    i.as("a").join(i.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") < col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("items"))
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)),
+          |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("support"))
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
       .limit(100)
@@ -904,11 +912,79 @@ object Analytic {
       .withColumnRenamed("f", "l_returnflag")
   }
 
+  /** Weighted PageRank (5 iterations, damping 0.85) over the
+    * customer↔supplier purchase graph (edge weight = lineitem count,
+    * symmetrized). Each iteration is one equi-join on the source key +
+    * one aggregation on the destination key — ranks never leave the
+    * cluster, the edge/share relation is materialized once
+    * (`localCheckpoint`) and re-joined per round, and lineage stays
+    * flat, the same bounded-round shape as [[ConnectedComponents]].
+    * Floating arithmetic is shaped identically in both engines
+    * (`r * (w / wout)`, parenthesized), so after 5 rounds the results
+    * agree far inside the ROUND(…, 2) ppm output grid.
+    */
+  val qPageRank: QuerySpec = QuerySpec.sql(
+    "q67_pagerank", {
+      val iters = (1 to 5).map { k =>
+        s"""p$k AS (
+           |  SELECT e.dst AS node, 0.15 / nn.n + 0.85 * SUM(p.r * (e.w / d.wout)) AS r
+           |  FROM e JOIN p${k - 1} p ON p.node = e.src
+           |         JOIN deg d ON d.src = e.src CROSS JOIN nn
+           |  GROUP BY e.dst, nn.n
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH edges AS (
+         |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+         |         CAST(COUNT(*) AS DOUBLE) AS w
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2
+         |), e AS (
+         |  SELECT src, dst, w FROM edges
+         |  UNION ALL SELECT dst, src, w FROM edges
+         |), deg AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
+         |nn AS (SELECT COUNT(*) AS n FROM deg),
+         |p0 AS (SELECT src AS node, 1.0 / nn.n AS r FROM deg CROSS JOIN nn),
+         |$iters
+         |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+         |       CAST(node // 2 AS BIGINT) AS key,
+         |       ROUND(r * 1000000, 2) AS rank_ppm
+         |FROM p5""".stripMargin
+    }) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    val e = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    val deg = e.groupBy("src").agg(sum("w").as("wout"))
+    val ew = e.join(deg, "src")
+      .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
+      .localCheckpoint()
+    val n = deg.count()
+    var r = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
+    for (_ <- 1 to 5) {
+      r = ew.join(r, ew("src") === r("node"))
+        .select(col("dst"), (col("r") * col("share")).as("contrib"))
+        .groupBy("dst")
+        .agg(sum("contrib").as("inflow"))
+        .select(col("dst").as("node"),
+          (lit(0.15 / n) + lit(0.85) * col("inflow")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(
+      when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")).as("kind"),
+      expr("node div 2").cast("long").as("key"),
+      round(col("r") * 1000000, 2).as("rank_ppm"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
       qFirstLast, qIntersectAll, qExceptAll, qKmvSketch, qCalendar,
       qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders,
       qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
-      qLateral, qSkewJoin, qZOrder, qBloom, qBasketPairs, qOrderGaps, qMad)
+      qLateral, qSkewJoin, qZOrder, qBloom, qBasketPairs, qOrderGaps, qMad,
+      qPageRank)
 }

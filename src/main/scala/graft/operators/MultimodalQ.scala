@@ -171,6 +171,40 @@ object MultimodalQ {
       .join(resized, "doc_id")
   }
 
+  /** Audio-style frame analysis: 16-bit PCM samples framed into
+    * 1024-sample windows with per-frame energy (Σ s²) and peak — the
+    * windowed-signal aggregation an audio pipeline runs after decode.
+    * The sample stream is a deterministic integer LCG standing in for
+    * the codec (none in this env — same seam as the image decoders);
+    * the framing work is the real engine path: a codegen'd Generate
+    * (4096 samples/doc) → integer frame key → partial+final aggregation,
+    * all-integer so the oracle is exact. At 100 TB the generate feeds
+    * from decoded binary instead; the plan shape is identical.
+    */
+  val mAudioFrames: QuerySpec = QuerySpec.sql(
+    "m6_audio_frames",
+    """WITH s AS (
+      |  SELECT doc_id, i,
+      |         ((doc_id * 1103515245 + i * 12345 + 104729) % 65536) - 32768 AS smp
+      |  FROM documents CROSS JOIN generate_series(0, 4095) AS g(i)
+      |)
+      |SELECT doc_id, CAST(i // 1024 AS BIGINT) AS frame,
+      |       CAST(SUM(smp * smp) AS BIGINT) AS energy,
+      |       CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
+      |       COUNT(*) AS n_samples
+      |FROM s GROUP BY doc_id, i // 1024""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(4095))).as("i"))
+      .select(col("doc_id"), expr("i div 1024").cast("long").as("frame"),
+        (((col("doc_id") * lit(1103515245L) + col("i") * lit(12345L) + lit(104729L))
+          % lit(65536L)) - lit(32768L)).as("smp"))
+      .groupBy("doc_id", "frame")
+      .agg(sum(col("smp") * col("smp")).as("energy"),
+        max(abs(col("smp"))).as("peak"),
+        count(lit(1)).as("n_samples"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(mFeatures, mResize, mFrames, mModalityReport, mImageDecode)
+    Seq(mFeatures, mResize, mFrames, mModalityReport, mImageDecode,
+      mAudioFrames)
 }

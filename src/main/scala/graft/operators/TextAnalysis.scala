@@ -418,8 +418,57 @@ object TextAnalysis {
         round(-sum(col("p") * log2(col("p"))), 4).as("entropy"))
   }
 
+  /** LM-based document scoring: every doc scored by the t11 corpus
+    * bigram model — the CCNet-style quality-filter step (docs whose
+    * bigrams the corpus LM finds improbable are the noise you drop).
+    * The LM is vocab²-bounded and cnt≥5-pruned, so it broadcasts; the
+    * doc side streams through one explode + one broadcast join + one
+    * doc-keyed aggregation. All-integer (bp) outputs, exact oracle;
+    * the producer is shared through the materialize-once registry.
+    */
+  val tLmScore: QuerySpec = QuerySpec.sql(
+    "t14_lm_score",
+    s"""WITH lm AS (${tBigramLm.oracle.get}),
+       |toks AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+       |  FROM toks WHERE len(ws) >= 2
+       |), bw AS (
+       |  SELECT doc_id, split_part(bigram, ' ', 1) AS w1,
+       |         split_part(bigram, ' ', 2) AS w2
+       |  FROM bg
+       |), j AS (
+       |  SELECT bw.doc_id, lm.cond_bp
+       |  FROM bw LEFT JOIN lm ON bw.w1 = lm.w1 AND bw.w2 = lm.w2
+       |)
+       |SELECT doc_id, COUNT(*) AS n_bigrams, COUNT(cond_bp) AS n_known,
+       |       CAST(COUNT(cond_bp) * 10000 // COUNT(*) AS BIGINT) AS known_bp,
+       |       CAST(CASE WHEN COUNT(cond_bp) = 0 THEN NULL
+       |                 ELSE SUM(cond_bp) // COUNT(cond_bp) END AS BIGINT) AS mean_cond_bp
+       |FROM j GROUP BY doc_id""".stripMargin) { (s, dir) =>
+    val lm = Intermediates.of(tBigramLm)(s, dir).select("w1", "w2", "cond_bp")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(ws) - 2),
+          |  i -> concat(element_at(ws, i + 1), ' ', element_at(ws, i + 2)))""".stripMargin))
+        .as("bigram"))
+      .select(col("doc_id"),
+        substring_index(col("bigram"), " ", 1).as("w1"),
+        substring_index(col("bigram"), " ", -1).as("w2"))
+      .join(broadcast(lm), Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), count(col("cond_bp")).as("n_known"),
+        sum("cond_bp").as("s"))
+      .selectExpr("doc_id", "n_bigrams", "n_known",
+        "n_known * 10000L div n_bigrams AS known_bp",
+        "CASE WHEN n_known = 0 THEN NULL ELSE s div n_known END AS mean_cond_bp")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tTokens, tQuality.memo, tLangId.memo, tFingerprint, tRepetition, tVocabDf,
-      tSurprisal, tRedact, tKeywords, tGopher, tBigramLm, tLangConfusion,
-      tCharEntropy)
+      tSurprisal, tRedact, tKeywords, tGopher, tBigramLm.memo, tLangConfusion,
+      tCharEntropy, tLmScore)
 }

@@ -371,6 +371,25 @@ class AnalyticSpec extends SparkTestBase {
     }
   }
 
+  test("q67 pagerank: mass conserved, suppliers outrank customers") {
+    val rows = run("q67_pagerank", sf001).collect()
+    val n = rows.length
+    // symmetric graph, no dangling nodes: total rank mass stays 1
+    val mass = rows.map(_.getDouble(2)).sum / 1e6
+    assert(math.abs(mass - 1.0) < 1e-4, s"mass=$mass")
+    rows.foreach { r =>
+      assert(Set("c", "s").contains(r.getString(0)))
+      assert(r.getDouble(2) > 0)
+    }
+    // ~100 suppliers absorb the rank of ~1000 customers: the top node
+    // must be a supplier and the supplier mean must dominate
+    val (sup, cus) = rows.partition(_.getString(0) == "s")
+    assert(rows.maxBy(_.getDouble(2)).getString(0) == "s")
+    assert(sup.map(_.getDouble(2)).sum / sup.length >
+      cus.map(_.getDouble(2)).sum / cus.length)
+    assert(n === sup.length + cus.length && sup.length < cus.length)
+  }
+
   test("q66 MAD: 3 flags; mad bounded by max |x - median|") {
     val rows = run("q66_mad", sf001).collect()
     assert(rows.length === 3)

@@ -94,4 +94,21 @@ class MultimodalSpec extends SparkTestBase {
     assert(df.filter(col("new_width") > 32 || col("new_height") > 32)
       .count() === 0)
   }
+
+  test("m6: 4 full frames per doc; energy matches a driver recount") {
+    val df = run("m6_audio_frames")
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(df.count() === nDocs * 4)
+    assert(df.filter(col("n_samples") =!= 1024 || col("peak") > 32768 ||
+      col("energy") <= 0).count() === 0)
+    // recount one doc's frame-0 energy with plain Scala ints
+    val docId = 7L
+    val want = (0 until 1024).map { i =>
+      val s = ((docId * 1103515245L + i * 12345L + 104729L) % 65536L) - 32768L
+      s * s
+    }.sum
+    val got = df.filter(col("doc_id") === docId && col("frame") === 0)
+      .head().getAs[Long]("energy")
+    assert(got === want)
+  }
 }

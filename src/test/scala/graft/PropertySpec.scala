@@ -209,4 +209,32 @@ class PropertySpec extends SparkTestBase {
     // md5/conv path ever disagreed on one position, a member would miss
     assert(missed === 0L)
   }
+
+  test("connected components equal union-find on random edge lists") {
+    val edgeGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.chooseNum(2, 40)
+      m <- Gen.chooseNum(1, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong); b <- Gen.chooseNum(0L, n.toLong)
+        if a != b
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es
+    samples(edgeGen, 8).zipWithIndex.foreach { case (edges, i) =>
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => (v, find(v))).toSet
+      val got = operators.ConnectedComponents
+        .labels(edges.toDF("a", "b"), "a", "b", maxRounds = 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want, s"case $i: $edges")
+    }
+  }
 }

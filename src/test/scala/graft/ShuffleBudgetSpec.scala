@@ -62,8 +62,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "t7_surprisal" -> 3, "t8_redact" -> 0, "t9_keywords" -> 3,
     "t10_gopher_rules" -> 0, "t11_bigram_lm" -> 2,
     "s10_semantic_clusters" -> 1, "p12_curriculum" -> 1,
-    "q64_basket_pairs" -> 4, "q65_order_gaps" -> 2, "q66_mad" -> 3,
-    "t13_char_entropy" -> 2)
+    "q64_basket_pairs" -> 2, "q65_order_gaps" -> 2, "q66_mad" -> 3,
+    "t13_char_entropy" -> 2, "q67_pagerank" -> 0, "m6_audio_frames" -> 1,
+    "t14_lm_score" -> 2)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet

@@ -64,6 +64,27 @@ class TextAnalysisSpec extends SparkTestBase {
     }
   }
 
+  test("t14 LM score: known <= total, bp bounded, one doc recomputed") {
+    val rows = run("t14_lm_score").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nb, nk, kbp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nk <= nb && kbp >= 0 && kbp <= 10000)
+      if (nk == 0) assert(r.isNullAt(4))
+      else assert(r.getLong(4) >= 0 && r.getLong(4) <= 10000)
+    }
+    // recompute doc 0 against the collected LM
+    val lm = run("t11_bigram_lm").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val ws = Tables.documents(spark, sf0001).filter(col("doc_id") === 0)
+      .head().getAs[String]("text").split(" ")
+    val bgs = ws.sliding(2).filter(_.length == 2).map(a => (a(0), a(1))).toSeq
+    val known = bgs.flatMap(lm.get)
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) === bgs.length && r0.getLong(2) === known.length)
+    if (known.nonEmpty) assert(r0.getLong(4) === known.sum / known.length)
+  }
+
   test("p12 curriculum: buckets 1..4 per lang, sizes differ by at most 1") {
     val rows = run("p12_curriculum", sf001).collect()
     assert(rows.length === Tables.documents(spark, sf001).count())
