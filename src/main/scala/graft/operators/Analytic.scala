@@ -959,20 +959,30 @@ object Analytic {
     val e = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val deg = e.groupBy("src").agg(sum("w").as("wout"))
+    // persist (not localCheckpoint): InMemoryRelation keeps
+    // outputPartitioning, so ew stays hash-partitioned by src and each
+    // round's rank frame by node — the per-round join needs NO exchange,
+    // only the dst-keyed aggregation shuffles (1 per round)
     val ew = e.join(deg, "src")
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
-      .localCheckpoint()
+      .persist()
     val n = deg.count()
     var r = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to 5) {
-      r = ew.join(r, ew("src") === r("node"))
+      val next = ew.join(r, ew("src") === r("node"))
         .select(col("dst"), (col("r") * col("share")).as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("inflow"))
         .select(col("dst").as("node"),
           (lit(0.15 / n) + lit(0.85) * col("inflow")).as("r"))
-        .localCheckpoint()
+        .persist()
+      next.count() // materialize before releasing the parent round
+      r.unpersist()
+      r = next
     }
+    // rounds are done and the final frame is materialized; the share
+    // relation only backs the (already cached) result's recompute path
+    ew.unpersist()
     r.select(
       when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")).as("kind"),
       expr("node div 2").cast("long").as("key"),
