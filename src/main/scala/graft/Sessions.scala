@@ -52,6 +52,7 @@ object Sessions {
     if (!spark.experimental.extraOptimizations.contains(plans.SemiJoinRewrite))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ plans.SemiJoinRewrite
+    functions.SqlFunctions.register(spark)
     spark
   }
 }

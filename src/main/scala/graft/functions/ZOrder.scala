@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{catalyst, Column}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) curve over two 16-bit dimensions — the multi-column
@@ -33,6 +33,21 @@ object ZOrder {
   /** 32-bit Morton code: x in even bits, y in odd bits. */
   def zorder2(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(spread16(y) * lit(2L))
+
+  /** The same formula as a raw catalyst tree — the SQL-function builder
+    * path (Column-built trees reach the registry unresolved in Spark 4).
+    */
+  def zorder2Expr(x: catalyst.expressions.Expression,
+      y: catalyst.expressions.Expression): catalyst.expressions.Expression = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.LongType
+    def spread(c: Expression): Expression =
+      steps.foldLeft[Expression](BitwiseAnd(Cast(c, LongType), Literal(65535L))) {
+        case (acc, (sh, m)) =>
+          BitwiseAnd(BitwiseOr(acc, Multiply(acc, Literal(1L << sh))), Literal(m))
+      }
+    BitwiseOr(spread(x), Multiply(spread(y), Literal(2L)))
+  }
 
   /** The same computation as oracle SQL text (DuckDB dialect = the same
     * `& | *` operators), as a chain of CTE steps over columns x and y.

@@ -116,11 +116,16 @@ object TopKPerKey {
   }
 }
 
-/** Extensions entry point registering both graft planner/optimizer hooks. */
+/** Extensions entry point registering the graft planner/optimizer hooks
+  * and the native expressions as SQL functions — `spark.sql` users get
+  * the same codegen'd operators the DataFrame layer uses
+  * (`spark.sql.extensions=graft.plans.GraftPlannerExtensions`).
+  */
 class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     e.injectOptimizerRule(_ => SemiJoinRewrite)
     e.injectOptimizerRule(_ => TopKRewrite)
+    graft.functions.SqlFunctions.all.foreach(e.injectFunction)
   }
 }

@@ -42,16 +42,26 @@ object Snapshots {
     }).sorted
   }
 
-  private def manifestFiles(spark: SparkSession, table: String, v: Long): Seq[String] = {
+  private def manifestText(spark: SparkSession, table: String, v: Long): String = {
     val f = fs(spark, table)
-    val p = new Path(s"$table/manifest-v$v.json")
-    val in = f.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    val in = f.open(new Path(s"$table/manifest-v$v.json"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    // manifest body: one absolute file path per line after the header
-    // line "v<N>" — deliberately line-oriented so no JSON lib is needed
-    text.linesIterator.drop(1).filter(_.nonEmpty).toSeq
   }
+
+  private def manifestFiles(spark: SparkSession, table: String, v: Long): Seq[String] =
+    // manifest body: one absolute file path per line after the header
+    // line "v<N>[ <token>]" — deliberately line-oriented, no JSON lib
+    manifestText(spark, table, v).linesIterator.drop(1).filter(_.nonEmpty).toSeq
+
+  /** The version already committed under `token`, if any — the replay
+    * check behind exactly-once streaming publish.
+    */
+  def committedVersionFor(spark: SparkSession, table: String, token: String): Option[Long] =
+    versions(spark, table).find { v =>
+      manifestText(spark, table, v).linesIterator.nextOption()
+        .exists(_.split(' ').lift(1).contains(token))
+    }
 
   /** Commit `df` as the next snapshot. `overwrite = false` appends to
     * the current snapshot's file set; `true` replaces it. Returns the
@@ -59,9 +69,16 @@ object Snapshots {
     * version race; data files written here stay referenced by OUR
     * manifest only, so a lost race never duplicates or orphans rows in
     * any published snapshot.
+    *
+    * `token` makes the commit idempotent: if any manifest already
+    * carries it, that version is returned and nothing is written — the
+    * exactly-once contract a replayed streaming micro-batch needs.
     */
-  def commit(df: DataFrame, table: String, overwrite: Boolean = false): Long = {
+  def commit(df: DataFrame, table: String, overwrite: Boolean = false,
+      token: Option[String] = None): Long = {
     val spark = df.sparkSession
+    token.foreach(t => committedVersionFor(spark, table, t)
+      .foreach(v => return v))
     val f = fs(spark, table)
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
     df.write.parquet(dataDir.toString)
@@ -71,11 +88,15 @@ object Snapshots {
     while (attempt < 5) {
       val prev = versions(spark, table)
       val v = prev.lastOption.getOrElse(0L) + 1
+      // re-check under the race: the same token may have just won
+      token.foreach(t => committedVersionFor(spark, table, t)
+        .foreach(w => return w))
       val base = if (overwrite || prev.isEmpty) Seq.empty
         else manifestFiles(spark, table, prev.last)
+      val header = s"v$v${token.map(" " + _).getOrElse("")}"
       val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
       val out = f.create(tmp, false)
-      try out.write((s"v$v\n" + (base ++ newFiles).mkString("\n"))
+      try out.write((header + "\n" + (base ++ newFiles).mkString("\n"))
         .getBytes("UTF-8"))
       finally out.close()
       // atomic publish; rename-onto-existing fails => optimistic lock
@@ -87,16 +108,66 @@ object Snapshots {
       s"snapshot commit lost the version race 5 times on $table")
   }
 
+  /** Transactional small-file compaction: rewrite the CURRENT snapshot
+    * into `numFiles` files and publish as a new (overwrite) version —
+    * rows unchanged, history intact, readers of older versions
+    * unaffected. The token pins the source version, so re-running
+    * compaction against an unchanged table is a no-op; a writer that
+    * appends concurrently simply wins/loses the ordinary version race
+    * (its append carries the pre-compaction file list — both snapshots
+    * stay correct, the next compaction folds them).
+    */
+  def compact(spark: SparkSession, table: String, numFiles: Int = 1): Long = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"nothing to compact in $table")
+    val src = vs.last
+    val latestToken = manifestText(spark, table, src).linesIterator
+      .nextOption().flatMap(_.split(' ').lift(1))
+    // latest version already is a compaction → nothing new to fold
+    if (latestToken.exists(_.startsWith("compact-of-"))) src
+    else commit(read(spark, table, Some(src)).repartition(numFiles), table,
+      overwrite = true, token = Some(s"compact-of-v$src"))
+  }
+
   /** Read a snapshot (latest, or AS OF `asOf`). The file list is pinned
     * here, at plan time — concurrent commits are invisible.
+    * `mergeSchema` unions the footers' schemas when commits evolved the
+    * schema (added columns read as null in older files).
     */
-  def read(spark: SparkSession, table: String, asOf: Option[Long] = None): DataFrame = {
+  def read(spark: SparkSession, table: String, asOf: Option[Long] = None,
+      mergeSchema: Boolean = false): DataFrame = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed snapshot in $table")
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val files = manifestFiles(spark, table, v)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    else spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
+  }
+
+  /** Expire history: drop all but the last `keepVersions` manifests and
+    * delete data files no surviving manifest references. Time travel to
+    * expired versions fails from then on; the surviving snapshots are
+    * untouched (their files are never deleted — reference counting is
+    * over the manifest chain, not file age). Returns the number of data
+    * files deleted.
+    */
+  def vacuum(spark: SparkSession, table: String, keepVersions: Int = 1): Int = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    val (expire, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
+    if (expire.isEmpty) return 0
+    val live = keep.flatMap(manifestFiles(spark, table, _)).toSet
+    val dead = expire.flatMap(manifestFiles(spark, table, _)).toSet -- live
+    dead.foreach(p => f.delete(new Path(p), false))
+    expire.foreach(v => f.delete(new Path(s"$table/manifest-v$v.json"), false))
+    // sweep now-empty data dirs (cosmetic; correctness never lists them)
+    val dataRoot = new Path(s"$table/data")
+    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
+      if (f.listStatus(st.getPath).forall(_.getPath.getName.startsWith("_")))
+        f.delete(st.getPath, true)
+    }
+    dead.size
   }
 }

@@ -97,6 +97,26 @@ object Streams {
     * written by an incompatible layout) fails loudly rather than
     * guessing.
     */
+  /** Exactly-once streaming publish into a [[graft.sources.Snapshots]]
+    * table: each micro-batch commits as one atomic snapshot version,
+    * tokened by batchId — a replayed batch (crash after commit, before
+    * checkpoint) finds its token in the manifest chain and is a no-op,
+    * so readers see every batch exactly once, always at a consistent
+    * snapshot boundary. This is the transactional upgrade of the plain
+    * foreachBatch parquet sink: no partial files ever visible, and the
+    * sink doubles as a time-travel log of the stream's batches.
+    */
+  def snapshotSink(df: DataFrame, table: String,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Snapshots.commit(batch, table,
+          token = Some(s"batch-$batchId")): Unit
+      }
+      .start()
+
   def upsertAppendSink(df: DataFrame, key: String, outDir: String,
       checkpointDir: String, nBuckets: Int = 64): StreamingQuery =
     df.writeStream

@@ -58,6 +58,81 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.read(spark, t, asOf = Some(2L)).count() === 5)
   }
 
+  test("tokened commits are idempotent: a replay returns the old version") {
+    val t = tbl()
+    val v1 = Snapshots.commit((1 to 5).toDF("x"), t, token = Some("batch-0"))
+    val v2 = Snapshots.commit((6 to 8).toDF("x"), t, token = Some("batch-1"))
+    // replayed micro-batch: same token, would-be-different data is NOT
+    // committed — the first commit won
+    val replay = Snapshots.commit((900 to 999).toDF("x"), t, token = Some("batch-1"))
+    assert((v1, v2, replay) === ((1L, 2L, 2L)))
+    assert(Snapshots.versions(spark, t) === Seq(1L, 2L))
+    assert(Snapshots.read(spark, t).count() === 8)
+  }
+
+  test("compaction shrinks the file count, keeps rows and history") {
+    val t = tbl()
+    (1 to 6).foreach(i => Snapshots.commit(
+      Seq((i.toLong, s"r$i")).toDF("id", "s").repartition(2), t))
+    val filesBefore = Snapshots.read(spark, t).inputFiles.length
+    assert(filesBefore >= 6)
+    val v = Snapshots.compact(spark, t)
+    assert(v === 7L)
+    assert(Snapshots.read(spark, t).inputFiles.length === 1)
+    assert(Snapshots.read(spark, t).count() === 6)
+    assert(Snapshots.read(spark, t).select(sum("id")).head().getLong(0) === 21L)
+    // pre-compaction snapshot still time-travels
+    assert(Snapshots.read(spark, t, asOf = Some(6L)).inputFiles.length === filesBefore)
+    // compacting an unchanged table is a no-op (token pins the source)
+    assert(Snapshots.compact(spark, t) === 7L)
+  }
+
+  test("streaming snapshotSink: one version per batch, replay is a no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val t = tbl()
+    val ck = Files.createTempDirectory("snapck").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Int]
+    mem.addData(1, 2, 3)
+    val q1 = streaming.Streams.snapshotSink(mem.toDF(), t, ck)
+    q1.processAllAvailable(); q1.stop()
+    mem.addData(4, 5)
+    val q2 = streaming.Streams.snapshotSink(mem.toDF(), t, ck)
+    q2.processAllAvailable(); q2.stop()
+    assert(Snapshots.read(spark, t).count() === 5)
+    // simulate the crash-after-commit-before-checkpoint replay of batch 1
+    val v = Snapshots.commit((99 to 100).toDF("value"), t, token = Some("batch-1"))
+    assert(v === Snapshots.versions(spark, t).last)
+    assert(Snapshots.read(spark, t).count() === 5)
+  }
+
+  test("vacuum expires history, keeps shared files, deletes orphans") {
+    val t = tbl()
+    Snapshots.commit((1 to 4).toDF("x"), t)               // v1
+    Snapshots.commit((5 to 6).toDF("x"), t)               // v2 = v1 files + new
+    Snapshots.commit((10 to 11).toDF("x"), t, overwrite = true) // v3 drops all
+    val deleted = Snapshots.vacuum(spark, t, keepVersions = 2)
+    // v1 expired; its files survive because v2 still references them
+    assert(deleted === 0)
+    assert(Snapshots.versions(spark, t) === Seq(2L, 3L))
+    assert(Snapshots.read(spark, t, asOf = Some(2L)).count() === 6)
+    intercept[IllegalArgumentException](Snapshots.read(spark, t, asOf = Some(1L)))
+    // expiring v2 must delete its files (v3 overwrote, nothing shares them)
+    assert(Snapshots.vacuum(spark, t, keepVersions = 1) > 0)
+    assert(Snapshots.read(spark, t).select(sum("x")).head().getLong(0) === 21L)
+  }
+
+  test("mergeSchema read unions evolved schemas; old files read null") {
+    val t = tbl()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), t)
+    Snapshots.commit(Seq((2L, "b", 9.5)).toDF("id", "s", "score"), t)
+    val merged = Snapshots.read(spark, t, mergeSchema = true)
+    assert(merged.columns.sorted.toSeq === Seq("id", "s", "score"))
+    assert(merged.count() === 2)
+    assert(merged.filter(col("score").isNull).select("id").head().getLong(0) === 1L)
+  }
+
   test("parquet pushdown survives the manifest indirection") {
     val t = tbl()
     Snapshots.commit((1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s"), t)

@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.{ShingleHash, SimHash, ZOrder}
+import org.apache.spark.sql.functions._
+
+/** The SQL-registered native functions must be the same operators the
+  * DataFrame layer uses — each is checked against its column-API twin
+  * (or a closed-form reference) through spark.sql text.
+  */
+class SqlFunctionsSpec extends SparkTestBase {
+
+  test("graft_vec_dot / graft_zorder2 match references from SQL text") {
+    val r = spark.sql(
+      "SELECT graft_vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d, " +
+        "graft_zorder2(3, 5) AS z").head()
+    assert(r.getDouble(0) === 32.0)
+    assert(r.getLong(1) === ZOrder.zorderRef(3, 5))
+  }
+
+  test("graft_simhash60 / shingle / minhash equal the column API on real docs") {
+    Tables.documents(spark, sf0001).limit(50).createOrReplaceTempView("docs_sqlfn")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash60(text) AS sh,
+        |       graft_shingle_hashes(text) AS sg,
+        |       graft_minhash_sig(text) AS mh
+        |FROM docs_sqlfn""".stripMargin)
+    val viaCols = Tables.documents(spark, sf0001).limit(50)
+      .select(col("doc_id"), SimHash.simhash60(col("text")).as("sh"),
+        ShingleHash.shingleHashes(col("text")).as("sg"),
+        ShingleHash.minHashSig(col("text")).as("mh"))
+    assert(viaSql.exceptAll(viaCols).count() === 0)
+    assert(viaCols.exceptAll(viaSql).count() === 0)
+  }
+
+  test("graft_to_avro -> graft_from_avro round-trips in pure SQL") {
+    val schema =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"long"},{"name":"b","type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    val out = spark.sql(
+      s"""SELECT graft_from_avro(
+         |  graft_to_avro(named_struct('a', id, 'b', concat('v', id)), '$schema'),
+         |  '$schema') AS r
+         |FROM range(5)""".stripMargin)
+      .select("r.a", "r.b").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      (0L to 4L).map(i => (i, s"v$i")))
+  }
+}
