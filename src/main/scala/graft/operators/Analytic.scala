@@ -959,34 +959,67 @@ object Analytic {
     val e = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     val deg = e.groupBy("src").agg(sum("w").as("wout"))
-    // persist (not localCheckpoint): InMemoryRelation keeps
-    // outputPartitioning, so ew stays hash-partitioned by src and each
-    // round's rank frame by node — the per-round join needs NO exchange,
-    // only the dst-keyed aggregation shuffles (1 per round)
+    // localCheckpoint keeps every round's lineage flat — the same
+    // bounded-round shape as ConnectedComponents. (A persist() chain
+    // was measured equal on wall-clock but embeds all prior rounds'
+    // cached plans in the final plan tree, which megabyte-bloats every
+    // explain/lint pass — flat lineage wins operationally.)
     val ew = e.join(deg, "src")
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
-      .persist()
+      .localCheckpoint()
     val n = deg.count()
     var r = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to 5) {
-      val next = ew.join(r, ew("src") === r("node"))
+      r = ew.join(r, ew("src") === r("node"))
         .select(col("dst"), (col("r") * col("share")).as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("inflow"))
         .select(col("dst").as("node"),
           (lit(0.15 / n) + lit(0.85) * col("inflow")).as("r"))
-        .persist()
-      next.count() // materialize before releasing the parent round
-      r.unpersist()
-      r = next
+        .localCheckpoint()
     }
-    // rounds are done and the final frame is materialized; the share
-    // relation only backs the (already cached) result's recompute path
-    ew.unpersist()
     r.select(
       when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")).as("kind"),
       expr("node div 2").cast("long").as("key"),
       round(col("r") * 1000000, 2).as("rank_ppm"))
+  }
+
+  /** The snapshot table format under the ORACLE gate (not just specs):
+    * documents are committed as two snapshot versions (even doc_ids,
+    * then the odd append), and the query aggregates BOTH the latest
+    * read and the time-traveled v1 read — so manifest resolution,
+    * pinned file lists, and time travel all have to produce exactly the
+    * rows the oracle derives from the raw table. The build is
+    * per-(session, dir) idempotent; reads are ordinary pushdown-capable
+    * parquet scans behind the manifest.
+    */
+  val qSnapshotRoundtrip: QuerySpec = QuerySpec.sql(
+    "q68_snapshot_roundtrip",
+    """WITH l AS (
+      |  SELECT lang, COUNT(*) AS n_latest,
+      |         CAST(SUM(n_chars) AS BIGINT) AS chars_latest
+      |  FROM documents GROUP BY lang
+      |), v AS (
+      |  SELECT lang, COUNT(*) AS n_v1 FROM documents
+      |  WHERE doc_id % 2 = 0 GROUP BY lang
+      |)
+      |SELECT l.lang, n_latest, chars_latest, n_v1
+      |FROM l JOIN v ON l.lang = v.lang""".stripMargin) { (s, dir) =>
+    import graft.sources.Snapshots
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
+      s"${math.abs(dir.hashCode)}-${System.identityHashCode(s)}"
+    if (Snapshots.versions(s, root).length < 2) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, dir)
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), root)
+      Snapshots.commit(docs.filter(col("doc_id") % 2 =!= 0), root)
+    }
+    val latest = Snapshots.read(s, root).groupBy("lang")
+      .agg(count(lit(1)).as("n_latest"), sum("n_chars").as("chars_latest"))
+    val v1 = Snapshots.read(s, root, asOf = Some(1L)).groupBy("lang")
+      .agg(count(lit(1)).as("n_v1"))
+    latest.join(v1, "lang")
   }
 
   val all: Seq[QuerySpec] =
@@ -996,5 +1029,5 @@ object Analytic {
       qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders,
       qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
       qLateral, qSkewJoin, qZOrder, qBloom, qBasketPairs, qOrderGaps, qMad,
-      qPageRank)
+      qPageRank, qSnapshotRoundtrip)
 }

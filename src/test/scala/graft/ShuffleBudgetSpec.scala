@@ -64,7 +64,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "s10_semantic_clusters" -> 1, "p12_curriculum" -> 1,
     "q64_basket_pairs" -> 2, "q65_order_gaps" -> 2, "q66_mad" -> 3,
     "t13_char_entropy" -> 2, "q67_pagerank" -> 0, "m6_audio_frames" -> 1,
-    "t14_lm_score" -> 2)
+    "t14_lm_score" -> 2, "q68_snapshot_roundtrip" -> 3)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
