@@ -13,7 +13,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.MultimodalQ.all ++ operators.Curation.all ++
-      operators.Temporal.all ++ operators.Analytic.all
+      operators.Temporal.all ++ operators.Analytic.all ++
+      operators.Incremental.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors the reference's flagship revenue_analysis daily-KPI pipeline

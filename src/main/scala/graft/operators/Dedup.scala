@@ -20,9 +20,9 @@ import org.apache.spark.sql.Column
   */
 object Dedup {
 
-  private val K = 16      // minhash permutations
-  private val Bands = 4   // 4 bands × 4 rows
-  private val P = Portable.MinHashP
+  private[operators] val K = 16      // minhash permutations
+  private[operators] val Bands = 4   // 4 bands × 4 rows
+  private[operators] val P = Portable.MinHashP
 
   /** Exact dedup: copies + canonical flag per identical-text group.
     * Ref intent: S21/T7 idempotent dedup (ON CONFLICT DO NOTHING ≡

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.{QuerySpec, Tables}
+import graft.sources.Snapshots
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental-processing operators — the patterns that turn a one-shot
+  * batch engine into a pipeline that can ABSORB new data at 100 TB
+  * without rescanning history:
+  *
+  *  - change-data-feed reads over the snapshot table format (file-
+  *    granular: only appended files are read, ref intent: lab05's
+  *    filename-watermark incrementality, dags/fuel_ingest_dag.py:92-111,
+  *    done properly with manifests);
+  *  - copy-on-write MERGE upsert (the dbt incremental delete+insert of
+  *    magic_shop/models/marts/fct_orders.sql:9-16, at file granularity);
+  *  - partial-aggregate maintenance (base + delta merge == full
+  *    recompute, the materialized-view refresh identity);
+  *  - incremental dedup of a new batch against an indexed corpus (the
+  *    realistic growth shape: band-join new docs against the index,
+  *    never re-pair the whole corpus).
+  *
+  * Every operator is under the DuckDB oracle gate: the oracle computes
+  * the same answer from the raw tables, so manifest resolution, CDC file
+  * diffs, COW rewrites, and partial merges must reproduce exact rows.
+  */
+object Incremental {
+
+  /** Per-(session, dir) scratch root for a snapshot table — idempotent
+    * rebuild guard lives with each query.
+    */
+  private def snapRoot(s: SparkSession, dir: String, tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-$tag-" +
+      s"${math.abs(dir.hashCode)}-${System.identityHashCode(s)}"
+
+  /** q69: change-data-feed between snapshot versions. documents are
+    * committed as v1 (even doc_ids) then v2 appends the odds; the CDC
+    * read resolves the manifest DIFF — only v2's appended files are
+    * scanned, no anti-join, no history rescan — and must reproduce
+    * exactly the odd-doc rows the oracle derives from the raw table.
+    */
+  val qSnapshotCdf: QuerySpec = QuerySpec.sql(
+    "q69_snapshot_cdf",
+    """SELECT source, COUNT(*) AS n_added,
+      |       CAST(SUM(n_chars) AS BIGINT) AS chars_added
+      |FROM documents WHERE doc_id % 2 = 1
+      |GROUP BY source""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "cdf")
+    if (Snapshots.versions(s, root).length < 2) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, dir)
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), root)
+      Snapshots.commit(docs.filter(col("doc_id") % 2 =!= 0), root)
+    }
+    Snapshots.changes(s, root, from = 1L, to = 2L)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_added"), sum("n_chars").as("chars_added"))
+  }
+
+  /** q70: partial-aggregate maintenance. The monthly revenue rollup is
+    * maintained as BASE (history, materialized once) merged with DELTA
+    * (the new partition) — count/sum/min/max are all mergeable partials,
+    * so refresh cost is O(delta), not O(history). The oracle recomputes
+    * from scratch; merge == recompute is the materialized-view identity
+    * this gate proves.
+    */
+  val qIncrementalAgg: QuerySpec = QuerySpec.sql(
+    "q70_incremental_agg",
+    """SELECT strftime(o_orderdate, '%Y-%m') AS mon,
+      |       COUNT(*) AS n_orders,
+      |       ROUND(SUM(o_totalprice), 2) AS revenue,
+      |       ROUND(MAX(o_totalprice), 2) AS max_price
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+      .withColumn("mon", date_format(col("o_orderdate"), "yyyy-MM"))
+    def partial(pred: org.apache.spark.sql.Column): DataFrame =
+      o.filter(pred).groupBy("mon").agg(
+        count(lit(1)).as("n"), sum("o_totalprice").as("rev"),
+        max("o_totalprice").as("mx"))
+    val cutoff = lit("1998-01-01").cast("timestamp")
+    partial(col("o_orderdate") < cutoff)          // base: history
+      .unionByName(partial(col("o_orderdate") >= cutoff)) // delta: new
+      .groupBy("mon")
+      .agg(sum("n").as("n_orders"),
+        round(sum("rev"), 2).as("revenue"),
+        round(max("mx"), 2).as("max_price"))
+  }
+
+  /** q71: copy-on-write MERGE upsert on the snapshot table. The base
+    * commit range-partitions documents by doc_id into 8 files; the
+    * upsert touches doc_id <= 50 (one file's key range) plus three
+    * brand-new rows — so the merge rewrites ONE data file and carries
+    * the other seven into the new manifest untouched (asserted in
+    * SnapshotsSpec). The oracle applies the same upsert relationally to
+    * the raw table; the final-state aggregate must match exactly.
+    */
+  val qMergeUpsert: QuerySpec = QuerySpec.sql(
+    "q71_merge_upsert",
+    """WITH upd AS (
+      |  SELECT doc_id, text, lang, 'merged' AS source, n_chars + 1000 AS n_chars
+      |  FROM documents WHERE doc_id <= 50
+      |  UNION ALL
+      |  SELECT * FROM (VALUES
+      |    (9000001, 'new alpha doc', 'en', 'merged', 13),
+      |    (9000002, 'new beta doc',  'de', 'merged', 12),
+      |    (9000003, 'new gamma doc', 'fr', 'merged', 13))
+      |    AS t(doc_id, text, lang, source, n_chars)
+      |), final AS (
+      |  SELECT doc_id, text, lang, source, n_chars FROM documents
+      |  WHERE doc_id > 50
+      |  UNION ALL SELECT doc_id, text, lang, source, n_chars FROM upd
+      |)
+      |SELECT source, lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM final GROUP BY source, lang""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val root = snapRoot(s, dir, "merge")
+    val docs = Tables.documents(s, dir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    if (Snapshots.versions(s, root).length < 2) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      Snapshots.commit(docs.repartitionByRange(8, col("doc_id")), root)
+      val updates = docs.filter(col("doc_id") <= 50)
+        .withColumn("source", lit("merged"))
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .unionByName(Seq(
+          (9000001L, "new alpha doc", "en", "merged", 13L),
+          (9000002L, "new beta doc", "de", "merged", 12L),
+          (9000003L, "new gamma doc", "fr", "merged", 13L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      Snapshots.merge(s, root, updates, "doc_id")
+    }
+    Snapshots.read(s, root)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+  }
+
+  /** d15: incremental dedup — a NEW batch (doc_id % 5 = 4) deduped
+    * against the already-indexed corpus (the rest). Exact dupes drop on
+    * a text-hash anti-join; near-dupes drop when an LSH band matches an
+    * indexed doc AND signature agreement >= 0.5 (d3's estimator). The
+    * batch only ever joins the index on short band keys — the corpus is
+    * never self-paired, so ingest cost scales with the BATCH, the 100 TB
+    * growth shape.
+    */
+  val dIncrementalDedup: QuerySpec = QuerySpec.sql(
+    "d15_incremental_dedup",
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${graft.functions.Portable.shinglesSql(3).replace("\n", " ")} AS sh FROM documents
+       |), hs AS (
+       |  SELECT doc_id, list_transform(sh,
+       |    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hs FROM sh
+       |), sig AS (
+       |  SELECT doc_id, list_transform(generate_series(1, ${Dedup.K}),
+       |    i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % ${Dedup.P}))) AS sig
+       |  FROM hs
+       |), bands AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(0, ${Dedup.Bands - 1}),
+       |    j -> j || ':' || array_to_string(sig[j*4+1:j*4+4], ','))) AS bk
+       |  FROM sig
+       |), near_hit AS (
+       |  SELECT DISTINCT a.doc_id AS bid FROM bands a
+       |  JOIN bands b ON a.bk = b.bk
+       |  JOIN sig sa ON sa.doc_id = a.doc_id
+       |  JOIN sig sb ON sb.doc_id = b.doc_id
+       |  WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+       |    AND len(list_filter(generate_series(1, ${Dedup.K}),
+       |          i -> sa.sig[i] = sb.sig[i])) * 1.0 / ${Dedup.K} >= 0.5
+       |), exact_hit AS (
+       |  SELECT DISTINCT a.doc_id AS bid
+       |  FROM documents a JOIN documents b ON md5(a.text) = md5(b.text)
+       |  WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+       |)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+       |FROM documents
+       |WHERE doc_id % 5 = 4
+       |  AND doc_id NOT IN (SELECT bid FROM near_hit)
+       |  AND doc_id NOT IN (SELECT bid FROM exact_hit)
+       |GROUP BY lang""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val isBatch = col("doc_id") % 5 === 4
+    // exact pass: batch text-hashes anti-joined against index hashes
+    val idxHash = docs.filter(!isBatch)
+      .select(md5(col("text")).as("h")).distinct()
+    val afterExact = docs.filter(isBatch)
+      .withColumn("h", md5(col("text")))
+      .join(idxHash, Seq("h"), "left_anti")
+    // near pass: band keys of the surviving batch docs equi-joined
+    // against INDEX band keys only (corpus never self-pairs)
+    val sigs = Dedup.signatures(docs).localCheckpoint()
+    def bandsOf(side: DataFrame): DataFrame = side.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(Dedup.Bands - 1)),
+        j => concat_ws(":", j.cast("string"),
+          concat_ws(",", transform(slice(col("sig"), j * 4 + 1, lit(4)),
+            v => v.cast("string")))))).as("bk"))
+    val batchSig = sigs.join(afterExact.select("doc_id"), "doc_id")
+    val idxSig = sigs.join(docs.filter(!isBatch).select("doc_id"), "doc_id")
+    val agree = size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),
+      b => b)) * lit(1.0) / Dedup.K
+    val nearHit = bandsOf(batchSig).as("ab")
+      .join(bandsOf(idxSig).as("bb"), col("ab.bk") === col("bb.bk"))
+      .select(col("ab.doc_id").as("bid"), col("bb.doc_id").as("iid"))
+      .distinct()
+      .join(sigs.as("a"), col("bid") === col("a.doc_id"))
+      .join(sigs.as("b"), col("iid") === col("b.doc_id"))
+      .filter(agree >= 0.5)
+      .select(col("bid").as("doc_id")).distinct()
+    afterExact
+      .join(nearHit, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup)
+}

@@ -562,7 +562,47 @@ object Similarity {
       .orderBy("cluster_id", "vec_id")
   }
 
+  /** s11: product-quantization codes — each 64-dim embedding split into
+    * 4 subvectors whose int8-quantized mean (s5's exact integer formula)
+    * indexes a 16-level uniform codebook; the 4 nibble codes pack into
+    * one BIGINT. All arithmetic after the (bit-exact, s5-proven)
+    * quantization is integer — closed-form code assignment, no float
+    * centroids, so the oracle matches exactly. This is the memory-bound
+    * ANN scale path: 64 floats (256 B) compress to one 2-byte code word;
+    * a 100 TB embedding corpus becomes a ~1 TB code table that scans at
+    * memory bandwidth, with the codebook a broadcast constant.
+    */
+  val sPqCodes: QuerySpec = QuerySpec.sql(
+    "s11_pq_codes",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |q AS (SELECT vec_id, list_transform(v,
+      |        x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT)) AS qv FROM m),
+      |s AS (SELECT vec_id, len(qv) // 4 AS sub, qv FROM q),
+      |c AS (SELECT vec_id, list_transform(generate_series(0, 3),
+      |        j -> least((list_sum(qv[j*sub+1 : j*sub+sub]) + 127*sub) * 16
+      |                   // (254*sub), 15)) AS codes
+      |      FROM s)
+      |SELECT vec_id,
+      |       CAST(codes[1] + codes[2]*16 + codes[3]*256 + codes[4]*4096
+      |            AS BIGINT) AS pq_code
+      |FROM c""".stripMargin) { (s, dir) =>
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => round(x * (lit(127.0) / col("mx")), 0).cast("long")))
+      .withColumn("sub", expr("size(qv) div 4"))
+      .withColumn("codes", expr(
+        """transform(sequence(0, 3), j ->
+          |  least(((aggregate(slice(qv, j*sub+1, sub), 0L, (a, x) -> a + x)
+          |          + 127*sub) * 16) div (254*sub), 15L))""".stripMargin))
+      .select(col("vec_id"),
+        expr("codes[0] + codes[1]*16 + codes[2]*256 + codes[3]*4096")
+          .cast("long").as("pq_code"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(sKnn.memo, sNearDup.memo, sAnnLsh.memo, sAnnIvf, sQuantize, sCentroid, sAnnRecall,
-      sQuantError, sCovariance, sSemClusters)
+      sQuantError, sCovariance, sSemClusters, sPqCodes)
 }

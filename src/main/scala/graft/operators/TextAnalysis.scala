@@ -467,8 +467,39 @@ object TextAnalysis {
         "CASE WHEN n_known = 0 THEN NULL ELSE s div n_known END AS mean_cond_bp")
   }
 
+  /** t15: BPE merge-pair frequencies — the inner loop of byte-pair-
+    * encoding tokenizer training: count adjacent whitespace-token pairs
+    * across the corpus and surface the top merge candidates. In-row
+    * pair construction (zip of the array with its own tail — no
+    * self-join, no explode-then-window), one map-side-combined count on
+    * short string keys, then TakeOrderedAndProject for the fully
+    * tie-broken top 50. At 100 TB this is a linear scan + one bounded
+    * shuffle keyed by distinct pairs — exactly how production BPE
+    * trainers shape the count step.
+    */
+  val tBpePairs: QuerySpec = QuerySpec.sql(
+    "t15_bpe_pairs",
+    """WITH tok AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents
+      |), pairs AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1])) AS pair
+      |  FROM tok
+      |)
+      |SELECT pair, COUNT(*) AS n FROM pairs
+      |GROUP BY pair ORDER BY n DESC, pair LIMIT 50""".stripMargin) { (s, dir) =>
+    val t = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(50)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tTokens, tQuality.memo, tLangId.memo, tFingerprint, tRepetition, tVocabDf,
       tSurprisal, tRedact, tKeywords, tGopher, tBigramLm.memo, tLangConfusion,
-      tCharEntropy, tLmScore)
+      tCharEntropy, tLmScore, tBpePairs)
 }

@@ -133,6 +133,54 @@ class SnapshotsSpec extends SparkTestBase {
     assert(merged.filter(col("score").isNull).select("id").head().getLong(0) === 1L)
   }
 
+  test("changes() reads exactly the appended files; refuses rewritten history") {
+    val t = tbl()
+    Snapshots.commit((1 to 10).toDF("x"), t)
+    Snapshots.commit((11 to 13).toDF("x"), t)
+    val cdc = Snapshots.changes(spark, t, from = 1L, to = 2L)
+    assert(cdc.orderBy("x").as[Int].collect().toSeq === Seq(11, 12, 13))
+    // file-granular proof: the CDC scan's file set excludes v1's files
+    val scanned = cdc.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    val v1Only = Snapshots.read(spark, t, asOf = Some(1L))
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    assert(scanned !== v1Only)
+    // overwrite breaks the append-only contract -> loud failure
+    Snapshots.commit((100 to 101).toDF("x"), t, overwrite = true)
+    intercept[IllegalArgumentException](Snapshots.changes(spark, t, 2L, 3L))
+    // identical versions -> empty feed with the table's schema
+    assert(Snapshots.changes(spark, t, 3L, 3L).count() === 0)
+  }
+
+  test("merge() is copy-on-write: only files containing matched keys rewrite") {
+    val t = tbl()
+    // 8 range-partitioned files over ids 1..800
+    Snapshots.commit((1 to 800).map(_.toLong).toDF("id")
+      .withColumn("v", col("id") * 10)
+      .repartitionByRange(8, col("id")), t)
+    val before = Snapshots.read(spark, t, asOf = Some(1L))
+      .queryExecution.executedPlan.collectLeaves().map(_.toString).mkString
+    // update 3 keys in one range + insert 2 new keys
+    val updates = Seq((5L, -1L), (6L, -2L), (7L, -3L), (9001L, 1L), (9002L, 2L))
+      .toDF("id", "v")
+    val v = Snapshots.merge(spark, t, updates, "id")
+    assert(v === 2L)
+    val after = Snapshots.read(spark, t)
+    assert(after.count() === 802)
+    assert(after.filter(col("id") === 5L).select("v").head().getLong(0) === -1L)
+    assert(after.filter(col("id") === 800L).select("v").head().getLong(0) === 8000L)
+    // COW proof at file granularity: v2 keeps 7 of v1's 8 data files
+    def files(ver: Long) = {
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$t/manifest-v$ver.json"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().drop(1).toSet
+      finally in.close()
+    }
+    val kept = files(1L).intersect(files(2L))
+    assert(kept.size === 7, s"expected 7 carried files, got ${kept.size}")
+    assert(before.nonEmpty)
+  }
+
   test("parquet pushdown survives the manifest indirection") {
     val t = tbl()
     Snapshots.commit((1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s"), t)
