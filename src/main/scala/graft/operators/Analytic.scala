@@ -956,21 +956,29 @@ object Analytic {
       .groupBy((col("o_custkey") * 2).as("src"),
         (col("l_suppkey") * 2 + 1).as("dst"))
       .agg(count(lit(1)).cast("double").as("w"))
-    val e = edges
+    // out-degree share as a window over the edge frame (one shuffle by
+    // src — no separate degree join), checkpointed ONCE: the expensive
+    // base (lineitem⋈orders + pair agg) would otherwise re-run for the
+    // node count and every round. localCheckpoint keeps round lineage
+    // flat — the same bounded-round shape as ConnectedComponents. (A
+    // persist() chain was measured equal on wall-clock but embeds all
+    // prior rounds' cached plans in the final plan tree, which
+    // megabyte-bloats every explain/lint pass — flat lineage wins.)
+    val ew = edges
       .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
-    val deg = e.groupBy("src").agg(sum("w").as("wout"))
-    // localCheckpoint keeps every round's lineage flat — the same
-    // bounded-round shape as ConnectedComponents. (A persist() chain
-    // was measured equal on wall-clock but embeds all prior rounds'
-    // cached plans in the final plan tree, which megabyte-bloats every
-    // explain/lint pass — flat lineage wins operationally.)
-    val ew = e.join(deg, "src")
-      .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
+      .select(col("src"), col("dst"),
+        (col("w") / sum("w").over(Window.partitionBy("src"))).as("share"))
       .localCheckpoint()
-    val n = deg.count()
-    var r = deg.select(col("src").as("node"), lit(1.0 / n).as("r"))
+    val n = ew.select("src").distinct().count()
+    var r = ew.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to 5) {
-      r = ew.join(r, ew("src") === r("node"))
+      // broadcast the rank vector (|V| rows, small beside |E|): the
+      // round's only shuffle is the dst aggregation of contributions.
+      // Beyond broadcast size (~10^7 nodes) flip to the equi-join on
+      // ew's preserved hash(src) partitioning — same plan minus the
+      // broadcast; the bounded-round + checkpoint structure is unchanged.
+      r = ew.join(broadcast(r), ew("src") === r("node"))
         .select(col("dst"), (col("r") * col("share")).as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("inflow"))
@@ -982,6 +990,70 @@ object Analytic {
       when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")).as("kind"),
       expr("node div 2").cast("long").as("key"),
       round(col("r") * 1000000, 2).as("rank_ppm"))
+  }
+
+  /** q72: BFS levels from the lowest-key customer over the same
+    * bipartite purchase graph as q67 — bounded-round frontier expansion
+    * (4 hops), the distributed BFS shape: each round is one equi-join of
+    * the CURRENT frontier against the edge list plus an anti-join
+    * against the visited set, so per-round work is proportional to the
+    * frontier, never the graph. Min-level semantics make the pruning
+    * invisible to the oracle (a pruned rediscovery could only have a
+    * larger level). localCheckpoint per round keeps lineage flat.
+    */
+  val qBfsLevels: QuerySpec = QuerySpec.sql(
+    "q72_bfs_levels", {
+      val rounds = (1 to 4).map { k =>
+        s"""r$k AS (
+           |  SELECT DISTINCT e.dst AS node, $k AS lvl
+           |  FROM e JOIN r${k - 1} f ON e.src = f.node
+           |)""".stripMargin
+      }.mkString(", ")
+      s"""WITH edges AS (
+         |  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2
+         |), e AS (
+         |  SELECT src, dst FROM edges
+         |  UNION ALL SELECT dst, src FROM edges
+         |), r0 AS (
+         |  SELECT MIN(o_custkey) * 2 AS node, 0 AS lvl FROM orders
+         |), $rounds, levels AS (
+         |  SELECT * FROM r0 UNION ALL SELECT * FROM r1
+         |  UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+         |  UNION ALL SELECT * FROM r4
+         |)
+         |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+         |       CAST(node // 2 AS BIGINT) AS key,
+         |       CAST(MIN(lvl) AS BIGINT) AS level
+         |FROM levels GROUP BY 1, 2""".stripMargin
+    }) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)))
+      .select("src", "dst")
+    val e = edges
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val src = o.agg(min(col("o_custkey") * 2).as("node"))
+      .select(col("node"), lit(0).as("lvl"))
+    var visited = src.localCheckpoint()
+    var frontier = visited
+    for (k <- 1 to 4) {
+      frontier = e.join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .select(col("node"), lit(k).as("lvl"))
+        .localCheckpoint()
+      visited = visited.unionByName(frontier).localCheckpoint()
+    }
+    visited.groupBy(
+      when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")).as("kind"),
+      expr("node div 2").cast("long").as("key"))
+      .agg(min("lvl").cast("long").as("level"))
   }
 
   /** The snapshot table format under the ORACLE gate (not just specs):
@@ -1029,5 +1101,5 @@ object Analytic {
       qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders,
       qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
       qLateral, qSkewJoin, qZOrder, qBloom, qBasketPairs, qOrderGaps, qMad,
-      qPageRank, qSnapshotRoundtrip)
+      qPageRank, qSnapshotRoundtrip, qBfsLevels)
 }

@@ -498,8 +498,60 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** t16: collocation strength — for each adjacent token pair, the
+    * conditional-probability association in both directions
+    * (P(b|a), P(a|b)) as integer basis points; top 50 by combined
+    * strength. The PMI-style signal a phrase-mining pass wants, kept in
+    * bounded integer arithmetic (each bp <= 10000 regardless of corpus
+    * size — no overflow and no float divergence at any scale, unlike a
+    * raw lift numerator which grows with total token count). Two
+    * vocab-bounded aggregations + a token-keyed join, then
+    * TakeOrderedAndProject.
+    */
+  val tCollocations: QuerySpec = QuerySpec.sql(
+    "t16_collocations",
+    """WITH tok AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents
+      |), pairs AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+      |    i -> [t[i], t[i+1]])) AS pr
+      |  FROM tok
+      |), pc AS (
+      |  SELECT pr[1] AS a, pr[2] AS b, COUNT(*) AS n_pair
+      |  FROM pairs GROUP BY 1, 2
+      |), uc AS (
+      |  SELECT w, COUNT(*) AS n FROM (SELECT unnest(t) AS w FROM tok)
+      |  GROUP BY 1
+      |)
+      |SELECT a, b, n_pair,
+      |       CAST(n_pair * 10000 // ua.n AS BIGINT) AS fwd_bp,
+      |       CAST(n_pair * 10000 // ub.n AS BIGINT) AS bwd_bp
+      |FROM pc JOIN uc ua ON ua.w = a JOIN uc ub ON ub.w = b
+      |WHERE n_pair >= 3
+      |ORDER BY fwd_bp + bwd_bp DESC, a, b LIMIT 50""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val t = split(col("text"), " ")
+    val pc = docs
+      .select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => struct(a.as("a"), b.as("b")))).as("pr"))
+      .select("pr.a", "pr.b")
+      .groupBy("a", "b").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 3)
+    val uc = docs.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+    pc
+      .join(uc.select(col("w").as("a"), col("n").as("na")), "a")
+      .join(uc.select(col("w").as("b"), col("n").as("nb")), "b")
+      .select(col("a"), col("b"), col("n_pair"),
+        expr("n_pair * 10000 div na").as("fwd_bp"),
+        expr("n_pair * 10000 div nb").as("bwd_bp"))
+      .orderBy((col("fwd_bp") + col("bwd_bp")).desc, col("a"), col("b"))
+      .limit(50)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tTokens, tQuality.memo, tLangId.memo, tFingerprint, tRepetition, tVocabDf,
       tSurprisal, tRedact, tKeywords, tGopher, tBigramLm.memo, tLangConfusion,
-      tCharEntropy, tLmScore, tBpePairs)
+      tCharEntropy, tLmScore, tBpePairs, tCollocations)
 }

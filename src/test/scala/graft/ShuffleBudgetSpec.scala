@@ -64,7 +64,11 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "s10_semantic_clusters" -> 1, "p12_curriculum" -> 1,
     "q64_basket_pairs" -> 2, "q65_order_gaps" -> 2, "q66_mad" -> 3,
     "t13_char_entropy" -> 2, "q67_pagerank" -> 0, "m6_audio_frames" -> 1,
-    "t14_lm_score" -> 2, "q68_snapshot_roundtrip" -> 3)
+    "t14_lm_score" -> 2, "q68_snapshot_roundtrip" -> 3,
+    "q69_snapshot_cdf" -> 1, "q70_incremental_agg" -> 2,
+    "q71_merge_upsert" -> 1, "q72_bfs_levels" -> 1,
+    "d15_incremental_dedup" -> 14, "t15_bpe_pairs" -> 1,
+    "t16_collocations" -> 5, "s11_pq_codes" -> 0)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
