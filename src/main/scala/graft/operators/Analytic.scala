@@ -992,6 +992,86 @@ object Analytic {
       round(col("r") * 1000000, 2).as("rank_ppm"))
   }
 
+  /** q73: KMV sketch SET OPERATIONS — for every pair of event types,
+    * estimate the distinct-user count of their UNION by merging the two
+    * per-type KMV sketches (union-merge = distinct-union the hash sets,
+    * keep the k smallest — the defining property that makes KMV usable
+    * at 100 TB: per-segment sketches are tiny and merge losslessly, so
+    * the union estimate never rescans events), alongside the exact
+    * answer for the accuracy audit. All md5-hash determinism, integer
+    * estimator (same as q48's). The pair fan-out joins the SKETCH
+    * relation (k·|types| rows), never the fact table.
+    */
+  val qKmvSetOps: QuerySpec = QuerySpec.sql(
+    "q73_kmv_setops",
+    """WITH h AS (
+      |  SELECT DISTINCT event_type,
+      |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+      |  FROM events
+      |), r AS (
+      |  SELECT event_type, h,
+      |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      |  FROM h
+      |), sk AS (SELECT event_type, h FROM r WHERE rn <= 16),
+      |types AS (SELECT DISTINCT event_type FROM events),
+      |pairs AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb
+      |  FROM types a JOIN types b ON a.event_type < b.event_type
+      |), uh AS (
+      |  SELECT p.ta, p.tb, s.h FROM pairs p JOIN sk s ON s.event_type = p.ta
+      |  UNION
+      |  SELECT p.ta, p.tb, s.h FROM pairs p JOIN sk s ON s.event_type = p.tb
+      |), m AS (
+      |  SELECT ta, tb, h,
+      |         ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+      |  FROM uh
+      |), kth AS (SELECT ta, tb, h AS kth_min FROM m WHERE rn = 16),
+      |eu AS (
+      |  SELECT p.ta, p.tb, e.user_id FROM pairs p JOIN events e ON e.event_type = p.ta
+      |  UNION
+      |  SELECT p.ta, p.tb, e.user_id FROM pairs p JOIN events e ON e.event_type = p.tb
+      |), ex AS (
+      |  SELECT ta, tb, COUNT(DISTINCT user_id) AS exact_union FROM eu GROUP BY 1, 2
+      |)
+      |SELECT ex.ta, ex.tb, kth.kth_min,
+      |       CAST(15 * 4294967296 // kth.kth_min AS BIGINT) AS est_union,
+      |       ex.exact_union
+      |FROM ex JOIN kth ON ex.ta = kth.ta AND ex.tb = kth.tb""".stripMargin) { (s, dir) =>
+    import graft.functions.Portable
+    val e = Tables.events(s, dir)
+    val hashes = e.select(col("event_type"),
+      Portable.h32(col("user_id").cast("string")).as("h")).distinct()
+    val sk = hashes
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("event_type").orderBy("h")))
+      .filter(col("rn") <= 16)
+      .select("event_type", "h")
+      .localCheckpoint() // tiny (k·|types| rows); feeds both pair joins
+    val types = e.select("event_type").distinct()
+    val pairs = types.as("a").join(types.as("b"),
+        col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+    def tagJoin(side: org.apache.spark.sql.DataFrame, key: String,
+        value: String): org.apache.spark.sql.DataFrame =
+      pairs.join(side, pairs("ta") === side(key))
+        .select(col("ta"), col("tb"), col(value))
+        .unionByName(pairs.join(side, pairs("tb") === side(key))
+          .select(col("ta"), col("tb"), col(value)))
+        .distinct() // KMV union-merge: distinct hash set of both sketches
+    val kth = tagJoin(sk, "event_type", "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("ta", "tb").orderBy("h")))
+      .filter(col("rn") === 16)
+      .select(col("ta"), col("tb"), col("h").as("kth_min"))
+    val exact = tagJoin(e.select("event_type", "user_id"), "event_type", "user_id")
+      .groupBy("ta", "tb")
+      .agg(countDistinct("user_id").as("exact_union"))
+    exact.join(kth, Seq("ta", "tb"))
+      .selectExpr("ta", "tb", "kth_min",
+        "CAST(15 * 4294967296 div kth_min AS BIGINT) AS est_union",
+        "exact_union")
+  }
+
   /** q72: BFS levels from the lowest-key customer over the same
     * bipartite purchase graph as q67 — bounded-round frontier expansion
     * (4 hops), the distributed BFS shape: each round is one equi-join of
@@ -1101,5 +1181,5 @@ object Analytic {
       qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders,
       qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
       qLateral, qSkewJoin, qZOrder, qBloom, qBasketPairs, qOrderGaps, qMad,
-      qPageRank, qSnapshotRoundtrip, qBfsLevels)
+      qPageRank, qSnapshotRoundtrip, qBfsLevels, qKmvSetOps)
 }

@@ -528,8 +528,43 @@ object Curation {
           .orderBy(col("quality_bp").desc, col("doc_id"))).as("bucket"))
   }
 
+  /** p13: language-mix rebalancing — given an equal-share token target
+    * across languages, the per-language sampling rate (integer basis
+    * points, capped at 10000: downsample the over-represented, never
+    * upsample) and the resulting kept-token budget. The static version
+    * of the data-mixture reweighting every multilingual corpus build
+    * runs; two aggregations (one lang-keyed, one 1-row total) and a
+    * broadcast — no per-doc work until the rate is applied.
+    */
+  val pMixRebalance: QuerySpec = QuerySpec.sql(
+    "p13_mix_rebalance",
+    """WITH a AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(SUM(tokens) AS BIGINT) AS tot, COUNT(*) AS nl FROM a
+      |)
+      |SELECT lang, n_docs, tokens,
+      |       CAST(t.tot // t.nl AS BIGINT) AS target_tokens,
+      |       CAST(least(10000, (t.tot // t.nl) * 10000 // tokens) AS BIGINT) AS rate_bp,
+      |       CAST(tokens * least(10000, (t.tot // t.nl) * 10000 // tokens) // 10000
+      |            AS BIGINT) AS kept_tokens
+      |FROM a CROSS JOIN t""".stripMargin) { (s, dir) =>
+    val a = Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("tokens"))
+    val t = a.agg(sum("tokens").as("tot"), count(lit(1)).as("nl"))
+    a.crossJoin(broadcast(t))
+      .selectExpr("lang", "n_docs", "tokens",
+        "tot div nl AS target_tokens",
+        "least(10000L, (tot div nl) * 10000 div tokens) AS rate_bp",
+        "tokens * least(10000L, (tot div nl) * 10000 div tokens) div 10000 AS kept_tokens")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pCorpus, pSplit, pContamination.memo, pQualityReport, pPacking,
       pDomainMix, pNgramDecontam.memo, pProportional, pLengthHist, pFilterFunnel,
-      pContaminationReport, pCurriculum)
+      pContaminationReport, pCurriculum, pMixRebalance)
 }

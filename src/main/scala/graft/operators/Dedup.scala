@@ -638,8 +638,73 @@ object Dedup {
         "n_triangles * 3 * 10000 div n_wedges AS gcc_bp")
   }
 
+  /** d16: corpus-overlap between SOURCES via set-level MinHash — each
+    * source's sketch is the elementwise MIN of the permuted hashes of
+    * its (distinct) shingle set, which is exactly why it scales: the
+    * min is a mergeable aggregate, so per-partition partial sketches
+    * combine map-side and a 100 TB source's sketch is still K numbers.
+    * Signature agreement estimates Jaccard; the exact set Jaccard (in
+    * integer basis points) rides along as the accuracy audit. The pair
+    * fan-out crosses the |sources|-row SKETCH relation, never shingles.
+    */
+  val dSourceOverlap: QuerySpec = QuerySpec.sql(
+    "d16_source_overlap", {
+      val mins = (1 to K).map(i =>
+        s"MIN((${2 * i + 1}*x + ${104729L * i}) % $P) AS m$i").mkString(", ")
+      val agree = (1 to K).map(i =>
+        s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH sh0 AS (
+         |  SELECT source, unnest(${Portable.shinglesSql(3).replace("\n", " ")}) AS s
+         |  FROM documents
+         |), sh AS (
+         |  SELECT DISTINCT source,
+         |         CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS x
+         |  FROM sh0
+         |), sig AS (SELECT source, $mins FROM sh GROUP BY source),
+         |sz AS (SELECT source, COUNT(*) AS n FROM sh GROUP BY source),
+         |inter AS (
+         |  SELECT u.source AS sa, v.source AS sb, COUNT(*) AS n_int
+         |  FROM sh u JOIN sh v ON u.x = v.x AND u.source < v.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT a.source AS sa, b.source AS sb,
+         |       CAST($agree AS BIGINT) AS agree16,
+         |       CAST(COALESCE(i.n_int, 0) AS BIGINT) AS n_int,
+         |       CAST(COALESCE(i.n_int, 0) * 10000
+         |            // (za.n + zb.n - COALESCE(i.n_int, 0)) AS BIGINT) AS exact_bp
+         |FROM sig a JOIN sig b ON a.source < b.source
+         |LEFT JOIN inter i ON i.sa = a.source AND i.sb = b.source
+         |JOIN sz za ON za.source = a.source
+         |JOIN sz zb ON zb.source = b.source""".stripMargin
+    }) { (s, dir) =>
+    val sh = Tables.documents(s, dir)
+      .select(col("source"), explode(Portable.shingles(col("text"), 3)).as("sg"))
+      .select(col("source"), Portable.h32(col("sg")).as("x"))
+      .distinct()
+      .localCheckpoint() // feeds sketch build, sizes, and the exact audit
+    val minAggs = (1 to K).map(i =>
+      min((lit(2L * i + 1) * col("x") + lit(104729L * i)) % lit(P)).as(s"m$i"))
+    val sig = sh.groupBy("source").agg(minAggs.head, minAggs.tail: _*)
+    val sz = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = sh.as("u")
+      .join(sh.as("v"), col("u.x") === col("v.x") && col("u.source") < col("v.source"))
+      .groupBy(col("u.source").as("sa"), col("v.source").as("sb"))
+      .agg(count(lit(1)).as("n_int"))
+    val agree = (1 to K).map(i =>
+      when(col(s"a.m$i") === col(s"b.m$i"), 1).otherwise(0)).reduce(_ + _)
+    sig.as("a").join(sig.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("sa"), col("b.source").as("sb"),
+        agree.cast("long").as("agree16"))
+      .join(inter, Seq("sa", "sb"), "left")
+      .na.fill(0L, Seq("n_int"))
+      .join(sz.select(col("source").as("sa"), col("n").as("na")), "sa")
+      .join(sz.select(col("source").as("sb"), col("n").as("nb")), "sb")
+      .selectExpr("sa", "sb", "agree16", "CAST(n_int AS BIGINT) AS n_int",
+        "CAST(n_int * 10000 div (na + nb - n_int) AS BIGINT) AS exact_bp")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dExact, dJaccard, dMinHash.memo, dSimHash.memo, dClusters.memo, dSimHashPairs,
       dContainment, dKeepBest, dBoilerplate, dSketchError, dDupRateBySource,
-      dClusterQuality, dTriangles)
+      dClusterQuality, dTriangles, dSourceOverlap)
 }

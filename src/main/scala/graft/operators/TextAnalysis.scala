@@ -550,8 +550,41 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** t17: per-document n-gram novelty — the fraction of a document's
+    * distinct trigram shingles whose FIRST corpus occurrence (by
+    * doc_id order) is this document. The marginal-contribution metric
+    * dedup-aware curation ranks by: a doc that introduces nothing new
+    * scores 0 even if it's no exact dup of anything. One explode, a
+    * shingle-keyed min aggregation (map-side combinable), a join back
+    * and a doc-keyed count — every shuffle keyed by shingle or doc_id,
+    * both unbounded-corpus-safe.
+    */
+  val tNgramNovelty: QuerySpec = QuerySpec.sql(
+    "t17_ngram_novelty",
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${graft.functions.Portable.shinglesSql(3).replace("\n", " ")}) AS s
+       |  FROM documents
+       |), fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+       |SELECT sh.doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_sh,
+       |       CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 10000
+       |            // COUNT(*) AS BIGINT) AS novelty_bp
+       |FROM sh JOIN fo USING (s)
+       |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("s"))
+    val fo = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
+    sh.join(fo, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .selectExpr("doc_id", "n_sh", "n_novel",
+        "n_novel * 10000 div n_sh AS novelty_bp")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tTokens, tQuality.memo, tLangId.memo, tFingerprint, tRepetition, tVocabDf,
       tSurprisal, tRedact, tKeywords, tGopher, tBigramLm.memo, tLangConfusion,
-      tCharEntropy, tLmScore, tBpePairs, tCollocations)
+      tCharEntropy, tLmScore, tBpePairs, tCollocations, tNgramNovelty)
 }

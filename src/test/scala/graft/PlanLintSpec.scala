@@ -17,9 +17,12 @@ class PlanLintSpec extends SparkTestBase {
   // s7/s8 compose s1 (the exact baseline), so they inherit s1's intended
   // broadcast-query loop join; d13 crosses its two single-row census
   // aggregates (triangles × wedges) like p4's report frames
+  // q73 crosses the |types|-row DISTINCT event_type relation with
+  // itself (a < b pair fan-out) — the fact table only ever equi-joins
   private val intendedLoopJoins = Set("s1_knn_cosine", "s4_ann_ivf",
     "p4_quality_report", "t6_vocab_df", "p8_proportional_sample",
-    "s7_ann_recall", "s8_quant_error", "d13_triangles")
+    "s7_ann_recall", "s8_quant_error", "d13_triangles", "q73_kmv_setops",
+    "d16_source_overlap", "p13_mix_rebalance")
 
   test("no unintended CartesianProduct or nested-loop join in any registered query plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

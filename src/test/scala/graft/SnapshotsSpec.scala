@@ -107,6 +107,43 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.read(spark, t).count() === 5)
   }
 
+  test("streaming commits drive an incremental CDC consumer exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = tbl()
+    val ck = Files.createTempDirectory("cdcck").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[Int]
+    // downstream consumer: after each commit, reads ONLY the delta
+    // (changes since the last version it saw) — the end-to-end
+    // exactly-once chain: stream -> atomic snapshot publish -> CDC read
+    var seenVersion = 0L
+    val consumed = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def consume(): Unit = {
+      val latest = Snapshots.versions(spark, t).last
+      if (latest > seenVersion) {
+        val delta =
+          if (seenVersion == 0L) Snapshots.read(spark, t, asOf = Some(latest))
+          else Snapshots.changes(spark, t, seenVersion, latest)
+        consumed ++= delta.as[Int].collect()
+        seenVersion = latest
+      }
+    }
+    mem.addData(1, 2, 3)
+    val q1 = streaming.Streams.snapshotSink(mem.toDF(), t, ck)
+    q1.processAllAvailable(); q1.stop()
+    consume()
+    mem.addData(4, 5)
+    mem.addData(6)
+    val q2 = streaming.Streams.snapshotSink(mem.toDF(), t, ck)
+    q2.processAllAvailable(); q2.stop()
+    consume()
+    // a replayed batch commits nothing new -> the consumer sees no delta
+    Snapshots.commit((1 to 3).toDF("value"), t, token = Some("batch-0"))
+    consume()
+    assert(consumed.sorted.toSeq === Seq(1, 2, 3, 4, 5, 6),
+      s"CDC consumer must see every row exactly once, got $consumed")
+  }
+
   test("vacuum expires history, keeps shared files, deletes orphans") {
     val t = tbl()
     Snapshots.commit((1 to 4).toDF("x"), t)               // v1
