@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.{QuerySpec, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -950,22 +951,16 @@ object Analytic {
          |       ROUND(r * 1000000, 2) AS rank_ppm
          |FROM p5""".stripMargin
     }) { (s, dir) =>
-    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
-    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .agg(count(lit(1)).cast("double").as("w"))
-    // out-degree share as a window over the edge frame (one shuffle by
-    // src — no separate degree join), checkpointed ONCE: the expensive
-    // base (lineitem⋈orders + pair agg) would otherwise re-run for the
-    // node count and every round. localCheckpoint keeps round lineage
-    // flat — the same bounded-round shape as ConnectedComponents. (A
-    // persist() chain was measured equal on wall-clock but embeds all
-    // prior rounds' cached plans in the final plan tree, which
-    // megabyte-bloats every explain/lint pass — flat lineage wins.)
-    val ew = edges
-      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    // out-degree share as a window over the shared edge frame (one
+    // shuffle by src — no separate degree join), checkpointed ONCE: the
+    // expensive base (lineitem⋈orders + pair agg) would otherwise
+    // re-run for the node count and every round. localCheckpoint keeps
+    // round lineage flat — the same bounded-round shape as
+    // ConnectedComponents. (A persist() chain was measured equal on
+    // wall-clock but embeds all prior rounds' cached plans in the final
+    // plan tree, which megabyte-bloats every explain/lint pass — flat
+    // lineage wins.)
+    val ew = purchaseEdges(s, dir)
       .select(col("src"), col("dst"),
         (col("w") / sum("w").over(Window.partitionBy("src"))).as("share"))
       .localCheckpoint()
@@ -991,6 +986,23 @@ object Analytic {
       expr("node div 2").cast("long").as("key"),
       round(col("r") * 1000000, 2).as("rank_ppm"))
   }
+
+  /** Shared bipartite purchase graph (customer·2 ↔ supplier·2+1,
+    * edge weight = lineitem count), both directions — the expensive
+    * lineitem⋈orders base materialized once per session+dir through the
+    * Intermediates seam; q67 (PageRank) and q72 (BFS) both consume it.
+    */
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
+    graft.Intermediates.cached(s, dir, "purchase_edges") {
+      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      edges.union(
+        edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+    }
 
   /** q73: KMV sketch SET OPERATIONS — for every pair of event types,
     * estimate the distinct-user count of their UNION by merging the two
@@ -1108,17 +1120,9 @@ object Analytic {
          |       CAST(MIN(lvl) AS BIGINT) AS level
          |FROM levels GROUP BY 1, 2""".stripMargin
     }) { (s, dir) =>
-    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
-    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .agg(count(lit(1)))
-      .select("src", "dst")
-    val e = edges
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
-    val src = o.agg(min(col("o_custkey") * 2).as("node"))
+    val e = purchaseEdges(s, dir).select("src", "dst")
+    val src = Tables.orders(s, dir)
+      .agg(min(col("o_custkey") * 2).as("node"))
       .select(col("node"), lit(0).as("lvl"))
     var visited = src.localCheckpoint()
     var frontier = visited

@@ -45,7 +45,7 @@ object Dedup {
     * and aggregate over the IDENTICAL relation — materialized once per
     * session+dir through the Intermediates seam instead of per query.
     */
-  private def shingleHashRel(s: org.apache.spark.sql.SparkSession,
+  private[operators] def shingleHashRel(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Intermediates.cached(s, dir, "dedup_sh3") {
       Tables.documents(s, dir).select(col("doc_id"),

@@ -554,28 +554,31 @@ object TextAnalysis {
     * distinct trigram shingles whose FIRST corpus occurrence (by
     * doc_id order) is this document. The marginal-contribution metric
     * dedup-aware curation ranks by: a doc that introduces nothing new
-    * scores 0 even if it's no exact dup of anything. One explode, a
-    * shingle-keyed min aggregation (map-side combinable), a join back
-    * and a doc-keyed count — every shuffle keyed by shingle or doc_id,
-    * both unbounded-corpus-safe.
+    * scores 0 even if it's no exact dup of anything. Operates on the
+    * SHARED hashed-shingle relation (also consumed by d2/d7 — the
+    * 64-bit hash is the shuffle key, not the shingle string; the
+    * oracle hashes identically so a collision affects both engines the
+    * same way): a hash-keyed min aggregation (map-side combinable), a
+    * join back and a doc-keyed count — unbounded-corpus-safe shuffles.
     */
   val tNgramNovelty: QuerySpec = QuerySpec.sql(
     "t17_ngram_novelty",
-    s"""WITH sh AS (
+    s"""WITH sh0 AS (
        |  SELECT doc_id, unnest(${graft.functions.Portable.shinglesSql(3).replace("\n", " ")}) AS s
        |  FROM documents
-       |), fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+       |), sh AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0
+       |), fo AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
        |SELECT sh.doc_id,
        |       CAST(COUNT(*) AS BIGINT) AS n_sh,
        |       CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
        |       CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END) * 10000
        |            // COUNT(*) AS BIGINT) AS novelty_bp
-       |FROM sh JOIN fo USING (s)
+       |FROM sh JOIN fo USING (h)
        |GROUP BY 1""".stripMargin) { (s, dir) =>
-    val sh = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(Portable.shingles(col("text"), 3)).as("s"))
-    val fo = sh.groupBy("s").agg(min("doc_id").as("first_doc"))
-    sh.join(fo, "s")
+    val sh = Dedup.shingleHashRel(s, dir)
+    val fo = sh.groupBy("h").agg(min("doc_id").as("first_doc"))
+    sh.join(fo, "h")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
