@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic contracts of the incremental-processing family beyond the
+  * oracle hash gate: the refresh identity, dedup drop/keep behavior on
+  * planted inputs, PQ code bounds, and BFS frontier monotonicity.
+  */
+class IncrementalSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("q70: base+delta partial merge equals a direct full aggregation") {
+    val merged = run("q70_incremental_agg", sf001)
+    val direct = Tables.orders(spark, sf001)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"),
+        round(max("o_totalprice"), 2).as("max_price"))
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("d15: every kept batch doc is genuinely new — no exact text twin in the index") {
+    // the operator's survivors, recomputed membership from first principles:
+    // a batch doc (doc_id % 5 = 4) whose md5(text) exists in the index
+    // (doc_id % 5 <> 4) must NOT contribute to any kept count
+    val docs = Tables.documents(spark, sf001)
+    val exactDup = docs.filter(col("doc_id") % 5 === 4)
+      .withColumn("h", md5(col("text")))
+      .join(docs.filter(col("doc_id") % 5 =!= 4)
+        .select(md5(col("text")).as("h")).distinct(), "h")
+      .count()
+    val batchTotal = docs.filter(col("doc_id") % 5 === 4).count()
+    val kept = run("d15_incremental_dedup", sf001)
+      .agg(sum("n_kept")).head().getLong(0)
+    assert(kept <= batchTotal - exactDup,
+      s"kept=$kept must exclude all $exactDup exact dupes of $batchTotal")
+    assert(kept > 0, "a healthy corpus keeps most of the new batch")
+  }
+
+  test("t15: a planted dominant adjacent pair tops the BPE count") {
+    // engine semantics on controlled input (the oracle checks testdata;
+    // this pins the pair construction itself)
+    val df = Seq.fill(50)("x y z").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    df.createOrReplaceTempView("t15docs")
+    val t = split(col("text"), " ")
+    val top = df.select(explode(zip_with(
+        slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy("pair").count().orderBy(desc("count"), col("pair"))
+      .head()
+    assert(top.getString(0) === "x y" && top.getLong(1) === 50L)
+  }
+
+  test("s11: every packed PQ code decodes to 4 nibbles in [0, 15]") {
+    val codes = run("s11_pq_codes", sf001).select("pq_code").as[Long].collect()
+    assert(codes.nonEmpty)
+    codes.foreach { c =>
+      assert(c >= 0 && c < 65536, s"packed code $c out of 16-bit range")
+    }
+    // codes must actually use the space (not collapse to one value)
+    assert(codes.distinct.length > 10, "degenerate codebook assignment")
+  }
+
+  test("q72: BFS levels are monotone over the frontier expansion") {
+    val lv = run("q72_bfs_levels", sf001)
+    // level 0 is exactly the single source customer
+    assert(lv.filter(col("level") === 0).count() === 1)
+    // bipartite graph: customers sit on even levels, suppliers on odd
+    val parityViolations = lv.filter(
+      (col("kind") === "c" && col("level") % 2 =!= 0) ||
+      (col("kind") === "s" && col("level") % 2 =!= 1)).count()
+    assert(parityViolations === 0)
+  }
+
+  test("q73: KMV union estimate is within 60% of exact on every pair") {
+    // k=16 gives ~1/sqrt(14) ≈ 27% standard error; 60% is the
+    // deterministic-seed regression bound, not a statistical claim
+    val rows = run("q73_kmv_setops", sf001)
+      .select("est_union", "exact_union").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(0), r.getLong(1))
+      assert(math.abs(est - exact) <= 0.6 * exact,
+        s"KMV estimate $est too far from exact $exact")
+    }
+  }
+
+  test("d16: identical sources would agree on all 16 mins; disjoint near none") {
+    val rows = run("d16_source_overlap", sf001)
+      .select("agree16", "exact_bp").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (agree, bp) = (r.getLong(0), r.getLong(1))
+      // signature agreement tracks exact Jaccard directionally: high
+      // overlap cannot show zero agreement and vice versa
+      if (bp >= 5000) assert(agree >= 8, s"J=$bp bp but only $agree/16 agree")
+      if (bp == 0) assert(agree <= 8, s"disjoint sets but $agree/16 agree")
+    }
+  }
+}
