@@ -1084,6 +1084,74 @@ object Analytic {
         "exact_union")
   }
 
+  /** q74: histogram-sketch quantiles — per order priority, p50/p90/p99
+    * from a fixed-width bin histogram (the MERGEABLE quantile sketch: a
+    * bin count vector combines across partitions/days/segments by
+    * addition, so at 100 TB each segment ships |bins| integers and the
+    * quantile never re-sorts history), with the exact per-group
+    * percentile riding along as the accuracy audit. The sketch path's
+    * windows run over |bins| rows per group; only the audit sorts rows.
+    */
+  val qHistQuantiles: QuerySpec = QuerySpec.sql(
+    "q74_hist_quantiles",
+    """WITH h AS (
+      |  SELECT o_orderpriority AS pri,
+      |         CAST(o_totalprice AS BIGINT) // 5000 AS bin, COUNT(*) AS n
+      |  FROM orders GROUP BY 1, 2
+      |), c AS (
+      |  SELECT pri, bin, n,
+      |         SUM(n) OVER (PARTITION BY pri ORDER BY bin) AS cum,
+      |         SUM(n) OVER (PARTITION BY pri) AS tot
+      |  FROM h
+      |), a AS (
+      |  SELECT pri,
+      |    CAST(MIN(CASE WHEN cum * 100 >= tot * 50 THEN bin END) * 5000 AS BIGINT) AS approx_p50,
+      |    CAST(MIN(CASE WHEN cum * 100 >= tot * 90 THEN bin END) * 5000 AS BIGINT) AS approx_p90,
+      |    CAST(MIN(CASE WHEN cum * 100 >= tot * 99 THEN bin END) * 5000 AS BIGINT) AS approx_p99
+      |  FROM c GROUP BY 1
+      |), r AS (
+      |  SELECT o_orderpriority AS pri, o_totalprice AS v,
+      |         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+      |                            ORDER BY o_totalprice, o_orderkey) AS rn,
+      |         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders
+      |), e AS (
+      |  SELECT pri,
+      |    MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN v END) AS exact_p50,
+      |    MAX(CASE WHEN rn = (n * 90 + 99) // 100 THEN v END) AS exact_p90,
+      |    MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN v END) AS exact_p99
+      |  FROM r GROUP BY 1
+      |)
+      |SELECT a.pri, approx_p50, approx_p90, approx_p99,
+      |       exact_p50, exact_p90, exact_p99
+      |FROM a JOIN e USING (pri)""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val h = o.groupBy(col("o_orderpriority").as("pri"),
+        expr("CAST(o_totalprice AS BIGINT) div 5000").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    val c = h
+      .withColumn("cum", sum("n").over(
+        Window.partitionBy("pri").orderBy("bin")))
+      .withColumn("tot", sum("n").over(Window.partitionBy("pri")))
+    val approx = c.groupBy("pri").agg(
+      (min(when(col("cum") * 100 >= col("tot") * 50, col("bin"))) * 5000)
+        .cast("long").as("approx_p50"),
+      (min(when(col("cum") * 100 >= col("tot") * 90, col("bin"))) * 5000)
+        .cast("long").as("approx_p90"),
+      (min(when(col("cum") * 100 >= col("tot") * 99, col("bin"))) * 5000)
+        .cast("long").as("approx_p99"))
+    val r = o.select(col("o_orderpriority").as("pri"),
+        col("o_totalprice").as("v"), col("o_orderkey"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("pri").orderBy(col("v"), col("o_orderkey"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("pri")))
+    val exact = r.groupBy("pri").agg(
+      max(when(col("rn") === expr("(n * 50 + 99) div 100"), col("v"))).as("exact_p50"),
+      max(when(col("rn") === expr("(n * 90 + 99) div 100"), col("v"))).as("exact_p90"),
+      max(when(col("rn") === expr("(n * 99 + 99) div 100"), col("v"))).as("exact_p99"))
+    approx.join(exact, "pri")
+  }
+
   /** q72: BFS levels from the lowest-key customer over the same
     * bipartite purchase graph as q67 — bounded-round frontier expansion
     * (4 hops), the distributed BFS shape: each round is one equi-join of
@@ -1185,5 +1253,5 @@ object Analytic {
       qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders,
       qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
       qLateral, qSkewJoin, qZOrder, qBloom, qBasketPairs, qOrderGaps, qMad,
-      qPageRank, qSnapshotRoundtrip, qBfsLevels, qKmvSetOps)
+      qPageRank, qSnapshotRoundtrip, qBfsLevels, qKmvSetOps, qHistQuantiles)
 }

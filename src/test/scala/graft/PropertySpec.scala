@@ -237,4 +237,23 @@ class PropertySpec extends SparkTestBase {
       assert(got === want, s"case $i: $edges")
     }
   }
+
+  test("Snapshots.merge equals the relational upsert on random tables") {
+    import graft.sources.Snapshots
+    val kv: Gen[(Long, Long)] = for {
+      k <- Gen.chooseNum(1L, 40L); v <- Gen.chooseNum(-100L, 100L)
+    } yield (k, v)
+    val tbl: Gen[List[(Long, Long)]] = Gen.chooseNum(5, 30)
+      .flatMap(n => Gen.listOfN(n, kv))
+    val cases = samples(tbl, 12).map(_.groupBy(_._1).map(_._2.head).toSeq)
+    cases.grouped(2).zipWithIndex.foreach { case (Seq(base, updates), i) =>
+      val t = java.nio.file.Files.createTempDirectory("mprop").resolve("t").toString
+      Snapshots.commit(base.toDF("k", "v").repartition(3, col("k")), t)
+      Snapshots.merge(spark, t, updates.toDF("k", "v"), "k")
+      val got = Snapshots.read(spark, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (base.toMap ++ updates.toMap).toSet
+      assert(got === want, s"case $i")
+    }
+  }
 }
