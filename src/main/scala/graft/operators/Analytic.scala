@@ -964,9 +964,11 @@ object Analytic {
       .select(col("src"), col("dst"),
         (col("w") / sum("w").over(Window.partitionBy("src"))).as("share"))
       .localCheckpoint()
-    val n = ew.select("src").distinct().count()
-    var r = ew.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(1.0 / n).as("r"))
+    // one materialized node list serves both the count and the initial
+    // rank vector (two separate distincts would each shuffle all |E|)
+    val nodes = ew.select(col("src").as("node")).distinct().localCheckpoint()
+    val n = nodes.count()
+    var r = nodes.select(col("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to 5) {
       // broadcast the rank vector (|V| rows, small beside |E|): the
       // round's only shuffle is the dst aggregation of contributions.
@@ -1037,16 +1039,20 @@ object Analytic {
       |  SELECT ta, tb, h,
       |         ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
       |  FROM uh
-      |), kth AS (SELECT ta, tb, h AS kth_min FROM m WHERE rn = 16),
-      |eu AS (
+      |), kth AS (
+      |  SELECT ta, tb, MAX(rn) AS sz,
+      |         MAX(CASE WHEN rn = 16 THEN h END) AS kth_min
+      |  FROM m GROUP BY 1, 2
+      |), eu AS (
       |  SELECT p.ta, p.tb, e.user_id FROM pairs p JOIN events e ON e.event_type = p.ta
       |  UNION
       |  SELECT p.ta, p.tb, e.user_id FROM pairs p JOIN events e ON e.event_type = p.tb
       |), ex AS (
       |  SELECT ta, tb, COUNT(DISTINCT user_id) AS exact_union FROM eu GROUP BY 1, 2
       |)
-      |SELECT ex.ta, ex.tb, kth.kth_min,
-      |       CAST(15 * 4294967296 // kth.kth_min AS BIGINT) AS est_union,
+      |SELECT ex.ta, ex.tb, CAST(COALESCE(kth.kth_min, 0) AS BIGINT) AS kth_min,
+      |       CAST(CASE WHEN kth.sz < 16 THEN kth.sz
+      |            ELSE 15 * 4294967296 // kth.kth_min END AS BIGINT) AS est_union,
       |       ex.exact_union
       |FROM ex JOIN kth ON ex.ta = kth.ta AND ex.tb = kth.tb""".stripMargin) { (s, dir) =>
     import graft.functions.Portable
@@ -1059,7 +1065,9 @@ object Analytic {
       .filter(col("rn") <= 16)
       .select("event_type", "h")
       .localCheckpoint() // tiny (k·|types| rows); feeds both pair joins
-    val types = e.select("event_type").distinct()
+    // the sketch relation already carries every event type — deriving
+    // the pair fan-out from it avoids a second full scan of events
+    val types = sk.select("event_type").distinct()
     val pairs = types.as("a").join(types.as("b"),
         col("a.event_type") < col("b.event_type"))
       .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
@@ -1070,17 +1078,22 @@ object Analytic {
         .unionByName(pairs.join(side, pairs("tb") === side(key))
           .select(col("ta"), col("tb"), col(value)))
         .distinct() // KMV union-merge: distinct hash set of both sketches
+    // a merged sketch with fewer than k hashes IS the exact union set —
+    // fall back to its size instead of silently dropping the pair
     val kth = tagJoin(sk, "event_type", "h")
       .withColumn("rn", row_number().over(
         Window.partitionBy("ta", "tb").orderBy("h")))
-      .filter(col("rn") === 16)
-      .select(col("ta"), col("tb"), col("h").as("kth_min"))
+      .groupBy("ta", "tb")
+      .agg(max("rn").as("sz"),
+        max(when(col("rn") === 16, col("h"))).as("kth_min"))
     val exact = tagJoin(e.select("event_type", "user_id"), "event_type", "user_id")
       .groupBy("ta", "tb")
       .agg(countDistinct("user_id").as("exact_union"))
     exact.join(kth, Seq("ta", "tb"))
-      .selectExpr("ta", "tb", "kth_min",
-        "CAST(15 * 4294967296 div kth_min AS BIGINT) AS est_union",
+      .selectExpr("ta", "tb",
+        "CAST(coalesce(kth_min, 0) AS BIGINT) AS kth_min",
+        """CAST(CASE WHEN sz < 16 THEN sz
+          |     ELSE 15 * 4294967296 div kth_min END AS BIGINT) AS est_union""".stripMargin,
         "exact_union")
   }
 
@@ -1096,7 +1109,7 @@ object Analytic {
     "q74_hist_quantiles",
     """WITH h AS (
       |  SELECT o_orderpriority AS pri,
-      |         CAST(o_totalprice AS BIGINT) // 5000 AS bin, COUNT(*) AS n
+      |         CAST(floor(o_totalprice) AS BIGINT) // 5000 AS bin, COUNT(*) AS n
       |  FROM orders GROUP BY 1, 2
       |), c AS (
       |  SELECT pri, bin, n,
@@ -1126,8 +1139,11 @@ object Analytic {
       |       exact_p50, exact_p90, exact_p99
       |FROM a JOIN e USING (pri)""".stripMargin) { (s, dir) =>
     val o = Tables.orders(s, dir)
+    // floor() then cast on BOTH engines: a bare CAST(double AS BIGINT)
+    // truncates in Spark but rounds-to-nearest in DuckDB — rows near a
+    // bin edge would land in different bins
     val h = o.groupBy(col("o_orderpriority").as("pri"),
-        expr("CAST(o_totalprice AS BIGINT) div 5000").as("bin"))
+        expr("CAST(floor(o_totalprice) AS BIGINT) div 5000").as("bin"))
       .agg(count(lit(1)).as("n"))
     val c = h
       .withColumn("cum", sum("n").over(
@@ -1230,15 +1246,7 @@ object Analytic {
       |SELECT l.lang, n_latest, chars_latest, n_v1
       |FROM l JOIN v ON l.lang = v.lang""".stripMargin) { (s, dir) =>
     import graft.sources.Snapshots
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft-snap-" +
-      s"${math.abs(dir.hashCode)}-${System.identityHashCode(s)}"
-    if (Snapshots.versions(s, root).length < 2) {
-      val p = new org.apache.hadoop.fs.Path(root)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      val docs = Tables.documents(s, dir)
-      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), root)
-      Snapshots.commit(docs.filter(col("doc_id") % 2 =!= 0), root)
-    }
+    val root = Incremental.evenOddDocsTable(s, dir)
     val latest = Snapshots.read(s, root).groupBy("lang")
       .agg(count(lit(1)).as("n_latest"), sum("n_chars").as("chars_latest"))
     val v1 = Snapshots.read(s, root, asOf = Some(1L)).groupBy("lang")

@@ -28,11 +28,44 @@ import org.apache.spark.sql.functions._
 object Incremental {
 
   /** Per-(session, dir) scratch root for a snapshot table — idempotent
-    * rebuild guard lives with each query.
+    * rebuild guard lives with each query; a JVM shutdown hook reclaims
+    * the directory (these are local-tmp build artifacts, not state —
+    * without the hook every session leaks one table copy per tag).
     */
-  private def snapRoot(s: SparkSession, dir: String, tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft-$tag-" +
+  private val cleanupHooked = scala.collection.concurrent.TrieMap.empty[String, Boolean]
+
+  private[operators] def snapRoot(s: SparkSession, dir: String, tag: String): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-$tag-" +
       s"${math.abs(dir.hashCode)}-${System.identityHashCode(s)}"
+    cleanupHooked.getOrElseUpdate(root, {
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(new java.io.File(root))
+      }
+      true
+    })
+    root
+  }
+
+  /** The shared two-version documents table (v1 = even doc_ids, v2
+    * appends the odds) — q68 (time-travel roundtrip) and q69 (CDC)
+    * exercise different read paths of the SAME committed table; one
+    * build, one copy on disk.
+    */
+  private[operators] def evenOddDocsTable(s: SparkSession, dir: String): String = {
+    val root = snapRoot(s, dir, "evenodd")
+    if (Snapshots.versions(s, root).length < 2) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, dir)
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), root)
+      Snapshots.commit(docs.filter(col("doc_id") % 2 =!= 0), root)
+    }
+    root
+  }
 
   /** q69: change-data-feed between snapshot versions. documents are
     * committed as v1 (even doc_ids) then v2 appends the odds; the CDC
@@ -46,14 +79,7 @@ object Incremental {
       |       CAST(SUM(n_chars) AS BIGINT) AS chars_added
       |FROM documents WHERE doc_id % 2 = 1
       |GROUP BY source""".stripMargin) { (s, dir) =>
-    val root = snapRoot(s, dir, "cdf")
-    if (Snapshots.versions(s, root).length < 2) {
-      val p = new org.apache.hadoop.fs.Path(root)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      val docs = Tables.documents(s, dir)
-      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), root)
-      Snapshots.commit(docs.filter(col("doc_id") % 2 =!= 0), root)
-    }
+    val root = evenOddDocsTable(s, dir)
     Snapshots.changes(s, root, from = 1L, to = 2L)
       .groupBy("source")
       .agg(count(lit(1)).as("n_added"), sum("n_chars").as("chars_added"))
@@ -70,22 +96,27 @@ object Incremental {
     "q70_incremental_agg",
     """SELECT strftime(o_orderdate, '%Y-%m') AS mon,
       |       COUNT(*) AS n_orders,
-      |       ROUND(SUM(o_totalprice), 2) AS revenue,
-      |       ROUND(MAX(o_totalprice), 2) AS max_price
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       MAX(o_totalprice) AS max_price
       |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
     val o = Tables.orders(s, dir)
       .withColumn("mon", date_format(col("o_orderdate"), "yyyy-MM"))
+    // money sums ride DECIMAL through BOTH partial levels (the repo's
+    // msum contract): exact integer-scaled arithmetic, so the base+delta
+    // merge order can never shift a cent — raw double partials would
+    // make the refresh identity hold only to ULP noise
     def partial(pred: org.apache.spark.sql.Column): DataFrame =
       o.filter(pred).groupBy("mon").agg(
-        count(lit(1)).as("n"), sum("o_totalprice").as("rev"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("rev"),
         max("o_totalprice").as("mx"))
     val cutoff = lit("1998-01-01").cast("timestamp")
     partial(col("o_orderdate") < cutoff)          // base: history
       .unionByName(partial(col("o_orderdate") >= cutoff)) // delta: new
       .groupBy("mon")
       .agg(sum("n").as("n_orders"),
-        round(sum("rev"), 2).as("revenue"),
-        round(max("mx"), 2).as("max_price"))
+        sum("rev").cast("double").as("revenue"),
+        max("mx").as("max_price"))
   }
 
   /** q71: copy-on-write MERGE upsert on the snapshot table. The base

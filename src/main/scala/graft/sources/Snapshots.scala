@@ -183,16 +183,30 @@ object Snapshots {
     * the new snapshot).
     */
   def merge(spark: SparkSession, table: String, updates: DataFrame, key: String): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit, max, min}
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed snapshot in $table")
+    // MERGE semantics are undefined when two source rows target the same
+    // key — fail loudly (Delta/Iceberg's "multiple source rows matched")
+    // instead of silently writing both
+    val dupKeys = updates.groupBy(col(key))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
+    require(dupKeys == 0,
+      s"merge updates contain $dupKeys duplicate value(s) of key '$key'")
     val src = vs.last
     val files = manifestFiles(spark, table, src)
     def norm(p: String) = new Path(p).toUri.getPath
-    val touched = spark.read.parquet(files: _*)
-      .withColumn("__file", input_file_name())
-      .join(broadcast(updates.select(col(key))), Seq(key), "left_semi")
-      .select("__file").distinct().collect().map(r => norm(r.getString(0))).toSet
+    // touched-file probe: restrict the scan to the updates' key RANGE
+    // first — parquet row-group min/max stats then skip files whose key
+    // span cannot contain a match — and collect only file paths
+    val bounds = updates.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head()
+    val touched =
+      if (bounds.isNullAt(0)) Set.empty[String]
+      else spark.read.parquet(files: _*)
+        .filter(col(key).between(lit(bounds.get(0)), lit(bounds.get(1))))
+        .withColumn("__file", input_file_name())
+        .join(broadcast(updates.select(col(key))), Seq(key), "left_semi")
+        .select("__file").distinct().collect().map(r => norm(r.getString(0))).toSet
     val (hit, keep) = files.partition(f => touched.contains(norm(f)))
     // survivors of the hit files (non-matched keys) + every update row
     // (replacements and inserts look identical from here)
@@ -213,6 +227,10 @@ object Snapshots {
     finally out.close()
     if (!f.rename(tmp, new Path(s"$table/manifest-v$v.json"))) {
       f.delete(tmp, false)
+      // our data files are referenced by no manifest — reclaim them now,
+      // or they would be orphaned forever (vacuum only frees files that
+      // expired manifests reference)
+      f.delete(dataDir, true)
       throw new IllegalStateException(
         s"concurrent commit on $table during merge (v$v already published)")
     }

@@ -15,8 +15,8 @@ class IncrementalSpec extends SparkTestBase {
     val direct = Tables.orders(spark, sf001)
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("mon"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum("o_totalprice"), 2).as("revenue"),
-        round(max("o_totalprice"), 2).as("max_price"))
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"),
+        max("o_totalprice").as("max_price"))
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
   }
 

@@ -216,6 +216,11 @@ class SnapshotsSpec extends SparkTestBase {
     val kept = files(1L).intersect(files(2L))
     assert(kept.size === 7, s"expected 7 carried files, got ${kept.size}")
     assert(before.nonEmpty)
+    // MERGE is undefined when two source rows target one key — refuse
+    // loudly rather than writing both
+    val ex = intercept[IllegalArgumentException](
+      Snapshots.merge(spark, t, Seq((1L, 1L), (1L, 2L)).toDF("id", "v"), "id"))
+    assert(ex.getMessage.contains("duplicate"))
   }
 
   test("parquet pushdown survives the manifest indirection") {
