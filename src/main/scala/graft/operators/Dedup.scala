@@ -703,8 +703,48 @@ object Dedup {
         "CAST(n_int * 10000 div (na + nb - n_int) AS BIGINT) AS exact_bp")
   }
 
+  /** d17: Bloom-prefiltered incremental exact dedup — the runtime-filter
+    * pattern made explicit with the custom BloomAgg
+    * TypedImperativeAggregate: the index's text-hashes build one 64 Kbit
+    * filter (OR-merged partials, one 1 KB-row broadcast); batch docs the
+    * filter rejects are DEFINITELY novel and skip the join entirely;
+    * only probe-positives (true dupes + the filter's few false
+    * positives) reach the exact anti-join. The oracle is plain exact
+    * semantics — the Bloom is a pure prefilter, so false positives are
+    * scrubbed by the join and false negatives are impossible: the
+    * result CANNOT diverge, only the plan gets cheaper. At 100 TB this
+    * is the shape that turns an ingest-dedup join from corpus-sized to
+    * dupe-sized.
+    */
+  val dBloomDedup: QuerySpec = QuerySpec.sql(
+    "d17_bloom_dedup",
+    """SELECT lang, COUNT(*) AS n_kept,
+      |       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+      |FROM documents d
+      |WHERE doc_id % 5 = 4 AND NOT EXISTS (
+      |  SELECT 1 FROM documents i
+      |  WHERE i.doc_id % 5 <> 4 AND md5(i.text) = md5(d.text))
+      |GROUP BY lang""".stripMargin) { (s, dir) =>
+    import graft.functions.BloomAgg
+    val docs = Tables.documents(s, dir)
+    val isBatch = col("doc_id") % 5 === 4
+    val idx = docs.filter(!isBatch).select(md5(col("text")).as("h"))
+    val bf = idx.agg(BloomAgg.bloom_build(col("h"), words = 1024).as("bf"))
+    val probed = docs.filter(isBatch)
+      .withColumn("h", md5(col("text")))
+      .crossJoin(broadcast(bf))
+      .withColumn("maybe", BloomAgg.bloom_probe(col("bf"), col("h"), words = 1024))
+      .select("doc_id", "lang", "n_chars", "h", "maybe")
+    val confirmedNovel = probed.filter(col("maybe"))
+      .join(idx.distinct(), Seq("h"), "left_anti")
+    probed.filter(!col("maybe"))
+      .unionByName(confirmedNovel)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dExact, dJaccard, dMinHash.memo, dSimHash.memo, dClusters.memo, dSimHashPairs,
       dContainment, dKeepBest, dBoilerplate, dSketchError, dDupRateBySource,
-      dClusterQuality, dTriangles, dSourceOverlap)
+      dClusterQuality, dTriangles, dSourceOverlap, dBloomDedup)
 }
