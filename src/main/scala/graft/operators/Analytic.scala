@@ -1097,6 +1097,47 @@ object Analytic {
         "exact_union")
   }
 
+  /** q75: multi-touch conversion attribution — each purchase credited
+    * to the user's FIRST and LAST non-purchase touch before it, in one
+    * per-user window pass (IGNORE NULLS first/last over the preceding
+    * frame — no self-join, no per-conversion subquery; the q29 as-of
+    * lesson applied to attribution). Conversion counts and DECIMAL-
+    * exact revenue by (first_touch, last_touch) path.
+    */
+  val qAttribution: QuerySpec = QuerySpec.sql(
+    "q75_attribution",
+    """WITH w AS (
+      |  SELECT user_id, ts, event_type, value,
+      |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch,
+      |    FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_touch
+      |  FROM events
+      |)
+      |SELECT COALESCE(first_touch, 'none') AS first_touch,
+      |       COALESCE(last_touch, 'none') AS last_touch,
+      |       COUNT(*) AS n_conversions,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM w WHERE event_type = 'purchase'
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val frame = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(frame))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(frame))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("first_touch"), lit("none")).as("first_touch"),
+        coalesce(col("last_touch"), lit("none")).as("last_touch"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
   /** q74: histogram-sketch quantiles — per order priority, p50/p90/p99
     * from a fixed-width bin histogram (the MERGEABLE quantile sketch: a
     * bin count vector combines across partitions/days/segments by
@@ -1261,5 +1302,6 @@ object Analytic {
       qStreaks, qPercentRank, qLatestEvent, qUnionDistinct, qLateOrders,
       qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
       qLateral, qSkewJoin, qZOrder, qBloom, qBasketPairs, qOrderGaps, qMad,
-      qPageRank, qSnapshotRoundtrip, qBfsLevels, qKmvSetOps, qHistQuantiles)
+      qPageRank, qSnapshotRoundtrip, qBfsLevels, qKmvSetOps, qHistQuantiles,
+      qAttribution)
 }

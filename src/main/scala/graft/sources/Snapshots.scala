@@ -237,6 +237,51 @@ object Snapshots {
     v
   }
 
+  /** Copy-on-write DELETE: publish a new snapshot without the rows
+    * matching `predicate`. Only files that CONTAIN a matching row are
+    * rewritten (the probe is a filtered scan — parquet row-group stats
+    * prune files the predicate cannot touch); every other file carries
+    * into the new manifest verbatim. Completes the DML triad with
+    * commit (INSERT) and merge (UPSERT). Same optimistic single-attempt
+    * publish as merge: a concurrent commit aborts the delete and the
+    * caller retries against the new snapshot.
+    */
+  def deleteWhere(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.input_file_name
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed snapshot in $table")
+    val src = vs.last
+    val files = manifestFiles(spark, table, src)
+    def norm(p: String) = new Path(p).toUri.getPath
+    val touched = spark.read.parquet(files: _*)
+      .filter(predicate)
+      .select(input_file_name().as("__file"))
+      .distinct().collect().map(r => norm(r.getString(0))).toSet
+    val (hit, keep) = files.partition(f => touched.contains(norm(f)))
+    val f = fs(spark, table)
+    val newFiles =
+      if (hit.isEmpty) Seq.empty[String]
+      else {
+        val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
+        spark.read.parquet(hit: _*).filter(!predicate).write.parquet(dataDir.toString)
+        f.listStatus(dataDir).toSeq.map(_.getPath.toString)
+          .filter(_.contains("part-")).sorted
+      }
+    val v = src + 1
+    val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, false)
+    try out.write((s"v$v\n" + (keep ++ newFiles).mkString("\n")).getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, new Path(s"$table/manifest-v$v.json"))) {
+      f.delete(tmp, false)
+      newFiles.headOption.foreach(p => f.delete(new Path(p).getParent, true))
+      throw new IllegalStateException(
+        s"concurrent commit on $table during delete (v$v already published)")
+    }
+    v
+  }
+
   /** Expire history: drop all but the last `keepVersions` manifests and
     * delete data files no surviving manifest references. Time travel to
     * expired versions fails from then on; the surviving snapshots are

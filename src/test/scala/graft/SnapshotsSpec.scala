@@ -223,6 +223,30 @@ class SnapshotsSpec extends SparkTestBase {
     assert(ex.getMessage.contains("duplicate"))
   }
 
+  test("deleteWhere() is copy-on-write: untouched files carry, history intact") {
+    val t = tbl()
+    Snapshots.commit((1 to 800).map(_.toLong).toDF("id")
+      .repartitionByRange(8, col("id")), t)
+    val v = Snapshots.deleteWhere(spark, t, col("id") >= 701L)
+    assert(v === 2L)
+    assert(Snapshots.read(spark, t).count() === 700)
+    assert(Snapshots.read(spark, t).filter(col("id") >= 701L).count() === 0)
+    // time travel still sees the deleted rows
+    assert(Snapshots.read(spark, t, asOf = Some(1L)).count() === 800)
+    // COW proof: the delete hit one range file; 7 of 8 carry verbatim
+    def files(ver: Long) = {
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$t/manifest-v$ver.json"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().drop(1).toSet
+      finally in.close()
+    }
+    assert(files(1L).intersect(files(2L)).size === 7)
+    // deleting nothing publishes a version with the identical file set
+    val v3 = Snapshots.deleteWhere(spark, t, col("id") > 10000L)
+    assert(files(v3) === files(2L))
+  }
+
   test("parquet pushdown survives the manifest indirection") {
     val t = tbl()
     Snapshots.commit((1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s"), t)
