@@ -117,6 +117,36 @@ object Streams {
       }
       .start()
 
+  /** Streaming UPSERT into a [[graft.sources.Snapshots]] table: each
+    * micro-batch merges by `key` (last row per key within the batch
+    * wins, keyed by a monotonically increasing in-batch order), so the
+    * table converges to the latest state per key — the streaming-CDC-in
+    * shape (a change feed applied to a lakehouse table). Copy-on-write:
+    * each merge rewrites only the files containing matched keys. Replay
+    * safety comes from upsert algebra, not tokens: re-merging the same
+    * batch maps the table to the same state (an extra no-op version in
+    * history, never a wrong row).
+    */
+  def mergeSink(df: DataFrame, table: String, key: String,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.functions.{col, monotonically_increasing_id, row_number}
+        import org.apache.spark.sql.expressions.Window
+        val latest = batch
+          .withColumn("__ord", monotonically_increasing_id())
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(col(key)).orderBy(col("__ord").desc)))
+          .filter(col("__rn") === 1).drop("__ord", "__rn")
+        val snaps = graft.sources.Snapshots
+        if (snaps.versions(batch.sparkSession, table).isEmpty)
+          snaps.commit(latest, table): Unit
+        else snaps.merge(batch.sparkSession, table, latest, key): Unit
+      }
+      .start()
+
   def upsertAppendSink(df: DataFrame, key: String, outDir: String,
       checkpointDir: String, nBuckets: Int = 64): StreamingQuery =
     df.writeStream

@@ -223,6 +223,27 @@ class SnapshotsSpec extends SparkTestBase {
     assert(ex.getMessage.contains("duplicate"))
   }
 
+  test("streaming mergeSink converges to latest state per key; replay is state-idempotent") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = tbl()
+    val ck = Files.createTempDirectory("mergeck").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    mem.addData((1L, "a"), (2L, "b"), (1L, "a2")) // in-batch dup: last wins
+    val q1 = streaming.Streams.mergeSink(mem.toDF().toDF("k", "v"), t, "k", ck)
+    q1.processAllAvailable(); q1.stop()
+    mem.addData((2L, "b2"), (3L, "c")) // cross-batch upsert + insert
+    val q2 = streaming.Streams.mergeSink(mem.toDF().toDF("k", "v"), t, "k", ck)
+    q2.processAllAvailable(); q2.stop()
+    def state() = Snapshots.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(state() === Set((1L, "a2"), (2L, "b2"), (3L, "c")))
+    // simulated replay of batch 1: same merge applied again maps the
+    // table to the same state (upsert algebra, not tokens)
+    Snapshots.merge(spark, t, Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), "k")
+    assert(state() === Set((1L, "a2"), (2L, "b2"), (3L, "c")))
+  }
+
   test("deleteWhere() is copy-on-write: untouched files carry, history intact") {
     val t = tbl()
     Snapshots.commit((1 to 800).map(_.toLong).toDF("id")
