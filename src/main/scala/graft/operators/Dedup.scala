@@ -728,13 +728,17 @@ object Dedup {
     import graft.functions.BloomAgg
     val docs = Tables.documents(s, dir)
     val isBatch = col("doc_id") % 5 === 4
+    // idx feeds the filter build AND the anti-join; probed feeds both
+    // maybe-branches — materialize each once (q73's sk pattern)
     val idx = docs.filter(!isBatch).select(md5(col("text")).as("h"))
+      .localCheckpoint()
     val bf = idx.agg(BloomAgg.bloom_build(col("h"), words = 1024).as("bf"))
     val probed = docs.filter(isBatch)
       .withColumn("h", md5(col("text")))
       .crossJoin(broadcast(bf))
       .withColumn("maybe", BloomAgg.bloom_probe(col("bf"), col("h"), words = 1024))
       .select("doc_id", "lang", "n_chars", "h", "maybe")
+      .localCheckpoint()
     val confirmedNovel = probed.filter(col("maybe"))
       .join(idx.distinct(), Seq("h"), "left_anti")
     probed.filter(!col("maybe"))

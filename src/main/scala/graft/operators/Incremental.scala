@@ -55,14 +55,21 @@ object Incremental {
     * exercise different read paths of the SAME committed table; one
     * build, one copy on disk.
     */
+  private val buildLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
   private[operators] def evenOddDocsTable(s: SparkSession, dir: String): String = {
     val root = snapRoot(s, dir, "evenodd")
-    if (Snapshots.versions(s, root).length < 2) {
-      val p = new org.apache.hadoop.fs.Path(root)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      val docs = Tables.documents(s, dir)
-      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), root)
-      Snapshots.commit(docs.filter(col("doc_id") % 2 =!= 0), root)
+    // q68 and q69 share this table; serialize the check-then-act rebuild
+    // so concurrent planning of both queries cannot interleave commits
+    buildLocks.getOrElseUpdate(root, new Object).synchronized {
+      if (Snapshots.versions(s, root).length < 2) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val docs = Tables.documents(s, dir)
+        Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), root)
+        Snapshots.commit(docs.filter(col("doc_id") % 2 =!= 0), root)
+      }
     }
     root
   }

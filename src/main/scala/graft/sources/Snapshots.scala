@@ -182,14 +182,58 @@ object Snapshots {
     * merge (serializable-writer semantics — the caller retries against
     * the new snapshot).
     */
+  /** Read data files for a rewrite/probe with mergeSchema: on an
+    * evolved table a single footer's schema would silently drop (or
+    * fail on) columns other files carry.
+    */
+  private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(files: _*)
+
+  /** Single-attempt optimistic publish at version `v`: atomic rename or
+    * cleanup + abort (the caller retries against the new snapshot).
+    * Shared by merge and deleteWhere — one copy of the
+    * tmp-write/rename/lost-race sequence, one cleanup contract: data
+    * files this writer created are reclaimed on loss (no manifest
+    * references them; vacuum could never free them).
+    */
+  private def publishOrAbort(spark: SparkSession, table: String, v: Long,
+      fileList: Seq[String], op: String, reclaimOnLoss: Seq[Path]): Unit = {
+    val f = fs(spark, table)
+    val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, false)
+    try out.write((s"v$v\n" + fileList.mkString("\n")).getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, new Path(s"$table/manifest-v$v.json"))) {
+      f.delete(tmp, false)
+      reclaimOnLoss.foreach(f.delete(_, true))
+      throw new IllegalStateException(
+        s"concurrent commit on $table during $op (v$v already published)")
+    }
+  }
+
+  /** Write `df` as new data files under the table, returning their
+    * paths (sorted) and the directory for loss-reclaim.
+    */
+  private def writeData(df: DataFrame, table: String): (Seq[String], Path) = {
+    val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
+    df.write.parquet(dataDir.toString)
+    val f = fs(df.sparkSession, table)
+    (f.listStatus(dataDir).toSeq.map(_.getPath.toString)
+      .filter(_.contains("part-")).sorted, dataDir)
+  }
+
   def merge(spark: SparkSession, table: String, updates: DataFrame, key: String): Long = {
     import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit, max, min}
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed snapshot in $table")
+    // one materialization serves the dup-check, the bounds, the probe,
+    // and the rewrite (updates would otherwise recompute per action —
+    // 4x the source cost per mergeSink micro-batch)
+    val u = updates.localCheckpoint()
     // MERGE semantics are undefined when two source rows target the same
     // key — fail loudly (Delta/Iceberg's "multiple source rows matched")
     // instead of silently writing both
-    val dupKeys = updates.groupBy(col(key))
+    val dupKeys = u.groupBy(col(key))
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
     require(dupKeys == 0,
       s"merge updates contain $dupKeys duplicate value(s) of key '$key'")
@@ -199,41 +243,25 @@ object Snapshots {
     // touched-file probe: restrict the scan to the updates' key RANGE
     // first — parquet row-group min/max stats then skip files whose key
     // span cannot contain a match — and collect only file paths
-    val bounds = updates.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head()
+    val bounds = u.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head()
     val touched =
       if (bounds.isNullAt(0)) Set.empty[String]
-      else spark.read.parquet(files: _*)
+      else readFiles(spark, files)
         .filter(col(key).between(lit(bounds.get(0)), lit(bounds.get(1))))
         .withColumn("__file", input_file_name())
-        .join(broadcast(updates.select(col(key))), Seq(key), "left_semi")
+        .join(broadcast(u.select(col(key))), Seq(key), "left_semi")
         .select("__file").distinct().collect().map(r => norm(r.getString(0))).toSet
     val (hit, keep) = files.partition(f => touched.contains(norm(f)))
     // survivors of the hit files (non-matched keys) + every update row
     // (replacements and inserts look identical from here)
     val rewritten =
-      if (hit.isEmpty) updates
-      else spark.read.parquet(hit: _*)
-        .join(broadcast(updates.select(col(key))), Seq(key), "left_anti")
-        .unionByName(updates)
-    val f = fs(spark, table)
-    val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
-    rewritten.write.parquet(dataDir.toString)
-    val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath.toString)
-      .filter(_.contains("part-")).sorted
+      if (hit.isEmpty) u
+      else readFiles(spark, hit)
+        .join(broadcast(u.select(col(key))), Seq(key), "left_anti")
+        .unionByName(u)
+    val (newFiles, dataDir) = writeData(rewritten, table)
     val v = src + 1
-    val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
-    val out = f.create(tmp, false)
-    try out.write((s"v$v\n" + (keep ++ newFiles).mkString("\n")).getBytes("UTF-8"))
-    finally out.close()
-    if (!f.rename(tmp, new Path(s"$table/manifest-v$v.json"))) {
-      f.delete(tmp, false)
-      // our data files are referenced by no manifest — reclaim them now,
-      // or they would be orphaned forever (vacuum only frees files that
-      // expired manifests reference)
-      f.delete(dataDir, true)
-      throw new IllegalStateException(
-        s"concurrent commit on $table during merge (v$v already published)")
-    }
+    publishOrAbort(spark, table, v, keep ++ newFiles, "merge", Seq(dataDir))
     v
   }
 
@@ -248,37 +276,29 @@ object Snapshots {
     */
   def deleteWhere(spark: SparkSession, table: String,
       predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.input_file_name
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed snapshot in $table")
     val src = vs.last
     val files = manifestFiles(spark, table, src)
     def norm(p: String) = new Path(p).toUri.getPath
-    val touched = spark.read.parquet(files: _*)
+    val touched = readFiles(spark, files)
       .filter(predicate)
       .select(input_file_name().as("__file"))
       .distinct().collect().map(r => norm(r.getString(0))).toSet
     val (hit, keep) = files.partition(f => touched.contains(norm(f)))
-    val f = fs(spark, table)
-    val newFiles =
-      if (hit.isEmpty) Seq.empty[String]
+    val (newFiles, reclaim) =
+      if (hit.isEmpty) (Seq.empty[String], Seq.empty[Path])
       else {
-        val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
-        spark.read.parquet(hit: _*).filter(!predicate).write.parquet(dataDir.toString)
-        f.listStatus(dataDir).toSeq.map(_.getPath.toString)
-          .filter(_.contains("part-")).sorted
+        // SQL DELETE keeps rows where the predicate is NULL — a bare
+        // !predicate would drop them (NOT NULL = NULL filters out), and
+        // only in rewritten files, making survival layout-dependent
+        val (nf, dir) = writeData(
+          readFiles(spark, hit).filter(not(coalesce(predicate, lit(false)))), table)
+        (nf, Seq(dir))
       }
     val v = src + 1
-    val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
-    val out = f.create(tmp, false)
-    try out.write((s"v$v\n" + (keep ++ newFiles).mkString("\n")).getBytes("UTF-8"))
-    finally out.close()
-    if (!f.rename(tmp, new Path(s"$table/manifest-v$v.json"))) {
-      f.delete(tmp, false)
-      newFiles.headOption.foreach(p => f.delete(new Path(p).getParent, true))
-      throw new IllegalStateException(
-        s"concurrent commit on $table during delete (v$v already published)")
-    }
+    publishOrAbort(spark, table, v, keep ++ newFiles, "delete", reclaim)
     v
   }
 

@@ -118,28 +118,34 @@ object Streams {
       .start()
 
   /** Streaming UPSERT into a [[graft.sources.Snapshots]] table: each
-    * micro-batch merges by `key` (last row per key within the batch
-    * wins, keyed by a monotonically increasing in-batch order), so the
-    * table converges to the latest state per key — the streaming-CDC-in
-    * shape (a change feed applied to a lakehouse table). Copy-on-write:
-    * each merge rewrites only the files containing matched keys. Replay
-    * safety comes from upsert algebra, not tokens: re-merging the same
-    * batch maps the table to the same state (an extra no-op version in
-    * history, never a wrong row).
+    * micro-batch merges by `key`, the row with the highest `seqCol`
+    * per key winning — the streaming-CDC-in shape (a change feed
+    * applied to a lakehouse table). The explicit sequence column is
+    * the Delta APPLY CHANGES contract: "latest" must be an event-time
+    * or change-sequence ordering the DATA carries; partition-layout
+    * order (monotonically_increasing_id) is neither deterministic
+    * across recomputation nor arrival order. Ties on (key, seqCol)
+    * break on the remaining columns for a deterministic winner.
+    * Copy-on-write: each merge rewrites only the files containing
+    * matched keys. Replay safety comes from upsert algebra, not
+    * tokens: re-merging the same batch maps the table to the same
+    * state (an extra no-op version in history, never a wrong row).
     */
-  def mergeSink(df: DataFrame, table: String, key: String,
+  def mergeSink(df: DataFrame, table: String, key: String, seqCol: String,
       checkpointDir: String): StreamingQuery =
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.functions.{col, monotonically_increasing_id, row_number}
+        import org.apache.spark.sql.functions.{col, row_number}
         import org.apache.spark.sql.expressions.Window
+        val tieBreak = batch.columns.filterNot(c => c == key || c == seqCol)
+          .map(col).toSeq
         val latest = batch
-          .withColumn("__ord", monotonically_increasing_id())
           .withColumn("__rn", row_number().over(
-            Window.partitionBy(col(key)).orderBy(col("__ord").desc)))
-          .filter(col("__rn") === 1).drop("__ord", "__rn")
+            Window.partitionBy(col(key))
+              .orderBy((col(seqCol).desc +: tieBreak.map(_.desc)): _*)))
+          .filter(col("__rn") === 1).drop("__rn")
         val snaps = graft.sources.Snapshots
         if (snaps.versions(batch.sparkSession, table).isEmpty)
           snaps.commit(latest, table): Unit

@@ -228,19 +228,23 @@ class SnapshotsSpec extends SparkTestBase {
     val t = tbl()
     val ck = Files.createTempDirectory("mergeck").toString
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val mem = MemoryStream[(Long, String)]
-    mem.addData((1L, "a"), (2L, "b"), (1L, "a2")) // in-batch dup: last wins
-    val q1 = streaming.Streams.mergeSink(mem.toDF().toDF("k", "v"), t, "k", ck)
+    val mem = MemoryStream[(Long, Long, String)]
+    // (key, seq, value): in-batch dup of key 1 — highest seq wins
+    mem.addData((1L, 10L, "a"), (2L, 10L, "b"), (1L, 11L, "a2"))
+    val q1 = streaming.Streams.mergeSink(
+      mem.toDF().toDF("k", "seq", "v"), t, "k", "seq", ck)
     q1.processAllAvailable(); q1.stop()
-    mem.addData((2L, "b2"), (3L, "c")) // cross-batch upsert + insert
-    val q2 = streaming.Streams.mergeSink(mem.toDF().toDF("k", "v"), t, "k", ck)
+    mem.addData((2L, 20L, "b2"), (3L, 20L, "c")) // cross-batch upsert + insert
+    val q2 = streaming.Streams.mergeSink(
+      mem.toDF().toDF("k", "seq", "v"), t, "k", "seq", ck)
     q2.processAllAvailable(); q2.stop()
     def state() = Snapshots.read(spark, t)
-      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
     assert(state() === Set((1L, "a2"), (2L, "b2"), (3L, "c")))
     // simulated replay of batch 1: same merge applied again maps the
     // table to the same state (upsert algebra, not tokens)
-    Snapshots.merge(spark, t, Seq((2L, "b2"), (3L, "c")).toDF("k", "v"), "k")
+    Snapshots.merge(spark, t,
+      Seq((2L, 20L, "b2"), (3L, 20L, "c")).toDF("k", "seq", "v"), "k")
     assert(state() === Set((1L, "a2"), (2L, "b2"), (3L, "c")))
   }
 
@@ -266,6 +270,20 @@ class SnapshotsSpec extends SparkTestBase {
     // deleting nothing publishes a version with the identical file set
     val v3 = Snapshots.deleteWhere(spark, t, col("id") > 10000L)
     assert(files(v3) === files(2L))
+  }
+
+  test("deleteWhere keeps NULL-predicate rows regardless of file layout") {
+    val t = tbl()
+    // file 1 mixes a NULL with a matching row; file 2 is NULL-only —
+    // SQL DELETE WHERE c > 5 must keep BOTH nulls (a bare !pred would
+    // drop the null only in the rewritten file)
+    val df = Seq((1L, Some(10L)), (2L, None: Option[Long]))
+      .toDF("id", "c").repartition(1)
+      .unionByName(Seq((3L, None: Option[Long])).toDF("id", "c").repartition(1))
+    Snapshots.commit(df, t)
+    Snapshots.deleteWhere(spark, t, col("c") > 5L)
+    val kept = Snapshots.read(spark, t).select("id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(2L, 3L))
   }
 
   test("parquet pushdown survives the manifest indirection") {
