@@ -602,7 +602,64 @@ object Similarity {
           .cast("long").as("pq_code"))
   }
 
+  /** s12: kNN search IN PQ-CODE SPACE — the query path that justifies
+    * s11's compression: neighbors ranked by symmetric integer distance
+    * between 4-nibble code words (Σ (qc_j − cc_j)²), so the scan
+    * touches 2-byte codes instead of 256-byte vectors — the
+    * memory-bandwidth-bound shape that makes billion-vector search
+    * feasible. All-integer distance ⇒ exact oracle, fully tie-broken
+    * ranking. The query side is a handful of rows broadcast against
+    * the code table (same intentional tiny loop join as s1).
+    */
+  val sPqKnn: QuerySpec = QuerySpec.sql(
+    "s12_pq_knn",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |q AS (SELECT vec_id, list_transform(v,
+      |        x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT)) AS qv FROM m),
+      |s AS (SELECT vec_id, len(qv) // 4 AS sub, qv FROM q),
+      |c AS (SELECT vec_id, list_transform(generate_series(0, 3),
+      |        j -> least((list_sum(qv[j*sub+1 : j*sub+sub]) + 127*sub) * 16
+      |                   // (254*sub), 15)) AS codes
+      |      FROM s),
+      |qs AS (SELECT vec_id AS qid, codes AS qc FROM c WHERE vec_id < 5),
+      |scored AS (
+      |  SELECT qs.qid, c.vec_id AS neighbor_id,
+      |         CAST(list_sum(list_transform(generate_series(1, 4),
+      |           j -> (qs.qc[j] - c.codes[j]) * (qs.qc[j] - c.codes[j]))) AS BIGINT) AS dist
+      |  FROM qs JOIN c ON c.vec_id <> qs.qid
+      |), ranked AS (
+      |  SELECT qid, neighbor_id, dist,
+      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rank
+      |  FROM scored
+      |)
+      |SELECT qid, neighbor_id, dist, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
+    val codes = Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => round(x * (lit(127.0) / col("mx")), 0).cast("long")))
+      .withColumn("sub", expr("size(qv) div 4"))
+      .withColumn("codes", expr(
+        """transform(sequence(0, 3), j ->
+          |  least(((aggregate(slice(qv, j*sub+1, sub), 0L, (a, x) -> a + x)
+          |          + 127*sub) * 16) div (254*sub), 15L))""".stripMargin))
+      .select("vec_id", "codes")
+    val queries = codes.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("codes").as("qc"))
+    codes.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("qc"), col("codes"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("neighbor_id"), col("dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(sKnn.memo, sNearDup.memo, sAnnLsh.memo, sAnnIvf, sQuantize, sCentroid, sAnnRecall,
-      sQuantError, sCovariance, sSemClusters, sPqCodes)
+      sQuantError, sCovariance, sSemClusters, sPqCodes, sPqKnn)
 }

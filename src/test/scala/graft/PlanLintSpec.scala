@@ -22,7 +22,8 @@ class PlanLintSpec extends SparkTestBase {
   private val intendedLoopJoins = Set("s1_knn_cosine", "s4_ann_ivf",
     "p4_quality_report", "t6_vocab_df", "p8_proportional_sample",
     "s7_ann_recall", "s8_quant_error", "d13_triangles", "q73_kmv_setops",
-    "d16_source_overlap", "p13_mix_rebalance", "d17_bloom_dedup")
+    "d16_source_overlap", "p13_mix_rebalance", "d17_bloom_dedup",
+    "s12_pq_knn")
 
   test("no unintended CartesianProduct or nested-loop join in any registered query plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted
