@@ -63,6 +63,26 @@ class IncrementalSpec extends SparkTestBase {
     assert(codes.distinct.length > 10, "degenerate codebook assignment")
   }
 
+  test("d17: the Bloom prefilter actually prunes — few novel docs reach the join") {
+    import graft.functions.BloomAgg
+    val docs = Tables.documents(spark, sf001)
+    val isBatch = col("doc_id") % 5 === 4
+    val idx = docs.filter(!isBatch).select(md5(col("text")).as("h"))
+    val bf = idx.agg(BloomAgg.bloom_build(col("h"), words = 1024).as("bf"))
+    val probed = docs.filter(isBatch)
+      .withColumn("h", md5(col("text")))
+      .crossJoin(broadcast(bf))
+      .withColumn("maybe", BloomAgg.bloom_probe(col("bf"), col("h"), words = 1024))
+    val total = probed.count()
+    val positives = probed.filter(col("maybe")).count()
+    val trueDupes = docs.filter(isBatch).withColumn("h", md5(col("text")))
+      .join(idx.distinct(), "h").select("doc_id").distinct().count()
+    // 65536 bits over ~400 index keys, 3 hashes → theoretical fp well
+    // under 1%; 5% is the regression bound. positives = dupes + fps.
+    assert(positives - trueDupes <= math.max(2L, total / 20),
+      s"bloom passed ${positives - trueDupes} false positives of $total")
+  }
+
   test("q72: BFS levels are monotone over the frontier expansion") {
     val lv = run("q72_bfs_levels", sf001)
     // level 0 is exactly the single source customer
