@@ -563,8 +563,51 @@ object Curation {
         "tokens * least(10000L, (tot div nl) * 10000 div tokens) div 10000 AS kept_tokens")
   }
 
+  /** p14: token-budget corpus selection — the highest-quality prefix of
+    * each language that fits an equal-share token budget (greedy
+    * selection under constraint, the final step a data-mixture plan
+    * actually executes; composes the memoized t2 quality producer and
+    * p13's budget arithmetic). One per-lang rank + running-sum window
+    * — partitioned, scale-safe — and a 1-row broadcast budget.
+    */
+  val pBudgetSelect: QuerySpec = QuerySpec.sql(
+    "p14_budget_select",
+    s"""WITH q AS (${TextAnalysis.tQuality.oracle.get}),
+       |tot AS (
+       |  SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+       |         CAST(COUNT(DISTINCT lang) AS BIGINT) AS nl
+       |  FROM q
+       |), r AS (
+       |  SELECT lang, n_tokens,
+       |         SUM(n_tokens) OVER (PARTITION BY lang
+       |           ORDER BY quality_bp DESC, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM q
+       |)
+       |SELECT lang, COUNT(*) AS n_selected,
+       |       CAST(SUM(n_tokens) AS BIGINT) AS tokens_selected,
+       |       CAST(MAX(t // nl) AS BIGINT) AS budget_tokens
+       |FROM r CROSS JOIN tot
+       |WHERE cum <= t // nl
+       |GROUP BY lang""".stripMargin) { (s, dir) =>
+    val q = Intermediates.of(TextAnalysis.tQuality)(s, dir)
+      .select("doc_id", "lang", "n_tokens", "quality_bp")
+    val tot = q.agg(sum("n_tokens").as("t"),
+      countDistinct("lang").as("nl"))
+    q.withColumn("cum", sum("n_tokens").over(
+        Window.partitionBy("lang")
+          .orderBy(col("quality_bp").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") <= expr("t div nl"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_selected"),
+        sum("n_tokens").as("tokens_selected"),
+        max(expr("t div nl")).as("budget_tokens"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pCorpus, pSplit, pContamination.memo, pQualityReport, pPacking,
       pDomainMix, pNgramDecontam.memo, pProportional, pLengthHist, pFilterFunnel,
-      pContaminationReport, pCurriculum, pMixRebalance)
+      pContaminationReport, pCurriculum, pMixRebalance, pBudgetSelect)
 }
