@@ -747,8 +747,60 @@ object Dedup {
       .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
   }
 
+  /** d18: INCREMENTAL cluster maintenance — when the new batch
+    * (doc_id % 5 = 4) arrives, existing cluster labels are NOT
+    * recomputed: the index-only components keep their labels; the
+    * batch's candidate pairs are contracted onto those labels (each
+    * endpoint replaced by its existing label, or itself if unlabeled)
+    * and connected components runs on the CONTRACTED graph — whose size
+    * is bounded by the labels the batch touches, not the corpus. A
+    * batch doc bridging two old components merges them through their
+    * label nodes. The oracle is d5's FULL transitive closure over all
+    * pairs: incremental maintenance must be indistinguishable from the
+    * full recompute — the same identity q70 proves for aggregates,
+    * proven here for graph clustering.
+    */
+  val dIncrementalClusters: QuerySpec = QuerySpec.sql(
+    "d18_incremental_clusters", dClusters.oracle.get) { (s, dir) =>
+    val pairs = graft.Intermediates.of(dMinHash)(s, dir).select("doc_a", "doc_b")
+    val isBatch = (c: org.apache.spark.sql.Column) => c % 5 === 4
+    val oldPairs = pairs
+      .filter(!isBatch(col("doc_a")) && !isBatch(col("doc_b")))
+    val newPairs = pairs
+      .filter(isBatch(col("doc_a")) || isBatch(col("doc_b")))
+      .localCheckpoint() // feeds two contraction joins + the part2 scan
+    // the "materialized" state a production pipeline would have on disk
+    val oldLabels = ConnectedComponents.labels(oldPairs, "doc_a", "doc_b")
+      .localCheckpoint()
+    val contractedEdges = newPairs
+      .join(oldLabels.select(col("id").as("doc_a"), col("label").as("la")),
+        Seq("doc_a"), "left")
+      .join(oldLabels.select(col("id").as("doc_b"), col("label").as("lb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("la"), col("doc_a")).as("c_a"),
+        coalesce(col("lb"), col("doc_b")).as("c_b"))
+    val merged = ConnectedComponents.labels(contractedEdges, "c_a", "c_b")
+      .localCheckpoint() // bounded by touched labels, not corpus size
+    // docs already labeled: relabel only if their component merged
+    val part1 = oldLabels
+      .join(merged.select(col("id").as("label"), col("label").as("mlabel")),
+        Seq("label"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("mlabel"), col("label")).as("cluster_id"))
+    // docs first seen in the new pairs (batch docs + previously
+    // singleton index docs): their contracted node is themselves
+    val fresh = newPairs.select(col("doc_a").as("doc_id"))
+      .union(newPairs.select(col("doc_b").as("doc_id"))).distinct()
+      .join(oldLabels.select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+    val part2 = fresh
+      .join(merged.select(col("id").as("doc_id"), col("label").as("cluster_id")),
+        Seq("doc_id"))
+    part1.unionByName(part2).orderBy("cluster_id", "doc_id")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dExact, dJaccard, dMinHash.memo, dSimHash.memo, dClusters.memo, dSimHashPairs,
       dContainment, dKeepBest, dBoilerplate, dSketchError, dDupRateBySource,
-      dClusterQuality, dTriangles, dSourceOverlap, dBloomDedup)
+      dClusterQuality, dTriangles, dSourceOverlap, dBloomDedup,
+      dIncrementalClusters)
 }
