@@ -204,7 +204,51 @@ object MultimodalQ {
         count(lit(1)).as("n_samples"))
   }
 
+  /** m8: scene/shot-change detection — frame-over-frame energy deltas
+    * (the first step of video shot segmentation: a cut shows as an
+    * energy discontinuity) over the same deterministic LCG sample
+    * stream as m6, at 256-sample frames so each doc carries 16 frames.
+    * LAG within a (doc, frame-order) window — partitioned by doc, so
+    * the sort is bounded by frames-per-doc at any corpus size — then
+    * integer thresholding; all-integer, exact oracle. With a real
+    * decoder the energy column comes from decoded frames; the delta +
+    * threshold plan is identical.
+    */
+  val mSceneChanges: QuerySpec = QuerySpec.sql(
+    "m8_scene_changes",
+    """WITH s AS (
+      |  SELECT doc_id, i,
+      |         ((doc_id * 1103515245 + i * 12345 + 104729) % 65536) - 32768 AS smp
+      |  FROM documents CROSS JOIN generate_series(0, 4095) AS g(i)
+      |), f AS (
+      |  SELECT doc_id, i // 256 AS frame, SUM(smp * smp) AS energy
+      |  FROM s GROUP BY 1, 2
+      |), d AS (
+      |  SELECT doc_id, frame, energy,
+      |         ABS(energy - LAG(energy) OVER (PARTITION BY doc_id ORDER BY frame)) AS delta
+      |  FROM f
+      |)
+      |SELECT doc_id, COUNT(*) AS n_frames,
+      |       CAST(SUM(CASE WHEN delta > 5000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+      |       CAST(MAX(delta) AS BIGINT) AS max_delta
+      |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(4095))).as("i"))
+      .select(col("doc_id"), expr("i div 256").cast("long").as("frame"),
+        (((col("doc_id") * lit(1103515245L) + col("i") * lit(12345L) + lit(104729L))
+          % lit(65536L)) - lit(32768L)).as("smp"))
+      .groupBy("doc_id", "frame")
+      .agg(sum(col("smp") * col("smp")).as("energy"))
+    f.withColumn("delta", abs(col("energy") -
+        lag("energy", 1).over(Window.partitionBy("doc_id").orderBy("frame"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("delta") > 5000000000L, 1L).otherwise(0L)).as("n_changes"),
+        max("delta").as("max_delta"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(mFeatures, mResize, mFrames, mModalityReport, mImageDecode,
-      mAudioFrames)
+      mAudioFrames, mSceneChanges)
 }
