@@ -302,6 +302,39 @@ object Snapshots {
     v
   }
 
+  /** Reclaim ORPHANED data files: files under `<table>/data/` that no
+    * manifest (any version) references — the residue of a writer that
+    * crashed between its data write and its manifest publish, which
+    * vacuum can never free (vacuum reference-counts over manifests;
+    * these files are in none). Only orphans older than `graceMs` are
+    * deleted, so an IN-FLIGHT writer's not-yet-published files survive
+    * (the same modification-time grace Iceberg's orphan cleanup uses).
+    * Returns the number of files deleted.
+    */
+  def gc(spark: SparkSession, table: String,
+      graceMs: Long = 24L * 3600 * 1000): Int = {
+    val f = fs(spark, table)
+    val dataRoot = new Path(s"$table/data")
+    if (!f.exists(dataRoot)) return 0
+    def norm(p: String) = new Path(p).toUri.getPath
+    val referenced = versions(spark, table)
+      .flatMap(manifestFiles(spark, table, _)).map(norm).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    var deleted = 0
+    f.listStatus(dataRoot).foreach { dir =>
+      val parts = f.listStatus(dir.getPath).filter(
+        _.getPath.getName.startsWith("part-"))
+      val orphaned = parts.filter(st =>
+        !referenced.contains(norm(st.getPath.toString)) &&
+          st.getModificationTime < cutoff)
+      orphaned.foreach { st => f.delete(st.getPath, false); deleted += 1 }
+      // sweep the dir when nothing referenced remains (markers only)
+      if (parts.length == orphaned.length && parts.nonEmpty)
+        f.delete(dir.getPath, true)
+    }
+    deleted
+  }
+
   /** Expire history: drop all but the last `keepVersions` manifests and
     * delete data files no surviving manifest references. Time travel to
     * expired versions fails from then on; the surviving snapshots are

@@ -286,6 +286,24 @@ class SnapshotsSpec extends SparkTestBase {
     assert(kept.toSeq === Seq(2L, 3L))
   }
 
+  test("gc() reclaims crash orphans past the grace period, never live or fresh files") {
+    val t = tbl()
+    Snapshots.commit((1 to 10).toDF("x"), t)
+    // simulate a writer that crashed between data write and publish
+    (11 to 12).toDF("x").write.parquet(s"$t/data/orphan-run")
+    // nothing is old enough yet -> the in-flight grace protects it
+    assert(Snapshots.gc(spark, t) === 0)
+    // with a zero grace the orphan goes; the committed files survive
+    val n = Snapshots.gc(spark, t, graceMs = 0L)
+    assert(n >= 1, "orphaned part files must be reclaimed")
+    assert(Snapshots.read(spark, t).count() === 10)
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/data/orphan-run")))
+    // idempotent
+    assert(Snapshots.gc(spark, t, graceMs = 0L) === 0)
+  }
+
   test("parquet pushdown survives the manifest indirection") {
     val t = tbl()
     Snapshots.commit((1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s"), t)
