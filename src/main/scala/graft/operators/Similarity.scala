@@ -611,6 +611,35 @@ object Similarity {
     * ranking. The query side is a handful of rows broadcast against
     * the code table (same intentional tiny loop join as s1).
     */
+  /** Shared PQ code frame (vec_id, codes[4]) — s11's exact integer
+    * formula, consumed by s11 (packing), s12 (flat code search), and
+    * s13 (IVF-probed code search).
+    */
+  private def pqCodeFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => round(x * (lit(127.0) / col("mx")), 0).cast("long")))
+      .withColumn("sub", expr("size(qv) div 4"))
+      .withColumn("codes", expr(
+        """transform(sequence(0, 3), j ->
+          |  least(((aggregate(slice(qv, j*sub+1, sub), 0L, (a, x) -> a + x)
+          |          + 127*sub) * 16) div (254*sub), 15L))""".stripMargin))
+      .select("vec_id", "codes")
+
+  /** The PQ-code CTE chain shared by the s11/s12/s13 oracles. */
+  private val pqCodesSql =
+    """e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m2 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e2),
+      |q2 AS (SELECT vec_id, list_transform(v,
+      |        x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT)) AS qv FROM m2),
+      |s2 AS (SELECT vec_id, len(qv) // 4 AS sub, qv FROM q2),
+      |codes AS (SELECT vec_id, list_transform(generate_series(0, 3),
+      |        j -> least((list_sum(qv[j*sub+1 : j*sub+sub]) + 127*sub) * 16
+      |                   // (254*sub), 15)) AS codes
+      |      FROM s2)""".stripMargin
+
   val sPqKnn: QuerySpec = QuerySpec.sql(
     "s12_pq_knn",
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -635,17 +664,7 @@ object Similarity {
       |)
       |SELECT qid, neighbor_id, dist, CAST(rank AS BIGINT) AS rank
       |FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
-    val codes = Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-      .withColumn("qv", transform(col("v"),
-        x => round(x * (lit(127.0) / col("mx")), 0).cast("long")))
-      .withColumn("sub", expr("size(qv) div 4"))
-      .withColumn("codes", expr(
-        """transform(sequence(0, 3), j ->
-          |  least(((aggregate(slice(qv, j*sub+1, sub), 0L, (a, x) -> a + x)
-          |          + 127*sub) * 16) div (254*sub), 15L))""".stripMargin))
-      .select("vec_id", "codes")
+    val codes = pqCodeFrame(s, dir)
     val queries = codes.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("codes").as("qc"))
     codes.join(broadcast(queries), col("vec_id") =!= col("qid"))
@@ -659,7 +678,79 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** s13: IVF + PQ — the billion-scale index composition: s4's cell
+    * assignment partitions the corpus (each query probes ~1/K of it)
+    * and s12's 2-byte integer code distance ranks WITHIN the probed
+    * cell — so the per-query scan is (corpus/K) code words, the shape
+    * real vector databases run (FAISS IVFPQ). Deterministic sampled
+    * centroids + integer code distance keep the full chain under the
+    * exact oracle.
+    */
+  val sIvfPq: QuerySpec = QuerySpec.sql(
+    "s13_ivf_pq",
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+       |), ac AS (
+       |  SELECT e.vec_id, c.cid,
+       |         ${cosineSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} AS cc
+       |  FROM e CROSS JOIN cents c
+       |), assigned AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                              ORDER BY ROUND(cc, 6) DESC, cid) AS rn
+       |    FROM ac) WHERE rn = 1
+       |), $pqCodesSql,
+       |base AS (
+       |  SELECT a.vec_id, a.cell, c.codes FROM assigned a
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |), qs AS (
+       |  SELECT vec_id AS qid, cell AS qcell, codes AS qc FROM base WHERE vec_id < 10
+       |), scored AS (
+       |  SELECT qs.qid, b.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 4),
+       |           j -> (qs.qc[j] - b.codes[j]) * (qs.qc[j] - b.codes[j]))) AS BIGINT) AS dist
+       |  FROM qs JOIN base b ON b.cell = qs.qcell AND b.vec_id <> qs.qid
+       |), ranked AS (
+       |  SELECT qid, neighbor_id, dist,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, neighbor_id, dist, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
+    val e = vecs(s, dir)
+    val cents = e
+      .withColumn("ord", md5(col("vec_id").cast("string")))
+      .orderBy("ord", "vec_id").limit(16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(round(col("cc"), 6).desc, col("cid"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .withColumn("cc", vec_dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cid").as("cell"))
+    val base = assigned.join(pqCodeFrame(s, dir), "vec_id")
+      .localCheckpoint() // feeds the query side and the probed scan
+    val qs = base.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("cell").as("qcell"),
+        col("codes").as("qc"))
+    base.join(broadcast(qs),
+        col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("neighbor_id"),
+        aggregate(zip_with(col("qc"), col("codes"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist"), col("neighbor_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("qid"), col("neighbor_id"), col("dist"),
+        col("rank").cast("long").as("rank"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(sKnn.memo, sNearDup.memo, sAnnLsh.memo, sAnnIvf, sQuantize, sCentroid, sAnnRecall,
-      sQuantError, sCovariance, sSemClusters, sPqCodes, sPqKnn)
+      sQuantError, sCovariance, sSemClusters, sPqCodes, sPqKnn, sIvfPq)
 }
