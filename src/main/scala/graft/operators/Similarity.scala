@@ -572,21 +572,44 @@ object Similarity {
     * a 100 TB embedding corpus becomes a ~1 TB code table that scans at
     * memory bandwidth, with the codebook a broadcast constant.
     */
-  val sPqCodes: QuerySpec = QuerySpec.sql(
-    "s11_pq_codes",
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
-      |q AS (SELECT vec_id, list_transform(v,
-      |        x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT)) AS qv FROM m),
-      |s AS (SELECT vec_id, len(qv) // 4 AS sub, qv FROM q),
-      |c AS (SELECT vec_id, list_transform(generate_series(0, 3),
+  /** Shared PQ code frame (vec_id, codes[4]) — the exact integer
+    * formula, consumed by s11 (packing), s12 (flat code search), and
+    * s13 (IVF-probed code search).
+    */
+  private def pqCodeFrame(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("qv", transform(col("v"),
+        x => round(x * (lit(127.0) / col("mx")), 0).cast("long")))
+      .withColumn("sub", expr("size(qv) div 4"))
+      .withColumn("codes", expr(
+        """transform(sequence(0, 3), j ->
+          |  least(((aggregate(slice(qv, j*sub+1, sub), 0L, (a, x) -> a + x)
+          |          + 127*sub) * 16) div (254*sub), 15L))""".stripMargin))
+      .select("vec_id", "codes")
+
+  /** The PQ-code CTE chain — the ONE copy the s11/s12/s13 oracles all
+    * interpolate, so the formula cannot diverge between them.
+    */
+  private val pqCodesSql =
+    """e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m2 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e2),
+      |q2 AS (SELECT vec_id, list_transform(v,
+      |        x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT)) AS qv FROM m2),
+      |s2 AS (SELECT vec_id, len(qv) // 4 AS sub, qv FROM q2),
+      |codes AS (SELECT vec_id, list_transform(generate_series(0, 3),
       |        j -> least((list_sum(qv[j*sub+1 : j*sub+sub]) + 127*sub) * 16
       |                   // (254*sub), 15)) AS codes
-      |      FROM s)
-      |SELECT vec_id,
-      |       CAST(codes[1] + codes[2]*16 + codes[3]*256 + codes[4]*4096
-      |            AS BIGINT) AS pq_code
-      |FROM c""".stripMargin) { (s, dir) =>
+      |      FROM s2)""".stripMargin
+
+  val sPqCodes: QuerySpec = QuerySpec.sql(
+    "s11_pq_codes",
+    s"""WITH $pqCodesSql
+       |SELECT vec_id,
+       |       CAST(codes[1] + codes[2]*16 + codes[3]*256 + codes[4]*4096
+       |            AS BIGINT) AS pq_code
+       |FROM codes""".stripMargin) { (s, dir) =>
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
@@ -611,59 +634,22 @@ object Similarity {
     * ranking. The query side is a handful of rows broadcast against
     * the code table (same intentional tiny loop join as s1).
     */
-  /** Shared PQ code frame (vec_id, codes[4]) — s11's exact integer
-    * formula, consumed by s11 (packing), s12 (flat code search), and
-    * s13 (IVF-probed code search).
-    */
-  private def pqCodeFrame(s: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-      .withColumn("qv", transform(col("v"),
-        x => round(x * (lit(127.0) / col("mx")), 0).cast("long")))
-      .withColumn("sub", expr("size(qv) div 4"))
-      .withColumn("codes", expr(
-        """transform(sequence(0, 3), j ->
-          |  least(((aggregate(slice(qv, j*sub+1, sub), 0L, (a, x) -> a + x)
-          |          + 127*sub) * 16) div (254*sub), 15L))""".stripMargin))
-      .select("vec_id", "codes")
-
-  /** The PQ-code CTE chain shared by the s11/s12/s13 oracles. */
-  private val pqCodesSql =
-    """e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |m2 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e2),
-      |q2 AS (SELECT vec_id, list_transform(v,
-      |        x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT)) AS qv FROM m2),
-      |s2 AS (SELECT vec_id, len(qv) // 4 AS sub, qv FROM q2),
-      |codes AS (SELECT vec_id, list_transform(generate_series(0, 3),
-      |        j -> least((list_sum(qv[j*sub+1 : j*sub+sub]) + 127*sub) * 16
-      |                   // (254*sub), 15)) AS codes
-      |      FROM s2)""".stripMargin
-
   val sPqKnn: QuerySpec = QuerySpec.sql(
     "s12_pq_knn",
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
-      |q AS (SELECT vec_id, list_transform(v,
-      |        x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT)) AS qv FROM m),
-      |s AS (SELECT vec_id, len(qv) // 4 AS sub, qv FROM q),
-      |c AS (SELECT vec_id, list_transform(generate_series(0, 3),
-      |        j -> least((list_sum(qv[j*sub+1 : j*sub+sub]) + 127*sub) * 16
-      |                   // (254*sub), 15)) AS codes
-      |      FROM s),
-      |qs AS (SELECT vec_id AS qid, codes AS qc FROM c WHERE vec_id < 5),
-      |scored AS (
-      |  SELECT qs.qid, c.vec_id AS neighbor_id,
-      |         CAST(list_sum(list_transform(generate_series(1, 4),
-      |           j -> (qs.qc[j] - c.codes[j]) * (qs.qc[j] - c.codes[j]))) AS BIGINT) AS dist
-      |  FROM qs JOIN c ON c.vec_id <> qs.qid
-      |), ranked AS (
-      |  SELECT qid, neighbor_id, dist,
-      |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rank
-      |  FROM scored
-      |)
-      |SELECT qid, neighbor_id, dist, CAST(rank AS BIGINT) AS rank
-      |FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
+    s"""WITH $pqCodesSql,
+       |qs AS (SELECT vec_id AS qid, codes AS qc FROM codes WHERE vec_id < 5),
+       |scored AS (
+       |  SELECT qs.qid, c.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 4),
+       |           j -> (qs.qc[j] - c.codes[j]) * (qs.qc[j] - c.codes[j]))) AS BIGINT) AS dist
+       |  FROM qs JOIN codes c ON c.vec_id <> qs.qid
+       |), ranked AS (
+       |  SELECT qid, neighbor_id, dist,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, neighbor_id) AS rank
+       |  FROM scored
+       |)
+       |SELECT qid, neighbor_id, dist, CAST(rank AS BIGINT) AS rank
+       |FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
     val codes = pqCodeFrame(s, dir)
     val queries = codes.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("codes").as("qc"))

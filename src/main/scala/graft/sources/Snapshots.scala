@@ -327,10 +327,26 @@ object Snapshots {
       val orphaned = parts.filter(st =>
         !referenced.contains(norm(st.getPath.toString)) &&
           st.getModificationTime < cutoff)
-      orphaned.foreach { st => f.delete(st.getPath, false); deleted += 1 }
+      orphaned.foreach { st =>
+        if (f.delete(st.getPath, false)) deleted += 1
+      }
       // sweep the dir when nothing referenced remains (markers only)
       if (parts.length == orphaned.length && parts.nonEmpty)
-        f.delete(dir.getPath, true)
+        f.delete(dir.getPath, true): Unit
+      // the most common crash residue has NO top-level part- files at
+      // all (died mid-write: only _temporary/ task attempts inside) —
+      // reclaim the whole dir when nothing in it is referenced and
+      // it is past the grace period
+      if (parts.isEmpty) {
+        val prefix = norm(dir.getPath.toString) + "/"
+        val dirReferenced = referenced.exists(_.startsWith(prefix))
+        if (!dirReferenced && dir.getModificationTime < cutoff) {
+          val it = f.listFiles(dir.getPath, true)
+          var n = 0
+          while (it.hasNext) { it.next(); n += 1 }
+          if (f.delete(dir.getPath, true)) deleted += n
+        }
+      }
     }
     deleted
   }

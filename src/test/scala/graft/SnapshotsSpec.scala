@@ -302,6 +302,15 @@ class SnapshotsSpec extends SparkTestBase {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/data/orphan-run")))
     // idempotent
     assert(Snapshots.gc(spark, t, graceMs = 0L) === 0)
+    // the mid-write crash shape: only _temporary task files, NO
+    // top-level part- files — must still be reclaimed
+    val tmpDir = new org.apache.hadoop.fs.Path(s"$t/data/died-mid-write/_temporary/0")
+    fs.mkdirs(tmpDir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmpDir, "part-00000"), true)
+    out.write("x".getBytes); out.close()
+    assert(Snapshots.gc(spark, t, graceMs = 0L) >= 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$t/data/died-mid-write")))
+    assert(Snapshots.read(spark, t).count() === 10)
   }
 
   test("parquet pushdown survives the manifest indirection") {
