@@ -253,6 +253,27 @@ object Incremental {
       .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
   }
 
+  /** q76: transactional compaction under the ORACLE gate — the shared
+    * two-version table is compacted (many small files → 4) as a new
+    * overwrite version, and the aggregate over the COMPACTED read must
+    * reproduce exactly the raw-table oracle: rows survive the rewrite,
+    * the manifest swap, and the tokened idempotent re-run (a second
+    * compaction is a no-op by token). Older versions stay readable —
+    * q68's time travel to v1 keeps passing against the same table.
+    */
+  val qCompactedRead: QuerySpec = QuerySpec.sql(
+    "q76_compacted_read",
+    """SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents GROUP BY lang""".stripMargin) { (s, dir) =>
+    val root = evenOddDocsTable(s, dir)
+    Snapshots.compact(s, root, numFiles = 4)
+    Snapshots.read(s, root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup)
+    Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
+      qCompactedRead)
 }
