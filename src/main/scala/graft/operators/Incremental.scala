@@ -35,8 +35,13 @@ object Incremental {
   private val cleanupHooked = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   private[operators] def snapRoot(s: SparkSession, dir: String, tag: String): String = {
+    // collision-resistant digest of the data dir: hashCode collisions (or
+    // abs(Int.MinValue) < 0) would silently alias two datasets' scratch
+    // tables, and the versions<2 rebuild guard would then serve wrong rows
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val root = s"${System.getProperty("java.io.tmpdir")}/graft-$tag-" +
-      s"${math.abs(dir.hashCode)}-${System.identityHashCode(s)}"
+      s"$dirKey-${System.identityHashCode(s)}"
     cleanupHooked.getOrElseUpdate(root, {
       sys.addShutdownHook {
         def rm(f: java.io.File): Unit = {

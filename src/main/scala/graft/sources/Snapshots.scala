@@ -163,7 +163,9 @@ object Snapshots {
     require(before.subsetOf(after.toSet),
       s"history v$from -> v$to is not append-only (files were removed)")
     val added = after.filterNot(before)
-    if (added.isEmpty) spark.read.parquet(manifestFiles(spark, table, to): _*).limit(0)
+    // read() carries the empty-manifest guard (an empty-DataFrame commit
+    // lists no files, and zero-path spark.read.parquet cannot infer schema)
+    if (added.isEmpty) read(spark, table, Some(to)).limit(0)
     else spark.read.parquet(added: _*)
   }
 
@@ -230,6 +232,13 @@ object Snapshots {
     // and the rewrite (updates would otherwise recompute per action —
     // 4x the source cost per mergeSink micro-batch)
     val u = updates.localCheckpoint()
+    // a NULL key can never match a table row — rejecting it loudly beats
+    // both silently inserting an unmatchable row and miscounting two NULL
+    // update rows as a "duplicate key"
+    val nullKeys = u.filter(col(key).isNull).count()
+    require(nullKeys == 0,
+      s"merge updates contain $nullKeys NULL value(s) of key '$key' — " +
+        "NULL never matches; filter or assign keys upstream")
     // MERGE semantics are undefined when two source rows target the same
     // key — fail loudly (Delta/Iceberg's "multiple source rows matched")
     // instead of silently writing both
@@ -245,7 +254,7 @@ object Snapshots {
     // span cannot contain a match — and collect only file paths
     val bounds = u.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head()
     val touched =
-      if (bounds.isNullAt(0)) Set.empty[String]
+      if (files.isEmpty || bounds.isNullAt(0)) Set.empty[String]
       else readFiles(spark, files)
         .filter(col(key).between(lit(bounds.get(0)), lit(bounds.get(1))))
         .withColumn("__file", input_file_name())
@@ -340,11 +349,19 @@ object Snapshots {
       if (parts.isEmpty) {
         val prefix = norm(dir.getPath.toString) + "/"
         val dirReferenced = referenced.exists(_.startsWith(prefix))
-        if (!dirReferenced && dir.getModificationTime < cutoff) {
+        if (!dirReferenced) {
+          // grace-gate on the NEWEST nested file, not the parent dir's
+          // mtime: task attempts landing under _temporary/ do not refresh
+          // the top dir, so a writer whose data write outlives graceMs
+          // would otherwise be deleted mid-write
           val it = f.listFiles(dir.getPath, true)
           var n = 0
-          while (it.hasNext) { it.next(); n += 1 }
-          if (f.delete(dir.getPath, true)) deleted += n
+          var newest = dir.getModificationTime
+          while (it.hasNext) {
+            val st = it.next(); n += 1
+            newest = math.max(newest, st.getModificationTime)
+          }
+          if (newest < cutoff && f.delete(dir.getPath, true)) deleted += n
         }
       }
     }

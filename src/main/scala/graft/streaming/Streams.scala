@@ -147,9 +147,15 @@ object Streams {
               .orderBy((col(seqCol).desc +: tieBreak.map(_.desc)): _*)))
           .filter(col("__rn") === 1).drop("__rn")
         val snaps = graft.sources.Snapshots
+        // ALWAYS take the merge path: a bare first-batch commit is unsafe
+        // when two writers race on an empty table (commit's retry loop
+        // would append the loser's full batch on top of the winner's,
+        // duplicating keys merge would have collapsed). The empty seed is
+        // token-idempotent, so racing seeders converge on one version.
         if (snaps.versions(batch.sparkSession, table).isEmpty)
-          snaps.commit(latest, table): Unit
-        else snaps.merge(batch.sparkSession, table, latest, key): Unit
+          snaps.commit(latest.limit(0), table,
+            token = Some("graft-mergeSink-seed")): Unit
+        snaps.merge(batch.sparkSession, table, latest, key): Unit
       }
       .start()
 
