@@ -14,15 +14,62 @@ object Bench {
     // warm the JVM / codegen / parquet footers once so per-query numbers
     // measure the queries, not first-touch setup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { SparkEntry.queries(name)(spark, dir).count() }
+      catch { case _: Throwable => return -1.0 }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n, sfDir))
+    def json(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // scale-stress tier: rebuild the fixture one decade up (disjoint key
+    // shards — ScaleFixture scaladoc) and re-run the expensive tail in the
+    // SAME warm JVM, so ratio ≈ data-scaling behavior, not setup noise.
+    // A time budget bounds the tier; queries it skips are reported.
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "900").toDouble
+    val sf1 =
+      if (factor <= 1) ""
+      else {
+        val dst = ScaleFixture.defaultDst(sfDir, factor)
+        val b0 = System.nanoTime()
+        try {
+          ScaleFixture.build(spark, sfDir, dst, factor)
+          val buildSec = (System.nanoTime() - b0) / 1e9
+          val base = results.toMap
+          var spent = 0.0
+          // two passes: the first pays any shared-intermediate builds for
+          // the scaled dir (cold), the second measures the query alone
+          // (warm). Base-run times are warm by construction — the full
+          // registry pass populated the materialize-once seam — so the
+          // scaling ratio compares warm to warm.
+          val cold = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+          for (n <- ScaleFixture.heavyQueries if spent < budgetSec) {
+            val t = run(n, dst); spent += math.max(t, 0); cold += (n -> t)
+          }
+          val warm = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+          for ((n, _) <- cold if spent < budgetSec) {
+            val t = run(n, dst); spent += math.max(t, 0); warm += (n -> t)
+          }
+          val skipped = ScaleFixture.heavyQueries.drop(cold.size)
+          val warmMap = warm.toMap
+          val ratios = cold.toSeq.flatMap { case (n, tc) =>
+            val t = warmMap.getOrElse(n, tc)
+            if (t > 0 && base.getOrElse(n, -1.0) > 0) Some(n -> t / base(n))
+            else None
+          }
+          s""","sf1":{"factor":$factor,"build_sec":$buildSec,""" +
+            s""""queries":${json(cold.toSeq)},"warm":${json(warm.toSeq)},""" +
+            s""""ratio_vs_base":${json(ratios)},""" +
+            s""""skipped":[${skipped.map("\"" + _ + "\"").mkString(",")}]}"""
+        } catch { case e: Throwable =>
+          s""","sf1":{"factor":$factor,"error":"${e.getClass.getSimpleName}"}"""
+        }
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$sf1}""")
     spark.stop()
   }
 }

@@ -1,0 +1,143 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic N× scale-up of the driver's star-schema fixture — the
+  * scale-stress tier: correctness is proven at sf0.01 by the oracle
+  * gate; THIS answers "does the plan still behave one decade up?"
+  * (`Bench` runs the expensive queries on the scaled copy and reports a
+  * per-query ratio against the base run in the same JVM).
+  *
+  * Each replica `i` is a DISJOINT shard of the original data graph:
+  * every 64-bit key moves by `i * Stride`, so foreign keys stay
+  * consistent within a replica and never collide across replicas.
+  * Join/group cardinalities therefore scale exactly linearly — what a
+  * bigger TPC-H SF does, without needing dbgen.
+  *
+  * Two tables need more than key-shifting, because replicating CONTENT
+  * verbatim would add cross-replica near-duplicates and grow pair-wise
+  * workloads (LSH near-dup, kNN) quadratically in the factor — the
+  * scale-up would then measure the workload's blow-up, not the engine:
+  *
+  *  - documents: replica i > 0 applies a token bijection (word →
+  *    word_i). Intra-replica structure (exact dup groups, shingle sets
+  *    up to renaming, Jaccard values) is EXACTLY the base's; cross-
+  *    replica token overlap is zero.
+  *  - embeddings: replica i circularly shifts each vector by i. A
+  *    permutation is orthogonal, so intra-replica inner products (kNN
+  *    ordering, cluster geometry) are preserved exactly; cross-replica
+  *    cosines decohere to chance.
+  *
+  * nation/region stay fixed — they are constant at every TPC-H scale
+  * factor by spec.
+  */
+object ScaleFixture {
+
+  /** Key stride between replicas: far above any source key, far below
+    * Long overflow at any plausible factor (1024 × 2^40 < 2^51).
+    */
+  val Stride: Long = 1L << 40
+
+  /** The expensive tail of the registry — the queries worth re-running
+    * at 10×: the round-3 bench top-5 (q67/q72/s10/q64/q71), the graph
+    * and sketch set, and one representative per dedup/ANN family whose
+    * 100× posture claims a banded/bucketed (never all-pairs) plan.
+    */
+  val heavyQueries: Seq[String] = Seq(
+    "q67_pagerank", "q72_bfs_levels", "q64_basket_pairs",
+    "q65_order_gaps", "q71_merge_upsert", "q73_kmv_setops",
+    "q26_sessionize", "q1_agg",
+    "d1_dedup_exact", "d3_minhash_lsh", "d5_dedup_clusters",
+    "d6_simhash_pairs", "d15_incremental_dedup", "p7_ngram_decontam",
+    "s3_ann_lsh", "s4_ann_ivf", "s9_covariance", "s10_semantic_clusters",
+    "s13_ivf_pq", "t7_surprisal", "q77_skew_inflow")
+
+  private def replicate(df: DataFrame, factor: Int): DataFrame =
+    df.withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
+
+  private def shard(c: String): Column =
+    col(c) + col("__r").cast("long") * Stride
+
+  /** Build (or reuse) the scaled fixture at `dstDir`. Idempotent: a
+    * marker records (src, factor); a matching marker skips the build,
+    * anything else rebuilds from scratch.
+    */
+  def build(spark: SparkSession, srcDir: String, dstDir: String,
+      factor: Int): Unit = {
+    require(factor >= 1 && factor <= 1024, s"factor $factor out of range")
+    val fs = new Path(dstDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(s"$dstDir/_GRAFT_SCALE_OK")
+    val want = s"$srcDir|$factor"
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (got == want) return
+    }
+    fs.delete(new Path(dstDir), true)
+    // events.parquet carries TIMESTAMP(NANOS); read it as int64 and write
+    // it back as int64 so Tables.load's ns→µs rebuild works on the copy
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
+    def out(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dstDir/$t.parquet")
+
+    out(src("region"), "region")
+    out(src("nation"), "nation")
+    out(replicate(src("customer"), factor)
+      .withColumn("c_custkey", shard("c_custkey")).drop("__r"), "customer")
+    out(replicate(src("supplier"), factor)
+      .withColumn("s_suppkey", shard("s_suppkey")).drop("__r"), "supplier")
+    out(replicate(src("part"), factor)
+      .withColumn("p_partkey", shard("p_partkey")).drop("__r"), "part")
+    out(replicate(src("orders"), factor)
+      .withColumn("o_orderkey", shard("o_orderkey"))
+      .withColumn("o_custkey", shard("o_custkey")).drop("__r"), "orders")
+    out(replicate(src("lineitem"), factor)
+      .withColumn("l_orderkey", shard("l_orderkey"))
+      .withColumn("l_partkey", shard("l_partkey"))
+      .withColumn("l_suppkey", shard("l_suppkey")).drop("__r"), "lineitem")
+    out(replicate(src("events"), factor)
+      .withColumn("event_id", shard("event_id"))
+      .withColumn("user_id", shard("user_id")).drop("__r"), "events")
+    out(replicate(src("documents"), factor)
+      .withColumn("doc_id", shard("doc_id"))
+      .withColumn("text", when(col("__r") === 0, col("text")).otherwise(
+        array_join(transform(split(col("text"), " "),
+          w => concat(w, lit("_"), col("__r"))), " ")))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .drop("__r"), "documents")
+    out(replicate(src("embeddings"), factor)
+      .withColumn("vec_id", shard("vec_id"))
+      .withColumn("__s", pmod(col("__r"), size(col("embedding"))))
+      .withColumn("embedding", concat(
+        slice(col("embedding"), col("__s") + 1,
+          size(col("embedding")) - col("__s")),
+        slice(col("embedding"), lit(1), col("__s"))))
+      .drop("__r", "__s"), "embeddings")
+
+    val outStream = fs.create(marker, true)
+    try outStream.write(want.getBytes("UTF-8")) finally outStream.close()
+  }
+
+  /** Stable scratch location for a (src, factor) pair. */
+  def defaultDst(srcDir: String, factor: Int): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(srcDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft-scale-$key-x$factor"
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val dstDir = if (args.length > 2) args(2) else defaultDst(srcDir, factor)
+    val spark = Sessions.local(cpus = 8, appName = "scale-fixture")
+    build(spark, srcDir, dstDir, factor)
+    Tables.starTables.foreach { t =>
+      println(s"SCALED $t ${spark.read.parquet(s"$dstDir/$t.parquet").count()}")
+    }
+    spark.stop()
+  }
+}

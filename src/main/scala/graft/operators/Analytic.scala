@@ -1006,6 +1006,46 @@ object Analytic {
         edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
     }
 
+  /** One weighted-contribution round (the PageRank inner loop) over a
+    * DELIBERATELY power-law graph: ~30% of every edge points at one hot
+    * vertex (the reference's generator skews country the same way,
+    * revenue_analysis/generate_data_json.py:62-64 — q67/q72 run on
+    * TPC-H-uniform keys, so this is the graph family's skew-torture
+    * entry). The plan's skew posture: the rank join keys on the UNIFORM
+    * src side (and broadcasts the rank vector), so the hot dst key only
+    * ever meets an aggregation, where map-side partial aggregation
+    * collapses it to one row per input partition — no reduce task
+    * receives the hot vertex's raw edge list. SkewGraphSpec pins that
+    * with executed-plan metrics; the oracle pins the exact arithmetic.
+    */
+  val qSkewInflow: QuerySpec = QuerySpec.sql(
+    "q77_skew_inflow",
+    """WITH edges AS (
+      |  SELECT l_orderkey % 50000 AS src,
+      |         CASE WHEN l_partkey % 10 < 3 THEN 0 ELSE l_partkey % 1000 + 1 END AS dst,
+      |         CAST(l_quantity AS DECIMAL(18,4)) AS w
+      |  FROM lineitem
+      |), ranks AS (
+      |  SELECT src, CAST(1.0 AS DOUBLE) / COUNT(*) AS r FROM edges GROUP BY src
+      |)
+      |SELECT e.dst AS node, CAST(COUNT(*) AS BIGINT) AS n_in,
+      |       ROUND(CAST(SUM(CAST(e.w AS DOUBLE) * r.r) AS DOUBLE), 2) AS inflow
+      |FROM edges e JOIN ranks r ON e.src = r.src
+      |GROUP BY e.dst""".stripMargin) { (s, dir) =>
+    val edges = Tables.lineitem(s, dir).select(
+      (col("l_orderkey") % 50000).as("src"),
+      when(col("l_partkey") % 10 < 3, lit(0L))
+        .otherwise(col("l_partkey") % 1000 + 1).as("dst"),
+      col("l_quantity").cast("decimal(18,4)").as("w"))
+    val ranks = edges.groupBy("src")
+      .agg((lit(1.0) / count(lit(1))).as("r"))
+    edges.join(broadcast(ranks), "src")
+      .groupBy("dst")
+      .agg(count(lit(1)).as("n_in"),
+        round(sum(col("w").cast("double") * col("r")), 2).as("inflow"))
+      .select(col("dst").as("node"), col("n_in"), col("inflow"))
+  }
+
   /** q73: KMV sketch SET OPERATIONS — for every pair of event types,
     * estimate the distinct-user count of their UNION by merging the two
     * per-type KMV sketches (union-merge = distinct-union the hash sets,
@@ -1303,5 +1343,5 @@ object Analytic {
       qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
       qLateral, qSkewJoin, qZOrder, qBloom, qBasketPairs, qOrderGaps, qMad,
       qPageRank, qSnapshotRoundtrip, qBfsLevels, qKmvSetOps, qHistQuantiles,
-      qAttribution)
+      qAttribution, qSkewInflow)
 }

@@ -1,19 +1,34 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Distributed connected components by bounded-round min-label
-  * propagation — the standard 100 TB clustering shape (dedup clusters,
-  * semantic near-dup groups): each round is one equi-join + one
-  * aggregation, `localCheckpoint`ed so the lineage stays flat and the
-  * convergence check scans the just-materialized blocks.
+/** Distributed connected components by alternating LARGE-STAR /
+  * SMALL-STAR rounds (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SoCC'14) — the algorithm Spark-scale graph
+  * libraries use, converging in O(log² n) rounds regardless of
+  * component shape.
   *
-  * Converges in at most `maxRounds` rounds for components whose
-  * diameter is below it; a wider component fails loudly rather than
-  * emit labels that would disagree with the transitive-closure oracle.
-  * (Min propagation shrinks every label monotonically, so
-  * changed ⟺ neighbor-min < old label — no second comparison job.)
+  * Round-4's 10× scale tier showed why the usual min-label propagation
+  * is not the 100 TB shape: propagation needs O(longest path) rounds,
+  * and a chain-shaped near-dup cluster outran the cap the moment the
+  * corpus grew. (A pointer-jumping variant was measured here too: its
+  * per-round label self-join converges slowly on general graphs AND
+  * trips a Spark 4 planner edge — `Dataset.checkpoint` copies the
+  * parent plan's ESTIMATED statistics into the checkpointed node, so
+  * self-joining a checkpointed frame per round squares `sizeInBytes`
+  * until planning itself grinds in BigInteger arithmetic.)
+  *
+  * State is an edge list in canonical child>parent orientation:
+  *  - large-star: every strictly-larger neighbor of u re-hangs onto
+  *    min(Γ(u) ∪ u) — long tails collapse toward minima;
+  *  - small-star: every smaller neighbor (and u itself) hangs onto
+  *    the group minimum — stars flatten.
+  * Both preserve connectivity; star forests are exactly their fixed
+  * points. Convergence is checked exactly (one aggregate + one
+  * semi-join per round): the edge list is a star forest iff every
+  * child has one parent and no parent is itself a child.
   */
 object ConnectedComponents {
 
@@ -22,31 +37,44 @@ object ConnectedComponents {
     * Returns (id, label).
     */
   def labels(pairs: DataFrame, idA: String, idB: String,
-      maxRounds: Int = 15): DataFrame = {
-    val p = pairs.select(col(idA).as("a"), col(idB).as("b"))
-    val edges = p.union(p.select(col("b").as("a"), col("a").as("b")))
-    val members = edges.select(col("a").as("id")).distinct()
-    var labels = members.withColumn("label", col("id"))
+      maxRounds: Int = 30): DataFrame = {
+    val members = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id"))).distinct().localCheckpoint()
+    var e = pairs
+      .select(col(idA).as("x"), col(idB).as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(greatest(col("x"), col("y")).as("u"),
+        least(col("x"), col("y")).as("v"))
+      .distinct().localCheckpoint()
     var i = 0
-    var converged = false
+    var converged = e.isEmpty
     while (i < maxRounds && !converged) {
-      val neighborMin = edges
-        .join(labels, edges("b") === labels("id"))
-        .groupBy(edges("a").as("id"))
-        .agg(min("label").as("nlabel"))
-      val next = labels.drop("label")
-        .join(neighborMin, Seq("id"), "left")
-        .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
-        .select(col("id"),
-          least(coalesce(col("nlabel"), col("old")), col("old")).as("label"),
-          (coalesce(col("nlabel"), col("old")) < col("old")).as("changed"))
+      // large-star over the symmetric neighborhood
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val ls = sym
+        .withColumn("m", least(min("v").over(Window.partitionBy("u")), col("u")))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over the canonical (child > parent) orientation
+      val withM = ls.withColumn("m", min("v").over(Window.partitionBy("u")))
+      e = withM.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .distinct()
         .localCheckpoint()
-      converged = next.filter(col("changed")).isEmpty
-      labels = next.select("id", "label")
       i += 1
+      // exact star-forest test: one parent per child, no parent is a child
+      val r = e.agg(count(lit(1)).as("n"),
+        countDistinct(col("u")).as("nu")).head()
+      converged = r.getLong(0) == r.getLong(1) &&
+        e.select("v").distinct()
+          .join(e.select(col("u").as("v")).distinct(), Seq("v"), "left_semi")
+          .isEmpty
     }
     if (!converged) throw new IllegalStateException(
-      s"label propagation did not converge within $maxRounds rounds")
-    labels
+      s"large/small-star did not converge within $maxRounds rounds")
+    members.join(e.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 }

@@ -129,6 +129,20 @@ object Snapshots {
       overwrite = true, token = Some(s"compact-of-v$src"))
   }
 
+  /** The data files the snapshot AS OF `asOf` (default: latest)
+    * references — the manifest-resolution step connectors build on
+    * (the DataSourceV2 provider resolves here, then hands the list to
+    * Spark's parquet scan so pushdown/pruning are untouched).
+    */
+  def dataFiles(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed snapshot in $table")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    manifestFiles(spark, table, v)
+  }
+
   /** Read a snapshot (latest, or AS OF `asOf`). The file list is pinned
     * here, at plan time — concurrent commits are invisible.
     * `mergeSchema` unions the footers' schemas when commits evolved the
@@ -136,11 +150,7 @@ object Snapshots {
     */
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
-    val vs = versions(spark, table)
-    require(vs.nonEmpty, s"no committed snapshot in $table")
-    val v = asOf.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not in $vs")
-    val files = manifestFiles(spark, table, v)
+    val files = dataFiles(spark, table, asOf)
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
   }
@@ -331,6 +341,12 @@ object Snapshots {
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
     f.listStatus(dataRoot).foreach { dir =>
+      // a dir can vanish between the listing and the walk (a concurrent
+      // writer finalizing its commit moves _temporary/ contents away) —
+      // skip whatever cannot be listed THIS pass, the next gc sees the
+      // settled state. Local FS surfaces the race as FileNotFound OR as
+      // a RuntimeException from the permission-probe shell-out.
+      try {
       val parts = f.listStatus(dir.getPath).filter(
         _.getPath.getName.startsWith("part-"))
       val orphaned = parts.filter(st =>
@@ -364,6 +380,7 @@ object Snapshots {
           if (newest < cutoff && f.delete(dir.getPath, true)) deleted += n
         }
       }
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
     deleted
   }

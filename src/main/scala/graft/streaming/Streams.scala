@@ -126,10 +126,21 @@ object Streams {
     * order (monotonically_increasing_id) is neither deterministic
     * across recomputation nor arrival order. Ties on (key, seqCol)
     * break on the remaining columns for a deterministic winner.
+    *
+    * The sequence contract holds ACROSS batches too: an incoming row
+    * whose `seqCol` is below what the table already carries for its
+    * key is stale (a late-arriving change) and is skipped, never
+    * applied — otherwise an out-of-order micro-batch would roll a key
+    * back to an older value. The probe for current sequence numbers
+    * is a key-semi-joined scan of the snapshot (row-group min/max
+    * stats prune it to the files the batch could touch — the same
+    * pruning merge itself uses).
+    *
     * Copy-on-write: each merge rewrites only the files containing
     * matched keys. Replay safety comes from upsert algebra, not
     * tokens: re-merging the same batch maps the table to the same
-    * state (an extra no-op version in history, never a wrong row).
+    * state (equal sequence numbers re-apply idempotently; an extra
+    * no-op version in history, never a wrong row).
     */
   def mergeSink(df: DataFrame, table: String, key: String, seqCol: String,
       checkpointDir: String): StreamingQuery =
@@ -137,7 +148,7 @@ object Streams {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.functions.{col, row_number}
+        import org.apache.spark.sql.functions.{broadcast, col, row_number}
         import org.apache.spark.sql.expressions.Window
         val tieBreak = batch.columns.filterNot(c => c == key || c == seqCol)
           .map(col).toSeq
@@ -155,7 +166,17 @@ object Streams {
         if (snaps.versions(batch.sparkSession, table).isEmpty)
           snaps.commit(latest.limit(0), table,
             token = Some("graft-mergeSink-seed")): Unit
-        snaps.merge(batch.sparkSession, table, latest, key): Unit
+        // drop stale rows: the table's current sequence per touched key
+        // (key-pruned scan, bounded output) beats a lower incoming one
+        val curSeq = snaps.read(batch.sparkSession, table)
+          .join(broadcast(latest.select(col(key))), Seq(key), "left_semi")
+          .select(col(key), col(seqCol).as("__cur_seq"))
+        val fresh = latest.join(broadcast(curSeq), Seq(key), "left")
+          .filter(col("__cur_seq").isNull || col(seqCol) >= col("__cur_seq"))
+          .drop("__cur_seq")
+          .localCheckpoint()
+        if (!fresh.isEmpty)
+          snaps.merge(batch.sparkSession, table, fresh, key): Unit
       }
       .start()
 

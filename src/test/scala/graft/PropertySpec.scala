@@ -238,6 +238,19 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("connected components converge logarithmically on a 300-node chain") {
+    // the worst shape for plain min propagation: one path component whose
+    // longest path equals |V| — O(|V|) rounds for label propagation (the
+    // round-4 10× scale tier tripped exactly this on a chain-shaped
+    // near-dup cluster). Large/small-star needs O(log²) rounds.
+    val chain = (0L until 299L).map(v => (v, v + 1))
+    val got = operators.ConnectedComponents
+      .labels(chain.toDF("a", "b"), "a", "b", maxRounds = 12)
+      .collect()
+    assert(got.length === 300)
+    assert(got.forall(_.getLong(1) == 0L))
+  }
+
   test("Snapshots.merge equals the relational upsert on random tables") {
     import graft.sources.Snapshots
     val kv: Gen[(Long, Long)] = for {

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale-stress tier plumbing: the N× fixture must be a faithful
+  * decade-up of the base data (disjoint shards, linear cardinalities,
+  * intra-replica structure preserved) and the expensive queries' PLANS
+  * must not change shape when the data does — the "no new exchange at
+  * 10×" half of the round-4 scaling claim (`Bench` measures the time
+  * half on the real sf0.1 × 10 copy).
+  */
+class ScaleFixtureSpec extends SparkTestBase {
+
+  private val factor = 3
+  private lazy val dst: String = {
+    val d = ScaleFixture.defaultDst(sf0001, factor)
+    ScaleFixture.build(spark, sf0001, d, factor)
+    d
+  }
+
+  test("scaled tables are exact N× shards; dims stay fixed") {
+    for (t <- Tables.starTables) {
+      val base = Tables.load(spark, sf0001, t).count()
+      val scaled = Tables.load(spark, dst, t).count()
+      val want = if (t == "region" || t == "nation") base else base * factor
+      assert(scaled === want, s"$t: $scaled != $want")
+    }
+    // shards are key-disjoint: scaling must not create key collisions
+    val keys = Tables.load(spark, dst, "orders").select("o_orderkey").distinct().count()
+    assert(keys === Tables.load(spark, sf0001, "orders").count() * factor)
+  }
+
+  test("aggregates scale linearly: q1 sums x N, averages invariant") {
+    def byGroup(dir: String) = run("q1_agg", dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val base = byGroup(sf0001)
+    val scaled = byGroup(dst)
+    assert(scaled.keySet === base.keySet)
+    for ((g, b) <- base) {
+      val s = scaled(g)
+      // sums and counts are exactly N× (replicas carry identical values);
+      // ratios of the two are therefore exactly the base's
+      assert(s.getLong(7) === b.getLong(7) * factor, s"count_order $g")
+      assert(math.abs(s.getDouble(2) - b.getDouble(2) * factor) < 1e-6, s"sum_qty $g")
+      assert(math.abs(s.getDouble(5) - b.getDouble(5)) < 1e-9, s"avg_qty $g")
+    }
+  }
+
+  test("token bijection keeps intra-replica dedup structure: d1 survivors x N") {
+    val base = run("d1_dedup_exact", sf0001).count()
+    assert(run("d1_dedup_exact", dst).count() === base * factor)
+  }
+
+  test("circular shift keeps intra-replica vector geometry: norms preserved") {
+    // a permutation is orthogonal — every replica vector must carry the
+    // exact norm of its base vector (float-exact: same values, reordered)
+    val normOf = (dir: String) => Tables.load(spark, dir, "embeddings")
+      .select((col("vec_id") % ScaleFixture.Stride).as("base_id"),
+        aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double")).as("n2"))
+    val base = normOf(sf0001).withColumnRenamed("n2", "b2")
+    val bad = normOf(dst).join(base, "base_id")
+      .filter(abs(col("n2") - col("b2")) > lit(1e-9)).count()
+    assert(bad === 0L)
+  }
+
+  test("no new exchange at N-times scale: heavy-query plan shapes are data-size invariant") {
+    def exchanges(name: String, dir: String): Int = {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      "Exchange".r.findAllIn(plan).size
+    }
+    // skip the snapshot-table builders: their scratch tables are keyed by
+    // dir and build inside the plan on first touch (measured elsewhere)
+    val measured = ScaleFixture.heavyQueries.filterNot(
+      Set("q71_merge_upsert", "q73_kmv_setops", "d15_incremental_dedup"))
+    val diffs = measured.flatMap { n =>
+      val b = exchanges(n, sf0001)
+      val s = exchanges(n, dst)
+      if (s > b) Some(s"$n: $b -> $s") else None
+    }
+    assert(diffs.isEmpty, s"queries grew exchanges at ${factor}x: $diffs")
+  }
+}

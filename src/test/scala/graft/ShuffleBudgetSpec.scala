@@ -61,7 +61,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "t4_fingerprint" -> 0, "t5_repetition" -> 0, "t6_vocab_df" -> 3,
     "t7_surprisal" -> 3, "t8_redact" -> 0, "t9_keywords" -> 3,
     "t10_gopher_rules" -> 0, "t11_bigram_lm" -> 2,
-    "s10_semantic_clusters" -> 1, "p12_curriculum" -> 1,
+    // 3 = large/small-star CC's final members⋈stars label join (the
+    // loop's own exchanges are behind per-round checkpoints)
+    "s10_semantic_clusters" -> 3, "p12_curriculum" -> 1,
     "q64_basket_pairs" -> 2, "q65_order_gaps" -> 2, "q66_mad" -> 3,
     "t13_char_entropy" -> 2, "q67_pagerank" -> 0, "m6_audio_frames" -> 1,
     "t14_lm_score" -> 2, "q68_snapshot_roundtrip" -> 3,
@@ -75,7 +77,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q75_attribution" -> 2, "s12_pq_knn" -> 2,
     "p14_budget_select" -> 4, "d18_incremental_clusters" -> 6,
     "m8_scene_changes" -> 2, "s13_ivf_pq" -> 2,
-    "q76_compacted_read" -> 1)
+    "q76_compacted_read" -> 1,
+    // ranks shuffle + rank broadcast + dst aggregation — the skew-torture
+    // round; the hot dst key crosses the wire post-partial-agg only
+    "q77_skew_inflow" -> 3)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
