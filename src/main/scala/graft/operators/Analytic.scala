@@ -1335,6 +1335,27 @@ object Analytic {
     latest.join(v1, "lang")
   }
 
+  /** Snapshot reads through the DataSourceV2 surface: the SAME committed
+    * table q68 time-travels programmatically, read here as
+    * `format("graft-snapshot").option("asOf", 1)` — the provider resolves
+    * the manifest and delegates to the stock parquet scan, so the
+    * n_chars filter is pushed to row-group stats and the projection is
+    * pruned to two columns (SnapshotV2Spec pins both in the plan).
+    */
+  val qSnapshotV2: QuerySpec = QuerySpec.sql(
+    "q78_snapshot_v2",
+    """SELECT lang, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM documents WHERE doc_id % 2 = 0 AND n_chars > 200
+      |GROUP BY lang""".stripMargin) { (s, dir) =>
+    val root = Incremental.evenOddDocsTable(s, dir)
+    s.read.format("graft-snapshot")
+      .option("path", root).option("asOf", 1)
+      .load()
+      .filter(col("n_chars") > 200)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
@@ -1343,5 +1364,5 @@ object Analytic {
       qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
       qLateral, qSkewJoin, qZOrder, qBloom, qBasketPairs, qOrderGaps, qMad,
       qPageRank, qSnapshotRoundtrip, qBfsLevels, qKmvSetOps, qHistQuantiles,
-      qAttribution, qSkewInflow)
+      qAttribution, qSkewInflow, qSnapshotV2)
 }

@@ -31,6 +31,30 @@ object Snapshots {
 
   private val ManifestRe = "manifest-v([0-9]+)\\.json".r
 
+  /** Atomically publish `tmp` as `dst`, failing iff `dst` already
+    * exists — the optimistic-concurrency claim every commit rides on.
+    * HDFS/object-store rename carries no-overwrite semantics, but POSIX
+    * rename(2) silently REPLACES the destination: two local writers
+    * could both "win" the same version and the later rename would
+    * overwrite the earlier manifest, orphaning its rows (the round-4
+    * concurrency hammer caught this as a lost merge). On `file:` paths
+    * the version is claimed with a hard link instead — link(2) fails
+    * with EEXIST atomically — and the tmp name is dropped after.
+    */
+  private def publishAtomic(f: FileSystem, tmp: Path, dst: Path): Boolean =
+    if (f.getScheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(dst.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.NoSuchFileException => false
+      }
+    } else f.rename(tmp, dst)
+
   /** Committed versions, ascending (empty for a fresh table). */
   def versions(spark: SparkSession, table: String): Seq[Long] = {
     val f = fs(spark, table)
@@ -99,8 +123,8 @@ object Snapshots {
       try out.write((header + "\n" + (base ++ newFiles).mkString("\n"))
         .getBytes("UTF-8"))
       finally out.close()
-      // atomic publish; rename-onto-existing fails => optimistic lock
-      if (f.rename(tmp, new Path(s"$table/manifest-v$v.json"))) return v
+      // atomic publish; claim-of-existing fails => optimistic lock
+      if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) return v
       f.delete(tmp, false)
       attempt += 1
     }
@@ -215,7 +239,7 @@ object Snapshots {
     val out = f.create(tmp, false)
     try out.write((s"v$v\n" + fileList.mkString("\n")).getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, new Path(s"$table/manifest-v$v.json"))) {
+    if (!publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) {
       f.delete(tmp, false)
       reclaimOnLoss.foreach(f.delete(_, true))
       throw new IllegalStateException(

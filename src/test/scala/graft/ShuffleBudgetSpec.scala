@@ -80,7 +80,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q76_compacted_read" -> 1,
     // ranks shuffle + rank broadcast + dst aggregation — the skew-torture
     // round; the hot dst key crosses the wire post-partial-agg only
-    "q77_skew_inflow" -> 3)
+    "q77_skew_inflow" -> 3,
+    // DSv2 snapshot read: one agg exchange on a pushdown-pruned scan
+    "q78_snapshot_v2" -> 1)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet

@@ -1,0 +1,70 @@
+package graft
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** The DataSourceV2 surface over the snapshot format: format-string
+  * reads, option-driven time travel, and — the part that matters at
+  * 100 TB — proof that the manifest indirection costs nothing: filters
+  * still reach the parquet row-group stats and projections still prune
+  * the read schema, exactly as a direct-path scan.
+  */
+class SnapshotV2Spec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def committed(): String = {
+    val t = Files.createTempDirectory("snapv2").resolve("t").toString
+    Snapshots.commit((1L to 500L).toDF("id")
+      .withColumn("v", col("id") * 7)
+      .repartitionByRange(4, col("id")), t)
+    Snapshots.commit((501L to 600L).toDF("id")
+      .withColumn("v", col("id") * 7), t)
+    t
+  }
+
+  test("format read equals the programmatic read; asOf time-travels") {
+    val t = committed()
+    val viaFormat = spark.read.format("graft-snapshot").option("path", t).load()
+    assert(viaFormat.count() === 600)
+    assert(viaFormat.collect().map(_.getLong(0)).toSet ===
+      Snapshots.read(spark, t).collect().map(_.getLong(0)).toSet)
+    val v1 = spark.read.format("graft-snapshot")
+      .option("path", t).option("asOf", 1).load()
+    assert(v1.count() === 500)
+    assert(v1.agg(max("id")).head().getLong(0) === 500L)
+  }
+
+  test("pushdown survives the manifest indirection: PushedFilters + pruned ReadSchema") {
+    val t = committed()
+    val q = spark.read.format("graft-snapshot").option("path", t).load()
+      .filter(col("id") === 42L).select("v")
+    assert(q.collect().map(_.getLong(0)).toSeq === Seq(294L))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), EqualTo(id,42)]"), plan)
+    // column pruning: the scan reads only what the query needs
+    assert(plan.contains("ReadSchema: struct<id:bigint,v:bigint>"), plan)
+  }
+
+  test("a format read pins its version: concurrent commits stay invisible") {
+    val t = committed()
+    val pinned = spark.read.format("graft-snapshot").option("path", t).load()
+    Snapshots.commit(Seq((9999L, 1L)).toDF("id", "v"), t)
+    // the file list was resolved at load(); the new commit is not in it
+    assert(pinned.filter(col("id") === 9999L).count() === 0)
+    assert(spark.read.format("graft-snapshot").option("path", t).load()
+      .filter(col("id") === 9999L).count() === 1)
+  }
+
+  test("missing path / unknown version fail loudly") {
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot").load()
+    }
+    val t = committed()
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-snapshot")
+        .option("path", t).option("asOf", 99).load()
+    }
+  }
+}
