@@ -30,7 +30,7 @@ object Bench {
     // SAME warm JVM, so ratio ≈ data-scaling behavior, not setup noise.
     // A time budget bounds the tier; queries it skips are reported.
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "900").toDouble
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "600").toDouble
     val sf1 =
       if (factor <= 1) ""
       else {

@@ -41,18 +41,19 @@ object ScaleFixture {
   val Stride: Long = 1L << 40
 
   /** The expensive tail of the registry — the queries worth re-running
-    * at 10×: the round-3 bench top-5 (q67/q72/s10/q64/q71), the graph
-    * and sketch set, and one representative per dedup/ANN family whose
-    * 100× posture claims a banded/bucketed (never all-pairs) plan.
+    * at 10×: the round-3 bench top-5, the graph and sketch set, and one
+    * representative per dedup/ANN family whose 100× posture claims a
+    * banded/bucketed (never all-pairs) plan. Ordered cheap-first so the
+    * time budget truncates from the expensive end.
     */
   val heavyQueries: Seq[String] = Seq(
-    "q67_pagerank", "q72_bfs_levels", "q64_basket_pairs",
-    "q65_order_gaps", "q71_merge_upsert", "q73_kmv_setops",
-    "q26_sessionize", "q1_agg",
-    "d1_dedup_exact", "d3_minhash_lsh", "d5_dedup_clusters",
-    "d6_simhash_pairs", "d15_incremental_dedup", "p7_ngram_decontam",
-    "s3_ann_lsh", "s4_ann_ivf", "s9_covariance", "s10_semantic_clusters",
-    "s13_ivf_pq", "t7_surprisal", "q77_skew_inflow")
+    "q1_agg", "q26_sessionize", "d1_dedup_exact", "s3_ann_lsh",
+    "s4_ann_ivf", "q71_merge_upsert", "q73_kmv_setops",
+    "d15_incremental_dedup", "t7_surprisal", "q77_skew_inflow",
+    "d3_minhash_lsh", "d5_dedup_clusters", "p7_ngram_decontam",
+    "q64_basket_pairs", "q65_order_gaps", "q72_bfs_levels",
+    "s9_covariance", "s13_ivf_pq", "q67_pagerank",
+    "s10_semantic_clusters", "d6_simhash_pairs")
 
   private def replicate(df: DataFrame, factor: Int): DataFrame =
     df.withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))

@@ -239,15 +239,23 @@ object Dedup {
   /** SimHash near-dup pairs: hamming distance ≤ 6 over the 60-bit
     * signatures (the d4 signature put to its intended use).
     *
-    * Candidate generation is pigeonhole banding: the 60-bit signature is
-    * split into 7 disjoint chunks (6×9 bits + 1×6 bits); two signatures
-    * within hamming 6 differ in at most 6 chunks, so at least one chunk
-    * is bit-identical. Candidates therefore come from an equi-join on
-    * (chunk_idx, chunk_value) — a shuffle on short integer keys that
-    * scales as ordinary hash-join work — and the exact hamming verify on
-    * candidates reproduces the all-pairs result EXACTLY (the banding is
-    * lossless, unlike LSH), so the oracle keeps the straightforward
-    * all-pairs formulation.
+    * Candidate generation is pigeonhole banding: two signatures within
+    * hamming 6 differ in at most 6 of 7 disjoint chunks, so at least
+    * one chunk is bit-identical; candidates come from an equi-join on
+    * (chunk_idx, chunk_value) and the exact hamming verify reproduces
+    * the all-pairs result EXACTLY (lossless, unlike LSH), so the
+    * oracle keeps the straightforward all-pairs formulation.
+    *
+    * Chunk widths are BALANCED (4×9 + 3×8 bits), not 6×9+6: the
+    * round-4 10× profile measured the old 6-bit seventh chunk owning
+    * the candidate count — 2⁶ buckets over 50k docs put ~6k sigs in
+    * one bucket (~18M comparisons from a single key). Equalizing
+    * widths caps every chunk's bucket space at ≥2⁸. (A two-level MIH
+    * recursion was measured and REJECTED: simhash bits are correlated
+    * — bucket mass is skew-dominated, not random-collision-dominated —
+    * so sub-chunking barely splits hot buckets while similar pairs
+    * re-join once per agreeing (chunk, sub-chunk), a measured 17×
+    * regression at 10×.)
     */
   val dSimHashPairs: QuerySpec = QuerySpec.sql(
     "d6_simhash_pairs",
@@ -268,9 +276,12 @@ object Dedup {
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin) { (s, dir) =>
     val sigs = Intermediates.of(dSimHash)(s, dir)
-    // 7 disjoint chunks: j=0..5 take 9 bits, j=6 the remaining 6
-    val chunkVals = array((0 until 7).map(j =>
-      shiftright(col("simhash"), j * 9).bitwiseAND(lit(511L))): _*)
+    // balanced chunk layout over 60 bits: widths 9,9,9,9,8,8,8
+    val offsets = Seq(0, 9, 18, 27, 36, 44, 52)
+    val widths  = Seq(9, 9, 9, 9, 8, 8, 8)
+    def chunkOf(v: Column, i: Int): Column =
+      shiftright(v, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
+    val chunkVals = array((0 until 7).map(i => chunkOf(col("simhash"), i)): _*)
     val chunks = sigs.select(col("doc_id"), col("simhash"),
       posexplode(chunkVals).as(Seq("ci", "cv")))
     // dedup WITHOUT a distinct: a near-identical pair matches on most of
@@ -279,12 +290,15 @@ object Dedup {
     // equal chunk — the codegen'd filter `no earlier chunk equal` kills
     // duplicates as the join streams, no second exchange
     val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
-    def xorChunk(i: Int): Column = shiftright(x, i * 9).bitwiseAND(lit(511L))
     val firstEqualChunk = (0 until 6).map(i =>
-      when(col("a.ci") > i, xorChunk(i) =!= 0L).otherwise(lit(true)))
+      when(col("a.ci") > i, chunkOf(x, i) =!= 0L).otherwise(lit(true)))
       .reduce(_ && _)
     val hamming = bit_count(x)
-    chunks.as("a")
+    // shuffled-hash, not sort-merge: equal-key groups here are large
+    // (bit-correlated buckets run to thousands of rows) and SMJ streams
+    // each group through its spillable row buffer, which dominated the
+    // 10× runtime; a per-partition hash build keeps the group scan flat
+    chunks.as("a").hint("shuffle_hash")
       .join(chunks.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))

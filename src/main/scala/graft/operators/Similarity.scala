@@ -141,7 +141,10 @@ object Similarity {
       .map(k => col("code").bitwiseXOR(lit(1L << k)))
     val probes = codes.select(col("vec_id"), col("band"),
       explode(array(flips: _*)).as("pk"))
-    val cand = probes.as("a")
+    // shuffled-hash, not sort-merge: band buckets are skewed and SMJ
+    // streams each equal-key group through its spillable row buffer
+    // (the d6 lesson — measured 22× there on the 10× fixture)
+    val cand = probes.as("a").hint("shuffle_hash")
       .join(codes.as("b"),
         col("a.band") === col("b.band") && col("a.pk") === col("b.code") &&
           col("a.vec_id") < col("b.vec_id"))
