@@ -14,10 +14,14 @@ object Bench {
     // warm the JVM / codegen / parquet footers once so per-query numbers
     // measure the queries, not first-touch setup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // elapsed is recorded even on failure (time-to-failure is real wall
+    // time and keeps the total comparable across rounds); failures are
+    // listed separately instead of poisoning the numbers with sentinels
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, dir).count() }
-      catch { case _: Throwable => return -1.0 }
+      catch { case _: Throwable => failed += s"$name@$dir" }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n, sfDir))
@@ -48,18 +52,23 @@ object Bench {
           // scaling ratio compares warm to warm.
           val cold = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
           for (n <- ScaleFixture.heavyQueries if spent < budgetSec) {
-            val t = run(n, dst); spent += math.max(t, 0); cold += (n -> t)
+            val t = run(n, dst); spent += t; cold += (n -> t)
           }
           val warm = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
           for ((n, _) <- cold if spent < budgetSec) {
-            val t = run(n, dst); spent += math.max(t, 0); warm += (n -> t)
+            val t = run(n, dst); spent += t; warm += (n -> t)
           }
           val skipped = ScaleFixture.heavyQueries.drop(cold.size)
           val warmMap = warm.toMap
-          val ratios = cold.toSeq.flatMap { case (n, tc) =>
-            val t = warmMap.getOrElse(n, tc)
-            if (t > 0 && base.getOrElse(n, -1.0) > 0) Some(n -> t / base(n))
-            else None
+          // ratios are strictly warm-vs-warm (base times are warm by
+          // construction); a budget-truncated warm pass yields no ratio
+          // rather than a cold number mislabeled as one
+          val ratios = cold.toSeq.flatMap { case (n, _) =>
+            warmMap.get(n) match {
+              case Some(t) if t > 0 && base.getOrElse(n, -1.0) > 0 =>
+                Some(n -> t / base(n))
+              case _ => None
+            }
           }
           s""","sf1":{"factor":$factor,"build_sec":$buildSec,""" +
             s""""queries":${json(cold.toSeq)},"warm":${json(warm.toSeq)},""" +
@@ -69,7 +78,10 @@ object Bench {
           s""","sf1":{"factor":$factor,"error":"${e.getClass.getSimpleName}"}"""
         }
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$sf1}""")
+    val failedJson =
+      if (failed.isEmpty) ""
+      else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$failedJson$sf1}""")
     spark.stop()
   }
 }

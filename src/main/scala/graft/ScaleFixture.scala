@@ -67,7 +67,12 @@ object ScaleFixture {
     */
   def build(spark: SparkSession, srcDir: String, dstDir: String,
       factor: Int): Unit = {
-    require(factor >= 1 && factor <= 1024, s"factor $factor out of range")
+    // ≤ 32: the embedding rotation is mod the vector dim (64) — at
+    // factor ≥ 64 replicas i and i+64 would carry IDENTICAL vectors,
+    // reintroducing exactly the cross-replica duplicates the fixture
+    // exists to avoid (pair workloads would then measure the blow-up,
+    // not the engine)
+    require(factor >= 1 && factor <= 32, s"factor $factor out of range (1..32)")
     val fs = new Path(dstDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$dstDir/_GRAFT_SCALE_OK")
     val want = s"$srcDir|$factor"

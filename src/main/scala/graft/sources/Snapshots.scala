@@ -50,8 +50,9 @@ object Snapshots {
         f.delete(tmp, false)
         true
       } catch {
+        // only "dst already exists" means a lost race; a vanished table
+        // dir or tmp file is a real error and must surface as itself
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: java.nio.file.NoSuchFileException => false
       }
     } else f.rename(tmp, dst)
 
@@ -259,27 +260,31 @@ object Snapshots {
   }
 
   def merge(spark: SparkSession, table: String, updates: DataFrame, key: String): Long = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, input_file_name, lit, max, min}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, input_file_name, lit, max, min, sum, when}
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed snapshot in $table")
     // one materialization serves the dup-check, the bounds, the probe,
     // and the rewrite (updates would otherwise recompute per action —
-    // 4x the source cost per mergeSink micro-batch)
-    val u = updates.localCheckpoint()
-    // a NULL key can never match a table row — rejecting it loudly beats
-    // both silently inserting an unmatchable row and miscounting two NULL
-    // update rows as a "duplicate key"
-    val nullKeys = u.filter(col(key).isNull).count()
-    require(nullKeys == 0,
-      s"merge updates contain $nullKeys NULL value(s) of key '$key' — " +
-        "NULL never matches; filter or assign keys upstream")
-    // MERGE semantics are undefined when two source rows target the same
-    // key — fail loudly (Delta/Iceberg's "multiple source rows matched")
-    // instead of silently writing both
-    val dupKeys = u.groupBy(col(key))
-      .agg(count(lit(1)).as("n")).filter(col("n") > 1).count()
-    require(dupKeys == 0,
-      s"merge updates contain $dupKeys duplicate value(s) of key '$key'")
+    // 4x the source cost per mergeSink micro-batch). A caller that
+    // already checkpointed (mergeSink does) is not re-materialized.
+    val u = org.apache.spark.sql.GraftShim.logicalPlan(updates) match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => updates
+      case _ => updates.localCheckpoint()
+    }
+    // one job answers both input-contract checks: a NULL key can never
+    // match a table row (rejecting loudly beats silently inserting an
+    // unmatchable row), and MERGE is undefined when two source rows
+    // target one key (Delta/Iceberg's "multiple source rows matched")
+    val contract = u.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .agg(
+        coalesce(sum(when(col(key).isNull, col("n"))), lit(0L)).as("nulls"),
+        count(when(col(key).isNotNull && col("n") > 1, lit(1))).as("dups"))
+      .head()
+    require(contract.getLong(0) == 0,
+      s"merge updates contain ${contract.getLong(0)} NULL value(s) of key " +
+        s"'$key' — NULL never matches; filter or assign keys upstream")
+    require(contract.getLong(1) == 0,
+      s"merge updates contain ${contract.getLong(1)} duplicate value(s) of key '$key'")
     val src = vs.last
     val files = manifestFiles(spark, table, src)
     def norm(p: String) = new Path(p).toUri.getPath

@@ -39,18 +39,35 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
 
   override def supportsExternalMetadata(): Boolean = false
 
+  /** Spark calls inferSchema then getTable on the SAME provider
+    * instance; resolving twice would double the manifest+footer I/O
+    * and — with `asOf` unset — could pin a DIFFERENT version if a
+    * commit lands between the two calls. Memoized per option set so
+    * one load() resolves exactly once.
+    */
+  @volatile private var cached: (Map[String, String], ParquetTable) = null
+
   private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
+    import scala.jdk.CollectionConverters._
+    val key = options.asCaseSensitiveMap().asScala.toMap
+    val c = cached
+    if (c != null && c._1 == key) return c._2
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-snapshot requires .option(\"path\", <table dir>)"))
     val asOf = Option(options.get("asOf")).map(_.toLong)
     val spark = SparkSession.active
-    val files = Snapshots.dataFiles(spark, path, asOf)
-    require(files.nonEmpty,
-      s"snapshot ${asOf.getOrElse("latest")} of $path lists no data files")
-    ParquetTable(
-      s"graft-snapshot:$path@${asOf.getOrElse("latest")}",
+    // resolve "latest" to a CONCRETE version now, so the pinned file
+    // list and the table name agree forever after
+    val version = asOf.getOrElse(
+      Snapshots.versions(spark, path).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed snapshot in $path")))
+    val files = Snapshots.dataFiles(spark, path, Some(version))
+    require(files.nonEmpty, s"snapshot v$version of $path lists no data files")
+    val t = ParquetTable(s"graft-snapshot:$path@v$version",
       spark, options, files, None, classOf[ParquetFileFormat])
+    cached = (key, t)
+    t
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =

@@ -148,7 +148,7 @@ object Streams {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        import org.apache.spark.sql.functions.{broadcast, col, row_number}
+        import org.apache.spark.sql.functions.{broadcast, col, lit, row_number}
         import org.apache.spark.sql.expressions.Window
         val tieBreak = batch.columns.filterNot(c => c == key || c == seqCol)
           .map(col).toSeq
@@ -157,6 +157,7 @@ object Streams {
             Window.partitionBy(col(key))
               .orderBy((col(seqCol).desc +: tieBreak.map(_.desc)): _*)))
           .filter(col("__rn") === 1).drop("__rn")
+          .localCheckpoint()
         val snaps = graft.sources.Snapshots
         // ALWAYS take the merge path: a bare first-batch commit is unsafe
         // when two writers race on an empty table (commit's retry loop
@@ -166,17 +167,37 @@ object Streams {
         if (snaps.versions(batch.sparkSession, table).isEmpty)
           snaps.commit(latest.limit(0), table,
             token = Some("graft-mergeSink-seed")): Unit
-        // drop stale rows: the table's current sequence per touched key
-        // (key-pruned scan, bounded output) beats a lower incoming one
-        val curSeq = snaps.read(batch.sparkSession, table)
-          .join(broadcast(latest.select(col(key))), Seq(key), "left_semi")
-          .select(col(key), col(seqCol).as("__cur_seq"))
-        val fresh = latest.join(broadcast(curSeq), Seq(key), "left")
-          .filter(col("__cur_seq").isNull || col(seqCol) >= col("__cur_seq"))
-          .drop("__cur_seq")
-          .localCheckpoint()
-        if (!fresh.isEmpty)
-          snaps.merge(batch.sparkSession, table, fresh, key): Unit
+        val bounds = latest.agg(
+          org.apache.spark.sql.functions.min(col(key)),
+          org.apache.spark.sql.functions.max(col(key))).head()
+        // a lost optimistic race re-probes against the NEW snapshot and
+        // retries — merge's contract is "the caller retries"; a transient
+        // lock conflict must not kill the streaming query
+        var attempt = 0
+        var done = bounds.isNullAt(0) // batch had no non-null keys
+        while (!done && attempt < 5) {
+          // drop stale rows: the table's current sequence per touched key
+          // beats a lower incoming one. The key-range filter is what the
+          // parquet row-group stats prune on (a bare semi-join pushes no
+          // filter); the semi-join then trims range-survivors.
+          val curSeq = snaps.read(batch.sparkSession, table)
+            .filter(col(key).between(lit(bounds.get(0)), lit(bounds.get(1))))
+            .join(broadcast(latest.select(col(key))), Seq(key), "left_semi")
+            .select(col(key), col(seqCol).as("__cur_seq"))
+          val fresh = latest.join(broadcast(curSeq), Seq(key), "left")
+            .filter(col("__cur_seq").isNull || col(seqCol) >= col("__cur_seq"))
+            .drop("__cur_seq")
+            .localCheckpoint()
+          if (fresh.isEmpty) done = true
+          else try {
+            snaps.merge(batch.sparkSession, table, fresh, key)
+            done = true
+          } catch {
+            case _: IllegalStateException => attempt += 1
+          }
+        }
+        if (!done) throw new IllegalStateException(
+          s"mergeSink lost the merge race $attempt times on $table")
       }
       .start()
 
