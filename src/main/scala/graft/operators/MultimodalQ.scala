@@ -204,6 +204,60 @@ object MultimodalQ {
         count(lit(1)).as("n_samples"))
   }
 
+  /** m7: silence-run detection — the VAD/trim step an audio curation
+    * pipeline runs before transcription: frames whose energy falls
+    * below the per-doc average are "silent", and maximal runs of
+    * consecutive silent frames (gaps-and-islands: frame − row_number)
+    * become the trim segments. Same deterministic LCG sample stream as
+    * m6/m8 at 256-sample frames (16 frames/doc), so every window is
+    * per-doc bounded at any corpus size; all-integer (energy·16 < Σe
+    * avoids division), exact oracle. With a real codec only the sample
+    * source changes; the threshold + islands plan is identical.
+    */
+  val mSilenceRuns: QuerySpec = QuerySpec.sql(
+    "m7_silence_runs",
+    """WITH s AS (
+      |  SELECT doc_id, i,
+      |         ((doc_id * 1103515245 + i * 12345 + 104729) % 65536) - 32768 AS smp
+      |  FROM documents CROSS JOIN generate_series(0, 4095) AS g(i)
+      |), f AS (
+      |  SELECT doc_id, i // 256 AS frame, CAST(SUM(smp * smp) AS BIGINT) AS energy
+      |  FROM s GROUP BY 1, 2
+      |), t AS (
+      |  SELECT doc_id, frame, energy,
+      |         CAST(SUM(energy) OVER (PARTITION BY doc_id) AS BIGINT) AS tot
+      |  FROM f
+      |), sil AS (
+      |  SELECT doc_id, frame,
+      |         frame - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY frame) AS grp
+      |  FROM t WHERE energy * 16 < tot
+      |), r AS (
+      |  SELECT doc_id, grp, COUNT(*) AS len FROM sil GROUP BY 1, 2
+      |)
+      |SELECT doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_runs,
+      |       CAST(SUM(len) AS BIGINT) AS n_silent,
+      |       CAST(MAX(len) AS BIGINT) AS max_run
+      |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id")
+    val f = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(4095))).as("i"))
+      .select(col("doc_id"), expr("i div 256").cast("long").as("frame"),
+        (((col("doc_id") * lit(1103515245L) + col("i") * lit(12345L) + lit(104729L))
+          % lit(65536L)) - lit(32768L)).as("smp"))
+      .groupBy("doc_id", "frame")
+      .agg(sum(col("smp") * col("smp")).as("energy"))
+    f.withColumn("tot", sum("energy").over(byDoc))
+      .filter(col("energy") * lit(16L) < col("tot"))
+      .withColumn("grp", col("frame") - row_number().over(byDoc.orderBy("frame")))
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_runs"), sum("len").as("n_silent"),
+        max("len").as("max_run"))
+  }
+
   /** m8: scene/shot-change detection — frame-over-frame energy deltas
     * (the first step of video shot segmentation: a cut shows as an
     * energy discontinuity) over the same deterministic LCG sample
@@ -250,5 +304,5 @@ object MultimodalQ {
 
   val all: Seq[QuerySpec] =
     Seq(mFeatures, mResize, mFrames, mModalityReport, mImageDecode,
-      mAudioFrames, mSceneChanges)
+      mAudioFrames, mSilenceRuns, mSceneChanges)
 }

@@ -137,10 +137,10 @@ object Snapshots {
     * into `numFiles` files and publish as a new (overwrite) version —
     * rows unchanged, history intact, readers of older versions
     * unaffected. The token pins the source version, so re-running
-    * compaction against an unchanged table is a no-op; a writer that
-    * appends concurrently simply wins/loses the ordinary version race
-    * (its append carries the pre-compaction file list — both snapshots
-    * stay correct, the next compaction folds them).
+    * compaction against an unchanged table is a no-op. A concurrent
+    * append REBASES into the compacted manifest (appended files carry
+    * alongside the compacted ones — the overwrite-commit path would
+    * instead have silently dropped an append that won the version race).
     */
   def compact(spark: SparkSession, table: String, numFiles: Int = 1): Long = {
     val vs = versions(spark, table)
@@ -150,8 +150,14 @@ object Snapshots {
       .nextOption().flatMap(_.split(' ').lift(1))
     // latest version already is a compaction → nothing new to fold
     if (latestToken.exists(_.startsWith("compact-of-"))) src
-    else commit(read(spark, table, Some(src)).repartition(numFiles), table,
-      overwrite = true, token = Some(s"compact-of-v$src"))
+    else {
+      val srcFiles = manifestFiles(spark, table, src)
+      def norm(p: String) = new Path(p).toUri.getPath
+      val (newFiles, dataDir) = writeData(
+        read(spark, table, Some(src)).repartition(numFiles), table)
+      publishRebase(spark, table, src, srcFiles, srcFiles.map(norm).toSet,
+        newFiles, "compact", Seq(dataDir), token = Some(s"compact-of-v$src"))
+    }
   }
 
   /** The data files the snapshot AS OF `asOf` (default: latest)
@@ -226,26 +232,61 @@ object Snapshots {
   private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(files: _*)
 
-  /** Single-attempt optimistic publish at version `v`: atomic rename or
-    * cleanup + abort (the caller retries against the new snapshot).
-    * Shared by merge and deleteWhere — one copy of the
-    * tmp-write/rename/lost-race sequence, one cleanup contract: data
-    * files this writer created are reclaimed on loss (no manifest
+  /** Optimistic publish with append-rebase (the Delta/Iceberg conflict-
+    * resolution shape): attempt at `src`+1; when a concurrent commit
+    * wins the version race, re-read the head and REBASE — the expensive
+    * data work is never redone, only the manifest metadata:
+    *  - a file this writer removes has itself been removed → a
+    *    concurrent writer rewrote rows this writer read: true conflict,
+    *    reclaim the new data files and abort (the caller re-reads);
+    *  - `conflictsWith(appendedFiles)` (op-specific: merge checks the
+    *    interleaved appends for its own update keys) → abort likewise;
+    *  - otherwise the interleaved commits were benign appends: publish
+    *    (head files − removed + added) at head+1.
+    * Without the rebase, a merge whose data pass is slower than the
+    * table's commit cadence loses EVERY race and starves — the
+    * metadata-only retry makes the contention window microseconds.
+    * Shared by merge, deleteWhere, and compact — one copy of the
+    * tmp-write/claim/lost-race sequence, one cleanup contract: data
+    * files this writer created are reclaimed on abort (no manifest
     * references them; vacuum could never free them).
     */
-  private def publishOrAbort(spark: SparkSession, table: String, v: Long,
-      fileList: Seq[String], op: String, reclaimOnLoss: Seq[Path]): Unit = {
+  private def publishRebase(spark: SparkSession, table: String, src: Long,
+      srcFiles: Seq[String], removedNorm: Set[String], added: Seq[String],
+      op: String, reclaimOnAbort: Seq[Path], token: Option[String] = None,
+      conflictsWith: Seq[String] => Boolean = _ => false): Long = {
     val f = fs(spark, table)
-    val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
-    val out = f.create(tmp, false)
-    try out.write((s"v$v\n" + fileList.mkString("\n")).getBytes("UTF-8"))
-    finally out.close()
-    if (!publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) {
-      f.delete(tmp, false)
-      reclaimOnLoss.foreach(f.delete(_, true))
-      throw new IllegalStateException(
-        s"concurrent commit on $table during $op (v$v already published)")
+    def norm(p: String) = new Path(p).toUri.getPath
+    val srcNorm = srcFiles.map(norm).toSet
+    def abort(msg: String): Nothing = {
+      reclaimOnAbort.foreach(f.delete(_, true))
+      throw new IllegalStateException(msg)
     }
+    var base = src
+    var attempt = 0
+    while (attempt < 20) {
+      // idempotence under races: the same token may have just won
+      token.foreach(t => committedVersionFor(spark, table, t).foreach { w =>
+        reclaimOnAbort.foreach(f.delete(_, true)); return w })
+      val cur = manifestFiles(spark, table, base)
+      if (!removedNorm.subsetOf(cur.map(norm).toSet))
+        abort(s"concurrent writer removed files read by $op on $table")
+      if (base != src &&
+          conflictsWith(cur.filterNot(p => srcNorm(norm(p)))))
+        abort(s"concurrent append touches rows read by $op on $table")
+      val fileList = cur.filterNot(p => removedNorm(norm(p))) ++ added
+      val v = base + 1
+      val header = s"v$v${token.map(" " + _).getOrElse("")}"
+      val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
+      val out = f.create(tmp, false)
+      try out.write((header + "\n" + fileList.mkString("\n")).getBytes("UTF-8"))
+      finally out.close()
+      if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) return v
+      f.delete(tmp, false)
+      base = versions(spark, table).lastOption.getOrElse(base)
+      attempt += 1
+    }
+    abort(s"$op starved after $attempt rebase attempts on $table")
   }
 
   /** Write `df` as new data files under the table, returning their
@@ -308,9 +349,18 @@ object Snapshots {
         .join(broadcast(u.select(col(key))), Seq(key), "left_anti")
         .unionByName(u)
     val (newFiles, dataDir) = writeData(rewritten, table)
-    val v = src + 1
-    publishOrAbort(spark, table, v, keep ++ newFiles, "merge", Seq(dataDir))
-    v
+    // rebase conflict test: an interleaved append carrying one of OUR
+    // update keys would coexist with the merged row (duplicate key) —
+    // that interleaving must abort; appends of other keys rebase freely
+    def appendsConflict(appended: Seq[String]): Boolean =
+      appended.nonEmpty && !bounds.isNullAt(0) && {
+        readFiles(spark, appended)
+          .filter(col(key).between(lit(bounds.get(0)), lit(bounds.get(1))))
+          .join(broadcast(u.select(col(key))), Seq(key), "left_semi")
+          .limit(1).count() > 0
+      }
+    publishRebase(spark, table, src, files, hit.map(norm).toSet, newFiles,
+      "merge", Seq(dataDir), conflictsWith = appendsConflict)
   }
 
   /** Copy-on-write DELETE: publish a new snapshot without the rows
@@ -345,9 +395,11 @@ object Snapshots {
           readFiles(spark, hit).filter(not(coalesce(predicate, lit(false)))), table)
         (nf, Seq(dir))
       }
-    val v = src + 1
-    publishOrAbort(spark, table, v, keep ++ newFiles, "delete", reclaim)
-    v
+    // appends interleaved with the delete rebase freely: rows committed
+    // after the delete's read survive it under the append-after-delete
+    // serialization — exactly what a serial schedule would produce
+    publishRebase(spark, table, src, files, hit.map(norm).toSet, newFiles,
+      "delete", reclaim)
   }
 
   /** Reclaim ORPHANED data files: files under `<table>/data/` that no

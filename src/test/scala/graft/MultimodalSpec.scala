@@ -111,4 +111,33 @@ class MultimodalSpec extends SparkTestBase {
       .head().getAs[Long]("energy")
     assert(got === want)
   }
+
+  test("m7: silence runs match a driver gaps-and-islands recount") {
+    val df = run("m7_silence_runs")
+    // internal consistency on every doc: runs partition the silent set
+    assert(df.filter(col("n_runs") < 1 || col("n_silent") < col("n_runs") ||
+      col("max_run") > col("n_silent") || col("n_silent") > 16).count() === 0)
+    // full recount of one doc with plain Scala ints
+    val docId = 7L
+    val energies = (0 until 16).map { fr =>
+      (0 until 256).map { j =>
+        val i = fr * 256 + j
+        val s = ((docId * 1103515245L + i * 12345L + 104729L) % 65536L) - 32768L
+        s * s
+      }.sum
+    }
+    val tot = energies.sum
+    val silent = energies.zipWithIndex.filter { case (e, _) => e * 16 < tot }.map(_._2)
+    val runs = silent.foldLeft(List.empty[Int]) {
+      case (len :: rest, f) if silent.contains(f - 1) => (len + 1) :: rest
+      case (acc, _) => 1 :: acc
+    }
+    val row = df.filter(col("doc_id") === docId).collect()
+    if (silent.isEmpty) assert(row.isEmpty)
+    else {
+      assert(row.head.getAs[Long]("n_runs") === runs.size.toLong)
+      assert(row.head.getAs[Long]("n_silent") === silent.size.toLong)
+      assert(row.head.getAs[Long]("max_run") === runs.max.toLong)
+    }
+  }
 }

@@ -79,7 +79,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q74_hist_quantiles" -> 4, "d17_bloom_dedup" -> 7,
     "q75_attribution" -> 2, "s12_pq_knn" -> 2,
     "p14_budget_select" -> 4, "d18_incremental_clusters" -> 6,
-    "m8_scene_changes" -> 2, "s13_ivf_pq" -> 2,
+    "m7_silence_runs" -> 2, "m8_scene_changes" -> 2, "s13_ivf_pq" -> 2,
     "q76_compacted_read" -> 1,
     // ranks shuffle + rank broadcast + dst aggregation — the skew-torture
     // round; the hot dst key crosses the wire post-partial-agg only

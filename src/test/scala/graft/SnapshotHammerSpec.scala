@@ -32,7 +32,7 @@ class SnapshotHammerSpec extends SparkTestBase {
   private val writers = 3
   private val opsPerWriter = 2
 
-  test(s"$trials random interleavings: commits, merges, pinned reads, gc, vacuum") {
+  test(s"$trials random interleavings: commits, merges, compactions, pinned reads, gc, vacuum") {
     val pool = Executors.newFixedThreadPool(writers + 1)
     try {
       (0 until trials).foreach { trial =>
@@ -54,7 +54,16 @@ class SnapshotHammerSpec extends SparkTestBase {
             try {
               (0 until opsPerWriter).foreach { op =>
                 val id = trial.toLong * 1000 + w * 100 + op
-                if (rnd.synchronized(rnd.nextInt(3)) == 0) {
+                val dice = rnd.synchronized(rnd.nextInt(6))
+                if (dice == 1) {
+                  // compaction racing appends/merges: an append rebases
+                  // INTO the compacted manifest (the overwrite-commit
+                  // path silently dropped it — the lost-rows class the
+                  // final assertions below would catch); losing to a
+                  // conflicting merge is a legitimate abort, skip
+                  try Snapshots.compact(spark, table, numFiles = 1)
+                  catch { case _: IllegalStateException => }
+                } else if (dice == 0 || dice == 2) {
                   // merge on a thread-owned key: last merge this thread
                   // issues must be the key's final value (per-key order is
                   // thread-local; merge aborts on race → bounded retry)

@@ -131,4 +131,45 @@ class StreamFailureSpec extends SparkTestBase {
     assert(state(t) === Set(
       (1L, 20L, "a2"), (2L, 10L, "b1"), (3L, 10L, "c1"), (4L, 20L, "d1")))
   }
+
+  test("mergeSink absorbs concurrent committers: lost races retry, no writer clobbered") {
+    // a tight loop of independent commits lands on the table WHILE the
+    // sink merges its micro-batches — any merge that loses the version
+    // race must re-probe and retry (pre-fix: the first loss killed the
+    // streaming query), and neither side may lose the other's rows
+    val t = tbl("race")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val landed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val bg = new Thread(() => {
+      var i = 1L
+      while (!stop.get && i <= 40) {
+        try {
+          Snapshots.commit(Seq((-i, 0L, s"bg-$i")).toDF("k", "seq", "v"), t)
+          landed.add(-i)
+        } catch { case _: Throwable => } // commit starved under contention
+        i += 1
+      }
+    })
+    bg.start()
+    val mem = MemoryStream[(Long, Long, String)]
+    val q = streaming.Streams.mergeSink(
+      mem.toDF().toDF("k", "seq", "v"), t, "k", "seq",
+      Files.createTempDirectory("raceck").toString)
+    for (b <- 1 to 5) {
+      mem.addData((1L, b.toLong, s"s-$b"), (b.toLong + 10L, 1L, s"n-$b"))
+      q.processAllAvailable()
+    }
+    q.stop(); stop.set(true); bg.join()
+    val st = state(t)
+    // the sink's per-key final values survived every race
+    assert(st.contains((1L, 5L, "s-5")))
+    for (b <- 1 to 5) assert(st.contains((b.toLong + 10L, 1L, s"n-$b")))
+    // every commit that RETURNED is still readable — a merge that lost
+    // the race never published a manifest missing the winner's files
+    import scala.jdk.CollectionConverters._
+    for (k <- landed.asScala)
+      assert(st.exists(_._1 == k), s"concurrent committer's row $k lost")
+    assert(landed.size > 0, "background committer never landed — no contention")
+  }
 }
