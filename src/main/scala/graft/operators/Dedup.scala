@@ -812,6 +812,83 @@ object Dedup {
     part1.unionByName(part2).orderBy("cluster_id", "doc_id")
   }
 
+  /** Band keys of a (doc_id, sig) frame: Bands keys per doc, each a
+    * short `j:v1,v2,v3,v4` string — the LSH bucket identity shared by
+    * d3/d15 and the streaming ingest index.
+    */
+  private[graft] def bandKeys(sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sigs.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(Bands - 1)),
+        j => concat_ws(":", j.cast("string"),
+          concat_ws(",", transform(slice(col("sig"), j * 4 + 1, lit(4)),
+            v => v.cast("string")))))).as("bk"))
+
+  /** Streaming-ingest dedup core (the foreachBatch body of
+    * `Streams.dedupSink`, callable directly on a static batch): dedupe
+    * the batch within itself (exact text hash, keep the lowest doc_id),
+    * drop batch docs whose text hash or MinHash band (signature
+    * agreement >= 0.5, d3's estimator) collides with the
+    * ALREADY-COMMITTED corpus, then transactionally append the
+    * survivors to `table` and their fingerprint + band rows to the
+    * `<table>/_index` sidecar snapshot table — both commits carry the
+    * batch token, so a replayed micro-batch (crash before the engine
+    * committed offsets, or between the two commits) re-commits exactly
+    * once per table and converges.
+    *
+    * Scale shape: the corpus is probed ONLY through the narrow index —
+    * band rows are (bk, doc_id) and each doc carries ONE fp row with
+    * its signature — so the wide main table is never rescanned and
+    * per-batch cost is (batch size) × (index join on short keys), the
+    * d15 growth shape made continuous. At 100 TB the index would
+    * additionally be bucketed by bk so each micro-batch touches only
+    * its colliding buckets; the join below is already the bucket-join
+    * shape that layout accelerates.
+    */
+  def ingestBatch(table: String, batch: org.apache.spark.sql.DataFrame,
+      token: String): Unit = {
+    val spark = batch.sparkSession
+    val snaps = graft.sources.Snapshots
+    val index = s"$table/_index"
+    // within-batch exact dedup: doc_id is the contract's primary key,
+    // so the lowest doc_id deterministically represents each text
+    val b0 = batch.withColumn("__fp", md5(col("text")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("__fp").orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+    val survivors =
+      if (snaps.versions(spark, index).isEmpty) b0.localCheckpoint()
+      else {
+        val idx = snaps.read(spark, index)
+        val fpRows = idx.filter(col("sig").isNotNull)
+        val afterExact = b0.join(fpRows.select(col("bk")),
+          concat(lit("fp:"), col("__fp")) === col("bk"), "left_anti")
+          .localCheckpoint() // one materialization feeds sig build + result
+        val sigs = signatures(afterExact.select(col("doc_id"), col("text")))
+          .localCheckpoint()
+        val cand = bandKeys(sigs)
+          .join(idx.filter(col("sig").isNull)
+            .select(col("bk"), col("doc_id").as("iid")), "bk")
+          .select(col("doc_id"), col("iid")).distinct()
+        val agree = size(filter(zip_with(col("sig"), col("isig"),
+          (x, y) => x === y), b => b)) * lit(1.0) / K
+        val nearHit = cand
+          .join(sigs, "doc_id")
+          .join(fpRows.select(col("doc_id").as("iid"), col("sig").as("isig")), "iid")
+          .filter(agree >= 0.5)
+          .select(col("doc_id")).distinct()
+        afterExact.join(nearHit, Seq("doc_id"), "left_anti").localCheckpoint()
+      }
+    snaps.commit(survivors.drop("__fp"), table, token = Some(s"$token-data"))
+    val oSigs = signatures(survivors.select(col("doc_id"), col("text")))
+    val fpNew = survivors
+      .select(col("doc_id"), concat(lit("fp:"), col("__fp")).as("bk"))
+      .join(oSigs, "doc_id")
+      .select(col("bk"), col("doc_id"), col("sig"))
+    val bandNew = bandKeys(oSigs)
+      .select(col("bk"), col("doc_id"), lit(null).cast("array<bigint>").as("sig"))
+    snaps.commit(fpNew.unionByName(bandNew), index, token = Some(s"$token-idx"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dExact, dJaccard, dMinHash.memo, dSimHash.memo, dClusters.memo, dSimHashPairs,
       dContainment, dKeepBest, dBoilerplate, dSketchError, dDupRateBySource,

@@ -258,6 +258,74 @@ object Incremental {
       .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
   }
 
+  /** d14: the STREAMING dedup ingest under the oracle gate — the corpus
+    * half (doc_id % 5 ≠ 4) arrives as micro-batch 0 and the batch half
+    * as micro-batch 1 through the REAL `Dedup.ingestBatch` path
+    * (`Streams.dedupSink`'s foreachBatch body): within-batch exact
+    * dedup, fingerprint + band-index probes against the committed
+    * corpus, transactional tokened commits of survivors + index rows.
+    * The oracle recomputes who must survive from the raw table — d15's
+    * semantics plus the within-batch exact-keep-first clause — so a
+    * wrong index row, a band key that doesn't round-trip the sidecar,
+    * or a replay that double-commits all fail the hash compare.
+    */
+  val dStreamDedup: QuerySpec = QuerySpec.sql(
+    "d14_stream_dedup",
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${graft.functions.Portable.shinglesSql(3).replace("\n", " ")} AS sh FROM documents
+       |), hs AS (
+       |  SELECT doc_id, list_transform(sh,
+       |    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hs FROM sh
+       |), sig AS (
+       |  SELECT doc_id, list_transform(generate_series(1, ${Dedup.K}),
+       |    i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % ${Dedup.P}))) AS sig
+       |  FROM hs
+       |), bands AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(0, ${Dedup.Bands - 1}),
+       |    j -> j || ':' || array_to_string(sig[j*4+1:j*4+4], ','))) AS bk
+       |  FROM sig
+       |), near_hit AS (
+       |  SELECT DISTINCT a.doc_id AS bid FROM bands a
+       |  JOIN bands b ON a.bk = b.bk
+       |  JOIN sig sa ON sa.doc_id = a.doc_id
+       |  JOIN sig sb ON sb.doc_id = b.doc_id
+       |  WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+       |    AND len(list_filter(generate_series(1, ${Dedup.K}),
+       |          i -> sa.sig[i] = sb.sig[i])) * 1.0 / ${Dedup.K} >= 0.5
+       |), exact_hit AS (
+       |  SELECT DISTINCT a.doc_id AS bid
+       |  FROM documents a JOIN documents b ON md5(a.text) = md5(b.text)
+       |  WHERE a.doc_id % 5 = 4 AND b.doc_id % 5 <> 4
+       |), batch_exact AS (
+       |  SELECT DISTINCT b.doc_id AS bid
+       |  FROM documents a JOIN documents b ON md5(a.text) = md5(b.text)
+       |  WHERE b.doc_id % 5 = 4 AND a.doc_id % 5 = 4 AND a.doc_id < b.doc_id
+       |)
+       |SELECT lang, COUNT(*) AS n_kept,
+       |       CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+       |FROM documents
+       |WHERE doc_id % 5 = 4
+       |  AND doc_id NOT IN (SELECT bid FROM near_hit)
+       |  AND doc_id NOT IN (SELECT bid FROM exact_hit)
+       |  AND doc_id NOT IN (SELECT bid FROM batch_exact)
+       |GROUP BY lang""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "dsink")
+    buildLocks.getOrElseUpdate(root, new Object).synchronized {
+      if (Snapshots.versions(s, root).length < 2) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        val docs = Tables.documents(s, dir)
+          .select("doc_id", "text", "lang", "source", "n_chars")
+        Dedup.ingestBatch(root, docs.filter(col("doc_id") % 5 =!= 4), "seed")
+        Dedup.ingestBatch(root, docs.filter(col("doc_id") % 5 === 4), "ingest1")
+      }
+    }
+    Snapshots.read(s, root)
+      .filter(col("doc_id") % 5 === 4)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+  }
+
   /** q76: transactional compaction under the ORACLE gate — the shared
     * two-version table is compacted (many small files → 4) as a new
     * overwrite version, and the aggregate over the COMPACTED read must
@@ -280,5 +348,5 @@ object Incremental {
 
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
-      qCompactedRead)
+      dStreamDedup, qCompactedRead)
 }

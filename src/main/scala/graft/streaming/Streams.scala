@@ -201,6 +201,36 @@ object Streams {
       }
       .start()
 
+  /** Streaming DEDUP ingest into a [[graft.sources.Snapshots]] table:
+    * each micro-batch is deduplicated within itself (exact text hash)
+    * and against everything already committed — exact via fingerprint,
+    * near-dup via MinHash band collision + signature agreement — before
+    * the survivors append transactionally (see
+    * [[graft.operators.Dedup.ingestBatch]] for the index shape and
+    * scale posture). The continuous form of the corpus-intake pipeline:
+    * the table only ever accumulates novel documents.
+    *
+    * The commit token pairs the batch id with a digest of the
+    * CHECKPOINT location (Delta's txnAppId shape): batch ids are only
+    * unique per checkpoint, so a second sink on a fresh checkpoint
+    * must not have its batch 0 swallowed by the first sink's batch-0
+    * token.
+    */
+  def dedupSink(df: DataFrame, table: String,
+      checkpointDir: String): StreamingQuery = {
+    val app = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.ingestBatch(table, batch,
+          s"graft-dedupSink-$app-$batchId")
+      }
+      .start()
+  }
+
   def upsertAppendSink(df: DataFrame, key: String, outDir: String,
       checkpointDir: String, nBuckets: Int = 64): StreamingQuery =
     df.writeStream

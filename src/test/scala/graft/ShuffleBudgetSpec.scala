@@ -72,7 +72,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "t14_lm_score" -> 2, "q68_snapshot_roundtrip" -> 3,
     "q69_snapshot_cdf" -> 1, "q70_incremental_agg" -> 2,
     "q71_merge_upsert" -> 1, "q72_bfs_levels" -> 1,
-    "d15_incremental_dedup" -> 14, "t15_bpe_pairs" -> 1,
+    "d15_incremental_dedup" -> 14, "d14_stream_dedup" -> 1,
+    "t15_bpe_pairs" -> 1,
     "t16_collocations" -> 5, "s11_pq_codes" -> 0,
     "q73_kmv_setops" -> 18, "d16_source_overlap" -> 10,
     "p13_mix_rebalance" -> 4, "t17_ngram_novelty" -> 3,
