@@ -889,9 +889,60 @@ object Dedup {
     snaps.commit(fpNew.unionByName(bandNew), index, token = Some(s"$token-idx"))
   }
 
+  /** d19: substring-level dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") — the dedup family
+    * that catches documents sharing long VERBATIM character runs
+    * (boilerplate headers, quoted passages, templated pages) that
+    * document-level MinHash misses when the rest of the text differs.
+    * Fingerprints are 40-char windows at content-defined anchor
+    * positions (see [[graft.functions.SubstringFp]] — offset-invariant
+    * by construction, ~1 anchor per 32 chars); a window hash appearing
+    * in >= 2 distinct documents marks both as sharing a run. Output:
+    * per affected document, its fingerprint count, how many of those
+    * fingerprints are cross-document, and that share in basis points.
+    *
+    * Scale posture: the fingerprint build is an embarrassingly parallel
+    * per-row projection (no shuffle); the exploded relation is
+    * ~len/32 rows per doc and shuffles ONCE on the 60-bit fingerprint
+    * (window count-over-partition), then once more on doc_id for the
+    * per-doc rollup — 2 exchanges total, both on narrow integer keys.
+    * Positions are code-unit arithmetic; the corpus is ASCII so both
+    * engines agree (a multibyte corpus would pin code-point semantics
+    * on the expression side instead).
+    * Ref intent: the dedup pipeline family (COVERAGE d-family).
+    */
+  val dSubstring: QuerySpec = QuerySpec.sql(
+    "d19_substring_dedup",
+    """WITH pos AS (
+      |  SELECT doc_id, text, unnest(generate_series(1, len(text) - 39)) AS p
+      |  FROM documents
+      |), fps AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(('0x' || substring(md5(substring(text, CAST(p AS INT), 40)), 1, 15)) AS BIGINT) AS f
+      |  FROM pos
+      |  WHERE CAST(('0x' || substring(md5(substring(text, CAST(p AS INT), 8)), 1, 8)) AS BIGINT) % 32 = 0
+      |), marked AS (
+      |  SELECT doc_id, COUNT(*) OVER (PARTITION BY f) AS nd FROM fps
+      |)
+      |SELECT doc_id, COUNT(*) AS n_fp,
+      |       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT) AS share_bp
+      |FROM marked GROUP BY doc_id
+      |HAVING SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) > 0""".stripMargin) { (s, dir) =>
+    val fps = Tables.documents(s, dir).select(col("doc_id"),
+      explode(graft.functions.SubstringFp.fingerprints(col("text"))).as("f"))
+    fps.withColumn("nd", count(lit(1)).over(Window.partitionBy("f")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_fp"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .selectExpr("doc_id", "n_fp", "n_shared",
+        "n_shared * 10000L div n_fp AS share_bp")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(dExact, dJaccard, dMinHash.memo, dSimHash.memo, dClusters.memo, dSimHashPairs,
       dContainment, dKeepBest, dBoilerplate, dSketchError, dDupRateBySource,
       dClusterQuality, dTriangles, dSourceOverlap, dBloomDedup,
-      dIncrementalClusters)
+      dIncrementalClusters, dSubstring)
 }

@@ -103,6 +103,28 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("substring fingerprints are offset-invariant and prefix-local") {
+    import spark.implicits._
+    val run = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the band plays on through the night"  // 101 chars, > win=40
+    val fps = (texts: Seq[String]) => texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.SubstringFp.fingerprints(col("text")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    // the SAME run embedded at different offsets in different carriers
+    // must fingerprint identically except at the carrier boundaries:
+    // every anchor whose window lies fully inside the run is shared
+    val m = fps(Seq(run, "XY " + run, "leading filler text here " + run))
+    val interior = m(0).intersect(m(1)).intersect(m(2))
+    assert(interior.nonEmpty,
+      "a 101-char shared run must anchor at least once in its interior")
+    // and a disjoint text shares nothing
+    val other = fps(Seq(run, "entirely different words compose this other " +
+      "document which overlaps the first in no forty character stretch"))
+    assert(other(0).intersect(other(1)).isEmpty)
+  }
+
   test("vec_dot matches the interpreted HOF fold bit-for-bit") {
     val e = Tables.embeddings(spark, sf0001).limit(50)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

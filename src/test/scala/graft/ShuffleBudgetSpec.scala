@@ -73,6 +73,7 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q69_snapshot_cdf" -> 1, "q70_incremental_agg" -> 2,
     "q71_merge_upsert" -> 1, "q72_bfs_levels" -> 1,
     "d15_incremental_dedup" -> 14, "d14_stream_dedup" -> 1,
+    "d19_substring_dedup" -> 2,
     "t15_bpe_pairs" -> 1,
     "t16_collocations" -> 5, "s11_pq_codes" -> 0,
     "q73_kmv_setops" -> 18, "d16_source_overlap" -> 10,
