@@ -137,6 +137,31 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Test-image generator for perceptual-hash workloads: 16×16 PNG whose
+    * 8×8 grid cell `r*8+c` (2×2 px) is black iff bit `r*8+c` of `mask`
+    * is set. Cells are uniform, so [[averageHash]] returns exactly
+    * `mask` for any mask with at least one clear bit — the aHash is
+    * analytically known while still flowing through the real PNG
+    * encode→decode path.
+    */
+  def encodeMaskPng(mask: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 16) {
+      var x = 0
+      while (x < 16) {
+        val cell = (y / 2) * 8 + (x / 2)
+        img.setRGB(x, y, if (((mask >> cell) & 1L) == 1L) 0x000000 else 0xffffff)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   /** Batched per-partition feature extraction. `batchSize` bounds decoder
     * working-set memory; partition count (not batch size) governs
     * parallelism, so at 100 TB this scales with input splits while each

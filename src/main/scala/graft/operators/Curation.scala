@@ -606,8 +606,97 @@ object Curation {
         max(expr("t div nl")).as("budget_tokens"))
   }
 
+  /** p15: leakage-safe train/eval split — p2's hash split upgraded to
+    * the unit a careful eval pipeline actually needs: the assignment
+    * unit is the NEAR-DUP CLUSTER (d5's connected components over the
+    * MinHash-LSH pair graph; singletons are their own unit), so two
+    * near-duplicate documents can never straddle the boundary and leak
+    * eval content into training. The output carries its own audit: the
+    * global count of near-dup pairs whose endpoints landed on different
+    * sides (leaked_pairs — 0 by construction, and the ORACLE recomputes
+    * it from the raw closure, so a wrong label or a per-doc hash slip
+    * fails the gate, not just the invariant).
+    *
+    * Scale shape: the pair graph and labels come from the shared
+    * materialize-once seam (built once for d3/d5/d18/s10); the split is
+    * a per-row hash of the unit id; the audit is two narrow equi-joins
+    * on doc_id; the scalar leak count broadcasts as a 1-row frame.
+    */
+  val pLeakageSplit: QuerySpec = QuerySpec.sql(
+    "p15_leakage_split",
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${Portable.shinglesSql(3).replace("\n", " ")} AS sh FROM documents
+       |), hs AS (
+       |  SELECT doc_id, list_transform(sh,
+       |    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hs FROM sh
+       |), sig AS (
+       |  SELECT doc_id, list_transform(generate_series(1, ${Dedup.K}),
+       |    i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % ${Dedup.P}))) AS sig
+       |  FROM hs
+       |), bands AS (
+       |  SELECT doc_id, sig, unnest(list_transform(generate_series(0, ${Dedup.Bands - 1}),
+       |    j -> j || ':' || array_to_string(sig[j*4+1:j*4+4], ','))) AS bk
+       |  FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.doc_a
+       |  JOIN sig sb ON sb.doc_id = cand.doc_b
+       |  WHERE len(list_filter(generate_series(1, ${Dedup.K}),
+       |        i -> sa.sig[i] = sb.sig[i])) * 1.0 / ${Dedup.K} >= 0.5
+       |), edges AS (
+       |  SELECT doc_a AS s, doc_b AS t FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach(s, t) AS (
+       |  SELECT s, t FROM edges
+       |  UNION
+       |  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+       |), labels AS (
+       |  SELECT s AS doc_id, least(s, MIN(t)) AS cluster_id FROM reach GROUP BY s
+       |), sides AS (
+       |  SELECT d.doc_id, d.n_chars, COALESCE(l.cluster_id, d.doc_id) AS unit,
+       |         CASE WHEN CAST(('0x' || substring(md5(CAST(COALESCE(l.cluster_id, d.doc_id) AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+       |              THEN 'train' ELSE 'eval' END AS split
+       |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+       |), leaks AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS leaked_pairs
+       |  FROM pairs p
+       |  JOIN sides a ON a.doc_id = p.doc_a
+       |  JOIN sides b ON b.doc_id = p.doc_b
+       |  WHERE a.split <> b.split
+       |)
+       |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT unit) AS n_units,
+       |       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       |       (SELECT leaked_pairs FROM leaks) AS leaked_pairs
+       |FROM sides GROUP BY split""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).select("doc_id", "n_chars")
+    val pairs = Intermediates.of(Dedup.dMinHash)(s, dir)
+      .select("doc_a", "doc_b")
+    val labels = ConnectedComponents.labels(pairs, "doc_a", "doc_b")
+      .select(col("id").as("doc_id"), col("label"))
+    val sides = docs.join(labels, Seq("doc_id"), "left")
+      .withColumn("unit", coalesce(col("label"), col("doc_id")))
+      .withColumn("split",
+        when(Portable.h32(col("unit").cast("string")) % 100 < 90, "train")
+          .otherwise("eval"))
+      .localCheckpoint() // feeds the rollup and both sides of the audit
+    val leaked = pairs
+      .join(sides.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(sides.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb"))
+      .agg(count(lit(1)).as("leaked_pairs"))
+    sides.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("unit")).as("n_units"),
+        sum("n_chars").as("chars"))
+      .crossJoin(broadcast(leaked))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pCorpus, pSplit, pContamination.memo, pQualityReport, pPacking,
       pDomainMix, pNgramDecontam.memo, pProportional, pLengthHist, pFilterFunnel,
-      pContaminationReport, pCurriculum, pMixRebalance, pBudgetSelect)
+      pContaminationReport, pCurriculum, pMixRebalance, pBudgetSelect,
+      pLeakageSplit)
 }

@@ -275,21 +275,34 @@ object Dedup {
       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6""".stripMargin) { (s, dir) =>
-    val sigs = Intermediates.of(dSimHash)(s, dir)
+    hammingPairs60(Intermediates.of(dSimHash)(s, dir), "simhash", 6)
+  }
+
+  /** Exact hamming-distance self-join over 60-bit signatures via
+    * pigeonhole banding: a pair within distance `maxD` ≤ 6 agrees on at
+    * least one of 7 disjoint chunks, so candidates come from an
+    * equi-join on (chunk_idx, chunk_value) and the exact bit_count
+    * verify reproduces the all-pairs result EXACTLY (lossless, unlike
+    * LSH). `sigs` needs (doc_id, `sigCol`); returns
+    * (doc_a, doc_b, hamming) with doc_a < doc_b, each pair once.
+    * Shared by d6 (text simhash) and m9 (image perceptual hash).
+    */
+  private[operators] def hammingPairs60(sigs: org.apache.spark.sql.DataFrame,
+      sigCol: String, maxD: Int): org.apache.spark.sql.DataFrame = {
     // balanced chunk layout over 60 bits: widths 9,9,9,9,8,8,8
     val offsets = Seq(0, 9, 18, 27, 36, 44, 52)
     val widths  = Seq(9, 9, 9, 9, 8, 8, 8)
     def chunkOf(v: Column, i: Int): Column =
       shiftright(v, offsets(i)).bitwiseAND(lit((1L << widths(i)) - 1))
-    val chunkVals = array((0 until 7).map(i => chunkOf(col("simhash"), i)): _*)
-    val chunks = sigs.select(col("doc_id"), col("simhash"),
+    val chunkVals = array((0 until 7).map(i => chunkOf(col(sigCol), i)): _*)
+    val chunks = sigs.select(col("doc_id"), col(sigCol),
       posexplode(chunkVals).as(Seq("ci", "cv")))
     // dedup WITHOUT a distinct: a near-identical pair matches on most of
     // its 7 chunks, so a distinct would shuffle every duplicate
     // candidate. Instead each pair is emitted exactly once, at its FIRST
     // equal chunk — the codegen'd filter `no earlier chunk equal` kills
     // duplicates as the join streams, no second exchange
-    val x = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    val x = col(s"a.$sigCol").bitwiseXOR(col(s"b.$sigCol"))
     val firstEqualChunk = (0 until 6).map(i =>
       when(col("a.ci") > i, chunkOf(x, i) =!= 0L).otherwise(lit(true)))
       .reduce(_ && _)
@@ -302,7 +315,7 @@ object Dedup {
       .join(chunks.as("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
-      .filter(hamming <= 6 && firstEqualChunk)
+      .filter(hamming <= maxD && firstEqualChunk)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         hamming.cast("int").as("hamming"))
   }

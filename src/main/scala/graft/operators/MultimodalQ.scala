@@ -302,7 +302,63 @@ object MultimodalQ {
         max("delta").as("max_delta"))
   }
 
+  /** m9: image near-duplicate detection — the multimodal pipeline's
+    * dedup step: every image flows through the REAL PNG decode +
+    * 8×8 average-hash path (m5's `ImageIoDecoder`), and near-dups are
+    * pairs within hamming distance 6 of the 60-bit perceptual hash,
+    * found by d6's pigeonhole chunk join (exact, never all-pairs).
+    * Images are synthesized with analytically-known aHashes — per
+    * group of 8 docs, a base 8×8 cell mask (md5 of the group id) plus
+    * a NESTED prefix of flipped cells, so within-group hamming is
+    * exactly |i−j| — and the oracle reproduces mask arithmetic +
+    * all-pairs bit_count in closed form. A decoder that flips a bit, a
+    * hash with the wrong cell order, or a banding join that loses a
+    * pair all fail the hash compare.
+    *
+    * Scale shape: decode is batched per partition (cost ∝ corpus, no
+    * shuffle); the pair search shuffles the 60-bit hashes once on
+    * (chunk_idx, chunk_value) — d6's measured shuffled-hash shape —
+    * so 100 TB of images dedup without ever materializing a cross
+    * product. Top 4 aHash bits are always clear (60-bit masks), so
+    * the 7-chunk layout covers every discriminating bit.
+    */
+  val mImageNearDup: QuerySpec = QuerySpec.sql(
+    "m9_image_neardup",
+    """WITH m AS (
+      |  SELECT doc_id, doc_id // 8 AS g, CAST(doc_id % 8 AS INT) AS i
+      |  FROM documents WHERE doc_id < 400
+      |), mk AS (
+      |  SELECT doc_id,
+      |    xor(CAST(('0x' || substring(md5(CAST(g AS VARCHAR)), 1, 15)) AS BIGINT),
+      |        CAST(COALESCE(list_sum(list_transform(generate_series(0, i - 1),
+      |          j -> (CAST(1 AS BIGINT) << ((7 * j + 3) % 60)))), 0) AS BIGINT)) AS mask
+      |  FROM m
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(bit_count(xor(a.mask, b.mask)) AS INTEGER) AS hamming
+      |FROM mk a JOIN mk b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.mask, b.mask)) <= 6""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // nested flip prefixes: doc i within its group flips the first i of
+    // a fixed position list, so hamming(i, j) = |i − j| by construction
+    val flips: Seq[Long] = (0 until 8).map(i =>
+      (0 until i).map(j => 1L << ((7 * j + 3) % 60)).fold(0L)(_ | _))
+    val masks = Tables.documents(s, dir).filter(col("doc_id") < 400)
+      .selectExpr("doc_id", "doc_id div 8 AS g", "CAST(doc_id % 8 AS INT) AS i")
+      .withColumn("mask", graft.functions.Portable.h60(col("g").cast("string"))
+        .bitwiseXOR(element_at(array(flips.map(lit): _*), col("i") + 1)))
+    val media = masks.select(col("doc_id"), col("mask")).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, m) =>
+        Multimodal.MediaRow(id, "image", Multimodal.encodeMaskPng(m))
+      })
+    val decoded = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
+      .toDF()
+      .select(col("doc_id"),
+        conv(col("fingerprint"), 16, 10).cast("long").as("ahash"))
+    Dedup.hammingPairs60(decoded, "ahash", 6)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(mFeatures, mResize, mFrames, mModalityReport, mImageDecode,
-      mAudioFrames, mSilenceRuns, mSceneChanges)
+      mAudioFrames, mSilenceRuns, mSceneChanges, mImageNearDup)
 }

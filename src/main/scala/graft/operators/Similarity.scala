@@ -739,7 +739,111 @@ object Similarity {
         col("rank").cast("long").as("rank"))
   }
 
+  /** IVF index ingest core (the foreachBatch body of
+    * [[graft.streaming.Streams.ivfSink]], callable directly on a static
+    * batch): assign each batch vector to its nearest FROZEN centroid —
+    * the production pattern: the coarse quantizer is trained offline and
+    * held fixed while ingest runs online, so assignment is a per-row
+    * argmax against a broadcast 16-row table — and transactionally
+    * append (cell, vec_id, v, nrm) postings to the snapshot table. The
+    * commit carries the batch token, so a replayed micro-batch (crash
+    * before the engine committed offsets) re-commits exactly once.
+    *
+    * Scale shape: ingest cost is (batch size) × (centroid count) with
+    * ZERO reads of the existing index — the postings table is append-
+    * only and the corpus is never rescanned, so continuous ingest at
+    * 100 TB costs the same per batch on day 1000 as on day 1. Searches
+    * (s14's probe) read only the probed cell's postings.
+    *
+    * `batch` columns: (vec_id, v: array<double>, nrm);
+    * `centroids` columns: (cid, cv: array<double>, cn).
+    */
+  def ivfIngest(table: String, batch: DataFrame, centroids: DataFrame,
+      token: String): Unit = {
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(round(col("cc"), 6).desc, col("cid"))
+    val assigned = batch.join(broadcast(centroids), lit(true))
+      .withColumn("cc", vec_dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("cid").as("cell"), col("vec_id"), col("v"), col("nrm"))
+    graft.sources.Snapshots.commit(assigned, table, token = Some(token)): Unit
+  }
+
+  /** s14: incremental IVF index ingest under the oracle gate — the ANN
+    * analog of d14's streaming dedup: the base corpus (vec_id % 5 ≠ 4)
+    * trains the quantizer and lands as ingest 0, the batch half arrives
+    * as ingest 1 against the FROZEN centroids, both through the real
+    * [[ivfIngest]] snapshot-append path; the cell-probed top-5 search
+    * then runs over the committed postings. The oracle recomputes the
+    * whole thing closed-form from the raw table (centroids from base,
+    * assign all, probe), so a wrong frozen-quantizer assignment, a
+    * posting row that doesn't round-trip the snapshot parquet, or a
+    * replay that double-commits all fail the hash compare — the
+    * "incremental == recompute" identity for the ANN family.
+    */
+  val sIvfIngest: QuerySpec = QuerySpec.sql(
+    "s14_ivf_ingest",
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), cents AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 5 <> 4
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+       |), ac AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |         ${cosineSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} AS cc
+       |  FROM e CROSS JOIN cents c
+       |), assigned AS (
+       |  SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT vec_id, v, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                              ORDER BY ROUND(cc, 6) DESC, cid) AS rn
+       |    FROM ac) WHERE rn = 1
+       |), q AS (
+       |  SELECT vec_id AS qid, v AS qv, cell AS qcell FROM assigned WHERE vec_id < 10
+       |), scored AS (
+       |  SELECT q.qid AS query_id, a.vec_id AS neighbor_id,
+       |         ${cosineSql.format("q.qv", "a.v", "q.qv", "q.qv", "a.v", "a.v")} AS c
+       |  FROM q JOIN assigned a ON a.cell = q.qcell AND a.vec_id <> q.qid
+       |), ranked AS (
+       |  SELECT query_id, neighbor_id,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id
+       |                            ORDER BY ROUND(c, 6) DESC, neighbor_id) AS rank,
+       |         c
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, rank, ROUND(c, 4) AS cosine
+       |FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
+    val root = Incremental.snapRoot(s, dir, "ivf")
+    if (graft.sources.Snapshots.versions(s, root).length < 2) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val e = vecs(s, dir)
+      val base = e.filter(col("vec_id") % 5 =!= 4)
+      val cents = base
+        .withColumn("ord", md5(col("vec_id").cast("string")))
+        .orderBy("ord", "vec_id").limit(16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+        .localCheckpoint() // freeze the quantizer across both ingests
+      ivfIngest(root, base, cents, "s14-seed")
+      ivfIngest(root, e.filter(col("vec_id") % 5 === 4), cents, "s14-ingest1")
+    }
+    val assigned = graft.sources.Snapshots.read(s, root)
+    val q = assigned.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell").as("qcell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(round(col("c"), 6).desc, col("neighbor_id"))
+    assigned.join(broadcast(q), col("cell") === col("qcell") && col("vec_id") =!= col("qid"))
+      .select(col("qid").as("query_id"), col("vec_id").as("neighbor_id"),
+        (vec_dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("c"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("c"), 4).as("cosine"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(sKnn.memo, sNearDup.memo, sAnnLsh.memo, sAnnIvf, sQuantize, sCentroid, sAnnRecall,
-      sQuantError, sCovariance, sSemClusters, sPqCodes, sPqKnn, sIvfPq)
+      sQuantError, sCovariance, sSemClusters, sPqCodes, sPqKnn, sIvfPq, sIvfIngest)
 }

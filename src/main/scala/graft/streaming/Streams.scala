@@ -231,6 +231,31 @@ object Streams {
       .start()
   }
 
+  /** Streaming IVF-index ingest into a [[graft.sources.Snapshots]]
+    * postings table: each micro-batch of vectors — columns
+    * (vec_id, v: array<double>, nrm) — is assigned to its nearest
+    * centroid from the FROZEN broadcast quantizer and appended
+    * transactionally (see [[graft.operators.Similarity.ivfIngest]] for
+    * the scale posture). The continuous form of ANN-index maintenance:
+    * searches stay cell-probed while ingest runs, and a replayed
+    * micro-batch commits exactly once via the same checkpoint-digest
+    * token shape as [[dedupSink]].
+    */
+  def ivfSink(df: DataFrame, table: String, centroids: DataFrame,
+      checkpointDir: String): StreamingQuery = {
+    val app = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.ivfIngest(table, batch, centroids,
+          s"graft-ivfSink-$app-$batchId")
+      }
+      .start()
+  }
+
   def upsertAppendSink(df: DataFrame, key: String, outDir: String,
       checkpointDir: String, nBuckets: Int = 64): StreamingQuery =
     df.writeStream

@@ -125,6 +125,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(other(0).intersect(other(1)).isEmpty)
   }
 
+  test("p15 split is leakage-safe: no near-dup pair straddles train/eval") {
+    val rows = run("p15_leakage_split").collect()
+    assert(rows.map(_.getAs[String]("split")).toSet === Set("train", "eval"))
+    // the audit column is computed from the pair graph, not assumed
+    assert(rows.forall(_.getAs[Long]("leaked_pairs") === 0L))
+    // p2's doc-level split on the same corpus DOES leak (the property
+    // p15 exists to fix) — otherwise this spec proves nothing
+    val sides = run("p2_train_test_split")
+      .withColumn("side", when(col("split") === "train", "train").otherwise("eval"))
+    val pairs = Intermediates.of(operators.Dedup.dMinHash)(spark, sf0001)
+      .select("doc_a", "doc_b")
+    val docLevelLeaks = pairs
+      .join(sides.select(col("doc_id").as("doc_a"), col("side").as("sa")), "doc_a")
+      .join(sides.select(col("doc_id").as("doc_b"), col("side").as("sb")), "doc_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(docLevelLeaks > 0L)
+  }
+
   test("vec_dot matches the interpreted HOF fold bit-for-bit") {
     val e = Tables.embeddings(spark, sf0001).limit(50)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))

@@ -23,7 +23,9 @@ class PlanLintSpec extends SparkTestBase {
     "p4_quality_report", "t6_vocab_df", "p8_proportional_sample",
     "s7_ann_recall", "s8_quant_error", "d13_triangles", "q73_kmv_setops",
     "d16_source_overlap", "p13_mix_rebalance", "d17_bloom_dedup",
-    "s12_pq_knn", "p14_budget_select", "s13_ivf_pq")
+    "s12_pq_knn", "p14_budget_select", "s13_ivf_pq",
+    // p15 broadcasts its 1-row leak-audit count like p4's report frames
+    "p15_leakage_split")
 
   test("no unintended CartesianProduct or nested-loop join in any registered query plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -82,6 +82,16 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q75_attribution" -> 2, "s12_pq_knn" -> 2,
     "p14_budget_select" -> 4, "d18_incremental_clusters" -> 6,
     "m7_silence_runs" -> 2, "m8_scene_changes" -> 2, "s13_ivf_pq" -> 2,
+    // s14's build-time ingest runs as separate tokened commit jobs; the
+    // registered plan is the cell-probed search over committed postings
+    "s14_ivf_ingest" -> 2,
+    // m9 = 2: batched decode is shuffle-free; one chunk-key shuffle for
+    // the pigeonhole hash join (d6's shape) + its pair-side twin
+    "m9_image_neardup" -> 2,
+    // p15 = 8: per-split rollup with count_distinct expansion (3) + the
+    // two doc_id audit joins on the pair graph (4) + the 1-row leak
+    // broadcast; pairs/labels themselves come from the shared seam
+    "p15_leakage_split" -> 8,
     "q76_compacted_read" -> 1,
     // ranks shuffle + rank broadcast + dst aggregation — the skew-torture
     // round; the hot dst key crosses the wire post-partial-agg only
