@@ -287,7 +287,7 @@ object Dedup {
     * (doc_a, doc_b, hamming) with doc_a < doc_b, each pair once.
     * Shared by d6 (text simhash) and m9 (image perceptual hash).
     */
-  private[operators] def hammingPairs60(sigs: org.apache.spark.sql.DataFrame,
+  private[graft] def hammingPairs60(sigs: org.apache.spark.sql.DataFrame,
       sigCol: String, maxD: Int): org.apache.spark.sql.DataFrame = {
     // balanced chunk layout over 60 bits: widths 9,9,9,9,8,8,8
     val offsets = Seq(0, 9, 18, 27, 36, 44, 52)

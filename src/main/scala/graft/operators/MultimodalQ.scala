@@ -358,7 +358,68 @@ object MultimodalQ {
     Dedup.hammingPairs60(decoded, "ahash", 6)
   }
 
+  /** m10: the shot TABLE — m8's cut detection carried to its product:
+    * per video, the maximal frame runs between energy-discontinuity
+    * boundaries (gaps-and-islands: shot id = running boundary count),
+    * with each shot's frame span and exact integer energy statistics
+    * (mean as `div` milli-exactness is unnecessary — the sum is already
+    * exact). This is the relation a video curation pipeline joins
+    * against (sample k frames per SHOT, not per video; drop sub-second
+    * shots as cut noise). Same deterministic LCG sample stream as
+    * m6/m8; with a real decoder only the energy column changes.
+    *
+    * Scale shape: one (doc, frame) aggregation, then boundary flag +
+    * running count + shot rollup all inside the SAME per-doc window
+    * partitioning — sorts bounded by frames-per-doc (16) at any corpus
+    * size; no joins at all.
+    */
+  val mShotTable: QuerySpec = QuerySpec.sql(
+    "m10_shot_table",
+    """WITH s AS (
+      |  SELECT doc_id, i,
+      |         ((doc_id * 1103515245 + i * 12345 + 104729) % 65536) - 32768 AS smp
+      |  FROM documents CROSS JOIN generate_series(0, 4095) AS g(i)
+      |), f AS (
+      |  SELECT doc_id, i // 256 AS frame, SUM(smp * smp) AS energy
+      |  FROM s GROUP BY 1, 2
+      |), d AS (
+      |  SELECT doc_id, frame, energy,
+      |         CASE WHEN ABS(energy - LAG(energy) OVER
+      |                (PARTITION BY doc_id ORDER BY frame)) > 5000000000
+      |              THEN 1 ELSE 0 END AS cut
+      |  FROM f
+      |), g AS (
+      |  SELECT doc_id, frame, energy,
+      |         SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS shot
+      |  FROM d
+      |)
+      |SELECT doc_id, CAST(shot AS BIGINT) AS shot,
+      |       CAST(MIN(frame) AS BIGINT) AS start_frame,
+      |       CAST(MAX(frame) AS BIGINT) AS end_frame,
+      |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |       CAST(SUM(energy) AS BIGINT) AS energy_sum
+      |FROM g GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val f = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(4095))).as("i"))
+      .select(col("doc_id"), expr("i div 256").cast("long").as("frame"),
+        (((col("doc_id") * lit(1103515245L) + col("i") * lit(12345L) + lit(104729L))
+          % lit(65536L)) - lit(32768L)).as("smp"))
+      .groupBy("doc_id", "frame")
+      .agg(sum(col("smp") * col("smp")).as("energy"))
+    val wLag = Window.partitionBy("doc_id").orderBy("frame")
+    val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    f.withColumn("cut",
+        when(abs(col("energy") - lag("energy", 1).over(wLag)) > 5000000000L, 1L)
+          .otherwise(0L))
+      .withColumn("shot", sum("cut").over(wRun))
+      .groupBy("doc_id", "shot")
+      .agg(min("frame").as("start_frame"), max("frame").as("end_frame"),
+        count(lit(1)).as("n_frames"), sum("energy").as("energy_sum"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(mFeatures, mResize, mFrames, mModalityReport, mImageDecode,
-      mAudioFrames, mSilenceRuns, mSceneChanges, mImageNearDup)
+      mAudioFrames, mSilenceRuns, mSceneChanges, mImageNearDup, mShotTable)
 }

@@ -34,6 +34,33 @@ object Similarity {
       .select(col("vec_id"), dvec(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(vec_dot(col("v"), col("v"))))
 
+  /** The shared deterministic seed rule — first `n` rows by
+    * (md5(vec_id), vec_id): the codebook sample s4/s13/s14/s15 all use,
+    * mirrored by each oracle's `ORDER BY md5(CAST(vec_id AS VARCHAR)),
+    * vec_id LIMIT n` CTE.
+    */
+  private def seedSample(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("ord", md5(col("vec_id").cast("string")))
+      .orderBy("ord", "vec_id").limit(n).drop("ord")
+
+  /** Nearest-centroid assignment (argmax cosine, cid ASC tie-break)
+    * against a broadcast codebook of (cid, cv, cn), as a map-side-
+    * combinable MAX-of-struct — ONE row per vector crosses the shuffle
+    * instead of |centroids| window-sorted candidates. `-cid` inverts
+    * the tie-break inside the single max; (cc, cid) is unique per
+    * group, so the carried (v, nrm) payload never participates in the
+    * ordering. Input `e` needs (vec_id, v, nrm); returns
+    * (vec_id, v, nrm, cell). Shared by s4 / s13 / ivfIngest (s14).
+    */
+  private[operators] def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    e.join(broadcast(cents), lit(true))
+      .withColumn("cc", vec_dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      .groupBy("vec_id")
+      .agg(max(struct(round(col("cc"), 6).as("r"), (-col("cid")).as("nc"),
+        col("cid"), col("v"), col("nrm"))).as("m"))
+      .select(col("vec_id"), col("m.v").as("v"), col("m.nrm").as("nrm"),
+        col("m.cid").as("cell"))
+
   /** Brute-force cosine top-5 neighbors for query vectors vec_id < 10. */
   val sKnn: QuerySpec = QuerySpec.sql(
     "s1_knn_cosine",
@@ -284,18 +311,9 @@ object Similarity {
        |SELECT query_id, neighbor_id, rank, ROUND(c, 4) AS cosine
        |FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
     val e = vecs(s, dir)
-    val cents = e
-      .withColumn("ord", md5(col("vec_id").cast("string")))
-      .orderBy("ord", "vec_id").limit(16)
+    val cents = seedSample(e, 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    // nearest centroid per vector (argmax cosine, centroid id tie-break)
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(round(col("cc"), 6).desc, col("cid"))
-    val assigned = e.join(broadcast(cents), lit(true))
-      .withColumn("cc", vec_dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cid").as("cell"))
+    val assigned = assignCells(e, cents)
     val q = assigned.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("cell").as("qcell"))
@@ -319,15 +337,16 @@ object Similarity {
       |        list_max(list_transform(v, x -> abs(x))) AS mx FROM e)
       |SELECT vec_id,
       |       CAST(list_sum(list_transform(v,
-      |         x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT))) AS BIGINT) AS qsum,
+      |         x -> COALESCE(CAST(round(x * (127.0 / nullif(mx, 0)), 0) AS BIGINT), 0))) AS BIGINT) AS qsum,
       |       CAST(list_max(list_transform(v,
-      |         x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT))) AS BIGINT) AS qmax
+      |         x -> COALESCE(CAST(round(x * (127.0 / nullif(mx, 0)), 0) AS BIGINT), 0))) AS BIGINT) AS qmax
       |FROM m""".stripMargin) { (s, dir) =>
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), dvec(col("embedding")).as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
     val quant = transform(col("v"),
-      x => round(x * (lit(127.0) / col("mx")), 0).cast("long"))
+      x => round(x * when(col("mx") === 0, lit(0.0))
+          .otherwise(lit(127.0) / col("mx")), 0).cast("long"))
     e.select(col("vec_id"),
       aggregate(quant, lit(0L), (a, x) => a + x).as("qsum"),
       array_max(quant).as("qmax"))
@@ -346,7 +365,7 @@ object Similarity {
     """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |m AS (SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
       |q AS (SELECT label, list_transform(v,
-      |        x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT)) AS qv FROM m),
+      |        x -> COALESCE(CAST(round(x * (127.0 / nullif(mx, 0)), 0) AS BIGINT), 0)) AS qv FROM m),
       |x AS (SELECT label, unnest(generate_series(1, len(qv))) AS pos1, qv FROM q)
       |SELECT label, CAST(pos1 - 1 AS BIGINT) AS pos,
       |       CAST(SUM(qv[pos1]) AS BIGINT) AS qsum, COUNT(*) AS n
@@ -355,7 +374,8 @@ object Similarity {
       .select(col("label"), dvec(col("embedding")).as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
       .withColumn("qv", transform(col("v"),
-        x => round(x * (lit(127.0) / col("mx")), 0).cast("long")))
+        x => round(x * when(col("mx") === 0, lit(0.0))
+          .otherwise(lit(127.0) / col("mx")), 0).cast("long")))
     e.select(col("label"), posexplode(col("qv")).as(Seq("pos", "qval")))
       .groupBy(col("label"), col("pos").cast("long").as("pos"))
       .agg(sum("qval").as("qsum"), count(lit(1)).as("n"))
@@ -447,7 +467,7 @@ object Similarity {
        |    FROM scored) WHERE rank <= 5
        |), quant AS (
        |  SELECT vec_id, list_transform(v,
-       |    x -> CAST(round(x * (127.0 / list_max(list_transform(v, y -> abs(y)))), 0) AS DOUBLE)) AS qv
+       |    x -> COALESCE(CAST(round(x * (127.0 / nullif(list_max(list_transform(v, y -> abs(y))), 0)), 0) AS DOUBLE), 0)) AS qv
        |  FROM e
        |)
        |SELECT p.query_id, p.neighbor_id,
@@ -474,7 +494,8 @@ object Similarity {
       .select(col("vec_id"), dvec(col("embedding")).as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
       .select(col("vec_id"), transform(col("v"),
-        x => round(x * (lit(127.0) / col("mx")), 0).cast("double")).as("qv"))
+        x => round(x * when(col("mx") === 0, lit(0.0))
+          .otherwise(lit(127.0) / col("mx")), 0).cast("double")).as("qv"))
     val cosQ = vec_dot(col("a_qv"), col("b_qv")) /
       (sqrt(vec_dot(col("a_qv"), col("a_qv"))) * sqrt(vec_dot(col("b_qv"), col("b_qv"))))
     exact
@@ -506,7 +527,7 @@ object Similarity {
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
       |q AS (SELECT vec_id, list_transform(v,
-      |        x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT)) AS qv FROM m),
+      |        x -> COALESCE(CAST(round(x * (127.0 / nullif(mx, 0)), 0) AS BIGINT), 0)) AS qv FROM m),
       |xi AS (SELECT vec_id, qv, unnest(generate_series(1, len(qv))) AS i1 FROM q),
       |xij AS (SELECT vec_id, qv, i1, qv[i1] AS qi,
       |               unnest(generate_series(1, len(qv))) AS j1 FROM xi)
@@ -522,7 +543,8 @@ object Similarity {
       .select(col("vec_id"), dvec(col("embedding")).as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
       .select(col("vec_id"), transform(col("v"),
-        x => round(x * (lit(127.0) / col("mx")), 0).cast("long")).as("qv"))
+        x => round(x * when(col("mx") === 0, lit(0.0))
+          .otherwise(lit(127.0) / col("mx")), 0).cast("long")).as("qv"))
     q.select(col("qv"), posexplode(col("qv")).as(Seq("i", "qi")))
       .select(col("qi"), col("i"), posexplode(col("qv")).as(Seq("j", "qj")))
       .filter(col("j") >= col("i"))
@@ -584,7 +606,8 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
       .withColumn("qv", transform(col("v"),
-        x => round(x * (lit(127.0) / col("mx")), 0).cast("long")))
+        x => round(x * when(col("mx") === 0, lit(0.0))
+          .otherwise(lit(127.0) / col("mx")), 0).cast("long")))
       .withColumn("sub", expr("size(qv) div 4"))
       .withColumn("codes", expr(
         """transform(sequence(0, 3), j ->
@@ -599,7 +622,7 @@ object Similarity {
     """e2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |m2 AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e2),
       |q2 AS (SELECT vec_id, list_transform(v,
-      |        x -> CAST(round(x * (127.0 / mx), 0) AS BIGINT)) AS qv FROM m2),
+      |        x -> COALESCE(CAST(round(x * (127.0 / nullif(mx, 0)), 0) AS BIGINT), 0)) AS qv FROM m2),
       |s2 AS (SELECT vec_id, len(qv) // 4 AS sub, qv FROM q2),
       |codes AS (SELECT vec_id, list_transform(generate_series(0, 3),
       |        j -> least((list_sum(qv[j*sub+1 : j*sub+sub]) + 127*sub) * 16
@@ -617,7 +640,8 @@ object Similarity {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
       .withColumn("qv", transform(col("v"),
-        x => round(x * (lit(127.0) / col("mx")), 0).cast("long")))
+        x => round(x * when(col("mx") === 0, lit(0.0))
+          .otherwise(lit(127.0) / col("mx")), 0).cast("long")))
       .withColumn("sub", expr("size(qv) div 4"))
       .withColumn("codes", expr(
         """transform(sequence(0, 3), j ->
@@ -711,17 +735,9 @@ object Similarity {
        |SELECT qid, neighbor_id, dist, CAST(rank AS BIGINT) AS rank
        |FROM ranked WHERE rank <= 5""".stripMargin) { (s, dir) =>
     val e = vecs(s, dir)
-    val cents = e
-      .withColumn("ord", md5(col("vec_id").cast("string")))
-      .orderBy("ord", "vec_id").limit(16)
+    val cents = seedSample(e, 16)
       .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(round(col("cc"), 6).desc, col("cid"))
-    val assigned = e.join(broadcast(cents), lit(true))
-      .withColumn("cc", vec_dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
+    val assigned = assignCells(e, cents).select(col("vec_id"), col("cell"))
     val base = assigned.join(pqCodeFrame(s, dir), "vec_id")
       .localCheckpoint() // feeds the query side and the probed scan
     val qs = base.filter(col("vec_id") < 10)
@@ -760,13 +776,8 @@ object Similarity {
     */
   def ivfIngest(table: String, batch: DataFrame, centroids: DataFrame,
       token: String): Unit = {
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(round(col("cc"), 6).desc, col("cid"))
-    val assigned = batch.join(broadcast(centroids), lit(true))
-      .withColumn("cc", vec_dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("cid").as("cell"), col("vec_id"), col("v"), col("nrm"))
+    val assigned = assignCells(batch, centroids)
+      .select(col("cell"), col("vec_id"), col("v"), col("nrm"))
     graft.sources.Snapshots.commit(assigned, table, token = Some(token)): Unit
   }
 
@@ -820,9 +831,7 @@ object Similarity {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val e = vecs(s, dir)
       val base = e.filter(col("vec_id") % 5 =!= 4)
-      val cents = base
-        .withColumn("ord", md5(col("vec_id").cast("string")))
-        .orderBy("ord", "vec_id").limit(16)
+      val cents = seedSample(base, 16)
         .select(col("vec_id").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
         .localCheckpoint() // freeze the quantizer across both ingests
       ivfIngest(root, base, cents, "s14-seed")
@@ -843,7 +852,135 @@ object Similarity {
         round(col("c"), 4).as("cosine"))
   }
 
+  /** s15: one exact Lloyd refinement of the IVF coarse quantizer — the
+    * TRAINING step s4/s13/s14 assume has already happened offline, run
+    * as a distributed Spark job: assign the int8-quantized corpus (s5's
+    * exact per-vector formula) to the 16 seed centroids, recompute each
+    * centroid as the element-wise integer mean of its members, then
+    * re-assign — emitting per cell its population before and after the
+    * step, the refined-centroid checksum, and how far the centroid
+    * moved. Quantizing FIRST makes every sum integer, so assignment
+    * distances, means (`div` truncation pinned on both engines), and
+    * shifts are order-independent and engine-exact — the reason real
+    * k-means-at-scale implementations accumulate in integers or fixed
+    * point: a float centroid sum would be nondeterministic under
+    * distributed summation order, and two runs of the same job would
+    * train different codebooks.
+    *
+    * Scale shape: each assignment pass is corpus × broadcast 16-row
+    * centroids (per-row argmax, sorts bounded by 16); the mean is ONE
+    * map-side-combined shuffle on (cell, dim) — 16×64 final groups —
+    * and every later join is on the 16-row cell key. Iterating to
+    * convergence repeats this plan with flat lineage; no step touches
+    * pairs of corpus rows.
+    */
+  val sKmeansRefine: QuerySpec = QuerySpec.sql(
+    "s15_kmeans_refine",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |q AS (SELECT vec_id, list_transform(v,
+      |        x -> COALESCE(CAST(round(x * (127.0 / nullif(mx, 0)), 0) AS BIGINT), 0)) AS qv FROM m),
+      |cents AS (
+      |  SELECT vec_id AS cid, qv AS cqv FROM q
+      |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+      |), a0p AS (
+      |  SELECT q.vec_id, q.qv, c.cid,
+      |         CAST(list_sum(list_transform(generate_series(1, 64),
+      |           i -> (q.qv[i] - c.cqv[i]) * (q.qv[i] - c.cqv[i]))) AS BIGINT) AS d
+      |  FROM q CROSS JOIN cents c
+      |), a0 AS (
+      |  SELECT vec_id, qv, cid FROM (
+      |    SELECT vec_id, qv, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM a0p) WHERE rn = 1
+      |), dims AS (
+      |  SELECT cid, unnest(generate_series(1, 64)) AS p, qv FROM a0
+      |), comp AS (
+      |  SELECT cid, p, CAST(CAST(SUM(qv[p]) AS BIGINT) // COUNT(*) AS BIGINT) AS rv
+      |  FROM dims GROUP BY cid, p
+      |), refined0 AS (
+      |  SELECT cid, list(rv ORDER BY p) AS rqv FROM comp GROUP BY cid
+      |), refined AS (
+      |  -- a cell no point chose keeps its seed centroid (standard Lloyd
+      |  -- empty-cluster handling) instead of silently vanishing
+      |  SELECT c.cid, COALESCE(r0.rqv, c.cqv) AS rqv
+      |  FROM cents c LEFT JOIN refined0 r0 ON r0.cid = c.cid
+      |), a1p AS (
+      |  SELECT q.vec_id, r.cid,
+      |         CAST(list_sum(list_transform(generate_series(1, 64),
+      |           i -> (q.qv[i] - r.rqv[i]) * (q.qv[i] - r.rqv[i]))) AS BIGINT) AS d
+      |  FROM q CROSS JOIN refined r
+      |), a1 AS (
+      |  SELECT vec_id, cid FROM (
+      |    SELECT vec_id, cid,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |    FROM a1p) WHERE rn = 1
+      |), n0 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_before FROM a0 GROUP BY cid),
+      |n1 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_after FROM a1 GROUP BY cid)
+      |SELECT c.cid,
+      |       COALESCE(n0.n_before, 0) AS n_before,
+      |       COALESCE(n1.n_after, 0) AS n_after,
+      |       CAST(list_sum(r.rqv) AS BIGINT) AS centroid_sum,
+      |       CAST(list_sum(list_transform(generate_series(1, 64),
+      |         i -> (c.cqv[i] - r.rqv[i]) * (c.cqv[i] - r.rqv[i]))) AS BIGINT) AS shift_sq
+      |FROM cents c
+      |JOIN refined r ON r.cid = c.cid
+      |LEFT JOIN n0 ON n0.cid = c.cid
+      |LEFT JOIN n1 ON n1.cid = c.cid""".stripMargin) { (s, dir) =>
+    val sqDist = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val q = Tables.embeddings(s, dir)
+      .select(col("vec_id"), dvec(col("embedding")).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      // zero-vector guard: scale 0 (qv all-zero), matching the oracle's
+      // nullif/COALESCE — 127/0 would be NULL in DuckDB but Inf→NaN here
+      .withColumn("sc", when(col("mx") === 0, lit(0.0))
+        .otherwise(lit(127.0) / col("mx")))
+      .select(col("vec_id"), transform(col("v"),
+        x => round(x * col("sc"), 0).cast("long")).as("qv"))
+      .localCheckpoint() // feeds both assignment passes
+    // per-row argmin as a map-side-combinable MIN aggregate: ONE row per
+    // vector crosses the shuffle instead of 16 window-sorted candidates
+    // ((d, cid) is unique per group, so qv never participates in the
+    // struct ordering)
+    def assign(cents: DataFrame, cv: String): DataFrame =
+      q.join(broadcast(cents), lit(true))
+        .withColumn("d", sqDist(col("qv"), col(cv)))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cid"), col("qv"))).as("m"))
+        .select(col("vec_id"), col("m.qv").as("qv"), col("m.cid").as("cid"))
+    val cents = seedSample(q, 16)
+      .select(col("vec_id").as("cid"), col("qv").as("cqv"))
+      .localCheckpoint() // frozen seed codebook: assignment + shift
+    val a0 = assign(cents, "cqv").localCheckpoint() // feeds mean + n0
+    val refined0 = a0
+      .select(col("cid"), posexplode(col("qv")).as(Seq("p", "qval")))
+      .groupBy("cid", "p")
+      .agg(sum("qval").as("qsum"), count(lit(1)).as("n"))
+      // integer div (truncating, = DuckDB //): exact at any corpus size,
+      // where a double-division mean would lose bits past 2^53
+      .selectExpr("cid", "p", "qsum div n AS rv")
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("p"), col("rv")))),
+        x => x.getField("rv")).as("rqv0"))
+    // empty-cluster handling: a cell nobody chose keeps its seed centroid
+    val refined = cents.join(refined0, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("rqv0"), col("cqv")).as("rqv"))
+    val n0 = a0.groupBy("cid").agg(count(lit(1)).as("n_before"))
+    val n1 = assign(refined, "rqv").groupBy("cid")
+      .agg(count(lit(1)).as("n_after"))
+    cents.join(refined, "cid")
+      .join(n0, Seq("cid"), "left")
+      .join(n1, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        aggregate(col("rqv"), lit(0L), _ + _).as("centroid_sum"),
+        sqDist(col("cqv"), col("rqv")).as("shift_sq"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(sKnn.memo, sNearDup.memo, sAnnLsh.memo, sAnnIvf, sQuantize, sCentroid, sAnnRecall,
-      sQuantError, sCovariance, sSemClusters, sPqCodes, sPqKnn, sIvfPq, sIvfIngest)
+      sQuantError, sCovariance, sSemClusters, sPqCodes, sPqKnn, sIvfPq, sIvfIngest,
+      sKmeansRefine)
 }

@@ -158,5 +158,73 @@ object Temporal {
         expr("(p_us - us) div 1000000").as("wait_s"))
   }
 
-  val all: Seq[QuerySpec] = Seq(qAsOf, qRange, qForwardAsOf)
+  /** q79: per-key time-series resample — gap-fill each user's daily
+    * activity over their own [first, last] calendar spine and linearly
+    * interpolate the missing days between the surrounding observed
+    * points (the feature-engineering step that turns sparse event logs
+    * into dense per-entity curves). Interpolation is EXACT integer
+    * arithmetic in milli-units — (pv·(next−d) + nv·(d−prev)) · 1000
+    * div gap_len — so the hash gate holds without float tolerance.
+    *
+    * Scale shape: the spine is generated in-row (`sequence` explode, no
+    * join against a global calendar), the observed counts join back on
+    * (user_id, day), and both IGNORE-NULLS window passes share the
+    * user_id partitioning — per-partition sorts bounded by each user's
+    * span, never a global sort. The q75 window pattern applied to
+    * resampling.
+    */
+  val qInterpolate: QuerySpec = QuerySpec.sql(
+    "q79_interpolate",
+    """WITH d AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2
+      |), spine AS (
+      |  SELECT user_id, CAST(unnest(generate_series(CAST(MIN(day) AS TIMESTAMP),
+      |    CAST(MAX(day) AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM d GROUP BY user_id
+      |), j AS (
+      |  SELECT s.user_id, s.day, d.n
+      |  FROM spine s LEFT JOIN d ON d.user_id = s.user_id AND d.day = s.day
+      |), f AS (
+      |  SELECT user_id, day, n,
+      |    LAST_VALUE(n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    LAST_VALUE(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    FIRST_VALUE(n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    FIRST_VALUE(CASE WHEN n IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM j
+      |)
+      |SELECT user_id, day, n AS observed,
+      |       CASE WHEN n IS NOT NULL THEN n * 1000
+      |            ELSE (pv * (nd - day) + nv * (day - pd)) * 1000 // (nd - pd)
+      |       END AS interp_milli
+      |FROM f""".stripMargin) { (s, dir) =>
+    val d = Tables.events(s, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+    val spine = d.groupBy("user_id")
+      .agg(min("day").as("mn"), max("day").as("mx"))
+      .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("day"))
+    val wPrev = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(d, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("n"), ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when(col("n").isNotNull, col("day")), ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first(col("n"), ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when(col("n").isNotNull, col("day")), ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("day"), col("n").as("observed"),
+        when(col("n").isNotNull, col("n") * 1000)
+          .otherwise(expr(
+            "(pv * datediff(nd, day) + nv * datediff(day, pd)) * 1000L div datediff(nd, pd)"))
+          .as("interp_milli"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(qAsOf, qRange, qForwardAsOf, qInterpolate)
 }

@@ -25,7 +25,10 @@ class PlanLintSpec extends SparkTestBase {
     "d16_source_overlap", "p13_mix_rebalance", "d17_bloom_dedup",
     "s12_pq_knn", "p14_budget_select", "s13_ivf_pq",
     // p15 broadcasts its 1-row leak-audit count like p4's report frames
-    "p15_leakage_split")
+    "p15_leakage_split",
+    // s15's two assignment passes broadcast the 16-row codebook (s4's
+    // intended per-row argmin loop join)
+    "s15_kmeans_refine")
 
   test("no unintended CartesianProduct or nested-loop join in any registered query plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -269,4 +269,28 @@ class PropertySpec extends SparkTestBase {
       assert(got === want, s"case $i")
     }
   }
+
+  test("hammingPairs60 equals brute-force all-pairs on random 60-bit signatures") {
+    // clustered generator: random base signatures plus small perturbations
+    // so distances straddle the threshold both ways
+    val base: Gen[Long] = Gen.chooseNum(0L, (1L << 60) - 1)
+    val flip: Gen[Long] = Gen.listOfN(8, Gen.chooseNum(0, 59))
+      .map(_.distinct.take(4).map(1L << _).fold(0L)(_ ^ _))
+    val sigGen: Gen[Seq[Long]] = Gen.listOfN(12, base).flatMap { bs =>
+      Gen.listOfN(48, Gen.zip(Gen.oneOf(bs), flip)).map(_.map { case (b, f) => b ^ f })
+    }
+    val sigs = samples(sigGen, 3)
+    sigs.zipWithIndex.foreach { case (ss, ci) =>
+      val df = ss.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("doc_id", "sig")
+      val got = operators.Dedup.hammingPairs60(df, "sig", 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = (for {
+        (a, i) <- ss.zipWithIndex; (b, j) <- ss.zipWithIndex
+        if i < j
+        h = java.lang.Long.bitCount(a ^ b) if h <= 6
+      } yield (i.toLong, j.toLong, h)).toSet
+      assert(got === want, s"case $ci: banding lost or invented pairs")
+    }
+  }
 }

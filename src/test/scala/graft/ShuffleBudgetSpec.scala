@@ -85,6 +85,18 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // s14's build-time ingest runs as separate tokened commit jobs; the
     // registered plan is the cell-probed search over committed postings
     "s14_ivf_ingest" -> 2,
+    // q79 = 3: daily rollup + spine/counts join + the shared user_id
+    // window partitioning (both IGNORE-NULLS passes reuse one sort)
+    "q79_interpolate" -> 3,
+    // s15 = 11: MORE exchange nodes than the window form would show (9)
+    // but 16× less data moved — the argmin is a map-side-combined MIN,
+    // so one row per vector crosses each assignment shuffle instead of
+    // 16 window-sorted candidates; the (cell, dim) mean shuffle and the
+    // 16-row cell-key joins are the rest
+    "s15_kmeans_refine" -> 11,
+    // m10 = 2: frame agg + the per-doc window; the shot rollup reuses
+    // the doc_id partitioning
+    "m10_shot_table" -> 2,
     // m9 = 2: batched decode is shuffle-free; one chunk-key shuffle for
     // the pigeonhole hash join (d6's shape) + its pair-side twin
     "m9_image_neardup" -> 2,
