@@ -51,7 +51,8 @@ object ScaleFixture {
     "s4_ann_ivf", "s14_ivf_ingest", "q71_merge_upsert", "q73_kmv_setops",
     "d15_incremental_dedup", "t7_surprisal", "q77_skew_inflow",
     "d3_minhash_lsh", "d5_dedup_clusters", "p7_ngram_decontam",
-    "d19_substring_dedup", "q64_basket_pairs", "q65_order_gaps",
+    "d19_substring_dedup", "q79_interpolate", "s15_kmeans_refine",
+    "q64_basket_pairs", "q65_order_gaps",
     "q72_bfs_levels", "s9_covariance", "s13_ivf_pq", "q67_pagerank",
     "s10_semantic_clusters", "d6_simhash_pairs")
 

@@ -979,8 +979,132 @@ object Similarity {
         sqDist(col("cqv"), col("rqv")).as("shift_sq"))
   }
 
+  /** s16: the index-choice recall MATRIX — s7's audit widened to every
+    * approximate index the engine ships: per query, recall@5 against
+    * the exact scan for LSH (s3), IVF (s4), and IVF+PQ (s13), in one
+    * relation — the table an operator actually reads before deciding
+    * which index a workload gets. Composes the REGISTERED operators
+    * through the materialize-once seam (the driver grades the same
+    * frames), joins on (query, neighbor), integer basis points. The
+    * audit relation is queries×k rows per index, so the matrix costs
+    * the searches themselves.
+    */
+  val sIndexRecall: QuerySpec = QuerySpec.sql(
+    "s16_index_recall",
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+       |), q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+       |         ${cosineSql.format("q.qv", "e.v", "q.qv", "q.qv", "e.v", "e.v")} AS c
+       |  FROM q JOIN e ON e.vec_id <> q.qid
+       |), exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY ROUND(c, 6) DESC, neighbor_id) AS rank
+       |    FROM scored) WHERE rank <= 5
+       |), eb AS (
+       |  SELECT vec_id, v,
+       |         CAST(list_sum(list_transform(generate_series(0, 7), p ->
+       |           CASE WHEN list_dot_product(v,
+       |             list_transform(generate_series(0, 63), i ->
+       |               (CAST(('0x' || substring(md5(p || ':' || i), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0)) > 0
+       |           THEN CAST(1 AS BIGINT) << p ELSE 0 END)) AS BIGINT) AS bucket
+       |  FROM e
+       |), q3 AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM eb WHERE vec_id < 10),
+       |scored3 AS (
+       |  SELECT q3.qid AS query_id, eb.vec_id AS neighbor_id,
+       |         ${cosineSql.format("q3.qv", "eb.v", "q3.qv", "q3.qv", "eb.v", "eb.v")} AS c
+       |  FROM q3 JOIN eb ON eb.bucket = q3.qb AND eb.vec_id <> q3.qid
+       |), ann3 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY ROUND(c, 6) DESC, neighbor_id) AS rank
+       |    FROM scored3) WHERE rank <= 5
+       |), cents AS (
+       |  SELECT vec_id AS cid, v AS cv FROM e
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+       |), ac AS (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |         ${cosineSql.format("e.v", "c.cv", "e.v", "e.v", "c.cv", "c.cv")} AS cc
+       |  FROM e CROSS JOIN cents c
+       |), assigned AS (
+       |  SELECT vec_id, v, cid AS cell FROM (
+       |    SELECT vec_id, v, cid,
+       |           ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                              ORDER BY ROUND(cc, 6) DESC, cid) AS rn
+       |    FROM ac) WHERE rn = 1
+       |), q4 AS (
+       |  SELECT vec_id AS qid, v AS qv, cell AS qcell FROM assigned WHERE vec_id < 10
+       |), scored4 AS (
+       |  SELECT q4.qid AS query_id, a.vec_id AS neighbor_id,
+       |         ${cosineSql.format("q4.qv", "a.v", "q4.qv", "q4.qv", "a.v", "a.v")} AS c
+       |  FROM q4 JOIN assigned a ON a.cell = q4.qcell AND a.vec_id <> q4.qid
+       |), ann4 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id
+       |                              ORDER BY ROUND(c, 6) DESC, neighbor_id) AS rank
+       |    FROM scored4) WHERE rank <= 5
+       |), $pqCodesSql,
+       |base AS (
+       |  SELECT a.vec_id, a.cell, c.codes FROM assigned a
+       |  JOIN codes c ON c.vec_id = a.vec_id
+       |), qs AS (
+       |  SELECT vec_id AS qid, cell AS qcell, codes AS qc FROM base WHERE vec_id < 10
+       |), scored13 AS (
+       |  SELECT qs.qid AS query_id, b.vec_id AS neighbor_id,
+       |         CAST(list_sum(list_transform(generate_series(1, 4),
+       |           j -> (qs.qc[j] - b.codes[j]) * (qs.qc[j] - b.codes[j]))) AS BIGINT) AS dist
+       |  FROM qs JOIN base b ON b.cell = qs.qcell AND b.vec_id <> qs.qid
+       |), ann13 AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist, neighbor_id) AS rank
+       |    FROM scored13) WHERE rank <= 5
+       |), hits AS (
+       |  SELECT x.query_id, 'lsh' AS idx,
+       |         COUNT(*) AS ne, COUNT(a.neighbor_id) AS nh
+       |  FROM exact x LEFT JOIN ann3 a
+       |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |  GROUP BY 1
+       |  UNION ALL
+       |  SELECT x.query_id, 'ivf' AS idx, COUNT(*), COUNT(a.neighbor_id)
+       |  FROM exact x LEFT JOIN ann4 a
+       |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |  GROUP BY 1
+       |  UNION ALL
+       |  SELECT x.query_id, 'ivfpq' AS idx, COUNT(*), COUNT(a.neighbor_id)
+       |  FROM exact x LEFT JOIN ann13 a
+       |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |  GROUP BY 1
+       |)
+       |SELECT query_id, idx,
+       |       CAST(ne AS BIGINT) AS n_exact, CAST(nh AS BIGINT) AS n_hit,
+       |       CAST(nh * 10000 // ne AS BIGINT) AS recall_bp
+       |FROM hits""".stripMargin) { (s, dir) =>
+    val exact = Intermediates.of(sKnn)(s, dir).select("query_id", "neighbor_id")
+    def recallOf(ann: DataFrame, label: String): DataFrame =
+      exact.join(
+          ann.select(col("query_id").as("aq"), col("neighbor_id").as("an")),
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+          "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"), count(col("an")).as("n_hit"))
+        .select(col("query_id"), lit(label).as("idx"), col("n_exact"),
+          col("n_hit"), expr("n_hit * 10000L div n_exact AS recall_bp"))
+    recallOf(Intermediates.of(sAnnLsh)(s, dir)
+        .select("query_id", "neighbor_id"), "lsh")
+      .unionByName(recallOf(Intermediates.of(sAnnIvf)(s, dir)
+        .select("query_id", "neighbor_id"), "ivf"))
+      .unionByName(recallOf(Intermediates.of(sIvfPq)(s, dir)
+        .select(col("qid").as("query_id"), col("neighbor_id")), "ivfpq"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(sKnn.memo, sNearDup.memo, sAnnLsh.memo, sAnnIvf, sQuantize, sCentroid, sAnnRecall,
-      sQuantError, sCovariance, sSemClusters, sPqCodes, sPqKnn, sIvfPq, sIvfIngest,
-      sKmeansRefine)
+    Seq(sKnn.memo, sNearDup.memo, sAnnLsh.memo, sAnnIvf.memo, sQuantize, sCentroid,
+      sAnnRecall, sQuantError, sCovariance, sSemClusters, sPqCodes, sPqKnn,
+      sIvfPq.memo, sIvfIngest, sKmeansRefine, sIndexRecall)
 }

@@ -74,4 +74,17 @@ class PlansSkewSpec extends SparkTestBase {
     val approx = row.getLong(1).toDouble
     assert(math.abs(approx - exact) / exact < 0.05)
   }
+
+  test("assignCells argmin partial-aggregates BEFORE its exchange (one row per vector crosses)") {
+    // the structural claim behind the s4/s13/s14/s15 assignment rewrite:
+    // a partial min/max of the (score, cid, payload) struct runs map-side,
+    // so the exchange carries corpus rows, not corpus x |centroids|
+    val plan = SparkEntry.queries("s15_kmeans_refine")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min") || plan.contains("partial_max"),
+      s"no map-side partial min/max in s15 plan:\n$plan")
+    // and no per-vector rank window survives anywhere in the plan
+    assert(!plan.contains("row_number"),
+      "assignment regressed to a window rank")
+  }
 }

@@ -85,6 +85,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // s14's build-time ingest runs as separate tokened commit jobs; the
     // registered plan is the cell-probed search over committed postings
     "s14_ivf_ingest" -> 2,
+    // s16 = 9: three (exact x ann) audit joins + rollups over the
+    // memoized search results (queries x 5 rows each side)
+    "s16_index_recall" -> 9,
     // q79 = 3: daily rollup + spine/counts join + the shared user_id
     // window partitioning (both IGNORE-NULLS passes reuse one sort)
     "q79_interpolate" -> 3,
