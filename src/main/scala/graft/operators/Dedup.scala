@@ -836,6 +836,103 @@ object Dedup {
           concat_ws(",", transform(slice(col("sig"), j * 4 + 1, lit(4)),
             v => v.cast("string")))))).as("bk"))
 
+  /** d20: the LSH band/row tradeoff MEASURED — for each banding of the
+    * 16-permutation signature ((16 bands × 1 row), (8×2), (4×4, d3's
+    * production config), (2×8)), the candidate-pair count, how many
+    * candidates are true near-dups (signature agreement ≥ 0.5), and
+    * precision/recall in basis points. The table that justifies d3's
+    * parameters with numbers instead of folklore: wider bands cut
+    * candidates (shuffle volume) at the cost of recall.
+    *
+    * Ground truth WITHOUT an all-pairs scan: agreement ≥ 0.5 means ≥ 8
+    * of 16 positions match, so every true pair shares at least one
+    * single-position band — the (16×1) candidate set provably contains
+    * ALL true pairs, and truth = its agreement-filtered subset. Scope
+    * capped at doc_id < 1000 (audit convention, like m5/m9): 1-row
+    * bands bucket by a single minhash value, and a corpus-wide
+    * boilerplate shingle would make those buckets quadratic — the
+    * pathology this table exists to show, bounded.
+    */
+  val dLshTradeoff: QuerySpec = QuerySpec.sql(
+    "d20_lsh_tradeoff",
+    s"""WITH sh AS (
+       |  SELECT doc_id, ${Portable.shinglesSql(3).replace("\n", " ")} AS sh
+       |  FROM documents WHERE doc_id < 1000
+       |), hs AS (
+       |  SELECT doc_id, list_transform(sh,
+       |    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hs FROM sh
+       |), sig AS (
+       |  SELECT doc_id, list_transform(generate_series(1, $K),
+       |    i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % $P))) AS sig
+       |  FROM hs
+       |), cfg AS (
+       |  SELECT unnest([16, 8, 4, 2]) AS b
+       |), bands AS (
+       |  SELECT s.doc_id, c.b,
+       |         unnest(list_transform(generate_series(0, c.b - 1),
+       |           j -> j || ':' || array_to_string(
+       |             s.sig[j * (16 // c.b) + 1 : j * (16 // c.b) + (16 // c.b)], ','))) AS bk
+       |  FROM sig s CROSS JOIN cfg c
+       |), cand AS (
+       |  SELECT DISTINCT a.b, a.doc_id AS doc_a, b2.doc_id AS doc_b
+       |  FROM bands a JOIN bands b2
+       |    ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id
+       |), scored AS (
+       |  SELECT c.b, c.doc_a, c.doc_b,
+       |         len(list_filter(generate_series(1, $K),
+       |           i -> sa.sig[i] = sb.sig[i])) >= 8 AS is_true
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.doc_a
+       |  JOIN sig sb ON sb.doc_id = c.doc_b
+       |), truth AS (
+       |  SELECT COUNT(*) AS n_truth FROM scored WHERE b = 16 AND is_true
+       |), agg AS (
+       |  SELECT b, CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |         CAST(SUM(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+       |  FROM scored GROUP BY b
+       |)
+       |SELECT b AS n_bands, CAST(16 // b AS BIGINT) AS rows_per_band,
+       |       n_cand, n_true,
+       |       CAST(n_true * 10000 // n_cand AS BIGINT) AS precision_bp,
+       |       CAST(n_true * 10000 // (SELECT n_truth FROM truth) AS BIGINT) AS recall_bp
+       |FROM agg""".stripMargin) { (s, dir) =>
+    val sigs = signatures(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000))
+      .localCheckpoint() // one build feeds all four configs + both join sides
+    val bands = Seq(16, 8, 4, 2).map { b =>
+      val r = 16 / b
+      sigs.select(lit(b).as("b"), col("doc_id"),
+        explode(transform(sequence(lit(0), lit(b - 1)),
+          j => concat_ws(":", j.cast("string"),
+            concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
+              v => v.cast("string")))))).as("bk"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("a").hint("shuffle_hash")
+      .join(bands.as("b2"),
+        col("a.b") === col("b2.b") && col("a.bk") === col("b2.bk") &&
+          col("a.doc_id") < col("b2.doc_id"))
+      .select(col("a.b").as("b"), col("a.doc_id").as("doc_a"),
+        col("b2.doc_id").as("doc_b"))
+      .distinct()
+    val agree = size(filter(zip_with(col("sa.sig"), col("sb.sig"),
+      (x, y) => x === y), v => v))
+    val scored = cand
+      .join(sigs.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("b"), (agree >= 8).as("is_true"))
+      .localCheckpoint() // feeds the per-config rollup and the truth scalar
+    val truth = scored.filter(col("b") === 16 && col("is_true"))
+      .agg(count(lit(1)).as("n_truth"))
+    scored.groupBy("b")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"))
+      .crossJoin(broadcast(truth))
+      .selectExpr("b AS n_bands", "CAST(16 div b AS BIGINT) AS rows_per_band",
+        "n_cand", "n_true",
+        "n_true * 10000L div n_cand AS precision_bp",
+        "n_true * 10000L div n_truth AS recall_bp")
+  }
+
   /** Streaming-ingest dedup core (the foreachBatch body of
     * `Streams.dedupSink`, callable directly on a static batch): dedupe
     * the batch within itself (exact text hash, keep the lowest doc_id),
@@ -957,5 +1054,5 @@ object Dedup {
     Seq(dExact, dJaccard, dMinHash.memo, dSimHash.memo, dClusters.memo, dSimHashPairs,
       dContainment, dKeepBest, dBoilerplate, dSketchError, dDupRateBySource,
       dClusterQuality, dTriangles, dSourceOverlap, dBloomDedup,
-      dIncrementalClusters, dSubstring)
+      dIncrementalClusters, dSubstring, dLshTradeoff)
 }

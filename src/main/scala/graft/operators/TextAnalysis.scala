@@ -586,8 +586,76 @@ object TextAnalysis {
         "n_novel * 10000 div n_sh AS novelty_bp")
   }
 
+  /** t18: vocabulary growth (Heaps' law) — cumulative distinct types vs
+    * cumulative tokens over corpus-arrival deciles (doc_id order), the
+    * curve that tells a corpus builder whether new data still brings
+    * new vocabulary or only repeats it (flattening type-token ratio =
+    * diminishing lexical returns; an anomalous jump = a contamination
+    * or domain-shift signal). Cumulative distinct WITHOUT rescanning
+    * prefixes: each type contributes at its FIRST-occurrence decile
+    * (min over its docs), so vocab_cum(d) is one 10-row running sum
+    * over the per-decile first-occurrence counts.
+    *
+    * Scale shape: one token-key shuffle (first-occurrence min +
+    * occurrence counts, both map-side combined), one |deciles|-row
+    * rollup; the running sums order 10 rows. The decile edge is the
+    * 1-row broadcast MAX(doc_id).
+    */
+  val tVocabGrowth: QuerySpec = QuerySpec.sql(
+    "t18_vocab_growth",
+    """WITH n AS (SELECT MAX(doc_id) AS mx FROM documents),
+      |tok AS (
+      |  SELECT d.doc_id,
+      |         least(d.doc_id * 10 // (n.mx + 1), 9) AS dec,
+      |         unnest(string_split(d.text, ' ')) AS t
+      |  FROM documents d CROSS JOIN n
+      |), per_type AS (
+      |  SELECT t, MIN(dec) AS fd FROM tok GROUP BY t
+      |), new_types AS (
+      |  SELECT fd AS dec, CAST(COUNT(*) AS BIGINT) AS n_new FROM per_type GROUP BY fd
+      |), per_dec AS (
+      |  SELECT dec, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |  FROM tok GROUP BY dec
+      |), cum AS (
+      |  SELECT p.dec, p.n_docs, p.n_tok, COALESCE(nt.n_new, 0) AS n_new,
+      |         SUM(p.n_tok) OVER (ORDER BY p.dec
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tok_cum,
+      |         SUM(COALESCE(nt.n_new, 0)) OVER (ORDER BY p.dec
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vocab_cum
+      |  FROM per_dec p LEFT JOIN new_types nt ON nt.dec = p.dec
+      |)
+      |SELECT dec, n_docs, n_tok, n_new,
+      |       CAST(tok_cum AS BIGINT) AS tok_cum,
+      |       CAST(vocab_cum AS BIGINT) AS vocab_cum,
+      |       CAST(vocab_cum * 10000 // tok_cum AS BIGINT) AS ttr_bp
+      |FROM cum""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val mx = docs.agg(max("doc_id").as("mx"))
+    val tok = docs.crossJoin(broadcast(mx))
+      .select(col("doc_id"),
+        least(expr("doc_id * 10 div (mx + 1)"), lit(9L)).as("dec"),
+        explode(Portable.tokens(col("text"))).as("t"))
+      .localCheckpoint() // feeds the type pass and the decile rollup
+    val newTypes = tok.groupBy("t").agg(min("dec").as("fd"))
+      .groupBy(col("fd").as("dec")).agg(count(lit(1)).as("n_new"))
+    val perDec = tok.groupBy("dec")
+      .agg(count(lit(1)).as("n_tok"), countDistinct("doc_id").as("n_docs"))
+    // 10-row running sums: the window domain is |deciles|, bounded by
+    // construction (p8's largest-remainder justification applies)
+    val w = Window.orderBy("dec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDec.join(newTypes, Seq("dec"), "left")
+      .withColumn("n_new", coalesce(col("n_new"), lit(0L)))
+      .withColumn("tok_cum", sum("n_tok").over(w))
+      .withColumn("vocab_cum", sum("n_new").over(w))
+      .selectExpr("dec", "n_docs", "n_tok", "n_new", "tok_cum", "vocab_cum",
+        "vocab_cum * 10000L div tok_cum AS ttr_bp")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(tTokens, tQuality.memo, tLangId.memo, tFingerprint, tRepetition, tVocabDf,
       tSurprisal, tRedact, tKeywords, tGopher, tBigramLm.memo, tLangConfusion,
-      tCharEntropy, tLmScore, tBpePairs, tCollocations, tNgramNovelty)
+      tCharEntropy, tLmScore, tBpePairs, tCollocations, tNgramNovelty,
+      tVocabGrowth)
 }

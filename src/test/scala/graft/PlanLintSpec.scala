@@ -28,7 +28,11 @@ class PlanLintSpec extends SparkTestBase {
     "p15_leakage_split",
     // s15's two assignment passes broadcast the 16-row codebook (s4's
     // intended per-row argmin loop join)
-    "s15_kmeans_refine")
+    "s15_kmeans_refine",
+    // d20 broadcasts its 1-row ground-truth count like p4's report frames
+    "d20_lsh_tradeoff",
+    // t18 broadcasts the 1-row MAX(doc_id) decile edge
+    "t18_vocab_growth")
 
   test("no unintended CartesianProduct or nested-loop join in any registered query plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -85,6 +85,12 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // s14's build-time ingest runs as separate tokened commit jobs; the
     // registered plan is the cell-probed search over committed postings
     "s14_ivf_ingest" -> 2,
+    // t18 = 6: one token-key shuffle (type first-occurrence), decile
+    // rollup with count_distinct expansion, 10-row running-sum window
+    "t18_vocab_growth" -> 6,
+    // d20 = 3: one banded self-join over the 4-config union (shuffle on
+    // (config, band-key)), the signature verify joins, the tiny rollup
+    "d20_lsh_tradeoff" -> 3,
     // s16 = 9: three (exact x ann) audit joins + rollups over the
     // memoized search results (queries x 5 rows each side)
     "s16_index_recall" -> 9,
