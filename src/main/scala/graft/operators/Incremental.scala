@@ -181,6 +181,127 @@ object Incremental {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
   }
 
+  /** Run segmentation for SCD2: contiguous (us, event_id)-ordered runs
+    * of equal event_type per user → one interval row per run
+    * (user_id, event_type, valid_from_us, valid_to_us·nullable).
+    * q31's gaps-and-islands logic, reused by q80's incremental apply.
+    */
+  private[graft] def scd2Runs(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byFrom = Window.partitionBy("user_id").orderBy("valid_from_us")
+    ev.withColumn("is_chg",
+        when(!lag("event_type", 1).over(byUser).eqNullSafe(col("event_type")), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum("is_chg").over(cum))
+      .groupBy("user_id", "event_type", "run_id")
+      .agg(min("us").as("valid_from_us"))
+      .withColumn("valid_to_us", lead("valid_from_us", 1).over(byFrom))
+      .drop("run_id")
+  }
+
+  private def scd2WithSk(df: DataFrame): DataFrame = df.withColumn("sk",
+    concat_ws(":", col("user_id").cast("string"),
+      col("valid_from_us").cast("string")))
+
+  /** The incremental SCD2 APPLY: segment the batch into runs, stitch
+    * each user's open interval at the boundary (same tracked value →
+    * extend, keeping the original valid_from; different → close at the
+    * first new change; unseen user → plain insert), and publish through
+    * one [[Snapshots.merge]] on the (user, valid_from) surrogate key so
+    * only files containing touched keys rewrite. Batch events:
+    * (user_id, event_id, us, event_type).
+    */
+  private[graft] def scd2Apply(s: SparkSession, root: String,
+      batch: DataFrame): Unit = {
+    val b = scd2Runs(batch)
+      .withColumn("idx", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("user_id").orderBy("valid_from_us")))
+      .localCheckpoint() // feeds first-run stitch + inserts
+    val first = b.filter(col("idx") === 1).select(
+      col("user_id"), col("event_type").as("fb_type"),
+      col("valid_from_us").as("fb_from"), col("valid_to_us").as("fb_to"))
+    val open = Snapshots.read(s, root).filter(col("valid_to_us").isNull)
+    val stitched = open.join(first, Seq("user_id"), "inner")
+      .withColumn("extends", col("event_type") === col("fb_type"))
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        // extend: open row absorbs the first batch run (valid_to moves
+        // to that run's end); close: valid_to = the first new change
+        when(col("extends"), col("fb_to")).otherwise(col("fb_from"))
+          .as("valid_to_us"),
+        col("extends"))
+    // batch runs that were absorbed into an extended open row drop out
+    val inserts = b.join(
+        stitched.filter(col("extends")).select(col("user_id"), lit(1).as("ext")),
+        Seq("user_id"), "left")
+      .filter(col("idx") > 1 || col("ext").isNull)
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("valid_to_us"))
+    Snapshots.merge(s, root,
+      scd2WithSk(stitched.drop("extends").unionByName(inserts)), "sk"): Unit
+  }
+
+  /** q80: incremental SCD2 dimension maintenance through the snapshot
+    * table — the close-and-insert MERGE a warehouse runs nightly:
+    * events before 2024-01-16 build the interval table (q31's runs);
+    * the later half then APPLIES incrementally — each user's open
+    * interval either extends (same tracked value at the boundary:
+    * valid_to moves, valid_from keeps) or closes at the first new
+    * change, and the batch's own runs insert — all through one
+    * `Snapshots.merge` on the (user, valid_from) surrogate key, so
+    * only files containing touched keys rewrite (COW). The oracle
+    * recomputes every interval from the FULL event history, so a
+    * boundary-stitch mistake (lost extension, off-by-one close, a
+    * dropped open row) fails the hash gate: incremental == recompute
+    * for slowly-changing dimensions.
+    *
+    * Scale shape: the apply's per-batch work is (batch runs) ⋈ (open
+    * rows of touched users — a key-pruned read); history files with no
+    * touched user are never read or rewritten. The arrival replay is
+    * the lab05 filename-watermark intent done transactionally.
+    */
+  val qScd2Merge: QuerySpec = QuerySpec.sql(
+    "q80_scd2_merge",
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS us, event_type FROM events
+      |), chg AS (
+      |  SELECT user_id, us, event_id, event_type,
+      |         CASE WHEN LAG(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id)
+      |                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_chg
+      |  FROM e
+      |), runs AS (
+      |  SELECT user_id, us, event_type,
+      |         SUM(is_chg) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      |  FROM chg
+      |), iv AS (
+      |  SELECT user_id, event_type, MIN(us) AS valid_from_us
+      |  FROM runs GROUP BY user_id, event_type, run_id
+      |)
+      |SELECT user_id, event_type, valid_from_us,
+      |       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+      |       (LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) IS NULL) AS is_current
+      |FROM iv""".stripMargin) { (s, dir) =>
+    val pivotUs = 1705363200000000L // 2024-01-16T00:00:00Z
+    val root = snapRoot(s, dir, "scd2")
+    if (Snapshots.versions(s, root).length < 2) {
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"), col("event_type"))
+      Snapshots.commit(
+        scd2WithSk(scd2Runs(ev.filter(col("us") < pivotUs)))
+          .repartitionByRange(8, col("user_id")),
+        root)
+      scd2Apply(s, root, ev.filter(col("us") >= pivotUs))
+    }
+    Snapshots.read(s, root)
+      .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("valid_to_us"))
+      .withColumn("is_current", col("valid_to_us").isNull)
+  }
+
   /** d15: incremental dedup — a NEW batch (doc_id % 5 = 4) deduped
     * against the already-indexed corpus (the rest). Exact dupes drop on
     * a text-hash anti-join; near-dupes drop when an LSH band matches an
@@ -348,5 +469,5 @@ object Incremental {
 
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
-      dStreamDedup, qCompactedRead)
+      dStreamDedup, qCompactedRead, qScd2Merge)
 }

@@ -119,4 +119,44 @@ class IncrementalSpec extends SparkTestBase {
       if (bp == 0) assert(agree <= 8, s"disjoint sets but $agree/16 agree")
     }
   }
+
+  test("q80 scd2Apply stitches all three boundary cases: extend, close, new user") {
+    import graft.sources.Snapshots
+    import graft.operators.Incremental
+    val root = java.nio.file.Files.createTempDirectory("scd2spec")
+      .resolve("t").toString
+    def ev(rows: (Long, Long, Long, String)*) =
+      rows.toDF("user_id", "event_id", "us", "event_type")
+    // base: u1 open on 'a' (extend case), u2 open on 'a' (close case)
+    Snapshots.commit(
+      Incremental.scd2Runs(ev((1L, 1L, 100L, "a"), (2L, 2L, 100L, "a")))
+        .withColumn("sk", concat_ws(":", col("user_id"), col("valid_from_us"))),
+      root)
+    // batch: u1 continues 'a' then flips to 'b'; u2 flips to 'b'
+    // immediately; u3 is brand new with two runs
+    Incremental.scd2Apply(spark, root, ev(
+      (1L, 3L, 200L, "a"), (1L, 4L, 300L, "b"),
+      (2L, 5L, 250L, "b"),
+      (3L, 6L, 220L, "x"), (3L, 7L, 260L, "y")))
+    val got = Snapshots.read(spark, root)
+      .select("user_id", "event_type", "valid_from_us", "valid_to_us")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got === Set(
+      (1L, "a", 100L, 300L),  // extended: original from kept, closed at flip
+      (1L, "b", 300L, -1L),
+      (2L, "a", 100L, 250L),  // closed at the first new change
+      (2L, "b", 250L, -1L),
+      (3L, "x", 220L, 260L),  // new user inserted whole
+      (3L, "y", 260L, -1L)))
+    // and the full-recompute identity holds on the union of both halves
+    val full = Incremental.scd2Runs(ev(
+      (1L, 1L, 100L, "a"), (2L, 2L, 100L, "a"),
+      (1L, 3L, 200L, "a"), (1L, 4L, 300L, "b"),
+      (2L, 5L, 250L, "b"),
+      (3L, 6L, 220L, "x"), (3L, 7L, 260L, "y")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(got === full)
+  }
 }

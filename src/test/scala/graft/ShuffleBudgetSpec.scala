@@ -85,6 +85,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // s14's build-time ingest runs as separate tokened commit jobs; the
     // registered plan is the cell-probed search over committed postings
     "s14_ivf_ingest" -> 2,
+    // q80 = 0: the registered plan reads the merged snapshot (the
+    // build/apply runs as separate tokened jobs, q71's convention)
+    "q80_scd2_merge" -> 0,
     // t18 = 6: one token-key shuffle (type first-occurrence), decile
     // rollup with count_distinct expansion, 10-row running-sum window
     "t18_vocab_growth" -> 6,
