@@ -147,10 +147,7 @@ object Dedup {
     // materialization instead of three recomputes
     val docs = signatures(Tables.documents(s, dir)).localCheckpoint()
     val bands = docs.select(col("doc_id"), col("sig"),
-      explode(transform(sequence(lit(0), lit(Bands - 1)),
-        j => concat_ws(":", j.cast("string"),
-          concat_ws(",", transform(slice(col("sig"), j * 4 + 1, lit(4)),
-            v => v.cast("string")))))).as("bk"))
+      explode(bandKeyArray(col("sig"), Bands, 4)).as("bk"))
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -829,12 +826,22 @@ object Dedup {
     * short `j:v1,v2,v3,v4` string — the LSH bucket identity shared by
     * d3/d15 and the streaming ingest index.
     */
+  /** Band-key array expression — one "j:v1,v2,.." string per band over a
+    * signature column. THE single source of the band-key wire format:
+    * d3's builder, the d14/d15 index rows, and d20's config sweep all
+    * join on strings this expression produces, and each has an oracle
+    * mirroring it as `j || ':' || array_to_string(sig[a:b], ',')` — a
+    * format change here must change all of them together, which is the
+    * point of having exactly one copy.
+    */
+  private[graft] def bandKeyArray(sig: Column, bands: Int, rpb: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      j => concat_ws(":", j.cast("string"),
+        concat_ws(",", transform(slice(sig, j * rpb + 1, lit(rpb)),
+          v => v.cast("string")))))
+
   private[graft] def bandKeys(sigs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    sigs.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(Bands - 1)),
-        j => concat_ws(":", j.cast("string"),
-          concat_ws(",", transform(slice(col("sig"), j * 4 + 1, lit(4)),
-            v => v.cast("string")))))).as("bk"))
+    sigs.select(col("doc_id"), explode(bandKeyArray(col("sig"), Bands, 4)).as("bk"))
 
   /** d20: the LSH band/row tradeoff MEASURED — for each banding of the
     * 16-permutation signature ((16 bands × 1 row), (8×2), (4×4, d3's
@@ -902,10 +909,7 @@ object Dedup {
     val bands = Seq(16, 8, 4, 2).map { b =>
       val r = 16 / b
       sigs.select(lit(b).as("b"), col("doc_id"),
-        explode(transform(sequence(lit(0), lit(b - 1)),
-          j => concat_ws(":", j.cast("string"),
-            concat_ws(",", transform(slice(col("sig"), j * r + 1, lit(r)),
-              v => v.cast("string")))))).as("bk"))
+        explode(bandKeyArray(col("sig"), b, r)).as("bk"))
     }.reduce(_ unionByName _)
     val cand = bands.as("a").hint("shuffle_hash")
       .join(bands.as("b2"),

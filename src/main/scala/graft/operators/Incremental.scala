@@ -182,28 +182,39 @@ object Incremental {
   }
 
   /** Run segmentation for SCD2: contiguous (us, event_id)-ordered runs
-    * of equal event_type per user → one interval row per run
-    * (user_id, event_type, valid_from_us, valid_to_us·nullable).
-    * q31's gaps-and-islands logic, reused by q80's incremental apply.
+    * of equal event_type per user → one interval row per run:
+    * (user_id, event_type, version, valid_from_us, valid_from_eid,
+    * n_events, valid_to_us·nullable). THE single copy of the
+    * gaps-and-islands logic — q31 projects its columns from it and
+    * q80's incremental apply stitches on it. `valid_from_eid` (the
+    * run's first event_id) makes the run key strictly ordered even
+    * when two runs start at the same microsecond, so q80's
+    * (user, from) surrogate key stays unique and the interval chain
+    * (LEAD) is deterministic under timestamp ties.
     */
   private[graft] def scd2Runs(ev: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
     val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val byFrom = Window.partitionBy("user_id").orderBy("valid_from_us")
+    val byFrom = Window.partitionBy("user_id")
+      .orderBy("valid_from_us", "valid_from_eid")
     ev.withColumn("is_chg",
         when(!lag("event_type", 1).over(byUser).eqNullSafe(col("event_type")), 1L)
           .otherwise(0L))
       .withColumn("run_id", sum("is_chg").over(cum))
       .groupBy("user_id", "event_type", "run_id")
-      .agg(min("us").as("valid_from_us"))
+      .agg(min(struct(col("us"), col("event_id"))).as("m"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("event_type"), col("run_id").as("version"),
+        col("m.us").as("valid_from_us"), col("m.event_id").as("valid_from_eid"),
+        col("n_events"))
       .withColumn("valid_to_us", lead("valid_from_us", 1).over(byFrom))
-      .drop("run_id")
   }
 
-  private def scd2WithSk(df: DataFrame): DataFrame = df.withColumn("sk",
+  private[graft] def scd2WithSk(df: DataFrame): DataFrame = df.withColumn("sk",
     concat_ws(":", col("user_id").cast("string"),
-      col("valid_from_us").cast("string")))
+      col("valid_from_us").cast("string"),
+      col("valid_from_eid").cast("string")))
 
   /** The incremental SCD2 APPLY: segment the batch into runs, stitch
     * each user's open interval at the boundary (same tracked value →
@@ -216,8 +227,10 @@ object Incremental {
   private[graft] def scd2Apply(s: SparkSession, root: String,
       batch: DataFrame): Unit = {
     val b = scd2Runs(batch)
+      .select("user_id", "event_type", "valid_from_us", "valid_from_eid",
+        "valid_to_us")
       .withColumn("idx", row_number().over(org.apache.spark.sql.expressions
-        .Window.partitionBy("user_id").orderBy("valid_from_us")))
+        .Window.partitionBy("user_id").orderBy("valid_from_us", "valid_from_eid")))
       .localCheckpoint() // feeds first-run stitch + inserts
     val first = b.filter(col("idx") === 1).select(
       col("user_id"), col("event_type").as("fb_type"),
@@ -226,6 +239,7 @@ object Incremental {
     val stitched = open.join(first, Seq("user_id"), "inner")
       .withColumn("extends", col("event_type") === col("fb_type"))
       .select(col("user_id"), col("event_type"), col("valid_from_us"),
+        col("valid_from_eid"),
         // extend: open row absorbs the first batch run (valid_to moves
         // to that run's end); close: valid_to = the first new change
         when(col("extends"), col("fb_to")).otherwise(col("fb_from"))
@@ -237,7 +251,7 @@ object Incremental {
         Seq("user_id"), "left")
       .filter(col("idx") > 1 || col("ext").isNull)
       .select(col("user_id"), col("event_type"), col("valid_from_us"),
-        col("valid_to_us"))
+        col("valid_from_eid"), col("valid_to_us"))
     Snapshots.merge(s, root,
       scd2WithSk(stitched.drop("extends").unionByName(inserts)), "sk"): Unit
   }
@@ -257,9 +271,14 @@ object Incremental {
     * for slowly-changing dimensions.
     *
     * Scale shape: the apply's per-batch work is (batch runs) ⋈ (open
-    * rows of touched users — a key-pruned read); history files with no
-    * touched user are never read or rewritten. The arrival replay is
-    * the lab05 filename-watermark intent done transactionally.
+    * rows), and the REWRITE is file-pruned — only data files containing
+    * a stitched key are rewritten, history files carry forward in the
+    * manifest untouched. The open-row probe does scan the dimension's
+    * narrow interval columns (at 100 TB you'd additionally partition
+    * the table by a user-id bucket so the probe prunes files too — the
+    * commit already range-partitions by user_id to make rewrites
+    * key-local). The arrival replay is the lab05 filename-watermark
+    * intent done transactionally.
     */
   val qScd2Merge: QuerySpec = QuerySpec.sql(
     "q80_scd2_merge",
@@ -291,7 +310,8 @@ object Incremental {
       val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"), col("event_type"))
       Snapshots.commit(
-        scd2WithSk(scd2Runs(ev.filter(col("us") < pivotUs)))
+        scd2WithSk(scd2Runs(ev.filter(col("us") < pivotUs))
+            .drop("version", "n_events"))
           .repartitionByRange(8, col("user_id")),
         root)
       scd2Apply(s, root, ev.filter(col("us") >= pivotUs))
@@ -357,10 +377,7 @@ object Incremental {
     // against INDEX band keys only (corpus never self-pairs)
     val sigs = Dedup.signatures(docs).localCheckpoint()
     def bandsOf(side: DataFrame): DataFrame = side.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(Dedup.Bands - 1)),
-        j => concat_ws(":", j.cast("string"),
-          concat_ws(",", transform(slice(col("sig"), j * 4 + 1, lit(4)),
-            v => v.cast("string")))))).as("bk"))
+      explode(Dedup.bandKeyArray(col("sig"), Dedup.Bands, 4)).as("bk"))
     val batchSig = sigs.join(afterExact.select("doc_id"), "doc_id")
     val idxSig = sigs.join(docs.filter(!isBatch).select("doc_id"), "doc_id")
     val agree = size(filter(zip_with(col("a.sig"), col("b.sig"), (x, y) => x === y),

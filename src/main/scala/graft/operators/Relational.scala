@@ -577,22 +577,13 @@ object Relational {
       |       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
       |       (LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) IS NULL) AS is_current
       |FROM iv""".stripMargin) { (s, dir) =>
-    val byUser = Window.partitionBy("user_id").orderBy("us", "event_id")
-    val cum = Window.partitionBy("user_id").orderBy("us", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val byFrom = Window.partitionBy("user_id").orderBy("valid_from_us")
-    Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
-        col("event_type"))
-      .withColumn("is_chg",
-        when(!lag("event_type", 1).over(byUser).eqNullSafe(col("event_type")), 1L)
-          .otherwise(0L))
-      .withColumn("run_id", sum("is_chg").over(cum))
-      .groupBy("user_id", "event_type", "run_id")
-      .agg(min("us").as("valid_from_us"), count(lit(1)).as("n_events"))
-      .select(col("user_id"), col("event_type"), col("run_id").as("version"),
-        col("valid_from_us"), col("n_events"),
-        lead("valid_from_us", 1).over(byFrom).as("valid_to_us"))
+    // the single copy of the run segmentation lives with the SCD2
+    // family (q80 stitches incrementally on the same logic)
+    Incremental.scd2Runs(Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"), col("event_type")))
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("valid_from_us"), col("n_events"), col("valid_to_us"))
       .withColumn("is_current", col("valid_to_us").isNull)
   }
 

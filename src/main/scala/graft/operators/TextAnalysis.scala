@@ -632,15 +632,23 @@ object TextAnalysis {
       |FROM cum""".stripMargin) { (s, dir) =>
     val docs = Tables.documents(s, dir)
     val mx = docs.agg(max("doc_id").as("mx"))
-    val tok = docs.crossJoin(broadcast(mx))
+    // checkpoint at DOC scale (one row per doc with its token array —
+    // the same footprint as the documents table), not the exploded
+    // token stream: both consumers share one scan without ever
+    // materializing corpus-token-scale rows. The decile rollup is
+    // row-level: n_tok = Σ size(toks), n_docs = count(*) (split always
+    // yields ≥ 1 token per doc).
+    val base = docs.crossJoin(broadcast(mx))
       .select(col("doc_id"),
         least(expr("doc_id * 10 div (mx + 1)"), lit(9L)).as("dec"),
-        explode(Portable.tokens(col("text"))).as("t"))
-      .localCheckpoint() // feeds the type pass and the decile rollup
-    val newTypes = tok.groupBy("t").agg(min("dec").as("fd"))
+        Portable.tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val newTypes = base.select(col("dec"), explode(col("toks")).as("t"))
+      .groupBy("t").agg(min("dec").as("fd"))
       .groupBy(col("fd").as("dec")).agg(count(lit(1)).as("n_new"))
-    val perDec = tok.groupBy("dec")
-      .agg(count(lit(1)).as("n_tok"), countDistinct("doc_id").as("n_docs"))
+    val perDec = base.groupBy("dec")
+      .agg(sum(size(col("toks")).cast("long")).as("n_tok"),
+        count(lit(1)).as("n_docs"))
     // 10-row running sums: the window domain is |deciles|, bounded by
     // construction (p8's largest-remainder justification applies)
     val w = Window.orderBy("dec")

@@ -129,8 +129,9 @@ class IncrementalSpec extends SparkTestBase {
       rows.toDF("user_id", "event_id", "us", "event_type")
     // base: u1 open on 'a' (extend case), u2 open on 'a' (close case)
     Snapshots.commit(
-      Incremental.scd2Runs(ev((1L, 1L, 100L, "a"), (2L, 2L, 100L, "a")))
-        .withColumn("sk", concat_ws(":", col("user_id"), col("valid_from_us"))),
+      Incremental.scd2WithSk(
+        Incremental.scd2Runs(ev((1L, 1L, 100L, "a"), (2L, 2L, 100L, "a")))
+          .drop("version", "n_events")),
       root)
     // batch: u1 continues 'a' then flips to 'b'; u2 flips to 'b'
     // immediately; u3 is brand new with two runs
@@ -155,8 +156,25 @@ class IncrementalSpec extends SparkTestBase {
       (1L, 3L, 200L, "a"), (1L, 4L, 300L, "b"),
       (2L, 5L, 250L, "b"),
       (3L, 6L, 220L, "x"), (3L, 7L, 260L, "y")))
+      .select("user_id", "event_type", "valid_from_us", "valid_to_us")
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
         if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
     assert(got === full)
+  }
+
+  test("scd2 runs stay uniquely keyed under same-microsecond timestamp ties") {
+    import graft.operators.Incremental
+    import spark.implicits._
+    // two runs starting at the SAME microsecond: without the event_id
+    // tie-break both would carry sk user:100 and merge would reject
+    val runs = Incremental.scd2WithSk(Incremental.scd2Runs(
+      Seq((1L, 1L, 100L, "a"), (1L, 2L, 100L, "b"))
+        .toDF("user_id", "event_id", "us", "event_type")))
+    val rows = runs.select("sk", "event_type", "valid_to_us").collect()
+    assert(rows.map(_.getString(0)).distinct.length === 2)
+    // deterministic chain: 'a' (eid 1) precedes 'b' (eid 2)
+    val byType = rows.map(r => r.getString(1) ->
+      (if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(byType === Map("a" -> 100L, "b" -> -1L))
   }
 }

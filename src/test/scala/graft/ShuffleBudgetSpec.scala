@@ -58,7 +58,11 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q57_correlation" -> 1, "q58_session_window" -> 1,
     "q59_filtered_agg" -> 1, "q60_lateral" -> 3, "q61_skew_join" -> 3,
     "s1_knn_cosine" -> 0, "s2_cosine_neardup" -> 4, "s3_ann_lsh" -> 0,
-    "s4_ann_ivf" -> 6, "s5_quantize_int8" -> 0, "s6_centroid_int8" -> 1,
+    // s4/s13 are memoized since s16 composes them: the registered plan
+    // is the LogicalRDD scan of the checkpointed result (0 exchanges —
+    // the d3/s3 memo convention; the real search plans are pre-memo
+    // audited in PLANS.md and exercised by the gate itself)
+    "s4_ann_ivf" -> 0, "s5_quantize_int8" -> 0, "s6_centroid_int8" -> 1,
     "s9_covariance" -> 1, "q62_zorder" -> 1, "q63_bloom_filter" -> 1,
     "t1_token_count" -> 1, "t2_quality_score" -> 0, "t3_lang_id" -> 0,
     "t4_fingerprint" -> 0, "t5_repetition" -> 0, "t6_vocab_df" -> 3,
@@ -81,16 +85,17 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q74_hist_quantiles" -> 4, "d17_bloom_dedup" -> 7,
     "q75_attribution" -> 2, "s12_pq_knn" -> 2,
     "p14_budget_select" -> 4, "d18_incremental_clusters" -> 6,
-    "m7_silence_runs" -> 2, "m8_scene_changes" -> 2, "s13_ivf_pq" -> 2,
+    "m7_silence_runs" -> 2, "m8_scene_changes" -> 2,
+    "s13_ivf_pq" -> 0, // memoized for s16 — see the s4 comment above
     // s14's build-time ingest runs as separate tokened commit jobs; the
     // registered plan is the cell-probed search over committed postings
     "s14_ivf_ingest" -> 2,
     // q80 = 0: the registered plan reads the merged snapshot (the
     // build/apply runs as separate tokened jobs, q71's convention)
     "q80_scd2_merge" -> 0,
-    // t18 = 6: one token-key shuffle (type first-occurrence), decile
-    // rollup with count_distinct expansion, 10-row running-sum window
-    "t18_vocab_growth" -> 6,
+    // t18 = 5: one token-key shuffle (type first-occurrence) off the
+    // doc-scale checkpoint, row-level decile rollup, 10-row window
+    "t18_vocab_growth" -> 5,
     // d20 = 3: one banded self-join over the 4-config union (shuffle on
     // (config, band-key)), the signature verify joins, the tiny rollup
     "d20_lsh_tradeoff" -> 3,
