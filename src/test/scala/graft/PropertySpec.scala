@@ -270,6 +270,46 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("scd2Runs intervals tile each user's timeline on random event streams") {
+    val evGen: Gen[Seq[(Long, Long, Long, String)]] = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.chooseNum(1L, 4L)
+        us <- Gen.chooseNum(0L, 20L) // dense → frequent same-us ties
+        t <- Gen.oneOf("a", "b", "c")
+      } yield (u, us, t))
+    } yield rows.zipWithIndex.map { case ((u, us, t), i) => (u, i.toLong, us, t) }
+    samples(evGen, 10).zipWithIndex.foreach { case (rows, ci) =>
+      val got = operators.Incremental.scd2Runs(
+          rows.toDF("user_id", "event_id", "us", "event_type"))
+        .select("user_id", "event_type", "version", "valid_from_us",
+          "valid_from_eid", "n_events", "valid_to_us")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5), if (r.isNullAt(6)) None else Some(r.getLong(6))))
+      // brute-force reference: sort per user by (us, event_id), fold runs
+      val ref = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val sorted = es.sortBy(e => (e._3, e._2))
+        val runs = sorted.foldLeft(Vector.empty[(String, Long, Long, Long)]) {
+          case (acc, (_, eid, us, t)) =>
+            if (acc.nonEmpty && acc.last._1 == t)
+              acc.init :+ ((t, acc.last._2, acc.last._3, acc.last._4 + 1))
+            else acc :+ ((t, us, eid, 1L))
+        }
+        runs.zipWithIndex.map { case ((t, from, feid, cnt), i) =>
+          (u, t, (i + 1).toLong, from, feid, cnt,
+            runs.lift(i + 1).map(_._2))
+        }
+      }.toSet
+      assert(got.toSet === ref, s"case $ci: rows=$rows")
+      // structural: per user, run keys strictly increase and versions are 1..k
+      got.groupBy(_._1).foreach { case (_, rs) =>
+        val ordered = rs.sortBy(r => (r._4, r._5))
+        assert(ordered.map(_._3).toSeq === (1L to rs.length).toSeq)
+      }
+    }
+  }
+
   test("hammingPairs60 equals brute-force all-pairs on random 60-bit signatures") {
     // clustered generator: random base signatures plus small perturbations
     // so distances straddle the threshold both ways
