@@ -90,6 +90,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // s14's build-time ingest runs as separate tokened commit jobs; the
     // registered plan is the cell-probed search over committed postings
     "s14_ivf_ingest" -> 2,
+    // p16 = 5: four flag unions (seam-built pair relations) + the
+    // per-doc verdict rollup with count_distinct expansion
+    "p16_dedup_attribution" -> 5,
     // q80 = 0: the registered plan reads the merged snapshot (the
     // build/apply runs as separate tokened jobs, q71's convention)
     "q80_scd2_merge" -> 0,
