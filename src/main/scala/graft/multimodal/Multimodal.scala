@@ -162,6 +162,32 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** Fault-tolerant feature extraction: corrupt or undecodable media
+    * must QUARANTINE, not kill the task — at 100 TB some bytes will
+    * always be broken, and one bad row failing a 128 MB split four
+    * times kills the job. Per-row try around the decoder (decode cost
+    * dominates, so row-granular batching loses nothing), one output
+    * relation: (doc_id, status ok|quarantined, width·null, ahash·null).
+    * The file-ingest quarantine pattern (QuarantineSpec) applied to the
+    * media decode seam.
+    */
+  def extractOrQuarantine(media: Dataset[MediaRow], decoder: MediaDecoder)
+      : org.apache.spark.sql.DataFrame = {
+    implicit val enc =
+      Encoders.product[(Long, String, Option[Int], Option[String])]
+    media.mapPartitions { it =>
+      it.map { r =>
+        try {
+          val f = decoder.decodeBatch(Seq(r)).head
+          (r.doc_id, "ok", Some(f.width), Some(f.fingerprint))
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            (r.doc_id, "quarantined", None, None)
+        }
+      }
+    }.toDF("doc_id", "status", "width", "ahash")
+  }
+
   /** Batched per-partition feature extraction. `batchSize` bounds decoder
     * working-set memory; partition count (not batch size) governs
     * parallelism, so at 100 TB this scales with input splits while each

@@ -419,7 +419,38 @@ object MultimodalQ {
         count(lit(1)).as("n_frames"), sum("energy").as("energy_sum"))
   }
 
+  /** m11: decode-failure quarantine under the oracle gate — every 7th
+    * doc carries deliberately truncated PNG bytes (magic only); the
+    * rest are real cell-mask PNGs with analytically-known aHashes
+    * (mask = doc_id). The fault-tolerant decode path must quarantine
+    * exactly the corrupt rows WITHOUT failing the task — the behavior
+    * that separates a pipeline that survives 100 TB of real-world
+    * bytes from one that dies on split retry #4 — and decode the rest
+    * bit-exactly. The oracle states the whole outcome in closed form,
+    * so a swallowed good row, a crash instead of a quarantine, or a
+    * hash corrupted by the error path all fail the compare.
+    */
+  val mDecodeQuarantine: QuerySpec = QuerySpec.sql(
+    "m11_decode_quarantine",
+    """SELECT doc_id,
+      |       CASE WHEN doc_id % 7 = 3 THEN 'quarantined' ELSE 'ok' END AS status,
+      |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE CAST(16 AS INTEGER) END AS width,
+      |       CASE WHEN doc_id % 7 = 3 THEN NULL ELSE printf('%016x', doc_id) END AS ahash
+      |FROM documents WHERE doc_id < 300""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val media = Tables.documents(s, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val bytes =
+          if (id % 7 == 3) Array[Byte](0x89.toByte, 'P', 'N', 'G') // truncated
+          else Multimodal.encodeMaskPng(id) // aHash == id (cells uniform)
+        Multimodal.MediaRow(id, "image", bytes)
+      })
+    Multimodal.extractOrQuarantine(media, Multimodal.ImageIoDecoder)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(mFeatures, mResize, mFrames, mModalityReport, mImageDecode,
-      mAudioFrames, mSilenceRuns, mSceneChanges, mImageNearDup, mShotTable)
+      mAudioFrames, mSilenceRuns, mSceneChanges, mImageNearDup, mShotTable,
+      mDecodeQuarantine)
 }

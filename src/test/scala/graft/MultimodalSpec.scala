@@ -140,4 +140,28 @@ class MultimodalSpec extends SparkTestBase {
       assert(row.head.getAs[Long]("max_run") === runs.max.toLong)
     }
   }
+
+  test("m11: a corrupt row between good rows quarantines alone — neighbors decode intact") {
+    import spark.implicits._
+    // one partition, corrupt row in the MIDDLE: the per-row error path
+    // must not poison rows before or after it in the same iterator
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", Multimodal.encodeMaskPng(5L)),
+      Multimodal.MediaRow(2L, "image", Array[Byte](0x89.toByte, 'P', 'N', 'G')),
+      Multimodal.MediaRow(3L, "image", Multimodal.encodeMaskPng(9L)))
+      .toDS().repartition(1)
+    val got = Multimodal.extractOrQuarantine(media, Multimodal.ImageIoDecoder)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    assert(got === Set(
+      (1L, "ok", f"${5L}%016x"),
+      (2L, "quarantined", null),
+      (3L, "ok", f"${9L}%016x")))
+    // and the strict decoder genuinely throws on those bytes — the
+    // quarantine wrapper is catching a real failure, not a no-op
+    intercept[Exception] {
+      Multimodal.ImageIoDecoder.decodeBatch(Seq(
+        Multimodal.MediaRow(9L, "image", Array[Byte](0x89.toByte, 'P', 'N', 'G'))))
+    }
+  }
 }

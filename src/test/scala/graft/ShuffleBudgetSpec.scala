@@ -90,6 +90,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // s14's build-time ingest runs as separate tokened commit jobs; the
     // registered plan is the cell-probed search over committed postings
     "s14_ivf_ingest" -> 2,
+    // m11 = 0: per-row decode-or-quarantine is a pure projection
+    "m11_decode_quarantine" -> 0,
     // p16 = 5: four flag unions (seam-built pair relations) + the
     // per-doc verdict rollup with count_distinct expansion
     "p16_dedup_attribution" -> 5,
