@@ -174,18 +174,23 @@ object Multimodal {
   def extractOrQuarantine(media: Dataset[MediaRow], decoder: MediaDecoder)
       : org.apache.spark.sql.DataFrame = {
     implicit val enc =
-      Encoders.product[(Long, String, Option[Int], Option[String])]
+      Encoders.product[(Long, String, Option[Int], Option[String], Option[String])]
     media.mapPartitions { it =>
       it.map { r =>
         try {
           val f = decoder.decodeBatch(Seq(r)).head
-          (r.doc_id, "ok", Some(f.width), Some(f.fingerprint))
+          (r.doc_id, "ok", Some(f.width), Some(f.fingerprint), None)
         } catch {
-          case scala.util.control.NonFatal(_) =>
-            (r.doc_id, "quarantined", None, None)
+          case scala.util.control.NonFatal(e) =>
+            // the reason column keeps a misrouted dataset (decoder
+            // precondition, e.g. audio rows sent to the image decoder)
+            // distinguishable from genuinely broken bytes — a silent
+            // all-quarantined run would otherwise mask a wiring bug
+            (r.doc_id, "quarantined", None, None,
+              Some(e.getMessage).filter(_ != null).orElse(Some(e.getClass.getSimpleName)))
         }
       }
-    }.toDF("doc_id", "status", "width", "ahash")
+    }.toDF("doc_id", "status", "width", "ahash", "reason")
   }
 
   /** Batched per-partition feature extraction. `batchSize` bounds decoder

@@ -709,63 +709,19 @@ object Curation {
     */
   val pDedupAttribution: QuerySpec = QuerySpec.sql(
     "p16_dedup_attribution",
-    s"""WITH ex AS (
-       |  SELECT doc_id FROM (
-       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-       |    FROM documents) WHERE rn > 1
-       |), sh AS (
-       |  SELECT doc_id, ${Portable.shinglesSql(3).replace("\n", " ")} AS sh FROM documents
-       |), hs AS (
-       |  SELECT doc_id, list_transform(sh,
-       |    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hs FROM sh
-       |), sig AS (
-       |  SELECT doc_id, list_transform(generate_series(1, ${Dedup.K}),
-       |    i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % ${Dedup.P}))) AS sig
-       |  FROM hs
-       |), bands AS (
-       |  SELECT doc_id, sig, unnest(list_transform(generate_series(0, ${Dedup.Bands - 1}),
-       |    j -> j || ':' || array_to_string(sig[j*4+1:j*4+4], ','))) AS bk
-       |  FROM sig
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-       |), mh AS (
-       |  SELECT DISTINCT doc_b AS doc_id FROM cand
-       |  JOIN sig sa ON sa.doc_id = doc_a
-       |  JOIN sig sb ON sb.doc_id = doc_b
-       |  WHERE len(list_filter(generate_series(1, ${Dedup.K}),
-       |        i -> sa.sig[i] = sb.sig[i])) * 1.0 / ${Dedup.K} >= 0.5
-       |), th AS (
-       |  SELECT doc_id, list_transform(list_distinct(string_split(text, ' ')),
-       |    t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS th
-       |  FROM documents
-       |), sh60 AS (
-       |  SELECT doc_id,
-       |         CAST(list_sum(list_transform(generate_series(0, 59),
-       |           b -> CASE WHEN list_sum(list_transform(th,
-       |                  h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-       |                THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
-       |  FROM th
-       |), sm AS (
-       |  SELECT DISTINCT b.doc_id FROM sh60 a JOIN sh60 b ON a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
-       |), pos AS (
-       |  SELECT doc_id, text, unnest(generate_series(1, len(text) - 39)) AS p
-       |  FROM documents
-       |), fps AS (
-       |  SELECT DISTINCT doc_id,
-       |    CAST(('0x' || substring(md5(substring(text, CAST(p AS INT), 40)), 1, 15)) AS BIGINT) AS f
-       |  FROM pos
-       |  WHERE CAST(('0x' || substring(md5(substring(text, CAST(p AS INT), 8)), 1, 8)) AS BIGINT) % 32 = 0
-       |), marked AS (
-       |  SELECT doc_id, COUNT(*) OVER (PARTITION BY f) AS nd FROM fps
-       |), sub AS (
-       |  SELECT doc_id FROM (
-       |    SELECT doc_id, COUNT(*) AS n_fp,
-       |           SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS n_shared
-       |    FROM marked GROUP BY doc_id)
-       |  WHERE n_shared * 10000 // n_fp >= 5000
-       |), flags AS (
+    s"""WITH ex0 AS (
+       |${Dedup.dExact.oracle.get}
+       |), ex AS (SELECT doc_id FROM ex0 WHERE NOT is_canonical),
+       |mh0 AS (
+       |${Dedup.dMinHash.oracle.get}
+       |), mh AS (SELECT DISTINCT doc_b AS doc_id FROM mh0),
+       |sm0 AS (
+       |${Dedup.dSimHashPairs.oracle.get}
+       |), sm AS (SELECT DISTINCT doc_b AS doc_id FROM sm0),
+       |sub0 AS (
+       |${Dedup.dSubstring.oracle.get}
+       |), sub AS (SELECT doc_id FROM sub0 WHERE share_bp >= 5000),
+       |flags AS (
        |  SELECT doc_id, 'exact' AS a FROM ex
        |  UNION ALL SELECT doc_id, 'minhash' FROM mh
        |  UNION ALL SELECT doc_id, 'simhash' FROM sm
@@ -779,11 +735,12 @@ object Curation {
        |       CAST(COUNT(DISTINCT a) AS BIGINT) AS n_verdicts
        |FROM flags GROUP BY doc_id""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.DataFrame
-    val docs = Tables.documents(s, dir)
-    val ex = docs
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(md5(col("text"))).orderBy("doc_id")))
-      .filter(col("rn") > 1)
+    // every verdict comes from the REGISTERED operator through the seam
+    // — and the oracle above interpolates those operators' own oracle
+    // texts (the d13 pattern), so neither side can drift from the
+    // algorithms it attributes
+    val ex = Intermediates.of(Dedup.dExact)(s, dir)
+      .filter(!col("is_canonical"))
       .select(col("doc_id"), lit("exact").as("a"))
     def dropped(pairs: DataFrame, tag: String): DataFrame =
       pairs.select(col("doc_b").as("doc_id")).distinct()

@@ -447,6 +447,7 @@ object MultimodalQ {
         Multimodal.MediaRow(id, "image", bytes)
       })
     Multimodal.extractOrQuarantine(media, Multimodal.ImageIoDecoder)
+      .drop("reason") // free text (exception message) — spec'd, not hashed
   }
 
   val all: Seq[QuerySpec] =

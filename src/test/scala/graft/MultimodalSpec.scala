@@ -163,5 +163,12 @@ class MultimodalSpec extends SparkTestBase {
       Multimodal.ImageIoDecoder.decodeBatch(Seq(
         Multimodal.MediaRow(9L, "image", Array[Byte](0x89.toByte, 'P', 'N', 'G'))))
     }
+    // a WIRING bug (audio routed to the image decoder) is visible in
+    // the reason column, not silently identical to corrupt bytes
+    val misrouted = Multimodal.extractOrQuarantine(
+      Seq(Multimodal.MediaRow(7L, "audio", Array[Byte](1, 2, 3))).toDS(),
+      Multimodal.ImageIoDecoder).collect().head
+    assert(misrouted.getString(1) === "quarantined")
+    assert(misrouted.getString(4).contains("media_type"))
   }
 }
