@@ -16,16 +16,26 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's reader rejects;
-    // read nanos as long and rebuild a µs TimestampType column (documented
-    // ns→µs truncation, SURVEY §1.2).
+    // The driver has shipped events.parquet in two physical layouts across
+    // rounds: TIMESTAMP(NANOS) (rejected by Spark's reader unless read as
+    // long — rebuild a µs TimestampType with documented ns→µs truncation,
+    // SURVEY §1.2) and plain timestamp[us] (arrives as TIMESTAMP_NTZ; cast
+    // to session-TZ TimestampType — the session is pinned to UTC, so the
+    // wall-clock values are identical to the nanos path). Dispatch on the
+    // schema the reader actually produced so both layouts load the same.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
+    } else df
   }
 
   def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
