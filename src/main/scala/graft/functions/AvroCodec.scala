@@ -116,6 +116,16 @@ object AvroCodec {
   def from_avro(c: Column, schemaJson: String): Column =
     GraftShim.column(FromAvro(GraftShim.expression(c), schemaJson))
 
+  /** Decode-or-quarantine variant (the m11 row-granular contract applied
+    * to the Avro seam): returns `struct(data: T, _error: string)` where
+    * exactly one side is set. Corrupt bytes become a quarantine-able row
+    * with the decoder's reason — never a task failure, the property a
+    * 100 TB at-least-once ingest cannot live without (one poisoned Kafka
+    * record must not kill the job).
+    */
+  def from_avro_safe(c: Column, schemaJson: String): Column =
+    GraftShim.column(FromAvroSafe(GraftShim.expression(c), schemaJson))
+
   def to_avro(c: Column, schemaJson: String): Column =
     GraftShim.column(ToAvro(GraftShim.expression(c), schemaJson))
 }
@@ -144,6 +154,43 @@ case class FromAvro(child: Expression, schemaJson: String)
   }
 
   override protected def withNewChildInternal(newChild: Expression): FromAvro =
+    copy(child = newChild)
+}
+
+/** binary → struct(data, _error): [[FromAvro]] that quarantines instead
+  * of throwing. A decode failure yields (null, reason); success yields
+  * (row, null). Schemaless Avro binary has no framing, so the only
+  * failure signals are EOF/overrun/malformed-union — all surfaced as the
+  * exception's class+message, which is what a quarantine reason column
+  * needs for triage.
+  */
+case class FromAvroSafe(child: Expression, schemaJson: String)
+    extends UnaryExpression with CodegenFallback {
+
+  @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val readerTL =
+    ThreadLocal.withInitial[GenericDatumReader[GenericRecord]](
+      () => new GenericDatumReader[GenericRecord](schema))
+  @transient private lazy val decoderTL = new ThreadLocal[BinaryDecoder]
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("data", AvroCodec.sparkType(schema), nullable = true),
+    StructField("_error", StringType, nullable = true)))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    try {
+      val decoder = DecoderFactory.get().binaryDecoder(bytes, decoderTL.get())
+      decoderTL.set(decoder)
+      val rec = readerTL.get().read(null, decoder)
+      InternalRow(AvroCodec.toCatalyst(rec, schema), null)
+    } catch { case scala.util.control.NonFatal(e) =>
+      InternalRow(null, UTF8String.fromString(
+        s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"))
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FromAvroSafe =
     copy(child = newChild)
 }
 

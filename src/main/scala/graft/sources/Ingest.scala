@@ -60,6 +60,28 @@ object Ingest {
     clean
   }
 
+  /** CSV twin of [[readJsonlWithQuarantine]] — the m11 row-granular
+    * contract on the CSV seam: a malformed line (wrong arity, uncastable
+    * field) becomes a quarantine row carrying the verbatim raw line,
+    * never a task failure, and clean rows proceed. Returned as ONE frame
+    * with a `_quarantine_reason` column (null = clean) so callers can
+    * route both sides without a second scan.
+    */
+  def readCsvWithQuarantine(spark: SparkSession, schema: StructType,
+      path: String, header: Boolean = false): DataFrame = {
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType))
+    spark.read.schema(withCorrupt)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .withColumn("_quarantine_reason",
+        when(col("_corrupt_record").isNotNull,
+          concat(lit("malformed_csv: "), col("_corrupt_record"))))
+      .drop("_corrupt_record")
+  }
+
   /** S6: one multi-line JSON document holding an array field; explode to
     * rows (lab02 users.json: `users[]` of nested structs).
     */

@@ -80,6 +80,45 @@ object RestSource {
     last
   }
 
+  /** Parse fetch results into rows under the m11 row-granular quarantine
+    * contract: every input id yields exactly one row — parsed fields for
+    * a clean 200-with-valid-JSON fetch, otherwise nulls plus a
+    * `_quarantine_reason` naming WHY (http status, missing body, or the
+    * malformed payload). A flaky upstream or a poisoned response body
+    * must never fail the task; the quarantined rows stay queryable for
+    * triage and replay, the same shape as the media decode seam
+    * (`Multimodal.featuresWithQuarantine`).
+    *
+    * Malformed-JSON detection uses `from_json`'s PERMISSIVE corrupt-
+    * record column — the engine's own verdict on the payload, not a
+    * re-parse.
+    */
+  def parsedWithQuarantine(spark: org.apache.spark.sql.SparkSession,
+      results: Seq[FetchResult],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import spark.implicits._
+    val raw = results.map(r => (r.id, r.status, r.body.orNull, r.attempts))
+      .toDF("id", "status", "body", "attempts")
+    val withCorrupt = StructType(schema.fields :+
+      StructField("_corrupt_record", StringType))
+    val parsed = raw.withColumn("data",
+      from_json(col("body"), withCorrupt,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")))
+    parsed.withColumn("_quarantine_reason",
+        when(col("status") =!= 200,
+          concat(lit("http_"), col("status").cast("string")))
+          .when(col("body").isNull, lit("no_body"))
+          .when(col("data._corrupt_record").isNotNull,
+            concat(lit("malformed_json: "), col("data._corrupt_record"))))
+      .select(Seq(col("id"), col("attempts"), col("_quarantine_reason")) ++
+        schema.fieldNames.toSeq.map(f =>
+          when(col("_quarantine_reason").isNull, col(s"data.$f"))
+            .otherwise(lit(null)).as(f)): _*)
+  }
+
   /** Fetch a batch of ids with bounded parallel workers sharing one rate
     * limiter (8 workers in the reference). Results keep input order.
     */

@@ -3,31 +3,48 @@ package graft.sources.v2
 import java.util
 
 import graft.sources.Snapshots
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.Table
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /** DataSourceV2 surface for the [[graft.sources.Snapshots]] table
-  * format, making snapshot reads and time travel SQL-reachable:
+  * format, making snapshot reads, time travel, and writes SQL-reachable:
   *
   * {{{
   *   spark.read.format("graft-snapshot")
   *     .option("path", table).option("asOf", 2).load()
+  *   df.write.format("graft-snapshot")
+  *     .option("path", table).mode("append").save()   // Snapshots.commit
+  *   df.write.format("graft-snapshot")
+  *     .option("path", table).mode("overwrite").save() // replace-publish
   * }}}
   *
-  * The provider does exactly one format-specific thing — resolve the
-  * requested version's manifest to its immutable data-file list — and
-  * then hands that list to Spark's OWN parquet table implementation.
+  * READ: the provider does exactly one format-specific thing — resolve
+  * the requested version's manifest to its immutable data-file list —
+  * and then hands that list to Spark's OWN parquet table implementation.
   * Everything a 100 TB scan needs (predicate pushdown to row-group
   * stats, column pruning, split planning, vectorized reading) is the
   * stock parquet path, visible as `PushedFilters`/`ReadSchema` in
   * explain; snapshot isolation holds because the file list is pinned
   * at table-resolution time, exactly like [[Snapshots.read]].
+  *
+  * WRITE: the `V1Write` fallback (the same bridge Spark's own JDBC v2
+  * source uses). The executors still write parquet fully distributed —
+  * `Snapshots.commit` runs a normal `df.write.parquet` into a private
+  * data dir — and only the manifest publish is driver-side, which is
+  * exactly the transactional design: an atomic rename of one small
+  * manifest file, never a data move. append → `Snapshots.commit(df)`;
+  * overwrite (`SupportsTruncate`) → an overwrite commit that replaces
+  * the file set while keeping every older version readable (time travel
+  * across the overwrite keeps working). Concurrency is the commit
+  * protocol's optimistic version race, hammered by SnapshotHammerSpec.
   *
   * Registered under the short name `graft-snapshot` via the standard
   * `DataSourceRegister` service loader.
@@ -37,7 +54,13 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
 
   override def shortName(): String = "graft-snapshot"
 
-  override def supportsExternalMetadata(): Boolean = false
+  /** True so the WRITE path hands us the incoming frame's schema
+    * directly (first commit to a fresh table has no manifest to infer
+    * from). Reads of an existing table still resolve the manifest and
+    * use ITS schema — a user-supplied read schema is not honored over
+    * the committed one.
+    */
+  override def supportsExternalMetadata(): Boolean = true
 
   /** Spark calls inferSchema then getTable on the SAME provider
     * instance; resolving twice would double the manifest+footer I/O
@@ -47,14 +70,17 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
     */
   @volatile private var cached: (Map[String, String], ParquetTable) = null
 
+  private def pathOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "graft-snapshot requires .option(\"path\", <table dir>)"))
+
   private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
     import scala.jdk.CollectionConverters._
     val key = options.asCaseSensitiveMap().asScala.toMap
     val c = cached
     if (c != null && c._1 == key) return c._2
-    val path = Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "graft-snapshot requires .option(\"path\", <table dir>)"))
+    val path = pathOf(options)
     val asOf = Option(options.get("asOf")).map(_.toLong)
     val spark = SparkSession.active
     // resolve "latest" to a CONCRETE version now, so the pinned file
@@ -74,6 +100,59 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
     resolve(options).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    resolve(new CaseInsensitiveStringMap(properties))
+      properties: util.Map[String, String]): Table = {
+    val options = new CaseInsensitiveStringMap(properties)
+    val path = pathOf(options)
+    val spark = SparkSession.active
+    // An existing table's committed schema wins (read path passes the
+    // inferSchema result back anyway); only a fresh table — reachable
+    // only through the write path — takes the caller's schema.
+    if (Snapshots.versions(spark, path).nonEmpty)
+      new SnapshotTable(path, resolve(options).schema, Some(resolve(options)))
+    else
+      new SnapshotTable(path, schema, None)
+  }
+}
+
+/** The resolved table: reads delegate wholesale to the pinned
+  * [[ParquetTable]] (absent only for a not-yet-committed table, where
+  * only writes are legal); writes go through the snapshot commit
+  * protocol.
+  */
+private[v2] class SnapshotTable(path: String, tableSchema: StructType,
+    underlying: Option[ParquetTable]) extends Table
+    with SupportsRead with SupportsWrite {
+
+  override def name(): String =
+    underlying.map(t => t.name: String).getOrElse(s"graft-snapshot:$path@new")
+
+  override def schema(): StructType = tableSchema
+
+  override def capabilities(): util.Set[TableCapability] = {
+    import scala.jdk.CollectionConverters._
+    // BATCH_WRITE gates DataFrameWriter's non-catalog V2 route; the
+    // V1_BATCH_WRITE capability + V1Write build then selects the V1
+    // fallback exec, which is where the commit protocol plugs in.
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    underlying.getOrElse(throw new IllegalArgumentException(
+      s"no committed snapshot in $path")).newScanBuilder(options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var replace = false
+      override def truncate(): WriteBuilder = { replace = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              Snapshots.commit(data, path, overwrite = replace || overwrite)
+              ()
+            }
+          }
+      }
+    }
 }

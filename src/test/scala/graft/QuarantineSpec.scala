@@ -12,6 +12,26 @@ class QuarantineSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  /** Schemaless-binary Avro encode of a 2-field (long, string) record —
+    * the same wire shape as the reference's fastavro schemaless_writer.
+    */
+  private object AvroTestData {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.io.EncoderFactory
+    def encode(schemaJson: String, id: Long, name: String): Array[Byte] = {
+      val schema = new Schema.Parser().parse(schemaJson)
+      val rec = new GenericData.Record(schema)
+      rec.put("id", id)
+      rec.put("name", name)
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = EncoderFactory.get().binaryEncoder(out, null)
+      new GenericDatumWriter[Any](schema).write(rec, enc)
+      enc.flush()
+      out.toByteArray
+    }
+  }
+
   test("T7: corrupt JSONL rows split into quarantine, clean rows proceed") {
     val dir = Files.createTempDirectory("quar").toString
     Files.writeString(Paths.get(s"$dir/in.jsonl"),
@@ -29,6 +49,97 @@ class QuarantineSpec extends SparkTestBase {
     assert(bad.length === 2)
     assert(bad.exists(_.contains("not json")))
     assert(bad.exists(_.contains("NaNsense")))
+  }
+
+  test("CSV seam: malformed lines become quarantine rows with reason, task never fails") {
+    val dir = Files.createTempDirectory("quarcsv").toString
+    Files.writeString(Paths.get(s"$dir/in.csv"),
+      """1,10.5,alpha
+        |2,not_a_number,beta
+        |3,7.25,gamma
+        |garbage line with no commas at all plus,extra,fields,here,x
+        |""".stripMargin)
+    val schema = StructType.fromDDL("id INT, amount DOUBLE, tag STRING")
+    val out = Ingest.readCsvWithQuarantine(spark, schema, s"$dir/in.csv").cache()
+    assert(out.count() === 4) // every input line yields exactly one row
+    val clean = out.filter(col("_quarantine_reason").isNull)
+    assert(clean.count() === 2)
+    assert(clean.agg(sum("amount")).head.getDouble(0) === 17.75)
+    val bad = out.filter(col("_quarantine_reason").isNotNull)
+      .select("_quarantine_reason").as[String].collect()
+    assert(bad.length === 2)
+    assert(bad.forall(_.startsWith("malformed_csv: ")))
+    assert(bad.exists(_.contains("not_a_number"))) // verbatim raw line kept
+  }
+
+  test("Avro seam: from_avro_safe quarantines corrupt bytes row-granularly") {
+    import graft.functions.AvroCodec
+    val schemaJson =
+      """{"type":"record","name":"r","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"name","type":"string"}]}""".stripMargin
+    val good1 = AvroTestData.encode(schemaJson, 1L, "alpha")
+    val good2 = AvroTestData.encode(schemaJson, 2L, "beta")
+    val corrupt = good1.take(3) // truncated mid-record: EOF during decode
+    val junk = Array[Byte](-1, -1, -1, -1, -1, -1, -1, -1, -1, -1)
+    val df = Seq(
+      (1, good1), (2, corrupt), (3, good2), (4, junk))
+      .toDF("row_id", "payload")
+      .withColumn("dec", AvroCodec.from_avro_safe(col("payload"), schemaJson))
+      .select(col("row_id"), col("dec.data.*"), col("dec._error"))
+      .cache()
+    assert(df.count() === 4) // no task failure despite 2 poisoned payloads
+    val ok = df.filter(col("_error").isNull)
+    assert(ok.select("row_id", "id", "name").collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getString(2))).toSet ===
+      Set((1, 1L, "alpha"), (3, 2L, "beta")))
+    val bad = df.filter(col("_error").isNotNull)
+    assert(bad.count() === 2)
+    // reason names the decoder's failure, and data side is fully null
+    assert(bad.select("_error").as[String].collect().forall(_.nonEmpty))
+    assert(bad.filter(col("id").isNotNull || col("name").isNotNull).count() === 0)
+  }
+
+  test("Avro seam: from_avro_safe matches from_avro bit-for-bit on clean input") {
+    import graft.functions.AvroCodec
+    val schemaJson =
+      """{"type":"record","name":"r","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"name","type":"string"}]}""".stripMargin
+    val rows = (1L to 50L).map(i => AvroTestData.encode(schemaJson, i, s"n$i"))
+    val df = rows.toDF("payload")
+    val strict = df.select(AvroCodec.from_avro(col("payload"), schemaJson).as("d"))
+      .select("d.id", "d.name").collect().toSeq
+    val safe = df.select(AvroCodec.from_avro_safe(col("payload"), schemaJson).as("d"))
+      .select("d.data.id", "d.data.name").collect().toSeq
+    assert(strict === safe)
+  }
+
+  test("REST seam: fetch failures and malformed bodies quarantine with reasons") {
+    import graft.sources.RestSource
+    import graft.sources.RestSource.FetchResult
+    val schema = StructType.fromDDL("order_id LONG, total DOUBLE")
+    val results = Seq(
+      FetchResult(1, 200, Some("""{"order_id": 1, "total": 9.5}"""), 1),
+      FetchResult(2, 404, None, 1),                       // http error
+      FetchResult(3, 500, None, 4),                       // retries exhausted
+      FetchResult(4, 200, Some("""{"order_id": oops"""), 1), // poisoned body
+      FetchResult(5, -1, None, 4),                        // IO timeout
+      FetchResult(6, 200, Some("""{"order_id": 6, "total": 1.25}"""), 2))
+    val df = RestSource.parsedWithQuarantine(spark, results, schema).cache()
+    assert(df.count() === 6) // one row per requested id, always
+    val reasons = df.select("id", "_quarantine_reason").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(reasons(1L).isEmpty && reasons(6L).isEmpty)
+    assert(reasons(2L).contains("http_404"))
+    assert(reasons(3L).contains("http_500"))
+    assert(reasons(4L).exists(_.startsWith("malformed_json: ")))
+    assert(reasons(5L).contains("http_-1"))
+    val clean = df.filter(col("_quarantine_reason").isNull)
+    assert(clean.agg(sum("total")).head.getDouble(0) === 10.75)
+    // quarantined rows carry nulls in the data columns, not junk
+    assert(df.filter(col("_quarantine_reason").isNotNull)
+      .filter(col("order_id").isNotNull || col("total").isNotNull).count() === 0)
   }
 
   test("stream-static broadcast enrichment joins dims without stream shuffle") {

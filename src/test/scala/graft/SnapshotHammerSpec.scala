@@ -83,19 +83,35 @@ class SnapshotHammerSpec extends SparkTestBase {
                   else failures.add(s"merge starved after 20 races (w$w op$op)")
                 } else {
                   // losing the version race 5× in a row is legitimate
-                  // under contention — retry the whole commit, don't fail
+                  // under contention — retry the whole commit, don't fail.
+                  // dice==3 routes through the DataSourceV2 write path
+                  // (format string → V1Write fallback → same commit
+                  // protocol), so V2 writers race V1 writers, mergers and
+                  // compactors in the same trials.
+                  val viaV2 = dice == 3
                   var attempts = 0
                   var ok = false
                   while (!ok && attempts < 4) {
                     try {
-                      Snapshots.commit(Seq((id, s"c-$w-$op")).toDF("id", "v"), table)
+                      if (viaV2)
+                        Seq((id, s"c-$w-$op")).toDF("id", "v")
+                          .write.format("graft-snapshot")
+                          .option("path", table).mode("append").save()
+                      else
+                        Snapshots.commit(Seq((id, s"c-$w-$op")).toDF("id", "v"), table)
                       ok = true
                     } catch {
-                      case _: IllegalStateException => attempts += 1
+                      // the V2 route surfaces the race loss wrapped in
+                      // Spark's command-exec exception; retry either shape
+                      case e: Exception
+                          if e.isInstanceOf[IllegalStateException] ||
+                            (e.getCause != null &&
+                              e.getCause.isInstanceOf[IllegalStateException]) =>
+                        attempts += 1
                     }
                   }
                   if (ok) committed.add(id)
-                  else failures.add(s"commit starved (w$w op$op)")
+                  else failures.add(s"commit starved (w$w op$op viaV2=$viaV2)")
                 }
               }
             } catch { case e: Throwable =>

@@ -57,6 +57,48 @@ class SnapshotV2Spec extends SparkTestBase {
       .filter(col("id") === 9999L).count() === 1)
   }
 
+  test("format write creates a fresh table: first append commits v1") {
+    val t = Files.createTempDirectory("snapv2w").resolve("t").toString
+    (1L to 100L).toDF("id").withColumn("v", col("id") * 3)
+      .write.format("graft-snapshot").option("path", t).mode("append").save()
+    assert(Snapshots.versions(spark, t) === Seq(1L))
+    val back = spark.read.format("graft-snapshot").option("path", t).load()
+    assert(back.count() === 100)
+    assert(back.agg(sum("v")).head().getLong(0) === (1L to 100L).map(_ * 3).sum)
+  }
+
+  test("format append on an existing table adds a version; time travel crosses it") {
+    val t = committed() // v1 = 500 rows, v2 = +100
+    (601L to 650L).toDF("id").withColumn("v", col("id") * 7)
+      .write.format("graft-snapshot").option("path", t).mode("append").save()
+    assert(Snapshots.versions(spark, t) === Seq(1L, 2L, 3L))
+    assert(spark.read.format("graft-snapshot").option("path", t).load()
+      .count() === 650)
+    // the pre-write version is untouched by the V2 write
+    assert(spark.read.format("graft-snapshot")
+      .option("path", t).option("asOf", 2).load().count() === 600)
+  }
+
+  test("format overwrite replaces the live file set but keeps history readable") {
+    val t = committed()
+    Seq((1L, 999L)).toDF("id", "v")
+      .write.format("graft-snapshot").option("path", t).mode("overwrite").save()
+    val live = spark.read.format("graft-snapshot").option("path", t).load()
+    assert(live.count() === 1)
+    assert(live.head().getLong(1) === 999L)
+    // overwrite is a new VERSION, not a data purge: v2 still reads in full
+    assert(spark.read.format("graft-snapshot")
+      .option("path", t).option("asOf", 2).load().count() === 600)
+  }
+
+  test("a V2 write round-trips through the programmatic read (one format, two APIs)") {
+    val t = Files.createTempDirectory("snapv2w2").resolve("t").toString
+    Seq(("a", 1L), ("b", 2L)).toDF("k", "n")
+      .write.format("graft-snapshot").option("path", t).mode("append").save()
+    assert(Snapshots.read(spark, t).orderBy("k").collect().map(_.getString(0)).toSeq
+      === Seq("a", "b"))
+  }
+
   test("missing path / unknown version fail loudly") {
     intercept[IllegalArgumentException] {
       spark.read.format("graft-snapshot").load()
