@@ -29,59 +29,80 @@ object Bench {
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    // scale-stress tier: rebuild the fixture one decade up (disjoint key
+    // scale-stress tiers: rebuild the fixture N× up (disjoint key
     // shards — ScaleFixture scaladoc) and re-run the expensive tail in the
     // SAME warm JVM, so ratio ≈ data-scaling behavior, not setup noise.
-    // A time budget bounds the tier; queries it skips are reported.
-    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "600").toDouble
-    val sf1 =
-      if (factor <= 1) ""
-      else {
-        val dst = ScaleFixture.defaultDst(sfDir, factor)
-        val b0 = System.nanoTime()
-        try {
-          ScaleFixture.build(spark, sfDir, dst, factor)
-          val buildSec = (System.nanoTime() - b0) / 1e9
-          val base = results.toMap
-          var spent = 0.0
-          // two passes: the first pays any shared-intermediate builds for
-          // the scaled dir (cold), the second measures the query alone
-          // (warm). Base-run times are warm by construction — the full
-          // registry pass populated the materialize-once seam — so the
-          // scaling ratio compares warm to warm.
-          val cold = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-          for (n <- ScaleFixture.heavyQueries if spent < budgetSec) {
-            val t = run(n, dst); spent += t; cold += (n -> t)
-          }
-          val warm = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-          for ((n, _) <- cold if spent < budgetSec) {
-            val t = run(n, dst); spent += t; warm += (n -> t)
-          }
-          val skipped = ScaleFixture.heavyQueries.drop(cold.size)
-          val warmMap = warm.toMap
-          // ratios are strictly warm-vs-warm (base times are warm by
-          // construction); a budget-truncated warm pass yields no ratio
-          // rather than a cold number mislabeled as one
-          val ratios = cold.toSeq.flatMap { case (n, _) =>
+    // A time budget bounds each tier; queries it skips are reported.
+    //
+    // Two passes per tier: the first pays any shared-intermediate builds
+    // for the scaled dir (cold), the second measures the query alone
+    // (warm). Base-run times are warm by construction — the full registry
+    // pass populated the materialize-once seam — so every scaling ratio
+    // compares warm to warm. `vsWarm` adds a second ratio series against
+    // another tier's warm times (the two-point scaling curve: sf2's
+    // ratio_vs_sf1 over 3.2× data vs sf1's ratio_vs_base over 10× —
+    // convexity between decades is the 100× predictor).
+    def scaleTier(label: String, factor: Int, budgetSec: Double,
+        queries: Seq[String], base: Map[String, Double],
+        vsWarm: Option[(String, Map[String, Double])]): (String, Map[String, Double]) = {
+      val dst = ScaleFixture.defaultDst(sfDir, factor)
+      val b0 = System.nanoTime()
+      try {
+        ScaleFixture.build(spark, sfDir, dst, factor)
+        val buildSec = (System.nanoTime() - b0) / 1e9
+        var spent = 0.0
+        val cold = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        for (n <- queries if spent < budgetSec) {
+          val t = run(n, dst); spent += t; cold += (n -> t)
+        }
+        val warm = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        for ((n, _) <- cold if spent < budgetSec) {
+          val t = run(n, dst); spent += t; warm += (n -> t)
+        }
+        val skipped = queries.drop(cold.size)
+        val warmMap = warm.toMap
+        // ratios are strictly warm-vs-warm; a budget-truncated warm pass
+        // yields no ratio rather than a cold number mislabeled as one
+        def ratiosVs(ref: Map[String, Double]): Seq[(String, Double)] =
+          cold.toSeq.flatMap { case (n, _) =>
             warmMap.get(n) match {
-              case Some(t) if t > 0 && base.getOrElse(n, -1.0) > 0 =>
-                Some(n -> t / base(n))
+              case Some(t) if t > 0 && ref.getOrElse(n, -1.0) > 0 =>
+                Some(n -> t / ref(n))
               case _ => None
             }
           }
-          s""","sf1":{"factor":$factor,"build_sec":$buildSec,""" +
-            s""""queries":${json(cold.toSeq)},"warm":${json(warm.toSeq)},""" +
-            s""""ratio_vs_base":${json(ratios)},""" +
-            s""""skipped":[${skipped.map("\"" + _ + "\"").mkString(",")}]}"""
-        } catch { case e: Throwable =>
-          s""","sf1":{"factor":$factor,"error":"${e.getClass.getSimpleName}"}"""
-        }
+        val extra = vsWarm.map { case (refLabel, ref) =>
+          s""""ratio_vs_$refLabel":${json(ratiosVs(ref))},"""
+        }.getOrElse("")
+        (s""","$label":{"factor":$factor,"build_sec":$buildSec,""" +
+          s""""queries":${json(cold.toSeq)},"warm":${json(warm.toSeq)},""" +
+          s""""ratio_vs_base":${json(ratiosVs(base))},$extra""" +
+          s""""skipped":[${skipped.map("\"" + _ + "\"").mkString(",")}]}""",
+          warmMap)
+      } catch { case e: Throwable =>
+        (s""","$label":{"factor":$factor,"error":"${e.getClass.getSimpleName}"}""",
+          Map.empty)
       }
+    }
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "600").toDouble
+    val base = results.toMap
+    val (sf1, warm1) =
+      if (factor <= 1) ("", Map.empty[String, Double])
+      else scaleTier("sf1", factor, budgetSec, ScaleFixture.heavyQueries, base, None)
+    // second decade: the convexity point. Runs the curve subset at the
+    // fixture's max factor in the same JVM; vsWarm against the sf1 tier
+    // gives the second-decade ratio directly.
+    val factor2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR2", "32").toInt
+    val budget2 = sys.env.getOrElse("SPARK_GRAFT_SCALE2_BUDGET_SEC", "420").toDouble
+    val sf2 =
+      if (factor2 <= factor || warm1.isEmpty) ""
+      else scaleTier("sf2", factor2, budget2, ScaleFixture.curveQueries, base,
+        Some("sf1" -> warm1))._1
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$failedJson$sf1}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$failedJson$sf1$sf2}""")
     spark.stop()
   }
 }

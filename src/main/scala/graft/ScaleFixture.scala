@@ -56,6 +56,20 @@ object ScaleFixture {
     "q72_bfs_levels", "s9_covariance", "s13_ivf_pq", "q67_pagerank",
     "s10_semantic_clusters", "d6_simhash_pairs")
 
+  /** The two-point scaling-curve subset — run again at the fixture's max
+    * factor (32, the embedding-rotation aliasing bound) for the
+    * second-decade ratio. One representative per scale-critical family:
+    * the linear-by-nature full scan (q1), the restructured sketch audit
+    * (q73), COW merge (q71), covariance explode (s9), in-row pair gen
+    * (q64), banded hamming join (d6), the two graph iterators (q72,
+    * q67), IVF+PQ (s13), and LSH-pair connected components (s10).
+    * Cheap-first so a tight budget truncates from the expensive end.
+    */
+  val curveQueries: Seq[String] = Seq(
+    "q1_agg", "q71_merge_upsert", "q73_kmv_setops", "s9_covariance",
+    "d6_simhash_pairs", "q64_basket_pairs", "q72_bfs_levels",
+    "s13_ivf_pq", "q67_pagerank", "s10_semantic_clusters")
+
   private def replicate(df: DataFrame, factor: Int): DataFrame =
     df.withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
 
