@@ -50,14 +50,19 @@ object Bench {
       try {
         ScaleFixture.build(spark, sfDir, dst, factor)
         val buildSec = (System.nanoTime() - b0) / 1e9
+        // per-query cold+warm PAIRS (not two global passes): a budget
+        // truncation then still yields warm ratios for every query that
+        // ran, instead of a full cold pass and zero ratios — the failure
+        // mode the first factor-32 run hit (10 colds = 485 s > budget,
+        // warm pass never started)
         var spent = 0.0
         val cold = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-        for (n <- queries if spent < budgetSec) {
-          val t = run(n, dst); spent += t; cold += (n -> t)
-        }
         val warm = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-        for ((n, _) <- cold if spent < budgetSec) {
-          val t = run(n, dst); spent += t; warm += (n -> t)
+        for (n <- queries if spent < budgetSec) {
+          val tc = run(n, dst); spent += tc; cold += (n -> tc)
+          if (spent < budgetSec) {
+            val tw = run(n, dst); spent += tw; warm += (n -> tw)
+          }
         }
         val skipped = queries.drop(cold.size)
         val warmMap = warm.toMap
@@ -94,7 +99,7 @@ object Bench {
     // fixture's max factor in the same JVM; vsWarm against the sf1 tier
     // gives the second-decade ratio directly.
     val factor2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR2", "32").toInt
-    val budget2 = sys.env.getOrElse("SPARK_GRAFT_SCALE2_BUDGET_SEC", "420").toDouble
+    val budget2 = sys.env.getOrElse("SPARK_GRAFT_SCALE2_BUDGET_SEC", "480").toDouble
     val sf2 =
       if (factor2 <= factor || warm1.isEmpty) ""
       else scaleTier("sf2", factor2, budget2, ScaleFixture.curveQueries, base,

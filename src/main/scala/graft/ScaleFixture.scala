@@ -66,9 +66,9 @@ object ScaleFixture {
     * Cheap-first so a tight budget truncates from the expensive end.
     */
   val curveQueries: Seq[String] = Seq(
-    "q1_agg", "q71_merge_upsert", "q73_kmv_setops", "s9_covariance",
-    "d6_simhash_pairs", "q64_basket_pairs", "q72_bfs_levels",
-    "s13_ivf_pq", "q67_pagerank", "s10_semantic_clusters")
+    "q1_agg", "q71_merge_upsert", "s13_ivf_pq", "q73_kmv_setops",
+    "q72_bfs_levels", "d6_simhash_pairs", "q67_pagerank",
+    "q64_basket_pairs", "s9_covariance", "s10_semantic_clusters")
 
   private def replicate(df: DataFrame, factor: Int): DataFrame =
     df.withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
@@ -90,7 +90,14 @@ object ScaleFixture {
     require(factor >= 1 && factor <= 32, s"factor $factor out of range (1..32)")
     val fs = new Path(dstDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$dstDir/_GRAFT_SCALE_OK")
-    val want = s"$srcDir|$factor"
+    // the marker binds to the SOURCE's max mtime too: the driver
+    // regenerates /root/testdata between rounds (round-5 lesson — the
+    // events physical layout changed), and a fixture built from the old
+    // fixture must not be silently reused against the new one
+    val srcFs = new Path(srcDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val srcStamp = srcFs.listStatus(new Path(srcDir))
+      .map(_.getModificationTime).maxOption.getOrElse(0L)
+    val want = s"$srcDir|$factor|$srcStamp"
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -98,8 +105,10 @@ object ScaleFixture {
       if (got == want) return
     }
     fs.delete(new Path(dstDir), true)
-    // events.parquet carries TIMESTAMP(NANOS); read it as int64 and write
-    // it back as int64 so Tables.load's ns→µs rebuild works on the copy
+    // when events.parquet carries TIMESTAMP(NANOS) (old fixture layout),
+    // read it as int64 and write it back as int64 so Tables.load's ns→µs
+    // rebuild works on the copy; with the timestamp[us] layout the conf
+    // is inert and the column copies through as-is
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def src(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     def out(df: DataFrame, t: String): Unit =

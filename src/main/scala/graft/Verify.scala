@@ -6,8 +6,12 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args.take(2)
-    // optional third arg: comma-separated query names (local iteration)
+    // optional third arg: comma-separated query names; a trailing '*'
+    // makes an entry a prefix pattern ("q*" = the relational/analytic
+    // family — the sf0.1 gate tier selects families this way)
     val only: Option[Set[String]] = args.lift(2).map(_.split(',').toSet)
+    def selected(name: String): Boolean = only.forall(_.exists(p =>
+      if (p.endsWith("*")) name.startsWith(p.dropRight(1)) else p == name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,7 +23,7 @@ object Verify {
     Sessions.tune(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .filter { case (name, _) => selected(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -40,7 +44,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .filter { case (k, _) => only.forall(_.contains(k)) }
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -539,19 +539,24 @@ object Similarity {
       |       CAST(COUNT(*) * SUM(qi * qv[j1]) - SUM(qi) * SUM(qv[j1]) AS BIGINT) AS cov_num
       |FROM xij WHERE j1 >= i1
       |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    import graft.functions.CovarianceAgg
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), dvec(col("embedding")).as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
       .select(col("vec_id"), transform(col("v"),
         x => round(x * when(col("mx") === 0, lit(0.0))
           .otherwise(lit(127.0) / col("mx")), 0).cast("long")).as("qv"))
-    q.select(col("qv"), posexplode(col("qv")).as(Seq("i", "qi")))
-      .select(col("qi"), col("i"), posexplode(col("qv")).as(Seq("j", "qj")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("i").cast("long").as("i"), col("j").cast("long").as("j"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("qi") * col("qj")).as("sum_xy"),
-        sum("qi").as("sum_x"), sum("qj").as("sum_y"))
+    // one-pass typed Aggregator (CovarianceAgg scaladoc): per-partition
+    // primitive-loop partials, a ~17 KB buffer across the shuffle, and a
+    // constant-size (2,080-row) Generate at the end — replaces the
+    // double-posexplode that materialized dim²/2 rows per vector
+    q.agg(CovarianceAgg.cov_matrix(64)(col("qv")).as("c"))
+      .select(col("c.n").as("n"), col("c.sx").as("sx"),
+        explode(col("c.pairs")).as("p"))
+      .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),
+        col("n"), col("p.sxy").as("sum_xy"),
+        element_at(col("sx"), col("p.i") + 1).as("sum_x"),
+        element_at(col("sx"), col("p.j") + 1).as("sum_y"))
       .withColumn("cov_num",
         col("n") * col("sum_xy") - col("sum_x") * col("sum_y"))
   }

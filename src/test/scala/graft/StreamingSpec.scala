@@ -235,6 +235,84 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.contains(("a", 1L, 4.0)), s"separate session missing: $rows")
   }
 
+  test("event-time lateness matrix: in-watermark, at-watermark, past-watermark arrivals") {
+    // The late-data policy in one spec (SURVEY §2.9's "absent from
+    // reference" behavior): with a 5-minute session gap and a 10-minute
+    // watermark, a late record is DROPPED iff its event time is behind
+    // the watermark at the batch it arrives in; an at-watermark record
+    // (event time == watermark exactly) is still accepted; and a dropped
+    // record must neither resurrect a finalized session nor open a
+    // ghost session of its own.
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "k", "value")
+    val agg = Streams.sessionCounts(events, "ts", "k", "5 minutes", "10 minutes")
+
+    // the plan carries the watermark node with the configured delay —
+    // the eviction/drop semantics below hinge on exactly this operator
+    val wmNodes = agg.queryExecution.analyzed.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark => e
+    }
+    assert(wmNodes.nonEmpty, "no EventTimeWatermark in the session plan")
+    assert(wmNodes.head.delay.toString.contains("10 minutes"), wmNodes.head.delay)
+
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("lateness_test").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      // batch 1: seed a session for "sess" and push max event time to
+      // 10:40 → watermark after this batch = 10:30
+      input.addData((t(10), "sess", 1.0), (t(12), "sess", 2.0), (t(40), "adv", 1.0))
+      q.processAllAvailable()
+      // batch 2 (watermark = 10:30):
+      //  past-watermark  — "sess" at 10:13 (session already finalized): drop
+      //  at-watermark    — "edge" at exactly 10:30: accept
+      //  in-watermark    — "lateok" at 10:33 (out of order vs 10:40): accept
+      //  plus 10:70 to advance the watermark to 10:60 for finalization
+      input.addData((t(13), "sess", 100.0), (t(30), "edge", 5.0),
+        (t(33), "lateok", 7.0), (t(70), "adv2", 1.0))
+      q.processAllAvailable()
+      // batch 3: one more event so every session above is past-watermark
+      input.addData((t(99), "z", 0.0))
+      q.processAllAvailable()
+
+      val rows = spark.table("lateness_test")
+        .select("k", "session_start", "n_events", "total_value")
+        .as[(String, java.sql.Timestamp, Long, Double)].collect()
+      val byKey = rows.groupBy(_._1)
+      // the seeded session finalized as exactly (2 events, 3.0) — the
+      // past-watermark 100.0 record neither merged nor re-opened it
+      assert(byKey("sess").toSeq === Seq(("sess", t(10), 2L, 3.0)), rows.toSeq)
+      assert(!rows.exists(_._2 === t(13)), s"dropped record opened a ghost session: ${rows.toSeq}")
+      // the at-watermark record survived as its own session
+      assert(byKey("edge").toSeq === Seq(("edge", t(30), 1L, 5.0)), rows.toSeq)
+      // the out-of-order-but-inside-watermark record survived
+      assert(byKey("lateok").toSeq === Seq(("lateok", t(33), 1L, 7.0)), rows.toSeq)
+      assert(byKey("adv").head._3 === 1L)
+    } finally q.stop()
+  }
+
+  test("tumbling-window lateness: past-watermark arrival neither reopens nor ghosts a window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "k", "value")
+    val agg = Streams.windowedCounts(events, "ts", "k", "10 minutes", "20 minutes")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("late_win_test").start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      input.addData((t(1), "a", 1.0), (t(2), "a", 2.0), (t(45), "adv", 1.0))
+      q.processAllAvailable() // watermark now 10:25 → window [10:00,10:10) final
+      input.addData((t(3), "a", 100.0)) // past watermark: dropped
+      input.addData((t(59), "adv", 1.0))
+      q.processAllAvailable()
+      val aRows = spark.table("late_win_test").filter(col("k") === "a")
+        .select("n", "total_value").as[(Long, Double)].collect().toSeq
+      assert(aRows === Seq((2L, 3.0)),
+        s"late record leaked into a finalized tumbling window: $aRows")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches clicks to views within the window") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[(Int, java.sql.Timestamp)]
