@@ -1376,6 +1376,55 @@ object Analytic {
       .agg(count(lit(1)).as("n"), sum("n_chars").as("chars"))
   }
 
+  /** The DataSourceV2 WRITE path under the oracle gate: the table is
+    * built exclusively through `df.write.format("graft-snapshot")` —
+    * two appends (even then odd order keys) and one OVERWRITE (the
+    * high-value subset) — then read back via the same format, latest
+    * and time-traveled to the pre-overwrite version. The oracle
+    * re-derives both result sets from the raw orders table, so the
+    * append commit, the replacing overwrite commit, and cross-overwrite
+    * time travel all have to reproduce exactly the rows SQL says. The
+    * build is per-(session, dir) idempotent (version-count guard, same
+    * pattern as q68's table).
+    */
+  val qSnapshotV2Write: QuerySpec = QuerySpec.sql(
+    "q81_snapshot_v2_write",
+    """WITH hi AS (
+      |  SELECT o_orderstatus, COUNT(*) AS n_hi,
+      |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev_hi
+      |  FROM orders WHERE o_totalprice > 150000 GROUP BY o_orderstatus
+      |), full_set AS (
+      |  SELECT o_orderstatus, COUNT(*) AS n_all
+      |  FROM orders GROUP BY o_orderstatus
+      |)
+      |SELECT hi.o_orderstatus, n_hi, rev_hi, n_all
+      |FROM hi JOIN full_set ON hi.o_orderstatus = full_set.o_orderstatus""".stripMargin) { (s, dir) =>
+    import graft.sources.Snapshots
+    val root = Incremental.snapRoot(s, dir, "snapv2w")
+    if (Snapshots.versions(s, root).size < 3) {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .write.format("graft-snapshot").option("path", root)
+        .mode("append").save()
+      o.filter(col("o_orderkey") % 2 === 1)
+        .write.format("graft-snapshot").option("path", root)
+        .mode("append").save()
+      o.filter(col("o_totalprice") > 150000)
+        .write.format("graft-snapshot").option("path", root)
+        .mode("overwrite").save()
+    }
+    val hi = s.read.format("graft-snapshot").option("path", root).load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_hi"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("rev_hi"))
+    val all = s.read.format("graft-snapshot").option("path", root)
+      .option("asOf", 2).load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_all"))
+    hi.join(all, "o_orderstatus")
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
@@ -1384,5 +1433,5 @@ object Analytic {
       qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
       qLateral, qSkewJoin, qZOrder, qBloom, qBasketPairs, qOrderGaps, qMad,
       qPageRank, qSnapshotRoundtrip, qBfsLevels, qKmvSetOps, qHistQuantiles,
-      qAttribution, qSkewInflow, qSnapshotV2)
+      qAttribution, qSkewInflow, qSnapshotV2, qSnapshotV2Write)
 }
