@@ -52,6 +52,11 @@ object SqlFunctions {
     fn("graft_to_avro",
       "graft_to_avro(struct, 'schemaJson') - encode struct to Avro binary") {
       args => ToAvro(args(0), litString(args(1), "avro schema"))
+    },
+    fn("graft_from_avro_safe",
+      "graft_from_avro_safe(bytes, 'schemaJson') - decode-or-quarantine: " +
+        "struct(data, _error), corrupt bytes yield a reason, never a failure") {
+      args => FromAvroSafe(args(0), litString(args(1), "avro schema"))
     })
 
   /** Post-construction registration (idempotent — replaces on re-run). */

@@ -968,13 +968,17 @@ object Analytic {
     // rank vector (two separate distincts would each shuffle all |E|)
     val nodes = ew.select(col("src").as("node")).distinct().localCheckpoint()
     val n = nodes.count()
+    // broadcast the rank vector (|V| rows, small beside |E|): the
+    // round's only shuffle is the dst aggregation of contributions.
+    // The factor-32 tier measured the alternatives (PLANS.md round-5
+    // notes): a shuffled-hash fallback joining against ew's preserved
+    // hash(src) partitioning OOM'd the 8 GB harness, and an explicit
+    // per-run repartition+checkpoint was 1.4× slower — the broadcast
+    // form is the best shape for every |V| this harness can hold; on a
+    // real cluster the same flip-over applies beyond executor-memory
+    // broadcast limits (~10^7 nodes).
     var r = nodes.select(col("node"), lit(1.0 / n).as("r"))
     for (_ <- 1 to 5) {
-      // broadcast the rank vector (|V| rows, small beside |E|): the
-      // round's only shuffle is the dst aggregation of contributions.
-      // Beyond broadcast size (~10^7 nodes) flip to the equi-join on
-      // ew's preserved hash(src) partitioning — same plan minus the
-      // broadcast; the bounded-round + checkpoint structure is unchanged.
       r = ew.join(broadcast(r), ew("src") === r("node"))
         .select(col("dst"), (col("r") * col("share")).as("contrib"))
         .groupBy("dst")

@@ -80,7 +80,12 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "d19_substring_dedup" -> 2,
     "t15_bpe_pairs" -> 1,
     "t16_collocations" -> 5, "s11_pq_codes" -> 0,
-    "q73_kmv_setops" -> 18, "d16_source_overlap" -> 10,
+    // q73 = 19: one MORE exchange node than the round-4 shape (18) but
+    // the events fact table is scanned once instead of per type-pair —
+    // the inclusion–exclusion audit trades a pair-fanned distinct
+    // (13.1× at 10× data) for a distinct-relation self-join + two
+    // broadcast size joins (1.56× measured)
+    "q73_kmv_setops" -> 19, "d16_source_overlap" -> 10,
     "p13_mix_rebalance" -> 4, "t17_ngram_novelty" -> 3,
     "q74_hist_quantiles" -> 4, "d17_bloom_dedup" -> 7,
     "q75_attribution" -> 2, "s12_pq_knn" -> 2,
@@ -131,7 +136,11 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // round; the hot dst key crosses the wire post-partial-agg only
     "q77_skew_inflow" -> 3,
     // DSv2 snapshot read: one agg exchange on a pushdown-pruned scan
-    "q78_snapshot_v2" -> 1)
+    "q78_snapshot_v2" -> 1,
+    // q81 = 3: two aggs over V2 reads (latest + time-traveled) + their
+    // join; the V2 WRITES that build the table run as separate commit
+    // jobs before the registered plan (q71/q80's convention)
+    "q81_snapshot_v2_write" -> 3)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet

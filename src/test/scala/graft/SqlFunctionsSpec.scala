@@ -32,6 +32,23 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(viaCols.exceptAll(viaSql).count() === 0)
   }
 
+  test("graft_from_avro_safe quarantines corrupt bytes from pure SQL") {
+    val schema =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"long"},{"name":"b","type":"string"}]}"""
+        .stripMargin.replace("\n", "")
+    val out = spark.sql(
+      s"""SELECT graft_from_avro_safe(
+         |  CASE WHEN id = 2 THEN X'FFFFFFFFFFFFFFFFFFFF'
+         |       ELSE graft_to_avro(named_struct('a', id, 'b', concat('v', id)), '$schema')
+         |  END, '$schema') AS r
+         |FROM range(4)""".stripMargin)
+      .select("r.data.a", "r.data.b", "r._error").collect()
+    val byA = out.map(r => (Option(r.get(0)), Option(r.getString(2)).isDefined))
+    assert(byA.count(_._2) === 1) // exactly the poisoned row quarantined
+    assert(out.count(r => !r.isNullAt(0)) === 3)
+  }
+
   test("graft_to_avro -> graft_from_avro round-trips in pure SQL") {
     val schema =
       """{"type":"record","name":"R","fields":[
