@@ -310,6 +310,85 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("CovarianceAgg equals the brute-force double loop on random int vectors") {
+    val dim = 7 // small dim: the packed-triangle indexing is what's under test
+    val vecGen: Gen[Seq[Array[Long]]] = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-127L, 127L)).map(_.toArray)))
+    samples(vecGen, 8).zipWithIndex.foreach { case (vecs, ci) =>
+      val df = vecs.map(v => Tuple1(v)).toDF("qv")
+        .repartition(3) // force partial buffers + a real merge path
+      val got = df.agg(graft.functions.CovarianceAgg.cov_matrix(dim)(col("qv")).as("c"))
+        .select(col("c.n").as("n"), col("c.sx").as("sx"), explode(col("c.pairs")).as("p"))
+        .select(col("p.i"), col("p.j"), col("n"), col("p.sxy"))
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got.size === dim * (dim + 1) / 2, s"case $ci: triangle size")
+      for (i <- 0 until dim; j <- i until dim) {
+        val sxy = vecs.map(v => v(i) * v(j)).sum
+        assert(got((i, j)) === ((vecs.length.toLong, sxy)),
+          s"case $ci: cell ($i,$j)")
+      }
+    }
+  }
+
+  test("inclusion-exclusion union sizes equal direct distinct-union on random event sets") {
+    // the q73 exact-audit identity: |A u B| = |A| + |B| - |A n B| over
+    // per-type distinct user sets, for every type pair
+    val rowGen: Gen[Seq[(String, Long)]] = Gen.chooseNum(20, 120).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(Gen.oneOf("v", "w", "x", "y"), Gen.chooseNum(0L, 30L))))
+    samples(rowGen, 6).zipWithIndex.foreach { case (rows, ci) =>
+      val e = rows.toDF("event_type", "user_id")
+      val du = e.distinct()
+      val sizes = du.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val inter = du.as("a").join(du.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+        .agg(count(lit(1)).as("nb"))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val types = sizes.keys.toSeq.sorted
+      for (ta <- types; tb <- types if ta < tb) {
+        val direct = rows.collect { case (t, u) if t == ta || t == tb => u }
+          .distinct.length.toLong
+        val ie = sizes(ta) + sizes(tb) - inter.getOrElse((ta, tb), 0L)
+        assert(ie === direct, s"case $ci: pair ($ta,$tb)")
+      }
+    }
+  }
+
+  test("from_avro_safe round-trips arbitrary records and never throws on truncations") {
+    val schema =
+      """{"type":"record","name":"R","fields":[
+        |{"name":"a","type":"long"},
+        |{"name":"b","type":"string"},
+        |{"name":"c","type":["null","double"]}]}"""
+        .stripMargin.replace("\n", "")
+    import graft.functions.AvroCodec
+    val recGen: Gen[(Long, String, Option[Double])] = Gen.zip(
+      Gen.chooseNum(Long.MinValue / 2, Long.MaxValue / 2),
+      Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString),
+      Gen.option(Gen.chooseNum(-1e6, 1e6)))
+    val recs = samples(recGen, 40)
+    val enc = recs.toDF("a", "b", "c")
+      .select(AvroCodec.to_avro(struct(col("a"), col("b"), col("c")), schema).as("bin"))
+    // clean round-trip through the SAFE decoder: data equal, no errors
+    val back = enc.select(AvroCodec.from_avro_safe(col("bin"), schema).as("r"))
+      .select(col("r.data.a"), col("r.data.b"), col("r.data.c"), col("r._error"))
+      .collect()
+    assert(back.forall(_.isNullAt(3)), "clean bytes produced an error")
+    assert(back.map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq === recs)
+    // every strict prefix of a valid record decodes to quarantine-or-data,
+    // never a task failure (truncation at any byte boundary is survivable)
+    val firstBytes = enc.head().getAs[Array[Byte]](0)
+    val prefixes = (0 until firstBytes.length).map(n => Tuple1(firstBytes.take(n)))
+    val cut = prefixes.toDF("bin")
+      .select(AvroCodec.from_avro_safe(col("bin"), schema).as("r"))
+      .select(col("r._error")).collect()
+    assert(cut.length === firstBytes.length) // all rows survived
+  }
+
   test("hammingPairs60 equals brute-force all-pairs on random 60-bit signatures") {
     // clustered generator: random base signatures plus small perturbations
     // so distances straddle the threshold both ways
