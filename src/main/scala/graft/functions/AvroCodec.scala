@@ -177,6 +177,18 @@ case class FromAvroSafe(child: Expression, schemaJson: String)
     StructField("data", AvroCodec.sparkType(schema), nullable = true),
     StructField("_error", StringType, nullable = true)))
 
+  // a NULL payload (e.g. a Kafka tombstone) must quarantine WITH a
+  // reason, not evaluate to a null struct that the standard routing
+  // filter (_error IS NULL → clean) would misclassify as a clean row —
+  // so bypass UnaryExpression's null short-circuit
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) InternalRow(null, UTF8String.fromString("null_payload"))
+    else nullSafeEval(v)
+  }
+
   override protected def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[Array[Byte]]
     try {

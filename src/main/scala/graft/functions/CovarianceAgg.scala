@@ -38,6 +38,12 @@ object CovarianceAgg {
     override def zero: CovBuf = CovBuf(0L, new Array[Long](dim), new Array[Long](tri))
 
     override def reduce(b: CovBuf, q: Array[Long]): CovBuf = {
+      // a null vector contributes nothing — the same skip the replaced
+      // posexplode shape (and the oracle's unnest) gave it; a WRONG-dim
+      // vector still fails loudly (silently skipping would hide a
+      // upstream schema break, and the old shape's per-cell ragged
+      // counts are not a behavior worth preserving)
+      if (q == null) return b
       require(q.length == dim, s"expected dim $dim, got ${q.length}")
       var i = 0
       var k = 0

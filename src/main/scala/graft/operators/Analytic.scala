@@ -1139,7 +1139,12 @@ object Analytic {
     // distinct relation where a user with t types contributes C(t,2)
     // rows (t = |event types|, a small constant), and the per-type
     // sizes are a broadcast-sized |types|-row aggregate.
-    val du = e.select("event_type", "user_id").distinct()
+    // NULL user_ids are excluded up front: COUNT(DISTINCT) (the oracle
+    // and the shape this replaced) never counts NULLs, but count(lit(1))
+    // over the distinct relation would — and the intersection join can
+    // never match a NULL, so a NULL row would inflate every union size
+    val du = e.select("event_type", "user_id")
+      .where(col("user_id").isNotNull).distinct()
       .localCheckpoint() // one shuffle; feeds sizes + both join sides
     val sizes = du.groupBy("event_type").agg(count(lit(1)).as("n"))
     val inter = du.as("ia").join(du.as("ib"),
@@ -1405,7 +1410,16 @@ object Analytic {
       |FROM hi JOIN full_set ON hi.o_orderstatus = full_set.o_orderstatus""".stripMargin) { (s, dir) =>
     import graft.sources.Snapshots
     val root = Incremental.snapRoot(s, dir, "snapv2w")
-    if (Snapshots.versions(s, root).size < 3) {
+    val vs = Snapshots.versions(s, root)
+    if (vs.size < 3) {
+      // a PARTIAL build (some writes landed, then a failure) must be
+      // wiped, not resumed: replaying all three writes on top of a
+      // half-built table would double the even keys in v2+ and corrupt
+      // the asOf-2 read for the rest of the session
+      if (vs.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
       val o = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       o.filter(col("o_orderkey") % 2 === 0)

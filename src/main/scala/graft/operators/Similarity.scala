@@ -551,6 +551,10 @@ object Similarity {
     // constant-size (2,080-row) Generate at the end — replaces the
     // double-posexplode that materialized dim²/2 rows per vector
     q.agg(CovarianceAgg.cov_matrix(64)(col("qv")).as("c"))
+      // a global typed agg emits one row even over ZERO input rows;
+      // the oracle's GROUP BY (and the replaced explode+groupBy shape)
+      // emit nothing — drop the empty-input row before the explode
+      .where(col("c.n") > 0)
       .select(col("c.n").as("n"), col("c.sx").as("sx"),
         explode(col("c.pairs")).as("p"))
       .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),

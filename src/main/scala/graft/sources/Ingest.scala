@@ -76,6 +76,12 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
+      // cache before deriving the reason: a caller filtering ONLY on
+      // _quarantine_reason would otherwise prune the scan's required
+      // schema down to the internal corrupt-record column alone, which
+      // Spark's CSV reader rejects outright (same contract as the JSONL
+      // twin above — one scan feeds both sides)
+      .cache()
       .withColumn("_quarantine_reason",
         when(col("_corrupt_record").isNotNull,
           concat(lit("malformed_csv: "), col("_corrupt_record"))))

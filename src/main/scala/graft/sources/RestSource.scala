@@ -110,9 +110,14 @@ object RestSource {
     parsed.withColumn("_quarantine_reason",
         when(col("status") =!= 200,
           concat(lit("http_"), col("status").cast("string")))
-          .when(col("body").isNull, lit("no_body"))
+          // empty/blank bodies short-circuit from_json BEFORE its
+          // corrupt-record path (NULL struct, no _corrupt_record), and a
+          // bare JSON `null` does the same — both must quarantine, not
+          // land on the clean side as all-null rows
+          .when(col("body").isNull || trim(col("body")) === "", lit("no_body"))
           .when(col("data._corrupt_record").isNotNull,
-            concat(lit("malformed_json: "), col("data._corrupt_record"))))
+            concat(lit("malformed_json: "), col("data._corrupt_record")))
+          .when(col("data").isNull, lit("malformed_json: null_body")))
       .select(Seq(col("id"), col("attempts"), col("_quarantine_reason")) ++
         schema.fieldNames.toSeq.map(f =>
           when(col("_quarantine_reason").isNull, col(s"data.$f"))

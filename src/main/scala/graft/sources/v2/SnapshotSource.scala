@@ -103,28 +103,25 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
       properties: util.Map[String, String]): Table = {
     val options = new CaseInsensitiveStringMap(properties)
     val path = pathOf(options)
-    val spark = SparkSession.active
-    // An existing table's committed schema wins (read path passes the
-    // inferSchema result back anyway); only a fresh table — reachable
-    // only through the write path — takes the caller's schema.
-    if (Snapshots.versions(spark, path).nonEmpty)
-      new SnapshotTable(path, resolve(options).schema, Some(resolve(options)))
-    else
-      new SnapshotTable(path, schema, None)
+    // Resolution is DEFERRED to the first scan: the read path always
+    // passes the inferSchema result (already resolved + memoized), and
+    // a pure write to an existing table must not pay manifest + footer
+    // I/O it never uses — Snapshots.commit takes the frame as-is. A
+    // fresh-table write reaches here with the frame's schema thanks to
+    // supportsExternalMetadata.
+    new SnapshotTable(path, schema, () => resolve(options))
   }
 }
 
-/** The resolved table: reads delegate wholesale to the pinned
-  * [[ParquetTable]] (absent only for a not-yet-committed table, where
-  * only writes are legal); writes go through the snapshot commit
-  * protocol.
+/** The table handle: reads resolve the manifest lazily (first scan)
+  * and delegate wholesale to the pinned [[ParquetTable]]; writes go
+  * through the snapshot commit protocol without ever resolving.
   */
 private[v2] class SnapshotTable(path: String, tableSchema: StructType,
-    underlying: Option[ParquetTable]) extends Table
+    resolveTable: () => ParquetTable) extends Table
     with SupportsRead with SupportsWrite {
 
-  override def name(): String =
-    underlying.map(t => t.name: String).getOrElse(s"graft-snapshot:$path@new")
+  override def name(): String = s"graft-snapshot:$path"
 
   override def schema(): StructType = tableSchema
 
@@ -138,8 +135,7 @@ private[v2] class SnapshotTable(path: String, tableSchema: StructType,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    underlying.getOrElse(throw new IllegalArgumentException(
-      s"no committed snapshot in $path")).newScanBuilder(options)
+    resolveTable().newScanBuilder(options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {

@@ -83,18 +83,23 @@ class QuarantineSpec extends SparkTestBase {
     val corrupt = good1.take(3) // truncated mid-record: EOF during decode
     val junk = Array[Byte](-1, -1, -1, -1, -1, -1, -1, -1, -1, -1)
     val df = Seq(
-      (1, good1), (2, corrupt), (3, good2), (4, junk))
+      (1, good1), (2, corrupt), (3, good2), (4, junk),
+      (5, null.asInstanceOf[Array[Byte]])) // Kafka tombstone shape
       .toDF("row_id", "payload")
       .withColumn("dec", AvroCodec.from_avro_safe(col("payload"), schemaJson))
       .select(col("row_id"), col("dec.data.*"), col("dec._error"))
       .cache()
-    assert(df.count() === 4) // no task failure despite 2 poisoned payloads
+    assert(df.count() === 5) // no task failure despite 3 poisoned payloads
     val ok = df.filter(col("_error").isNull)
     assert(ok.select("row_id", "id", "name").collect().map(r =>
       (r.getInt(0), r.getLong(1), r.getString(2))).toSet ===
       Set((1, 1L, "alpha"), (3, 2L, "beta")))
     val bad = df.filter(col("_error").isNotNull)
-    assert(bad.count() === 2)
+    assert(bad.count() === 3)
+    // a NULL payload quarantines WITH a reason — it must never land on
+    // the clean side as a null struct
+    assert(bad.filter(col("row_id") === 5).select("_error").as[String]
+      .head() === "null_payload")
     // reason names the decoder's failure, and data side is fully null
     assert(bad.select("_error").as[String].collect().forall(_.nonEmpty))
     assert(bad.filter(col("id").isNotNull || col("name").isNotNull).count() === 0)
@@ -125,9 +130,11 @@ class QuarantineSpec extends SparkTestBase {
       FetchResult(3, 500, None, 4),                       // retries exhausted
       FetchResult(4, 200, Some("""{"order_id": oops"""), 1), // poisoned body
       FetchResult(5, -1, None, 4),                        // IO timeout
-      FetchResult(6, 200, Some("""{"order_id": 6, "total": 1.25}"""), 2))
+      FetchResult(6, 200, Some("""{"order_id": 6, "total": 1.25}"""), 2),
+      FetchResult(7, 200, Some(""), 1),                   // 200 with empty body
+      FetchResult(8, 200, Some("null"), 1))               // 200 with JSON null
     val df = RestSource.parsedWithQuarantine(spark, results, schema).cache()
-    assert(df.count() === 6) // one row per requested id, always
+    assert(df.count() === 8) // one row per requested id, always
     val reasons = df.select("id", "_quarantine_reason").collect()
       .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(reasons(1L).isEmpty && reasons(6L).isEmpty)
@@ -135,6 +142,8 @@ class QuarantineSpec extends SparkTestBase {
     assert(reasons(3L).contains("http_500"))
     assert(reasons(4L).exists(_.startsWith("malformed_json: ")))
     assert(reasons(5L).contains("http_-1"))
+    assert(reasons(7L).contains("no_body"))     // empty body never looks clean
+    assert(reasons(8L).exists(_.startsWith("malformed_json"))) // bare JSON null
     val clean = df.filter(col("_quarantine_reason").isNull)
     assert(clean.agg(sum("total")).head.getDouble(0) === 10.75)
     // quarantined rows carry nulls in the data columns, not junk
