@@ -364,7 +364,7 @@ object Analytic {
     """WITH h AS (
       |  SELECT DISTINCT event_type,
       |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-      |  FROM events
+      |  FROM events WHERE user_id IS NOT NULL
       |), r AS (
       |  SELECT event_type, h,
       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
@@ -380,7 +380,8 @@ object Analytic {
       |FROM d JOIN x USING (event_type)""".stripMargin) { (s, dir) =>
     import graft.functions.Portable
     val e = Tables.events(s, dir)
-    val hashes = e.select(col("event_type"),
+    val hashes = e.where(col("user_id").isNotNull)
+      .select(col("event_type"),
         Portable.h32(col("user_id").cast("string")).as("h")).distinct()
     val kth = hashes
       .withColumn("rn", row_number().over(
@@ -1065,7 +1066,7 @@ object Analytic {
     """WITH h AS (
       |  SELECT DISTINCT event_type,
       |         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
-      |  FROM events
+      |  FROM events WHERE user_id IS NOT NULL
       |), r AS (
       |  SELECT event_type, h,
       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
@@ -1101,7 +1102,12 @@ object Analytic {
       |FROM ex JOIN kth ON ex.ta = kth.ta AND ex.tb = kth.tb""".stripMargin) { (s, dir) =>
     import graft.functions.Portable
     val e = Tables.events(s, dir)
-    val hashes = e.select(col("event_type"),
+    // NULL user_ids are excluded in BOTH engines: Spark's window sorts
+    // NULLS FIRST while DuckDB's sorts NULLS LAST, so a NULL hash would
+    // occupy a sketch slot on one side only (same guard as the exact
+    // audit's distinct relation below)
+    val hashes = e.where(col("user_id").isNotNull)
+      .select(col("event_type"),
       Portable.h32(col("user_id").cast("string")).as("h")).distinct()
     val sk = hashes
       .withColumn("rn", row_number().over(
@@ -1415,11 +1421,9 @@ object Analytic {
       // a PARTIAL build (some writes landed, then a failure) must be
       // wiped, not resumed: replaying all three writes on top of a
       // half-built table would double the even keys in v2+ and corrupt
-      // the asOf-2 read for the rest of the session
-      if (vs.nonEmpty) {
-        val p = new org.apache.hadoop.fs.Path(root)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      }
+      // the asOf-2 read for the rest of the session. drop() fails loudly
+      // if the filesystem couldn't remove the root.
+      if (vs.nonEmpty) Snapshots.drop(s, root)
       val o = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       o.filter(col("o_orderkey") % 2 === 0)

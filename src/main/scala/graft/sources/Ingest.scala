@@ -66,6 +66,13 @@ object Ingest {
     * never a task failure, and clean rows proceed. Returned as ONE frame
     * with a `_quarantine_reason` column (null = clean) so callers can
     * route both sides without a second scan.
+    *
+    * The returned frame is `cache()`d (Spark's CSV reader rejects plans
+    * whose required schema is only the internal corrupt-record column —
+    * the exact shape a reason-only filter produces). The cache pins one
+    * in-memory copy of the input per call: callers routing a large
+    * ingest should `.unpersist()` the returned frame once both sides
+    * are consumed.
     */
   def readCsvWithQuarantine(spark: SparkSession, schema: StructType,
       path: String, header: Boolean = false): DataFrame = {

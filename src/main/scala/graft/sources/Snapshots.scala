@@ -491,4 +491,17 @@ object Snapshots {
     }
     dead.size
   }
+
+  /** Drop the whole table — manifests, data, history. Fails loudly if
+    * the filesystem could not remove the root (a silent partial delete
+    * followed by a rebuild is the table-corruption class the q81
+    * idempotency guard exists to prevent). A nonexistent table is a
+    * successful no-op.
+    */
+  def drop(spark: SparkSession, table: String): Unit = {
+    val f = fs(spark, table)
+    val root = new Path(table)
+    if (f.exists(root))
+      require(f.delete(root, true), s"failed to drop snapshot table $table")
+  }
 }

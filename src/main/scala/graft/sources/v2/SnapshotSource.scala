@@ -56,9 +56,10 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
 
   /** True so the WRITE path hands us the incoming frame's schema
     * directly (first commit to a fresh table has no manifest to infer
-    * from). Reads of an existing table still resolve the manifest and
-    * use ITS schema — a user-supplied read schema is not honored over
-    * the committed one.
+    * from). On the read path a user-supplied schema is REJECTED at
+    * first scan unless it equals the committed one (newScanBuilder's
+    * require) — snapshot reads always use the committed schema; appends
+    * to an existing table are validated against it at write time.
     */
   override def supportsExternalMetadata(): Boolean = true
 
@@ -134,8 +135,19 @@ private[v2] class SnapshotTable(path: String, tableSchema: StructType,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE).asJava
   }
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    resolveTable().newScanBuilder(options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val resolved = resolveTable()
+    // the relation's output (what the provider reported at load time) and
+    // the committed file schema must agree, or pruning would request
+    // columns by names the files don't carry and read silent nulls: a
+    // user-supplied .schema(...) that differs from the committed one is
+    // rejected loudly here, at first scan
+    require(resolved.schema == tableSchema,
+      s"graft-snapshot $path: supplied read schema $tableSchema does not " +
+        s"match the committed schema ${resolved.schema}; drop .schema(...) — " +
+        "snapshot reads always use the committed schema")
+    resolved.newScanBuilder(options)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
@@ -145,7 +157,29 @@ private[v2] class SnapshotTable(path: String, tableSchema: StructType,
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
             override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              Snapshots.commit(data, path, overwrite = replace || overwrite)
+              val spark = data.sparkSession
+              val wantsReplace = replace || overwrite
+              // APPEND to an existing table validates against the
+              // COMMITTED schema (the table reports the incoming frame's
+              // own schema to Spark, so AppendData's byName resolution is
+              // vacuous): field sets must match exactly by name+type, and
+              // columns are realigned to committed order so the parquet
+              // files in one manifest never mix layouts. Overwrite may
+              // evolve the schema — it replaces the file set wholesale.
+              val out =
+                if (wantsReplace) data
+                else Snapshots.versions(spark, path).lastOption.map { _ =>
+                  val committed = Snapshots.read(spark, path).schema
+                  val got = data.schema
+                  def sig(s: StructType) =
+                    s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+                  require(sig(committed) == sig(got),
+                    s"graft-snapshot $path: append schema $got does not match " +
+                      s"committed schema $committed (append cannot evolve the " +
+                      "schema; use mode(\"overwrite\") to replace it)")
+                  data.select(committed.fieldNames.map(data(_)).toIndexedSeq: _*)
+                }.getOrElse(data)
+              Snapshots.commit(out, path, overwrite = wantsReplace)
               ()
             }
           }

@@ -99,6 +99,31 @@ class SnapshotV2Spec extends SparkTestBase {
       === Seq("a", "b"))
   }
 
+  test("append with a mismatched schema is rejected against the COMMITTED schema") {
+    val t = committed() // (id, v) bigint columns
+    val err = intercept[IllegalArgumentException] {
+      Seq(("oops", 1.5)).toDF("wrong_col", "v2")
+        .write.format("graft-snapshot").option("path", t).mode("append").save()
+    }
+    assert(err.getMessage.contains("does not match committed schema"), err.getMessage)
+    // reordered columns of the RIGHT schema are realigned, not rejected
+    Seq((7777L, 601L)).toDF("v", "id").select(col("v"), col("id"))
+      .write.format("graft-snapshot").option("path", t).mode("append").save()
+    val row = spark.read.format("graft-snapshot").option("path", t).load()
+      .filter(col("id") === 601L).select("v").as[Long].collect()
+    assert(row.toSeq === Seq(7777L)) // landed in the id/v slots, not v/id
+  }
+
+  test("a user-supplied read schema that differs from the committed one fails loudly") {
+    val t = committed()
+    val err = intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("id INT, bogus STRING"))
+        .option("path", t).load().collect()
+    }
+    assert(err.getMessage.contains("committed schema"), err.getMessage)
+  }
+
   test("missing path / unknown version fail loudly") {
     intercept[IllegalArgumentException] {
       spark.read.format("graft-snapshot").load()
