@@ -45,6 +45,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the file set while keeping every older version readable (time travel
   * across the overwrite keeps working). Concurrency is the commit
   * protocol's optimistic version race, hammered by SnapshotHammerSpec.
+  * The V2 surface is BATCH-only by design (no STREAMING_WRITE
+  * capability, so `writeStream.format("graft-snapshot")` fails at
+  * analysis): a replayed micro-batch through this path would commit
+  * twice — streaming ingest goes through the TOKENED commit sinks
+  * (`Streams.mergeSink` / `Snapshots.commit(token = ...)`), which are
+  * exactly-once under replay.
   *
   * Registered under the short name `graft-snapshot` via the standard
   * `DataSourceRegister` service loader.
