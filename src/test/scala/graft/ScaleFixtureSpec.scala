@@ -64,6 +64,33 @@ class ScaleFixtureSpec extends SparkTestBase {
     assert(bad === 0L)
   }
 
+  test("fixture marker binds to source mtime: a regenerated source forces a rebuild") {
+    // the round-5 lesson: the driver regenerates /root/testdata between
+    // rounds, so a (src, factor)-only marker could silently reuse a
+    // fixture built from the OLD data. The marker stamps the source's
+    // max mtime; simulate regeneration by copying the source and
+    // touching it between builds.
+    val srcCopy = java.nio.file.Files.createTempDirectory("sfsrc").toString
+    for (t <- Tables.starTables)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sf0001/$t.parquet"),
+        java.nio.file.Paths.get(s"$srcCopy/$t.parquet"))
+    val d = java.nio.file.Files.createTempDirectory("sfdst").toString + "/x"
+    ScaleFixture.build(spark, srcCopy, d, 2)
+    val marker = java.nio.file.Paths.get(s"$d/_GRAFT_SCALE_OK")
+    val stamp1 = java.nio.file.Files.readString(marker)
+    // same source untouched → reuse (marker content unchanged, no rebuild)
+    ScaleFixture.build(spark, srcCopy, d, 2)
+    assert(java.nio.file.Files.readString(marker) === stamp1)
+    // "regenerate" the source: bump one table's mtime → must rebuild
+    java.nio.file.Files.setLastModifiedTime(
+      java.nio.file.Paths.get(s"$srcCopy/orders.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    ScaleFixture.build(spark, srcCopy, d, 2)
+    assert(java.nio.file.Files.readString(marker) !== stamp1,
+      "stale fixture was silently reused after the source changed")
+  }
+
   test("no new exchange at N-times scale: heavy-query plan shapes are data-size invariant") {
     def exchanges(name: String, dir: String): Int = {
       val plan = SparkEntry.queries(name)(spark, dir)
