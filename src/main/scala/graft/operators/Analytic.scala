@@ -1115,9 +1115,14 @@ object Analytic {
       .filter(col("rn") <= 16)
       .select("event_type", "h")
       .localCheckpoint() // tiny (k·|types| rows); feeds both pair joins
-    // the sketch relation already carries every event type — deriving
-    // the pair fan-out from it avoids a second full scan of events
-    val types = sk.select("event_type").distinct()
+    // the pair fan-out enumerates event types from ALL events, matching
+    // the oracle's `types` CTE: the sketch relation is NULL-guarded, so
+    // a type whose user_ids are all NULL exists in the universe with an
+    // empty sketch — deriving `types` from `sk` would silently drop its
+    // pairs on this side only. A distinct over one projected column is a
+    // map-side-combined aggregate of a tiny domain, not a second full
+    // scan cost worth avoiding.
+    val types = e.select("event_type").distinct()
     val pairs = types.as("a").join(types.as("b"),
         col("a.event_type") < col("b.event_type"))
       .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
@@ -1158,12 +1163,16 @@ object Analytic {
           col("ia.event_type") < col("ib.event_type"))
       .groupBy(col("ia.event_type").as("ta"), col("ib.event_type").as("tb"))
       .agg(count(lit(1)).as("n_both"))
+    // left joins + coalesce(0): a type with only NULL user_ids has no
+    // row in `sizes` (its COUNT(DISTINCT user_id) is 0 in the oracle),
+    // but its pairs must still appear in the exact audit
     val exact = pairs
-      .join(broadcast(sizes.select(col("event_type").as("ta"), col("n").as("na"))), Seq("ta"))
-      .join(broadcast(sizes.select(col("event_type").as("tb"), col("n").as("nb"))), Seq("tb"))
+      .join(broadcast(sizes.select(col("event_type").as("ta"), col("n").as("na"))), Seq("ta"), "left")
+      .join(broadcast(sizes.select(col("event_type").as("tb"), col("n").as("nb"))), Seq("tb"), "left")
       .join(inter, Seq("ta", "tb"), "left")
       .select(col("ta"), col("tb"),
-        (col("na") + col("nb") - coalesce(col("n_both"), lit(0L))).as("exact_union"))
+        (coalesce(col("na"), lit(0L)) + coalesce(col("nb"), lit(0L)) -
+          coalesce(col("n_both"), lit(0L))).as("exact_union"))
     exact.join(kth, Seq("ta", "tb"))
       .selectExpr("ta", "tb",
         "CAST(coalesce(kth_min, 0) AS BIGINT) AS kth_min",

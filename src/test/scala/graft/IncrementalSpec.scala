@@ -107,6 +107,40 @@ class IncrementalSpec extends SparkTestBase {
     }
   }
 
+  test("q73: a type whose user_ids are ALL NULL still appears in the pair universe") {
+    // The oracle's `types` CTE enumerates DISTINCT event_type from ALL
+    // events while the sketch relation is NULL-guarded; deriving the
+    // Spark fan-out from the sketch would silently drop every pair that
+    // touches an all-NULL type. Pin the aligned semantics: such a type
+    // pairs with sketched types (exact side counts it as 0 distinct
+    // users; the estimate falls back to the other side's sketch), and a
+    // pair of TWO all-NULL types drops on both engines (no merged
+    // sketch row survives the final inner join).
+    import java.sql.Timestamp
+    val dir = java.nio.file.Files.createTempDirectory("q73null").toString
+    val t0 = Timestamp.valueOf("2024-01-01 00:00:00")
+    def ev(id: Long, uid: java.lang.Long, tpe: String) =
+      (id, t0, uid, tpe, 1.0, "{}")
+    val rows =
+      (1L to 5L).map(u => ev(u, u, "a")) ++          // users 1..5
+      (3L to 7L).map(u => ev(10 + u, u, "b")) ++     // users 3..7
+      Seq(ev(100, null, "c"), ev(101, null, "c"),    // all-NULL type
+          ev(102, null, "d"))                        // second all-NULL type
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = run("q73_kmv_setops", dir)
+      .select("ta", "tb", "est_union", "exact_union").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d")), s"pair universe was ${out.keySet}")
+    // |a ∪ b| = 7 exactly; both sketches have < 16 hashes → est is exact
+    assert(out(("a", "b")) === ((7L, 7L)))
+    // all-NULL side contributes nothing: union == the sketched side
+    assert(out(("a", "c")) === ((5L, 5L)))
+    assert(out(("b", "d")) === ((5L, 5L)))
+  }
+
   test("d16: identical sources would agree on all 16 mins; disjoint near none") {
     val rows = run("d16_source_overlap", sf001)
       .select("agree16", "exact_bp").collect()
