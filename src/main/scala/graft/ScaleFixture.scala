@@ -95,8 +95,22 @@ object ScaleFixture {
     // events physical layout changed), and a fixture built from the old
     // fixture must not be silently reused against the new one
     val srcFs = new Path(srcDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val srcStamp = srcFs.listStatus(new Path(srcDir))
-      .map(_.getModificationTime).maxOption.getOrElse(0L)
+    // the stamp walks the full tree and hashes every (path, mtime, len):
+    // a directory-shaped parquet whose files are rewritten IN PLACE can
+    // leave the parent dir's mtime unchanged, so a max-of-top-level
+    // stamp would silently reuse a stale fixture
+    def walk(p: Path): Iterator[String] = {
+      val st = srcFs.getFileStatus(p)
+      if (st.isDirectory)
+        srcFs.listStatus(p).iterator.flatMap(s => walk(s.getPath))
+      else Iterator(s"${p.toUri.getPath}|${st.getModificationTime}|${st.getLen}")
+    }
+    val srcStamp = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      walk(new Path(srcDir)).toSeq.sorted
+        .foreach(line => md.update((line + "\n").getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString
+    }
     val want = s"$srcDir|$factor|$srcStamp"
     if (fs.exists(marker)) {
       val in = fs.open(marker)

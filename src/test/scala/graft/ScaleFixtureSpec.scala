@@ -91,6 +91,38 @@ class ScaleFixtureSpec extends SparkTestBase {
       "stale fixture was silently reused after the source changed")
   }
 
+  test("fixture marker sees in-place rewrites inside directory-shaped tables") {
+    // a table can arrive as a DIRECTORY of part files; rewriting a part
+    // file in place leaves the parent dir's entry list (and often its
+    // mtime) unchanged, so a stamp over top-level statuses alone would
+    // reuse a stale fixture. The stamp must walk recursively.
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val srcCopy = Files.createTempDirectory("sfsrc2").toString
+    for (t <- Tables.starTables if t != "orders")
+      Files.copy(Paths.get(s"$sf0001/$t.parquet"),
+        Paths.get(s"$srcCopy/$t.parquet"))
+    // orders as a directory-shaped parquet
+    spark.read.parquet(s"$sf0001/orders.parquet")
+      .repartition(2).write.parquet(s"$srcCopy/orders.parquet")
+    val d = Files.createTempDirectory("sfdst2").toString + "/x"
+    ScaleFixture.build(spark, srcCopy, d, 2)
+    val marker = Paths.get(s"$d/_GRAFT_SCALE_OK")
+    val stamp1 = Files.readString(marker)
+    // rewrite one part file in place (same name), then pin the parent
+    // dir's mtime back so only the recursive walk can notice
+    val ordersDir = Paths.get(s"$srcCopy/orders.parquet")
+    val dirMtime = Files.getLastModifiedTime(ordersDir)
+    val part = Files.list(ordersDir).filter(_.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.setLastModifiedTime(part,
+      FileTime.fromMillis(System.currentTimeMillis() + 5000))
+    Files.setLastModifiedTime(ordersDir, dirMtime)
+    ScaleFixture.build(spark, srcCopy, d, 2)
+    assert(Files.readString(marker) !== stamp1,
+      "in-place part-file rewrite was not detected by the source stamp")
+  }
+
   test("no new exchange at N-times scale: heavy-query plan shapes are data-size invariant") {
     def exchanges(name: String, dir: String): Int = {
       val plan = SparkEntry.queries(name)(spark, dir)
