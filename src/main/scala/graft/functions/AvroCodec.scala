@@ -25,6 +25,47 @@ import org.apache.spark.unsafe.types.UTF8String
   * schemaless_writer used by the reference producer
   * (lab06-avro-streaming/async_data_gen.py:72-76).
   */
+/** JVM-wide Avro decode-length limits. Schemaless binary Avro carries
+  * length prefixes for string/bytes/array values, and the stock decoder
+  * allocates the buffer BEFORE discovering the stream is truncated — so
+  * a hostile record encoding a multi-GB length raises OutOfMemoryError,
+  * a fatal error that escapes the `NonFatal` quarantine catch ("one
+  * poisoned Kafka record must not kill the job"). Avro 1.12 enforces
+  * caps via `SystemLimitException`, whose static init reads the three
+  * `org.apache.avro.limits.*` system properties exactly once — install
+  * them BEFORE the first decode anywhere in the JVM (every graft Avro
+  * seam calls [[install]] from its schema-parse initializer, which runs
+  * on executors too, ahead of the first `read()`). Over-limit lengths
+  * then surface as `SystemLimitException` (an `AvroRuntimeException`,
+  * caught and quarantined like any other decode error).
+  */
+object AvroLimits {
+  /** 64 MB per string/bytes value: far above any sane record field,
+    * far below an allocation that threatens an executor heap.
+    */
+  val MaxValueBytes: Int = 64 * 1024 * 1024
+  /** 16M elements per array/map: bounds downstream per-element work. */
+  val MaxCollectionItems: Int = 1 << 24
+
+  @volatile private var installed = false
+
+  def install(): Unit = if (!installed) synchronized {
+    if (!installed) {
+      // property names are hardcoded (not read from
+      // SystemLimitException's constants): touching that class here
+      // would run its static init before the properties exist
+      Seq(
+        "org.apache.avro.limits.bytes.maxLength" -> MaxValueBytes,
+        "org.apache.avro.limits.string.maxLength" -> MaxValueBytes,
+        "org.apache.avro.limits.collectionItems.maxLength" -> MaxCollectionItems
+      ).foreach { case (k, v) =>
+        if (System.getProperty(k) == null) System.setProperty(k, v.toString)
+      }
+      installed = true
+    }
+  }
+}
+
 object AvroCodec {
 
   def sparkType(s: Schema): DataType = s.getType match {
@@ -134,7 +175,10 @@ object AvroCodec {
 case class FromAvro(child: Expression, schemaJson: String)
     extends UnaryExpression with CodegenFallback {
 
-  @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val schema = {
+    AvroLimits.install() // before the first decode on this JVM (executor-side too)
+    new Schema.Parser().parse(schemaJson)
+  }
   // one plan object is shared across local-mode task threads (same
   // assumption as ShingleHash32's ThreadLocal MessageDigest): reader and
   // the reused decoder both carry per-read mutable state, so they must be
@@ -167,7 +211,10 @@ case class FromAvro(child: Expression, schemaJson: String)
 case class FromAvroSafe(child: Expression, schemaJson: String)
     extends UnaryExpression with CodegenFallback {
 
-  @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val schema = {
+    AvroLimits.install() // before the first decode on this JVM (executor-side too)
+    new Schema.Parser().parse(schemaJson)
+  }
   @transient private lazy val readerTL =
     ThreadLocal.withInitial[GenericDatumReader[GenericRecord]](
       () => new GenericDatumReader[GenericRecord](schema))
@@ -210,7 +257,10 @@ case class FromAvroSafe(child: Expression, schemaJson: String)
 case class ToAvro(child: Expression, schemaJson: String)
     extends UnaryExpression with CodegenFallback {
 
-  @transient private lazy val schema = new Schema.Parser().parse(schemaJson)
+  @transient private lazy val schema = {
+    AvroLimits.install() // before the first decode on this JVM (executor-side too)
+    new Schema.Parser().parse(schemaJson)
+  }
   @transient private lazy val writer = new GenericDatumWriter[Any](schema)
 
   override def dataType: DataType = BinaryType

@@ -29,6 +29,7 @@ object AvroFiles {
     val bytesDs = spark.read.format("binaryFile").load(pathOrGlob)
       .select(col("content")).as[Array[Byte]]
     val payloads = bytesDs.mapPartitions { files =>
+      graft.functions.AvroLimits.install() // bound lengths before any decode
       files.flatMap { content =>
         val reader = new DataFileStream[GenericRecord](
           new ByteArrayInputStream(content),
@@ -65,6 +66,7 @@ object AvroFiles {
     val encoded = df.select(AvroCodec.to_avro(cols, schemaJson).as("value"))
       .as[Array[Byte]]
     encoded.rdd.mapPartitionsWithIndex { (pid, it) =>
+      graft.functions.AvroLimits.install() // bound lengths before any decode
       val schema = new Schema.Parser().parse(schemaJson)
       val reader = new GenericDatumReader[GenericRecord](schema)
       val writer = new DataFileWriter[GenericRecord](

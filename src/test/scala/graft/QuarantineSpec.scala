@@ -19,11 +19,14 @@ class QuarantineSpec extends SparkTestBase {
     import org.apache.avro.Schema
     import org.apache.avro.generic.{GenericData, GenericDatumWriter}
     import org.apache.avro.io.EncoderFactory
-    def encode(schemaJson: String, id: Long, name: String): Array[Byte] = {
+    def encode(schemaJson: String, id: Long, name: String,
+        xs: Seq[Long] = null): Array[Byte] = {
       val schema = new Schema.Parser().parse(schemaJson)
       val rec = new GenericData.Record(schema)
       rec.put("id", id)
       rec.put("name", name)
+      if (xs != null)
+        rec.put("xs", java.util.Arrays.asList(xs.map(Long.box): _*))
       val out = new java.io.ByteArrayOutputStream()
       val enc = EncoderFactory.get().binaryEncoder(out, null)
       new GenericDatumWriter[Any](schema).write(rec, enc)
@@ -103,6 +106,45 @@ class QuarantineSpec extends SparkTestBase {
     // reason names the decoder's failure, and data side is fully null
     assert(bad.select("_error").as[String].collect().forall(_.nonEmpty))
     assert(bad.filter(col("id").isNotNull || col("name").isNotNull).count() === 0)
+  }
+
+  test("Avro seam: a hostile multi-GB length prefix quarantines, never OOMs") {
+    // schemaless binary Avro length prefixes are attacker-controlled;
+    // the stock decoder allocates BEFORE hitting EOF, so without the
+    // AvroLimits caps a ~1.5 GB string prefix is an OutOfMemoryError —
+    // fatal, escaping the NonFatal quarantine catch. With the caps the
+    // decode dies as SystemLimitException and quarantines like any
+    // other poisoned record.
+    import graft.functions.AvroCodec
+    val schemaJson =
+      """{"type":"record","name":"r","fields":[
+        |  {"name":"id","type":"long"},
+        |  {"name":"name","type":"string"},
+        |  {"name":"xs","type":{"type":"array","items":"long"}}]}""".stripMargin
+    def prefixAttack(stringLen: Long, arrayLen: Long): Array[Byte] = {
+      // id=7, then a string length prefix of `stringLen` with no bytes
+      // behind it (or a valid tiny string and a hostile array length)
+      val bos = new java.io.ByteArrayOutputStream()
+      val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(bos, null)
+      enc.writeLong(7L)
+      if (stringLen > 0) enc.writeLong(stringLen) // hostile string prefix
+      else { enc.writeString("ok"); enc.writeLong(arrayLen) } // hostile block count
+      enc.flush()
+      bos.toByteArray
+    }
+    val hugeString = prefixAttack(1_500_000_000L, 0)
+    val hugeArray = prefixAttack(0, 1_000_000_000L)
+    val good = AvroTestData.encode(schemaJson, 1L, "alpha", Seq(1L, 2L))
+    val df = Seq((1, good), (2, hugeString), (3, hugeArray))
+      .toDF("row_id", "payload")
+      .withColumn("dec", AvroCodec.from_avro_safe(col("payload"), schemaJson))
+      .select(col("row_id"), col("dec._error"))
+    val byId = df.collect().map(r => r.getInt(0) -> Option(r.getString(1))).toMap
+    assert(byId(1).isEmpty, s"clean row quarantined: ${byId(1)}")
+    assert(byId(2).exists(_.contains("SystemLimitException")),
+      s"hostile string prefix produced ${byId(2)} instead of a bounded decode error")
+    assert(byId(3).nonEmpty,
+      s"hostile array block count must quarantine, got ${byId(3)}")
   }
 
   test("Avro seam: from_avro_safe matches from_avro bit-for-bit on clean input") {
