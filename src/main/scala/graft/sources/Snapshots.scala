@@ -100,7 +100,8 @@ object Snapshots {
     * exactly-once contract a replayed streaming micro-batch needs.
     */
   def commit(df: DataFrame, table: String, overwrite: Boolean = false,
-      token: Option[String] = None): Long = {
+      token: Option[String] = None,
+      strictAppendSchema: Boolean = false): Long = {
     val spark = df.sparkSession
     token.foreach(t => committedVersionFor(spark, table, t)
       .foreach(v => return v))
@@ -118,6 +119,27 @@ object Snapshots {
         .foreach(w => return w))
       val base = if (overwrite || prev.isEmpty) Seq.empty
         else manifestFiles(spark, table, prev.last)
+      // strict appends validate against the manifest version BEING
+      // EXTENDED, inside the optimistic lock: a caller-side pre-check is
+      // inherently racy (a schema-evolving overwrite can land between
+      // check and publish, mixing two physical layouts in one manifest).
+      // Here, if publish succeeds at prev.last + 1, no other commit
+      // landed after this validation — exactly the invariant the check
+      // protects. Footer-only driver read; the retry path is rare.
+      if (strictAppendSchema && base.nonEmpty) {
+        def sig(s: org.apache.spark.sql.types.StructType) =
+          s.fields.map(fl => (fl.name, fl.dataType)).sortBy(_._1).toSeq
+        val committed = spark.read.option("mergeSchema", "true")
+          .parquet(base: _*).schema
+        if (sig(committed) != sig(df.schema)) {
+          f.delete(dataDir, true) // no orphaned layout-mismatched files
+          throw new IllegalStateException(
+            s"graft-snapshot $table: append schema ${df.schema} does not " +
+              s"match the schema $committed of manifest v${prev.last} at " +
+              "commit time (a concurrent overwrite may have evolved the " +
+              "table; re-read and retry the append)")
+        }
+      }
       val header = s"v$v${token.map(" " + _).getOrElse("")}"
       val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
       val out = f.create(tmp, false)

@@ -172,6 +172,12 @@ private[v2] class SnapshotTable(path: String, tableSchema: StructType,
               // columns are realigned to committed order so the parquet
               // files in one manifest never mix layouts. Overwrite may
               // evolve the schema — it replaces the file set wholesale.
+              // This pre-check gives the FRIENDLY error and realigns
+              // columns; the race-free guarantee is commit's own
+              // strictAppendSchema re-validation inside the optimistic
+              // lock, against the manifest version actually extended (a
+              // concurrent schema-evolving overwrite between here and
+              // the publish fails the commit instead of mixing layouts).
               val out =
                 if (wantsReplace) data
                 else Snapshots.versions(spark, path).lastOption.map { _ =>
@@ -185,7 +191,8 @@ private[v2] class SnapshotTable(path: String, tableSchema: StructType,
                       "schema; use mode(\"overwrite\") to replace it)")
                   data.select(committed.fieldNames.map(data(_)).toIndexedSeq: _*)
                 }.getOrElse(data)
-              Snapshots.commit(out, path, overwrite = wantsReplace)
+              Snapshots.commit(out, path, overwrite = wantsReplace,
+                strictAppendSchema = !wantsReplace)
               ()
             }
           }

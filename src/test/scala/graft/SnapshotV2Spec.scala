@@ -114,6 +114,65 @@ class SnapshotV2Spec extends SparkTestBase {
     assert(row.toSeq === Seq(7777L)) // landed in the id/v slots, not v/id
   }
 
+  test("strict append re-validates at commit time: a raced schema-evolving overwrite fails the append, never mixes layouts") {
+    // the V2 pre-check reads the committed schema, then commits — a
+    // schema-evolving overwrite landing in between must fail the append
+    // at the commit's own in-lock validation, not slip a second physical
+    // layout into the new manifest. Simulate the lost race by calling
+    // the strict commit directly AFTER the overwrite (equivalent to the
+    // pre-check having passed against the stale version).
+    val t = committed() // (id, v) bigint — the append's target schema
+    // concurrent writer: overwrite evolves the schema to (id, w double)
+    Snapshots.commit(Seq((1L, 0.5)).toDF("id", "w"), t, overwrite = true)
+    val vsBefore = Snapshots.versions(spark, t)
+    val err = intercept[IllegalStateException] {
+      Snapshots.commit(Seq((601L, 77L)).toDF("id", "v"), t,
+        strictAppendSchema = true)
+    }
+    assert(err.getMessage.contains("at commit time"), err.getMessage)
+    // no version published, and the evolved table still reads cleanly
+    assert(Snapshots.versions(spark, t) === vsBefore)
+    assert(Snapshots.read(spark, t).columns.sorted.toSeq === Seq("id", "w"))
+    // matching-schema strict append still lands
+    Snapshots.commit(Seq((2L, 1.5)).toDF("id", "w"), t,
+      strictAppendSchema = true)
+    assert(Snapshots.read(spark, t).count() === 2)
+  }
+
+  test("hammer: strict appends raced against schema-evolving overwrites never mix layouts in a manifest") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val t = Files.createTempDirectory("snapv2race").resolve("t").toString
+    Snapshots.commit(Seq((0L, 0L)).toDF("id", "v"), t)
+    val appends = Future {
+      (1 to 12).map { i =>
+        try { Snapshots.commit(Seq((i.toLong, i.toLong)).toDF("id", "v"), t,
+          strictAppendSchema = true); "ok" }
+        catch { case _: IllegalStateException => "rejected" }
+      }
+    }
+    val overwrites = Future {
+      (1 to 6).foreach { i =>
+        // alternate the schema: (id, v) bigint ↔ (id, w) double
+        val df = if (i % 2 == 0) Seq((i.toLong, i.toLong)).toDF("id", "v")
+          else Seq((i.toLong, i * 0.5)).toDF("id", "w")
+        Snapshots.commit(df, t, overwrite = true)
+      }
+    }
+    Await.result(appends.zip(overwrites), 120.seconds)
+    // THE invariant: every published manifest's data files agree on one
+    // schema signature — a strict append that raced an evolving
+    // overwrite either failed or extended a same-schema base
+    for (v <- Snapshots.versions(spark, t)) {
+      val sigs = Snapshots.dataFiles(spark, t, Some(v))
+        .map(f => spark.read.parquet(f).schema.fields
+          .map(fl => (fl.name, fl.dataType.simpleString)).sortBy(_._1).toSeq)
+        .distinct
+      assert(sigs.size === 1, s"manifest v$v mixes layouts: $sigs")
+    }
+  }
+
   test("a user-supplied read schema that differs from the committed one fails loudly") {
     val t = committed()
     val err = intercept[Exception] {
