@@ -107,7 +107,14 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$failedJson$sf1$sf2}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$failedJson$sf1$sf2}"""
+    println(line)
+    // durable machine-readable copy: the driver's BENCH artifact keeps
+    // only the tail of stdout, which loses the base section once the
+    // scale tiers grow — judges/rounds diff this file instead of prose
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_full_latest.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
+    catch { case e: Throwable => System.err.println(s"bench artifact write failed: $e") }
     spark.stop()
   }
 }

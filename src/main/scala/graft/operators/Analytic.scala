@@ -969,26 +969,49 @@ object Analytic {
     // rank vector (two separate distincts would each shuffle all |E|)
     val nodes = ew.select(col("src").as("node")).distinct().localCheckpoint()
     val n = nodes.count()
-    // broadcast the rank vector (|V| rows, small beside |E|): the
-    // round's only shuffle is the dst aggregation of contributions.
-    // The factor-32 tier measured the alternatives (PLANS.md round-5
-    // notes): a shuffled-hash fallback joining against ew's preserved
-    // hash(src) partitioning OOM'd the 8 GB harness, and an explicit
-    // per-run repartition+checkpoint was 1.4× slower — the broadcast
-    // form is the best shape for every |V| this harness can hold; on a
-    // real cluster the same flip-over applies beyond executor-memory
-    // broadcast limits (~10^7 nodes).
-    var r = nodes.select(col("node"), lit(1.0 / n).as("r"))
-    for (_ <- 1 to 5) {
-      r = ew.join(broadcast(r), ew("src") === r("node"))
-        .select(col("dst"), (col("r") * col("share")).as("contrib"))
+    // The rank vector is an EXPLICIT driver-held broadcast, destroyed
+    // the moment the round consuming it materializes. The previous
+    // shape (broadcast() join + per-round localCheckpoint) left five
+    // rank broadcast relations AND five superseded checkpoint RDDs
+    // resident in the block manager for the query's lifetime — alongside
+    // the ~1 GB edge checkpoint at the 32× tier that pressure spilled
+    // the aggregation maps and bent the scaling curve superlinear
+    // (PLANS.md round-5/6 notes). Residency is now: the edge checkpoint
+    // + exactly ONE |V|-sized broadcast at any instant. Scale envelope
+    // is unchanged — a broadcast-hash join collects |V| to the driver
+    // too; past executor-broadcast limits (~10^7 nodes) both shapes
+    // flip to a co-partitioned shuffle join. The factor-32 tier
+    // measured those alternatives (PLANS.md round-5): shuffled-hash
+    // OOM'd the 8 GB harness; explicit repartition+checkpoint ran 1.4×
+    // slower. Per-round work stays one |E| scan + one dst aggregation
+    // (the map-side partial folds each partition to ≤|V| rows).
+    val sc = s.sparkContext
+    var rank: scala.collection.Map[Long, Double] =
+      nodes.select("node").collect().iterator
+        .map(row => row.getLong(0) -> 1.0 / n).toMap
+    var out: DataFrame = null
+    for (i <- 1 to 5) {
+      val bc = sc.broadcast(rank)
+      val look = udf((src: Long) => bc.value.getOrElse(src, 0.0))
+      val next = ew
+        .select(col("dst"), (look(col("src")) * col("share")).as("contrib"))
         .groupBy("dst")
         .agg(sum("contrib").as("inflow"))
         .select(col("dst").as("node"),
           (lit(0.15 / n) + lit(0.85) * col("inflow")).as("r"))
-        .localCheckpoint()
+      if (i < 5) {
+        // collect IS this round's materialization (what localCheckpoint
+        // did, without leaving a block-manager resident behind)
+        rank = next.collect().iterator
+          .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+      } else {
+        // final round stays a DataFrame; eager checkpoint pins the
+        // result so the last broadcast can be released immediately too
+        out = next.localCheckpoint()
+      }
+      bc.destroy()
     }
-    r.select(
+    out.select(
       when(col("node") % 2 === 0, lit("c")).otherwise(lit("s")).as("kind"),
       expr("node div 2").cast("long").as("key"),
       round(col("r") * 1000000, 2).as("rank_ppm"))
