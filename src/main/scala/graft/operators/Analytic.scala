@@ -961,13 +961,28 @@ object Analytic {
     // wall-clock but embeds all prior rounds' cached plans in the final
     // plan tree, which megabyte-bloats every explain/lint pass — flat
     // lineage wins.)
-    val ew = purchaseEdges(s, dir)
-      .select(col("src"), col("dst"),
-        (col("w") / sum("w").over(Window.partitionBy("src"))).as("share"))
-      .localCheckpoint()
+    // pre-partitioned by dst ONCE: every round's contribution aggregation
+    // then reuses the hash(dst) partitioning — zero per-round exchanges,
+    // and each dst lives in exactly one partition so the per-task
+    // aggregation maps hold |V| entries TOTAL, not |V| per task (the 32
+    // concurrent full-|V| maps were the measured block-manager pressure
+    // at the 32× tier, PLANS.md round-5)
+    // materialize-once via the Intermediates seam: the share window and
+    // the dst repartition are the expensive fixed cost; warm runs enter
+    // the rounds directly (the same seam every composed operator uses)
+    val ew = graft.Intermediates.cached(s, dir, "purchase_edges_share_dst") {
+      purchaseEdges(s, dir)
+        .select(col("src"), col("dst"),
+          (col("w") / sum("w").over(Window.partitionBy("src"))).as("share"))
+        .repartition(col("dst"))
+    }
     // one materialized node list serves both the count and the initial
-    // rank vector (two separate distincts would each shuffle all |E|)
-    val nodes = ew.select(col("src").as("node")).distinct().localCheckpoint()
+    // rank vector (two separate distincts would each shuffle all |E|);
+    // cached for the same reason as ew — and so repeated runs leave no
+    // superseded checkpoint residents behind
+    val nodes = graft.Intermediates.cached(s, dir, "purchase_nodes") {
+      ew.select(col("src").as("node")).distinct()
+    }
     val n = nodes.count()
     // The rank vector is an EXPLICIT driver-held broadcast, destroyed
     // the moment the round consuming it materializes. The previous
@@ -986,13 +1001,17 @@ object Analytic {
     // slower. Per-round work stays one |E| scan + one dst aggregation
     // (the map-side partial folds each partition to ≤|V| rows).
     val sc = s.sparkContext
-    var rank: scala.collection.Map[Long, Double] =
-      nodes.select("node").collect().iterator
-        .map(row => row.getLong(0) -> 1.0 / n).toMap
+    import graft.functions.LongDoubleHash
+    var rank: LongDoubleHash = {
+      val ids = nodes.select("node").collect()
+      val m = LongDoubleHash.ofSize(ids.length)
+      ids.foreach(row => m.put(row.getLong(0), 1.0 / n))
+      m
+    }
     var out: DataFrame = null
     for (i <- 1 to 5) {
       val bc = sc.broadcast(rank)
-      val look = udf((src: Long) => bc.value.getOrElse(src, 0.0))
+      val look = udf((src: Long) => bc.value.get(src, 0.0))
       val next = ew
         .select(col("dst"), (look(col("src")) * col("share")).as("contrib"))
         .groupBy("dst")
@@ -1002,8 +1021,10 @@ object Analytic {
       if (i < 5) {
         // collect IS this round's materialization (what localCheckpoint
         // did, without leaving a block-manager resident behind)
-        rank = next.collect().iterator
-          .map(row => row.getLong(0) -> row.getDouble(1)).toMap
+        val rows = next.collect()
+        val m = LongDoubleHash.ofSize(rows.length)
+        rows.foreach(row => m.put(row.getLong(0), row.getDouble(1)))
+        rank = m
       } else {
         // final round stays a DataFrame; eager checkpoint pins the
         // result so the last broadcast can be released immediately too
