@@ -45,20 +45,59 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the file set while keeping every older version readable (time travel
   * across the overwrite keeps working). Concurrency is the commit
   * protocol's optimistic version race, hammered by SnapshotHammerSpec.
-  * The V2 surface is BATCH-only by design (no STREAMING_WRITE
-  * capability, so `writeStream.format("graft-snapshot")` fails at
-  * analysis): a replayed micro-batch through this path would commit
-  * twice — streaming ingest goes through the TOKENED commit sinks
-  * (`Streams.mergeSink` / `Snapshots.commit(token = ...)`), which are
-  * exactly-once under replay.
+  *
+  * STREAMING WRITE: `writeStream.format("graft-snapshot")` routes to
+  * [[SnapshotStreamSink]] (the provider's V1 sink — the table
+  * deliberately does not advertise STREAMING_WRITE, because the V1
+  * sink is where the tokened exactly-once protocol plugs in). Each
+  * micro-batch commits with token `stream:<checkpoint>:<batchId>`;
+  * a crash-replayed batch finds its token in the manifest history and
+  * publishes nothing. Append mode → a version per batch; Complete
+  * mode → an overwrite version per batch; Update is rejected.
   *
   * Registered under the short name `graft-snapshot` via the standard
   * `DataSourceRegister` service loader.
   */
 class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvider
-    with DataSourceRegister {
+    with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** `writeStream.format("graft-snapshot")`: the table advertises no
+    * STREAMING_WRITE capability, so Spark falls back to this V1 sink —
+    * which is exactly where the exactly-once story lives. Each
+    * micro-batch commits through the TOKENED snapshot protocol
+    * (`stream:<checkpoint>:<batchId>`), so a replayed batch after a
+    * crash restart finds its token already published and becomes a
+    * no-op: at-least-once delivery in, exactly-once table versions out.
+    * Append mode appends a version per batch (strict schema — a batch
+    * can never mix a second physical layout into a manifest); Complete
+    * mode publishes each batch as an overwrite commit (history stays
+    * time-travelable). Update mode has no sane mapping onto an
+    * append-only manifest and is rejected at query start.
+    */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    import org.apache.spark.sql.streaming.OutputMode
+    require(outputMode != OutputMode.Update(),
+      "graft-snapshot sink supports Append (a snapshot version per batch) " +
+        "and Complete (an overwrite version per batch); Update has no " +
+        "mapping onto an append-only manifest")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot sink requires .option(\"path\", <table dir>)"))
+    // the token namespace binds to the CHECKPOINT: a restarted query
+    // (same checkpoint) replays into the same tokens — dedup; an
+    // unrelated query (different checkpoint) never collides. Without a
+    // checkpoint there is no replay, so a per-instance namespace only
+    // has to avoid cross-query collisions.
+    val ns = parameters.getOrElse("checkpointLocation",
+      s"nockpt-${java.util.UUID.randomUUID()}")
+    new SnapshotStreamSink(path, ns, outputMode == OutputMode.Complete())
+  }
 
   /** True so the WRITE path hands us the incoming frame's schema
     * directly (first commit to a fresh table has no manifest to infer
@@ -103,8 +142,19 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
     t
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    resolve(options).schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // A FRESH table has no schema to infer, but it is a legitimate
+    // streaming-write target — Spark's DataStreamWriter resolves the
+    // table (inferSchema + getTable) BEFORE it can fall back to the V1
+    // sink, so throwing here would make `writeStream` unusable on first
+    // contact. Return the empty schema for a fresh, un-pinned table; a
+    // READ of one still fails loudly, at first scan (resolve's
+    // no-committed-snapshot error), instead of at load().
+    val path = pathOf(options)
+    if (options.get("asOf") == null &&
+        Snapshots.versions(SparkSession.active, path).isEmpty) new StructType()
+    else resolve(options).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
@@ -117,6 +167,35 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
     // fresh-table write reaches here with the frame's schema thanks to
     // supportsExternalMetadata.
     new SnapshotTable(path, schema, () => resolve(options))
+  }
+}
+
+/** The streaming sink behind `writeStream.format("graft-snapshot")`.
+  *
+  * addBatch receives a frame bound to the micro-batch's incremental
+  * execution; it is detached by re-wrapping the batch's own InternalRow
+  * RDD as a standalone frame (the same rows, no re-read of the source),
+  * then committed through the tokened snapshot protocol. The executors
+  * write the parquet data files fully distributed inside
+  * `Snapshots.commit`; only the manifest publish is driver-side.
+  * Exactly-once: the token embeds the checkpoint namespace and batchId,
+  * so a replay is answered from the manifest history without writing.
+  */
+private[v2] class SnapshotStreamSink(path: String, tokenNamespace: String,
+    complete: Boolean) extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val token = s"stream:$tokenNamespace:$batchId"
+    val rdd = org.apache.spark.sql.GraftShim.toRdd(data).map(_.copy())
+    val batchDf = org.apache.spark.sql.GraftShim
+      .internalCreateDataFrame(spark, rdd, data.schema)
+    // commit() re-checks the token under the version race; strict
+    // append schema revalidates inside the optimistic lock so a batch
+    // can never extend a manifest whose layout changed underneath it
+    Snapshots.commit(batchDf, path, overwrite = complete,
+      token = Some(token), strictAppendSchema = !complete)
+    ()
   }
 }
 

@@ -22,4 +22,19 @@ object GraftShim {
   /** The analyzed logical plan behind a DataFrame. */
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].logicalPlan
+
+  /** Wrap an InternalRow RDD as a (batch) DataFrame — the sql-private
+    * constructor a custom streaming Sink needs to detach a micro-batch's
+    * rows from the incremental execution that produced them.
+    */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
+  /** The InternalRow RDD of a frame's executed plan (row objects may be
+    * reused by the scan — copy before holding).
+    */
+  def toRdd(df: Dataset[_]): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd
 }
