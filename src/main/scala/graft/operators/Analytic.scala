@@ -1500,6 +1500,61 @@ object Analytic {
     hi.join(all, "o_orderstatus")
   }
 
+  /** q82: tumbling event-time window aggregation — `window(ts, 1h)`,
+    * the Structured Streaming grouping primitive in its batch form (one
+    * query shape serves both: the same expression under `readStream`
+    * is the canonical watermarked streaming agg, spec-pinned in
+    * StreamingSpec). Buckets are emitted as epoch seconds so the hash
+    * gate compares integers, not timestamp formatting. One shuffle on
+    * (bucket, type); partial aggregation bounds what crosses the wire
+    * to |buckets|·|types| per task regardless of input size.
+    */
+  val qTumblingWindow: QuerySpec = QuerySpec.sql(
+    "q82_tumbling_window",
+    """SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+      |       event_type,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("revenue"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n"), col("revenue"))
+  }
+
+  /** q83: hopping (sliding) event-time window — `window(ts, 1h, 30m)`:
+    * every event contributes to exactly two overlapping buckets. The
+    * oracle makes the duplication explicit (UNION ALL of the two
+    * candidate starts per event — for slide s and duration 2s the
+    * windows containing t start at ⌊t/s⌋·s and ⌊t/s⌋·s − s), so the
+    * hash gate proves Spark's window fan-out places every row in both
+    * and only both buckets.
+    */
+  val qHoppingWindow: QuerySpec = QuerySpec.sql(
+    "q83_hopping_window",
+    """WITH t AS (
+      |  SELECT (epoch_us(ts) // 1000000 // 1800) * 1800 AS b,
+      |         event_type, value
+      |  FROM events
+      |), cand AS (
+      |  SELECT b AS bucket_start, event_type, value FROM t
+      |  UNION ALL
+      |  SELECT b - 1800 AS bucket_start, event_type, value FROM t
+      |)
+      |SELECT bucket_start, event_type, COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM cand GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("revenue"))
+      .select(unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n"), col("revenue"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
@@ -1508,5 +1563,6 @@ object Analytic {
       qRecursiveDepth, qCorrelation, qSessionWindow, qFilteredAgg,
       qLateral, qSkewJoin, qZOrder, qBloom, qBasketPairs, qOrderGaps, qMad,
       qPageRank, qSnapshotRoundtrip, qBfsLevels, qKmvSetOps, qHistQuantiles,
-      qAttribution, qSkewInflow, qSnapshotV2, qSnapshotV2Write)
+      qAttribution, qSkewInflow, qSnapshotV2, qSnapshotV2Write,
+      qTumblingWindow, qHoppingWindow)
 }

@@ -34,7 +34,7 @@ object Incremental {
     */
   private val cleanupHooked = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
-  private[operators] def snapRoot(s: SparkSession, dir: String, tag: String): String = {
+  private[graft] def snapRoot(s: SparkSession, dir: String, tag: String): String = {
     // collision-resistant digest of the data dir: hashCode collisions (or
     // abs(Int.MinValue) < 0) would silently alias two datasets' scratch
     // tables, and the versions<2 rebuild guard would then serve wrong rows
@@ -484,7 +484,120 @@ object Incremental {
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
   }
 
+  /** q84: the STREAMING V2 write path under the oracle gate (the q81
+    * precedent applied to `writeStream.format("graft-snapshot")`): a
+    * snapshot table built EXCLUSIVELY through the streaming sink — three
+    * micro-batches sharded by o_orderkey % 3 — then the LAST batch is
+    * replayed through a fresh sink instance with the same checkpoint
+    * namespace (the crash-after-commit-before-offset shape). Exactly-
+    * once is part of the gated answer: a doubled batch would double
+    * n_all/revenue for the %3=2 keys and break the hash. asOf 2 proves
+    * the per-batch versions time-travel (batches 0 and 1 only).
+    *
+    * The MemoryStream feed collects each shard to the driver — a test-
+    * harness seam (bounded by the orders table at gate SF); on a
+    * cluster the same sink consumes any distributed source, the commit
+    * path is identical.
+    */
+  val qStreamSnapshotWrite: QuerySpec = QuerySpec.sql(
+    "q84_stream_snapshot_write",
+    """SELECT o_orderstatus, COUNT(*) AS n_all,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       CAST(SUM(CASE WHEN o_orderkey % 3 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "snapstreamw")
+    val vs = Snapshots.versions(s, root)
+    if (vs.size < 3) {
+      if (vs.nonEmpty) Snapshots.drop(s, root)
+      val rows = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
+      import s.implicits._
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String, Double)]
+      val ckNs = s"q84-${java.util.UUID.randomUUID()}"
+      val q = mem.toDF().toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+        .writeStream.format("graft-snapshot")
+        .option("path", root).option("checkpointLocation",
+          s"${System.getProperty("java.io.tmpdir")}/$ckNs")
+        .outputMode("append").start()
+      // one addData + processAllAvailable per shard = one micro-batch
+      // per shard = one snapshot version per shard, deterministically
+      for (shard <- 0 to 2) {
+        mem.addData(rows.filter(_._1 % 3 == shard).toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      // replay the final batch (batchId 2) through a FRESH sink with
+      // the SAME checkpoint namespace: must be a published no-op
+      new graft.sources.v2.SnapshotProvider()
+        .createSink(s.sqlContext,
+          Map("path" -> root,
+            "checkpointLocation" -> s"${System.getProperty("java.io.tmpdir")}/$ckNs"),
+          Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+        .addBatch(2, rows.filter(_._1 % 3 == 2).toIndexedSeq
+          .toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
+    }
+    val latest = s.read.format("graft-snapshot").option("path", root).load()
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_all"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+    val v2 = s.read.format("graft-snapshot")
+      .option("path", root).option("asOf", 2).load()
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("nv2"))
+    // left + coalesce: a status whose keys are all %3=2 exists only in
+    // the final batch — the oracle still emits it with n_v2 = 0
+    latest.join(v2, Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"), col("n_all"), col("revenue"),
+        coalesce(col("nv2"), lit(0L)).as("n_v2"))
+  }
+
+  /** q85: copy-on-write DELETE under the oracle gate — the DML triad's
+    * third leg (commit=INSERT is q81, merge=UPSERT is q71). The table
+    * is committed in 8 range-partitioned files; deleteWhere rewrites
+    * ONLY the files that contain a matching row (parquet row-group
+    * stats prune the rest — the probe is file-granular, never a table
+    * rewrite), and the pre-delete version stays readable. The gated
+    * answer spans both: post-delete survivors per status AND the
+    * pre-delete count via asOf time travel, so a delete that dropped a
+    * carried file, kept a matched row, or rewrote history breaks the
+    * hash.
+    */
+  val qSnapshotDelete: QuerySpec = QuerySpec.sql(
+    "q85_snapshot_delete",
+    """SELECT o_orderstatus,
+      |       CAST(SUM(CASE WHEN NOT (o_totalprice > 200000) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(SUM(CASE WHEN NOT (o_totalprice > 200000)
+      |                     THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_kept,
+      |       COUNT(*) AS n_before
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "snapdel")
+    val vs = Snapshots.versions(s, root)
+    if (vs.size < 2) {
+      if (vs.nonEmpty) Snapshots.drop(s, root)
+      Snapshots.commit(Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey")), root)
+      Snapshots.deleteWhere(s, root, col("o_totalprice") > 200000)
+    }
+    val kept = Snapshots.read(s, root)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("nk"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("rev_kept"))
+    val before = Snapshots.read(s, root, asOf = Some(1L))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_before"))
+    // built from the PRE-delete universe: a status whose rows were all
+    // deleted still appears (n_kept 0, rev_kept NULL — matching the
+    // oracle's no-ELSE SUM)
+    before.join(kept, Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"), coalesce(col("nk"), lit(0L)).as("n_kept"),
+        col("rev_kept"), col("n_before"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
-      dStreamDedup, qCompactedRead, qScd2Merge)
+      dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
+      qSnapshotDelete)
 }

@@ -141,6 +141,45 @@ class IncrementalSpec extends SparkTestBase {
     assert(out(("b", "d")) === ((5L, 5L)))
   }
 
+  test("q83: hopping windows place every event in exactly two buckets") {
+    // slide 30m, duration 1h: Σn over hopping buckets = 2 × Σn over
+    // tumbling buckets = 2 × |events|
+    val hopping = run("q83_hopping_window", sf001)
+      .agg(sum("n")).head.getLong(0)
+    val tumbling = run("q82_tumbling_window", sf001)
+      .agg(sum("n")).head.getLong(0)
+    val events = Tables.events(spark, sf001).count()
+    assert(tumbling === events)
+    assert(hopping === 2 * events)
+  }
+
+  test("q84: the streamed snapshot table holds exactly one version per micro-batch") {
+    run("q84_stream_snapshot_write", sf001).collect() // force the build
+    import graft.operators.Incremental
+    val root = Incremental.snapRoot(spark, sf001, "snapstreamw")
+    // 3 shards → versions 1..3; the replayed batch published NOTHING
+    assert(graft.sources.Snapshots.versions(spark, root) === Seq(1L, 2L, 3L))
+  }
+
+  test("q85: delete is file-granular — carried files survive the rewrite byte-identical") {
+    run("q85_snapshot_delete", sf001).collect() // force the build
+    import graft.operators.Incremental
+    import graft.sources.Snapshots
+    val root = Incremental.snapRoot(spark, sf001, "snapdel")
+    val before = Snapshots.dataFiles(spark, root, Some(1L)).toSet
+    val after = Snapshots.dataFiles(spark, root, Some(2L)).toSet
+    val carried = before & after
+    // the predicate (o_totalprice > 200000) hits most ranges, but the
+    // point of the spec is structural: every untouched file is the SAME
+    // file (path identity = zero rewrite), and at least one file was
+    // actually rewritten
+    assert((after -- before).nonEmpty, "delete rewrote nothing")
+    assert(carried.forall(before), "carried files changed identity")
+    // no deleted row survives, no kept row lost
+    val kept = Snapshots.read(spark, root)
+    assert(kept.filter(col("o_totalprice") > 200000).count() === 0)
+  }
+
   test("d16: identical sources would agree on all 16 mins; disjoint near none") {
     val rows = run("d16_source_overlap", sf001)
       .select("agree16", "exact_bp").collect()

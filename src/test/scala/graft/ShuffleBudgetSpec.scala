@@ -140,7 +140,14 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // q81 = 3: two aggs over V2 reads (latest + time-traveled) + their
     // join; the V2 WRITES that build the table run as separate commit
     // jobs before the registered plan (q71/q80's convention)
-    "q81_snapshot_v2_write" -> 3)
+    "q81_snapshot_v2_write" -> 3,
+    // one (bucket, type) agg shuffle each; the hopping fan-out is a
+    // row-local Expand, not a second exchange
+    "q82_tumbling_window" -> 1, "q83_hopping_window" -> 1,
+    // two aggs over snapshot reads (latest + time-traveled) + their
+    // join; the streaming/delete builds run as separate jobs (q81's
+    // convention)
+    "q84_stream_snapshot_write" -> 3, "q85_snapshot_delete" -> 3)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
