@@ -596,8 +596,55 @@ object Incremental {
         col("rev_kept"), col("n_before"))
   }
 
+  /** q86: the STREAMING SOURCE under the oracle gate — a table-to-table
+    * pipe: `readStream.format("graft-snapshot")` tails the source table
+    * (initial batch = the full snapshot at query start: shards 0+1;
+    * a third shard committed while the pipe runs arrives as one
+    * incremental batch of exactly its appended files) and the tokened
+    * sink republishes each batch into the destination table. The gated
+    * answer reads the DESTINATION: latest per-status counts/revenue
+    * must equal raw orders (nothing lost, nothing doubled by the pipe),
+    * and asOf 1 pins the initial-batch/increment boundary (shards 0+1
+    * only).
+    */
+  val qStreamSnapshotRead: QuerySpec = QuerySpec.sql(
+    "q86_snapshot_stream_read",
+    """SELECT o_orderstatus, COUNT(*) AS n_all,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       CAST(SUM(CASE WHEN o_orderkey % 3 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_init
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    val src = snapRoot(s, dir, "snapsrcr")
+    val dst = snapRoot(s, dir, "snapdstr")
+    if (Snapshots.versions(s, dst).size < 2) {
+      if (Snapshots.versions(s, dst).nonEmpty) Snapshots.drop(s, dst)
+      if (Snapshots.versions(s, src).nonEmpty) Snapshots.drop(s, src)
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0), src)
+      Snapshots.commit(o.filter(col("o_orderkey") % 3 === 1), src)
+      val ck = s"${System.getProperty("java.io.tmpdir")}/q86-${java.util.UUID.randomUUID()}"
+      val q = s.readStream.format("graft-snapshot").option("path", src).load()
+        .writeStream.format("graft-snapshot")
+        .option("path", dst).option("checkpointLocation", ck)
+        .outputMode("append").start()
+      q.processAllAvailable() // initial batch: the full 2-shard snapshot
+      Snapshots.commit(o.filter(col("o_orderkey") % 3 === 2), src)
+      q.processAllAvailable() // incremental batch: shard 2's files only
+      q.stop()
+    }
+    val latest = Snapshots.read(s, dst)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_all"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+    val init = Snapshots.read(s, dst, asOf = Some(1L))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("ni"))
+    latest.join(init, Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"), col("n_all"), col("revenue"),
+        coalesce(col("ni"), lit(0L)).as("n_init"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
-      qSnapshotDelete)
+      qSnapshotDelete, qStreamSnapshotRead)
 }

@@ -60,9 +60,39 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvider
     with DataSourceRegister
-    with org.apache.spark.sql.sources.StreamSinkProvider {
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** `readStream.format("graft-snapshot")` — the table AS a stream (the
+    * Delta/Iceberg incremental-consumer shape): the first micro-batch is
+    * the full snapshot current at query start, and every manifest
+    * version committed after that arrives as one micro-batch containing
+    * exactly the APPENDED files (the changes() file diff — no anti-join,
+    * no history rescan; at 100 TB a consumer reads only what landed).
+    * Offsets are manifest versions, checkpointed by the engine, so a
+    * restarted query resumes at the exact version it committed —
+    * exactly-once rows end to end when paired with the tokened sink.
+    * Overwrite/compaction commits are NOT representable as appended rows;
+    * the source fails loudly rather than misreport them (same contract
+    * as changes()).
+    */
+  override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-snapshot streaming reads always use the committed schema; drop .schema(...)")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-snapshot source requires .option(\"path\", <table dir>)"))
+    (shortName(), Snapshots.read(sqlContext.sparkSession, path).schema)
+  }
+
+  override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
+      metadataPath: String, schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
+    new SnapshotStreamSource(sqlContext.sparkSession, parameters("path"))
 
   /** `writeStream.format("graft-snapshot")`: the table advertises no
     * STREAMING_WRITE capability, so Spark falls back to this V1 sink —
@@ -197,6 +227,63 @@ private[v2] class SnapshotStreamSink(path: String, tokenNamespace: String,
       token = Some(token), strictAppendSchema = !complete)
     ()
   }
+}
+
+/** The streaming source behind `readStream.format("graft-snapshot")`.
+  *
+  * Offset = committed manifest version (a monotone long). getBatch
+  * resolves the FILE DIFF between the two offsets' manifests and hands
+  * the file list to the stock parquet relation re-tagged as streaming —
+  * pushdown, pruning and the vectorized reader all intact, and the read
+  * cost of a micro-batch is proportional to the files that version
+  * appended, never the table. A `None` start (fresh query) reads the
+  * full end-version snapshot as the initial batch.
+  */
+private[v2] class SnapshotStreamSource(spark: SparkSession, path: String)
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.Offset
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  override val schema: StructType = Snapshots.read(spark, path).schema
+
+  private def ver(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other         => other.json.toLong // SerializedOffset after restart
+  }
+
+  override def getOffset: Option[Offset] =
+    Snapshots.versions(spark, path).lastOption.map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): org.apache.spark.sql.DataFrame = {
+    val to = ver(end)
+    val files = start match {
+      case None => Snapshots.dataFiles(spark, path, Some(to))
+      case Some(s) =>
+        val from = ver(s)
+        val before = Snapshots.dataFiles(spark, path, Some(from)).toSet
+        val after = Snapshots.dataFiles(spark, path, Some(to))
+        // an overwrite/compaction replaced files: those rows are not an
+        // append and silently streaming them would double-count — same
+        // refusal contract as Snapshots.changes()
+        require(before.subsetOf(after.toSet),
+          s"graft-snapshot stream $path: history v$from -> v$to is not " +
+            "append-only (an overwrite or compaction landed); restart the " +
+            "stream from the current snapshot")
+        after.filterNot(before)
+    }
+    if (files.isEmpty) // a version that appended zero files (empty commit)
+      org.apache.spark.sql.GraftShim.internalCreateStreamingDataFrame(
+        spark, spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.catalyst.InternalRow], schema)
+    else // re-tag the relation first: a select would wrap it in a Project
+      org.apache.spark.sql.GraftShim
+        .asStreamingScan(spark.read.parquet(files: _*))
+        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*)
+  }
+
+  override def stop(): Unit = ()
 }
 
 /** The table handle: reads resolve the manifest lazily (first scan)

@@ -37,4 +37,29 @@ object GraftShim {
     */
   def toRdd(df: Dataset[_]): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd
+
+  /** A streaming-tagged frame over an InternalRow RDD (for a source's
+    * empty micro-batch, where there is no file relation to re-tag).
+    */
+  def internalCreateStreamingDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** Re-tag a batch file-relation frame as streaming — what a custom V1
+    * streaming Source must hand back from getBatch (MicroBatchExecution
+    * asserts isStreaming). The relation, and with it the vectorized
+    * parquet scan, pushdown and pruning, is untouched; only the logical
+    * flag flips (the FileStreamSource pattern).
+    */
+  def asStreamingScan(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = logicalPlan(df) match {
+      case lr: LogicalRelation => lr.copy(isStreaming = true)
+      case other => throw new IllegalStateException(
+        s"expected a LogicalRelation scan, got ${other.getClass.getSimpleName}")
+    }
+    ofRows(df.sparkSession, plan)
+  }
 }

@@ -147,7 +147,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // two aggs over snapshot reads (latest + time-traveled) + their
     // join; the streaming/delete builds run as separate jobs (q81's
     // convention)
-    "q84_stream_snapshot_write" -> 3, "q85_snapshot_delete" -> 3)
+    "q84_stream_snapshot_write" -> 3, "q85_snapshot_delete" -> 3,
+    "q86_snapshot_stream_read" -> 3)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
