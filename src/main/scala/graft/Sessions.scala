@@ -46,6 +46,10 @@ object Sessions {
     */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // INT96 (the Spark default) is deprecated AND carries no usable
+    // footer min/max — written timestamps would be invisible to
+    // FileStats data skipping
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     if (!spark.experimental.extraStrategies.contains(plans.TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ plans.TopKPerKeyStrategy

@@ -643,8 +643,46 @@ object Incremental {
         coalesce(col("ni"), lit(0L)).as("n_init"))
   }
 
+  /** q87: manifest-level DATA SKIPPING under the oracle gate — the
+    * snapshot table is committed date-range-partitioned (16 files, so
+    * per-file l_shipdate ranges are tight and disjoint) and the
+    * selective quarter read goes through `readWhere`, which prunes the
+    * file list against the footer-derived per-file ranges BEFORE the
+    * scan. At 100 TB this is the difference between opening three files
+    * and opening the table; FileStatsSpec pins that the pruned and
+    * unpruned reads are row-identical and the prune is real (a strict
+    * subset survives). The oracle applies the same predicate to the raw
+    * table — a skipped file that actually contained a matching row
+    * would break the hash.
+    */
+  val qSnapshotPrunedRead: QuerySpec = QuerySpec.sql(
+    "q87_snapshot_pruned_read",
+    """SELECT strftime(l_shipdate, '%Y-%m') AS mon,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "snappr")
+    if (Snapshots.versions(s, root).isEmpty) {
+      Snapshots.commit(Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice")
+        .repartitionByRange(16, col("l_shipdate")), root)
+    }
+    val lo = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1995-04-01 00:00:00")
+    Snapshots.readWhere(s, root,
+        col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
-      qSnapshotDelete, qStreamSnapshotRead)
+      qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead)
 }

@@ -1,0 +1,337 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions._
+
+/** Manifest-level data skipping for the snapshot format (the
+  * Delta/Iceberg stats-pruning shape): per-file column min/max/null
+  * stats, collected from the parquet FOOTERS the writer already
+  * produced — no second pass over the data — and stored as sidecar
+  * lines under `<table>/stats/`, keyed by file path. Readers prune the
+  * manifest's file list against a predicate BEFORE the scan, so a
+  * selective query on a 100 TB table opens only the files whose ranges
+  * can match; row-group pruning inside the surviving files is then the
+  * stock parquet path.
+  *
+  * The sidecar design deliberately leaves the manifest protocol
+  * untouched: rebase commits (merge/compact/delete) carry files by
+  * path, and their stats travel with the path. A file with no stats
+  * line (pre-stats history) simply never prunes — skipping is a pure
+  * optimization, never a correctness dependency. Pruning is
+  * CONSERVATIVE: any predicate shape the evaluator does not recognize
+  * keeps the file.
+  *
+  * Supported stats domains: integral (long), fractional (double),
+  * string (UTF8), date (days), timestamp (micros). Everything else is
+  * not collected.
+  */
+object FileStats {
+
+  /** Per-file, per-column range. `min`/`max` are None when every value
+    * in the file is NULL (parquet min/max ignore nulls).
+    */
+  final case class ColRange(tag: Char, min: Option[Any], max: Option[Any],
+      hasNulls: Boolean, allNulls: Boolean)
+
+  private def fs(spark: SparkSession, table: String) =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def norm(p: String): String = new Path(p).toUri.getPath
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
+  private def unb64(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
+
+  /** Read footers of freshly-written `files` and append one stats
+    * sidecar under `<table>/stats/`. Driver-side footer reads — a few
+    * KB per file, bounded by the commit's file count (the same loop a
+    * manifest write already does); at larger file counts this would be
+    * one mapPartitions over paths.
+    */
+  def record(spark: SparkSession, table: String, files: Seq[String]): Unit = {
+    if (files.isEmpty) return
+    val conf = spark.sparkContext.hadoopConfiguration
+    val lines = files.flatMap(f => fileLines(conf, f))
+    if (lines.isEmpty) return
+    val f = fs(spark, table)
+    val out = f.create(
+      new Path(s"$table/stats/stats-${java.util.UUID.randomUUID}.tsv"), false)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** One TSV line per (file, supported top-level column):
+    * b64(path) \t b64(col) \t tag \t rows \t nulls \t b64(min) \t b64(max)
+    * (min/max empty when all values are NULL).
+    */
+  private def fileLines(conf: Configuration, file: String): Seq[String] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      // (tag, min, max, nulls, statsOk) accumulated across row groups
+      val acc = scala.collection.mutable.LinkedHashMap
+        .empty[String, (Char, Any, Any, Long, Boolean)]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val pathParts = c.getPath.toArray
+        if (pathParts.length == 1) { // top-level leaf only
+          val name = pathParts(0)
+          val pt = c.getPrimitiveType
+          val tag: Char = pt.getPrimitiveTypeName match {
+            case PrimitiveTypeName.INT32 | PrimitiveTypeName.INT64 =>
+              pt.getLogicalTypeAnnotation match {
+                case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => 'D'
+                case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => 'T'
+                case _: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => ' '
+                case _ => 'I'
+              }
+            case PrimitiveTypeName.FLOAT | PrimitiveTypeName.DOUBLE => 'F'
+            case PrimitiveTypeName.BINARY
+                if pt.getLogicalTypeAnnotation
+                  .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] => 'S'
+            case _ => ' '
+          }
+          if (tag != ' ') {
+            val st = c.getStatistics
+            val ok = st != null && !st.isEmpty
+            val (mn, mx) =
+              if (ok && st.hasNonNullValue)
+                (toDomain(tag, st.genericGetMin.asInstanceOf[AnyRef]),
+                  toDomain(tag, st.genericGetMax.asInstanceOf[AnyRef]))
+              else (null, null)
+            val nulls = if (ok) st.getNumNulls else -1L
+            acc.get(name) match {
+              case None => acc(name) = (tag, mn, mx, nulls, ok)
+              case Some((t0, m0, x0, n0, ok0)) =>
+                val mergedMin = minOf(tag, m0, mn)
+                val mergedMax = maxOf(tag, x0, mx)
+                val mergedNulls =
+                  if (n0 < 0 || nulls < 0) -1L else n0 + nulls
+                acc(name) = (t0, mergedMin, mergedMax, mergedNulls, ok0 && ok)
+            }
+          }
+        }
+      }
+      acc.toSeq.collect { case (name, (tag, mn, mx, nulls, true)) =>
+        Seq(b64(norm(file)), b64(name), tag.toString, rows.toString,
+          nulls.toString,
+          Option(mn).map(v => b64(v.toString)).getOrElse(""),
+          Option(mx).map(v => b64(v.toString)).getOrElse("")
+        ).mkString("\t")
+      }
+    } finally reader.close()
+  }
+
+  /** Parquet footer generic values → the per-tag comparison domain
+    * (I/D/T → Long, F → Double, S → String).
+    */
+  private def toDomain(tag: Char, v: AnyRef): Any = (tag, v) match {
+    case (_, null) => null
+    case ('S', b: org.apache.parquet.io.api.Binary) => b.toStringUsingUTF8
+    case ('F', n: java.lang.Number) => n.doubleValue()
+    case (_, n: java.lang.Number) => n.longValue() // I, D (days), T (micros)
+    case _ => null
+  }
+
+  private def cmp(tag: Char, a: Any, b: Any): Int = tag match {
+    case 'F' => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case 'S' => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
+    case _   => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  }
+
+  private def minOf(tag: Char, a: Any, b: Any): Any =
+    if (a == null || b == null) null else if (cmp(tag, a, b) <= 0) a else b
+  private def maxOf(tag: Char, a: Any, b: Any): Any =
+    if (a == null || b == null) null else if (cmp(tag, a, b) >= 0) a else b
+
+  /** All recorded stats for `table`: normalized path → column → range. */
+  def load(spark: SparkSession, table: String): Map[String, Map[String, ColRange]] = {
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/stats")
+    if (!f.exists(dir)) return Map.empty
+    val lines = f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("stats-"))
+      .flatMap { p =>
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    lines.flatMap { line =>
+      line.split("\t", -1) match {
+        case Array(pathB, colB, tagS, rowsS, nullsS, mnB, mxB) =>
+          val tag = tagS.head
+          def parse(s: String): Option[Any] =
+            if (s.isEmpty) None
+            else Some(tag match {
+              case 'F' => unb64(s).toDouble
+              case 'S' => unb64(s)
+              case _   => unb64(s).toLong
+            })
+          val rows = rowsS.toLong
+          val nulls = nullsS.toLong
+          val mn = parse(mnB)
+          Some((unb64(pathB), unb64(colB), ColRange(tag, mn, parse(mxB),
+            hasNulls = nulls != 0, // -1 (unknown) counts as "may have"
+            allNulls = rows > 0 && mn.isEmpty)))
+        case _ => None
+      }
+    }.groupBy(_._1)
+      .map { case (p, xs) => p -> xs.map(x => x._2 -> x._3).toMap }
+  }
+
+  /** The subset of `files` that MAY contain rows matching `predicate`.
+    * Conservative: files without stats, and predicate shapes outside
+    * the evaluator, always survive.
+    */
+  def prune(spark: SparkSession, table: String, files: Seq[String],
+      predicate: Column): Seq[String] = {
+    val stats = load(spark, table)
+    if (stats.isEmpty) return files
+    // The Column must be RESOLVED before the walk: the raw converter
+    // yields a ColumnNode wrapper (not a Catalyst comparison tree), and
+    // analysis + optimization also fold the implicit literal casts
+    // (col("i32") === 500L) into plain literals the range check can
+    // read. Schema comes from one footer; no data is read. Any failure
+    // to recover a Filter condition falls back to keeping every file.
+    val expr: Expression = try {
+      val probe = spark.read.parquet(files.head).filter(predicate)
+      val plan = probe.queryExecution.optimizedPlan
+      plan.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+      }.getOrElse {
+        plan match {
+          // a contradiction (id > 875 AND id = 1) optimizes the Filter
+          // away entirely, leaving an empty LocalRelation: NO file can
+          // match
+          case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+              if lr.data.isEmpty => return Seq.empty
+          case _ => return files
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => return files }
+    files.filter { f =>
+      stats.get(norm(f)) match {
+        case None         => true
+        case Some(ranges) => mayMatch(ranges, expr)
+      }
+    }
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(a.name)
+    case a: AttributeReference => Some(a.name)
+    // a cast-wrapped attribute is safe to unwrap: the literal side then
+    // carries the WIDER type, and rangeVs only ever compares same-tag
+    // domains (plus I↔F as double) — any cast that changes the domain
+    // lands in the incomparable branch and keeps the file
+    case c: Cast => attrName(c.child)
+    case _ => None
+  }
+
+  /** Literal → (tag, domain value); None when the literal's type has no
+    * stats domain (→ conservative keep).
+    */
+  private def litDomain(l: Literal): Option[(Char, Any)] = {
+    import org.apache.spark.sql.types._
+    if (l.value == null) return None
+    l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(('I', l.value.asInstanceOf[Number].longValue()))
+      case FloatType | DoubleType =>
+        Some(('F', l.value.asInstanceOf[Number].doubleValue()))
+      case StringType => Some(('S', l.value.toString)) // UTF8String.toString
+      case DateType => Some(('D', l.value.asInstanceOf[Number].longValue()))
+      // both timestamp flavors carry epoch micros; the session is
+      // pinned to UTC so the NTZ and UTC-adjusted domains coincide
+      case TimestampType | TimestampNTZType =>
+        Some(('T', l.value.asInstanceOf[Number].longValue()))
+      case _ => None
+    }
+  }
+
+  /** Can `(lo, hi)` and the literal satisfy `op`? Domains must agree,
+    * except integral stats vs fractional literal (compared as double).
+    */
+  private def rangeVs(r: ColRange, lit: (Char, Any), op: Char): Boolean = {
+    if (r.allNulls) return false // no non-null value can match any comparison
+    if (r.min.isEmpty || r.max.isEmpty) return true // unknown range
+    val (ltag, lval) = lit
+    // unify domains: I-vs-F in either direction compares as double
+    // (values in the I/F domains are only ever Long or Double)
+    def asD(v: Any): Double = v match {
+      case l: Long   => l.toDouble
+      case d: Double => d
+    }
+    val (lo, hi, v, tag) =
+      if (r.tag == ltag) (r.min.get, r.max.get, lval, r.tag)
+      else if ((r.tag == 'I' && ltag == 'F') || (r.tag == 'F' && ltag == 'I'))
+        (asD(r.min.get), asD(r.max.get), asD(lval), 'F')
+      else return true // incomparable domains: keep
+    op match {
+      case '=' => cmp(tag, lo, v) <= 0 && cmp(tag, v, hi) <= 0
+      case '<' => cmp(tag, lo, v) < 0   // some value < v exists
+      case '≤' => cmp(tag, lo, v) <= 0
+      case '>' => cmp(tag, hi, v) > 0   // some value > v exists
+      case '≥' => cmp(tag, hi, v) >= 0
+      case _   => true
+    }
+  }
+
+  /** Conservative three-valued pruning: true = the file may contain a
+    * matching row.
+    */
+  private def mayMatch(ranges: Map[String, ColRange], e: Expression): Boolean = {
+    def test(attr: Expression, lit: Expression, op: Char): Boolean =
+      (attrName(attr), lit) match {
+        case (Some(n), l: Literal) =>
+          ranges.get(n) match {
+            case Some(r) => litDomain(l) match {
+              case Some(d) => rangeVs(r, d, op)
+              case None    => true
+            }
+            case None => true // no stats for this column
+          }
+        case _ => true
+      }
+    def flip(op: Char): Char = op match {
+      case '<' => '>'; case '>' => '<'; case '≤' => '≥'; case '≥' => '≤'
+      case o => o
+    }
+    e match {
+      // the optimizer folds contradictions/tautologies to bare literals
+      // (id > 875 AND id = 1 → false): honor them instead of "unknown"
+      case Literal(null, org.apache.spark.sql.types.BooleanType) => false
+      case Literal(v, org.apache.spark.sql.types.BooleanType) =>
+        v.asInstanceOf[Boolean]
+      case And(l, r) => mayMatch(ranges, l) && mayMatch(ranges, r)
+      case Or(l, r)  => mayMatch(ranges, l) || mayMatch(ranges, r)
+      case EqualTo(a, b) =>
+        if (b.isInstanceOf[Literal]) test(a, b, '=') else test(b, a, '=')
+      case GreaterThan(a, b) =>
+        if (b.isInstanceOf[Literal]) test(a, b, '>') else test(b, a, flip('>'))
+      case GreaterThanOrEqual(a, b) =>
+        if (b.isInstanceOf[Literal]) test(a, b, '≥') else test(b, a, flip('≥'))
+      case LessThan(a, b) =>
+        if (b.isInstanceOf[Literal]) test(a, b, '<') else test(b, a, flip('<'))
+      case LessThanOrEqual(a, b) =>
+        if (b.isInstanceOf[Literal]) test(a, b, '≤') else test(b, a, flip('≤'))
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => test(a, v, '='))
+      case IsNull(a) => attrName(a).flatMap(ranges.get)
+        .forall(r => r.hasNulls || r.allNulls)
+      case IsNotNull(a) => attrName(a).flatMap(ranges.get)
+        .forall(r => !r.allNulls)
+      case _ => true // unknown shape: keep
+    }
+  }
+}

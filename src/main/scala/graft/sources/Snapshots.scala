@@ -110,6 +110,7 @@ object Snapshots {
     df.write.parquet(dataDir.toString)
     val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath.toString)
       .filter(_.contains("part-")).sorted
+    FileStats.record(spark, table, newFiles) // footer-derived skipping stats
     var attempt = 0
     while (attempt < 5) {
       val prev = versions(spark, table)
@@ -206,6 +207,25 @@ object Snapshots {
     val files = dataFiles(spark, table, asOf)
     if (files.isEmpty) spark.emptyDataFrame
     else spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
+  }
+
+  /** Selective read with MANIFEST-LEVEL data skipping: the version's
+    * file list is pruned against `predicate` using the footer-derived
+    * per-file column ranges ([[FileStats]]) BEFORE the scan, so a
+    * selective query on a huge table opens only the files whose ranges
+    * can match — the Delta/Iceberg stats-pruning shape, one level above
+    * parquet's own row-group pruning (which still applies inside the
+    * surviving files). The predicate is then applied row-level as
+    * usual; skipping is an optimization, never a correctness
+    * dependency (files without stats always survive).
+    */
+  def readWhere(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column,
+      asOf: Option[Long] = None): DataFrame = {
+    val files = dataFiles(spark, table, asOf)
+    val kept = FileStats.prune(spark, table, files, predicate)
+    if (kept.isEmpty) read(spark, table, asOf).filter(predicate).limit(0)
+    else spark.read.parquet(kept: _*).filter(predicate)
   }
 
   /** File-granular change-data-feed: the rows ADDED between committed
@@ -318,8 +338,12 @@ object Snapshots {
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
     df.write.parquet(dataDir.toString)
     val f = fs(df.sparkSession, table)
-    (f.listStatus(dataDir).toSeq.map(_.getPath.toString)
-      .filter(_.contains("part-")).sorted, dataDir)
+    val files = f.listStatus(dataDir).toSeq.map(_.getPath.toString)
+      .filter(_.contains("part-")).sorted
+    // footer-derived skipping stats ride along with every write (a few
+    // KB per file, no data re-read); see FileStats
+    FileStats.record(df.sparkSession, table, files)
+    (files, dataDir)
   }
 
   def merge(spark: SparkSession, table: String, updates: DataFrame, key: String): Long = {

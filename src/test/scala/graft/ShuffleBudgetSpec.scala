@@ -148,7 +148,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // join; the streaming/delete builds run as separate jobs (q81's
     // convention)
     "q84_stream_snapshot_write" -> 3, "q85_snapshot_delete" -> 3,
-    "q86_snapshot_stream_read" -> 3)
+    "q86_snapshot_stream_read" -> 3,
+    // one month-agg shuffle over the stats-pruned file scan
+    "q87_snapshot_pruned_read" -> 1)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
