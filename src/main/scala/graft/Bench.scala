@@ -48,6 +48,10 @@ object Bench {
       val dst = ScaleFixture.defaultDst(sfDir, factor)
       val b0 = System.nanoTime()
       try {
+        // evict the previous tier's cached intermediates before this one
+        // runs: three data scales' working sets do not fit one JVM, and
+        // the ratios must measure the engine, not cross-tier eviction
+        Intermediates.dropExcept(dst)
         ScaleFixture.build(spark, sfDir, dst, factor)
         val buildSec = (System.nanoTime() - b0) / 1e9
         // per-query cold+warm PAIRS (not two global passes): a budget

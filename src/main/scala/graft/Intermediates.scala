@@ -45,4 +45,25 @@ object Intermediates {
     * one session but mutate inputs).
     */
   def clear(): Unit = cache.clear()
+
+  /** Evict every cached intermediate whose data dir is NOT `keepDir`,
+    * releasing the checkpoint blocks eagerly. The bench runs three data
+    * scales through one JVM; without eviction each tier's multi-GB
+    * intermediates (the dst-partitioned edge relation alone is ~GBs at
+    * 32×) stay resident while the next tier runs — exactly the
+    * block-manager pressure that spilled the 32× tier. A real
+    * deployment keeps one dataset's working set; so does the bench now.
+    */
+  def dropExcept(keepDir: String): Unit = {
+    val victims = cache.keys.filter(_._2 != keepDir).toSeq
+    victims.foreach { k =>
+      cache.remove(k).foreach { df =>
+        org.apache.spark.sql.GraftShim.logicalPlan(df) match {
+          case lr: org.apache.spark.sql.execution.LogicalRDD =>
+            lr.rdd.unpersist(blocking = true)
+          case _ => ()
+        }
+      }
+    }
+  }
 }
