@@ -7,6 +7,7 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.parquet.schema.LogicalTypeAnnotation
 import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 
 /** Manifest-level data skipping for the snapshot format (the
@@ -226,6 +227,32 @@ object FileStats {
     }
   }
 
+  /** Test seam: (kept, total) of the most recent source-filter prune —
+    * how V2 specs observe that manifest-level skipping engaged.
+    */
+  @volatile private[graft] var lastSourcePrune: Option[(Int, Int)] = None
+
+  /** File skipping for the DataSourceV2 path: Spark's file sources push
+    * RESOLVED Catalyst expressions (SupportsPushDownCatalystFilters) —
+    * prune the pinned manifest file list against them before the
+    * parquet scan is built. The seq is implicitly conjunctive.
+    * Conservative exactly like the Column path.
+    */
+  private[graft] def pruneResolved(spark: SparkSession, table: String,
+      files: Seq[String], filters: Seq[Expression]): Seq[String] = {
+    val stats = load(spark, table)
+    val kept =
+      if (stats.isEmpty || filters.isEmpty) files
+      else files.filter { f =>
+        stats.get(norm(f)) match {
+          case None         => true
+          case Some(ranges) => filters.forall(mayMatch(ranges, _))
+        }
+      }
+    lastSourcePrune = Some((kept.size, files.size))
+    kept
+  }
+
   private def attrName(e: Expression): Option[String] = e match {
     case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
       Some(a.name)
@@ -291,9 +318,19 @@ object FileStats {
     * matching row.
     */
   private def mayMatch(ranges: Map[String, ColRange], e: Expression): Boolean = {
+    // the V2 pushdown path hands ANALYZED (not optimizer-folded)
+    // expressions, so a literal may arrive cast-wrapped — fold any
+    // attribute-free deterministic subtree to a literal before testing
+    def asLit(x: Expression): Option[Literal] = x match {
+      case l: Literal => Some(l)
+      case f if f.foldable && f.deterministic =>
+        try Some(Literal.create(f.eval(InternalRow.empty), f.dataType))
+        catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
     def test(attr: Expression, lit: Expression, op: Char): Boolean =
-      (attrName(attr), lit) match {
-        case (Some(n), l: Literal) =>
+      (attrName(attr), asLit(lit)) match {
+        case (Some(n), Some(l)) =>
           ranges.get(n) match {
             case Some(r) => litDomain(l) match {
               case Some(d) => rangeVs(r, d, op)
@@ -303,10 +340,6 @@ object FileStats {
           }
         case _ => true
       }
-    def flip(op: Char): Char = op match {
-      case '<' => '>'; case '>' => '<'; case '≤' => '≥'; case '≥' => '≤'
-      case o => o
-    }
     e match {
       // the optimizer folds contradictions/tautologies to bare literals
       // (id > 875 AND id = 1 → false): honor them instead of "unknown"
@@ -315,18 +348,15 @@ object FileStats {
         v.asInstanceOf[Boolean]
       case And(l, r) => mayMatch(ranges, l) && mayMatch(ranges, r)
       case Or(l, r)  => mayMatch(ranges, l) || mayMatch(ranges, r)
-      case EqualTo(a, b) =>
-        if (b.isInstanceOf[Literal]) test(a, b, '=') else test(b, a, '=')
-      case GreaterThan(a, b) =>
-        if (b.isInstanceOf[Literal]) test(a, b, '>') else test(b, a, flip('>'))
-      case GreaterThanOrEqual(a, b) =>
-        if (b.isInstanceOf[Literal]) test(a, b, '≥') else test(b, a, flip('≥'))
-      case LessThan(a, b) =>
-        if (b.isInstanceOf[Literal]) test(a, b, '<') else test(b, a, flip('<'))
-      case LessThanOrEqual(a, b) =>
-        if (b.isInstanceOf[Literal]) test(a, b, '≤') else test(b, a, flip('≤'))
-      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
-        vs.exists(v => test(a, v, '='))
+      // operand order is unknown (attr op lit / lit op attr): test both
+      // readings — the non-applicable one is conservatively true, so
+      // the conjunction keeps exactly the applicable answer
+      case EqualTo(a, b)            => test(a, b, '=') && test(b, a, '=')
+      case GreaterThan(a, b)        => test(a, b, '>') && test(b, a, '<')
+      case GreaterThanOrEqual(a, b) => test(a, b, '≥') && test(b, a, '≤')
+      case LessThan(a, b)           => test(a, b, '<') && test(b, a, '>')
+      case LessThanOrEqual(a, b)    => test(a, b, '≤') && test(b, a, '≥')
+      case In(a, vs) => vs.exists(v => test(a, v, '='))
       case IsNull(a) => attrName(a).flatMap(ranges.get)
         .forall(r => r.hasNulls || r.allNulls)
       case IsNotNull(a) => attrName(a).flatMap(ranges.get)

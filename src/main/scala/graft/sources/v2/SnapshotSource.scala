@@ -144,14 +144,14 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
     * commit lands between the two calls. Memoized per option set so
     * one load() resolves exactly once.
     */
-  @volatile private var cached: (Map[String, String], ParquetTable) = null
+  @volatile private var cached: (Map[String, String], ResolvedSnapshot) = null
 
   private def pathOf(options: CaseInsensitiveStringMap): String =
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-snapshot requires .option(\"path\", <table dir>)"))
 
-  private def resolve(options: CaseInsensitiveStringMap): ParquetTable = {
+  private def resolve(options: CaseInsensitiveStringMap): ResolvedSnapshot = {
     import scala.jdk.CollectionConverters._
     val key = options.asCaseSensitiveMap().asScala.toMap
     val c = cached
@@ -168,8 +168,9 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
     require(files.nonEmpty, s"snapshot v$version of $path lists no data files")
     val t = ParquetTable(s"graft-snapshot:$path@v$version",
       spark, options, files, None, classOf[ParquetFileFormat])
-    cached = (key, t)
-    t
+    val r = ResolvedSnapshot(path, version, files, t, options)
+    cached = (key, r)
+    r
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -290,8 +291,98 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String)
   * and delegate wholesale to the pinned [[ParquetTable]]; writes go
   * through the snapshot commit protocol without ever resolving.
   */
+/** Everything a pinned snapshot read needs: the concrete version, its
+  * immutable file list (for manifest-level data skipping), and the
+  * stock parquet table over those files.
+  */
+private[v2] final case class ResolvedSnapshot(path: String, version: Long,
+    files: Seq[String], table: ParquetTable,
+    options: CaseInsensitiveStringMap)
+
+/** The scan builder that makes MANIFEST-LEVEL data skipping automatic
+  * for `spark.read.format("graft-snapshot")`: the filters Catalyst
+  * pushes down are used to prune the pinned file list against the
+  * footer-derived per-file ranges ([[graft.sources.FileStats]]) BEFORE
+  * the parquet scan is built — the selective query never opens the
+  * files it cannot match. Everything else (row-group pruning inside
+  * surviving files, column pruning, vectorized read) delegates
+  * wholesale to Spark's own parquet builder; this wrapper claims no
+  * filter as handled, so row-level semantics are exactly the stock
+  * path's.
+  */
+private[v2] class PruningScanBuilder(resolved: ResolvedSnapshot,
+    options: CaseInsensitiveStringMap) extends ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  // the full-table inner builder mirrors pushdown responses (which
+  // filters parquet accepts is independent of the file list); file
+  // sources speak the CATALYST pushdown dialect, so this wrapper does
+  // too — the same resolved expressions feed both parquet's row-group
+  // pruning and the manifest-level file pruning
+  private val mirror = resolved.table.newScanBuilder(options)
+  private var catalystFilters: Seq[Expression] = Nil
+  private var required: Option[StructType] = None
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    catalystFilters = filters
+    mirror match {
+      case m: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        m.pushFilters(filters)
+      case _ => filters
+    }
+  }
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    mirror match {
+      case m: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        m.pushedFilters
+      case _ => Array.empty
+    }
+
+  override def pruneColumns(s: StructType): Unit = {
+    required = Some(s)
+    mirror match {
+      case m: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+        m.pruneColumns(s)
+      case _ => ()
+    }
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val spark = SparkSession.active
+    val kept = graft.sources.FileStats.pruneResolved(
+      spark, resolved.path, resolved.files, catalystFilters)
+    if (kept.size == resolved.files.size) mirror.build()
+    else {
+      // a smaller table over the surviving files; replay the pushdown
+      val pruned = ParquetTable(
+        s"${resolved.table.name}:skip${resolved.files.size - kept.size}",
+        spark, options,
+        // an empty file list breaks ParquetTable's schema inference —
+        // keep one file; its row groups are then pruned by parquet
+        if (kept.isEmpty) resolved.files.take(1) else kept,
+        None, classOf[ParquetFileFormat])
+      val b = pruned.newScanBuilder(options)
+      b match {
+        case m: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+          m.pushFilters(catalystFilters): Unit
+        case _ => ()
+      }
+      (b, required) match {
+        case (m: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns,
+            Some(s)) => m.pruneColumns(s)
+        case _ => ()
+      }
+      b.build()
+    }
+  }
+}
+
 private[v2] class SnapshotTable(path: String, tableSchema: StructType,
-    resolveTable: () => ParquetTable) extends Table
+    resolveTable: () => ResolvedSnapshot) extends Table
     with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft-snapshot:$path"
@@ -314,11 +405,11 @@ private[v2] class SnapshotTable(path: String, tableSchema: StructType,
     // columns by names the files don't carry and read silent nulls: a
     // user-supplied .schema(...) that differs from the committed one is
     // rejected loudly here, at first scan
-    require(resolved.schema == tableSchema,
+    require(resolved.table.schema == tableSchema,
       s"graft-snapshot $path: supplied read schema $tableSchema does not " +
-        s"match the committed schema ${resolved.schema}; drop .schema(...) — " +
+        s"match the committed schema ${resolved.table.schema}; drop .schema(...) — " +
         "snapshot reads always use the committed schema")
-    resolved.newScanBuilder(options)
+    new PruningScanBuilder(resolved, options)
   }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =

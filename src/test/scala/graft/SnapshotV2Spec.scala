@@ -47,6 +47,27 @@ class SnapshotV2Spec extends SparkTestBase {
     assert(plan.contains("ReadSchema: struct<id:bigint,v:bigint>"), plan)
   }
 
+  test("V2 reads skip files at the manifest level: pushed filters prune before the scan") {
+    import graft.sources.FileStats
+    val t = Files.createTempDirectory("snapv2skip").resolve("t").toString
+    Snapshots.commit((1L to 1000L).toDF("id").withColumn("v", col("id") * 7)
+      .repartitionByRange(8, col("id")), t)
+    FileStats.lastSourcePrune = None
+    val rows = spark.read.format("graft-snapshot").option("path", t).load()
+      .filter(col("id") === 500L).select("v").as[Long].collect()
+    assert(rows.toSeq === Seq(3500L))
+    // the pushed filter reached the manifest-level pruner and a strict
+    // subset of the 8 range files survived
+    FileStats.lastSourcePrune match {
+      case Some((kept, total)) =>
+        assert(total === 8 && kept === 1, s"pruned $kept/$total")
+      case None => fail("V2 scan never consulted the file-skipping pruner")
+    }
+    // a non-selective read keeps everything and stays correct
+    assert(spark.read.format("graft-snapshot").option("path", t).load()
+      .count() === 1000)
+  }
+
   test("a format read pins its version: concurrent commits stay invisible") {
     val t = committed()
     val pinned = spark.read.format("graft-snapshot").option("path", t).load()
