@@ -21,7 +21,8 @@ object Bench {
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, dir).count() }
-      catch { case _: Throwable => failed += s"$name@$dir" }
+      catch { case e: Throwable =>
+        failed += s"$name@$dir:${e.getClass.getSimpleName}" }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n, sfDir))
@@ -44,7 +45,8 @@ object Bench {
     // convexity between decades is the 100× predictor).
     def scaleTier(label: String, factor: Int, budgetSec: Double,
         queries: Seq[String], base: Map[String, Double],
-        vsWarm: Option[(String, Map[String, Double])]): (String, Map[String, Double]) = {
+        vsWarm: Option[(String, Map[String, Double])],
+        perQueryEvict: Boolean = false): (String, Map[String, Double]) = {
       val dst = ScaleFixture.defaultDst(sfDir, factor)
       val b0 = System.nanoTime()
       try {
@@ -67,6 +69,12 @@ object Bench {
           if (spent < budgetSec) {
             val tw = run(n, dst); spent += tw; warm += (n -> tw)
           }
+          // at the top factor each query measures against its OWN
+          // working set: a prior query's cached seam is unevictable
+          // storage that squeezes execution memory into OOM at 32x
+          // data (cold pays the seam build either way; warm ran
+          // against the warm seam before the evict)
+          if (perQueryEvict) Intermediates.dropAll()
         }
         val skipped = queries.drop(cold.size)
         val warmMap = warm.toMap
@@ -103,11 +111,11 @@ object Bench {
     // fixture's max factor in the same JVM; vsWarm against the sf1 tier
     // gives the second-decade ratio directly.
     val factor2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR2", "32").toInt
-    val budget2 = sys.env.getOrElse("SPARK_GRAFT_SCALE2_BUDGET_SEC", "480").toDouble
+    val budget2 = sys.env.getOrElse("SPARK_GRAFT_SCALE2_BUDGET_SEC", "700").toDouble
     val sf2 =
       if (factor2 <= factor || warm1.isEmpty) ""
       else scaleTier("sf2", factor2, budget2, ScaleFixture.curveQueries, base,
-        Some("sf1" -> warm1))._1
+        Some("sf1" -> warm1), perQueryEvict = true)._1
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""

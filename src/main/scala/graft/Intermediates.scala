@@ -54,9 +54,20 @@ object Intermediates {
     * block-manager pressure that spilled the 32× tier. A real
     * deployment keeps one dataset's working set; so does the bench now.
     */
-  def dropExcept(keepDir: String): Unit = {
-    val victims = cache.keys.filter(_._2 != keepDir).toSeq
-    victims.foreach { k =>
+  def dropExcept(keepDir: String): Unit =
+    drop(cache.keys.filter(_._2 != keepDir).toSeq)
+
+  /** Evict EVERYTHING, releasing the checkpoint blocks eagerly. The
+    * 32× bench tier runs each curve query against its own working set:
+    * checkpoint blocks live inside the protected storage fraction
+    * (unevictable), so a prior query's multi-GB seam would otherwise
+    * squeeze the next query's execution memory into OOM at that data
+    * scale.
+    */
+  def dropAll(): Unit = drop(cache.keys.toSeq)
+
+  private def drop(keys: Seq[(Int, String, String)]): Unit =
+    keys.foreach { k =>
       cache.remove(k).foreach { df =>
         org.apache.spark.sql.GraftShim.logicalPlan(df) match {
           case lr: org.apache.spark.sql.execution.LogicalRDD =>
@@ -65,5 +76,4 @@ object Intermediates {
         }
       }
     }
-  }
 }

@@ -970,12 +970,7 @@ object Analytic {
     // materialize-once via the Intermediates seam: the share window and
     // the dst repartition are the expensive fixed cost; warm runs enter
     // the rounds directly (the same seam every composed operator uses)
-    val ew = graft.Intermediates.cached(s, dir, "purchase_edges_share_dst") {
-      purchaseEdges(s, dir)
-        .select(col("src"), col("dst"),
-          (col("w") / sum("w").over(Window.partitionBy("src"))).as("share"))
-        .repartition(col("dst"))
-    }
+    val ew = purchaseEdgesShareDst(s, dir)
     // one materialized node list serves both the count and the initial
     // rank vector (two separate distincts would each shuffle all |E|);
     // cached for the same reason as ew — and so repeated runs leave no
@@ -1039,20 +1034,35 @@ object Analytic {
   }
 
   /** Shared bipartite purchase graph (customer·2 ↔ supplier·2+1,
-    * edge weight = lineitem count), both directions — the expensive
-    * lineitem⋈orders base materialized once per session+dir through the
-    * Intermediates seam; q67 (PageRank) and q72 (BFS) both consume it.
+    * edge weight = lineitem count), both directions. NOT cached on its
+    * own: the one materialized form of this graph is
+    * [[purchaseEdgesShareDst]] — holding both the raw and the derived
+    * relation resident (~1.5 GB each at the 32× tier) was exactly the
+    * heap that the tier's later queries then OOM'd against.
     */
-  private def purchaseEdges(s: SparkSession, dir: String): DataFrame =
-    graft.Intermediates.cached(s, dir, "purchase_edges") {
-      val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
-      val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
-      val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
-        .agg(count(lit(1)).cast("double").as("w"))
-      edges.union(
-        edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  private def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
+    val edges = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
+    edges.union(
+      edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+  }
+
+  /** THE materialized purchase-graph relation (src, dst, share),
+    * hash-partitioned by dst — one copy serves every graph consumer:
+    * q67 uses all three columns and the dst partitioning (zero
+    * per-round exchanges); q72 projects (src, dst). Materialized once
+    * per (session, dir) through the Intermediates seam.
+    */
+  private def purchaseEdgesShareDst(s: SparkSession, dir: String): DataFrame =
+    graft.Intermediates.cached(s, dir, "purchase_edges_share_dst") {
+      purchaseEdges(s, dir)
+        .select(col("src"), col("dst"),
+          (col("w") / sum("w").over(Window.partitionBy("src"))).as("share"))
+        .repartition(col("dst"))
     }
 
   /** One weighted-contribution round (the PageRank inner loop) over a
@@ -1373,7 +1383,7 @@ object Analytic {
          |       CAST(MIN(lvl) AS BIGINT) AS level
          |FROM levels GROUP BY 1, 2""".stripMargin
     }) { (s, dir) =>
-    val e = purchaseEdges(s, dir).select("src", "dst")
+    val e = purchaseEdgesShareDst(s, dir).select("src", "dst")
     val src = Tables.orders(s, dir)
       .agg(min(col("o_custkey") * 2).as("node"))
       .select(col("node"), lit(0).as("lvl"))

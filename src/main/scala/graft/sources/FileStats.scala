@@ -56,17 +56,26 @@ object FileStats {
     * manifest write already does); at larger file counts this would be
     * one mapPartitions over paths.
     */
-  def record(spark: SparkSession, table: String, files: Seq[String]): Unit = {
-    if (files.isEmpty) return
-    val conf = spark.sparkContext.hadoopConfiguration
-    val lines = files.flatMap(f => fileLines(conf, f))
-    if (lines.isEmpty) return
-    val f = fs(spark, table)
-    val out = f.create(
-      new Path(s"$table/stats/stats-${java.util.UUID.randomUUID}.tsv"), false)
-    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
-    finally out.close()
-  }
+  def record(spark: SparkSession, table: String, files: Seq[String]): Unit =
+    try {
+      if (files.isEmpty) return
+      val conf = spark.sparkContext.hadoopConfiguration
+      // a footer that cannot be read yields no stats for that file (it
+      // will simply never prune) — stats collection must NEVER fail the
+      // write that triggered it
+      val lines = files.flatMap { f =>
+        try fileLines(conf, f)
+        catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      }
+      if (lines.isEmpty) return
+      val f = fs(spark, table)
+      val out = f.create(
+        new Path(s"$table/stats/stats-${java.util.UUID.randomUUID}.tsv"), false)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"FileStats.record skipped for $table: $e")
+    }
 
   /** One TSV line per (file, supported top-level column):
     * b64(path) \t b64(col) \t tag \t rows \t nulls \t b64(min) \t b64(max)
@@ -167,27 +176,31 @@ object FileStats {
         finally in.close()
       }
     lines.flatMap { line =>
-      line.split("\t", -1) match {
-        case Array(pathB, colB, tagS, rowsS, nullsS, mnB, mxB) =>
-          val tag = tagS.head
-          def parse(s: String): Option[Any] =
-            if (s.isEmpty) None
-            else Some(tag match {
-              case 'F' => unb64(s).toDouble
-              case 'S' => unb64(s)
-              case _   => unb64(s).toLong
-            })
-          val rows = rowsS.toLong
-          val nulls = nullsS.toLong
-          val mn = parse(mnB)
-          Some((unb64(pathB), unb64(colB), ColRange(tag, mn, parse(mxB),
-            hasNulls = nulls != 0, // -1 (unknown) counts as "may have"
-            allNulls = rows > 0 && mn.isEmpty)))
-        case _ => None
-      }
+      try parseLine(line)
+      catch { case scala.util.control.NonFatal(_) => None } // torn line: no stats
     }.groupBy(_._1)
       .map { case (p, xs) => p -> xs.map(x => x._2 -> x._3).toMap }
   }
+
+  private def parseLine(line: String): Option[(String, String, ColRange)] =
+    line.split("\t", -1) match {
+      case Array(pathB, colB, tagS, rowsS, nullsS, mnB, mxB) =>
+        val tag = tagS.head
+        def parse(s: String): Option[Any] =
+          if (s.isEmpty) None
+          else Some(tag match {
+            case 'F' => unb64(s).toDouble
+            case 'S' => unb64(s)
+            case _   => unb64(s).toLong
+          })
+        val rows = rowsS.toLong
+        val nulls = nullsS.toLong
+        val mn = parse(mnB)
+        Some((unb64(pathB), unb64(colB), ColRange(tag, mn, parse(mxB),
+          hasNulls = nulls != 0, // -1 (unknown) counts as "may have"
+          allNulls = rows > 0 && mn.isEmpty)))
+      case _ => None
+    }
 
   /** The subset of `files` that MAY contain rows matching `predicate`.
     * Conservative: files without stats, and predicate shapes outside

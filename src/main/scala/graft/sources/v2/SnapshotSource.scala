@@ -184,7 +184,7 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
     val path = pathOf(options)
     if (options.get("asOf") == null &&
         Snapshots.versions(SparkSession.active, path).isEmpty) new StructType()
-    else resolve(options).schema
+    else resolve(options).table.schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
