@@ -1173,10 +1173,14 @@ object Analytic {
     // the oracle's `types` CTE: the sketch relation is NULL-guarded, so
     // a type whose user_ids are all NULL exists in the universe with an
     // empty sketch — deriving `types` from `sk` would silently drop its
-    // pairs on this side only. A distinct over one projected column is a
-    // map-side-combined aggregate of a tiny domain, not a second full
-    // scan cost worth avoiding.
-    val types = e.select("event_type").distinct()
+    // pairs on this side only. Checkpointed like sk/du: `pairs` is
+    // referenced three times (both tagJoin sides + the exact audit),
+    // and each reference would otherwise re-run two single-column
+    // events scans through the self-join — with the checkpoint the
+    // registered plan re-reads raw events ZERO times (the three build
+    // scans — hashes, types, du — each run exactly once; PlanLintSpec
+    // pins the zero).
+    val types = e.select("event_type").distinct().localCheckpoint()
     val pairs = types.as("a").join(types.as("b"),
         col("a.event_type") < col("b.event_type"))
       .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"))

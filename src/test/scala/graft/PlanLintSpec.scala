@@ -62,6 +62,67 @@ class PlanLintSpec extends SparkTestBase {
       s"q1 reads unneeded columns: $cols")
   }
 
+  test("q73 never rereads raw events (the per-pair fan-out must not return)") {
+    // Round 5 restructured q73's exact audit to inclusion–exclusion:
+    // the sketch, type-universe and distinct-user relations are each
+    // built from ONE events scan and localCheckpoint'ed, so the
+    // registered plan is joins over LogicalRDDs with ZERO direct
+    // events.parquet scans. The round-4 shape — pairs ⋈ raw events per
+    // pair side — would put full-width events scans back into this
+    // plan; that shape was the measured worst scaler at 10× data
+    // (13.1× warm).
+    val plan = run("q73_kmv_setops").queryExecution.executedPlan.toString
+    val eventsScans = "events\\.parquet".r.findAllIn(plan).size
+    assert(eventsScans === 0,
+      s"q73 plan scans events.parquet $eventsScans times (expected 0 — " +
+        s"all events reads belong in the once-each checkpoint builds):\n$plan")
+  }
+
+  test("V2 snapshot write keeps the data path distributed (no driver-side collect)") {
+    // The write surface's contract: executors write the parquet files
+    // (Spark's FileFormatWriter), the driver only publishes the
+    // manifest. A refactor that collects rows and writes them
+    // driver-side would cap the writable table at driver memory — the
+    // canonical 100 TB write-path killer. QueryExecutionListener sees
+    // every Dataset action: a data-path collect() surfaces as a
+    // "collect"/"collectAsList" funcName; the legitimate path surfaces
+    // as a distributed file-write command.
+    import java.nio.file.Files
+    import scala.collection.mutable
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val seen = mutable.ListBuffer.empty[(String, String)]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        seen.synchronized { seen += ((funcName, qe.executedPlan.toString)) }
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      import spark.implicits._
+      val t = Files.createTempDirectory("v2lint").resolve("t").toString
+      (1L to 1000L).toDF("id").write.format("graft-snapshot")
+        .option("path", t).mode("append").save()
+      // listener delivery is async (no public waitUntilEmpty) — poll for
+      // the write command to land, then give stragglers one more beat
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (System.nanoTime() < deadline &&
+          !seen.synchronized(seen.exists { case (_, p) =>
+            p.contains("WriteFiles") || p.contains("InsertIntoHadoopFsRelationCommand") }))
+        Thread.sleep(50)
+      Thread.sleep(200)
+      val collected = seen.synchronized(seen.toList)
+      val collects = collected.collect {
+        case (fn, _) if fn.startsWith("collect") || fn == "toLocalIterator" => fn
+      }
+      assert(collects.isEmpty,
+        s"V2 write triggered driver-side materialization: $collects")
+      assert(collected.exists { case (_, plan) =>
+        plan.contains("WriteFiles") || plan.contains("InsertIntoHadoopFsRelationCommand")
+      }, s"V2 write produced no distributed file-write execution; saw: ${collected.map(_._1)}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("hot row-level paths stay inside whole-stage codegen") {
     // the scan→filter→project→partial-agg pipeline of each of these must
     // run generated code (an interpreted expression in the hot path shows
