@@ -112,21 +112,34 @@ object BloomAgg {
       BloomAgg(GraftShim.expression(key), words, hashes, salt)
         .toAggregateExpression())
 
-  /** Membership probe against a built filter (array<bigint> column):
-    * true iff every hash position's bit is set. Same md5-derived
-    * positions as the build — expression-only, codegen-friendly
-    * composition of built-ins.
+  /** Membership probe against a built filter (array<bigint>): true iff
+    * every hash position's bit is set. Same md5-derived positions as
+    * the build — a codegen-friendly composition of built-in catalyst
+    * expressions (raw expressions, not Columns, so the same builder
+    * serves both the DataFrame API and the SQL function registry;
+    * the analyzer's type coercion inserts the string→binary and
+    * integer-division casts exactly as it does for the SQL forms).
     */
-  def bloom_probe(bf: Column, key: Column, words: Int = 16,
-      hashes: Int = 3, salt: String = "bloom"): Column = {
-    import org.apache.spark.sql.functions._
+  def probeExpr(bf: Expression, key: Expression, words: Int = 16,
+      hashes: Int = 3, salt: String = "bloom"): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Add, And, BitwiseAnd,
+      Cast, Concat, Conv, Divide, ElementAt, EqualTo, Literal, Md5, Not,
+      Pmod, ShiftLeft, Substring}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     (0 until hashes).map { i =>
-      val pos = pmod(conv(substring(
-        md5(concat(lit(s"$salt:$i:"), key)), 1, 8), 16, 10).cast("long"),
-        lit(words * 64L))
-      val word = element_at(bf, (pos / 64).cast("int") + 1)
-      val bit = call_function("shiftleft", lit(1L), pmod(pos, lit(64)).cast("int"))
-      word.bitwiseAND(bit) =!= 0
-    }.reduce(_ && _)
+      val hex = Substring(Md5(Concat(Seq(Literal(s"$salt:$i:"), key))),
+        Literal(1), Literal(8))
+      val pos = Pmod(Cast(Conv(hex, Literal(16), Literal(10)), LongType),
+        Literal(words * 64L))
+      val word = ElementAt(bf,
+        Add(Cast(Divide(pos, Literal(64L)), IntegerType), Literal(1)))
+      val bit = ShiftLeft(Literal(1L), Cast(Pmod(pos, Literal(64L)), IntegerType))
+      Not(EqualTo(BitwiseAnd(word, bit), Literal(0L))): Expression
+    }.reduce(And(_, _))
   }
+
+  def bloom_probe(bf: Column, key: Column, words: Int = 16,
+      hashes: Int = 3, salt: String = "bloom"): Column =
+    GraftShim.column(probeExpr(GraftShim.expression(bf),
+      GraftShim.expression(key), words, hashes, salt))
 }

@@ -49,6 +49,57 @@ class SqlFunctionsSpec extends SparkTestBase {
     assert(out.count(r => !r.isNullAt(0)) === 3)
   }
 
+  test("graft_shingle_hashes60 / graft_substring_fps equal the column API on real docs") {
+    import graft.functions.SubstringFp
+    Tables.documents(spark, sf0001).limit(50).createOrReplaceTempView("docs_sqlfn60")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_shingle_hashes60(text) AS sg60,
+        |       graft_shingle_hashes60(text, 4) AS sg60n4,
+        |       graft_substring_fps(text) AS fps,
+        |       graft_substring_fps(text, 8, 40, 16) AS fps16
+        |FROM docs_sqlfn60""".stripMargin)
+    val viaCols = Tables.documents(spark, sf0001).limit(50)
+      .select(col("doc_id"),
+        ShingleHash.shingleHashes60(col("text")).as("sg60"),
+        ShingleHash.shingleHashes60(col("text"), 4).as("sg60n4"),
+        SubstringFp.fingerprints(col("text")).as("fps"),
+        SubstringFp.fingerprints(col("text"), mod = 16).as("fps16"))
+    assert(viaSql.exceptAll(viaCols).count() === 0)
+    assert(viaCols.exceptAll(viaSql).count() === 0)
+  }
+
+  test("graft_bloom_build aggregates and graft_bloom_probe probes from pure SQL") {
+    import graft.functions.BloomAgg
+    // build over half the keys, probe all: every built key must hit
+    // (no false negatives — the defining Bloom property), and the SQL
+    // build must be bit-identical to the column-API build
+    val sqlRow = spark.sql(
+      """WITH ks AS (SELECT concat('k', id) AS k FROM range(100) WHERE id % 2 = 0),
+        |bf AS (SELECT graft_bloom_build(k, 64, 3, 'sqltest') AS f FROM ks)
+        |SELECT f,
+        |  (SELECT count(*) FROM range(100)
+        |   WHERE graft_bloom_probe((SELECT f FROM bf), concat('k', id), 64, 3, 'sqltest')
+        |     AND id % 2 = 0) AS built_hits
+        |FROM bf""".stripMargin).head()
+    val viaCols = spark.range(100).where(col("id") % 2 === 0)
+      .select(concat(lit("k"), col("id")).as("k"))
+      .agg(BloomAgg.bloom_build(col("k"), words = 64, hashes = 3,
+        salt = "sqltest").as("f")).head().getSeq[Long](0)
+    assert(sqlRow.getSeq[Long](0) === viaCols)
+    assert(sqlRow.getLong(1) === 50) // all 50 built keys probe true
+  }
+
+  test("graft_topk_words heavy-hitters from pure SQL (exact under capacity)") {
+    spark.sql(
+      """SELECT explode(split('a a a b b c', ' ')) AS w""")
+      .createOrReplaceTempView("topk_sqlfn")
+    val top = spark.sql(
+      "SELECT graft_topk_words(w) AS top FROM topk_sqlfn")
+      .select(explode(col("top")).as("e")).select("e._1", "e._2")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top === Seq(("a", 3L), ("b", 2L), ("c", 1L)))
+  }
+
   test("graft_to_avro -> graft_from_avro round-trips in pure SQL") {
     val schema =
       """{"type":"record","name":"R","fields":[
