@@ -107,19 +107,29 @@ object Bench {
     val (sf1, warm1) =
       if (factor <= 1) ("", Map.empty[String, Double])
       else scaleTier("sf1", factor, budgetSec, ScaleFixture.heavyQueries, base, None)
-    // second decade: the convexity point. Runs the curve subset at the
-    // fixture's max factor in the same JVM; vsWarm against the sf1 tier
-    // gives the second-decade ratio directly.
+    // second decade: the convexity points. Runs ALL 25 heavies at
+    // factor 32 in the same JVM (cheap-first, so a budget cut drops
+    // only the expensive tail into `skipped`); vsWarm against the sf1
+    // tier gives each query's second-decade ratio directly.
     val factor2 = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR2", "32").toInt
-    val budget2 = sys.env.getOrElse("SPARK_GRAFT_SCALE2_BUDGET_SEC", "700").toDouble
-    val sf2 =
-      if (factor2 <= factor || warm1.isEmpty) ""
-      else scaleTier("sf2", factor2, budget2, ScaleFixture.curveQueries, base,
-        Some("sf1" -> warm1), perQueryEvict = true)._1
+    val budget2 = sys.env.getOrElse("SPARK_GRAFT_SCALE2_BUDGET_SEC", "1200").toDouble
+    val (sf2, warm2) =
+      if (factor2 <= factor || warm1.isEmpty) ("", Map.empty[String, Double])
+      else scaleTier("sf2", factor2, budget2, ScaleFixture.heavyQueries, base,
+        Some("sf1" -> warm1), perQueryEvict = true)
+    // third curve point (the 100× predictor's third decade): only the
+    // four carry-queries run at the top factor — the working set there
+    // IS the harness memory ceiling, measured, not asserted.
+    val factor3 = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR3", "64").toInt
+    val budget3 = sys.env.getOrElse("SPARK_GRAFT_SCALE3_BUDGET_SEC", "600").toDouble
+    val sf3 =
+      if (factor3 <= factor2 || warm2.isEmpty) ""
+      else scaleTier("sf3", factor3, budget3, ScaleFixture.thirdDecadeQueries,
+        base, Some("sf2" -> warm2), perQueryEvict = true)._1
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$failedJson$sf1$sf2}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$failedJson$sf1$sf2$sf3}"""
     println(line)
     // durable machine-readable copy: the driver's BENCH artifact keeps
     // only the tail of stdout, which loses the base section once the

@@ -64,6 +64,56 @@ class ScaleFixtureSpec extends SparkTestBase {
     assert(bad === 0L)
   }
 
+  test("signed permutation lifts the factor-64 aliasing bound: geometry preserved, no replica aliases") {
+    // factor 66 straddles the old bound: under the bare circular shift,
+    // replicas 64/65 would carry IDENTICAL vectors to replicas 0/1
+    // (shift is periodic in dim=64) — the aliasing that capped the
+    // fixture at 32. The per-replica sign pattern must (a) keep every
+    // replica orthogonal-transformed (norms and intra-replica dot
+    // products float-exact up to summation order) and (b) make all 66
+    // replicas of each base vector pairwise distinct.
+    val f = 66
+    val d66 = ScaleFixture.defaultDst(sf0001, f)
+    ScaleFixture.build(spark, sf0001, d66, f)
+    val emb = Tables.load(spark, d66, "embeddings")
+      .select((col("vec_id") % ScaleFixture.Stride).as("base_id"),
+        expr(s"vec_id div ${ScaleFixture.Stride}").as("r"),
+        col("embedding"))
+    // (a) norms: signed permutations are orthogonal
+    val baseNorm = Tables.load(spark, sf0001, "embeddings")
+      .select(col("vec_id").as("base_id"),
+        aggregate(col("embedding"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double")).as("b2"))
+    val badNorm = emb
+      .select(col("base_id"), aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")).as("n2"))
+      .join(baseNorm, "base_id")
+      .filter(abs(col("n2") - col("b2")) > lit(1e-6)).count()
+    assert(badNorm === 0L)
+    // (a') pairwise dots: pick the two smallest base vec_ids; every
+    // replica's dot(a', b') must equal the base dot (same transform
+    // applies to both sides of an intra-replica pair)
+    val ids = Tables.load(spark, sf0001, "embeddings")
+      .orderBy("vec_id").limit(2).collect()
+    val (id0, v0) = (ids(0).getLong(0), ids(0).getSeq[Float](1).map(_.toDouble))
+    val (id1, v1) = (ids(1).getLong(0), ids(1).getSeq[Float](1).map(_.toDouble))
+    val baseDot = v0.zip(v1).map { case (a, b) => a * b }.sum
+    def dotCol(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0d), (acc, x) => acc + x)
+    val badDot = emb.filter(col("base_id") === id0).as("a")
+      .join(emb.filter(col("base_id") === id1).as("b"), Seq("r"))
+      .select(dotCol(col("a.embedding"), col("b.embedding")).as("d"))
+      .filter(abs(col("d") - lit(baseDot)) > lit(1e-4)).count()
+    assert(badDot === 0L)
+    // (b) no aliasing: all 66 replicas of every base vector distinct
+    val minDistinct = emb.groupBy("base_id")
+      .agg(countDistinct(col("embedding")).as("n"))
+      .agg(min("n")).head().getLong(0)
+    assert(minDistinct === f.toLong,
+      s"some base vector has only $minDistinct distinct replicas of $f")
+  }
+
   test("fixture marker binds to source mtime: a regenerated source forces a rebuild") {
     // the round-5 lesson: the driver regenerates /root/testdata between
     // rounds, so a (src, factor)-only marker could silently reuse a
