@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
-Usage: python3 tools/compare.py <sfDir> <verifyOutDir>
+Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [--json <artifact>]
+
+With --json, also writes a CORRECTNESS_r{N}.json-shaped artifact
+(per-query rows/schema/hash match booleans) so off-gate tiers — the
+standing sf0.1 run — leave a machine-diffable record per round instead
+of only stdout.
 
 Reads each <outDir>/<name>/ parquet (Spark result), runs the matching
 oracle SQL from <outDir>/oracle_sql.json in DuckDB against the sf parquet
@@ -41,6 +46,17 @@ def table_hash(cols, rows):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
+    artifact = {}
+
+    def record(name, rows_match=False, schema_match=False, hash_match=False,
+               spark_rows=None, oracle_rows=None, err=None):
+        artifact[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                          "hash_match": hash_match, "spark_rows": spark_rows,
+                          "oracle_rows": oracle_rows, "err": err}
+
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = p.split("/")[-1].removesuffix(".parquet")
@@ -52,6 +68,7 @@ def main():
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            record(name, err="no spark output")
             n_fail += 1
             continue
         try:
@@ -67,16 +84,23 @@ def main():
             want = list(wdf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL {name}: {e}")
+            record(name, err=str(e)[:300])
             n_fail += 1
             continue
         if sorted(got_cols) != sorted(want_cols):
             print(f"FAIL {name}: cols {sorted(got_cols)} != {sorted(want_cols)}")
+            record(name, rows_match=len(got) == len(want),
+                   spark_rows=len(got), oracle_rows=len(want))
             n_fail += 1
         elif len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
+            record(name, schema_match=True,
+                   spark_rows=len(got), oracle_rows=len(want))
             n_fail += 1
         elif table_hash(got_cols, got) != table_hash(want_cols, want):
             print(f"FAIL {name}: hash mismatch ({len(got)} rows)")
+            record(name, rows_match=True, schema_match=True,
+                   spark_rows=len(got), oracle_rows=len(want))
             ordg = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
             ordw = sorted(range(len(want_cols)), key=lambda i: want_cols[i])
             sg = sorted(tuple(canon(r[i]) for i in ordg) for r in got)
@@ -89,8 +113,13 @@ def main():
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
+            record(name, rows_match=True, schema_match=True, hash_match=True,
+                   spark_rows=len(got), oracle_rows=len(want))
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(artifact, f, indent=1, sort_keys=True)
     sys.exit(1 if n_fail else 0)
 
 
