@@ -135,6 +135,39 @@ class FileStatsSpec extends SparkTestBase {
       s"quarter read kept ${kept.size} of ${all.size} files")
   }
 
+  test("z-order clustering makes 2-D stats pruning effective") {
+    // The layout half of the skipping story: per-file min/max ranges
+    // only prune what the WRITE clustered. A round-robin layout spreads
+    // every (x, y) region across every file — a selective 2-D box
+    // predicate keeps all files. Z-ordering the same rows
+    // (range-partition + sort by the Morton code) gives each file a
+    // compact z-range, so the identical box opens a fraction of the
+    // table — Delta/Iceberg OPTIMIZE ZORDER, expressed as plain Spark
+    // repartitioning against the manifest's footer stats.
+    import graft.functions.ZOrder
+    val df = spark.range(4096).select(
+      (col("id") * 2654435761L % 256).as("x"),
+      ((col("id") * 40503L + 17) % 256).as("y"))
+    val box = col("x") < 64 && col("y") < 64 // 1/16 of the key space
+    val tR = tbl("zrand")
+    Snapshots.commit(df.repartition(16), tR)
+    val tZ = tbl("zord")
+    val zkey = ZOrder.zorder2(col("x"), col("y"))
+    Snapshots.commit(
+      df.repartitionByRange(16, zkey).sortWithinPartitions(zkey), tZ)
+    val keptR = FileStats.prune(spark, tR, files(tR), box).size
+    val keptZ = FileStats.prune(spark, tZ, files(tZ), box).size
+    assert(keptR === 16, s"round-robin layout should defeat pruning, kept $keptR")
+    // the box is the lowest 1/16 of z-space (top two bits of both dims
+    // zero) — with 16 z-range files it lives in ~1 file (range-boundary
+    // sampling can smear it into a couple)
+    assert(keptZ <= 3, s"z-ordered layout kept $keptZ of 16 files")
+    // skipping stays an optimization: both layouts return identical rows
+    val expect = df.filter(box).count()
+    assert(Snapshots.readWhere(spark, tZ, box).count() === expect)
+    assert(Snapshots.readWhere(spark, tR, box).count() === expect)
+  }
+
   test("timestamp and date domains prune") {
     val t = tbl("time")
     val d = Seq.tabulate(100)(i =>
