@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// The mains (Bench/Verify/QBench) get a harness-sized heap: the bench's
+// widened scale tiers run THREE data scales (sf0.1 + 10x + 32x + a 64x
+// point) through one JVM, and the 8g cap that was fine for one tier
+// provably killed the SparkContext mid-32x-tier (OOM-induced stop) once
+// all 25 heavies ran there. The box has 128 GiB; 24g is still a
+// conservative stand-in for one real executor's share.
+run / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}"
+// Tests keep the smaller heap ON PURPOSE: suites assert spill-adjacent
+// behavior (salting, skew, sketch memory) that a huge heap would mask.
+Test / javaOptions += s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "8g")}"

@@ -4,13 +4,31 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    Sessions.tune(spark)
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      Sessions.tune(s)
+    }
+    var spark = newSession()
+    var restarts = 0
+    // one fatal query must not poison the rest of the bench: an
+    // OOM-class failure stops the local SparkContext, after which every
+    // subsequent query dies instantly with "stopped SparkContext" and
+    // the whole tail of the artifact is garbage (the failure mode the
+    // first widened-32x run hit). Revive the session and drop the dead
+    // context's cached intermediates; the restart count is reported.
+    def session(): SparkSession = {
+      if (spark.sparkContext.isStopped) {
+        restarts += 1
+        Intermediates.clear()
+        spark = newSession()
+      }
+      spark
+    }
     // warm the JVM / codegen / parquet footers once so per-query numbers
     // measure the queries, not first-touch setup
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
@@ -20,9 +38,11 @@ object Bench {
     // listed separately instead of poisoning the numbers with sentinels
     def run(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, dir).count() }
+      try { SparkEntry.queries(name)(session(), dir).count() }
       catch { case e: Throwable =>
-        failed += s"$name@$dir:${e.getClass.getSimpleName}" }
+        val msg = Option(e.getMessage).getOrElse("")
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
+        failed += s"$name@$dir:${e.getClass.getSimpleName}:$msg" }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n, sfDir))
@@ -54,7 +74,7 @@ object Bench {
         // runs: three data scales' working sets do not fit one JVM, and
         // the ratios must measure the engine, not cross-tier eviction
         Intermediates.dropExcept(dst)
-        ScaleFixture.build(spark, sfDir, dst, factor)
+        ScaleFixture.build(session(), sfDir, dst, factor)
         val buildSec = (System.nanoTime() - b0) / 1e9
         // per-query cold+warm PAIRS (not two global passes): a budget
         // truncation then still yields warm ratios for every query that
@@ -129,7 +149,8 @@ object Bench {
     val failedJson =
       if (failed.isEmpty) ""
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$failedJson$sf1$sf2$sf3}"""
+    val restartsJson = if (restarts == 0) "" else s""","context_restarts":$restarts"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$failedJson$restartsJson$sf1$sf2$sf3}"""
     println(line)
     // durable machine-readable copy: the driver's BENCH artifact keeps
     // only the tail of stdout, which loses the base section once the

@@ -71,7 +71,10 @@ object Intermediates {
       cache.remove(k).foreach { df =>
         org.apache.spark.sql.GraftShim.logicalPlan(df) match {
           case lr: org.apache.spark.sql.execution.LogicalRDD =>
-            lr.rdd.unpersist(blocking = true)
+            // best-effort: blocks of a stopped context are already gone,
+            // and a dead entry must not abort the eviction sweep
+            try lr.rdd.unpersist(blocking = true)
+            catch { case _: IllegalStateException => () }
           case _ => ()
         }
       }

@@ -681,8 +681,47 @@ object Incremental {
         sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("revenue"))
   }
 
+  /** q88: OPTIMIZE ZORDER under the oracle gate — the snapshot table is
+    * committed round-robin (the layout that DEFEATS pruning: every file
+    * spans every (custkey, totalprice) region), then rewritten through
+    * `Snapshots.optimizeZOrder`, and the selective 2-D box read goes
+    * through `readWhere`. The gate proves the rewrite is row-preserving
+    * under a predicate that exercises both clustered dimensions — a
+    * z-ordered file whose rows were dropped, duplicated, or mis-ranged
+    * would break the hash against the raw table. The pruning EFFECT
+    * (optimized layout opens a strict subset; round-robin opens all) is
+    * pinned in FileStatsSpec/SnapshotsSpec; at 100 TB this operation is
+    * how a table serving 2-D selective reads stays scan-cheap without
+    * partitioning on either column.
+    */
+  val qZOrderOptimize: QuerySpec = QuerySpec.sql(
+    "q88_zorder_optimize",
+    """SELECT o_orderstatus,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders
+      |WHERE o_custkey * 4 <= (SELECT MAX(o_custkey) FROM orders)
+      |  AND o_totalprice < 100000.0
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "snapzo")
+    val orders = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    if (Snapshots.versions(s, root).isEmpty)
+      Snapshots.commit(orders.repartition(16), root)
+    Snapshots.optimizeZOrder(s, root, "o_custkey", "o_totalprice",
+      numFiles = 16)
+    val maxCk = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    Snapshots.readWhere(s, root,
+        col("o_custkey") * 4 <= lit(maxCk) && col("o_totalprice") < 100000.0)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double")
+          .as("revenue"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
-      qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead)
+      qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead,
+      qZOrderOptimize)
 }

@@ -88,6 +88,27 @@ object Snapshots {
         .exists(_.split(' ').lift(1).contains(token))
     }
 
+  /** Table history (DESCRIBE HISTORY), one row per still-retained
+    * version, ascending: version, the commit token (None for plain
+    * commits; `compact-of-v…`/`zorder-of-v…`/`stream:…` tokens identify
+    * maintenance and streaming commits), manifest file count, and the
+    * manifest's publish time. Driver-side metadata only — one small
+    * manifest read per version, never a data-file touch — so it stays
+    * cheap on a table whose data is 100 TB.
+    */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    val f = fs(spark, table)
+    val rows = versions(spark, table).map { v =>
+      val token = manifestText(spark, table, v).linesIterator
+        .nextOption().flatMap(_.split(' ').lift(1)).orNull
+      val st = f.getFileStatus(new Path(s"$table/manifest-v$v.json"))
+      (v, token, manifestFiles(spark, table, v).size,
+        new java.sql.Timestamp(st.getModificationTime))
+    }
+    import spark.implicits._
+    rows.toDF("version", "token", "n_files", "committed_at")
+  }
+
   /** Commit `df` as the next snapshot. `overwrite = false` appends to
     * the current snapshot's file set; `true` replaces it. Returns the
     * committed version. Retries (up to 5×) when another writer wins the
@@ -180,6 +201,61 @@ object Snapshots {
         read(spark, table, Some(src)).repartition(numFiles), table)
       publishRebase(spark, table, src, srcFiles, srcFiles.map(norm).toSet,
         newFiles, "compact", Seq(dataDir), token = Some(s"compact-of-v$src"))
+    }
+  }
+
+  /** Transactional OPTIMIZE ZORDER BY (xCol, yCol): rewrite the CURRENT
+    * snapshot with rows clustered along the 2-D Morton curve and publish
+    * as a new version — rows unchanged, history intact (the same
+    * contract as `compact`, which this is the multi-dimensional layout
+    * sibling of). Each dimension is linearly scaled into the 16-bit
+    * z-domain by its own snapshot-wide min/max (one aggregate — no
+    * second pass over the data beyond the rewrite itself), so arbitrary
+    * numeric ranges cluster; the rewrite's footer stats (harvested by
+    * `writeData` like every write) then give each file a compact range
+    * in BOTH dimensions, which is what makes `readWhere`'s manifest
+    * pruning effective for 2-D box predicates (FileStatsSpec pins the
+    * effect). NULLs in either dimension sort first and are preserved.
+    * Re-running with the same columns against an unchanged table is a
+    * no-op; a concurrent append REBASES into the optimized manifest.
+    */
+  def optimizeZOrder(spark: SparkSession, table: String,
+      xCol: String, yCol: String, numFiles: Int = 8): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, floor, least, lit, max, min}
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"nothing to optimize in $table")
+    val src = vs.last
+    val latestToken = manifestText(spark, table, src).linesIterator
+      .nextOption().flatMap(_.split(' ').lift(1))
+    // latest version already is this clustering → nothing new to lay out
+    if (latestToken.exists(t => t.startsWith("zorder-of-v") &&
+        t.endsWith(s":$xCol,$yCol"))) src
+    else {
+      val df = read(spark, table, Some(src))
+      val r = df.agg(
+        min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+        min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+      def scale(c: String, i: Int) = {
+        // all-NULL dimension (or empty table): span degenerates to 1 so
+        // the curve reduces to a sort on the other dimension
+        val lo = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+        val hi = if (r.isNullAt(i + 1)) lo + 1.0 else r.getDouble(i + 1)
+        val span = if (hi > lo) hi - lo else 1.0
+        least(floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536),
+          lit(65535L)).cast("long")
+      }
+      // NULL in either dim → NULL key → clusters first under range
+      // partitioning; coalesce keeps the key sortable rather than lost
+      val zkey = coalesce(
+        graft.functions.ZOrder.zorder2(scale(xCol, 0), scale(yCol, 2)),
+        lit(-1L))
+      val srcFiles = manifestFiles(spark, table, src)
+      def norm(p: String) = new Path(p).toUri.getPath
+      val (newFiles, dataDir) = writeData(
+        df.repartitionByRange(numFiles, zkey).sortWithinPartitions(zkey), table)
+      publishRebase(spark, table, src, srcFiles, srcFiles.map(norm).toSet,
+        newFiles, "zorder", Seq(dataDir),
+        token = Some(s"zorder-of-v$src:$xCol,$yCol"))
     }
   }
 

@@ -54,8 +54,15 @@ class SnapshotHammerSpec extends SparkTestBase {
             try {
               (0 until opsPerWriter).foreach { op =>
                 val id = trial.toLong * 1000 + w * 100 + op
-                val dice = rnd.synchronized(rnd.nextInt(6))
-                if (dice == 1) {
+                val dice = rnd.synchronized(rnd.nextInt(7))
+                if (dice == 6) {
+                  // z-order rewrite racing everything else: same
+                  // publishRebase contract as compact — an interleaved
+                  // append must survive INTO the re-clustered manifest
+                  try Snapshots.optimizeZOrder(spark, table, "id", "id",
+                    numFiles = 1)
+                  catch { case _: IllegalStateException => }
+                } else if (dice == 1) {
                   // compaction racing appends/merges: an append rebases
                   // INTO the compacted manifest (the overwrite-commit
                   // path silently dropped it — the lost-rows class the

@@ -87,6 +87,49 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.compact(spark, t) === 7L)
   }
 
+  test("optimizeZOrder keeps rows/history, makes 2-D box pruning bite, no-ops when current") {
+    import graft.sources.FileStats
+    val t = tbl()
+    // hashed scatter in both dims + a NULL row in each dim: the
+    // round-robin commit spreads every (x, y) region across all files
+    val df = spark.range(4096).select(
+      (col("id") * 2654435761L % 997).as("x"),
+      ((col("id") * 40503L + 17) % 1013).as("y"))
+      .union(Seq[(java.lang.Long, java.lang.Long)]((null, 5L), (7L, null))
+        .toDF("x", "y"))
+    Snapshots.commit(df.repartition(16), t)
+    val before = Snapshots.dataFiles(spark, t)
+    val box = col("x") < 249 && col("y") < 253 // ~1/16 of the key space
+    assert(FileStats.prune(spark, t, before, box).size === before.size,
+      "round-robin layout should defeat pruning")
+    val expect = df.filter(box).count()
+    val v = Snapshots.optimizeZOrder(spark, t, "x", "y", numFiles = 16)
+    assert(v === 2L)
+    val after = Snapshots.dataFiles(spark, t)
+    assert(after.size === 16)
+    // rows preserved exactly, NULL-dim rows included
+    assert(Snapshots.read(spark, t).count() === 4098L)
+    assert(Snapshots.read(spark, t).select(sum("x")).head().getLong(0) ===
+      df.agg(sum("x")).head().getLong(0))
+    // the same box now opens a small fraction of the table
+    val kept = FileStats.prune(spark, t, after, box).size
+    assert(kept <= 4, s"z-ordered layout kept $kept of 16 files")
+    assert(Snapshots.readWhere(spark, t, box).count() === expect)
+    // pre-optimize snapshot still time-travels to the old layout
+    assert(Snapshots.read(spark, t, asOf = Some(1L)).inputFiles.length === 16)
+    // same clustering on an unchanged table is a no-op…
+    assert(Snapshots.optimizeZOrder(spark, t, "x", "y") === 2L)
+    // …but different columns re-cluster (new version)
+    assert(Snapshots.optimizeZOrder(spark, t, "y", "x") === 3L)
+    // history() reads the story back as driver-side metadata
+    val h = Snapshots.history(spark, t).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(h(0).isNullAt(1), "plain commits carry no token")
+    assert(h(1).getString(1) === "zorder-of-v1:x,y")
+    assert(h(2).getString(1) === "zorder-of-v2:y,x")
+    assert(h.forall(_.getInt(2) > 0))
+  }
+
   test("streaming snapshotSink: one version per batch, replay is a no-op") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
