@@ -124,9 +124,14 @@ object Bench {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "600").toDouble
     val base = results.toMap
+    // perQueryEvict on EVERY tier: without it, earlier queries' seam
+    // checkpoints stay resident and inflate later queries' measurements
+    // (q64@10x measured 41 s warm inside the tier vs 7 s isolated —
+    // the number must measure the query, not its neighbors' leftovers)
     val (sf1, warm1) =
       if (factor <= 1) ("", Map.empty[String, Double])
-      else scaleTier("sf1", factor, budgetSec, ScaleFixture.heavyQueries, base, None)
+      else scaleTier("sf1", factor, budgetSec, ScaleFixture.heavyQueries, base,
+        None, perQueryEvict = true)
     // second decade: the convexity points. Runs ALL 25 heavies at
     // factor 32 in the same JVM (cheap-first, so a budget cut drops
     // only the expensive tail into `skipped`); vsWarm against the sf1

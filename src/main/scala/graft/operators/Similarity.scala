@@ -102,6 +102,31 @@ object Similarity {
   private[operators] val S2Bands = 16
   private[operators] val S2PlanesPerBand = 10
 
+  /** Target per-band bucket occupancy for s2 — the base corpus's
+    * occupancy at [[S2PlanesPerBand]] bits (2000 vectors / 2^10 codes).
+    * The band bit-width scales as ceil(log2(n / occupancy)): with a
+    * FIXED width, bucket occupancy is linear in n, so candidate pairs —
+    * and the verify join and the pair shuffle behind them — grow
+    * QUADRATICALLY (the widened 32x bench tier measured it: the
+    * cross-replica random-collision term n²/2^10 alone reached ~10^9
+    * candidates, spilled the sort to disk-full, and never finished).
+    * Holding occupancy constant keeps candidates linear in n — the
+    * standard LSH parameterization at corpus scale. The oracle SFs
+    * (500 / 2000 vectors) both land exactly at the reference width 10,
+    * so the fixed-width oracle SQL stays bit-identical there; recall at
+    * a given cosine threshold is then governed by the band COUNT, which
+    * a production deployment tunes independently (more tables, not
+    * fatter buckets).
+    */
+  private[operators] val S2TargetOccupancy = 2L
+
+  private[operators] def s2BitsFor(n: Long): Int = {
+    val buckets = math.max(1L, n / S2TargetOccupancy)
+    val ceilLog2 =
+      if (buckets <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(buckets - 1)
+    math.max(S2PlanesPerBand, ceilLog2)
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos >= 0.45) via sign-random-
     * projection LSH with 1-bit multi-probe — the scale path as the
     * registered plan: a pair is a candidate iff some band's codes differ
@@ -154,17 +179,21 @@ object Similarity {
     s"""WITH $s2PairCtes
        |SELECT vec_a, vec_b, ROUND(c, 4) AS cosine
        |FROM pr WHERE c >= 0.45""".stripMargin) { (s, dir) =>
-    val weights = planeWeights(S2Bands * S2PlanesPerBand, 64, seed = "s2")
     val e = vecs(s, dir)
-    // all 16 band codes (10 packed sign bits each) in ONE native row
+    // band bit-width scales with corpus size (s2BitsFor scaladoc) —
+    // constant bucket occupancy keeps the candidate set linear in n;
+    // at the oracle SFs this IS the reference width 10
+    val planesPerBand = s2BitsFor(e.count())
+    val weights = planeWeights(S2Bands * planesPerBand, 64, seed = "s2")
+    // all 16 band codes (the packed sign bits each) in ONE native row
     // pass — see SrpBandCodes for why the 160-expression composition
     // is a codegen trap. Slim (vec_id, band, code) relation,
     // materialized once for both join sides.
     val codes = e.select(col("vec_id"),
         posexplode(graft.functions.SrpCodes.srp_band_codes(
-          col("v"), weights, S2PlanesPerBand)).as(Seq("band", "code")))
+          col("v"), weights, planesPerBand)).as(Seq("band", "code")))
       .localCheckpoint()
-    val flips = col("code") +: (0 until S2PlanesPerBand)
+    val flips = col("code") +: (0 until planesPerBand)
       .map(k => col("code").bitwiseXOR(lit(1L << k)))
     val probes = codes.select(col("vec_id"), col("band"),
       explode(array(flips: _*)).as("pk"))
