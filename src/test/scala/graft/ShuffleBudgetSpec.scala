@@ -150,7 +150,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q84_stream_snapshot_write" -> 3, "q85_snapshot_delete" -> 3,
     "q86_snapshot_stream_read" -> 3,
     // one month-agg shuffle over the stats-pruned file scan
-    "q87_snapshot_pruned_read" -> 1)
+    "q87_snapshot_pruned_read" -> 1,
+    // one box-filter agg over the z-order-clustered readWhere scan; the
+    // build/optimize cycle runs as separate jobs (q81's convention)
+    "q88_zorder_optimize" -> 1)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
