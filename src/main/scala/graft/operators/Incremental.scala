@@ -719,9 +719,60 @@ object Incremental {
           .as("revenue"))
   }
 
+  /** q89: row-level CHANGE FEED across the full DML triad under the
+    * oracle gate. The table runs INSERT (v1 = raw orders) → MERGE
+    * (v2: +1000 on every %97 key, brand-new -k-1 keys per %101 key) →
+    * DELETE (v3: totalprice > 300k), and `Snapshots.changeFeed(1, 3)`
+    * must emit exactly the multiset diff the oracle derives with two
+    * EXCEPT ALLs over the reconstructed states — an update as its
+    * delete+insert pair, a deleted insert as nothing. The feed reads
+    * ONLY the files the DML removed or added (carried files cancel
+    * algebraically — SnapshotsSpec pins `inputFiles` ⊂ both manifests'
+    * union), so at 100 TB downstream consumers subscribe to a table's
+    * changes at the cost of what actually changed, never a
+    * two-snapshot anti-join over history.
+    */
+  val qChangeFeed: QuerySpec = QuerySpec.sql(
+    "q89_change_feed",
+    """WITH s1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |                   o_totalprice AS p FROM orders),
+      |upd AS (SELECT k, st, p + 1000 AS p FROM s1 WHERE k % 97 = 0),
+      |ins AS (SELECT -k - 1 AS k, st, p FROM s1 WHERE k % 101 = 0),
+      |s2 AS (SELECT * FROM s1 WHERE k % 97 <> 0
+      |       UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      |s3 AS (SELECT * FROM s2 WHERE NOT (p > 300000)),
+      |ins_rows AS (SELECT * FROM s3 EXCEPT ALL SELECT * FROM s1),
+      |del_rows AS (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s3)
+      |SELECT change_type, st AS o_orderstatus, COUNT(*) AS n,
+      |       CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS amount
+      |FROM (SELECT 'insert' AS change_type, * FROM ins_rows
+      |      UNION ALL SELECT 'delete', * FROM del_rows) AS u
+      |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "snapcf")
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    if (Snapshots.versions(s, root).size < 3) {
+      if (Snapshots.versions(s, root).nonEmpty) Snapshots.drop(s, root)
+      Snapshots.commit(o.repartitionByRange(8, col("o_orderkey")), root)
+      val upd = o.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+      // strictly negative (-k-1): key 0 exists in the data, and a bare
+      // negation would collide with the %97 update set (merge rejects
+      // duplicate update keys)
+      val ins = o.filter(col("o_orderkey") % 101 === 0)
+        .withColumn("o_orderkey", -col("o_orderkey") - 1)
+      Snapshots.merge(s, root, upd.unionByName(ins), "o_orderkey")
+      Snapshots.deleteWhere(s, root, col("o_totalprice") > 300000)
+    }
+    Snapshots.changeFeed(s, root, from = 1L, to = 3L)
+      .groupBy(col("_change_type").as("change_type"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("amount"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
       qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead,
-      qZOrderOptimize)
+      qZOrderOptimize, qChangeFeed)
 }

@@ -259,6 +259,28 @@ object Snapshots {
     }
   }
 
+  /** Resolve TIMESTAMP AS OF: the newest committed version whose
+    * manifest was published at or before `tsMillis` (Iceberg's
+    * snapshot-at-time semantics). Driver-side metadata only — one
+    * file-status per retained version, no data touch. Fails loudly when
+    * the timestamp precedes the first retained commit (after a vacuum
+    * the earliest answerable time moves forward — silently returning
+    * the oldest survivor would misattribute rows to a version that
+    * did not exist yet).
+    */
+  def versionAsOfTimestamp(spark: SparkSession, table: String,
+      tsMillis: Long): Long = {
+    val f = fs(spark, table)
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed snapshot in $table")
+    val at = vs.filter(v =>
+      f.getFileStatus(new Path(s"$table/manifest-v$v.json"))
+        .getModificationTime <= tsMillis)
+    require(at.nonEmpty,
+      s"timestamp $tsMillis precedes the first retained commit of $table")
+    at.max
+  }
+
   /** The data files the snapshot AS OF `asOf` (default: latest)
     * references — the manifest-resolution step connectors build on
     * (the DataSourceV2 provider resolves here, then hands the list to
@@ -326,6 +348,80 @@ object Snapshots {
     // lists no files, and zero-path spark.read.parquet cannot infer schema)
     if (added.isEmpty) read(spark, table, Some(to)).limit(0)
     else spark.read.parquet(added: _*)
+  }
+
+  /** Project `df` onto `fields` (name + type), filling columns it does
+    * not carry with typed NULLs — the alignment step that lets the
+    * change feed diff two snapshots whose schemas evolved between the
+    * versions (a column only one side carries reads as NULL on the
+    * other, Delta CDF's convention).
+    */
+  private def alignTo(df: DataFrame,
+      fields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    df.select(fields.map { fl =>
+      if (df.columns.contains(fl.name)) col(fl.name).cast(fl.dataType).as(fl.name)
+      else lit(null).cast(fl.dataType).as(fl.name)
+    }: _*)
+  }
+
+  /** Row-level CHANGE FEED between committed versions `from` and `to`,
+    * valid across ARBITRARY DML history — append, COW merge, delete,
+    * overwrite, compaction, z-order — where `changes` (the append-only
+    * fast path) refuses. Emits the snapshot-to-snapshot multiset diff
+    * with a `_change_type` column: `insert` for rows present at `to`
+    * but not `from`, `delete` for the reverse; an update surfaces as
+    * its delete+insert pair (the format tracks files, not row
+    * identities — same contract as Delta CDF without per-commit change
+    * files).
+    *
+    * Scale posture: the diff NEVER reads carried files. A file in both
+    * manifests contributes identical rows to both sides of the multiset
+    * difference and cancels algebraically — (C ⊎ A) ∖ (C ⊎ R) = A ∖ R —
+    * so only the files the DML actually removed (R) or added (A) are
+    * scanned and shuffled. On a 100 TB table a small merge touches a
+    * handful of files and the feed costs exactly those files, not a
+    * two-snapshot anti-join over the table. The EXCEPT ALL itself is
+    * one hash-partitioned count-compare over the touched rows.
+    */
+  def changeFeed(spark: SparkSession, table: String, from: Long,
+      to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(spark, table)
+    require(vs.contains(from) && vs.contains(to) && from <= to,
+      s"need committed versions $from <= $to in $vs")
+    def norm(p: String) = new Path(p).toUri.getPath
+    val before = manifestFiles(spark, table, from)
+    val after  = manifestFiles(spark, table, to)
+    val beforeN = before.map(norm).toSet
+    val afterN  = after.map(norm).toSet
+    val removed = before.filterNot(p => afterN(norm(p)))
+    val added   = after.filterNot(p => beforeN(norm(p)))
+    val remDf = if (removed.isEmpty) None else Some(readFiles(spark, removed))
+    val addDf = if (added.isEmpty) None else Some(readFiles(spark, added))
+    (remDf, addDf) match {
+      case (None, None) =>
+        // untouched range (from == to, or pure-metadata history): empty
+        // feed with the to-snapshot's schema
+        read(spark, table, Some(to)).limit(0)
+          .withColumn("_change_type", lit("insert")).limit(0)
+      case _ =>
+        // union schema in to-side order; on a name collision the
+        // to-side's type wins and the from-side casts up to it
+        val addS = addDf.map(_.schema.fields.toSeq).getOrElse(Seq.empty)
+        val remS = remDf.map(_.schema.fields.toSeq).getOrElse(Seq.empty)
+        val union = addS ++ remS.filterNot(f => addS.exists(_.name == f.name))
+        val add = addDf.map(alignTo(_, union))
+        val rem = remDf.map(alignTo(_, union))
+        (rem, add) match {
+          case (Some(r), Some(a)) =>
+            a.exceptAll(r).withColumn("_change_type", lit("insert"))
+              .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
+          case (None, Some(a)) => a.withColumn("_change_type", lit("insert"))
+          case (Some(r), None) => r.withColumn("_change_type", lit("delete"))
+          case _ => throw new IllegalStateException("unreachable")
+        }
+    }
   }
 
   /** Copy-on-write MERGE (upsert) into the latest snapshot by `key`:

@@ -20,6 +20,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * {{{
   *   spark.read.format("graft-snapshot")
   *     .option("path", table).option("asOf", 2).load()
+  *   spark.read.format("graft-snapshot")          // TIMESTAMP AS OF
+  *     .option("path", table).option("asOfTimestamp", "2026-08-14 12:00:00").load()
   *   df.write.format("graft-snapshot")
   *     .option("path", table).mode("append").save()   // Snapshots.commit
   *   df.write.format("graft-snapshot")
@@ -158,10 +160,22 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
     if (c != null && c._1 == key) return c._2
     val path = pathOf(options)
     val asOf = Option(options.get("asOf")).map(_.toLong)
+    // TIMESTAMP AS OF: resolved against manifest publish times
+    // (Snapshots.versionAsOfTimestamp — Iceberg's snapshot-at-time
+    // rule); accepts "yyyy-MM-dd HH:mm:ss[.fff]" or epoch millis
+    val asOfTs = Option(options.get("asOfTimestamp")).map { s =>
+      val millis =
+        try s.toLong
+        catch { case _: NumberFormatException =>
+          java.sql.Timestamp.valueOf(s).getTime }
+      Snapshots.versionAsOfTimestamp(SparkSession.active, path, millis)
+    }
+    require(asOf.isEmpty || asOfTs.isEmpty,
+      "graft-snapshot: set either asOf or asOfTimestamp, not both")
     val spark = SparkSession.active
     // resolve "latest" to a CONCRETE version now, so the pinned file
     // list and the table name agree forever after
-    val version = asOf.getOrElse(
+    val version = asOf.orElse(asOfTs).getOrElse(
       Snapshots.versions(spark, path).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no committed snapshot in $path")))
     val files = Snapshots.dataFiles(spark, path, Some(version))

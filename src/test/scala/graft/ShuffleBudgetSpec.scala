@@ -153,7 +153,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q87_snapshot_pruned_read" -> 1,
     // one box-filter agg over the z-order-clustered readWhere scan; the
     // build/optimize cycle runs as separate jobs (q81's convention)
-    "q88_zorder_optimize" -> 1)
+    "q88_zorder_optimize" -> 1,
+    // two EXCEPT ALLs co-partitioned over the touched-file reads + the
+    // digest agg; the DML build cycle runs as separate jobs
+    "q89_change_feed" -> 3)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet

@@ -231,6 +231,99 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.changes(spark, t, 3L, 3L).count() === 0)
   }
 
+  test("changeFeed diffs across DML; updates pair; carried files never read") {
+    val t = tbl()
+    // 8 range-partitioned files so DML touches a strict file subset
+    Snapshots.commit((1 to 800).map(_.toLong).toDF("id")
+      .withColumn("v", col("id") * 10)
+      .repartitionByRange(8, col("id")), t)
+    // v2: update id 5 (in-range rewrite), insert id 900
+    Snapshots.merge(spark, t,
+      Seq((5L, 999L), (900L, 9000L)).toDF("id", "v"), "id")
+    // v3: delete ids 200..250
+    Snapshots.deleteWhere(spark, t, col("id").between(200, 250))
+    val feed = Snapshots.changeFeed(spark, t, from = 1L, to = 3L)
+    val rows = feed.orderBy("_change_type", "id")
+      .as[(Long, Long, String)].collect().toSeq
+    val deletes = rows.filter(_._3 == "delete").map(r => (r._1, r._2))
+    val inserts = rows.filter(_._3 == "insert").map(r => (r._1, r._2))
+    // update id=5 surfaces as its delete+insert pair; deleted range as
+    // deletes only; brand-new id=900 as an insert only
+    assert(inserts === Seq((5L, 999L), (900L, 9000L)))
+    assert(deletes === (Seq((5L, 50L)) ++ (200L to 250L).map(i => (i, i * 10))))
+    // feed equals the brute-force two-snapshot multiset diff
+    val s1 = Snapshots.read(spark, t, asOf = Some(1L))
+    val s3 = Snapshots.read(spark, t, asOf = Some(3L))
+    assert(s3.exceptAll(s1).count() === inserts.size)
+    assert(s1.exceptAll(s3).count() === deletes.size)
+    // carried files cancel algebraically AND are never opened: the
+    // feed's input files are exactly the manifests' symmetric difference
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val m1 = Snapshots.dataFiles(spark, t, Some(1L)).map(norm).toSet
+    val m3 = Snapshots.dataFiles(spark, t, Some(3L)).map(norm).toSet
+    val touched = (m1 diff m3) ++ (m3 diff m1)
+    val carried = m1 intersect m3
+    assert(carried.nonEmpty) // the layout really leaves carried files
+    val in = feed.inputFiles.map(norm).toSet
+    assert(in.nonEmpty && in.subsetOf(touched))
+    // append-only ranges agree with the fast-path changes()
+    val v4 = Snapshots.commit(Seq((1000L, 1L)).toDF("id", "v"), t)
+    val fastRows = Snapshots.changes(spark, t, 3L, v4)
+      .as[(Long, Long)].collect().toSet
+    val feedRows = Snapshots.changeFeed(spark, t, 3L, v4)
+    assert(feedRows.select("_change_type").distinct()
+      .as[String].collect().toSeq === Seq("insert"))
+    assert(feedRows.select("id", "v").as[(Long, Long)].collect().toSet === fastRows)
+    // identical versions -> empty feed
+    assert(Snapshots.changeFeed(spark, t, v4, v4).count() === 0)
+  }
+
+  test("TIMESTAMP AS OF resolves by publish time; V2 option agrees") {
+    val t = tbl()
+    Snapshots.commit((1 to 10).toDF("x"), t)
+    Thread.sleep(50) // distinct manifest mtimes at ms resolution
+    Snapshots.commit((11 to 15).toDF("x"), t)
+    val times = Snapshots.history(spark, t)
+      .select("version", "committed_at").as[(Long, java.sql.Timestamp)]
+      .collect().toMap
+    // between the commits -> v1; at/after the last -> v2 (Iceberg's
+    // newest-at-or-before rule); before the first -> loud failure
+    val mid = times(1L).getTime + (times(2L).getTime - times(1L).getTime) / 2
+    assert(Snapshots.versionAsOfTimestamp(spark, t, mid) === 1L)
+    assert(Snapshots.versionAsOfTimestamp(spark, t, times(2L).getTime) === 2L)
+    assert(Snapshots.versionAsOfTimestamp(spark, t,
+      System.currentTimeMillis() + 60000) === 2L)
+    intercept[IllegalArgumentException](
+      Snapshots.versionAsOfTimestamp(spark, t, times(1L).getTime - 1))
+    // the V2 read surface: epoch-millis and SQL-timestamp forms, and
+    // the both-options ambiguity is rejected
+    assert(spark.read.format("graft-snapshot").option("path", t)
+      .option("asOfTimestamp", mid.toString).load().count() === 10)
+    assert(spark.read.format("graft-snapshot").option("path", t)
+      .option("asOfTimestamp",
+        new java.sql.Timestamp(times(2L).getTime).toString)
+      .load().count() === 15)
+    intercept[Exception](spark.read.format("graft-snapshot").option("path", t)
+      .option("asOf", "1").option("asOfTimestamp", mid.toString)
+      .load().count())
+  }
+
+  test("changeFeed aligns evolved schemas: absent columns read as NULL") {
+    val t = tbl()
+    Snapshots.commit((1 to 4).map(_.toLong).toDF("id"), t)
+    // schema-evolving append: the new file carries an extra column
+    Snapshots.commit(Seq((5L, "e")).toDF("id", "tag"), t)
+    // overwrite drops back to the narrow schema: v2's files all removed
+    Snapshots.commit(Seq(9L).toDF("id"), t, overwrite = true)
+    val feed = Snapshots.changeFeed(spark, t, from = 2L, to = 3L)
+    val got = feed.select("id", "tag", "_change_type")
+      .as[(Long, Option[String], String)].collect().toSet
+    // removed side carries tag (NULL for v1-era files), added side
+    // lacks it entirely -> typed NULL; the diff still row-matches
+    assert(got === Set((9L, None, "insert"), (5L, Some("e"), "delete")) ++
+      (1L to 4L).map(i => (i, None, "delete")))
+  }
+
   test("merge() is copy-on-write: only files containing matched keys rewrite") {
     val t = tbl()
     // 8 range-partitioned files over ids 1..800
