@@ -94,7 +94,9 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
   override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
       metadataPath: String, schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
-    new SnapshotStreamSource(sqlContext.sparkSession, parameters("path"))
+    new SnapshotStreamSource(sqlContext.sparkSession, parameters("path"),
+      skipChangeCommits = parameters.get("skipChangeCommits")
+        .orElse(parameters.get("skipchangecommits")).exists(_.toBoolean))
 
   /** `writeStream.format("graft-snapshot")`: the table advertises no
     * STREAMING_WRITE capability, so Spark falls back to this V1 sink —
@@ -253,8 +255,19 @@ private[v2] class SnapshotStreamSink(path: String, tokenNamespace: String,
   * cost of a micro-batch is proportional to the files that version
   * appended, never the table. A `None` start (fresh query) reads the
   * full end-version snapshot as the initial batch.
+  *
+  * Non-append versions (merge/delete/overwrite/compaction/z-order)
+  * fail the stream loudly by default — streaming a rewrite's files
+  * would re-deliver every carried row. With
+  * `.option("skipChangeCommits", "true")` (Delta's flag, same
+  * semantics) the source instead walks the version chain pairwise,
+  * streams exactly the files each APPEND step added, and contributes
+  * nothing for change commits — appends interleaved with maintenance
+  * keep flowing. An appended file later compacted away in the same
+  * poll window still streams from its original (retained) version.
   */
-private[v2] class SnapshotStreamSource(spark: SparkSession, path: String)
+private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
+    skipChangeCommits: Boolean = false)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.Offset
@@ -276,16 +289,28 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String)
       case None => Snapshots.dataFiles(spark, path, Some(to))
       case Some(s) =>
         val from = ver(s)
-        val before = Snapshots.dataFiles(spark, path, Some(from)).toSet
-        val after = Snapshots.dataFiles(spark, path, Some(to))
-        // an overwrite/compaction replaced files: those rows are not an
-        // append and silently streaming them would double-count — same
-        // refusal contract as Snapshots.changes()
-        require(before.subsetOf(after.toSet),
-          s"graft-snapshot stream $path: history v$from -> v$to is not " +
-            "append-only (an overwrite or compaction landed); restart the " +
-            "stream from the current snapshot")
-        after.filterNot(before)
+        // walk the retained version chain pairwise: each step is an
+        // append (before ⊆ after — stream exactly its appended files)
+        // or a change commit (a rewrite replaced files: those rows are
+        // not an append and silently streaming them would re-deliver
+        // every carried row — same refusal contract as
+        // Snapshots.changes(), unless skipChangeCommits opts out)
+        val chain = from +: Snapshots.versions(spark, path)
+          .filter(v => v > from && v <= to)
+        chain.sliding(2).flatMap {
+          case Seq(a, b) =>
+            val before = Snapshots.dataFiles(spark, path, Some(a)).toSet
+            val after = Snapshots.dataFiles(spark, path, Some(b))
+            if (before.subsetOf(after.toSet)) after.filterNot(before)
+            else if (skipChangeCommits) Seq.empty
+            else throw new IllegalStateException(
+              s"graft-snapshot stream $path: history v$a -> v$b is not " +
+                "append-only (an overwrite, merge, delete, or compaction " +
+                "landed); restart the stream from the current snapshot, or " +
+                "set .option(\"skipChangeCommits\", \"true\") to stream " +
+                "appends only")
+          case _ => Seq.empty // single-element chain: nothing new
+        }.toSeq
     }
     if (files.isEmpty) // a version that appended zero files (empty commit)
       org.apache.spark.sql.GraftShim.internalCreateStreamingDataFrame(

@@ -82,6 +82,32 @@ class SnapshotStreamReadSpec extends SparkTestBase {
       s"unexpected failure: ${err.getMessage}")
   }
 
+  test("skipChangeCommits streams appends through interleaved rewrites") {
+    val t = tbl("skip")
+    Snapshots.commit((1L to 10L).toDF("id").withColumn("v", col("id")), t)
+    val q = spark.readStream.format("graft-snapshot").option("path", t)
+      .option("skipChangeCommits", "true").load()
+      .writeStream.format("memory").queryName("snapread_skip")
+      .option("checkpointLocation", Files.createTempDirectory("skipck").toString)
+      .start()
+    q.processAllAvailable() // initial: the full 10-row snapshot
+    // one poll window spanning change and append commits interleaved:
+    // merge (rewrite), append, compact (rewrite), append
+    Snapshots.merge(spark, t, Seq((1L, 100L)).toDF("id", "v"), "id")
+    Snapshots.commit(Seq((11L, 11L)).toDF("id", "v"), t)
+    Snapshots.compact(spark, t)
+    Snapshots.commit(Seq((12L, 12L)).toDF("id", "v"), t)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("snapread_skip").select("id", "v")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    // the two appends arrived; neither rewrite re-delivered its carried
+    // rows (id=1 keeps the INITIAL v — the merge's new row is a change,
+    // not an append; 12 rows total, not 10+rewritten)
+    assert(got.map(_._1) === (1L to 12L))
+    assert(got.head === (1L, 1L))
+  }
+
   test("a user-supplied schema on a streaming read is rejected") {
     val t = tbl("sch")
     Snapshots.commit((1L to 5L).toDF("id"), t)
