@@ -80,23 +80,44 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
     * the source fails loudly rather than misreport them (same contract
     * as changes()).
     */
+  private def flag(parameters: Map[String, String], name: String): Boolean =
+    parameters.get(name).orElse(parameters.get(name.toLowerCase))
+      .exists(_.toBoolean)
+
   override def sourceSchema(sqlContext: org.apache.spark.sql.SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     require(schema.isEmpty,
       "graft-snapshot streaming reads always use the committed schema; drop .schema(...)")
+    require(!(flag(parameters, "readChangeFeed") &&
+        flag(parameters, "skipChangeCommits")),
+      "graft-snapshot: readChangeFeed already represents change commits " +
+        "as delete+insert rows; drop skipChangeCommits")
     val path = parameters.getOrElse("path",
       throw new IllegalArgumentException(
         "graft-snapshot source requires .option(\"path\", <table dir>)"))
-    (shortName(), Snapshots.read(sqlContext.sparkSession, path).schema)
+    val base = Snapshots.read(sqlContext.sparkSession, path).schema
+    (shortName(),
+      if (flag(parameters, "readChangeFeed"))
+        base.add("_change_type", org.apache.spark.sql.types.StringType,
+          nullable = false)
+      else base)
   }
 
   override def createSource(sqlContext: org.apache.spark.sql.SQLContext,
       metadataPath: String, schema: Option[StructType], providerName: String,
-      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source =
-    new SnapshotStreamSource(sqlContext.sparkSession, parameters("path"),
-      skipChangeCommits = parameters.get("skipChangeCommits")
-        .orElse(parameters.get("skipchangecommits")).exists(_.toBoolean))
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val cdf = flag(parameters, "readChangeFeed")
+    val skip = flag(parameters, "skipChangeCommits")
+    require(!(cdf && skip),
+      "graft-snapshot: readChangeFeed already represents change commits " +
+        "as delete+insert rows; drop skipChangeCommits")
+    if (cdf)
+      new SnapshotChangeFeedSource(sqlContext.sparkSession, parameters("path"))
+    else
+      new SnapshotStreamSource(sqlContext.sparkSession, parameters("path"),
+        skipChangeCommits = skip)
+  }
 
   /** `writeStream.format("graft-snapshot")`: the table advertises no
     * STREAMING_WRITE capability, so Spark falls back to this V1 sink —
@@ -321,6 +342,76 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
         .asStreamingScan(spark.read.parquet(files: _*))
         .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
           .toIndexedSeq: _*)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** `readStream.format("graft-snapshot").option("readChangeFeed", true)`
+  * — the table's CHANGE FEED as a stream (Delta CDF's streaming shape).
+  * The initial micro-batch is the full snapshot tagged `insert`; every
+  * later version arrives as its per-commit [[Snapshots.changeFeed]]
+  * diff — an append as insert rows, a merge as delete+insert pairs, a
+  * delete as delete rows — so a downstream consumer can maintain a
+  * mirror (or an aggregate) under arbitrary DML, where the plain
+  * source must refuse or skip rewrites. Versions inside one poll
+  * window are diffed PAIRWISE and unioned, so a row inserted then
+  * deleted between polls still surfaces as both events, not as
+  * nothing (per-commit granularity, Delta's contract).
+  *
+  * The per-step diff reads only each commit's removed/added files
+  * (carried files cancel — changeFeed's contract), so the stream's
+  * cost tracks what each commit touched, never table size. Each batch
+  * plan is re-tagged streaming via its InternalRow RDD — computed
+  * distributed and lazily when the micro-batch executes (rows copied:
+  * the scan reuses row objects).
+  */
+private[v2] class SnapshotChangeFeedSource(spark: SparkSession, path: String)
+    extends org.apache.spark.sql.execution.streaming.Source {
+
+  import org.apache.spark.sql.execution.streaming.Offset
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+  import org.apache.spark.sql.functions.{col, lit}
+
+  override val schema: StructType = Snapshots.read(spark, path).schema
+    .add("_change_type", org.apache.spark.sql.types.StringType, nullable = false)
+
+  private def ver(o: Offset): Long = o match {
+    case LongOffset(v) => v
+    case other         => other.json.toLong
+  }
+
+  override def getOffset: Option[Offset] =
+    Snapshots.versions(spark, path).lastOption.map(LongOffset(_))
+
+  override def getBatch(start: Option[Offset], end: Offset): org.apache.spark.sql.DataFrame = {
+    val to = ver(end)
+    val feed: Option[org.apache.spark.sql.DataFrame] = start match {
+      case None =>
+        Some(Snapshots.read(spark, path, Some(to))
+          .withColumn("_change_type", lit("insert")))
+      case Some(s) =>
+        val from = ver(s)
+        val chain = from +: Snapshots.versions(spark, path)
+          .filter(v => v > from && v <= to)
+        chain.sliding(2).flatMap {
+          case Seq(a, b) => Some(Snapshots.changeFeed(spark, path, a, b))
+          case _         => None
+        }.reduceOption(_ unionByName _)
+    }
+    feed match {
+      case Some(df) =>
+        val ordered = df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        // the RDD is lazy — the diff executes distributed when the
+        // micro-batch runs; copy because the scan reuses row objects
+        org.apache.spark.sql.GraftShim.internalCreateStreamingDataFrame(
+          spark, org.apache.spark.sql.GraftShim.toRdd(ordered).map(_.copy()),
+          schema)
+      case None =>
+        org.apache.spark.sql.GraftShim.internalCreateStreamingDataFrame(
+          spark, spark.sparkContext
+            .emptyRDD[org.apache.spark.sql.catalyst.InternalRow], schema)
+    }
   }
 
   override def stop(): Unit = ()

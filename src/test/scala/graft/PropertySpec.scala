@@ -270,6 +270,52 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("changeFeed equals the brute multiset diff over random DML histories") {
+    import graft.sources.Snapshots
+    (0 until 10).foreach { trial =>
+      val rnd = new scala.util.Random(7000L + trial)
+      val t = java.nio.file.Files.createTempDirectory(s"cfprop$trial")
+        .resolve("t").toString
+      def rows(n: Int) = Seq.fill(n)((rnd.nextLong(50), rnd.nextLong(100)))
+        .groupBy(_._1).map(_._2.head).toSeq // merge needs unique keys
+      Snapshots.commit(rows(20).toDF("id", "v").repartition(3, col("id")), t)
+      (0 until 5).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 | 1 => Snapshots.commit(rows(5).toDF("id", "v"), t)
+          case 2 => Snapshots.merge(spark, t, rows(4).toDF("id", "v"), "id")
+          case 3 => Snapshots.deleteWhere(spark, t, col("v") % 10 === rnd.nextInt(10))
+          case 4 => Snapshots.compact(spark, t, numFiles = 2)
+          case 5 => Snapshots.optimizeZOrder(spark, t, "id", "v", numFiles = 2)
+        }
+      }
+      val vs = Snapshots.versions(spark, t)
+      def multiset(v: Long): Map[(Long, Long), Int] =
+        Snapshots.read(spark, t, Some(v)).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(identity).map { case (k, g) => k -> g.length }
+      (0 until 3).foreach { _ =>
+        val Seq(from, to) = Seq.fill(2)(vs(rnd.nextInt(vs.length))).sorted
+        val feed = Snapshots.changeFeed(spark, t, from, to).collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getString(2)))
+        val si = multiset(from); val sj = multiset(to)
+        def diff(a: Map[(Long, Long), Int], b: Map[(Long, Long), Int]) =
+          a.map { case (k, n) => k -> (n - b.getOrElse(k, 0)) }
+            .filter(_._2 > 0)
+        val wantIns = diff(sj, si)
+        val wantDel = diff(si, sj)
+        def got(tag: String) = feed.filter(_._2 == tag).map(_._1)
+          .groupBy(identity).map { case (k, g) => k -> g.length }
+        assert(got("insert") === wantIns,
+          s"trial $trial v$from->v$to inserts (history ${vs.mkString(",")})")
+        assert(got("delete") === wantDel,
+          s"trial $trial v$from->v$to deletes")
+      }
+      val fs = new org.apache.hadoop.fs.Path(t)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(t).getParent, true)
+    }
+  }
+
   test("scd2Runs intervals tile each user's timeline on random event streams") {
     val evGen: Gen[Seq[(Long, Long, Long, String)]] = for {
       n <- Gen.chooseNum(1, 40)

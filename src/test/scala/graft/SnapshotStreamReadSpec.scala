@@ -108,6 +108,43 @@ class SnapshotStreamReadSpec extends SparkTestBase {
     assert(got.head === (1L, 1L))
   }
 
+  test("readChangeFeed streams per-commit diffs: merge as pair, delete as deletes") {
+    val t = tbl("cdf")
+    Snapshots.commit((1L to 6L).toDF("id").withColumn("v", col("id") * 10), t)
+    val q = spark.readStream.format("graft-snapshot").option("path", t)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("snapread_cdf")
+      .option("checkpointLocation", Files.createTempDirectory("cdfck").toString)
+      .start()
+    q.processAllAvailable() // initial: full snapshot tagged insert
+    assert(spark.table("snapread_cdf").filter(col("_change_type") === "insert")
+      .count() === 6)
+    // one poll window spanning an update-merge AND a delete: per-commit
+    // granularity means the update surfaces as its delete+insert pair
+    // and the deleted row as a delete — even though id=2's end-to-end
+    // net effect in the window is just "v changed"
+    Snapshots.merge(spark, t, Seq((2L, 999L)).toDF("id", "v"), "id")
+    Snapshots.deleteWhere(spark, t, col("id") === 5L)
+    q.processAllAvailable()
+    q.stop()
+    val changes = spark.table("snapread_cdf")
+      .select("id", "v", "_change_type").as[(Long, Long, String)]
+      .collect().sorted.toSeq
+    val initial = (1L to 6L).map(i => (i, i * 10, "insert"))
+    val fromMerge = Seq((2L, 20L, "delete"), (2L, 999L, "insert"))
+    val fromDelete = Seq((5L, 50L, "delete"))
+    assert(changes === (initial ++ fromMerge ++ fromDelete).sorted)
+    // a CDF consumer can maintain a mirror: inserts minus deletes == table
+    val mirror = changes.filter(_._3 == "insert").map(c => (c._1, c._2))
+      .diff(changes.filter(_._3 == "delete").map(c => (c._1, c._2)))
+    assert(mirror.sorted ===
+      Snapshots.read(spark, t).as[(Long, Long)].collect().sorted.toSeq)
+    // readChangeFeed + skipChangeCommits is contradictory -> rejected
+    intercept[Exception](spark.readStream.format("graft-snapshot")
+      .option("path", t).option("readChangeFeed", "true")
+      .option("skipChangeCommits", "true").load())
+  }
+
   test("a user-supplied schema on a streaming read is rejected") {
     val t = tbl("sch")
     Snapshots.commit((1L to 5L).toDF("id"), t)
