@@ -770,9 +770,70 @@ object Incremental {
         sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("amount"))
   }
 
+  /** q90: the STREAMING change feed under the oracle gate — the q89
+    * DML cycle consumed live: a CDF stream
+    * (`readStream … readChangeFeed=true`) tails the source while the
+    * INSERT → MERGE → DELETE history lands, each commit arriving as
+    * one micro-batch of diff rows (initial snapshot as inserts, the
+    * merge as delete+insert pairs, the delete as deletes), republished
+    * by the tokened snapshot sink into the destination. The gated
+    * answer aggregates the DESTINATION's accumulated change events;
+    * the oracle reconstructs all three states and derives each
+    * per-commit diff with EXCEPT ALLs — so a batch that dropped,
+    * doubled, or mis-tagged one change row breaks the hash. Per-commit
+    * granularity is what a 100 TB mirror-maintenance consumer needs:
+    * each batch costs the files that commit touched, never the table.
+    */
+  val qStreamChangeFeed: QuerySpec = QuerySpec.sql(
+    "q90_stream_change_feed",
+    """WITH s1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |                   o_totalprice AS p FROM orders),
+      |upd AS (SELECT k, st, p + 1000 AS p FROM s1 WHERE k % 97 = 0),
+      |ins AS (SELECT -k - 1 AS k, st, p FROM s1 WHERE k % 101 = 0),
+      |s2 AS (SELECT * FROM s1 WHERE k % 97 <> 0
+      |       UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      |s3 AS (SELECT * FROM s2 WHERE NOT (p > 300000)),
+      |ev AS (SELECT 'insert' AS change_type, * FROM s1
+      |  UNION ALL SELECT 'insert', * FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s1) AS a
+      |  UNION ALL SELECT 'delete', * FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s2) AS b
+      |  UNION ALL SELECT 'insert', * FROM (SELECT * FROM s3 EXCEPT ALL SELECT * FROM s2) AS c
+      |  UNION ALL SELECT 'delete', * FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s3) AS d)
+      |SELECT change_type, st AS o_orderstatus, COUNT(*) AS n,
+      |       CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS amount
+      |FROM ev GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+    val src = snapRoot(s, dir, "cfsrc")
+    val dst = snapRoot(s, dir, "cfdst")
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    if (Snapshots.versions(s, dst).size < 3) {
+      if (Snapshots.versions(s, dst).nonEmpty) Snapshots.drop(s, dst)
+      if (Snapshots.versions(s, src).nonEmpty) Snapshots.drop(s, src)
+      Snapshots.commit(o.repartitionByRange(8, col("o_orderkey")), src)
+      val ck = s"${System.getProperty("java.io.tmpdir")}/q90-${java.util.UUID.randomUUID()}"
+      val q = s.readStream.format("graft-snapshot").option("path", src)
+        .option("readChangeFeed", "true").load()
+        .writeStream.format("graft-snapshot")
+        .option("path", dst).option("checkpointLocation", ck)
+        .outputMode("append").start()
+      q.processAllAvailable() // initial batch: v1 snapshot as inserts
+      Snapshots.merge(s, src, o.filter(col("o_orderkey") % 97 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000)
+        .unionByName(o.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_orderkey", -col("o_orderkey") - 1)), "o_orderkey")
+      q.processAllAvailable() // one batch: the merge's delete+insert pairs
+      Snapshots.deleteWhere(s, src, col("o_totalprice") > 300000)
+      q.processAllAvailable() // one batch: the delete's delete rows
+      q.stop()
+    }
+    Snapshots.read(s, dst)
+      .groupBy(col("_change_type").as("change_type"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("amount"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
       qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead,
-      qZOrderOptimize, qChangeFeed)
+      qZOrderOptimize, qChangeFeed, qStreamChangeFeed)
 }

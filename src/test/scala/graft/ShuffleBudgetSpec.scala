@@ -156,7 +156,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q88_zorder_optimize" -> 1,
     // two EXCEPT ALLs co-partitioned over the touched-file reads + the
     // digest agg; the DML build cycle runs as separate jobs
-    "q89_change_feed" -> 3)
+    "q89_change_feed" -> 3,
+    // one digest agg over the destination table's accumulated change
+    // events; the stream + DML cycle runs as separate jobs
+    "q90_stream_change_feed" -> 1)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
