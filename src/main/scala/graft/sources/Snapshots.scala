@@ -79,6 +79,21 @@ object Snapshots {
     // line "v<N>[ <token>]" — deliberately line-oriented, no JSON lib
     manifestText(spark, table, v).linesIterator.drop(1).filter(_.nonEmpty).toSeq
 
+  /** The commit token of version `v` (None for plain commits). */
+  def commitToken(spark: SparkSession, table: String, v: Long): Option[String] =
+    manifestText(spark, table, v).linesIterator
+      .nextOption().flatMap(_.split(' ').lift(1))
+
+  /** True iff version `v` is a ROW-PRESERVING maintenance rewrite
+    * (compaction or z-order): by the append-rebase publish contract its
+    * manifest carries exactly the head's rows in a new physical layout,
+    * so a change-feed step across it is empty by construction — callers
+    * skip the O(moved-bytes) diff that would prove it.
+    */
+  def isMaintenanceCommit(spark: SparkSession, table: String, v: Long): Boolean =
+    commitToken(spark, table, v).exists(t =>
+      t.startsWith("compact-of-v") || t.startsWith("zorder-of-v"))
+
   /** The version already committed under `token`, if any — the replay
     * check behind exactly-once streaming publish.
     */
@@ -390,6 +405,20 @@ object Snapshots {
     val vs = versions(spark, table)
     require(vs.contains(from) && vs.contains(to) && from <= to,
       s"need committed versions $from <= $to in $vs")
+    def emptyFeed() = read(spark, table, Some(to)).limit(0)
+      .withColumn("_change_type", lit("insert")).limit(0)
+    // a range covered entirely by consecutive maintenance rewrites
+    // (compact/z-order) is row-preserving end to end — skip the
+    // O(moved-bytes) diff that would prove the feed empty. Gap-free
+    // only: a vacuumed-out DML commit inside the range must still diff.
+    val between = vs.filter(v => v > from && v <= to)
+    val gapFree = (from +: between).sliding(2).forall {
+      case Seq(a, b) => b == a + 1
+      case _         => true
+    }
+    if (between.nonEmpty && gapFree &&
+        between.forall(isMaintenanceCommit(spark, table, _)))
+      return emptyFeed()
     def norm(p: String) = new Path(p).toUri.getPath
     val before = manifestFiles(spark, table, from)
     val after  = manifestFiles(spark, table, to)
@@ -403,8 +432,7 @@ object Snapshots {
       case (None, None) =>
         // untouched range (from == to, or pure-metadata history): empty
         // feed with the to-snapshot's schema
-        read(spark, table, Some(to)).limit(0)
-          .withColumn("_change_type", lit("insert")).limit(0)
+        emptyFeed()
       case _ =>
         // union schema in to-side order; on a name collision the
         // to-side's type wins and the from-side casts up to it

@@ -395,6 +395,12 @@ private[v2] class SnapshotChangeFeedSource(spark: SparkSession, path: String)
         val chain = from +: Snapshots.versions(spark, path)
           .filter(v => v > from && v <= to)
         chain.sliding(2).flatMap {
+          // a compaction/z-order step is row-preserving by the rebase
+          // contract — skip the O(moved-bytes) diff that would prove
+          // its feed empty (only when no expired version hides between
+          // the pair: a vacuumed-out DML commit must still be diffed)
+          case Seq(a, b) if b == a + 1 &&
+              Snapshots.isMaintenanceCommit(spark, path, b) => None
           case Seq(a, b) => Some(Snapshots.changeFeed(spark, path, a, b))
           case _         => None
         }.reduceOption(_ unionByName _)

@@ -308,6 +308,27 @@ class SnapshotsSpec extends SparkTestBase {
       .load().count())
   }
 
+  test("changeFeed skips row-preserving maintenance without reading data") {
+    val t = tbl()
+    Snapshots.commit((1L to 200L).toDF("id").withColumn("v", col("id"))
+      .repartitionByRange(8, col("id")), t)
+    Snapshots.compact(spark, t, numFiles = 2)                  // v2
+    Snapshots.optimizeZOrder(spark, t, "id", "v", numFiles = 2) // v3
+    // the whole range is consecutive maintenance rewrites: empty by the
+    // rebase contract, and the short-circuit proves it WITHOUT the
+    // O(moved-bytes) diff — zero data files in the plan
+    val feed = Snapshots.changeFeed(spark, t, 1L, 3L)
+    assert(feed.count() === 0)
+    assert(feed.inputFiles.isEmpty)
+    // a DML commit inside the range disables the skip; the diff still
+    // nets out to exactly that commit's rows across the compaction
+    Snapshots.commit(Seq((900L, 9L)).toDF("id", "v"), t) // v4
+    Snapshots.compact(spark, t, numFiles = 1)            // v5
+    val feed2 = Snapshots.changeFeed(spark, t, 3L, 5L)
+    assert(feed2.as[(Long, Long, String)].collect().toSeq ===
+      Seq((900L, 9L, "insert")))
+  }
+
   test("changeFeed aligns evolved schemas: absent columns read as NULL") {
     val t = tbl()
     Snapshots.commit((1 to 4).map(_.toLong).toDF("id"), t)
