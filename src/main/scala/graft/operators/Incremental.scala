@@ -831,9 +831,46 @@ object Incremental {
         sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("amount"))
   }
 
+  /** q91: RESTORE under the oracle gate — the table suffers an
+    * "accidental" DELETE, then `Snapshots.restore` rolls back to v1 as
+    * a NEW version (metadata-only: the restored manifest references
+    * v1's immutable files, nothing is rewritten — on a 100 TB table
+    * the undo costs one manifest write). The gated answer reads the
+    * restored snapshot (must equal raw orders exactly — a restore that
+    * lost or duplicated one row breaks the hash) alongside the
+    * rolled-past delete version via time travel (history must survive
+    * the rollback).
+    */
+  val qSnapshotRestore: QuerySpec = QuerySpec.sql(
+    "q91_snapshot_restore",
+    """SELECT o_orderstatus, COUNT(*) AS n_restored,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       CAST(SUM(CASE WHEN NOT (o_totalprice > 250000)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_after_delete
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "snaprest")
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    if (Snapshots.versions(s, root).size < 3) {
+      if (Snapshots.versions(s, root).nonEmpty) Snapshots.drop(s, root)
+      Snapshots.commit(o.repartitionByRange(8, col("o_orderkey")), root)
+      Snapshots.deleteWhere(s, root, col("o_totalprice") > 250000)
+      Snapshots.restore(s, root, 1L)
+    }
+    val restored = Snapshots.read(s, root)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_restored"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).cast("double").as("revenue"))
+    val afterDelete = Snapshots.read(s, root, asOf = Some(2L))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("nd"))
+    restored.join(afterDelete, Seq("o_orderstatus"), "left")
+      .select(col("o_orderstatus"), col("n_restored"), col("revenue"),
+        coalesce(col("nd"), lit(0L)).as("n_after_delete"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
       qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead,
-      qZOrderOptimize, qChangeFeed, qStreamChangeFeed)
+      qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore)
 }

@@ -192,6 +192,50 @@ object Snapshots {
       s"snapshot commit lost the version race 5 times on $table")
   }
 
+  /** RESTORE TO VERSION AS OF `v` (Delta's RESTORE): publish version
+    * `v`'s file list as a NEW version at head+1. Metadata-only — the
+    * restored manifest references `v`'s immutable data files, nothing
+    * is rewritten or copied, so undoing a bad delete on a 100 TB table
+    * costs one manifest write. History is preserved: the versions
+    * being rolled past stay time-travelable (and a change feed across
+    * the restore reports exactly the rows it brought back or dropped).
+    * Restoring to the current head is a no-op. The token pins (target,
+    * head) so a replayed restore over the same head returns the same
+    * version, while a later restore to the same target after new
+    * commits legitimately re-publishes. A lost version race retries
+    * against the new head (the file list is `v`'s either way — restore
+    * REPLACES the current set by definition, so there is nothing to
+    * rebase; interleaved commits stay in history, un-restored).
+    */
+  def restore(spark: SparkSession, table: String, v: Long): Long = {
+    val f = fs(spark, table)
+    var attempt = 0
+    while (attempt < 5) {
+      val vs = versions(spark, table)
+      require(vs.contains(v), s"version $v not in $vs")
+      val head = vs.last
+      val files = manifestFiles(spark, table, v)
+      // semantic no-op: the head already carries exactly v's file set
+      // (v == head, or a restore to v already landed) — re-issuing the
+      // restore after a success or a crash publishes nothing
+      def norm(p: String) = new Path(p).toUri.getPath
+      if (head == v || manifestFiles(spark, table, head).map(norm).toSet ==
+          files.map(norm).toSet) return head
+      val token = s"restore-of-v$v-over-v$head"
+      committedVersionFor(spark, table, token).foreach(w => return w)
+      val next = head + 1
+      val tmp = new Path(s"$table/.manifest-v$next.${java.util.UUID.randomUUID}.tmp")
+      val out = f.create(tmp, false)
+      try out.write((s"v$next $token\n" + files.mkString("\n")).getBytes("UTF-8"))
+      finally out.close()
+      if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$next.json"))) return next
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"restore lost the version race 5 times on $table")
+  }
+
   /** Transactional small-file compaction: rewrite the CURRENT snapshot
     * into `numFiles` files and publish as a new (overwrite) version —
     * rows unchanged, history intact, readers of older versions

@@ -159,7 +159,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q89_change_feed" -> 3,
     // one digest agg over the destination table's accumulated change
     // events; the stream + DML cycle runs as separate jobs
-    "q90_stream_change_feed" -> 1)
+    "q90_stream_change_feed" -> 1,
+    // two aggs (restored + time-traveled delete version) + their join;
+    // the build/restore cycle runs as separate jobs (q81's convention)
+    "q91_snapshot_restore" -> 3)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet

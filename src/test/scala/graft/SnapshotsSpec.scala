@@ -308,6 +308,39 @@ class SnapshotsSpec extends SparkTestBase {
       .load().count())
   }
 
+  test("restore rolls back metadata-only; history survives; feed reports the undo") {
+    val t = tbl()
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    Snapshots.commit((1L to 100L).toDF("id").withColumn("v", col("id"))
+      .repartitionByRange(4, col("id")), t)
+    Snapshots.deleteWhere(spark, t, col("id") > 90L) // v2: the "accident"
+    Snapshots.commit(Seq((200L, 2L)).toDF("id", "v"), t) // v3: post-accident append
+    val r = Snapshots.restore(spark, t, 1L)
+    assert(r === 4L)
+    // rows are exactly v1's; the rolled-past versions stay readable
+    assert(Snapshots.read(spark, t).select(sum("id")).head().getLong(0) ===
+      (1L to 100L).sum)
+    assert(Snapshots.read(spark, t, asOf = Some(2L)).count() === 90)
+    assert(Snapshots.read(spark, t, asOf = Some(3L)).count() === 91)
+    // metadata-only: the restored manifest references v1's files verbatim
+    assert(Snapshots.dataFiles(spark, t, Some(4L)).map(norm).toSet ===
+      Snapshots.dataFiles(spark, t, Some(1L)).map(norm).toSet)
+    // the feed across the restore reports exactly what the undo changed:
+    // the 10 deleted rows return, the interleaved append drops out
+    val feed = Snapshots.changeFeed(spark, t, 3L, 4L)
+      .as[(Long, Long, String)].collect().toSeq.sorted
+    assert(feed === ((91L to 100L).map(i => (i, i, "insert")) :+
+      (200L, 2L, "delete")).sorted)
+    // replay over the same head is idempotent; restore-to-head is a no-op
+    assert(Snapshots.restore(spark, t, 1L) === 4L)
+    assert(Snapshots.history(spark, t).filter(col("version") === 4L)
+      .select("token").head().getString(0).startsWith("restore-of-v1"))
+    // vacuum keeps the restored version fully readable (its files are
+    // referenced by the surviving manifest chain)
+    Snapshots.vacuum(spark, t, keepVersions = 1)
+    assert(Snapshots.read(spark, t).count() === 100)
+  }
+
   test("changeFeed skips row-preserving maintenance without reading data") {
     val t = tbl()
     Snapshots.commit((1L to 200L).toDF("id").withColumn("v", col("id"))
