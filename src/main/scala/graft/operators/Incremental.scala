@@ -868,9 +868,56 @@ object Incremental {
         coalesce(col("nd"), lit(0L)).as("n_after_delete"))
   }
 
+  /** q92: the SQL catalog under the oracle gate — the snapshot table
+    * driven end to end by PLAIN SQL through the V2 `TableCatalog`
+    * (`SnapshotCatalog`): CREATE TABLE, two INSERT INTO … SELECT
+    * shards, then one SELECT joining the latest snapshot with a
+    * `VERSION AS OF` time travel — no Scala API in the data path. The
+    * oracle recomputes both from raw orders, so catalog resolution,
+    * the V1Write commit fallback, and the SQL time-travel pin must all
+    * reproduce exact rows. One catalog per data dir (catalog instances
+    * bind their warehouse at first use).
+    */
+  val qSqlCatalog: QuerySpec = QuerySpec.sql(
+    "q92_sql_catalog",
+    """SELECT o_orderstatus, COUNT(*) AS n_all,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    val wh = snapRoot(s, dir, "sqlwh")
+    val dirKey = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val cat = s"graft_sql_$dirKey"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$cat.m.orders_t"
+    if (Snapshots.versions(s, s"$wh/m/orders_t").size < 3) {
+      Snapshots.drop(s, s"$wh/m/orders_t")
+      Tables.orders(s, dir).createOrReplaceTempView("q92_orders")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
+        "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+      s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, " +
+        "o_totalprice FROM q92_orders WHERE o_orderkey % 2 = 0")
+      s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, " +
+        "o_totalprice FROM q92_orders WHERE o_orderkey % 2 = 1")
+    }
+    s.sql(
+      s"""SELECT cur.o_orderstatus, cur.n_all, cur.revenue,
+         |       COALESCE(init.n_even, 0L) AS n_even
+         |FROM (SELECT o_orderstatus, COUNT(*) AS n_all,
+         |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |      FROM $tbl GROUP BY 1) cur
+         |LEFT JOIN (SELECT o_orderstatus, COUNT(*) AS n_even
+         |           FROM $tbl VERSION AS OF 2 GROUP BY 1) init
+         |USING (o_orderstatus)""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
       qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead,
-      qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore)
+      qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore,
+      qSqlCatalog)
 }

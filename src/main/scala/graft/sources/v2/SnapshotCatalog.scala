@@ -1,0 +1,219 @@
+package graft.sources.v2
+
+import java.util
+
+import graft.sources.Snapshots
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A Spark V2 `TableCatalog` over the snapshot table format — the piece
+  * that makes the whole format SQL-NATIVE. With
+  *
+  * {{{
+  *   spark.sql.catalog.graft           = graft.sources.v2.SnapshotCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  *
+  * plain SQL drives the table lifecycle end to end:
+  *
+  * {{{
+  *   CREATE TABLE graft.ns.t (id BIGINT, v BIGINT)
+  *   INSERT INTO graft.ns.t VALUES (1, 10)          -- tokenless commit
+  *   INSERT OVERWRITE graft.ns.t SELECT ...          -- replace-publish
+  *   SELECT * FROM graft.ns.t                        -- latest snapshot
+  *   SELECT * FROM graft.ns.t VERSION AS OF 2        -- time travel
+  *   SELECT * FROM graft.ns.t TIMESTAMP AS OF '...'  -- publish-time travel
+  *   DROP TABLE graft.ns.t
+  * }}}
+  *
+  * An identifier `ns….t` maps to the directory `warehouse/ns…/t`; the
+  * catalog holds NO state of its own (the manifest chain in each table
+  * directory is the single source of truth), so any number of sessions
+  * and catalogs over one warehouse see the same committed versions —
+  * exactly the property the optimistic manifest publish provides.
+  * Reads resolve through the same [[SnapshotProvider]] plumbing as
+  * `spark.read.format("graft-snapshot")` (manifest-level data skipping
+  * included), and writes ride the V1Write fallback into
+  * `Snapshots.commit` — one commit protocol under every surface.
+  * `VERSION AS OF` / `TIMESTAMP AS OF` resolve through the same
+  * version pinning as the reader options (timestamps via
+  * [[Snapshots.versionAsOfTimestamp]], Iceberg's newest-at-or-before).
+  *
+  * Deliberately unsupported (loud, not silent): `ALTER TABLE` (schema
+  * evolution goes through overwrite commits), partition transforms
+  * (layout is the snapshot format's own: range/z-order rewrites).
+  */
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def name(): String = catalogName
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires spark.sql.catalog.$name.warehouse"))
+  }
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def tablePath(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+
+  private def nsPath(namespace: Array[String]): Path =
+    new Path((warehouse +: namespace).mkString("/"))
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def isTable(path: String): Boolean =
+    Snapshots.versions(spark, path).nonEmpty
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTable(tablePath(ident))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => isTable((warehouse +: namespace :+ n).mkString("/")))
+      .map(Identifier.of(namespace, _))
+  }
+
+  /** Resolve through the provider so catalog reads share the memoized
+    * manifest resolution + pruning scan builder with the format path.
+    */
+  private def load(ident: Identifier, extra: Map[String, String]): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    val p = new SnapshotProvider
+    import scala.jdk.CollectionConverters._
+    val opts = new CaseInsensitiveStringMap(
+      (Map("path" -> path) ++ extra).asJava)
+    p.getTable(p.inferSchema(opts), Array.empty,
+      new util.HashMap[String, String](opts))
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
+
+  /** `VERSION AS OF <v>` */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Map("asOf" -> version))
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident, Map("asOfTimestamp" -> (timestamp / 1000L).toString))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft-snapshot tables manage their own layout (range/z-order " +
+        "rewrites); PARTITIONED BY is not supported")
+    val path = tablePath(ident)
+    if (isTable(path))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    // v1 = one empty parquet file carrying the schema: the committed
+    // footer IS the table's schema record (no sidecar metadata to drift)
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .repartition(1)
+    Snapshots.commit(empty, path)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-snapshot: ALTER TABLE is not supported — schema evolution " +
+        "goes through overwrite commits (INSERT OVERWRITE with the new shape)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val path = tablePath(ident)
+    val existed = isTable(path)
+    if (existed) Snapshots.drop(spark, path)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val src = new Path(tablePath(oldIdent))
+    val dst = new Path(tablePath(newIdent))
+    if (!isTable(src.toString))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName) ++ oldIdent.namespace() :+ oldIdent.name())
+    require(!fs.exists(dst), s"rename target $dst already exists")
+    fs.mkdirs(dst.getParent)
+    // single directory rename; the manifests' file paths are absolute,
+    // so rewrite them against the new root (driver-side metadata only)
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+    Snapshots.versions(spark, dst.toString).foreach { v =>
+      val mf = new Path(s"$dst/manifest-v$v.json")
+      val in = fs.open(mf)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val moved = text.replace(src.toUri.getPath, dst.toUri.getPath)
+      if (moved != text) {
+        val tmp = new Path(s"$dst/.manifest-v$v.rename.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(moved.getBytes("UTF-8")) finally out.close()
+        fs.delete(mf, false)
+        require(fs.rename(tmp, mf), s"manifest rewrite failed for v$v")
+      }
+    }
+  }
+
+  // ---- SupportsNamespaces: namespaces are plain directories ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) Array.empty
+    else fs.listStatus(dir).filter(_.isDirectory)
+      .filterNot(st => isTable(st.getPath.toString))
+      .map(st => namespace :+ st.getPath.getName)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || fs.exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+        Seq(catalogName) ++ namespace)
+    new util.HashMap[String, String]()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    fs.mkdirs(nsPath(namespace)): Unit
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: org.apache.spark.sql.connector.catalog.NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "graft-snapshot namespaces carry no metadata to alter")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val dir = nsPath(namespace)
+    if (!fs.exists(dir)) false
+    else {
+      require(cascade || fs.listStatus(dir).isEmpty,
+        s"namespace ${namespace.mkString(".")} is not empty")
+      fs.delete(dir, true)
+    }
+  }
+}

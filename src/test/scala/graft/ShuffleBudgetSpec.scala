@@ -162,7 +162,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q90_stream_change_feed" -> 1,
     // two aggs (restored + time-traveled delete version) + their join;
     // the build/restore cycle runs as separate jobs (q81's convention)
-    "q91_snapshot_restore" -> 3)
+    "q91_snapshot_restore" -> 3,
+    // two aggs (latest + VERSION AS OF) + their join, all in SQL via
+    // the catalog; the CREATE/INSERT cycle runs as separate jobs
+    "q92_sql_catalog" -> 3)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet

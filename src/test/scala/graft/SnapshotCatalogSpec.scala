@@ -1,0 +1,99 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Snapshots
+
+/** The V2 TableCatalog over snapshot tables: plain SQL drives the
+  * table lifecycle (CREATE/INSERT/SELECT/time travel/OVERWRITE/RENAME/
+  * DROP) against the same manifest chain and commit protocol as every
+  * other surface.
+  */
+class SnapshotCatalogSpec extends SparkTestBase {
+
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graftwh").toString
+    spark.conf.set("spark.sql.catalog.graft_cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat.warehouse", dir)
+    dir
+  }
+
+  test("SQL lifecycle: create, insert, select, version + timestamp travel, overwrite") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns")
+    spark.sql("CREATE TABLE graft_cat.ns.t (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO graft_cat.ns.t VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO graft_cat.ns.t VALUES (3, 30)")
+    assert(spark.sql("SELECT sum(id) FROM graft_cat.ns.t").head().getLong(0) === 6)
+    // create = v1 (empty, schema-bearing), inserts = v2, v3
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.t VERSION AS OF 2")
+      .head().getLong(0) === 2)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.t VERSION AS OF 1")
+      .head().getLong(0) === 0)
+    // TIMESTAMP AS OF resolves by publish time (newest at-or-before)
+    val t2 = Snapshots.history(spark, s"$wh/ns/t")
+      .filter(org.apache.spark.sql.functions.col("version") === 2L)
+      .select("committed_at").head().getTimestamp(0)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_cat.ns.t TIMESTAMP AS OF '$t2'")
+      .head().getLong(0) === 2)
+    // INSERT OVERWRITE replaces the current set; history stays readable
+    spark.sql("INSERT OVERWRITE graft_cat.ns.t VALUES (9, 90)")
+    assert(spark.sql("SELECT sum(id) FROM graft_cat.ns.t").head().getLong(0) === 9)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns.t VERSION AS OF 3")
+      .head().getLong(0) === 3)
+    // the catalog and the programmatic surface see one table
+    assert(Snapshots.versions(spark, s"$wh/ns/t") === Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("append schema mismatch fails; ALTER TABLE and PARTITIONED BY are loud") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns2")
+    spark.sql("CREATE TABLE graft_cat.ns2.s (id BIGINT)")
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO graft_cat.ns2.s VALUES (1, 'x')"))
+    assert(e.getMessage.contains("INSERT_COLUMN_ARITY_MISMATCH"), e.getMessage)
+    val a = intercept[Exception](
+      spark.sql("ALTER TABLE graft_cat.ns2.s ADD COLUMN extra STRING"))
+    assert(a.getMessage.contains("ALTER TABLE is not supported"), a.getMessage)
+    val p = intercept[Exception](spark.sql(
+      "CREATE TABLE graft_cat.ns2.p (id BIGINT) PARTITIONED BY (id)"))
+    assert(p.getMessage.contains("PARTITIONED BY is not supported"), p.getMessage)
+  }
+
+  test("rename moves the manifest chain; drop removes; missing tables are loud") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns3")
+    spark.sql("CREATE TABLE graft_cat.ns3.a (id BIGINT)")
+    spark.sql("INSERT INTO graft_cat.ns3.a VALUES (7)")
+    spark.sql("ALTER TABLE graft_cat.ns3.a RENAME TO ns3.b")
+    assert(spark.sql("SELECT sum(id) FROM graft_cat.ns3.b").head().getLong(0) === 7)
+    // time travel still works after the rename (manifests rewritten to
+    // the new root, files moved with the directory)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns3.b VERSION AS OF 1")
+      .head().getLong(0) === 0)
+    intercept[Exception](spark.sql("SELECT * FROM graft_cat.ns3.a").collect())
+    assert(spark.sql("SHOW TABLES IN graft_cat.ns3").collect()
+      .map(_.getString(1)).toSeq === Seq("b"))
+    spark.sql("DROP TABLE graft_cat.ns3.b")
+    intercept[Exception](spark.sql("SELECT * FROM graft_cat.ns3.b").collect())
+    assert(spark.sql("SHOW TABLES IN graft_cat.ns3").count() === 0)
+  }
+
+  test("two catalog instances over one warehouse see the same commits") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns4")
+    spark.sql("CREATE TABLE graft_cat.ns4.shared (id BIGINT)")
+    // a second catalog name, same warehouse: no shared in-memory state
+    spark.conf.set("spark.sql.catalog.graft_cat2",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft_cat2.warehouse", wh)
+    spark.sql("INSERT INTO graft_cat.ns4.shared VALUES (5)")
+    assert(spark.sql("SELECT sum(id) FROM graft_cat2.ns4.shared")
+      .head().getLong(0) === 5)
+    spark.sql("INSERT INTO graft_cat2.ns4.shared VALUES (6)")
+    assert(spark.sql("SELECT sum(id) FROM graft_cat.ns4.shared")
+      .head().getLong(0) === 11)
+  }
+}
