@@ -874,14 +874,16 @@ object Incremental {
     * shards, then one SELECT joining the latest snapshot with a
     * `VERSION AS OF` time travel — no Scala API in the data path. The
     * oracle recomputes both from raw orders, so catalog resolution,
-    * the V1Write commit fallback, and the SQL time-travel pin must all
-    * reproduce exact rows. One catalog per data dir (catalog instances
+    * the V1Write commit fallback, the SupportsDelete DELETE FROM
+    * route, and the SQL time-travel pin must all reproduce exact rows. One catalog per data dir (catalog instances
     * bind their warehouse at first use).
     */
   val qSqlCatalog: QuerySpec = QuerySpec.sql(
     "q92_sql_catalog",
-    """SELECT o_orderstatus, COUNT(*) AS n_all,
-      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+    """SELECT o_orderstatus,
+      |       CAST(SUM(CASE WHEN NOT (o_totalprice > 400000) THEN 1 ELSE 0 END) AS BIGINT) AS n_all,
+      |       CAST(SUM(CASE WHEN NOT (o_totalprice > 400000)
+      |                     THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS revenue,
       |       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
       |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
     val wh = snapRoot(s, dir, "sqlwh")
@@ -892,7 +894,7 @@ object Incremental {
       classOf[graft.sources.v2.SnapshotCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val tbl = s"$cat.m.orders_t"
-    if (Snapshots.versions(s, s"$wh/m/orders_t").size < 3) {
+    if (Snapshots.versions(s, s"$wh/m/orders_t").size < 4) {
       Snapshots.drop(s, s"$wh/m/orders_t")
       Tables.orders(s, dir).createOrReplaceTempView("q92_orders")
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
@@ -902,6 +904,9 @@ object Incremental {
         "o_totalprice FROM q92_orders WHERE o_orderkey % 2 = 0")
       s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, " +
         "o_totalprice FROM q92_orders WHERE o_orderkey % 2 = 1")
+      // SQL DML: DELETE FROM routes through SupportsDelete into the
+      // COW deleteWhere - v4, leaving v1-v3 time-travelable
+      s.sql(s"DELETE FROM $tbl WHERE o_totalprice > 400000")
     }
     s.sql(
       s"""SELECT cur.o_orderstatus, cur.n_all, cur.revenue,

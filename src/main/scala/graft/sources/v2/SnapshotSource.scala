@@ -519,9 +519,54 @@ private[v2] class PruningScanBuilder(resolved: ResolvedSnapshot,
 
 private[v2] class SnapshotTable(path: String, tableSchema: StructType,
     resolveTable: () => ResolvedSnapshot) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = s"graft-snapshot:$path"
+
+  /** `DELETE FROM <catalog table> WHERE …` — Spark hands the predicate
+    * as source Filters; translatable shapes route into the COW
+    * [[Snapshots.deleteWhere]] (only files containing a matching row
+    * rewrite). `canDeleteWhere` refuses untranslatable predicates so
+    * Spark errors loudly instead of a silent wrong delete. SQL's
+    * delete-semantics quirk (rows where the predicate is NULL survive)
+    * is deleteWhere's own contract. `TRUNCATE TABLE` arrives as
+    * deleteWhere(AlwaysTrue) via the interface default.
+    */
+  private def toColumn(f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit, not}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+      case StringContains(a, v)     => Some(col(a).contains(v))
+      case AlwaysTrue()             => Some(lit(true))
+      case AlwaysFalse()            => Some(lit(false))
+      case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+      case Or(l, r)  => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+      case Not(c)    => toColumn(c).map(not)
+      case _         => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val pred = filters.flatMap(toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Snapshots.deleteWhere(SparkSession.active, path, pred): Unit
+  }
 
   override def schema(): StructType = tableSchema
 

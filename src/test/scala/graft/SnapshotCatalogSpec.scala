@@ -81,6 +81,26 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(spark.sql("SHOW TABLES IN graft_cat.ns3").count() === 0)
   }
 
+  test("SQL DELETE FROM routes into the COW delete; TRUNCATE empties; history intact") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns5")
+    spark.sql("CREATE TABLE graft_cat.ns5.d (id BIGINT, tag STRING)")
+    spark.sql("INSERT INTO graft_cat.ns5.d VALUES " +
+      "(1, 'keep'), (2, 'drop'), (3, 'keep'), (4, NULL)")
+    spark.sql("DELETE FROM graft_cat.ns5.d WHERE tag = 'drop' OR id >= 4")
+    // SQL delete semantics: the NULL-tag row has id < 4 and a NULL
+    // predicate -> survives; only (2) and (4) go
+    assert(spark.sql("SELECT id FROM graft_cat.ns5.d ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 3L))
+    // time travel reads the pre-delete version (create=1, insert=2, delete=3)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns5.d VERSION AS OF 2")
+      .head().getLong(0) === 4)
+    spark.sql("TRUNCATE TABLE graft_cat.ns5.d")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns5.d").head().getLong(0) === 0)
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns5.d VERSION AS OF 3")
+      .head().getLong(0) === 2)
+  }
+
   test("two catalog instances over one warehouse see the same commits") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns4")
