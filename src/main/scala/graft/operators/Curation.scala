@@ -760,9 +760,57 @@ object Curation {
         countDistinct("a").as("n_verdicts"))
   }
 
+  /** p17: INCREMENTAL curation maintenance via the change feed — the
+    * growth shape of a production training corpus: the curated
+    * (quality-filtered) view is maintained from the table's row-level
+    * CDF instead of re-filtering the corpus. The documents snapshot
+    * suffers an update-merge (+500 chars on every %11 doc) and a
+    * language purge (DELETE lang='de'); the curated view starts from
+    * v1 and absorbs the feed algebraically — minus the deletes that
+    * passed the filter, plus the inserts that pass it. The oracle
+    * recomputes the curated view from the FINAL state from scratch:
+    * incremental == recompute, proven by hash (the same identity as
+    * q69-71/d15, now through changeFeed). At 100 TB the refresh cost
+    * is the feed's touched files, never a corpus re-filter.
+    */
+  val pIncrementalCuration: QuerySpec = QuerySpec.sql(
+    "p17_incremental_curation",
+    """WITH st AS (
+      |  SELECT doc_id, lang, source,
+      |         CASE WHEN doc_id % 11 = 0 THEN n_chars + 500
+      |              ELSE n_chars END AS n_chars
+      |  FROM documents),
+      |fin AS (SELECT * FROM st WHERE lang <> 'de'),
+      |cur AS (SELECT * FROM fin WHERE n_chars >= 300)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM cur GROUP BY lang""".stripMargin) { (s, dir) =>
+    import graft.sources.Snapshots
+    val root = graft.operators.Incremental.snapRoot(s, dir, "curcdf")
+    val docs = Tables.documents(s, dir)
+      .select("doc_id", "lang", "source", "n_chars")
+    if (Snapshots.versions(s, root).size < 3) {
+      if (Snapshots.versions(s, root).nonEmpty) Snapshots.drop(s, root)
+      Snapshots.commit(docs.repartitionByRange(8, col("doc_id")), root)
+      Snapshots.merge(s, root, docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("n_chars", col("n_chars") + 500), "doc_id")
+      Snapshots.deleteWhere(s, root, col("lang") === "de")
+    }
+    val quality = col("n_chars") >= 300
+    val curatedV1 = Snapshots.read(s, root, asOf = Some(1L)).filter(quality)
+    val feed = Snapshots.changeFeed(s, root, from = 1L, to = 3L)
+    val curated = curatedV1
+      .exceptAll(feed.filter(col("_change_type") === "delete" && quality)
+        .drop("_change_type"))
+      .unionByName(feed.filter(col("_change_type") === "insert" && quality)
+        .drop("_change_type"))
+    curated.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(pCorpus, pSplit, pContamination.memo, pQualityReport, pPacking,
       pDomainMix, pNgramDecontam.memo, pProportional, pLengthHist, pFilterFunnel,
       pContaminationReport, pCurriculum, pMixRebalance, pBudgetSelect,
-      pLeakageSplit, pDedupAttribution)
+      pLeakageSplit, pDedupAttribution, pIncrementalCuration)
 }

@@ -165,7 +165,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q91_snapshot_restore" -> 3,
     // two aggs (latest + VERSION AS OF) + their join, all in SQL via
     // the catalog; the CREATE/INSERT cycle runs as separate jobs
-    "q92_sql_catalog" -> 3)
+    "q92_sql_catalog" -> 3,
+    // curated-v1 exceptAll feed-deletes union feed-inserts + the digest
+    // agg; the DML build cycle runs as separate jobs
+    "p17_incremental_curation" -> 4)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
