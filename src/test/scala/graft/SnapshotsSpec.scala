@@ -341,6 +341,26 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.read(spark, t).count() === 100)
   }
 
+  test("restore losing the version race retries; the published manifest is still v's") {
+    val t = tbl()
+    Snapshots.commit((1 to 10).toDF("x"), t)
+    Snapshots.commit((11 to 15).toDF("x"), t)
+    // occupy v3 the way a racing winner would (the rename-lock test's
+    // shape): restore must lose at 3, re-read the head, publish at 4
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v2Files = scala.io.Source.fromInputStream(
+      fs.open(new org.apache.hadoop.fs.Path(s"$t/manifest-v2.json")), "UTF-8")
+      .mkString
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$t/manifest-v3.json"), false)
+    out.write(("v3" + v2Files.dropWhile(_ != '\n')).getBytes("UTF-8")); out.close()
+    assert(Snapshots.restore(spark, t, 1L) === 4L)
+    assert(Snapshots.read(spark, t).count() === 10)
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    assert(Snapshots.dataFiles(spark, t, Some(4L)).map(norm).toSet ===
+      Snapshots.dataFiles(spark, t, Some(1L)).map(norm).toSet)
+  }
+
   test("changeFeed skips row-preserving maintenance without reading data") {
     val t = tbl()
     Snapshots.commit((1L to 200L).toDF("id").withColumn("v", col("id"))
