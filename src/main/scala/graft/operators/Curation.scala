@@ -765,7 +765,9 @@ object Curation {
     * (quality-filtered) view is maintained from the table's row-level
     * CDF instead of re-filtering the corpus. The documents snapshot
     * suffers an update-merge (+500 chars on every %11 doc) and a
-    * language purge (DELETE lang='de'); the curated view starts from
+    * language purge (DELETE lang='de' — the oracle keeps NULL-lang
+    * rows, mirroring SQL DELETE's NULL-predicate-survives rule that
+    * deleteWhere implements); the curated view starts from
     * v1 and absorbs the feed algebraically — minus the deletes that
     * passed the filter, plus the inserts that pass it. The oracle
     * recomputes the curated view from the FINAL state from scratch:
@@ -780,7 +782,7 @@ object Curation {
       |         CASE WHEN doc_id % 11 = 0 THEN n_chars + 500
       |              ELSE n_chars END AS n_chars
       |  FROM documents),
-      |fin AS (SELECT * FROM st WHERE lang <> 'de'),
+      |fin AS (SELECT * FROM st WHERE lang <> 'de' OR lang IS NULL),
       |cur AS (SELECT * FROM fin WHERE n_chars >= 300)
       |SELECT lang, COUNT(*) AS n_docs,
       |       CAST(SUM(n_chars) AS BIGINT) AS chars

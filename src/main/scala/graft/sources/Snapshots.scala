@@ -31,6 +31,11 @@ object Snapshots {
 
   private val ManifestRe = "manifest-v([0-9]+)\\.json".r
 
+  /** Scheme-free path for set comparisons — one definition so every
+    * operation's manifest set algebra normalizes identically.
+    */
+  private def normPath(p: String): String = new Path(p).toUri.getPath
+
   /** Atomically publish `tmp` as `dst`, failing iff `dst` already
     * exists — the optimistic-concurrency claim every commit rides on.
     * HDFS/object-store rename carries no-overwrite semantics, but POSIX
@@ -218,7 +223,7 @@ object Snapshots {
       // semantic no-op: the head already carries exactly v's file set
       // (v == head, or a restore to v already landed) — re-issuing the
       // restore after a success or a crash publishes nothing
-      def norm(p: String) = new Path(p).toUri.getPath
+      def norm(p: String) = normPath(p)
       if (head == v || manifestFiles(spark, table, head).map(norm).toSet ==
           files.map(norm).toSet) return head
       val token = s"restore-of-v$v-over-v$head"
@@ -255,7 +260,7 @@ object Snapshots {
     if (latestToken.exists(_.startsWith("compact-of-"))) src
     else {
       val srcFiles = manifestFiles(spark, table, src)
-      def norm(p: String) = new Path(p).toUri.getPath
+      def norm(p: String) = normPath(p)
       val (newFiles, dataDir) = writeData(
         read(spark, table, Some(src)).repartition(numFiles), table)
       publishRebase(spark, table, src, srcFiles, srcFiles.map(norm).toSet,
@@ -309,7 +314,7 @@ object Snapshots {
         graft.functions.ZOrder.zorder2(scale(xCol, 0), scale(yCol, 2)),
         lit(-1L))
       val srcFiles = manifestFiles(spark, table, src)
-      def norm(p: String) = new Path(p).toUri.getPath
+      def norm(p: String) = normPath(p)
       val (newFiles, dataDir) = writeData(
         df.repartitionByRange(numFiles, zkey).sortWithinPartitions(zkey), table)
       publishRebase(spark, table, src, srcFiles, srcFiles.map(norm).toSet,
@@ -413,13 +418,16 @@ object Snapshots {
     * not carry with typed NULLs — the alignment step that lets the
     * change feed diff two snapshots whose schemas evolved between the
     * versions (a column only one side carries reads as NULL on the
-    * other, Delta CDF's convention).
+    * other, Delta CDF's convention). Columns PRESENT on both sides must
+    * already agree in type — the caller rejects type-changing evolution
+    * loudly, because a silent cast would null rows out (or cancel a
+    * real change pair) instead of reporting it.
     */
   private def alignTo(df: DataFrame,
       fields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     df.select(fields.map { fl =>
-      if (df.columns.contains(fl.name)) col(fl.name).cast(fl.dataType).as(fl.name)
+      if (df.columns.contains(fl.name)) col(fl.name).as(fl.name)
       else lit(null).cast(fl.dataType).as(fl.name)
     }: _*)
   }
@@ -445,16 +453,16 @@ object Snapshots {
     */
   def changeFeed(spark: SparkSession, table: String, from: Long,
       to: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
     val vs = versions(spark, table)
     require(vs.contains(from) && vs.contains(to) && from <= to,
       s"need committed versions $from <= $to in $vs")
-    def emptyFeed() = read(spark, table, Some(to)).limit(0)
-      .withColumn("_change_type", lit("insert")).limit(0)
     // a range covered entirely by consecutive maintenance rewrites
     // (compact/z-order) is row-preserving end to end — skip the
-    // O(moved-bytes) diff that would prove the feed empty. Gap-free
-    // only: a vacuumed-out DML commit inside the range must still diff.
+    // O(moved-bytes) diff that would prove the feed empty. The gap
+    // check is defensive: today vacuum only expires a PREFIX of
+    // history (retained versions are always contiguous), but a future
+    // non-prefix retention policy must not turn this skip into a
+    // silently swallowed DML commit.
     val between = vs.filter(v => v > from && v <= to)
     val gapFree = (from +: between).sliding(2).forall {
       case Seq(a, b) => b == a + 1
@@ -462,26 +470,53 @@ object Snapshots {
     }
     if (between.nonEmpty && gapFree &&
         between.forall(isMaintenanceCommit(spark, table, _)))
-      return emptyFeed()
-    def norm(p: String) = new Path(p).toUri.getPath
+      return emptyFeed(spark, table, to)
     val before = manifestFiles(spark, table, from)
     val after  = manifestFiles(spark, table, to)
-    val beforeN = before.map(norm).toSet
-    val afterN  = after.map(norm).toSet
-    val removed = before.filterNot(p => afterN(norm(p)))
-    val added   = after.filterNot(p => beforeN(norm(p)))
+    val beforeN = before.map(normPath).toSet
+    val afterN  = after.map(normPath).toSet
+    diffFeed(spark, table, to,
+      removed = before.filterNot(p => afterN(normPath(p))),
+      added   = after.filterNot(p => beforeN(normPath(p))))
+  }
+
+  /** Empty feed frame carrying the `to`-snapshot's schema (+ tag). */
+  private[sources] def emptyFeed(spark: SparkSession, table: String,
+      to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    read(spark, table, Some(to)).limit(0)
+      .withColumn("_change_type", lit("insert")).limit(0)
+  }
+
+  /** The multiset diff of two file sets, tagged insert/delete — the
+    * core of [[changeFeed]], exposed on precomputed file lists so the
+    * streaming CDF source can walk a version chain with ONE manifest
+    * read per version instead of two per adjacent pair.
+    */
+  private[sources] def diffFeed(spark: SparkSession, table: String, to: Long,
+      removed: Seq[String], added: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
     val remDf = if (removed.isEmpty) None else Some(readFiles(spark, removed))
     val addDf = if (added.isEmpty) None else Some(readFiles(spark, added))
     (remDf, addDf) match {
       case (None, None) =>
         // untouched range (from == to, or pure-metadata history): empty
         // feed with the to-snapshot's schema
-        emptyFeed()
+        emptyFeed(spark, table, to)
       case _ =>
-        // union schema in to-side order; on a name collision the
-        // to-side's type wins and the from-side casts up to it
+        // union schema in to-side order; absent columns NULL-fill, but
+        // a column present on BOTH sides with a changed type is
+        // rejected loudly — casting the from-side would null rows out
+        // (or cancel a real change pair) instead of reporting it
         val addS = addDf.map(_.schema.fields.toSeq).getOrElse(Seq.empty)
         val remS = remDf.map(_.schema.fields.toSeq).getOrElse(Seq.empty)
+        for (f <- remS; g <- addS if g.name == f.name && g.dataType != f.dataType)
+          throw new IllegalStateException(
+            s"changeFeed on $table: column '${f.name}' changed type " +
+              s"${f.dataType.simpleString} -> ${g.dataType.simpleString} " +
+              "across the range; a row-level diff across a type-changing " +
+              "evolution is not well-defined — read the two snapshots " +
+              "directly instead")
         val union = addS ++ remS.filterNot(f => addS.exists(_.name == f.name))
         val add = addDf.map(alignTo(_, union))
         val rem = remDf.map(alignTo(_, union))
@@ -542,7 +577,7 @@ object Snapshots {
       op: String, reclaimOnAbort: Seq[Path], token: Option[String] = None,
       conflictsWith: Seq[String] => Boolean = _ => false): Long = {
     val f = fs(spark, table)
-    def norm(p: String) = new Path(p).toUri.getPath
+    def norm(p: String) = normPath(p)
     val srcNorm = srcFiles.map(norm).toSet
     def abort(msg: String): Nothing = {
       reclaimOnAbort.foreach(f.delete(_, true))
@@ -618,7 +653,7 @@ object Snapshots {
       s"merge updates contain ${contract.getLong(1)} duplicate value(s) of key '$key'")
     val src = vs.last
     val files = manifestFiles(spark, table, src)
-    def norm(p: String) = new Path(p).toUri.getPath
+    def norm(p: String) = normPath(p)
     // touched-file probe: restrict the scan to the updates' key RANGE
     // first — parquet row-group min/max stats then skip files whose key
     // span cannot contain a match — and collect only file paths
@@ -669,7 +704,7 @@ object Snapshots {
     require(vs.nonEmpty, s"no committed snapshot in $table")
     val src = vs.last
     val files = manifestFiles(spark, table, src)
-    def norm(p: String) = new Path(p).toUri.getPath
+    def norm(p: String) = normPath(p)
     val touched = readFiles(spark, files)
       .filter(predicate)
       .select(input_file_name().as("__file"))
@@ -706,7 +741,7 @@ object Snapshots {
     val f = fs(spark, table)
     val dataRoot = new Path(s"$table/data")
     if (!f.exists(dataRoot)) return 0
-    def norm(p: String) = new Path(p).toUri.getPath
+    def norm(p: String) = normPath(p)
     val referenced = versions(spark, table)
       .flatMap(manifestFiles(spark, table, _)).map(norm).toSet
     val cutoff = System.currentTimeMillis() - graceMs

@@ -152,10 +152,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     require(!fs.exists(dst), s"rename target $dst already exists")
     fs.mkdirs(dst.getParent)
     // single directory rename; the manifests' file paths are absolute,
-    // so rewrite them against the new root (driver-side metadata only)
+    // so rewrite them against the new root (driver-side metadata only).
+    // Two invariants the rewrite must not break: (a) each manifest's
+    // mtime IS its commit time (TIMESTAMP AS OF / history resolve on
+    // it) — restore it after the rewrite; (b) a committed version must
+    // never be lost mid-rewrite — replace atomically (nio ATOMIC_MOVE
+    // on local paths; delete+rename elsewhere, ordered so a crash
+    // leaves the .tmp recoverable beside the gap, never silent loss).
     require(fs.rename(src, dst), s"rename $src -> $dst failed")
     Snapshots.versions(spark, dst.toString).foreach { v =>
       val mf = new Path(s"$dst/manifest-v$v.json")
+      val mtime = fs.getFileStatus(mf).getModificationTime
       val in = fs.open(mf)
       val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
@@ -164,8 +171,17 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
         val tmp = new Path(s"$dst/.manifest-v$v.rename.tmp")
         val out = fs.create(tmp, true)
         try out.write(moved.getBytes("UTF-8")) finally out.close()
-        fs.delete(mf, false)
-        require(fs.rename(tmp, mf), s"manifest rewrite failed for v$v")
+        if (fs.getScheme == "file")
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(tmp.toUri.getPath),
+            java.nio.file.Paths.get(mf.toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        else {
+          fs.delete(mf, false)
+          require(fs.rename(tmp, mf), s"manifest rewrite failed for v$v")
+        }
+        fs.setTimes(mf, mtime, -1)
       }
     }
   }
@@ -176,6 +192,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     val root = new Path(warehouse)
     if (!fs.exists(root)) Array.empty
     else fs.listStatus(root).filter(_.isDirectory)
+      // a table committed directly at the root (empty namespace) must
+      // not double-report as a namespace — same filter as the scoped
+      // overload
+      .filterNot(st => isTable(st.getPath.toString))
       .map(st => Array(st.getPath.getName))
   }
 
@@ -209,6 +229,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val dir = nsPath(namespace)
+    require(!isTable(dir.toString),
+      s"${namespace.mkString(".")} is a table, not a namespace — " +
+        "use DROP TABLE")
     if (!fs.exists(dir)) false
     else {
       require(cascade || fs.listStatus(dir).isEmpty,

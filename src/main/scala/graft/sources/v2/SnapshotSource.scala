@@ -315,13 +315,18 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
         // or a change commit (a rewrite replaced files: those rows are
         // not an append and silently streaming them would re-deliver
         // every carried row — same refusal contract as
-        // Snapshots.changes(), unless skipChangeCommits opts out)
+        // Snapshots.changes(), unless skipChangeCommits opts out).
+        // One manifest read per version: the per-pair before/after
+        // lists come from this map, not re-reads (a catch-up batch
+        // over a long history pays N reads, not 2N).
         val chain = from +: Snapshots.versions(spark, path)
           .filter(v => v > from && v <= to)
+        val filesOf = chain.map(v =>
+          v -> Snapshots.dataFiles(spark, path, Some(v))).toMap
         chain.sliding(2).flatMap {
           case Seq(a, b) =>
-            val before = Snapshots.dataFiles(spark, path, Some(a)).toSet
-            val after = Snapshots.dataFiles(spark, path, Some(b))
+            val before = filesOf(a).toSet
+            val after = filesOf(b)
             if (before.subsetOf(after.toSet)) after.filterNot(before)
             else if (skipChangeCommits) Seq.empty
             else throw new IllegalStateException(
@@ -394,15 +399,25 @@ private[v2] class SnapshotChangeFeedSource(spark: SparkSession, path: String)
         val from = ver(s)
         val chain = from +: Snapshots.versions(spark, path)
           .filter(v => v > from && v <= to)
+        // one manifest read per version (not two per adjacent pair):
+        // the per-step diffs run on precomputed file lists
+        def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+        val filesOf = chain.map(v =>
+          v -> Snapshots.dataFiles(spark, path, Some(v))).toMap
         chain.sliding(2).flatMap {
           // a compaction/z-order step is row-preserving by the rebase
           // contract — skip the O(moved-bytes) diff that would prove
-          // its feed empty (only when no expired version hides between
-          // the pair: a vacuumed-out DML commit must still be diffed)
+          // its feed empty (the +1 check is defensive against any
+          // future non-prefix retention hiding a DML commit in the gap)
           case Seq(a, b) if b == a + 1 &&
               Snapshots.isMaintenanceCommit(spark, path, b) => None
-          case Seq(a, b) => Some(Snapshots.changeFeed(spark, path, a, b))
-          case _         => None
+          case Seq(a, b) =>
+            val beforeN = filesOf(a).map(norm).toSet
+            val afterN  = filesOf(b).map(norm).toSet
+            Some(Snapshots.diffFeed(spark, path, b,
+              removed = filesOf(a).filterNot(p => afterN(norm(p))),
+              added   = filesOf(b).filterNot(p => beforeN(norm(p)))))
+          case _ => None
         }.reduceOption(_ unionByName _)
     }
     feed match {

@@ -67,8 +67,18 @@ class SnapshotCatalogSpec extends SparkTestBase {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns3")
     spark.sql("CREATE TABLE graft_cat.ns3.a (id BIGINT)")
     spark.sql("INSERT INTO graft_cat.ns3.a VALUES (7)")
+    // capture a pre-rename commit time: the rename must not reset
+    // manifest mtimes, or TIMESTAMP AS OF / history break for the
+    // renamed table
+    val preTs = Snapshots.history(spark, s"$wh/ns3/a")
+      .select(org.apache.spark.sql.functions.max("committed_at"))
+      .head().getTimestamp(0)
+    Thread.sleep(50)
     spark.sql("ALTER TABLE graft_cat.ns3.a RENAME TO ns3.b")
     assert(spark.sql("SELECT sum(id) FROM graft_cat.ns3.b").head().getLong(0) === 7)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft_cat.ns3.b TIMESTAMP AS OF '$preTs'")
+      .head().getLong(0) === 1)
     // time travel still works after the rename (manifests rewritten to
     // the new root, files moved with the directory)
     assert(spark.sql("SELECT count(*) FROM graft_cat.ns3.b VERSION AS OF 1")

@@ -382,6 +382,17 @@ class SnapshotsSpec extends SparkTestBase {
       Seq((900L, 9L, "insert")))
   }
 
+  test("changeFeed refuses a type-changing evolution instead of casting rows away") {
+    val t = tbl()
+    Snapshots.commit(Seq((1L, "abc")).toDF("id", "v"), t)
+    // overwrite evolves v: STRING -> BIGINT; a silent cast would turn
+    // the delete event's 'abc' into NULL (or cancel a real pair)
+    Snapshots.commit(Seq((1L, 5L)).toDF("id", "v"), t, overwrite = true)
+    val e = intercept[IllegalStateException](
+      Snapshots.changeFeed(spark, t, 1L, 2L).collect())
+    assert(e.getMessage.contains("changed type"), e.getMessage)
+  }
+
   test("changeFeed aligns evolved schemas: absent columns read as NULL") {
     val t = tbl()
     Snapshots.commit((1 to 4).map(_.toLong).toDF("id"), t)
