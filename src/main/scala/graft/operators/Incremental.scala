@@ -568,8 +568,8 @@ object Incremental {
   val qSnapshotDelete: QuerySpec = QuerySpec.sql(
     "q85_snapshot_delete",
     """SELECT o_orderstatus,
-      |       CAST(SUM(CASE WHEN NOT (o_totalprice > 200000) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-      |       CAST(SUM(CASE WHEN NOT (o_totalprice > 200000)
+      |       CAST(SUM(CASE WHEN (NOT (o_totalprice > 200000) OR o_totalprice IS NULL) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |       CAST(SUM(CASE WHEN (NOT (o_totalprice > 200000) OR o_totalprice IS NULL)
       |                     THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS rev_kept,
       |       COUNT(*) AS n_before
       |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
@@ -740,7 +740,7 @@ object Incremental {
       |ins AS (SELECT -k - 1 AS k, st, p FROM s1 WHERE k % 101 = 0),
       |s2 AS (SELECT * FROM s1 WHERE k % 97 <> 0
       |       UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
-      |s3 AS (SELECT * FROM s2 WHERE NOT (p > 300000)),
+      |s3 AS (SELECT * FROM s2 WHERE NOT (p > 300000) OR p IS NULL),
       |ins_rows AS (SELECT * FROM s3 EXCEPT ALL SELECT * FROM s1),
       |del_rows AS (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s3)
       |SELECT change_type, st AS o_orderstatus, COUNT(*) AS n,
@@ -792,7 +792,7 @@ object Incremental {
       |ins AS (SELECT -k - 1 AS k, st, p FROM s1 WHERE k % 101 = 0),
       |s2 AS (SELECT * FROM s1 WHERE k % 97 <> 0
       |       UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
-      |s3 AS (SELECT * FROM s2 WHERE NOT (p > 300000)),
+      |s3 AS (SELECT * FROM s2 WHERE NOT (p > 300000) OR p IS NULL),
       |ev AS (SELECT 'insert' AS change_type, * FROM s1
       |  UNION ALL SELECT 'insert', * FROM (SELECT * FROM s2 EXCEPT ALL SELECT * FROM s1) AS a
       |  UNION ALL SELECT 'delete', * FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s2) AS b
@@ -845,7 +845,7 @@ object Incremental {
     "q91_snapshot_restore",
     """SELECT o_orderstatus, COUNT(*) AS n_restored,
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-      |       CAST(SUM(CASE WHEN NOT (o_totalprice > 250000)
+      |       CAST(SUM(CASE WHEN (NOT (o_totalprice > 250000) OR o_totalprice IS NULL)
       |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_after_delete
       |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
     val root = snapRoot(s, dir, "snaprest")
@@ -881,8 +881,8 @@ object Incremental {
   val qSqlCatalog: QuerySpec = QuerySpec.sql(
     "q92_sql_catalog",
     """SELECT o_orderstatus,
-      |       CAST(SUM(CASE WHEN NOT (o_totalprice > 400000) THEN 1 ELSE 0 END) AS BIGINT) AS n_all,
-      |       CAST(SUM(CASE WHEN NOT (o_totalprice > 400000)
+      |       CAST(SUM(CASE WHEN (NOT (o_totalprice > 400000) OR o_totalprice IS NULL) THEN 1 ELSE 0 END) AS BIGINT) AS n_all,
+      |       CAST(SUM(CASE WHEN (NOT (o_totalprice > 400000) OR o_totalprice IS NULL)
       |                     THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS revenue,
       |       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
       |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
