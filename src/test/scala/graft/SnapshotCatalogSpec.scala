@@ -111,6 +111,21 @@ class SnapshotCatalogSpec extends SparkTestBase {
       .head().getLong(0) === 2)
   }
 
+  test("CTAS and REPLACE-shaped flows: CREATE TABLE AS SELECT lands as create+insert") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns6")
+    spark.sql("CREATE TABLE graft_cat.ns6.c AS " +
+      "SELECT id, id * 2 AS dbl FROM range(1, 6)")
+    assert(spark.sql("SELECT sum(dbl) FROM graft_cat.ns6.c").head().getLong(0) === 30)
+    // non-atomic CTAS (no StagingTableCatalog): create (v1, empty
+    // schema-bearing) then the insert (v2) — both in history
+    assert(Snapshots.versions(spark, s"$wh/ns6/c") === Seq(1L, 2L))
+    // CTAS onto an existing table is rejected, table untouched
+    intercept[Exception](
+      spark.sql("CREATE TABLE graft_cat.ns6.c AS SELECT 1 AS x"))
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns6.c").head().getLong(0) === 5)
+  }
+
   test("two catalog instances over one warehouse see the same commits") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns4")
