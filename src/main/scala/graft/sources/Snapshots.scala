@@ -197,6 +197,47 @@ object Snapshots {
       s"snapshot commit lost the version race 5 times on $table")
   }
 
+  /** Stage data files for an atomic CTAS/RTAS: written under the table
+    * root but referenced by NO manifest until [[publishStaged]] — a
+    * reader cannot observe a half-created table, and an abort reclaims
+    * the directory with nothing to undo.
+    */
+  private[sources] def stageData(df: DataFrame, table: String): (Seq[String], Path) =
+    writeData(df, table)
+
+  /** Publish staged files as the table's next snapshot — the commit
+    * step of atomic CTAS (`replace = false`: the table must still not
+    * exist at publish time; losing the create race to a concurrent
+    * CREATE fails with TableAlreadyExists, never overwrites) and
+    * atomic RTAS (`replace = true`: an overwrite version at head+1;
+    * without `orCreate` the table must exist, REPLACE TABLE's
+    * contract). The caller reclaims staged files on failure.
+    */
+  private[sources] def publishStaged(spark: SparkSession, table: String,
+      files: Seq[String], replace: Boolean, orCreate: Boolean): Long = {
+    val f = fs(spark, table)
+    var attempt = 0
+    while (attempt < 5) {
+      val prev = versions(spark, table)
+      if (!replace && prev.nonEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+          Seq(table))
+      if (replace && !orCreate && prev.isEmpty)
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          Seq(table))
+      val v = prev.lastOption.getOrElse(0L) + 1
+      val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
+      val out = f.create(tmp, false)
+      try out.write((s"v$v\n" + files.mkString("\n")).getBytes("UTF-8"))
+      finally out.close()
+      if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) return v
+      f.delete(tmp, false)
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"staged publish lost the version race 5 times on $table")
+  }
+
   /** RESTORE TO VERSION AS OF `v` (Delta's RESTORE): publish version
     * `v`'s file list as a NEW version at head+1. Metadata-only — the
     * restored manifest references `v`'s immutable data files, nothing

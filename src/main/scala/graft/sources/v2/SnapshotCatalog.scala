@@ -47,7 +47,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * evolution goes through overwrite commits), partition transforms
   * (layout is the snapshot format's own: range/z-order rewrites).
   */
-class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
+class SnapshotCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -131,6 +132,45 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  // ---- StagingTableCatalog: ATOMIC CTAS / RTAS ----
+  // The staged write lands its data files under the table root but no
+  // manifest references them until commitStagedChanges publishes — a
+  // failed or aborted CTAS leaves no visible table, and REPLACE TABLE
+  // AS SELECT swaps the file set in one atomic manifest publish (old
+  // versions stay time-travelable, like every overwrite).
+
+  private def staged(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], replace: Boolean,
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
+    require(partitions.isEmpty,
+      "graft-snapshot tables manage their own layout (range/z-order " +
+        "rewrites); PARTITIONED BY is not supported")
+    new StagedSnapshotTable(tablePath(ident), schema, replace, orCreate)
+  }
+
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    staged(ident, info.schema(), info.partitions(), replace = false, orCreate = false)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    staged(ident, info.schema(), info.partitions(), replace = true, orCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    staged(ident, info.schema(), info.partitions(), replace = true, orCreate = true)
+
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(
       "graft-snapshot: ALTER TABLE is not supported — schema evolution " +
@@ -183,6 +223,75 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces {
         }
         fs.setTimes(mf, mtime, -1)
       }
+    }
+  }
+
+  /** The in-flight side of an atomic CTAS/RTAS: collects the query's
+    * output as staged data files (same distributed parquet write as
+    * every commit), then publishes them as one manifest on
+    * `commitStagedChanges` — create fails if the table appeared in the
+    * meantime (never overwrites a race winner), replace publishes an
+    * overwrite version with history intact. Abort reclaims the staged
+    * directory; nothing was ever visible.
+    */
+  private class StagedSnapshotTable(path: String, tableSchema: StructType,
+      replace: Boolean, orCreate: Boolean)
+      extends org.apache.spark.sql.connector.catalog.StagedTable
+      with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+    import org.apache.spark.sql.connector.catalog.TableCapability
+
+    @volatile private var stagedFiles: Seq[String] = Seq.empty
+    @volatile private var reclaim: Seq[Path] = Seq.empty
+
+    override def name(): String = s"graft-snapshot:$path (staged)"
+    override def schema(): StructType = tableSchema
+    override def capabilities(): util.Set[TableCapability] = {
+      import scala.jdk.CollectionConverters._
+      Set(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+        TableCapability.TRUNCATE).asJava
+    }
+
+    override def newWriteBuilder(
+        info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+        : org.apache.spark.sql.connector.write.WriteBuilder =
+      new org.apache.spark.sql.connector.write.WriteBuilder
+          with org.apache.spark.sql.connector.write.SupportsTruncate {
+        // RTAS plans a truncate-write; the staged replace already
+        // replaces wholesale, so the flag needs no extra handling
+        override def truncate() = this
+        override def build(): org.apache.spark.sql.connector.write.Write =
+          new org.apache.spark.sql.connector.write.V1Write {
+            override def toInsertableRelation
+                : org.apache.spark.sql.sources.InsertableRelation =
+              (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+                val (files, dir) = Snapshots.stageData(data, path)
+                stagedFiles = files
+                reclaim = reclaim :+ dir
+              }
+          }
+      }
+
+    override def commitStagedChanges(): Unit = {
+      val sp = SparkSession.active
+      // an empty CTAS source stages zero files; publish one empty
+      // schema-bearing file so the created table still has a schema
+      if (stagedFiles.isEmpty) {
+        val empty = sp.createDataFrame(
+          sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
+          .repartition(1)
+        val (files, dir) = Snapshots.stageData(empty, path)
+        stagedFiles = files
+        reclaim = reclaim :+ dir
+      }
+      try Snapshots.publishStaged(sp, path, stagedFiles, replace, orCreate): Unit
+      catch { case e: Throwable => abortStagedChanges(); throw e }
+    }
+
+    override def abortStagedChanges(): Unit = {
+      val f = new Path(path)
+        .getFileSystem(SparkSession.active.sparkContext.hadoopConfiguration)
+      reclaim.foreach(f.delete(_, true))
     }
   }
 

@@ -111,19 +111,36 @@ class SnapshotCatalogSpec extends SparkTestBase {
       .head().getLong(0) === 2)
   }
 
-  test("CTAS and REPLACE-shaped flows: CREATE TABLE AS SELECT lands as create+insert") {
+  test("atomic CTAS and REPLACE TABLE AS SELECT via the staging catalog") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns6")
     spark.sql("CREATE TABLE graft_cat.ns6.c AS " +
       "SELECT id, id * 2 AS dbl FROM range(1, 6)")
     assert(spark.sql("SELECT sum(dbl) FROM graft_cat.ns6.c").head().getLong(0) === 30)
-    // non-atomic CTAS (no StagingTableCatalog): create (v1, empty
-    // schema-bearing) then the insert (v2) — both in history
-    assert(Snapshots.versions(spark, s"$wh/ns6/c") === Seq(1L, 2L))
+    // ATOMIC CTAS (StagingTableCatalog): the data lands in ONE commit —
+    // no intermediate empty version a reader could observe
+    assert(Snapshots.versions(spark, s"$wh/ns6/c") === Seq(1L))
     // CTAS onto an existing table is rejected, table untouched
     intercept[Exception](
       spark.sql("CREATE TABLE graft_cat.ns6.c AS SELECT 1 AS x"))
     assert(spark.sql("SELECT count(*) FROM graft_cat.ns6.c").head().getLong(0) === 5)
+    // RTAS: one atomic overwrite version; old snapshot stays readable
+    spark.sql("REPLACE TABLE graft_cat.ns6.c AS SELECT 42 AS answer")
+    assert(spark.sql("SELECT answer FROM graft_cat.ns6.c").head().getInt(0) === 42)
+    assert(spark.sql("SELECT sum(dbl) FROM graft_cat.ns6.c VERSION AS OF 1")
+      .head().getLong(0) === 30)
+    // REPLACE of a missing table is loud; CREATE OR REPLACE creates it
+    intercept[Exception](
+      spark.sql("REPLACE TABLE graft_cat.ns6.missing AS SELECT 1 AS x"))
+    spark.sql("CREATE OR REPLACE TABLE graft_cat.ns6.cor AS SELECT 7 AS x")
+    assert(spark.sql("SELECT x FROM graft_cat.ns6.cor").head().getInt(0) === 7)
+    // a failed CTAS stages nothing visible: the table does not exist
+    intercept[Exception](spark.sql(
+      "CREATE TABLE graft_cat.ns6.boom AS " +
+        "SELECT assert_true(id < 2, 'boom') AS a, id FROM range(1, 6)"))
+    intercept[Exception](
+      spark.sql("SELECT * FROM graft_cat.ns6.boom").collect())
+    assert(!Snapshots.versions(spark, s"$wh/ns6/boom").nonEmpty)
   }
 
   test("two catalog instances over one warehouse see the same commits") {
