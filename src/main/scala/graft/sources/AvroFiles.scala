@@ -61,25 +61,35 @@ object AvroFiles {
   def writeAvro(df: DataFrame, dir: String, schemaJson: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    new File(dir).mkdirs()
     val cols = struct(df.columns.map(col).toIndexedSeq: _*)
     val encoded = df.select(AvroCodec.to_avro(cols, schemaJson).as("value"))
       .as[Array[Byte]]
+    // Hadoop FileSystem IO on BOTH sides, never java.io.File: a
+    // java.io.File write inside mapPartitions lands on each executor's
+    // LOCAL disk on a real cluster — scattered output the caller never
+    // sees. Tasks resolve the filesystem from the path with the
+    // executor's own Configuration (core-site ships with the deployment,
+    // the standard Hadoop-conf distribution).
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .mkdirs(dirPath)
     encoded.rdd.mapPartitionsWithIndex { (pid, it) =>
       graft.functions.AvroLimits.install() // bound lengths before any decode
       val schema = new Schema.Parser().parse(schemaJson)
       val reader = new GenericDatumReader[GenericRecord](schema)
       val writer = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
-      val f = new File(dir, f"part-$pid%05d.avro")
-      writer.create(schema, f)
+      val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.avro")
+      val out = p.getFileSystem(
+        new org.apache.hadoop.conf.Configuration()).create(p, true)
+      writer.create(schema, out)
       it.foreach { bytes =>
         val dec = org.apache.avro.io.DecoderFactory.get()
           .binaryDecoder(bytes, null)
         writer.append(reader.read(null, dec))
       }
-      writer.close()
-      Iterator.single(f.getName)
+      writer.close() // closes the stream
+      Iterator.single(p.getName)
     }.count() // force the write
   }
 }

@@ -21,7 +21,17 @@ object Bucketing {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     val warehouse = new java.net.URI(
       spark.conf.get("spark.sql.warehouse.dir")).getPath
-    val loc = new java.io.File(warehouse, table)
+    // resolve the MANAGED location the way the catalog lays it out:
+    // names are lowercased on disk, and a qualified db.tbl lands under
+    // <warehouse>/<db>.db/<tbl> — a verbatim <warehouse>/<table> check
+    // would miss the orphan this cleanup exists to remove
+    val loc = table.toLowerCase.split('.') match {
+      case Array(t)     => new java.io.File(warehouse, t)
+      case Array(db, t) =>
+        new java.io.File(new java.io.File(warehouse, db + ".db"), t)
+      case _ => throw new IllegalArgumentException(
+        s"expected [db.]table, got '$table'")
+    }
     if (loc.exists()) {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

@@ -158,10 +158,16 @@ object FileStats {
     case _   => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
   }
 
+  // a null endpoint means an ALL-NULL row group — it contributes no
+  // non-null values, so the merge SKIPS it rather than poisoning the
+  // file's range to null (which parseLine would read back as
+  // allNulls=true and wrongly prune a file that has real values)
   private def minOf(tag: Char, a: Any, b: Any): Any =
-    if (a == null || b == null) null else if (cmp(tag, a, b) <= 0) a else b
+    if (a == null) b else if (b == null) a
+    else if (cmp(tag, a, b) <= 0) a else b
   private def maxOf(tag: Char, a: Any, b: Any): Any =
-    if (a == null || b == null) null else if (cmp(tag, a, b) >= 0) a else b
+    if (a == null) b else if (b == null) a
+    else if (cmp(tag, a, b) >= 0) a else b
 
   /** All recorded stats for `table`: normalized path → column → range. */
   def load(spark: SparkSession, table: String): Map[String, Map[String, ColRange]] = {
@@ -270,11 +276,14 @@ object FileStats {
     case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
       Some(a.name)
     case a: AttributeReference => Some(a.name)
-    // a cast-wrapped attribute is safe to unwrap: the literal side then
-    // carries the WIDER type, and rangeVs only ever compares same-tag
-    // domains (plus I↔F as double) — any cast that changes the domain
-    // lands in the incomparable branch and keeps the file
-    case c: Cast => attrName(c.child)
+    // only a LOSSLESS widening cast is safe to unwrap: an up-cast
+    // preserves values and order, so comparing the file's narrow-domain
+    // range against the wider-typed literal cannot prune a matching
+    // row. A truncating/narrowing cast (double→int, long→int) changes
+    // which values compare equal — CAST(d AS INT) = 5 matches d=5.5 —
+    // so it stays wrapped → conservative keep.
+    case c: Cast if Cast.canUpCast(c.child.dataType, c.dataType) =>
+      attrName(c.child)
     case _ => None
   }
 

@@ -55,8 +55,17 @@ object Ingest {
     raw.filter(col("_corrupt_record").isNotNull)
       .select(col("_corrupt_record").as("raw_line"))
       .write.mode("overwrite").text(quarantineDir)
+    // detach the clean side from the JSON scan (a post-unpersist plan
+    // whose pruned schema is corrupt-record-only would hit Spark's
+    // QUERY_ONLY_CORRUPT_RECORD_COLUMN refusal), then release the
+    // cache: returning a derived frame while `raw` stayed cached would
+    // leak one unreleasable in-memory copy of the input per call. The
+    // checkpoint blocks are reclaimed by the ContextCleaner when the
+    // returned frame is dereferenced — unlike the orphaned cache.
     val clean = raw.filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record")
+      .localCheckpoint()
+    raw.unpersist()
     clean
   }
 

@@ -60,8 +60,15 @@ object RestSource {
           case 200 =>
             return FetchResult(id, 200, Some(resp.body()), attempt)
           case 429 =>
+            // RFC 9110 allows Retry-After as delta-seconds OR an
+            // HTTP-date; a non-numeric form must degrade to the default
+            // backoff, not blow up the whole fetch batch (the quarantine
+            // contract: a flaky upstream never fails the task)
             val retryAfterMs = resp.headers().firstValue("Retry-After")
-              .map[Long](s => (s.toDouble * 1000).toLong)
+              .map[java.lang.Long] { s =>
+                try (s.toDouble * 1000).toLong
+                catch { case _: NumberFormatException => cfg.retryBackoffMs }
+              }
               .orElse(cfg.retryBackoffMs)
             last = FetchResult(id, 429, None, attempt)
             Thread.sleep(retryAfterMs)

@@ -149,8 +149,12 @@ object Snapshots {
     val f = fs(spark, table)
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
     df.write.parquet(dataDir.toString)
-    val newFiles = f.listStatus(dataDir).toSeq.map(_.getPath.toString)
-      .filter(_.contains("part-")).sorted
+    // match on the file NAME, not the full path: a table rooted under a
+    // directory containing "part-" would otherwise sweep _SUCCESS into
+    // the manifest (gc's startsWith convention)
+    val newFiles = f.listStatus(dataDir).toSeq
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
     FileStats.record(spark, table, newFiles) // footer-derived skipping stats
     var attempt = 0
     while (attempt < 5) {
@@ -326,7 +330,7 @@ object Snapshots {
     */
   def optimizeZOrder(spark: SparkSession, table: String,
       xCol: String, yCol: String, numFiles: Int = 8): Long = {
-    import org.apache.spark.sql.functions.{coalesce, col, floor, least, lit, max, min}
+    import org.apache.spark.sql.functions.{coalesce, col, floor, least, lit, max, min, when}
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"nothing to optimize in $table")
     val src = vs.last
@@ -346,8 +350,16 @@ object Snapshots {
         val lo = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
         val hi = if (r.isNullAt(i + 1)) lo + 1.0 else r.getDouble(i + 1)
         val span = if (hi > lo) hi - lo else 1.0
-        least(floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536),
-          lit(65535L)).cast("long")
+        // NULL must stay NULL through the clamp: Spark's least() SKIPS
+        // nulls, so a bare least(floor(NULL…), 65535) would z-place
+        // NULL rows at the TOP of the dimension — widening every
+        // NULL-holding file's range to the max and defeating exactly
+        // the pruning this rewrite exists to create. The explicit
+        // when-guard keeps zkey NULL so coalesce(…, -1) clusters NULLs
+        // first, per the contract above.
+        when(col(c).isNull, lit(null).cast("long")).otherwise(
+          least(floor((col(c).cast("double") - lit(lo)) / lit(span) * 65536),
+            lit(65535L)).cast("long"))
       }
       // NULL in either dim → NULL key → clusters first under range
       // partitioning; coalesce keeps the key sortable rather than lost
@@ -658,8 +670,11 @@ object Snapshots {
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
     df.write.parquet(dataDir.toString)
     val f = fs(df.sparkSession, table)
-    val files = f.listStatus(dataDir).toSeq.map(_.getPath.toString)
-      .filter(_.contains("part-")).sorted
+    // file-NAME prefix match, like commit (a "part-" in the table path
+    // must not sweep _SUCCESS into the manifest)
+    val files = f.listStatus(dataDir).toSeq
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
     // footer-derived skipping stats ride along with every write (a few
     // KB per file, no data re-read); see FileStats
     FileStats.record(df.sparkSession, table, files)
@@ -694,6 +709,19 @@ object Snapshots {
       s"merge updates contain ${contract.getLong(1)} duplicate value(s) of key '$key'")
     val src = vs.last
     val files = manifestFiles(spark, table, src)
+    // schema contract up front: MERGE carries the table's shape. The
+    // hit-file path would fail loudly in unionByName, but the hit-EMPTY
+    // path (no key matched) would otherwise commit the updates frame
+    // verbatim — silently mixing two physical layouts in one manifest,
+    // the exact corruption strictAppendSchema blocks on the append path.
+    if (files.nonEmpty) {
+      def sig(st: org.apache.spark.sql.types.StructType) =
+        st.fields.map(fl => (fl.name, fl.dataType)).sortBy(_._1).toSeq
+      val committed = readFiles(spark, files).schema
+      require(sig(committed) == sig(u.schema),
+        s"merge updates schema ${u.schema} does not match the table's " +
+          s"committed schema $committed")
+    }
     def norm(p: String) = normPath(p)
     // touched-file probe: restrict the scan to the updates' key RANGE
     // first — parquet row-group min/max stats then skip files whose key
@@ -745,6 +773,10 @@ object Snapshots {
     require(vs.nonEmpty, s"no committed snapshot in $table")
     val src = vs.last
     val files = manifestFiles(spark, table, src)
+    // a zero-file snapshot (empty-DataFrame commit) has nothing to
+    // delete; readFiles on an empty list cannot infer a schema, so
+    // short-circuit the no-op (TRUNCATE on an empty table lands here)
+    if (files.isEmpty) return src
     def norm(p: String) = normPath(p)
     val touched = readFiles(spark, files)
       .filter(predicate)

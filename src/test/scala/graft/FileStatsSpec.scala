@@ -168,6 +168,66 @@ class FileStatsSpec extends SparkTestBase {
     assert(Snapshots.readWhere(spark, tR, box).count() === expect)
   }
 
+  test("an all-NULL row group inside a file must not poison the file's range") {
+    val t = tbl("nullrg")
+    // one file, several row groups (tiny block size), column c all-NULL
+    // in the leading row groups (sorted: nulls first) and valued later.
+    // The merged file range must be the VALUED range — a null-poisoned
+    // merge would read back as allNulls=true and wrongly prune the file.
+    val df = (1L to 20000L).toDF("id")
+      .withColumn("c", when(col("id") <= 10000L, lit(null).cast("long"))
+        .otherwise(col("id")))
+      .orderBy("id").coalesce(1)
+    val dataDir = s"${Files.createTempDirectory("nullrgdata")}/d"
+    df.write.option("parquet.block.size", "16384")
+      .option("parquet.page.size", "4096").parquet(dataDir)
+    val file = new java.io.File(dataDir).listFiles()
+      .filter(_.getName.startsWith("part-")).head.toString
+    // fixture sanity: the file really has >1 row group and at least one
+    // with zero non-null c values — otherwise this test proves nothing
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file),
+        spark.sparkContext.hadoopConfiguration))
+    val blocks = try footer.getFooter.getBlocks finally footer.close()
+    assert(blocks.size() > 1, s"need multiple row groups, got ${blocks.size()}")
+    import scala.jdk.CollectionConverters._
+    val allNullRg = blocks.asScala.exists(_.getColumns.asScala
+      .exists(cc => cc.getPath.toDotString == "c" &&
+        cc.getStatistics != null && !cc.getStatistics.hasNonNullValue))
+    assert(allNullRg, "need at least one all-NULL row group for column c")
+    // route the file through the stats sidecar via a snapshot commit of
+    // the same frame/layout
+    val snap = tbl("nullrgsnap")
+    Snapshots.commit(spark.read.parquet(dataDir).orderBy("id").coalesce(1), snap)
+    // equality gates: a valued-range predicate and IsNotNull must both
+    // still see the valued rows (zero results = the poisoned-prune bug)
+    assert(Snapshots.readWhere(spark, snap, col("c") === 15000L).count() === 1)
+    assert(Snapshots.readWhere(spark, snap, col("c").isNotNull).count() === 10000)
+  }
+
+  test("a truncating cast never prunes files whose post-cast values match") {
+    val t = tbl("cast")
+    // price is double in [1.5, 1500.0]; each file spans a narrow range
+    Snapshots.commit((1L to 1000L).toDF("id")
+      .withColumn("price", col("id") * 1.5)
+      .repartitionByRange(8, col("id")), t)
+    // CAST(price AS INT) = 10 matches prices in [10.0, 11.0) — rows with
+    // price 10.5 exist (id=7). Unwrapping the narrowing cast would test
+    // 10 against per-file double ranges and could prune the matching
+    // file; the fix keeps cast-wrapped attributes conservative unless
+    // the cast is a lossless up-cast.
+    val got = Snapshots.readWhere(spark, t,
+      col("price").cast("int") === 10).count()
+    val want = Snapshots.read(spark, t)
+      .filter(col("price").cast("int") === 10).count()
+    assert(want > 0 && got === want)
+    // lossless up-cast still prunes: long id compared as bigint
+    FileStats.lastSourcePrune = None
+    assert(Snapshots.readWhere(spark, t,
+      col("id").cast("long") === 500L).count() === 1)
+  }
+
   test("timestamp and date domains prune") {
     val t = tbl("time")
     val d = Seq.tabulate(100)(i =>

@@ -308,6 +308,62 @@ class SnapshotsSpec extends SparkTestBase {
       .load().count())
   }
 
+  test("merge rejects a schema-mismatched updates frame even when no key matches") {
+    val t = tbl()
+    Snapshots.commit(Seq((1L, 10L)).toDF("id", "v"), t)
+    // keys match nothing -> hit-empty path: without the up-front check
+    // the mismatched frame would commit verbatim, silently mixing two
+    // physical layouts in one manifest
+    val e = intercept[IllegalArgumentException](
+      Snapshots.merge(spark, t, Seq((99L, "x")).toDF("id", "other"), "id"))
+    assert(e.getMessage.contains("committed schema"), e.getMessage)
+    assert(Snapshots.versions(spark, t) === Seq(1L)) // nothing published
+  }
+
+  test("deleteWhere on a zero-file snapshot is a no-op, not a crash") {
+    val t = tbl()
+    // a manifest listing zero files (header only) — the state an
+    // empty-commit/delete-everything history can leave behind
+    val fs = new org.apache.hadoop.fs.Path(t)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(t))
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$t/manifest-v1.json"), false)
+    out.write("v1".getBytes("UTF-8")); out.close()
+    assert(Snapshots.dataFiles(spark, t, Some(1L)).isEmpty)
+    assert(Snapshots.deleteWhere(spark, t, col("x") > 0) === 1L)
+    assert(Snapshots.versions(spark, t) === Seq(1L))
+  }
+
+  test("z-order keeps NULL-dimension rows clustered FIRST, not at the max") {
+    val t = tbl()
+    // x NULL for ids 1..50: least()'s null-skipping would z-place them
+    // at 65535, interleaving NULLs into the top-x files and widening
+    // those files' ranges — the exact pruning this rewrite exists for
+    Snapshots.commit((1L to 800L).toDF("id")
+      .withColumn("x", when(col("id") <= 50L, lit(null).cast("long"))
+        .otherwise(col("id")))
+      .withColumn("y", col("id") % 100)
+      .repartition(8), t)
+    Snapshots.optimizeZOrder(spark, t, "x", "y", numFiles = 8)
+    assert(Snapshots.read(spark, t).count() === 800) // NULLs preserved
+    assert(Snapshots.read(spark, t).filter(col("x").isNull).count() === 50)
+    // a top-x box read must not open the file(s) holding the NULL rows:
+    // every file whose stats show an x range reaching the top quartile
+    // must carry ZERO nulls in x (NULLs clustered first, away from it)
+    // restrict to the CURRENT manifest: the sidecar keeps stats for
+    // every version's files, including v1's pre-optimize layout
+    def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
+    val current = Snapshots.dataFiles(spark, t).map(norm).toSet
+    val stats = graft.sources.FileStats.load(spark, t)
+      .filter { case (f, _) => current(norm(f)) }
+    val topFiles = stats.filter { case (_, cols) =>
+      cols.get("x").exists(_.max.exists(_.asInstanceOf[Long] > 600L))
+    }
+    assert(topFiles.nonEmpty)
+    assert(topFiles.forall { case (_, cols) => !cols("x").hasNulls },
+      s"top-x files carry NULLs: ${topFiles.keys}")
+  }
+
   test("restore rolls back metadata-only; history survives; feed reports the undo") {
     val t = tbl()
     def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
