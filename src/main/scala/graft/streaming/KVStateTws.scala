@@ -20,7 +20,14 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TTLConfig,
   */
 object KVStateTws {
 
-  case class KVSet(key: String, value: String)
+  /** `seq` is the change-sequence the DATA carries (event time, CDC
+    * LSN…): "last set wins" must be an ordering of the data, never the
+    * shuffle's group-iterator order, which is neither deterministic
+    * across recomputation nor arrival order (mergeSink's APPLY CHANGES
+    * contract). The default 0 keeps reference-parity call sites
+    * compiling; ties on seq break on value for a deterministic winner.
+    */
+  case class KVSet(key: String, value: String, seq: Long = 0L)
 
   /** wasPresent=false means the key was absent OR its TTL had lapsed —
     * exactly Redis `SET` observing a prior `GET → nil`. */
@@ -29,19 +36,31 @@ object KVStateTws {
   class LatestValueProcessor(ttl: Option[java.time.Duration])
       extends StatefulProcessor[String, KVSet, KVOut] {
 
-    @transient private var state: ValueState[String] = _
+    @transient private var state: ValueState[(Long, String)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      state = getHandle.getValueState[String]("latest", Encoders.STRING,
+      state = getHandle.getValueState[(Long, String)]("latest",
+        Encoders.product[(Long, String)],
         ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: String, rows: Iterator[KVSet],
         timerValues: TimerValues): Iterator[KVOut] = {
       val present = state.exists()
-      var last: String = null
-      rows.foreach(r => last = r.value) // last SET in the batch wins
-      state.update(last)
-      Iterator.single(KVOut(key, last, present))
+      // highest (seq, value) wins — deterministic within the batch AND
+      // across batches (a late lower-seq arrival never rolls back)
+      var best: KVSet = null
+      rows.foreach { r =>
+        if (best == null || r.seq > best.seq ||
+            (r.seq == best.seq && r.value > best.value)) best = r
+      }
+      val kept =
+        if (present) {
+          val (s0, v0) = state.get()
+          if (s0 > best.seq || (s0 == best.seq && v0 > best.value)) (s0, v0)
+          else (best.seq, best.value)
+        } else (best.seq, best.value)
+      state.update(kept)
+      Iterator.single(KVOut(key, kept._2, present))
     }
   }
 

@@ -55,7 +55,15 @@ object KafkaWire {
   def encodeBatch(baseOffset: Long, baseTimestamp: Long,
       records: Seq[(Long, Array[Byte], Array[Byte])]): Array[Byte] = {
     require(records.nonEmpty, "empty batch")
-    val body = ByteBuffer.allocate(1 << 20)
+    // size the buffers from the payloads: fixed 64 KiB / 1 MiB caps
+    // would throw an unchecked BufferOverflowException on a record well
+    // under Kafka's own message.max.bytes. 64 bytes of varint/header
+    // slack per record is a generous upper bound for this layout.
+    def recCap(key: Array[Byte], value: Array[Byte]): Int =
+      64 + (if (key == null) 0 else key.length) +
+        (if (value == null) 0 else value.length)
+    val body = ByteBuffer.allocate(
+      64 + records.map { case (_, k, v) => recCap(k, v) + 10 }.sum)
     // attributes(2) .. recordCount(4) then records
     body.putShort(0) // attributes: no compression, create-time
     body.putInt(records.length - 1) // lastOffsetDelta
@@ -66,7 +74,7 @@ object KafkaWire {
     body.putInt(-1) // baseSequence
     body.putInt(records.length)
     records.zipWithIndex.foreach { case ((ts, key, value), i) =>
-      val rec = ByteBuffer.allocate(1 << 16)
+      val rec = ByteBuffer.allocate(recCap(key, value))
       rec.put(0.toByte) // record attributes
       writeVarLong(rec, ts - baseTimestamp)
       writeVarLong(rec, i.toLong) // offsetDelta

@@ -16,7 +16,11 @@ object KeyedCounters {
 
   case class Hit(key: String, n: Long)
   case class KeyCount(key: String, count: Long, expired: Boolean)
-  case class KVSet(key: String, value: String)
+  /** `seq`: the data-carried change order (see KVStateTws.KVSet) —
+    * group-iterator order is not arrival order. Default 0 keeps
+    * reference-parity call sites; ties break on value.
+    */
+  case class KVSet(key: String, value: String, seq: Long = 0L)
   case class KVLatest(key: String, value: Option[String], expired: Boolean)
 
   /** Streaming INCR-with-TTL: emits the running count per key on every
@@ -56,19 +60,26 @@ object KeyedCounters {
   def latestValuePerKey(sets: Dataset[KVSet], ttlMs: Long): Dataset[KVLatest] = {
     implicit val enc = Encoders.product[KVLatest]
     implicit val kenc = Encoders.STRING // doubles as the String state encoder
+    implicit val senc = Encoders.product[(Long, String)]
     sets.groupByKey(_.key)
-      .flatMapGroupsWithState[String, KVLatest](
+      .flatMapGroupsWithState[(Long, String), KVLatest](
         OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout) {
-        (key: String, rows: Iterator[KVSet], state: GroupState[String]) =>
+        (key: String, rows: Iterator[KVSet], state: GroupState[(Long, String)]) =>
           if (state.hasTimedOut) {
             state.remove()
             Iterator(KVLatest(key, None, expired = true))
           } else {
-            var last = state.getOption.orNull
-            rows.foreach(r => last = r.value)
-            state.update(last)
+            // highest (seq, value) wins — deterministic within the
+            // batch and across batches (KVStateTws's contract)
+            var kept = state.getOption.orNull
+            rows.foreach { r =>
+              if (kept == null || r.seq > kept._1 ||
+                  (r.seq == kept._1 && r.value > kept._2))
+                kept = (r.seq, r.value)
+            }
+            state.update(kept)
             state.setTimeoutDuration(ttlMs)
-            Iterator(KVLatest(key, Option(last), expired = false))
+            Iterator(KVLatest(key, Option(kept._2), expired = false))
           }
       }
   }

@@ -35,9 +35,24 @@ object Streams {
       .select(col("data.*") +: meta: _*)
   }
 
+  /** Checkpoint-identity digest for commit tokens (Delta's txnAppId
+    * shape): batch ids are only unique PER CHECKPOINT, so every tokened
+    * sink pairs them with this digest — a second sink (or a restarted
+    * one on a fresh checkpoint) must not have its batch 0 silently
+    * swallowed by another checkpoint's batch-0 token.
+    */
+  private def checkpointApp(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+
   /** T5/S19: foreachBatch parquet sink — per-batch `batch_id` +
-    * `ingest_ts` enrichment, append partitioned by batch_id, exactly-once
-    * via checkpoint. Ref: spark_kafka_foreachbatch.py:79-98.
+    * `ingest_ts` enrichment, append partitioned by batch_id. AT-LEAST-
+    * ONCE across crash replay: the parquet append is not transactional,
+    * so a batch whose append finished but whose offset commit did not
+    * re-appends on restart (its batch_id partition then holds the rows
+    * twice). [[snapshotSink]] is the exactly-once upgrade. Ref:
+    * spark_kafka_foreachbatch.py:79-98.
     */
   def foreachBatchParquetSink(df: DataFrame, outDir: String,
       checkpointDir: String): StreamingQuery =
@@ -55,9 +70,12 @@ object Streams {
   /** T7: idempotent file-stream ingest — the lab05 Airflow DAG
     * (dags/fuel_ingest_dag.py:92-208) re-expressed Spark-native: the file
     * source + checkpoint replaces the filename watermark, per-batch
-    * dropDuplicates(key) + append replaces ON CONFLICT DO NOTHING (the
-    * file source never re-serves a processed file, so batch-local dedup +
-    * checkpoint gives the same at-most-once-per-key sink behavior).
+    * dropDuplicates(key) + append replaces ON CONFLICT DO NOTHING for
+    * every NORMALLY processed batch (the file source never re-serves a
+    * processed file). Crash replay is AT-LEAST-ONCE: a batch that
+    * appended but did not reach its offset commit re-appends on restart
+    * — dropDuplicates is batch-local. [[upsertAppendSink]] adds the
+    * cross-batch conflict check; [[snapshotSink]] is transactional.
     */
   def fileIngest(spark: SparkSession, srcDir: String, schema: StructType,
       key: String, outDir: String, checkpointDir: String): StreamingQuery = {
@@ -73,30 +91,6 @@ object Streams {
       .start()
   }
 
-  /** S21/T7: the `INSERT … ON CONFLICT (key) DO NOTHING` sink without a
-    * transactional store (dags/fuel_ingest_dag.py:169-182): per batch,
-    * dedup within the batch, then anti-join against the keys already in
-    * the sink before appending.
-    *
-    * The sink is laid out partitioned by `__bucket` = hash(key) mod
-    * nBuckets — a stable key-hash bucket — so the conflict check reads
-    * only the partitions the current batch's keys can possibly collide
-    * with: the batch's bucket set (≤ nBuckets integers, a bounded
-    * driver-side set) becomes a partition-pruning `isin` filter instead
-    * of a full sink rescan per micro-batch. Only a genuinely missing
-    * sink counts as "first batch"; any other read failure propagates —
-    * silently treating it as empty would append duplicate keys and break
-    * the ON CONFLICT DO NOTHING contract.
-    *
-    * The bucket count is part of the sink's physical contract: pruning
-    * with a different modulus than the one the sink was written with
-    * would prune the WRONG partitions and silently re-admit existing
-    * keys. The count is persisted in a `_graft_buckets` sidecar on first
-    * write (underscore prefix → invisible to parquet scans) and
-    * validated every batch; a populated sink without the sidecar (e.g.
-    * written by an incompatible layout) fails loudly rather than
-    * guessing.
-    */
   /** Exactly-once streaming publish into a [[graft.sources.Snapshots]]
     * table: each micro-batch commits as one atomic snapshot version,
     * tokened by batchId — a replayed batch (crash after commit, before
@@ -104,18 +98,24 @@ object Streams {
     * so readers see every batch exactly once, always at a consistent
     * snapshot boundary. This is the transactional upgrade of the plain
     * foreachBatch parquet sink: no partial files ever visible, and the
-    * sink doubles as a time-travel log of the stream's batches.
+    * sink doubles as a time-travel log of the stream's batches. The
+    * token pairs the batch id with the checkpoint digest
+    * ([[checkpointApp]]) — a bare batch-N token would collide across
+    * checkpoints and silently swallow another stream's batch N as a
+    * "replay".
     */
   def snapshotSink(df: DataFrame, table: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    val app = checkpointApp(checkpointDir)
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Snapshots.commit(batch, table,
-          token = Some(s"batch-$batchId")): Unit
+          token = Some(s"graft-snapshotSink-$app-$batchId")): Unit
       }
       .start()
+  }
 
   /** Streaming UPSERT into a [[graft.sources.Snapshots]] table: each
     * micro-batch merges by `key`, the row with the highest `seqCol`
@@ -152,7 +152,11 @@ object Streams {
         import org.apache.spark.sql.expressions.Window
         val tieBreak = batch.columns.filterNot(c => c == key || c == seqCol)
           .map(col).toSeq
-        val latest = batch
+        // a NULL key can never match a table row and merge() rejects it
+        // loudly — in a STREAMING sink that refusal would be a poison
+        // pill (every restart replays the same batch and dies), so the
+        // sink applies merge's own "filter upstream" prescription here
+        val latest = batch.filter(col(key).isNotNull)
           .withColumn("__rn", row_number().over(
             Window.partitionBy(col(key))
               .orderBy((col(seqCol).desc +: tieBreak.map(_.desc)): _*)))
@@ -218,9 +222,7 @@ object Streams {
     */
   def dedupSink(df: DataFrame, table: String,
       checkpointDir: String): StreamingQuery = {
-    val app = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+    val app = checkpointApp(checkpointDir)
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -243,9 +245,7 @@ object Streams {
     */
   def ivfSink(df: DataFrame, table: String, centroids: DataFrame,
       checkpointDir: String): StreamingQuery = {
-    val app = java.security.MessageDigest.getInstance("MD5")
-      .digest(checkpointDir.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
+    val app = checkpointApp(checkpointDir)
     df.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -256,6 +256,30 @@ object Streams {
       .start()
   }
 
+  /** S21/T7: the `INSERT … ON CONFLICT (key) DO NOTHING` sink without a
+    * transactional store (dags/fuel_ingest_dag.py:169-182): per batch,
+    * dedup within the batch, then anti-join against the keys already in
+    * the sink before appending.
+    *
+    * The sink is laid out partitioned by `__bucket` = hash(key) mod
+    * nBuckets — a stable key-hash bucket — so the conflict check reads
+    * only the partitions the current batch's keys can possibly collide
+    * with: the batch's bucket set (≤ nBuckets integers, a bounded
+    * driver-side set) becomes a partition-pruning `isin` filter instead
+    * of a full sink rescan per micro-batch. Only a genuinely missing
+    * sink counts as "first batch"; any other read failure propagates —
+    * silently treating it as empty would append duplicate keys and break
+    * the ON CONFLICT DO NOTHING contract.
+    *
+    * The bucket count is part of the sink's physical contract: pruning
+    * with a different modulus than the one the sink was written with
+    * would prune the WRONG partitions and silently re-admit existing
+    * keys. The count is persisted in a `_graft_buckets` sidecar on first
+    * write (underscore prefix → invisible to parquet scans) and
+    * validated every batch; a populated sink without the sidecar (e.g.
+    * written by an incompatible layout) fails loudly rather than
+    * guessing.
+    */
   def upsertAppendSink(df: DataFrame, key: String, outDir: String,
       checkpointDir: String, nBuckets: Int = 64): StreamingQuery =
     df.writeStream
@@ -296,13 +320,19 @@ object Streams {
               .filter(col("__bucket").isin(buckets: _*)) // partition pruning
               .select(col(key).as("__sunk"))
           }
-        fresh.join(existingKeys, col(key) === col("__sunk"), "left_anti")
-          .write.mode("append").partitionBy("__bucket").parquet(outDir)
+        // sidecar FIRST: a crash between a first data append and a
+        // later sidecar write would brick the sink (data present, no
+        // layout record -> the require above fails every restart). A
+        // crash after the sidecar but before data is harmless: the next
+        // batch still sees an empty sink and the sidecar already
+        // records the layout it will write.
         if (!fs.exists(metaPath)) {
           val out = fs.create(metaPath, true)
           try out.write(nBuckets.toString.getBytes("UTF-8"))
           finally out.close()
         }
+        fresh.join(existingKeys, col(key) === col("__sunk"), "left_anti")
+          .write.mode("append").partitionBy("__bucket").parquet(outDir)
       }
       .start()
 
@@ -315,13 +345,16 @@ object Streams {
       leftKey: String, rightKey: String, leftTs: String, rightTs: String,
       withinSecs: Int, watermark: String,
       joinType: String = "inner"): DataFrame = {
-    val l = left.withWatermark(leftTs, watermark)
-    val r = right.withWatermark(rightTs, watermark)
+    // explicit aliases: same-named columns on both streams (the common
+    // same-schema stream-stream case, e.g. two Kafka topics both with
+    // `key`/`ts`) would otherwise be ambiguous references
+    val l = left.withWatermark(leftTs, watermark).alias("__l")
+    val r = right.withWatermark(rightTs, watermark).alias("__r")
     // with left_outer, unmatched left rows emit null-padded once the
     // watermark closes their interval — state stays bounded either way
     l.join(r, expr(
-      s"""$leftKey = $rightKey AND $rightTs >= $leftTs AND
-         |$rightTs <= $leftTs + interval $withinSecs seconds""".stripMargin),
+      s"""__l.$leftKey = __r.$rightKey AND __r.$rightTs >= __l.$leftTs AND
+         |__r.$rightTs <= __l.$leftTs + interval $withinSecs seconds""".stripMargin),
       joinType)
   }
 
@@ -344,11 +377,11 @@ object Streams {
     * boundaries for the same gap.
     */
   def sessionCounts(events: DataFrame, tsCol: String, keyCol: String,
-      gap: String, watermark: String): DataFrame =
+      gap: String, watermark: String, valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
-      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+      .agg(count(lit(1)).as("n_events"), sum(valueCol).as("total_value"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col(keyCol),
         col("n_events"), col("total_value"))
@@ -372,11 +405,12 @@ object Streams {
     * Append mode, state pruned by the watermark — bounded at any scale.
     */
   def windowedCounts(events: DataFrame, tsCol: String, keyCol: String,
-      windowLen: String, watermark: String): DataFrame =
+      windowLen: String, watermark: String,
+      valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("total_value"))
       .select(col("window.start").as("window_start"),
         col("window.end").as("window_end"), col(keyCol), col("n"),
         col("total_value"))

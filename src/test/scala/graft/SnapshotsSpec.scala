@@ -15,6 +15,12 @@ class SnapshotsSpec extends SparkTestBase {
   private def tbl(): String =
     Files.createTempDirectory("snap").resolve("t").toString
 
+  private def sinkToken(ck: String, batchId: Long): String = {
+    val app = java.security.MessageDigest.getInstance("MD5")
+      .digest(ck.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"graft-snapshotSink-$app-$batchId"
+  }
+
   test("append commits accumulate; overwrite replaces; time travel reads both") {
     val t = tbl()
     val v1 = Snapshots.commit((1 to 10).toDF("x"), t)
@@ -145,9 +151,31 @@ class SnapshotsSpec extends SparkTestBase {
     q2.processAllAvailable(); q2.stop()
     assert(Snapshots.read(spark, t).count() === 5)
     // simulate the crash-after-commit-before-checkpoint replay of batch 1
-    val v = Snapshots.commit((99 to 100).toDF("value"), t, token = Some("batch-1"))
+    // (the sink's token pairs the batch id with the checkpoint digest —
+    // bare batch ids collide across checkpoints)
+    val v = Snapshots.commit((99 to 100).toDF("value"), t,
+      token = Some(sinkToken(ck, 1L)))
     assert(v === Snapshots.versions(spark, t).last)
     assert(Snapshots.read(spark, t).count() === 5)
+  }
+
+  test("two snapshotSink streams on one table: batch ids never collide across checkpoints") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = tbl()
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // both streams' FIRST batch is batch 0 — a bare batch-N token would
+    // make the second stream's batch 0 a "replay" of the first's and
+    // silently swallow it (permanent data loss)
+    val m1 = MemoryStream[Int]; m1.addData(1, 2, 3)
+    val q1 = streaming.Streams.snapshotSink(m1.toDF(), t,
+      Files.createTempDirectory("ckA").toString)
+    q1.processAllAvailable(); q1.stop()
+    val m2 = MemoryStream[Int]; m2.addData(10, 20)
+    val q2 = streaming.Streams.snapshotSink(m2.toDF(), t,
+      Files.createTempDirectory("ckB").toString)
+    q2.processAllAvailable(); q2.stop()
+    assert(Snapshots.read(spark, t).count() === 5)
+    assert(Snapshots.versions(spark, t) === Seq(1L, 2L))
   }
 
   test("streaming commits drive an incremental CDC consumer exactly-once") {
@@ -181,7 +209,7 @@ class SnapshotsSpec extends SparkTestBase {
     q2.processAllAvailable(); q2.stop()
     consume()
     // a replayed batch commits nothing new -> the consumer sees no delta
-    Snapshots.commit((1 to 3).toDF("value"), t, token = Some("batch-0"))
+    Snapshots.commit((1 to 3).toDF("value"), t, token = Some(sinkToken(ck, 0L)))
     consume()
     assert(consumed.sorted.toSeq === Seq(1, 2, 3, 4, 5, 6),
       s"CDC consumer must see every row exactly once, got $consumed")

@@ -426,6 +426,42 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("KV latest: the data-carried seq wins, not partition order; stale seq never rolls back") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[KeyedCounters.KVSet]
+    val latest = KeyedCounters.latestValuePerKey(input.toDS(), ttlMs = 3600000)
+    // NOTE: processing-time timeouts armed -> the engine schedules
+    // no-data batches on its own and processAllAvailable() never
+    // settles; poll the sink like the TTL tests do
+    val q = latest.writeStream.outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds"))
+      .format("memory").queryName("kv_seq_test").start()
+    def emitted(): Seq[Option[String]] = spark.table("kv_seq_test")
+      .as[KeyedCounters.KVLatest].collect()
+      .filter(r => r.key == "k" && !r.expired).map(_.value).toSeq
+    def pollFor(what: String)(p: Seq[Option[String]] => Boolean): Unit = {
+      val deadline = System.currentTimeMillis() + 60000
+      while (!p(emitted()) && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      assert(p(emitted()), s"expected $what, got ${emitted()}")
+    }
+    try {
+      // adverse in-batch order: the high-seq row listed FIRST — a
+      // "last row in the iterator wins" rule would keep the stale one
+      input.addData(KeyedCounters.KVSet("k", "new", seq = 5),
+        KeyedCounters.KVSet("k", "old", seq = 1))
+      pollFor("seq 5 wins the batch")(_.contains(Some("new")))
+      // a LATE lower-seq arrival in a later batch must not roll back:
+      // its update must re-emit the RETAINED value, never "stale"
+      input.addData(KeyedCounters.KVSet("k", "stale", seq = 3))
+      pollFor("stale re-emits retained value")(e =>
+        e.count(_ == Some("new")) >= 2)
+      assert(!emitted().contains(Some("stale")), emitted().toString)
+      input.addData(KeyedCounters.KVSet("k", "newest", seq = 9))
+      pollFor("seq 9 advances")(_.contains(Some("newest")))
+    } finally q.stop()
+  }
+
   test("TTL keyed counters: INCR semantics then expiry tombstone") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[KeyedCounters.Hit]
