@@ -43,15 +43,14 @@ case class BloomAgg(
 
   override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
 
+  // Md5Hash.h32 == first 8 md5 hex chars parsed base-16, the exact value
+  // the oracle's '0x'||substring(md5(...), 1, 8) cast computes — and it
+  // reuses a thread-local digest instead of allocating one per input row.
   private def positions(key: String): Array[Int] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
     val out = new Array[Int](hashes)
     var i = 0
     while (i < hashes) {
-      val hex = md.digest(s"$salt:$i:$key".getBytes("UTF-8"))
-        .take(4).map(b => f"${b & 0xff}%02x").mkString
-      out(i) = (java.lang.Long.parseLong(hex, 16) % (words * 64L)).toInt
-      md.reset()
+      out(i) = (Md5Hash.h32(s"$salt:$i:$key") % (words * 64L)).toInt
       i += 1
     }
     out

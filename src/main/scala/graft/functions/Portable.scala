@@ -32,10 +32,12 @@ object Portable {
     */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = tokens(text)
+    // built from the passed Column (an `expr` form would hardcode a
+    // column literally named `text` and silently read the wrong column
+    // on frames that have one)
     when(size(w) >= n,
-      array_distinct(expr(
-        s"""transform(sequence(0, size(split(text, ' ')) - $n),
-           |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))""".stripMargin)))
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))))
       .otherwise(array(text))
   }
 

@@ -15,49 +15,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * `transform(Portable.shingles(text, n), h32)` and to the DuckDB oracle
   * (`Portable.shinglesSql` + the '0x'||substring(md5) cast), but runs as
   * a single tight loop — the HOF chain interprets a lambda per shingle
-  * and dominated the dedup-family runtime.
+  * and dominated the dedup-family runtime. The shingle walk and hash
+  * arithmetic live in [[Md5Hash]], shared with MinHashSig/SimHash60/
+  * SubstringFp/BloomAgg so the six stay bit-identical by construction.
   */
 case class ShingleHash32(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  // plan objects are shared across local-mode task threads and
-  // MessageDigest is not thread-safe
-  @transient private lazy val md5 =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
-  private def hash(s: String): Long = {
-    val d = md5.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // first 8 hex chars == first 4 bytes, big-endian unsigned
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
-
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val words = text.split(" ", -1)
     val out = new scala.collection.mutable.ArrayBuffer[Long]()
-    val seen = new java.util.HashSet[String]()
-    if (words.length >= n) {
-      val sb = new java.lang.StringBuilder()
-      var i = 0
-      while (i <= words.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(words(i + j))
-          j += 1
-        }
-        val sh = sb.toString
-        if (seen.add(sh)) out += hash(sh)
-        i += 1
-      }
-    } else {
-      out += hash(text)
-    }
+    Md5Hash.foreachDistinctShingle(text, n)(sh => out += Md5Hash.h32(sh))
     new GenericArrayData(out.toArray)
   }
 
@@ -77,42 +47,10 @@ case class ShingleHash60(child: Expression, n: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  @transient private lazy val md5 =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
-  private def hash(s: String): Long = {
-    val d = md5.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    // first 15 hex chars = 7 full bytes + the high nibble of byte 8
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    (v << 4) | ((d(7) & 0xf0L) >> 4)
-  }
-
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val words = text.split(" ", -1)
     val out = new scala.collection.mutable.ArrayBuffer[Long]()
-    val seen = new java.util.HashSet[String]()
-    if (words.length >= n) {
-      val sb = new java.lang.StringBuilder()
-      var i = 0
-      while (i <= words.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(words(i + j))
-          j += 1
-        }
-        val sh = sb.toString
-        if (seen.add(sh)) out += hash(sh)
-        i += 1
-      }
-    } else {
-      out += hash(text)
-    }
+    Md5Hash.foreachDistinctShingle(text, n)(sh => out += Md5Hash.h60(sh))
     new GenericArrayData(out.toArray)
   }
 
@@ -134,46 +72,17 @@ case class MinHashSig(child: Expression, n: Int, k: Int, p: Long)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  @transient private lazy val md5 =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
-  private def hash(s: String): Long = {
-    val d = md5.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
-
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
-    val words = text.split(" ", -1)
     val mins = Array.fill(k)(Long.MaxValue)
-    val seen = new java.util.HashSet[String]()
-    def fold(h: Long): Unit = {
+    Md5Hash.foreachDistinctShingle(text, n) { sh =>
+      val h = Md5Hash.h32(sh)
       var i = 1
       while (i <= k) {
         val v = ((2L * i + 1) * h + 104729L * i) % p
         if (v < mins(i - 1)) mins(i - 1) = v
         i += 1
       }
-    }
-    if (words.length >= n) {
-      val sb = new java.lang.StringBuilder()
-      var i = 0
-      while (i <= words.length - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(words(i + j))
-          j += 1
-        }
-        val sh = sb.toString
-        if (seen.add(sh)) fold(hash(sh))
-        i += 1
-      }
-    } else {
-      fold(hash(text))
     }
     new GenericArrayData(mins)
   }

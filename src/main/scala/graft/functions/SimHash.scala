@@ -18,10 +18,6 @@ case class SimHash60(child: Expression)
 
   override def dataType: DataType = LongType
 
-  @transient private lazy val md5 =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
     val words = text.split(" ", -1)
@@ -31,12 +27,7 @@ case class SimHash60(child: Expression)
     while (i < words.length) {
       val w = words(i)
       if (seen.add(w)) {
-        val d = md5.get().digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        // first 15 hex chars = first 7 bytes + high nibble of byte 8
-        var h = 0L
-        var b = 0
-        while (b < 7) { h = (h << 8) | (d(b) & 0xffL); b += 1 }
-        h = (h << 4) | ((d(7) & 0xf0L) >> 4)
+        val h = Md5Hash.h60(w)
         var bit = 0
         while (bit < 60) {
           if (((h >> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1

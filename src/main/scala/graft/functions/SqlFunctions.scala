@@ -26,7 +26,9 @@ object SqlFunctions {
 
   private def litInt(e: Expression, what: String): Int = e match {
     case Literal(i: Int, _) => i
-    case Literal(l: Long, _) => l.toInt
+    case Literal(l: Long, _) if l >= Int.MinValue && l <= Int.MaxValue => l.toInt
+    case Literal(l: Long, _) => throw new IllegalArgumentException(
+      s"$what out of int range: $l")
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }

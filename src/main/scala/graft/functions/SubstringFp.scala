@@ -32,34 +32,11 @@ import org.apache.spark.unsafe.types.UTF8String
 case class SubstringFp(child: Expression, k: Int, win: Int, mod: Int)
     extends UnaryExpression with CodegenFallback {
 
+  require(k > 0 && win > 0 && mod > 0,
+    s"anchor k=$k, window win=$win, mod=$mod must all be positive")
   require(k <= win, s"anchor gram k=$k must fit in the window win=$win")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  // plan objects are shared across local-mode task threads and
-  // MessageDigest is not thread-safe
-  @transient private lazy val md5 =
-    ThreadLocal.withInitial[java.security.MessageDigest](() =>
-      java.security.MessageDigest.getInstance("MD5"))
-
-  private def digest(s: String): Array[Byte] =
-    md5.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-
-  /** First 8 md5 hex chars as unsigned int (== Portable.h32). */
-  private def h32(s: String): Long = {
-    val d = digest(s)
-    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-  }
-
-  /** First 15 md5 hex chars, sign-safe in int64 (== Portable.h60). */
-  private def h60(s: String): Long = {
-    val d = digest(s)
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    (v << 4) | ((d(7) & 0xf0L) >> 4)
-  }
 
   override protected def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String].toString
@@ -68,8 +45,8 @@ case class SubstringFp(child: Expression, k: Int, win: Int, mod: Int)
     var p = 0
     val last = text.length - win
     while (p <= last) {
-      if (h32(text.substring(p, p + k)) % mod == 0) {
-        val f = h60(text.substring(p, p + win))
+      if (Md5Hash.h32(text.substring(p, p + k)) % mod == 0) {
+        val f = Md5Hash.h60(text.substring(p, p + win))
         if (seen.add(f)) out += f
       }
       p += 1

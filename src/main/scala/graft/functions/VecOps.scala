@@ -17,6 +17,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * verify, the hottest scalar in the ANN family. Summation is the same
   * left-to-right fold the HOF form and DuckDB's list_dot_product use, so
   * oracle results are bit-identical.
+  *
+  * Null semantics match the HOF form exactly: mismatched lengths yield
+  * NULL (zip_with pads the shorter side with nulls, which poison the
+  * aggregate), and a NULL element yields NULL — a dimension break
+  * upstream must not silently truncate into a plausible-looking score.
+  * The per-element null probe is emitted only when either input's
+  * element type is nullable, so the hot path over non-null embedding
+  * arrays keeps the bare two-flop loop.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -32,13 +40,25 @@ case class DotProduct(left: Expression, right: Expression)
   }
   override def dataType: DataType = DoubleType
 
+  // a length mismatch yields null even when both children are non-null
+  override def nullable: Boolean = true
+
+  private def elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    })
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    val checkNulls = elementsNullable
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       s += x.getDouble(i) * y.getDouble(i)
       i += 1
     }
@@ -50,13 +70,22 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
+      val nullProbe =
+        if (elementsNullable)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $x.getDouble($i) * $y.getDouble($i);
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullProbe
+         |    $s += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

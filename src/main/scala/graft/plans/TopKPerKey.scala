@@ -67,10 +67,19 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Expression, k: Int,
       val heaps = mutable.Map.empty[UnsafeRow, mutable.PriorityQueue[(Any, UnsafeRow)]]
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       it.foreach { row =>
-        val key = keyProj(row).copy()
+        // probe with the projection's reused buffer (UnsafeRow equality is
+        // content-based); copy the key only when it first enters the map —
+        // the hot-key case this operator exists for would otherwise
+        // allocate a fresh key row per input row
+        val keyRef = keyProj(row)
         val v = ordEval.eval(row)
-        val heap = heaps.getOrElseUpdate(key,
-          mutable.PriorityQueue.empty[(Any, UnsafeRow)])
+        val heap = heaps.get(keyRef) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[(Any, UnsafeRow)]
+            heaps(keyRef.copy()) = h
+            h
+        }
         if (heap.size < kk || anyOrd.lt(heap.head._1, v)) {
           if (heap.size >= kk) heap.dequeue()
           // re-evaluate from the copied row: non-primitive order values
@@ -103,11 +112,19 @@ object TopKPerKey {
     * resolved=true and would slip through analysis inside a custom node).
     */
   def apply(df: DataFrame, keyCols: Seq[String], orderCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"top-k needs k >= 1, got $k")
     val spark = df.sparkSession
     val plan = GraftShim.logicalPlan(df)
-    def attr(n: String): Attribute = plan.output.find(_.name == n).getOrElse(
-      throw new IllegalArgumentException(
-        s"column '$n' not in ${plan.output.map(_.name).mkString(",")}"))
+    // the session's resolver, so name lookup honors spark.sql.caseSensitive
+    // exactly as df("col") / SQL references do
+    val resolver = spark.sessionState.conf.resolver
+    def attr(n: String): Attribute = plan.output.filter(a => resolver(a.name, n)) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"column '$n' not in ${plan.output.map(_.name).mkString(",")}")
+      case many => throw new IllegalArgumentException(
+        s"column '$n' is ambiguous: matches ${many.map(_.name).mkString(",")}")
+    }
     val keyExprs = keyCols.map(attr)
     val ordExpr = attr(orderCol)
     val partial = TopKPerKeyNode(keyExprs, ordExpr, k, global = false, plan)

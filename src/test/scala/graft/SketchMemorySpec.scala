@@ -40,11 +40,11 @@ class SketchMemorySpec extends SparkTestBase {
     val a = new TopKWords(capacity = 64, k = 10)
     var buf = a.zero
     (0 until 100000).foreach(i => buf = a.reduce(buf, s"w${i % 1000}"))
-    assert(buf.size <= 64, s"reduce grew the buffer to ${buf.size}")
+    assert(buf.counts.size <= 64, s"reduce grew the buffer to ${buf.counts.size}")
     var other = a.zero
     (0 until 100000).foreach(i => other = a.reduce(other, s"x$i"))
-    assert(other.size <= 64)
-    assert(a.merge(buf, other).size <= 64, "merge exceeded capacity")
+    assert(other.counts.size <= 64)
+    assert(a.merge(buf, other).counts.size <= 64, "merge exceeded capacity")
   }
 
   test("sort-based fallback (the spill path) reproduces BloomAgg bit-exactly") {
