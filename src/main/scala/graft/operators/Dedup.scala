@@ -41,15 +41,23 @@ object Dedup {
         (col("doc_id") === min("doc_id").over(w)).as("is_canonical"))
   }
 
-  /** Shared exploded shingle-hash relation (doc_id, h): d2 and d7 join
-    * and aggregate over the IDENTICAL relation — materialized once per
-    * session+dir through the Intermediates seam instead of per query.
+  /** Shared exploded shingle-hash relation (doc_id, h): d2, d7 and t17
+    * join and aggregate over the IDENTICAL relation — materialized once
+    * per session+dir through the Intermediates seam instead of per
+    * query. Hashes are DISTINCT per doc (row-local array_distinct, no
+    * shuffle; oracles mirror with SELECT DISTINCT): ShingleHash32 dedups
+    * shingle STRINGS, so a within-doc 32-bit hash collision would
+    * otherwise leave duplicate h values — which breaks the i ≤ min(na,
+    * nb) invariant d2/d7's size-ratio prunes are derived from (a pair
+    * the oracle emits could then be pruned). Hash-distinct restores the
+    * invariant and keeps both engines on the same set semantics.
     */
   private[operators] def shingleHashRel(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
     Intermediates.cached(s, dir, "dedup_sh3") {
       Tables.documents(s, dir).select(col("doc_id"),
-        explode(graft.functions.ShingleHash.shingleHashes(col("text"), 3)).as("h"))
+        explode(array_distinct(
+          graft.functions.ShingleHash.shingleHashes(col("text"), 3))).as("h"))
     }
 
   /** Exact word-trigram Jaccard near-dup pairs (j >= 0.6): distinct
@@ -63,7 +71,7 @@ object Dedup {
        |  SELECT doc_id, unnest(${Portable.shinglesSql(3).replace("\n", " ")}) AS s
        |  FROM documents
        |), sh AS (
-       |  SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0
+       |  SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0
        |), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
@@ -84,8 +92,9 @@ object Dedup {
     // size-ratio prefilter: j >= 0.6 implies min(na,nb)/max(na,nb) >= 0.6
     // (i <= min and j <= min/max), so pairs failing 5·min >= 3·max can be
     // pruned before the heavy pair aggregation. Sound — never drops a
-    // qualifying pair; the oracle needs no mirror (its final filter is
-    // the same predicate).
+    // qualifying pair — BECAUSE shingleHashRel is hash-distinct per doc
+    // (i <= min needs set semantics on h); the oracle needs no mirror
+    // (its final filter is the same predicate).
     val shn = sh.join(broadcast(cnt), "doc_id")
     val a = shn.as("a"); val b = shn.as("b")
     val inter = a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
@@ -176,19 +185,19 @@ object Dedup {
       |         b -> CASE WHEN list_sum(list_transform(th,
       |                h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
       |              THEN (1::BIGINT << b) ELSE 0 END)) AS BIGINT) AS simhash
-      |FROM documents_th""".stripMargin
-      .replace("FROM documents_th", "FROM th")) { (s, dir) =>
+      |FROM th""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"),
         graft.functions.SimHash.simhash60(col("text")).as("simhash"))
   }
 
   /** Near-dup clustering: connected components over the MinHash candidate
-    * pairs (est >= 0.5) by distributed min-label propagation — each doc
-    * converges to the smallest doc_id reachable through near-dup edges,
-    * giving keep-one-per-cluster dedup without any driver-side
-    * union-find. Iteration count is bounded by component diameter (near-
-    * dup clusters are tiny); 15 rounds is far past convergence here.
+    * pairs (est >= 0.5) via ConnectedComponents.labels — alternating
+    * large-star/small-star rounds (O(log² n) over the LARGEST component,
+    * not its diameter; min-label propagation was abandoned after the 10×
+    * scale tier outran its round cap — see ConnectedComponents scaladoc).
+    * Each doc converges to the smallest doc_id in its component, giving
+    * keep-one-per-cluster dedup without any driver-side union-find.
     * Output: one row per doc that belongs to a multi-doc cluster. The
     * oracle computes the same components via a recursive-CTE transitive
     * closure over the identical candidate-pair set.
@@ -332,7 +341,7 @@ object Dedup {
        |  SELECT doc_id, unnest(${Portable.shinglesSql(3).replace("\n", " ")}) AS s
        |  FROM documents
        |), sh AS (
-       |  SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0
+       |  SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0
        |), cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
@@ -488,10 +497,7 @@ object Dedup {
         graft.functions.ShingleHash.minHashSig(col("text"), 3, K, P).as("sig"))
       .localCheckpoint()
     val bands = base.select(col("doc_id"),
-      explode(transform(sequence(lit(0), lit(Bands - 1)),
-        j => concat_ws(":", j.cast("string"),
-          concat_ws(",", transform(slice(col("sig"), j * 4 + 1, lit(4)),
-            v => v.cast("string")))))).as("bk"))
+      explode(bandKeyArray(col("sig"), Bands, 4)).as("bk"))
     val cand = bands.as("a")
       .join(bands.as("b"), col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -659,7 +665,10 @@ object Dedup {
     val wed = deg.agg(sum(expr("d * (d - 1) div 2")).as("n_wedges"))
     tri.crossJoin(wed)
       .selectExpr("n_triangles", "n_wedges",
-        "n_triangles * 3 * 10000 div n_wedges AS gcc_bp")
+        // n_wedges = 0 (isolated pairs only) must yield NULL like the
+        // oracle's `// 0`, not an ANSI DIVIDE_BY_ZERO abort
+        """CASE WHEN n_wedges = 0 THEN CAST(NULL AS BIGINT)
+          |     ELSE n_triangles * 3 * 10000 div n_wedges END AS gcc_bp""".stripMargin)
   }
 
   /** d16: corpus-overlap between SOURCES via set-level MinHash — each
@@ -933,8 +942,11 @@ object Dedup {
       .crossJoin(broadcast(truth))
       .selectExpr("b AS n_bands", "CAST(16 div b AS BIGINT) AS rows_per_band",
         "n_cand", "n_true",
+        // n_cand >= 1 by construction (the group exists), but n_truth
+        // can be 0 — NULL like the oracle's `// 0`, not an ANSI abort
         "n_true * 10000L div n_cand AS precision_bp",
-        "n_true * 10000L div n_truth AS recall_bp")
+        """CASE WHEN n_truth = 0 THEN CAST(NULL AS BIGINT)
+          |     ELSE n_true * 10000L div n_truth END AS recall_bp""".stripMargin)
   }
 
   /** Streaming-ingest dedup core (the foreachBatch body of
@@ -969,8 +981,8 @@ object Dedup {
       .withColumn("__rn", row_number().over(
         Window.partitionBy("__fp").orderBy(col("doc_id"))))
       .filter(col("__rn") === 1).drop("__rn")
-    val survivors =
-      if (snaps.versions(spark, index).isEmpty) b0.localCheckpoint()
+    val (survivors, sigsPre) =
+      if (snaps.versions(spark, index).isEmpty) (b0.localCheckpoint(), None)
       else {
         val idx = snaps.read(spark, index)
         val fpRows = idx.filter(col("sig").isNotNull)
@@ -990,10 +1002,17 @@ object Dedup {
           .join(fpRows.select(col("doc_id").as("iid"), col("sig").as("isig")), "iid")
           .filter(agree >= 0.5)
           .select(col("doc_id")).distinct()
-        afterExact.join(nearHit, Seq("doc_id"), "left_anti").localCheckpoint()
+        (afterExact.join(nearHit, Seq("doc_id"), "left_anti").localCheckpoint(),
+          Some(sigs))
       }
     snaps.commit(survivors.drop("__fp"), table, token = Some(s"$token-data"))
-    val oSigs = signatures(survivors.select(col("doc_id"), col("text")))
+    // survivors ⊆ afterExact, whose signatures were already computed and
+    // checkpointed above — reuse them (a join) instead of re-running the
+    // md5-per-shingle MinHash pass over every surviving doc
+    val oSigs = sigsPre match {
+      case Some(sigs) => sigs.join(survivors.select("doc_id"), "doc_id")
+      case None => signatures(survivors.select(col("doc_id"), col("text")))
+    }
     val fpNew = survivors
       .select(col("doc_id"), concat(lit("fp:"), col("__fp")).as("bk"))
       .join(oSigs, "doc_id")

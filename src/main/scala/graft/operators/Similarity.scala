@@ -25,6 +25,17 @@ object Similarity {
 
   private def dvec(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** The s5-proven int8 quantization: round(x · 127/mx) per element, with
+    * the zero-vector guard (mx = 0 → all-zero, matching the oracles'
+    * nullif/COALESCE — 127/0 would be NULL in DuckDB but Inf→NaN here).
+    * THE single copy of the formula every quantizing operator (s5, s6,
+    * s8, s9, s11–s15) shares with its oracle — a change here is a change
+    * to all of them together, which is the point.
+    */
+  private def int8Quant(v: Column, mx: Column, to: String): Column =
+    transform(v, x => round(x * when(mx === 0, lit(0.0))
+      .otherwise(lit(127.0) / mx), 0).cast(to))
+
   private val cosineSql =
     "list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s)))"
 
@@ -199,9 +210,11 @@ object Similarity {
       explode(array(flips: _*)).as("pk"))
     // shuffled-hash, not sort-merge: band buckets are skewed and SMJ
     // streams each equal-key group through its spillable row buffer
-    // (the d6 lesson — measured 22× there on the 10× fixture)
-    val cand = probes.as("a").hint("shuffle_hash")
-      .join(codes.as("b"),
+    // (the d6 lesson — measured 22× there on the 10× fixture). The hint
+    // sits on CODES so the hash relation builds from the small side —
+    // probes is (planesPerBand+1)× larger
+    val cand = probes.as("a")
+      .join(codes.as("b").hint("shuffle_hash"),
         col("a.band") === col("b.band") && col("a.pk") === col("b.code") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
@@ -373,9 +386,7 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), dvec(col("embedding")).as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-    val quant = transform(col("v"),
-      x => round(x * when(col("mx") === 0, lit(0.0))
-          .otherwise(lit(127.0) / col("mx")), 0).cast("long"))
+    val quant = int8Quant(col("v"), col("mx"), "long")
     e.select(col("vec_id"),
       aggregate(quant, lit(0L), (a, x) => a + x).as("qsum"),
       array_max(quant).as("qmax"))
@@ -402,9 +413,7 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .select(col("label"), dvec(col("embedding")).as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-      .withColumn("qv", transform(col("v"),
-        x => round(x * when(col("mx") === 0, lit(0.0))
-          .otherwise(lit(127.0) / col("mx")), 0).cast("long")))
+      .withColumn("qv", int8Quant(col("v"), col("mx"), "long"))
     e.select(col("label"), posexplode(col("qv")).as(Seq("pos", "qval")))
       .groupBy(col("label"), col("pos").cast("long").as("pos"))
       .agg(sum("qval").as("qsum"), count(lit(1)).as("n"))
@@ -522,9 +531,7 @@ object Similarity {
     val quant = Tables.embeddings(s, dir)
       .select(col("vec_id"), dvec(col("embedding")).as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-      .select(col("vec_id"), transform(col("v"),
-        x => round(x * when(col("mx") === 0, lit(0.0))
-          .otherwise(lit(127.0) / col("mx")), 0).cast("double")).as("qv"))
+      .select(col("vec_id"), int8Quant(col("v"), col("mx"), "double").as("qv"))
     val cosQ = vec_dot(col("a_qv"), col("b_qv")) /
       (sqrt(vec_dot(col("a_qv"), col("a_qv"))) * sqrt(vec_dot(col("b_qv"), col("b_qv"))))
     exact
@@ -572,9 +579,7 @@ object Similarity {
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), dvec(col("embedding")).as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-      .select(col("vec_id"), transform(col("v"),
-        x => round(x * when(col("mx") === 0, lit(0.0))
-          .otherwise(lit(127.0) / col("mx")), 0).cast("long")).as("qv"))
+      .select(col("vec_id"), int8Quant(col("v"), col("mx"), "long").as("qv"))
     // one-pass typed Aggregator (CovarianceAgg scaladoc): per-partition
     // primitive-loop partials, a ~17 KB buffer across the shuffle, and a
     // constant-size (2,080-row) Generate at the end — replaces the
@@ -600,8 +605,9 @@ object Similarity {
     * keep-one-per-group reduction for embedding-level dedup. The pair
     * generation is s2's banded LSH equi-join (shared through the
     * materialize-once registry, never recomputed), and the clustering is
-    * the same bounded-round distributed min-label propagation as d5 —
-    * every round an equi-join on vec_id, no driver-side union-find. The
+    * ConnectedComponents.labels — the same alternating large-star/
+    * small-star rounds as d5 (O(log² n); min-label propagation was
+    * abandoned at the 10× tier), no driver-side union-find. The
     * oracle is a recursive-CTE transitive closure over the identical
     * candidate-pair SQL (`s2PairCtes`, shared string).
     */
@@ -643,9 +649,7 @@ object Similarity {
     Tables.embeddings(s, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-      .withColumn("qv", transform(col("v"),
-        x => round(x * when(col("mx") === 0, lit(0.0))
-          .otherwise(lit(127.0) / col("mx")), 0).cast("long")))
+      .withColumn("qv", int8Quant(col("v"), col("mx"), "long"))
       .withColumn("sub", expr("size(qv) div 4"))
       .withColumn("codes", expr(
         """transform(sequence(0, 3), j ->
@@ -674,17 +678,9 @@ object Similarity {
        |       CAST(codes[1] + codes[2]*16 + codes[3]*256 + codes[4]*4096
        |            AS BIGINT) AS pq_code
        |FROM codes""".stripMargin) { (s, dir) =>
-    Tables.embeddings(s, dir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-      .withColumn("qv", transform(col("v"),
-        x => round(x * when(col("mx") === 0, lit(0.0))
-          .otherwise(lit(127.0) / col("mx")), 0).cast("long")))
-      .withColumn("sub", expr("size(qv) div 4"))
-      .withColumn("codes", expr(
-        """transform(sequence(0, 3), j ->
-          |  least(((aggregate(slice(qv, j*sub+1, sub), 0L, (a, x) -> a + x)
-          |          + 127*sub) * 16) div (254*sub), 15L))""".stripMargin))
+    // the shared pqCodeFrame — s11/s12/s13 must pack/search the SAME
+    // code formula, so none of them inlines its own copy
+    pqCodeFrame(s, dir)
       .select(col("vec_id"),
         expr("codes[0] + codes[1]*16 + codes[2]*256 + codes[3]*4096")
           .cast("long").as("pq_code"))
@@ -970,12 +966,7 @@ object Similarity {
     val q = Tables.embeddings(s, dir)
       .select(col("vec_id"), dvec(col("embedding")).as("v"))
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
-      // zero-vector guard: scale 0 (qv all-zero), matching the oracle's
-      // nullif/COALESCE — 127/0 would be NULL in DuckDB but Inf→NaN here
-      .withColumn("sc", when(col("mx") === 0, lit(0.0))
-        .otherwise(lit(127.0) / col("mx")))
-      .select(col("vec_id"), transform(col("v"),
-        x => round(x * col("sc"), 0).cast("long")).as("qv"))
+      .select(col("vec_id"), int8Quant(col("v"), col("mx"), "long").as("qv"))
       .localCheckpoint() // feeds both assignment passes
     // per-row argmin as a map-side-combinable MIN aggregate: ONE row per
     // vector crosses the shuffle instead of 16 window-sorted candidates

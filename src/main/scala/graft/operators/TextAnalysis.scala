@@ -567,7 +567,7 @@ object TextAnalysis {
        |  SELECT doc_id, unnest(${graft.functions.Portable.shinglesSql(3).replace("\n", " ")}) AS s
        |  FROM documents
        |), sh AS (
-       |  SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0
+       |  SELECT DISTINCT doc_id, CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT) AS h FROM sh0
        |), fo AS (SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
        |SELECT sh.doc_id,
        |       CAST(COUNT(*) AS BIGINT) AS n_sh,
