@@ -52,4 +52,14 @@ object Tables {
   /** Register all star-schema tables as temp views for spark.sql paths. */
   def registerAll(spark: SparkSession, dir: String): Unit =
     starTables.foreach(t => load(spark, dir, t).createOrReplaceTempView(t))
+
+  /** Collision-resistant hex digest of a data dir — the suffix for
+    * session-global names (temp views, catalog names, scratch roots)
+    * that must not alias across data dirs: hashCode collisions (or
+    * abs(Int.MinValue) < 0) would silently bind one dir's query to
+    * another dir's data.
+    */
+  def dirKey(dir: String, n: Int = 8): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(n)
 }

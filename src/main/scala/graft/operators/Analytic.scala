@@ -230,8 +230,11 @@ object Analytic {
     * rounding). Deriving the variance from double partials diverges
     * further, and a naive var_pop() over doubles isn't even stable run
     * to run at scale.
-    * Width budget (documented invariant): |x| < 10^10 with 4 dp and
-    * group rows < 10^10 keep every intermediate inside 38 digits.
+    * Width budget (documented invariant of the casts actually used):
+    * per group, |Σx| < 10^14 (the DECIMAL(18,4) cast of s) and
+    * Σx² < 10^18 (the DECIMAL(26,8) cast of sq) — e.g. 10^9 rows of
+    * |x| ≤ 10^4 hold comfortably; beyond it the cast overflows LOUDLY
+    * under the session's ANSI mode rather than silently nulling.
     * (The oracle casts to DECIMAL(19+) where DuckDB needs to leave
     * INT64 physical storage; Spark stays at (18,4) — both exact, and
     * exact values are what the hash compares.)
@@ -560,10 +563,14 @@ object Analytic {
       |       CAST(MAX(depth) AS BIGINT) AS depth_to_top,
       |       CAST(MIN(CASE WHEN anc < 10 THEN anc END) AS BIGINT) AS top_branch
       |FROM chain GROUP BY 1""".stripMargin) { (s, dir) =>
-    Tables.customer(s, dir).createOrReplaceTempView("g_rec_customer")
+    // dir-keyed view name: a fixed name is shared session state — two
+    // dirs constructing concurrently would bind one query to the other
+    // dir's table (the q42 read-modify-write hazard)
+    val vCust = s"g_rec_customer_${Tables.dirKey(dir)}"
+    Tables.customer(s, dir).createOrReplaceTempView(vCust)
     s.sql(
-      """WITH RECURSIVE chain AS (
-        |  SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth FROM g_rec_customer
+      s"""WITH RECURSIVE chain AS (
+        |  SELECT c_custkey AS node, c_custkey AS anc, 0 AS depth FROM $vCust
         |  UNION ALL
         |  SELECT node, anc div 10 AS anc, depth + 1 FROM chain WHERE anc >= 10
         |)
@@ -577,7 +584,9 @@ object Analytic {
     * exact decimal (n·Σxy − ΣxΣy etc. have no FP noise), then ONE double
     * op sequence (cast, divide, sqrt, round) that is bit-identical
     * across engines. Groups here are bounded; at corpus scale the same
-    * shape runs per bounded key (the decimal widths hold to ~1e18 sums).
+    * shape runs per bounded key (per group the casts hold |Σx| < 10^14
+    * and Σx²/Σxy < 10^18 — the q43 width budget; overflow is loud under
+    * ANSI, never a silent null).
     */
   val qCorrelation: QuerySpec = QuerySpec.sql(
     "q57_correlation",
@@ -665,14 +674,15 @@ object Analytic {
       |       COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_debt,
       |       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE) AS building_bal
       |FROM customer GROUP BY 1""".stripMargin) { (s, dir) =>
-    Tables.customer(s, dir).createOrReplaceTempView("g_f_customer")
+    val vCust = s"g_f_customer_${Tables.dirKey(dir)}" // dir-keyed (q55 note)
+    Tables.customer(s, dir).createOrReplaceTempView(vCust)
     s.sql(
-      """SELECT c_nationkey,
+      s"""SELECT c_nationkey,
         |       COUNT(*) AS n,
         |       COUNT(*) FILTER (WHERE c_acctbal > 5000) AS n_rich,
         |       COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_debt,
         |       CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) FILTER (WHERE c_mktsegment = 'BUILDING') AS DOUBLE) AS building_bal
-        |FROM g_f_customer GROUP BY 1""".stripMargin)
+        |FROM $vCust GROUP BY 1""".stripMargin)
   }
 
   /** Correlated LATERAL derived table: for each nation, its top customer
@@ -687,12 +697,14 @@ object Analytic {
       |LATERAL (SELECT c_custkey, c_acctbal AS bal FROM customer c
       |         WHERE c.c_nationkey = n.n_nationkey
       |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t""".stripMargin) { (s, dir) =>
-    Tables.nation(s, dir).createOrReplaceTempView("g_l_nation")
-    Tables.customer(s, dir).createOrReplaceTempView("g_l_customer")
+    val k = Tables.dirKey(dir) // dir-keyed views (q55 note)
+    val vNation = s"g_l_nation_$k"; val vCust = s"g_l_customer_$k"
+    Tables.nation(s, dir).createOrReplaceTempView(vNation)
+    Tables.customer(s, dir).createOrReplaceTempView(vCust)
     s.sql(
-      """SELECT n.n_nationkey, n.n_name, t.c_custkey AS top_custkey, t.bal
-        |FROM g_l_nation n,
-        |LATERAL (SELECT c_custkey, c_acctbal AS bal FROM g_l_customer c
+      s"""SELECT n.n_nationkey, n.n_name, t.c_custkey AS top_custkey, t.bal
+        |FROM $vNation n,
+        |LATERAL (SELECT c_custkey, c_acctbal AS bal FROM $vCust c
         |         WHERE c.c_nationkey = n.n_nationkey
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t""".stripMargin)
   }

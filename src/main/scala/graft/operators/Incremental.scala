@@ -35,13 +35,11 @@ object Incremental {
   private val cleanupHooked = scala.collection.concurrent.TrieMap.empty[String, Boolean]
 
   private[graft] def snapRoot(s: SparkSession, dir: String, tag: String): String = {
-    // collision-resistant digest of the data dir: hashCode collisions (or
-    // abs(Int.MinValue) < 0) would silently alias two datasets' scratch
+    // collision-resistant digest of the data dir (Tables.dirKey): a
+    // hashCode collision would silently alias two datasets' scratch
     // tables, and the versions<2 rebuild guard would then serve wrong rows
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     val root = s"${System.getProperty("java.io.tmpdir")}/graft-$tag-" +
-      s"$dirKey-${System.identityHashCode(s)}"
+      s"${Tables.dirKey(dir, 16)}-${System.identityHashCode(s)}"
     cleanupHooked.getOrElseUpdate(root, {
       sys.addShutdownHook {
         def rm(f: java.io.File): Unit = {
@@ -62,6 +60,23 @@ object Incremental {
     */
   private val buildLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  /** Serialize the check-then-act rebuild of a scratch snapshot table:
+    * when `root` has fewer than `minVersions` committed versions, wipe
+    * whatever partial state exists (Snapshots.drop — loud on failure,
+    * unlike a raw fs delete whose silent partial wipe is the
+    * table-corruption class the q81 guard documents) and run `build`.
+    * The lock keys on root, so concurrent construction of the same spec
+    * blocks here instead of interleaving commits.
+    */
+  private[operators] def ensureBuilt(s: SparkSession, root: String,
+      minVersions: Int)(build: => Unit): Unit =
+    buildLocks.getOrElseUpdate(root, new Object).synchronized {
+      if (Snapshots.versions(s, root).length < minVersions) {
+        Snapshots.drop(s, root)
+        build
+      }
+    }
 
   private[operators] def evenOddDocsTable(s: SparkSession, dir: String): String = {
     val root = snapRoot(s, dir, "evenodd")
@@ -162,9 +177,7 @@ object Incremental {
     val root = snapRoot(s, dir, "merge")
     val docs = Tables.documents(s, dir)
       .select("doc_id", "text", "lang", "source", "n_chars")
-    if (Snapshots.versions(s, root).length < 2) {
-      val p = new org.apache.hadoop.fs.Path(root)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    ensureBuilt(s, root, 2) {
       Snapshots.commit(docs.repartitionByRange(8, col("doc_id")), root)
       val updates = docs.filter(col("doc_id") <= 50)
         .withColumn("source", lit("merged"))
@@ -290,23 +303,28 @@ object Incremental {
       |                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS is_chg
       |  FROM e
       |), runs AS (
-      |  SELECT user_id, us, event_type,
+      |  SELECT user_id, us, event_id, event_type,
       |         SUM(is_chg) OVER (PARTITION BY user_id ORDER BY us, event_id
       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
       |  FROM chg
       |), iv AS (
-      |  SELECT user_id, event_type, MIN(us) AS valid_from_us
-      |  FROM runs GROUP BY user_id, event_type, run_id
+      |  -- each run's FIRST event by (us, event_id): valid_from_eid is the
+      |  -- LEAD tie-break under same-microsecond run starts, matching the
+      |  -- Spark side's min(struct(us, event_id)) exactly — a bare ORDER BY
+      |  -- valid_from_us is nondeterministic when two runs tie on us
+      |  SELECT user_id, event_type, us AS valid_from_us, event_id AS valid_from_eid
+      |  FROM (SELECT user_id, event_type, us, event_id,
+      |               ROW_NUMBER() OVER (PARTITION BY user_id, run_id
+      |                                  ORDER BY us, event_id) AS rn
+      |        FROM runs) WHERE rn = 1
       |)
       |SELECT user_id, event_type, valid_from_us,
-      |       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
-      |       (LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) IS NULL) AS is_current
+      |       LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us, valid_from_eid) AS valid_to_us,
+      |       (LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us, valid_from_eid) IS NULL) AS is_current
       |FROM iv""".stripMargin) { (s, dir) =>
     val pivotUs = 1705363200000000L // 2024-01-16T00:00:00Z
     val root = snapRoot(s, dir, "scd2")
-    if (Snapshots.versions(s, root).length < 2) {
-      val p = new org.apache.hadoop.fs.Path(root)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    ensureBuilt(s, root, 2) {
       val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("us"), col("event_type"))
       Snapshots.commit(
@@ -506,9 +524,7 @@ object Incremental {
       |       CAST(SUM(CASE WHEN o_orderkey % 3 <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2
       |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
     val root = snapRoot(s, dir, "snapstreamw")
-    val vs = Snapshots.versions(s, root)
-    if (vs.size < 3) {
-      if (vs.nonEmpty) Snapshots.drop(s, root)
+    ensureBuilt(s, root, 3) {
       val rows = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .collect()
@@ -574,9 +590,7 @@ object Incremental {
       |       COUNT(*) AS n_before
       |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
     val root = snapRoot(s, dir, "snapdel")
-    val vs = Snapshots.versions(s, root)
-    if (vs.size < 2) {
-      if (vs.nonEmpty) Snapshots.drop(s, root)
+    ensureBuilt(s, root, 2) {
       Snapshots.commit(Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
         .repartitionByRange(8, col("o_orderkey")), root)
@@ -615,9 +629,8 @@ object Incremental {
       |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
     val src = snapRoot(s, dir, "snapsrcr")
     val dst = snapRoot(s, dir, "snapdstr")
-    if (Snapshots.versions(s, dst).size < 2) {
-      if (Snapshots.versions(s, dst).nonEmpty) Snapshots.drop(s, dst)
-      if (Snapshots.versions(s, src).nonEmpty) Snapshots.drop(s, src)
+    ensureBuilt(s, dst, 2) {
+      Snapshots.drop(s, src)
       val o = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       Snapshots.commit(o.filter(col("o_orderkey") % 3 === 0), src)
@@ -666,15 +679,19 @@ object Incremental {
       |  AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
       |GROUP BY 1""".stripMargin) { (s, dir) =>
     val root = snapRoot(s, dir, "snappr")
-    if (Snapshots.versions(s, root).isEmpty) {
+    ensureBuilt(s, root, 1) {
       Snapshots.commit(Tables.lineitem(s, dir)
         .select("l_orderkey", "l_shipdate", "l_quantity", "l_extendedprice")
         .repartitionByRange(16, col("l_shipdate")), root)
     }
-    val lo = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
-    val hi = java.sql.Timestamp.valueOf("1995-04-01 00:00:00")
+    // string-literal casts resolve under the UTC session timezone like
+    // the oracle's naive TIMESTAMP literals; java.sql.Timestamp.valueOf
+    // would parse in the JVM DEFAULT zone and shift every boundary row
+    // on a non-UTC host (the q70 idiom)
+    val lo = lit("1995-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1995-04-01 00:00:00").cast("timestamp")
     Snapshots.readWhere(s, root,
-        col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+        col("l_shipdate") >= lo && col("l_shipdate") < hi)
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("mon"))
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(18,4)")).cast("double").as("qty"),
@@ -706,11 +723,16 @@ object Incremental {
     val root = snapRoot(s, dir, "snapzo")
     val orders = Tables.orders(s, dir)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
-    if (Snapshots.versions(s, root).isEmpty)
+    ensureBuilt(s, root, 1) {
       Snapshots.commit(orders.repartition(16), root)
+    }
     Snapshots.optimizeZOrder(s, root, "o_custkey", "o_totalprice",
       numFiles = 16)
-    val maxCk = orders.agg(max(col("o_custkey"))).head().getLong(0)
+    // dataset constant for the predicate — computed once per (session,
+    // dir) through the Intermediates seam, not a full orders scan on
+    // every re-plan of the query
+    val maxCk = graft.Intermediates.cached(s, dir, "q88_max_custkey")(
+      orders.agg(max(col("o_custkey")).as("m"))).head().getLong(0)
     Snapshots.readWhere(s, root,
         col("o_custkey") * 4 <= lit(maxCk) && col("o_totalprice") < 100000.0)
       .groupBy("o_orderstatus")
@@ -751,8 +773,7 @@ object Incremental {
     val root = snapRoot(s, dir, "snapcf")
     val o = Tables.orders(s, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    if (Snapshots.versions(s, root).size < 3) {
-      if (Snapshots.versions(s, root).nonEmpty) Snapshots.drop(s, root)
+    ensureBuilt(s, root, 3) {
       Snapshots.commit(o.repartitionByRange(8, col("o_orderkey")), root)
       val upd = o.filter(col("o_orderkey") % 97 === 0)
         .withColumn("o_totalprice", col("o_totalprice") + 1000)
@@ -805,9 +826,8 @@ object Incremental {
     val dst = snapRoot(s, dir, "cfdst")
     val o = Tables.orders(s, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    if (Snapshots.versions(s, dst).size < 3) {
-      if (Snapshots.versions(s, dst).nonEmpty) Snapshots.drop(s, dst)
-      if (Snapshots.versions(s, src).nonEmpty) Snapshots.drop(s, src)
+    ensureBuilt(s, dst, 3) {
+      Snapshots.drop(s, src)
       Snapshots.commit(o.repartitionByRange(8, col("o_orderkey")), src)
       val ck = s"${System.getProperty("java.io.tmpdir")}/q90-${java.util.UUID.randomUUID()}"
       val q = s.readStream.format("graft-snapshot").option("path", src)
@@ -851,8 +871,7 @@ object Incremental {
     val root = snapRoot(s, dir, "snaprest")
     val o = Tables.orders(s, dir)
       .select("o_orderkey", "o_orderstatus", "o_totalprice")
-    if (Snapshots.versions(s, root).size < 3) {
-      if (Snapshots.versions(s, root).nonEmpty) Snapshots.drop(s, root)
+    ensureBuilt(s, root, 3) {
       Snapshots.commit(o.repartitionByRange(8, col("o_orderkey")), root)
       Snapshots.deleteWhere(s, root, col("o_totalprice") > 250000)
       Snapshots.restore(s, root, 1L)
@@ -887,33 +906,40 @@ object Incremental {
       |       CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even
       |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
     val wh = snapRoot(s, dir, "sqlwh")
-    val dirKey = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val dirKey = Tables.dirKey(dir)
     val cat = s"graft_sql_$dirKey"
     s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.v2.SnapshotCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
     val tbl = s"$cat.m.orders_t"
-    if (Snapshots.versions(s, s"$wh/m/orders_t").size < 4) {
-      Snapshots.drop(s, s"$wh/m/orders_t")
-      Tables.orders(s, dir).createOrReplaceTempView("q92_orders")
+    val srcView = s"q92_orders_$dirKey" // dir-keyed: a fixed name would
+    // race concurrent construction for two data dirs in one session
+    ensureBuilt(s, s"$wh/m/orders_t", 4) {
+      Tables.orders(s, dir).createOrReplaceTempView(srcView)
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
       s.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
         "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
       s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, " +
-        "o_totalprice FROM q92_orders WHERE o_orderkey % 2 = 0")
+        s"o_totalprice FROM $srcView WHERE o_orderkey % 2 = 0")
       s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, " +
-        "o_totalprice FROM q92_orders WHERE o_orderkey % 2 = 1")
+        s"o_totalprice FROM $srcView WHERE o_orderkey % 2 = 1")
       // SQL DML: DELETE FROM routes through SupportsDelete into the
       // COW deleteWhere - v4, leaving v1-v3 time-travelable
       s.sql(s"DELETE FROM $tbl WHERE o_totalprice > 400000")
     }
+    // drive from the VERSION AS OF 3 universe (every inserted status —
+    // exactly the statuses the oracle's group-over-raw-orders emits): a
+    // status whose rows were ALL deleted must still appear with n_all=0,
+    // revenue NULL (the q85 lesson), and one only in odd keys with
+    // n_even=0
     s.sql(
-      s"""SELECT cur.o_orderstatus, cur.n_all, cur.revenue,
-         |       COALESCE(init.n_even, 0L) AS n_even
-         |FROM (SELECT o_orderstatus, COUNT(*) AS n_all,
+      s"""SELECT u.o_orderstatus, COALESCE(cur.n_all, 0L) AS n_all,
+         |       cur.revenue, COALESCE(init.n_even, 0L) AS n_even
+         |FROM (SELECT DISTINCT o_orderstatus FROM $tbl VERSION AS OF 3) u
+         |LEFT JOIN (SELECT o_orderstatus, COUNT(*) AS n_all,
          |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          |      FROM $tbl GROUP BY 1) cur
+         |USING (o_orderstatus)
          |LEFT JOIN (SELECT o_orderstatus, COUNT(*) AS n_even
          |           FROM $tbl VERSION AS OF 2 GROUP BY 1) init
          |USING (o_orderstatus)""".stripMargin)

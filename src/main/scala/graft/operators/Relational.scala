@@ -410,22 +410,28 @@ object Relational {
       |       md5(lower(trim(c.c_name))) AS proof
       |FROM repeat_offenders r
       |JOIN customer c ON c.c_custkey = r.custkey""".stripMargin) { (s, dir) =>
-    Tables.orders(s, dir).createOrReplaceTempView("g_orders")
-    Tables.customer(s, dir).createOrReplaceTempView("g_customer")
+    // dir-keyed view names: fixed names are shared session state — two
+    // dirs constructing concurrently would bind one query's SQL to the
+    // other dir's tables
+    val k = Tables.dirKey(dir)
+    val vOrders = s"g_orders_$k"; val vCustomer = s"g_customer_$k"
+    val vSuspects = s"g_suspects_$k"; val vOffenders = s"g_offenders_$k"
+    Tables.orders(s, dir).createOrReplaceTempView(vOrders)
+    Tables.customer(s, dir).createOrReplaceTempView(vCustomer)
     s.sql(
-      """SELECT DISTINCT o_custkey AS custkey FROM g_orders
+      s"""SELECT DISTINCT o_custkey AS custkey FROM $vOrders
         |WHERE to_date(o_orderdate) >= DATE '1995-01-01' AND o_orderstatus = 'F'
-        |""".stripMargin).createOrReplaceTempView("g_suspects")
+        |""".stripMargin).createOrReplaceTempView(vSuspects)
     s.sql(
-      """SELECT o.o_custkey AS custkey, COUNT(*) AS n
-        |FROM g_orders o JOIN g_suspects s ON o.o_custkey = s.custkey
+      s"""SELECT o.o_custkey AS custkey, COUNT(*) AS n
+        |FROM $vOrders o JOIN $vSuspects s ON o.o_custkey = s.custkey
         |WHERE o.o_orderstatus = 'F'
         |GROUP BY o.o_custkey HAVING COUNT(*) >= 3
-        |""".stripMargin).createOrReplaceTempView("g_offenders")
+        |""".stripMargin).createOrReplaceTempView(vOffenders)
     s.sql(
-      """SELECT c.c_custkey, c.c_name, r.n AS f_orders,
+      s"""SELECT c.c_custkey, c.c_name, r.n AS f_orders,
         |       md5(lower(trim(c.c_name))) AS proof
-        |FROM g_offenders r JOIN g_customer c ON c.c_custkey = r.custkey
+        |FROM $vOffenders r JOIN $vCustomer c ON c.c_custkey = r.custkey
         |""".stripMargin)
   }
 
