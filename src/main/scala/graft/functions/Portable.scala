@@ -27,6 +27,15 @@ object Portable {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Whitespace as an EXPLICIT char class — Java regex `\\s` includes
+    * U+000B (vertical tab) while DuckDB's RE2 `\\s` does not, so any
+    * portable fingerprint built on `\\s` diverges on VT-bearing text.
+    * The escape sequences here parse identically in Java and RE2, so
+    * the SAME string serves both the Spark side and (interpolated) the
+    * oracle SQL.
+    */
+  val WsRegex: String = "[ \\t\\n\\x0B\\f\\r]+"
+
   /** Distinct word n-gram shingles; docs shorter than n collapse to the
     * whole text as one shingle (oracle SQL mirrors the same guard).
     */

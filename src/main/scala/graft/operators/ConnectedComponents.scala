@@ -46,6 +46,18 @@ object ConnectedComponents {
       .select(greatest(col("x"), col("y")).as("u"),
         least(col("x"), col("y")).as("v"))
       .distinct().localCheckpoint()
+    // free a superseded round's localCheckpoint once its successor is
+    // materialized — checkpoint blocks sit in the protected storage
+    // fraction, so 10-30 resident edge-list copies would squeeze
+    // execution memory at exactly the graph sizes this class exists for
+    // (the q67 residency-hygiene lesson)
+    def free(df: DataFrame): Unit =
+      org.apache.spark.sql.GraftShim.logicalPlan(df) match {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          try lr.rdd.unpersist(blocking = false)
+          catch { case _: IllegalStateException => () }
+        case _ => ()
+      }
     var i = 0
     var converged = e.isEmpty
     while (i < maxRounds && !converged) {
@@ -58,11 +70,13 @@ object ConnectedComponents {
         .distinct()
       // small-star over the canonical (child > parent) orientation
       val withM = ls.withColumn("m", min("v").over(Window.partitionBy("u")))
+      val prev = e
       e = withM.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(withM.select(col("u"), col("m").as("v")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint() // eager: prev is dead once this returns
+      free(prev)
       i += 1
       // exact star-forest test: one parent per child, no parent is a child
       val r = e.agg(count(lit(1)).as("n"),

@@ -40,7 +40,7 @@ object Curation {
        |  FROM hs
        |), eligible AS (
        |  SELECT s.doc_id, s.lang, s.quality_bp,
-       |         md5(regexp_replace(lower(s.text), '\\s+', ' ', 'g')) AS fp,
+       |         md5(regexp_replace(lower(s.text), '${graft.functions.Portable.WsRegex}', ' ', 'g')) AS fp,
        |         g.sigstr
        |  FROM scored s JOIN sig g ON s.doc_id = g.doc_id
        |  WHERE s.quality_bp >= $QualityMin
@@ -75,7 +75,8 @@ object Curation {
     val eligible = scored
       .filter(col("quality_bp") >= QualityMin)
       .join(sig, col("doc_id") === col("sig_doc_id"))
-      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("fp", md5(regexp_replace(lower(col("text")),
+        graft.functions.Portable.WsRegex, " ")))
       .drop("text")
       .localCheckpoint()
     val deduped = eligible

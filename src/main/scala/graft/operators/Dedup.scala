@@ -526,7 +526,7 @@ object Dedup {
   val dDupRateBySource: QuerySpec = QuerySpec.sql(
     "d11_dup_rate_by_source",
     """WITH d AS (
-      |  SELECT source, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      |  SELECT source, md5(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS fp
       |  FROM documents
       |), g AS (
       |  SELECT source, fp, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1, 2
@@ -538,7 +538,9 @@ object Dedup {
       |FROM g GROUP BY 1""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .select(col("source"),
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+        // explicit class == Portable.WsRegex (RE2 \s excludes U+000B)
+        md5(regexp_replace(lower(col("text")),
+          graft.functions.Portable.WsRegex, " ")).as("fp"))
       .groupBy("source", "fp")
       .agg(count(lit(1)).as("n"))
       .groupBy("source")

@@ -40,9 +40,12 @@ object GlobalRank {
       (pid + 1, acc + cnt)
     }.take(counts.length).map { case (_, off) => off }
     val offByPid = counts.map(_._1).zip(offsets).toMap
-    val offCol = offByPid.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
-      when(col("__pid") === pid, lit(off)).otherwise(acc)
-    }
+    // flat constant-folded array lookup, O(1) per row with constant
+    // expression depth — a p-deep when/otherwise chain would blow
+    // codegen/stack limits at production shuffle-partition counts
+    // (p in the thousands) and cost O(p) branches per row
+    val offArr = Array.tabulate(p)(pid => offByPid.getOrElse(pid, 0L))
+    val offCol = element_at(array(offArr.map(lit(_)): _*), col("__pid") + 1)
     val wLocal = Window.partitionBy("__pid").orderBy(sort: _*)
     val ranked = ranged
       .withColumn(out, row_number().over(wLocal) + offCol)

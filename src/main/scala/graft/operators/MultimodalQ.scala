@@ -1,7 +1,8 @@
 package graft.operators
 
-import graft.{QuerySpec, Tables}
+import graft.{Intermediates, QuerySpec, Tables}
 import graft.multimodal.Multimodal
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked multimodal query: drives the real mapPartitions batch
@@ -9,6 +10,44 @@ import org.apache.spark.sql.functions._
   * so the DuckDB oracle can reproduce every value from the text bytes.
   */
 object MultimodalQ {
+
+  /** Decoded fake-media features, once per (session, dir) through the
+    * materialize-once seam — m1 returns the relation and m2/m3/m4
+    * derive from it (was: four independent decode passes per session).
+    */
+  private def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Intermediates.cached(s, dir, "mm_features") {
+      Multimodal.extractFeatures(
+        Multimodal.fakeMediaFromDocuments(Tables.documents(s, dir)),
+        Multimodal.FakeMediaDecoder).toDF()
+    }
+
+  /** The deterministic 16-bit-PCM-style sample expression shared by
+    * m6/m7/m8/m10 and their oracles. doc_id enters the LCG REDUCED MOD
+    * 65536: stride-replicated fixture ids start at 2^40, where the raw
+    * doc_id·1103515245 product leaves int64 — Spark would wrap silently
+    * while DuckDB aborts — so both engines compute the reduced form.
+    */
+  private def lcgSmp(docId: Column, i: Column): Column =
+    (((docId % lit(65536L)) * lit(1103515245L) + i * lit(12345L) + lit(104729L))
+      % lit(65536L)) - lit(32768L)
+
+  /** Per-frame energy/peak of the LCG stream at `flen`-sample frames,
+    * materialized once per (session, dir, flen): m7/m8/m10 consume the
+    * identical 256-sample relation (m6 the 1024 one), which previously
+    * re-exploded the corpus ×4096 in each query.
+    */
+  private def frameEnergy(s: SparkSession, dir: String, flen: Int): DataFrame =
+    Intermediates.cached(s, dir, s"mm_frame_energy_$flen") {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(sequence(lit(0), lit(4095))).as("i"))
+        .select(col("doc_id"), expr(s"i div $flen").cast("long").as("frame"),
+          lcgSmp(col("doc_id"), col("i")).as("smp"))
+        .groupBy("doc_id", "frame")
+        .agg(sum(col("smp") * col("smp")).as("energy"),
+          max(abs(col("smp"))).as("peak"),
+          count(lit(1)).as("n_samples"))
+    }
 
   val mFeatures: QuerySpec = QuerySpec.sql(
     "m1_media_features",
@@ -31,8 +70,7 @@ object MultimodalQ {
       |                 ELSE 1 + h % 300 END AS INTEGER) AS n_frames,
       |       md5(text) AS fingerprint
       |FROM m""".stripMargin) { (s, dir) =>
-    val media = Multimodal.fakeMediaFromDocuments(Tables.documents(s, dir))
-    Multimodal.extractFeatures(media, Multimodal.FakeMediaDecoder).toDF()
+    mediaFeatures(s, dir)
   }
 
   private val hSql = "CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT)"
@@ -60,9 +98,9 @@ object MultimodalQ {
        |       CAST(w * sc // 1000 AS INTEGER) AS new_width,
        |       CAST(h * sc // 1000 AS INTEGER) AS new_height
        |FROM s""".stripMargin) { (s, dir) =>
-    val media = Multimodal.fakeMediaFromDocuments(Tables.documents(s, dir))
-    val feats = Multimodal.extractFeatures(media, Multimodal.FakeMediaDecoder)
-    Multimodal.resize(feats, maxW = 320, maxH = 240).toDF()
+    import s.implicits._
+    Multimodal.resize(mediaFeatures(s, dir).as[Multimodal.MediaFeatures],
+      maxW = 320, maxH = 240).toDF()
   }
 
   /** Frame sampling (every 10th frame) over the decoded features. */
@@ -81,9 +119,9 @@ object MultimodalQ {
        |       CAST((n_frames + 9) // 10 AS INTEGER) AS n_sampled,
        |       CAST(((n_frames + 9) // 10 - 1) * 10 AS INTEGER) AS last_frame
        |FROM m""".stripMargin) { (s, dir) =>
-    val media = Multimodal.fakeMediaFromDocuments(Tables.documents(s, dir))
-    val feats = Multimodal.extractFeatures(media, Multimodal.FakeMediaDecoder)
-    Multimodal.sampleFrames(feats, everyN = 10).toDF()
+    import s.implicits._
+    Multimodal.sampleFrames(mediaFeatures(s, dir).as[Multimodal.MediaFeatures],
+      everyN = 10).toDF()
   }
 
   /** Per-modality corpus report over the decoded features: volume, byte
@@ -110,8 +148,7 @@ object MultimodalQ {
        |       CAST(SUM(duration_ms) AS BIGINT) AS total_ms,
        |       CAST(SUM(w) * 100 // COUNT(*) AS BIGINT) AS avg_w_c
        |FROM m GROUP BY 1""".stripMargin) { (s, dir) =>
-    val media = Multimodal.fakeMediaFromDocuments(Tables.documents(s, dir))
-    Multimodal.extractFeatures(media, Multimodal.FakeMediaDecoder).toDF()
+    mediaFeatures(s, dir)
       .groupBy("media_type")
       .agg(count(lit(1)).as("n"),
         sum("n_bytes").as("total_bytes"),
@@ -162,10 +199,14 @@ object MultimodalQ {
         Multimodal.MediaRow(id, "image",
           Multimodal.encodeSplitPng(w, h, w * k / 8))
       })
+    // decode once: both join inputs read the checkpointed features (the
+    // un-materialized lineage ran PNG synthesis + ImageIO decode twice)
     val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
-    val resized = Multimodal.resize(feats, maxW = 32, maxH = 32).toDF()
+      .toDF().localCheckpoint()
+    val resized = Multimodal.resize(feats.as[Multimodal.MediaFeatures],
+        maxW = 32, maxH = 32).toDF()
       .select(col("doc_id"), col("new_width"), col("new_height"))
-    feats.toDF()
+    feats
       .select(col("doc_id"), col("width"), col("height"),
         col("fingerprint").as("ahash"))
       .join(resized, "doc_id")
@@ -185,7 +226,7 @@ object MultimodalQ {
     "m6_audio_frames",
     """WITH s AS (
       |  SELECT doc_id, i,
-      |         ((doc_id * 1103515245 + i * 12345 + 104729) % 65536) - 32768 AS smp
+      |         (((doc_id % 65536) * 1103515245 + i * 12345 + 104729) % 65536) - 32768 AS smp
       |  FROM documents CROSS JOIN generate_series(0, 4095) AS g(i)
       |)
       |SELECT doc_id, CAST(i // 1024 AS BIGINT) AS frame,
@@ -193,15 +234,7 @@ object MultimodalQ {
       |       CAST(MAX(ABS(smp)) AS BIGINT) AS peak,
       |       COUNT(*) AS n_samples
       |FROM s GROUP BY doc_id, i // 1024""".stripMargin) { (s, dir) =>
-    Tables.documents(s, dir)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(4095))).as("i"))
-      .select(col("doc_id"), expr("i div 1024").cast("long").as("frame"),
-        (((col("doc_id") * lit(1103515245L) + col("i") * lit(12345L) + lit(104729L))
-          % lit(65536L)) - lit(32768L)).as("smp"))
-      .groupBy("doc_id", "frame")
-      .agg(sum(col("smp") * col("smp")).as("energy"),
-        max(abs(col("smp"))).as("peak"),
-        count(lit(1)).as("n_samples"))
+    frameEnergy(s, dir, 1024)
   }
 
   /** m7: silence-run detection — the VAD/trim step an audio curation
@@ -218,7 +251,7 @@ object MultimodalQ {
     "m7_silence_runs",
     """WITH s AS (
       |  SELECT doc_id, i,
-      |         ((doc_id * 1103515245 + i * 12345 + 104729) % 65536) - 32768 AS smp
+      |         (((doc_id % 65536) * 1103515245 + i * 12345 + 104729) % 65536) - 32768 AS smp
       |  FROM documents CROSS JOIN generate_series(0, 4095) AS g(i)
       |), f AS (
       |  SELECT doc_id, i // 256 AS frame, CAST(SUM(smp * smp) AS BIGINT) AS energy
@@ -241,13 +274,7 @@ object MultimodalQ {
       |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id")
-    val f = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(4095))).as("i"))
-      .select(col("doc_id"), expr("i div 256").cast("long").as("frame"),
-        (((col("doc_id") * lit(1103515245L) + col("i") * lit(12345L) + lit(104729L))
-          % lit(65536L)) - lit(32768L)).as("smp"))
-      .groupBy("doc_id", "frame")
-      .agg(sum(col("smp") * col("smp")).as("energy"))
+    val f = frameEnergy(s, dir, 256).select("doc_id", "frame", "energy")
     f.withColumn("tot", sum("energy").over(byDoc))
       .filter(col("energy") * lit(16L) < col("tot"))
       .withColumn("grp", col("frame") - row_number().over(byDoc.orderBy("frame")))
@@ -272,7 +299,7 @@ object MultimodalQ {
     "m8_scene_changes",
     """WITH s AS (
       |  SELECT doc_id, i,
-      |         ((doc_id * 1103515245 + i * 12345 + 104729) % 65536) - 32768 AS smp
+      |         (((doc_id % 65536) * 1103515245 + i * 12345 + 104729) % 65536) - 32768 AS smp
       |  FROM documents CROSS JOIN generate_series(0, 4095) AS g(i)
       |), f AS (
       |  SELECT doc_id, i // 256 AS frame, SUM(smp * smp) AS energy
@@ -287,13 +314,7 @@ object MultimodalQ {
       |       CAST(MAX(delta) AS BIGINT) AS max_delta
       |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val f = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(4095))).as("i"))
-      .select(col("doc_id"), expr("i div 256").cast("long").as("frame"),
-        (((col("doc_id") * lit(1103515245L) + col("i") * lit(12345L) + lit(104729L))
-          % lit(65536L)) - lit(32768L)).as("smp"))
-      .groupBy("doc_id", "frame")
-      .agg(sum(col("smp") * col("smp")).as("energy"))
+    val f = frameEnergy(s, dir, 256).select("doc_id", "frame", "energy")
     f.withColumn("delta", abs(col("energy") -
         lag("energy", 1).over(Window.partitionBy("doc_id").orderBy("frame"))))
       .groupBy("doc_id")
@@ -377,7 +398,7 @@ object MultimodalQ {
     "m10_shot_table",
     """WITH s AS (
       |  SELECT doc_id, i,
-      |         ((doc_id * 1103515245 + i * 12345 + 104729) % 65536) - 32768 AS smp
+      |         (((doc_id % 65536) * 1103515245 + i * 12345 + 104729) % 65536) - 32768 AS smp
       |  FROM documents CROSS JOIN generate_series(0, 4095) AS g(i)
       |), f AS (
       |  SELECT doc_id, i // 256 AS frame, SUM(smp * smp) AS energy
@@ -401,13 +422,7 @@ object MultimodalQ {
       |       CAST(SUM(energy) AS BIGINT) AS energy_sum
       |FROM g GROUP BY 1, 2""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val f = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(4095))).as("i"))
-      .select(col("doc_id"), expr("i div 256").cast("long").as("frame"),
-        (((col("doc_id") * lit(1103515245L) + col("i") * lit(12345L) + lit(104729L))
-          % lit(65536L)) - lit(32768L)).as("smp"))
-      .groupBy("doc_id", "frame")
-      .agg(sum(col("smp") * col("smp")).as("energy"))
+    val f = frameEnergy(s, dir, 256).select("doc_id", "frame", "energy")
     val wLag = Window.partitionBy("doc_id").orderBy("frame")
     val wRun = wLag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     f.withColumn("cut",

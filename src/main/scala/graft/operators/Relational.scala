@@ -652,9 +652,18 @@ object Relational {
     */
   val q34Salted: QuerySpec = QuerySpec.sql(
     "q34_salted_agg",
-    """SELECT l_returnflag, SUM(l_quantity) AS sum_l_quantity, COUNT(*) AS n
+    """SELECT l_returnflag,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_l_quantity,
+      |       COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag""".stripMargin) { (s, dir) =>
-    Skew.saltedSumCount(Tables.lineitem(s, dir), Seq("l_returnflag"), "l_quantity")
+    // decimal partials (the house determinism rule): the salted two-
+    // phase sums in a different order than the oracle's single pass,
+    // so a double accumulator would be ULP-dependent on the split
+    Skew.saltedSumCount(
+      Tables.lineitem(s, dir)
+        .withColumn("l_quantity", col("l_quantity").cast("decimal(18,4)")),
+      Seq("l_returnflag"), "l_quantity")
+      .withColumn("sum_l_quantity", col("sum_l_quantity").cast("double"))
   }
 
   val all: Seq[QuerySpec] = Seq(

@@ -31,6 +31,9 @@ object Skew {
     * plain count per key. Equivalent to countDistinct(value) per key.
     */
   def spreadCountDistinct(df: DataFrame, key: String, valueCol: String): DataFrame =
-    df.select(col(key), col(valueCol)).distinct()
+    // NULL is not a value to countDistinct — without the filter a key
+    // with one NULL row reads one too high (and all-NULL keys read 1)
+    df.select(col(key), col(valueCol)).filter(col(valueCol).isNotNull)
+      .distinct()
       .groupBy(key).agg(count(lit(1)).as(s"n_distinct_$valueCol"))
 }

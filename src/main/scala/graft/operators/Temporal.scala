@@ -30,6 +30,39 @@ object Temporal {
     * in this corpus but the (us, side, event_id) total order pins
     * determinism anyway.
     */
+  /** The tagged-union as-of machinery shared by q29 (backward: latest
+    * `rightType` at-or-before each `leftType` event) and q56 (forward:
+    * earliest at-or-after — the identical scan with the ordering
+    * reversed). One shuffle on user_id, no join operator; `side` orders
+    * right rows first at equal us in both directions, so boundary-equal
+    * matches count. The tie-break/frame logic lives ONLY here — the two
+    * queries previously each carried a hand-mirrored copy.
+    */
+  private def asOfJoin(s: org.apache.spark.sql.SparkSession, dir: String,
+      rightType: String, leftType: String, forward: Boolean,
+      outId: String, outGap: String, gapExpr: String): org.apache.spark.sql.DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    val rights = e.filter(col("event_type") === rightType)
+      .select(col("user_id"), col("us"), col("event_id"), lit(0).as("side"))
+    val lefts = e.filter(col("event_type") === leftType)
+      .select(col("user_id"), col("us"), col("event_id"), lit(1).as("side"))
+    val base = Window.partitionBy("user_id")
+    val w = (if (forward)
+        base.orderBy(col("us").desc, col("side").asc, col("event_id").desc)
+      else base.orderBy(col("us").asc, col("side").asc, col("event_id").asc))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rights.unionAll(lefts)
+      .withColumn(outId,
+        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("r_us",
+        last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col(outId).isNotNull)
+      .select(col("event_id").as("click_id"), col("user_id"), col(outId),
+        expr(gapExpr).as(outGap))
+  }
+
   val qAsOf: QuerySpec = QuerySpec.sql(
     "q29_asof_join",
     """WITH e AS (
@@ -51,23 +84,9 @@ object Temporal {
       |SELECT event_id AS click_id, user_id, view_id,
       |       CAST((us - view_us) // 1000000 AS BIGINT) AS gap_s
       |FROM w WHERE side = 1 AND view_id IS NOT NULL""".stripMargin) { (s, dir) =>
-    val e = Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
-        col("event_type"))
-    val views = e.filter(col("event_type") === "view")
-      .select(col("user_id"), col("us"), col("event_id"), lit(0).as("side"))
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("us"), col("event_id"), lit(1).as("side"))
-    val w = Window.partitionBy("user_id").orderBy("us", "side", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    views.unionAll(clicks)
-      .withColumn("view_id",
-        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("view_us",
-        last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w))
-      .filter(col("side") === 1 && col("view_id").isNotNull)
-      .select(col("event_id").as("click_id"), col("user_id"), col("view_id"),
-        expr("(us - view_us) div 1000000").as("gap_s")) // integer µs→s, no float
+    asOfJoin(s, dir, rightType = "view", leftType = "click", forward = false,
+      outId = "view_id", outGap = "gap_s",
+      gapExpr = "(us - r_us) div 1000000") // integer µs→s, no float
   }
 
   private val DayUs = 86400000000L
@@ -138,24 +157,9 @@ object Temporal {
       |SELECT event_id AS click_id, user_id, purchase_id,
       |       CAST((p_us - us) // 1000000 AS BIGINT) AS wait_s
       |FROM w WHERE side = 1 AND purchase_id IS NOT NULL""".stripMargin) { (s, dir) =>
-    val e = Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
-        col("event_type"))
-    val purchases = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("us"), col("event_id"), lit(0).as("side"))
-    val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("us"), col("event_id"), lit(1).as("side"))
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("us").desc, col("side").asc, col("event_id").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    purchases.unionAll(clicks)
-      .withColumn("purchase_id",
-        last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("p_us",
-        last(when(col("side") === 0, col("us")), ignoreNulls = true).over(w))
-      .filter(col("side") === 1 && col("purchase_id").isNotNull)
-      .select(col("event_id").as("click_id"), col("user_id"), col("purchase_id"),
-        expr("(p_us - us) div 1000000").as("wait_s"))
+    asOfJoin(s, dir, rightType = "purchase", leftType = "click", forward = true,
+      outId = "purchase_id", outGap = "wait_s",
+      gapExpr = "(r_us - us) div 1000000")
   }
 
   /** q79: per-key time-series resample — gap-fill each user's daily
@@ -207,6 +211,9 @@ object Temporal {
     val d = Tables.events(s, dir)
       .withColumn("day", to_date(col("ts")))
       .groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      // both the spine build and the join probe read this relation —
+      // without materialization the events scan + aggregation run twice
+      .localCheckpoint()
     val spine = d.groupBy("user_id")
       .agg(min("day").as("mn"), max("day").as("mx"))
       .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("day"))

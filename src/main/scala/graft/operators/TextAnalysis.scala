@@ -20,7 +20,7 @@ object TextAnalysis {
     "t1_token_count",
     """SELECT source,
       |       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
-      |       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))) AS BIGINT) AS re_tokens,
+      |       CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\t\n\x0B\f\r ]'))) AS BIGINT) AS re_tokens,
       |       COUNT(*) AS n_docs
       |FROM documents
       |GROUP BY source""".stripMargin) { (s, dir) =>
@@ -28,7 +28,10 @@ object TextAnalysis {
       .groupBy("source")
       .agg(
         sum(size(split(col("text"), " "))).as("ws_tokens"),
-        sum(size(expr("regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\\\s]', 0)"))).as("re_tokens"),
+        // explicit whitespace class: RE2 \s excludes U+000B, Java's
+        // includes it (Portable.WsRegex note)
+        sum(size(regexp_extract_all(col("text"),
+          lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\t\\n\\x0B\\f\\r ]"), lit(0)))).as("re_tokens"),
         count(lit(1)).as("n_docs"))
   }
 
@@ -98,13 +101,14 @@ object TextAnalysis {
   val tFingerprint: QuerySpec = QuerySpec.sql(
     "t4_fingerprint",
     s"""SELECT doc_id,
-       |       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp_md5,
+       |       md5(regexp_replace(lower(text), '${graft.functions.Portable.WsRegex}', ' ', 'g')) AS fp_md5,
        |       CAST(list_min(list_transform(${Portable.shinglesSql(3).replace("\n", " ")},
        |            s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT))) AS BIGINT) AS fp_min
        |FROM documents""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .select(col("doc_id"),
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp_md5"),
+        md5(regexp_replace(lower(col("text")),
+          graft.functions.Portable.WsRegex, " ")).as("fp_md5"),
         array_min(graft.functions.ShingleHash.shingleHashes(col("text"), 3))
           .as("fp_min"))
   }
@@ -210,7 +214,9 @@ object TextAnalysis {
   private[graft] def rankedVocab(s: org.apache.spark.sql.SparkSession,
       dfTable: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     GlobalRank.rowNumber(dfTable, Seq(col("df").desc, col("token")), "rnk0")
-      .withColumn("rnk", col("rnk0").cast("int"))
+      // LongType rank end to end: an int cast would silently wrap past
+      // 2^31 distinct tokens while the oracle's DENSE_RANK stays BIGINT
+      .withColumnRenamed("rnk0", "rnk")
       .select("token", "rnk")
 
   /** PII-redaction seam: numeric literals in the semi-structured event
@@ -257,7 +263,10 @@ object TextAnalysis {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("token"))
-    val df = tok.groupBy("token").agg(count(lit(1)).as("df"))
+    // t6's materialized relation IS this df aggregation — reuse it
+    // instead of re-scanning and re-shuffling the corpus (t6 is
+    // memoized in `all`, the p11/p12 seam)
+    val df = graft.Intermediates.of(tVocabDf)(s, dir).select("token", "df")
     tok.join(broadcast(df), "token")
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("token"))))
@@ -404,10 +413,11 @@ object TextAnalysis {
       |FROM f JOIN tot ON f.doc_id = tot.doc_id
       |GROUP BY f.doc_id""".stripMargin) { (s, dir) =>
     val f = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
-      // Java regex split keeps a trailing "" that DuckDB's char split
-      // does not emit
-      .filter(col("ch") =!= "")
+      // one match per CODEPOINT (a Java regex '.' spans a surrogate
+      // pair) to match DuckDB's string_split(text, '') — split(text, "")
+      // cuts UTF-16 code units and diverges on supplementary-plane text
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("(?s)."), lit(0))).as("ch"))
       .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
     // total chars per doc as a doc-partitioned window, so the window and
     // the final aggregation share one doc_id exchange (no tot-join)
@@ -662,7 +672,7 @@ object TextAnalysis {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(tTokens, tQuality.memo, tLangId.memo, tFingerprint, tRepetition, tVocabDf,
+    Seq(tTokens, tQuality.memo, tLangId.memo, tFingerprint, tRepetition, tVocabDf.memo,
       tSurprisal, tRedact, tKeywords, tGopher, tBigramLm.memo, tLangConfusion,
       tCharEntropy, tLmScore, tBpePairs, tCollocations, tNgramNovelty,
       tVocabGrowth)

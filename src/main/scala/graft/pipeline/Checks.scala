@@ -34,8 +34,11 @@ object Checks {
 
   def relationship(child: DataFrame, childKey: String,
       parent: DataFrame, parentKey: String): CheckResult = {
-    // alias both sides — the key names may collide across the two frames
+    // alias both sides — the key names may collide across the two frames.
+    // NULL child keys are not violations (dbt's relationships test
+    // checks only non-null keys; pair with notNull to forbid them)
     val v = child.select(col(childKey).as("__ck"))
+      .filter(col("__ck").isNotNull)
       .join(parent.select(col(parentKey).as("__pk")),
         col("__ck") === col("__pk"), "left_anti").count()
     CheckResult(s"relationship($childKey -> $parentKey)", v == 0, v)

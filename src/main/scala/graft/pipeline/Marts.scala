@@ -16,7 +16,7 @@ object Marts {
   def stgCustomers: Stages.Stage = Stages.Stage("stg_customers", Seq("customer"),
     ups => ups("customer").select(
       col("c_custkey").as("customer_id"),
-      initcap(lower(col("c_name"))).as("customer_name"),
+      initcap(col("c_name")).as("customer_name"),
       coalesce(col("c_mktsegment"), lit("Unknown")).as("segment"),
       col("c_acctbal").cast("decimal(12,2)").as("acctbal")))
 
@@ -71,13 +71,18 @@ object Marts {
       "orders" -> Tables.orders(spark, dir),
       "lineitem" -> Tables.lineitem(spark, dir)))
 
-  /** D2 incremental: recompute only orders on/after `cutoff` and replace
-    * exactly the affected month partitions at `path`.
+  /** D2 incremental: recompute every order in the months `cutoff`
+    * touches and replace exactly those month partitions at `path`. The
+    * filter snaps to the MONTH boundary — dynamic partition overwrite
+    * replaces whole order_month partitions, so a mid-month cutoff that
+    * filtered on order_date would silently delete the partition's rows
+    * before the cutoff day.
     */
   def incrementalFctOrders(spark: SparkSession, dir: String, path: String,
       cutoff: String): Unit = {
+    val cutoffMonth = date_format(lit(cutoff).cast("date"), "yyyyMM")
     val slice = run(spark, dir)("fct_orders")
-      .filter(col("order_date") >= lit(cutoff))
+      .filter(col("order_month") >= cutoffMonth)
     Stages.overwritePartitions(slice, path, "order_month")
   }
 

@@ -52,7 +52,10 @@ object RevenueAnalysis {
       .withColumn("revenue",
         when(col("event") === "purchase", col("props.price"))
           .otherwise(lit(0.0)).cast("double"))
-      .filter(col("revenue") >= 0.0) // drop the injected negative-price rows
+      // drop ONLY the injected negative-price rows: a purchase with a
+      // NULL props.price keeps its event/user counts (null revenue sums
+      // as nothing) rather than vanishing from every KPI
+      .filter(col("revenue").isNull || col("revenue") >= 0.0)
     parsed
       .join(broadcast(items), Seq("item_id"), "left")
       .join(broadcast(users.withColumnRenamed("id", "user_id")

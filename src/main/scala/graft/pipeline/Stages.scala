@@ -15,9 +15,16 @@ object Stages {
 
   /** Topologically order and materialize all stages; returns every
     * stage's DataFrame by name. Cycles and missing deps fail fast.
+    *
+    * Stage names double as temp-view names, so one session must not run
+    * two different source sets concurrently under the same stage names
+    * (last registration wins for spark.sql consumers — the shared-state
+    * hazard Tables.dirKey-suffixed views guard against elsewhere); pass
+    * `viewSuffix` to disambiguate when two runs must coexist.
     */
   def run(spark: SparkSession, stages: Seq[Stage],
-      sources: Map[String, DataFrame] = Map.empty): Map[String, DataFrame] = {
+      sources: Map[String, DataFrame] = Map.empty,
+      viewSuffix: String = ""): Map[String, DataFrame] = {
     val byName = stages.map(s => s.name -> s).toMap
     var done = sources
     var visiting = Set.empty[String]
@@ -29,7 +36,7 @@ object Stages {
       visiting += name
       val ups = st.deps.map(d => d -> resolve(d)).toMap
       val df = st.build(ups)
-      df.createOrReplaceTempView(name)
+      df.createOrReplaceTempView(name + viewSuffix)
       visiting -= name
       done += name -> df
       df
@@ -46,11 +53,10 @@ object Stages {
     */
   def overwritePartitions(df: DataFrame, path: String,
       partitionCol: String): Unit =
-    df.sparkSession.conf.synchronized {
-      val conf = df.sparkSession.conf
-      val prev = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
-      conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
-      try df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
-      finally conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    }
+    // per-write option, NOT a session-conf mutate/restore: the conf flip
+    // would leak DYNAMIC mode to every concurrent writer on the session
+    // for the duration of this (long) write job
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
 }

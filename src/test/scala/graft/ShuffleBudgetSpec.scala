@@ -165,7 +165,10 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q91_snapshot_restore" -> 3,
     // two aggs (latest + VERSION AS OF) + their join, all in SQL via
     // the catalog; the CREATE/INSERT cycle runs as separate jobs
-    "q92_sql_catalog" -> 3,
+    // 3 aggregation branches (current, VERSION AS OF 2, and the VERSION
+    // AS OF 3 status universe that keeps fully-deleted statuses in the
+    // result) + 2 join exchanges
+    "q92_sql_catalog" -> 5,
     // curated-v1 exceptAll feed-deletes union feed-inserts + the digest
     // agg; the DML build cycle runs as separate jobs
     "p17_incremental_curation" -> 4)
