@@ -29,26 +29,48 @@ object Bench {
       }
       spark
     }
-    // warm the JVM / codegen / parquet footers once so per-query numbers
-    // measure the queries, not first-touch setup
-    try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // JSON string escaper (the Verify.q contract): quote, backslash and
+    // EVERY control char — an exception message with \b or \f would
+    // otherwise invalidate the artifact, which the driver's json.load
+    // silently zeroes
+    def jstr(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+    // warm the JVM / codegen once (entry), then the BENCH dir's parquet
+    // footers and page cache — entry() reads sf0.001, so without this
+    // the alphabetically first measured query absorbed sfDir's
+    // first-touch costs into its recorded time and every ratio built on it
+    try {
+      SparkEntry.entry(spark).count()
+      Tables.starTables.foreach(t => Tables.load(spark, sfDir, t).count())
+    } catch { case _: Throwable => }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    // elapsed is recorded even on failure (time-to-failure is real wall
-    // time and keeps the total comparable across rounds); failures are
-    // listed separately instead of poisoning the numbers with sentinels
-    def run(name: String, dir: String): Double = {
+    // elapsed is reported even on failure (time-to-failure is real wall
+    // time and keeps the per-query list complete across rounds), but a
+    // failed run NEVER enters a ratio series or a warm/base map — `ok`
+    // gates that (a time-to-failure masquerading as a measurement is
+    // how a scaling artifact lies)
+    def run(name: String, dir: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(session(), dir).count() }
-      catch { case e: Throwable =>
-        val msg = Option(e.getMessage).getOrElse("")
-          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120)
-        failed += s"$name@$dir:${e.getClass.getSimpleName}:$msg" }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(session(), dir).count(); true }
+        catch { case e: Throwable =>
+          val raw = Option(e.getMessage).getOrElse("").take(120)
+          // a 120-char cut can split a surrogate pair; drop the orphan
+          val cut = if (raw.nonEmpty && Character.isHighSurrogate(raw.last))
+            raw.dropRight(1) else raw
+          failed += jstr(s"$name@$dir:${e.getClass.getSimpleName}:$cut")
+          false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n, sfDir))
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2._1).sum
+    val resultTimes = results.map { case (n, (t, _)) => n -> t }
 
     // scale-stress tiers: rebuild the fixture N× up (disjoint key
     // shards — ScaleFixture scaladoc) and re-run the expensive tail in the
@@ -57,12 +79,14 @@ object Bench {
     //
     // Two passes per tier: the first pays any shared-intermediate builds
     // for the scaled dir (cold), the second measures the query alone
-    // (warm). Base-run times are warm by construction — the full registry
-    // pass populated the materialize-once seam — so every scaling ratio
-    // compares warm to warm. `vsWarm` adds a second ratio series against
-    // another tier's warm times (the two-point scaling curve: sf2's
-    // ratio_vs_sf1 over 3.2× data vs sf1's ratio_vs_base over 10× —
-    // convexity between decades is the 100× predictor).
+    // (warm). The ratio DENOMINATOR is a dedicated warm re-run of the
+    // heavy set at base scale (below) — the full-registry pass's time
+    // for a seam-PRODUCING query includes its seam build, and using it
+    // would mix cold-denominator ratios into a warm-vs-warm series.
+    // `vsWarm` adds a second ratio series against another tier's warm
+    // times (the scaling curve: sf2's ratio_vs_sf1 over 3.2× data vs
+    // sf1's ratio_vs_base over 10× — convexity between decades is the
+    // 100× predictor).
     def scaleTier(label: String, factor: Int, budgetSec: Double,
         queries: Seq[String], base: Map[String, Double],
         vsWarm: Option[(String, Map[String, Double])],
@@ -82,12 +106,18 @@ object Bench {
         // mode the first factor-32 run hit (10 colds = 485 s > budget,
         // warm pass never started)
         var spent = 0.0
+        var attempted = 0
         val cold = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
         val warm = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
         for (n <- queries if spent < budgetSec) {
-          val tc = run(n, dst); spent += tc; cold += (n -> tc)
-          if (spent < budgetSec) {
-            val tw = run(n, dst); spent += tw; warm += (n -> tw)
+          attempted += 1
+          val (tc, okc) = run(n, dst); spent += tc
+          if (okc) {
+            cold += (n -> tc)
+            if (spent < budgetSec) {
+              val (tw, okw) = run(n, dst); spent += tw
+              if (okw) warm += (n -> tw)
+            }
           }
           // at the top factor each query measures against its OWN
           // working set: a prior query's cached seam is unevictable
@@ -96,10 +126,10 @@ object Bench {
           // against the warm seam before the evict)
           if (perQueryEvict) Intermediates.dropAll()
         }
-        val skipped = queries.drop(cold.size)
+        val skipped = queries.drop(attempted)
         val warmMap = warm.toMap
         // ratios are strictly warm-vs-warm; a budget-truncated warm pass
-        // yields no ratio rather than a cold number mislabeled as one
+        // (or a failed run) yields no ratio rather than a wrong number
         def ratiosVs(ref: Map[String, Double]): Seq[(String, Double)] =
           cold.toSeq.flatMap { case (n, _) =>
             warmMap.get(n) match {
@@ -123,7 +153,16 @@ object Bench {
     }
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "600").toDouble
-    val base = results.toMap
+    // warm-base pass over the heavy set: the full-registry pass above
+    // left every memoized seam resident, so these re-runs are TRUE warm
+    // numbers — the registry pass's own time for whichever query first
+    // built a seam included that build and is not a valid warm
+    // denominator. Failed queries stay out (run() gates on ok).
+    val known = SparkEntry.queries.keySet
+    val warmBase = ScaleFixture.heavyQueries.filter(known)
+      .map(n => n -> run(n, sfDir))
+      .collect { case (n, (t, true)) => n -> t }
+    val base = resultTimes.toMap ++ warmBase // heavy set overridden warm
     // perQueryEvict on EVERY tier: without it, earlier queries' seam
     // checkpoints stay resident and inflate later queries' measurements
     // (q64@10x measured 41 s warm inside the tier vs 7 s isolated —
@@ -155,7 +194,7 @@ object Bench {
       if (failed.isEmpty) ""
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
     val restartsJson = if (restarts == 0) "" else s""","context_restarts":$restarts"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"sf":"$sfDir"$failedJson$restartsJson$sf1$sf2$sf3}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(resultTimes)},"warm_base":${json(warmBase)},"sf":"${jstr(sfDir)}"$failedJson$restartsJson$sf1$sf2$sf3}"""
     println(line)
     // durable machine-readable copy: the driver's BENCH artifact keeps
     // only the tail of stdout, which loses the base section once the

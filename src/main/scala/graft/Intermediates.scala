@@ -27,7 +27,18 @@ import scala.collection.concurrent.TrieMap
   * another session's orphaned blocks.
   */
 object Intermediates {
-  private val cache = TrieMap.empty[(Int, String, String), DataFrame]
+  private val cache = TrieMap.empty[(String, String, String), DataFrame]
+  private val locks = TrieMap.empty[(String, String, String), Object]
+
+  // applicationId + identity, not identityHashCode alone: the hash is a
+  // non-unique ~31-bit value, so a restarted session could collide with
+  // a dead one's entry and be handed a DataFrame bound to a STOPPED
+  // context. The applicationId changes with every context, so stale
+  // entries can never alias a live session; a residual same-context
+  // identity collision would at worst serve a sibling session's frame
+  // over the same live block manager.
+  private def sessionKey(s: SparkSession): String =
+    s"${s.sparkContext.applicationId}-${System.identityHashCode(s)}"
 
   def of(spec: QuerySpec)(s: SparkSession, dir: String): DataFrame =
     cached(s, dir, spec.name)(spec.run(s, dir))
@@ -37,9 +48,23 @@ object Intermediates {
     * d7 both aggregate over).
     */
   def cached(s: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(s), dir, key),
-      build.localCheckpoint())
+      build: => DataFrame): DataFrame = {
+    val k = (sessionKey(s), dir, key)
+    cache.get(k) match {
+      case Some(df) => df
+      case None =>
+        // per-key lock around the build: TrieMap.getOrElseUpdate may
+        // evaluate the thunk in two racing threads and DISCARD one
+        // result — whose localCheckpoint blocks would then be pinned
+        // with no cache reference to ever unpersist them (the exact
+        // leak dropAll() exists to prevent). One builder per key wins
+        // the race by construction; the double-check keeps the fast
+        // path lock-free.
+        locks.getOrElseUpdate(k, new Object).synchronized {
+          cache.getOrElseUpdate(k, build.localCheckpoint())
+        }
+    }
+  }
 
   /** Test seam: drop all cached results (e.g. between suites that reuse
     * one session but mutate inputs).
@@ -66,7 +91,7 @@ object Intermediates {
     */
   def dropAll(): Unit = drop(cache.keys.toSeq)
 
-  private def drop(keys: Seq[(Int, String, String)]): Unit =
+  private def drop(keys: Seq[(String, String, String)]): Unit =
     keys.foreach { k =>
       cache.remove(k).foreach { df =>
         org.apache.spark.sql.GraftShim.logicalPlan(df) match {

@@ -7,10 +7,15 @@ package graft
   */
 object QBench {
   def main(args: Array[String]): Unit = {
-    val (names, reps) = args.partition(!_.forall(_.isDigit)) match {
-      case (ns, Array(r)) => (ns.toSeq, r.toInt)
-      case (ns, _)        => (ns.toSeq, 2)
-    }
+    // fail loudly on ambiguous args: two numbers (which is the rep
+    // count?) or an empty token previously fell through to silent
+    // defaults / NumberFormatException — a silently wrong rep count
+    // skews exactly the comparison this tool exists for
+    val (numeric, names0) = args.toSeq.partition(a => a.nonEmpty && a.forall(_.isDigit))
+    require(args.forall(_.nonEmpty), "empty argument")
+    require(numeric.lengthCompare(1) <= 0,
+      s"at most one reps argument, got: ${numeric.mkString(", ")}")
+    val (names, reps) = (names0, numeric.headOption.map(_.toInt).getOrElse(2))
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus = cpus.toInt, appName = "qbench")

@@ -49,8 +49,10 @@ object ScaleFixture {
   /** Bump when the generated CONTENT changes (e.g. the embedding
     * transform): the reuse marker embeds it, so scratch fixtures from
     * an older generator rebuild instead of being silently reused.
+    * gen3: every replica (including 0) suffixes tokens — see the
+    * documents transform note.
     */
-  val GenVersion: Int = 2
+  val GenVersion: Int = 3
 
   /** The expensive tail of the registry — the queries worth re-running
     * at 10×: the round-3 bench top-5, the graph and sketch set, and one
@@ -108,6 +110,17 @@ object ScaleFixture {
     // overflow); the old factor-32 embedding-aliasing bound is gone
     // since replicas carry distinct sign patterns (scaladoc above)
     require(factor >= 1 && factor <= 1024, s"factor $factor out of range (1..1024)")
+    // dstDir is recursively DELETED on rebuild — a swapped or duplicated
+    // argument must never be able to erase the driver-provided source
+    // (nor may dst live under src, where the stamp walk would see the
+    // fixture and endlessly self-invalidate)
+    locally {
+      val srcP = new Path(srcDir).toUri.getPath.stripSuffix("/")
+      val dstP = new Path(dstDir).toUri.getPath.stripSuffix("/")
+      require(srcP != dstP && !srcP.startsWith(dstP + "/") &&
+        !dstP.startsWith(srcP + "/"),
+        s"dstDir '$dstDir' overlaps srcDir '$srcDir' — refusing to delete")
+    }
     val fs = new Path(dstDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new Path(s"$dstDir/_GRAFT_SCALE_OK")
     // the marker binds to the SOURCE's max mtime too: the driver
@@ -171,9 +184,17 @@ object ScaleFixture {
       .withColumn("user_id", shard("user_id")).drop("__r"), "events")
     out(replicate(src("documents"), factor)
       .withColumn("doc_id", shard("doc_id"))
-      .withColumn("text", when(col("__r") === 0, col("text")).otherwise(
+      // EVERY replica (including 0) suffixes w -> w_i: with replica 0
+      // verbatim, a base token that already ends in _<digits> could
+      // equal another replica's renamed token ("alpha_2" vs replica 2's
+      // "alpha") and reintroduce exactly the cross-replica pair overlap
+      // the bijection exists to exclude. With all replicas suffixed the
+      // trailing _<int> parses uniquely, so replicas never share a
+      // token; intra-replica structure is still the base's up to
+      // renaming (the invariant the ratios rely on).
+      .withColumn("text",
         array_join(transform(split(col("text"), " "),
-          w => concat(w, lit("_"), col("__r"))), " ")))
+          w => concat(w, lit("_"), col("__r"))), " "))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .drop("__r"), "documents")
     out(replicate(src("embeddings"), factor)
@@ -198,11 +219,9 @@ object ScaleFixture {
   }
 
   /** Stable scratch location for a (src, factor) pair. */
-  def defaultDst(srcDir: String, factor: Int): String = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(srcDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    s"${System.getProperty("java.io.tmpdir")}/graft-scale-$key-x$factor"
-  }
+  def defaultDst(srcDir: String, factor: Int): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft-scale-" +
+      s"${Tables.dirKey(srcDir, 12)}-x$factor"
 
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

@@ -17,7 +17,11 @@ import sys
 def main():
     path = sys.argv[1] if len(sys.argv) > 1 else "tools/bench_full_latest.json"
     d = json.load(open(path))
-    base = d.get("queries", {})
+    # prefer the dedicated warm-base re-run (round 6+ artifacts): the
+    # full-registry pass's time for a seam-producing query includes its
+    # seam build and is not a warm number
+    base = dict(d.get("queries", {}))
+    base.update(d.get("warm_base", {}))
     tiers = []  # (label, factor, warm_map) with base as factor 1
     tiers.append(("base", 1, base))
     for t in ("sf1", "sf2", "sf3"):
