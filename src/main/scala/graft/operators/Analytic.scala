@@ -372,30 +372,38 @@ object Analytic {
       |  SELECT event_type, h,
       |         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
       |  FROM h
-      |), x AS (SELECT event_type, h AS kth_min FROM r WHERE rn = 16),
+      |), x AS (
+      |  SELECT event_type,
+      |         MAX(CASE WHEN rn = 16 THEN h END) AS kth_min,
+      |         COUNT(*) AS n_hashes
+      |  FROM r GROUP BY 1
+      |),
       |d AS (
       |  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
       |  FROM events GROUP BY 1
       |)
       |SELECT d.event_type, x.kth_min,
-      |       CAST(15 * 4294967296 // x.kth_min AS BIGINT) AS est_distinct,
+      |       CAST(CASE WHEN x.n_hashes >= 16 THEN 15 * 4294967296 // x.kth_min
+      |                 ELSE x.n_hashes END AS BIGINT) AS est_distinct,
       |       d.exact_distinct
       |FROM d JOIN x USING (event_type)""".stripMargin) { (s, dir) =>
-    import graft.functions.Portable
     val e = Tables.events(s, dir)
-    val hashes = e.where(col("user_id").isNotNull)
-      .select(col("event_type"),
-        Portable.h32(col("user_id").cast("string")).as("h")).distinct()
-    val kth = hashes
+    val kth = kmvHashes(s, dir)
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy("h")))
-      .filter(col("rn") === 16)
-      .select(col("event_type"), col("h").as("kth_min"))
+      .groupBy("event_type")
+      .agg(max(when(col("rn") === 16, col("h"))).as("kth_min"),
+        count(lit(1)).as("n_hashes"))
     val exact = e.groupBy("event_type")
       .agg(countDistinct("user_id").as("exact_distinct"))
     exact.join(kth, "event_type")
       .selectExpr("event_type", "kth_min",
-        "15L * 4294967296L div kth_min AS est_distinct", "exact_distinct")
+        // a type with fewer than k distinct hashes has no 16th minimum:
+        // its sketch IS the exact hash set, so fall back to its size
+        // (the q73 sub-k rule) instead of silently dropping the type
+        """CASE WHEN n_hashes >= 16 THEN 15L * 4294967296L div kth_min
+          |     ELSE n_hashes END AS est_distinct""".stripMargin,
+        "exact_distinct")
   }
 
   /** Calendar-dimension derivation over the distinct order dates — the
@@ -616,12 +624,15 @@ object Analytic {
       .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
         sum(x * x).as("sxx"), sum(y * y).as("syy"), sum(x * y).as("sxy"))
       .selectExpr("l_returnflag", "n",
+        // (18,4), not the oracle's (19,4): a (19,4)x(19,4) product is
+        // precision 39, which Spark silently ROUNDS to (38,7) — the
+        // q43 width note; DuckDB needs 19 only to force int128 storage
         """round(CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxy AS DECIMAL(26,8))
-          |    - CAST(sx AS DECIMAL(19,4)) * CAST(sy AS DECIMAL(19,4)) AS DOUBLE)
+          |    - CAST(sx AS DECIMAL(18,4)) * CAST(sy AS DECIMAL(18,4)) AS DOUBLE)
           |  / sqrt(CAST(CAST(n AS DECIMAL(10,0)) * CAST(sxx AS DECIMAL(26,8))
-          |       - CAST(sx AS DECIMAL(19,4)) * CAST(sx AS DECIMAL(19,4)) AS DOUBLE)
+          |       - CAST(sx AS DECIMAL(18,4)) * CAST(sx AS DECIMAL(18,4)) AS DOUBLE)
           |     * CAST(CAST(n AS DECIMAL(10,0)) * CAST(syy AS DECIMAL(26,8))
-          |       - CAST(sy AS DECIMAL(19,4)) * CAST(sy AS DECIMAL(19,4)) AS DOUBLE)), 4) AS corr_r""".stripMargin)
+          |       - CAST(sy AS DECIMAL(18,4)) * CAST(sy AS DECIMAL(18,4)) AS DOUBLE)), 4) AS corr_r""".stripMargin)
   }
 
   /** Native batch session_window (the built-in SessionWindow operator —
@@ -990,7 +1001,10 @@ object Analytic {
     val nodes = graft.Intermediates.cached(s, dir, "purchase_nodes") {
       ew.select(col("src").as("node")).distinct()
     }
-    val n = nodes.count()
+    // ONE collect serves both the node count and the initial rank map
+    // (a separate count() was a redundant full job over the checkpoint)
+    val nodeRows = nodes.collect()
+    val n = nodeRows.length.toLong
     // The rank vector is an EXPLICIT driver-held broadcast, destroyed
     // the moment the round consuming it materializes. The previous
     // shape (broadcast() join + per-round localCheckpoint) left five
@@ -1010,9 +1024,8 @@ object Analytic {
     val sc = s.sparkContext
     import graft.functions.LongDoubleHash
     var rank: LongDoubleHash = {
-      val ids = nodes.select("node").collect()
-      val m = LongDoubleHash.ofSize(ids.length)
-      ids.foreach(row => m.put(row.getLong(0), 1.0 / n))
+      val m = LongDoubleHash.ofSize(nodeRows.length)
+      nodeRows.foreach(row => m.put(row.getLong(0), 1.0 / n))
       m
     }
     var out: DataFrame = null
@@ -1052,6 +1065,21 @@ object Analytic {
     * relation resident (~1.5 GB each at the 32× tier) was exactly the
     * heap that the tier's later queries then OOM'd against.
     */
+  /** Per-type distinct KMV hash relation (event_type, h) — q48 and q73
+    * previously each scanned and shuffled the full events table to build
+    * byte-identical copies; one pass through the materialize-once seam
+    * serves both. NULL user_ids are excluded in BOTH engines: Spark's
+    * window sorts NULLS FIRST while DuckDB's sorts NULLS LAST, so a NULL
+    * hash would occupy a sketch slot on one side only.
+    */
+  private def kmvHashes(s: SparkSession, dir: String): DataFrame =
+    graft.Intermediates.cached(s, dir, "kmv_type_hashes") {
+      Tables.events(s, dir).where(col("user_id").isNotNull)
+        .select(col("event_type"),
+          graft.functions.Portable.h32(col("user_id").cast("string")).as("h"))
+        .distinct()
+    }
+
   private def purchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey")
     val o = Tables.orders(s, dir).select("o_orderkey", "o_custkey")
@@ -1166,16 +1194,10 @@ object Analytic {
       |            ELSE 15 * 4294967296 // kth.kth_min END AS BIGINT) AS est_union,
       |       ex.exact_union
       |FROM ex JOIN kth ON ex.ta = kth.ta AND ex.tb = kth.tb""".stripMargin) { (s, dir) =>
-    import graft.functions.Portable
     val e = Tables.events(s, dir)
-    // NULL user_ids are excluded in BOTH engines: Spark's window sorts
-    // NULLS FIRST while DuckDB's sorts NULLS LAST, so a NULL hash would
-    // occupy a sketch slot on one side only (same guard as the exact
-    // audit's distinct relation below)
-    val hashes = e.where(col("user_id").isNotNull)
-      .select(col("event_type"),
-      Portable.h32(col("user_id").cast("string")).as("h")).distinct()
-    val sk = hashes
+    // the shared NULL-guarded KMV hash relation (q48 builds the same
+    // bytes — one scan+shuffle through the seam serves both)
+    val sk = kmvHashes(s, dir)
       .withColumn("rn", row_number().over(
         Window.partitionBy("event_type").orderBy("h")))
       .filter(col("rn") <= 16)
@@ -1495,14 +1517,12 @@ object Analytic {
       |FROM hi JOIN full_set ON hi.o_orderstatus = full_set.o_orderstatus""".stripMargin) { (s, dir) =>
     import graft.sources.Snapshots
     val root = Incremental.snapRoot(s, dir, "snapv2w")
-    val vs = Snapshots.versions(s, root)
-    if (vs.size < 3) {
-      // a PARTIAL build (some writes landed, then a failure) must be
-      // wiped, not resumed: replaying all three writes on top of a
-      // half-built table would double the even keys in v2+ and corrupt
-      // the asOf-2 read for the rest of the session. drop() fails loudly
-      // if the filesystem couldn't remove the root.
-      if (vs.nonEmpty) Snapshots.drop(s, root)
+    // ensureBuilt serializes the check-drop-rebuild (concurrent
+    // construction must not interleave the three writes) and wipes any
+    // PARTIAL build — replaying all three writes on top of a half-built
+    // table would double the even keys in v2+ and corrupt the asOf-2
+    // read for the rest of the session
+    Incremental.ensureBuilt(s, root, 3) {
       val o = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       o.filter(col("o_orderkey") % 2 === 0)
@@ -1537,7 +1557,12 @@ object Analytic {
     */
   val qTumblingWindow: QuerySpec = QuerySpec.sql(
     "q82_tumbling_window",
-    """SELECT (epoch_us(ts) // 3600000000) * 3600 AS bucket_start,
+    // floor division, NOT DuckDB's truncate-toward-zero `//`: Spark's
+    // window() floors, so a pre-epoch timestamp would land one bucket
+    // apart between the engines under bare `//`
+    """SELECT ((epoch_us(ts) // 3600000000)
+      |        - CASE WHEN epoch_us(ts) < 0 AND epoch_us(ts) % 3600000000 <> 0
+      |               THEN 1 ELSE 0 END) * 3600 AS bucket_start,
       |       event_type,
       |       COUNT(*) AS n,
       |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS revenue
@@ -1562,7 +1587,11 @@ object Analytic {
   val qHoppingWindow: QuerySpec = QuerySpec.sql(
     "q83_hopping_window",
     """WITH t AS (
-      |  SELECT (epoch_us(ts) // 1000000 // 1800) * 1800 AS b,
+      |  -- floor division (Spark's window() semantics), not `//`'s
+      |  -- truncation: see q82
+      |  SELECT ((epoch_us(ts) // 1800000000)
+      |          - CASE WHEN epoch_us(ts) < 0 AND epoch_us(ts) % 1800000000 <> 0
+      |                 THEN 1 ELSE 0 END) * 1800 AS b,
       |         event_type, value
       |  FROM events
       |), cand AS (
