@@ -109,8 +109,12 @@ object Multimodal {
     var bits = 0L
     var i = 0
     while (i < 64) {
-      // cellMean < globalMean  ⟺  cellSum * n < total * cellCount
-      if (counts(i) > 0 && sums(i) * n < total * counts(i)) bits |= 1L << i
+      // cellMean < globalMean  ⟺  cellSum * n < total * cellCount —
+      // compared in 128 bits: around 0.9 gigapixels the 64-bit products
+      // wrap negative and silently flip hash bits (BigInt costs 64
+      // multiplications per IMAGE, not per pixel)
+      if (counts(i) > 0 &&
+        BigInt(sums(i)) * n < BigInt(total) * counts(i)) bits |= 1L << i
       i += 1
     }
     bits
@@ -220,8 +224,14 @@ object Multimodal {
     implicit val enc = Encoders.product[ResizedMedia]
     features.mapPartitions { it =>
       it.map { f =>
-        val scale = math.min(1000L,
-          math.min(maxW * 1000L / f.width, maxH * 1000L / f.height))
+        // dimensionless rows (audio from a real decoder carries 0×0)
+        // pass through unscaled — a division by zero here would kill
+        // the task, the one-bad-row failure mode extractOrQuarantine
+        // exists to prevent
+        val scale =
+          if (f.width <= 0 || f.height <= 0) 1000L
+          else math.min(1000L,
+            math.min(maxW * 1000L / f.width, maxH * 1000L / f.height))
         ResizedMedia(f.doc_id, f.media_type, f.width, f.height,
           (f.width * scale / 1000L).toInt, (f.height * scale / 1000L).toInt)
       }
@@ -236,11 +246,15 @@ object Multimodal {
     */
   def sampleFrames(features: Dataset[MediaFeatures],
       everyN: Int): Dataset[FrameSample] = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
     implicit val enc = Encoders.product[FrameSample]
     features.mapPartitions { it =>
       it.map { f =>
         val n = (f.n_frames + everyN - 1) / everyN
-        FrameSample(f.doc_id, f.media_type, f.n_frames, n, (n - 1) * everyN)
+        // a frameless row (empty clip) samples nothing; last_frame = -1
+        // marks "none" instead of the nonsense (n-1)*everyN < 0
+        val last = if (n <= 0) -1 else (n - 1) * everyN
+        FrameSample(f.doc_id, f.media_type, f.n_frames, n, last)
       }
     }
   }

@@ -25,17 +25,17 @@ object Curation {
     "p1_training_corpus",
     s"""WITH scored AS (
        |  SELECT doc_id, lang, text,
-       |         (47 * least(len(string_split(text, ' ')) * 10000 // 64, 10000)
-       |        + 31 * (10000 - len(list_filter(string_split(text, ' '),
-       |                t -> t IN ('the', 'a'))) * 10000 // len(string_split(text, ' ')))
-       |        + 22 * least(n_chars * 10000 // 400, 10000)) // 100 AS quality_bp
+       |         ${TextAnalysis.qualityBpSql(
+                    "len(string_split(text, ' '))",
+                    "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))",
+                    "n_chars")} AS quality_bp
        |  FROM documents
        |), hs AS (
        |  SELECT doc_id, list_transform(${Portable.shinglesSql(3).replace("\n", " ")},
        |    s -> CAST(('0x' || substring(md5(s), 1, 8)) AS BIGINT)) AS hs
        |  FROM documents
        |), sig AS (
-       |  SELECT doc_id, array_to_string(list_transform(generate_series(1, 16),
+       |  SELECT doc_id, array_to_string(list_transform(generate_series(1, ${Dedup.K}),
        |    i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % ${Portable.MinHashP}))), ',') AS sigstr
        |  FROM hs
        |), eligible AS (
@@ -63,9 +63,8 @@ object Curation {
     val scored = docs
       .withColumn("n_tokens", nTok).withColumn("n_stop", nStop)
       .selectExpr("doc_id", "lang", "text",
-        """(47 * least(n_tokens * 10000L div 64, 10000)
-          | + 31 * (10000 - n_stop * 10000L div n_tokens)
-          | + 22 * least(n_chars * 10000L div 400, 10000)) div 100 AS quality_bp""".stripMargin)
+        TextAnalysis.qualityBpSpark("n_tokens", "n_stop", "n_chars") +
+          " AS quality_bp")
     // the one shared MinHash builder (Dedup.signatures), serialized
     val sig = Dedup.signatures(docs)
       .select(col("doc_id").as("sig_doc_id"),
@@ -124,7 +123,7 @@ object Curation {
        |  SELECT doc_id,
        |         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 80
        |              THEN 'train' ELSE 'eval' END AS split,
-       |         array_to_string(list_transform(generate_series(1, 16),
+       |         array_to_string(list_transform(generate_series(1, ${Dedup.K}),
        |           i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % ${Portable.MinHashP}))), ',') AS sigstr
        |  FROM hs
        |)
@@ -241,7 +240,10 @@ object Curation {
       |)
       |SELECT doc_id, source, lang, CAST(rate_bp AS BIGINT) AS rate_bp
       |FROM r WHERE bucket < rate_bp""".stripMargin) { (s, dir) =>
-    val srcIdx = substring(col("source"), 4, 8).cast("int")
+    // substring(source, 4) with no length cap, matching the oracle — an
+    // 8-char cap would silently parse a different prefix than DuckDB on
+    // source ids longer than 8 digits
+    val srcIdx = expr("substring(source, 4)").cast("int")
     val rate = when(srcIdx < 5, 10000L).when(srcIdx < 10, 5000L)
       .otherwise(2500L)
     val bucket = Portable.h32(concat(lit("mix"), col("doc_id").cast("string"))) % 10000
@@ -463,7 +465,7 @@ object Curation {
        |  FROM documents
        |), sig AS (
        |  SELECT h.doc_id, sp.split,
-       |         array_to_string(list_transform(generate_series(1, 16),
+       |         array_to_string(list_transform(generate_series(1, ${Dedup.K}),
        |           i -> list_min(list_transform(hs, x -> ((2*i+1)*x + 104729*i) % ${Portable.MinHashP}))), ',') AS sigstr
        |  FROM hs h JOIN sp ON sp.doc_id = h.doc_id
        |), sigm AS (
@@ -792,8 +794,7 @@ object Curation {
     val root = graft.operators.Incremental.snapRoot(s, dir, "curcdf")
     val docs = Tables.documents(s, dir)
       .select("doc_id", "lang", "source", "n_chars")
-    if (Snapshots.versions(s, root).size < 3) {
-      if (Snapshots.versions(s, root).nonEmpty) Snapshots.drop(s, root)
+    graft.operators.Incremental.ensureBuilt(s, root, 3) {
       Snapshots.commit(docs.repartitionByRange(8, col("doc_id")), root)
       Snapshots.merge(s, root, docs.filter(col("doc_id") % 11 === 0)
         .withColumn("n_chars", col("n_chars") + 500), "doc_id")

@@ -380,10 +380,10 @@ object Dedup {
        |${dClusters.oracle.get}
        |), q AS (
        |  SELECT doc_id,
-       |         (47 * least(len(string_split(text, ' ')) * 10000 // 64, 10000)
-       |        + 31 * (10000 - len(list_filter(string_split(text, ' '),
-       |                t -> t IN ('the', 'a'))) * 10000 // len(string_split(text, ' ')))
-       |        + 22 * least(n_chars * 10000 // 400, 10000)) // 100 AS quality_bp
+       |         ${TextAnalysis.qualityBpSql(
+                    "len(string_split(text, ' '))",
+                    "len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a')))",
+                    "n_chars")} AS quality_bp
        |  FROM documents
        |), r AS (
        |  SELECT l.cluster_id, l.doc_id, q.quality_bp,
@@ -402,9 +402,8 @@ object Dedup {
       .withColumn("n_stop",
         size(filter(split(col("text"), " "), t => t.isin("the", "a"))).cast("long"))
       .selectExpr("doc_id",
-        """(47 * least(n_tokens * 10000L div 64, 10000)
-          | + 31 * (10000 - n_stop * 10000L div n_tokens)
-          | + 22 * least(n_chars * 10000L div 400, 10000)) div 100 AS quality_bp""".stripMargin)
+        TextAnalysis.qualityBpSpark("n_tokens", "n_stop", "n_chars") +
+          " AS quality_bp")
     val w = Window.partitionBy("cluster_id")
     labels.join(quality, "doc_id")
       .withColumn("rn", row_number().over(
@@ -1076,8 +1075,12 @@ object Dedup {
   }
 
   val all: Seq[QuerySpec] =
-    Seq(dExact, dJaccard, dMinHash.memo, dSimHash.memo, dClusters.memo, dSimHashPairs,
+    // dExact/dSimHashPairs/dSubstring memoized: p16_dedup_attribution
+    // consumes all three through Intermediates.of — un-memoized, each
+    // heavy pipeline (d19 is a scale-tier query) ran twice per session
+    Seq(dExact.memo, dJaccard, dMinHash.memo, dSimHash.memo, dClusters.memo,
+      dSimHashPairs.memo,
       dContainment, dKeepBest, dBoilerplate, dSketchError, dDupRateBySource,
       dClusterQuality, dTriangles, dSourceOverlap, dBloomDedup,
-      dIncrementalClusters, dSubstring, dLshTradeoff)
+      dIncrementalClusters, dSubstring.memo, dLshTradeoff)
 }

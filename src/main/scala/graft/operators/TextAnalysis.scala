@@ -13,6 +13,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object TextAnalysis {
 
+  /** The t2 quality formula — THE single copy (was: six, across
+    * t2/d8/p1, each with an oracle mirror that had to drift in
+    * lockstep). Operands are SQL expressions for the token count,
+    * stopword count and char count; `qualityBpSql` is the DuckDB `//`
+    * form, `qualityBpSpark` the Spark `div` form.
+    */
+  private[operators] def qualityBpSql(nTokens: String, nStop: String,
+      nChars: String): String =
+    s"(47 * least($nTokens * 10000 // 64, 10000)" +
+      s" + 31 * (10000 - $nStop * 10000 // $nTokens)" +
+      s" + 22 * least($nChars * 10000 // 400, 10000)) // 100"
+
+  private[operators] def qualityBpSpark(nTokens: String, nStop: String,
+      nChars: String): String =
+    s"(47 * least($nTokens * 10000L div 64, 10000)" +
+      s" + 31 * (10000 - $nStop * 10000L div $nTokens)" +
+      s" + 22 * least($nChars * 10000L div 400, 10000)) div 100"
+
   /** Token counting: whitespace tokens + a BPE-ish regex token count
     * (word pieces and single punctuation marks), aggregated per source.
     */
@@ -42,7 +60,7 @@ object TextAnalysis {
     */
   val tQuality: QuerySpec = QuerySpec.sql(
     "t2_quality_score",
-    """WITH q AS (
+    s"""WITH q AS (
       |  SELECT doc_id, lang, n_chars,
       |         len(string_split(text, ' ')) AS n_tokens,
       |         len(list_filter(string_split(text, ' '),
@@ -52,9 +70,7 @@ object TextAnalysis {
       |SELECT doc_id, lang, n_tokens,
       |       CAST(n_stop * 10000 // n_tokens AS BIGINT) AS stop_bp,
       |       CAST(n_chars * 10000 // n_tokens AS BIGINT) AS tok_len_bp,
-      |       CAST((47 * least(n_tokens * 10000 // 64, 10000)
-      |           + 31 * (10000 - n_stop * 10000 // n_tokens)
-      |           + 22 * least(n_chars * 10000 // 400, 10000)) // 100 AS BIGINT) AS quality_bp
+      |       CAST(${qualityBpSql("n_tokens", "n_stop", "n_chars")} AS BIGINT) AS quality_bp
       |FROM q""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir)
       .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
@@ -63,9 +79,7 @@ object TextAnalysis {
       .selectExpr("doc_id", "lang", "n_tokens",
         "n_stop * 10000L div n_tokens AS stop_bp",
         "n_chars * 10000L div n_tokens AS tok_len_bp",
-        """(47 * least(n_tokens * 10000L div 64, 10000)
-          | + 31 * (10000 - n_stop * 10000L div n_tokens)
-          | + 22 * least(n_chars * 10000L div 400, 10000)) div 100 AS quality_bp""".stripMargin)
+        qualityBpSpark("n_tokens", "n_stop", "n_chars") + " AS quality_bp")
   }
 
   /** Language-ID heuristic: stopword-marker ratio (the corpus shares one

@@ -45,9 +45,11 @@ object FileStats {
 
   private def norm(p: String): String = new Path(p).toUri.getPath
 
-  private def b64(s: String): String =
+  // private[sources]: SnapshotCatalog.renameTable rewrites the sidecar
+  // path keys with the SAME codec (a second copy could drift)
+  private[sources] def b64(s: String): String =
     java.util.Base64.getEncoder.encodeToString(s.getBytes("UTF-8"))
-  private def unb64(s: String): String =
+  private[sources] def unb64(s: String): String =
     new String(java.util.Base64.getDecoder.decode(s), "UTF-8")
 
   /** Read footers of freshly-written `files` and append one stats

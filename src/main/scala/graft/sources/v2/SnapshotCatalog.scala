@@ -64,11 +64,24 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
 
   private def spark: SparkSession = SparkSession.active
 
+  // identifier parts become filesystem path segments — a '/' or '..'
+  // inside a (backtick-quoted) part would traverse OUT of the warehouse
+  // (DROP TABLE could then delete arbitrary directories) or alias two
+  // identifiers to one directory
+  private def validPart(part: String): String = {
+    require(part.nonEmpty && part != "." && part != ".." &&
+      !part.contains("/") && !part.contains("\\"),
+      s"invalid identifier segment '$part' (path separators and " +
+        "'..' are not allowed)")
+    part
+  }
+
   private def tablePath(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString(s"$warehouse/", "/", "")
+    ((ident.namespace() :+ ident.name()).map(validPart))
+      .mkString(s"$warehouse/", "/", "")
 
   private def nsPath(namespace: Array[String]): Path =
-    new Path((warehouse +: namespace).mkString("/"))
+    new Path((warehouse +: namespace.map(validPart).toSeq).mkString("/"))
 
   private def fs = new Path(warehouse)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -93,6 +106,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     */
   private def load(ident: Identifier, extra: Map[String, String]): Table = {
     val path = tablePath(ident)
+    promoteRenameStage(new Path(path)) // heal a crash mid-rename (no-op otherwise)
     if (!isTable(path))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName) ++ ident.namespace() :+ ident.name())
@@ -124,11 +138,27 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(catalogName) ++ ident.namespace() :+ ident.name())
     // v1 = one empty parquet file carrying the schema: the committed
-    // footer IS the table's schema record (no sidecar metadata to drift)
+    // footer IS the table's schema record (no sidecar metadata to drift).
+    // Staged + create-exclusive publish, NOT a raw commit: commit() has
+    // no create exclusivity, so two racing CREATE TABLEs could both
+    // succeed and stack two schemas into one manifest chain —
+    // publishStaged(replace = false) makes the loser fail LOUDLY at
+    // publish time, and its staged file is reclaimed.
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .repartition(1)
-    Snapshots.commit(empty, path)
+    val (files, dataDir) = Snapshots.stageData(empty, path)
+    try Snapshots.publishStaged(spark, path, files, replace = false,
+      orCreate = false)
+    catch { case e: Throwable =>
+      fs.delete(dataDir, true)
+      e match {
+        case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
+          throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+            Seq(catalogName) ++ ident.namespace() :+ ident.name())
+        case other => throw other
+      }
+    }
     loadTable(ident)
   }
 
@@ -191,39 +221,112 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         Seq(catalogName) ++ oldIdent.namespace() :+ oldIdent.name())
     require(!fs.exists(dst), s"rename target $dst already exists")
     fs.mkdirs(dst.getParent)
-    // single directory rename; the manifests' file paths are absolute,
-    // so rewrite them against the new root (driver-side metadata only).
-    // Two invariants the rewrite must not break: (a) each manifest's
-    // mtime IS its commit time (TIMESTAMP AS OF / history resolve on
-    // it) — restore it after the rewrite; (b) a committed version must
-    // never be lost mid-rewrite — replace atomically (nio ATOMIC_MOVE
-    // on local paths; delete+rename elsewhere, ordered so a crash
-    // leaves the .tmp recoverable beside the gap, never silent loss).
-    require(fs.rename(src, dst), s"rename $src -> $dst failed")
-    Snapshots.versions(spark, dst.toString).foreach { v =>
-      val mf = new Path(s"$dst/manifest-v$v.json")
-      val mtime = fs.getFileStatus(mf).getModificationTime
-      val in = fs.open(mf)
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val moved = text.replace(src.toUri.getPath, dst.toUri.getPath)
-      if (moved != text) {
-        val tmp = new Path(s"$dst/.manifest-v$v.rename.tmp")
-        val out = fs.create(tmp, true)
-        try out.write(moved.getBytes("UTF-8")) finally out.close()
-        if (fs.getScheme == "file")
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(tmp.toUri.getPath),
-            java.nio.file.Paths.get(mf.toUri.getPath),
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        else {
-          fs.delete(mf, false)
-          require(fs.rename(tmp, mf), s"manifest rewrite failed for v$v")
-        }
-        fs.setTimes(mf, mtime, -1)
-      }
+    // Manifests (and the stats sidecars' path keys) hold ABSOLUTE file
+    // paths, so a rename must rewrite them against the new root. The
+    // rewrite is staged BEFORE the directory move, under
+    // <src>/_rename_stage (readers ignore it — manifests resolve by
+    // the strict manifest-v<N>.json name, stats by the stats- prefix):
+    //  * a crash before the move leaves the source table fully intact
+    //    (a stale stage is rebuilt on retry);
+    //  * the move carries the complete stage along atomically;
+    //  * promotion after the move is idempotent, and a crash mid-
+    //    promotion SELF-HEALS — load() promotes any remaining staged
+    //    files before resolving (the staged content is already correct
+    //    for the new root).
+    // Promotion restores each manifest's commit-time mtime (recorded in
+    // the stage) and replaces through the FileSystem so checksum
+    // sidecars (.crc) never go stale.
+    val stage = new Path(src, RenameStageDir)
+    fs.delete(stage, true)
+    fs.mkdirs(stage)
+    val srcRoot = src.toUri.getPath
+    val dstRoot = dst.toUri.getPath
+    def readText(pth: Path): String = {
+      val in = fs.open(pth)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
     }
+    def writeText(pth: Path, text: String): Unit = {
+      val out = fs.create(pth, true)
+      try out.write(text.getBytes("UTF-8")) finally out.close()
+    }
+    val mtimes = new StringBuilder
+    Snapshots.versions(spark, src.toString).foreach { v =>
+      val mf = new Path(s"$src/manifest-v$v.json")
+      // each manifest's mtime IS its commit time (TIMESTAMP AS OF
+      // resolves on it) — record it in the stage so promotion can
+      // restore it even after a crash-and-heal
+      mtimes.append(s"manifest-v$v.json\t${fs.getFileStatus(mf).getModificationTime}\n")
+      writeText(new Path(stage, s"manifest-v$v.json"),
+        readText(mf).replace(srcRoot, dstRoot))
+    }
+    writeText(new Path(stage, "mtimes.tsv"), mtimes.toString)
+    // stats sidecars key each line by b64(absolute path): without the
+    // rewrite, every pre-rename file would silently stop pruning forever
+    // (stats lookups miss, 'files without stats always survive')
+    val statsDir = new Path(src, "stats")
+    if (fs.exists(statsDir)) {
+      import graft.sources.FileStats.{b64, unb64}
+      fs.listStatus(statsDir).filter(_.getPath.getName.startsWith("stats-"))
+        .foreach { st =>
+          val moved = readText(st.getPath).split("\n", -1).map { line =>
+            if (line.isEmpty) line
+            else {
+              val f = line.split("\t", -1)
+              if (f.nonEmpty && f(0).nonEmpty)
+                f(0) = b64(unb64(f(0)).replace(srcRoot, dstRoot))
+              f.mkString("\t")
+            }
+          }.mkString("\n")
+          writeText(new Path(stage, st.getPath.getName), moved)
+        }
+    }
+    require(fs.rename(src, dst), s"rename $src -> $dst failed")
+    promoteRenameStage(dst)
+  }
+
+  private val RenameStageDir = "_rename_stage"
+
+  /** Promote a rename's staged manifest/stats rewrites over the live
+    * files — idempotent, re-entrant, and called from load() so a crash
+    * mid-promotion heals on the table's next access.
+    */
+  private def promoteRenameStage(table: Path): Unit = {
+    val stage = new Path(table, RenameStageDir)
+    if (!fs.exists(stage)) return
+    val mtimeFile = new Path(stage, "mtimes.tsv")
+    val mtimes: Map[String, Long] =
+      if (!fs.exists(mtimeFile)) Map.empty
+      else {
+        val in = fs.open(mtimeFile)
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        text.split("\n").filter(_.nonEmpty).map { line =>
+          val Array(n, t) = line.split("\t", 2)
+          n -> t.toLong
+        }.toMap
+      }
+    fs.listStatus(stage).filter(_.getPath.getName != "mtimes.tsv").foreach { s0 =>
+      val name = s0.getPath.getName
+      val target =
+        if (name.startsWith("manifest-")) new Path(table, name)
+        else new Path(new Path(table, "stats"), name)
+      // delete through the FileSystem first — it removes the stale
+      // checksum sidecar (.crc) a raw nio replace would leave behind
+      // (LocalFileSystem then fails every read with ChecksumException).
+      // A crash between delete and move heals on the next load: the
+      // staged file is still here and the move simply succeeds.
+      fs.delete(target, false)
+      if (fs.getScheme == "file")
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(s0.getPath.toUri.getPath),
+          java.nio.file.Paths.get(target.toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else require(fs.rename(s0.getPath, target),
+        s"rename promotion failed for $name")
+      mtimes.get(name).foreach(t => fs.setTimes(target, t, -1))
+    }
+    fs.delete(stage, true)
   }
 
   /** The in-flight side of an atomic CTAS/RTAS: collects the query's

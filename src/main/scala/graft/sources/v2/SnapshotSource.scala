@@ -205,7 +205,7 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
     require(files.nonEmpty, s"snapshot v$version of $path lists no data files")
     val t = ParquetTable(s"graft-snapshot:$path@v$version",
       spark, options, files, None, classOf[ParquetFileFormat])
-    val r = ResolvedSnapshot(path, version, files, t, options)
+    val r = ResolvedSnapshot(path, version, files, t)
     cached = (key, r)
     r
   }
@@ -325,9 +325,16 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
           v -> Snapshots.dataFiles(spark, path, Some(v))).toMap
         chain.sliding(2).flatMap {
           case Seq(a, b) =>
-            val before = filesOf(a).toSet
+            // normalized paths (the changeFeed/compact convention):
+            // manifests can carry differently-qualified forms of one
+            // file, and a raw-string compare would make a pure append
+            // look non-append-only and kill the stream spuriously
+            def norm(p: String): String =
+              new org.apache.hadoop.fs.Path(p).toUri.getPath
+            val before = filesOf(a).map(norm).toSet
             val after = filesOf(b)
-            if (before.subsetOf(after.toSet)) after.filterNot(before)
+            if (before.subsetOf(after.map(norm).toSet))
+              after.filterNot(f => before(norm(f)))
             else if (skipChangeCommits) Seq.empty
             else throw new IllegalStateException(
               s"graft-snapshot stream $path: history v$a -> v$b is not " +
@@ -438,17 +445,12 @@ private[v2] class SnapshotChangeFeedSource(spark: SparkSession, path: String)
   override def stop(): Unit = ()
 }
 
-/** The table handle: reads resolve the manifest lazily (first scan)
-  * and delegate wholesale to the pinned [[ParquetTable]]; writes go
-  * through the snapshot commit protocol without ever resolving.
-  */
 /** Everything a pinned snapshot read needs: the concrete version, its
   * immutable file list (for manifest-level data skipping), and the
   * stock parquet table over those files.
   */
 private[v2] final case class ResolvedSnapshot(path: String, version: Long,
-    files: Seq[String], table: ParquetTable,
-    options: CaseInsensitiveStringMap)
+    files: Seq[String], table: ParquetTable)
 
 /** The scan builder that makes MANIFEST-LEVEL data skipping automatic
   * for `spark.read.format("graft-snapshot")`: the filters Catalyst

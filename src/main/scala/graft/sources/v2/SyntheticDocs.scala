@@ -104,13 +104,21 @@ class SyntheticScanBuilder(rows: Long, parts: Int) extends ScanBuilder
       case IsNotNull("doc_id") => true
       case _ => false
     }
+    // saturating +1: these filters are CLAIMED pushed (only `residual`
+    // returns to Spark), so a wrapped Long.MaxValue + 1 would silently
+    // return every row for `doc_id > Long.MaxValue`
+    def incr(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     sup.foreach {
-      case GreaterThan(_, v) => lo = math.max(lo, asLong(v).get + 1)
+      case GreaterThan(_, v) =>
+        val x = asLong(v).get
+        // doc_id > MaxValue matches nothing — empty the range
+        if (x == Long.MaxValue) { lo = 0L; hi = 0L }
+        else lo = math.max(lo, x + 1)
       case GreaterThanOrEqual(_, v) => lo = math.max(lo, asLong(v).get)
       case LessThan(_, v) => hi = math.min(hi, asLong(v).get)
-      case LessThanOrEqual(_, v) => hi = math.min(hi, asLong(v).get + 1)
+      case LessThanOrEqual(_, v) => hi = math.min(hi, incr(asLong(v).get))
       case EqualTo(_, v) =>
-        lo = math.max(lo, asLong(v).get); hi = math.min(hi, asLong(v).get + 1)
+        lo = math.max(lo, asLong(v).get); hi = math.min(hi, incr(asLong(v).get))
       case _ => ()
     }
     pushed = sup

@@ -91,6 +91,49 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(spark.sql("SHOW TABLES IN graft_cat.ns3").count() === 0)
   }
 
+  test("rename rewrites the stats sidecar keys; a crashed promotion self-heals") {
+    wh
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns7")
+    spark.sql("CREATE TABLE graft_cat.ns7.s (id BIGINT)")
+    spark.sql("INSERT INTO graft_cat.ns7.s SELECT id FROM range(100)")
+    val preStats = graft.sources.FileStats.load(spark, s"$wh/ns7/s")
+    assert(preStats.nonEmpty, "fixture should have recorded stats")
+    spark.sql("ALTER TABLE graft_cat.ns7.s RENAME TO ns7.s2")
+    // every stats key must follow the move — a stale old-root key means
+    // the file silently never prunes again
+    val post = graft.sources.FileStats.load(spark, s"$wh/ns7/s2")
+    assert(post.size === preStats.size)
+    assert(post.keys.forall(_.contains("/ns7/s2/")),
+      s"stale stats keys survived the rename: ${post.keys.take(3)}")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns7.s2 WHERE id < 10")
+      .head().getLong(0) === 10)
+
+    // crash mid-promotion: simulate by reconstructing a stage dir whose
+    // manifests point at a THIRD root, then renaming the directory by
+    // hand (the move landed, promotion did not) — the next catalog load
+    // must promote the staged files before resolving
+    val src = new org.apache.hadoop.fs.Path(s"$wh/ns7/s2")
+    val dst = new org.apache.hadoop.fs.Path(s"$wh/ns7/s3")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = new org.apache.hadoop.fs.Path(src, "_rename_stage")
+    fs.mkdirs(stage)
+    graft.sources.Snapshots.versions(spark, src.toString).foreach { v =>
+      val mf = new org.apache.hadoop.fs.Path(s"$src/manifest-v$v.json")
+      val in = fs.open(mf)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val out = fs.create(new org.apache.hadoop.fs.Path(stage, s"manifest-v$v.json"), true)
+      try out.write(text.replace("/ns7/s2", "/ns7/s3").getBytes("UTF-8"))
+      finally out.close()
+    }
+    require(fs.rename(src, dst))
+    // the manifests inside s3 still reference /ns7/s2 — unreadable until
+    // the self-heal promotes the staged rewrites on first load
+    assert(spark.sql("SELECT count(*) FROM graft_cat.ns7.s3").head().getLong(0) === 100)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dst, "_rename_stage")),
+      "promotion should consume the stage dir")
+  }
+
   test("SQL DELETE FROM routes into the COW delete; TRUNCATE empties; history intact") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns5")
