@@ -945,10 +945,142 @@ object Incremental {
          |USING (o_orderstatus)""".stripMargin)
   }
 
+  /** q93: SQL `UPDATE` + subquery `DELETE` under the oracle gate —
+    * Spark's group-based copy-on-write rewrite over the snapshot
+    * table's `SupportsRowLevelOperations` (RowLevelOps.scala). The
+    * table is committed range-partitioned (8 disjoint key-range
+    * files), then mutated exclusively through SQL: an UPDATE whose
+    * key-range predicate lets manifest-level stats pruning keep
+    * untouched files out of the rewrite, then a DELETE whose IN-
+    * subquery predicate is untranslatable to source filters and must
+    * route through the ReplaceData rewrite (not the metadata-delete
+    * fast path). The oracle recomputes the final state from raw
+    * orders with CASE/anti-filter algebra — a rewrite that lost a
+    * copied row, double-applied an update, or resurrected a deleted
+    * row breaks the hash. At 100 TB the UPDATE's cost is bounded by
+    * the files whose stats ranges can match, never the table.
+    */
+  val qSqlUpdate: QuerySpec = QuerySpec.sql(
+    "q93_sql_update",
+    """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |                  CASE WHEN o_orderstatus = 'F' AND o_orderkey % 7 = 0
+      |                       THEN o_totalprice + 1000 ELSE o_totalprice END AS p
+      |           FROM orders),
+      |fin AS (SELECT * FROM t WHERE NOT (k % 13 = 0 AND p > 200000))
+      |SELECT st AS o_orderstatus, COUNT(*) AS n,
+      |       CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS amount
+      |FROM fin GROUP BY 1""".stripMargin) { (s, dir) =>
+    val wh = snapRoot(s, dir, "sqldml")
+    val dirKey = Tables.dirKey(dir)
+    val cat = s"graft_dml_$dirKey"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$cat.m.upd_t"
+    val srcView = s"q93_orders_$dirKey"
+    ensureBuilt(s, s"$wh/m/upd_t", 4) {
+      Tables.orders(s, dir).createOrReplaceTempView(srcView)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
+        "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+      // ORDER BY range-partitions the insert: disjoint key-range files,
+      // the layout stats pruning needs to keep the UPDATE file-bounded
+      s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, " +
+        s"o_totalprice FROM $srcView ORDER BY o_orderkey")
+      s.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice + 1000 " +
+        "WHERE o_orderstatus = 'F' AND o_orderkey % 7 = 0")
+      s.sql(s"DELETE FROM $tbl WHERE o_orderkey IN " +
+        s"(SELECT o_orderkey FROM $tbl WHERE o_orderkey % 13 = 0 " +
+        "AND o_totalprice > 200000)")
+    }
+    s.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amount
+         |FROM $tbl GROUP BY 1""".stripMargin)
+  }
+
+  /** q94: SQL `MERGE INTO` under the oracle gate — one statement
+    * carrying all three actions (matched UPDATE, matched DELETE,
+    * not-matched INSERT) against the snapshot table, planned by Spark
+    * as a group-based COW ReplaceData and committed through the
+    * optimistic rebase protocol. The merge runs with
+    * `graft.snapshot.runtimeGroupFilterColumns=o_orderkey`, so the
+    * runtime group filter (Spark's DPP-style subquery over the
+    * source's join keys) plus FileStats value pruning keep unmatched
+    * key-range files out of the rewrite — the same file skipping
+    * `Snapshots.merge` achieves with its probe, now on the open SQL
+    * surface. The oracle rebuilds the post-merge state from raw
+    * orders (update/delete/insert algebra over the key classes), so
+    * a duplicated copy, missed delete, or dropped insert breaks the
+    * hash; time travel across the merge pins v2 intact.
+    */
+  val qSqlMerge: QuerySpec = QuerySpec.sql(
+    "q94_sql_merge",
+    """WITH s1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |                   o_totalprice AS p FROM orders),
+      |fin AS (SELECT k, CASE WHEN k % 97 = 0 THEN 'U' ELSE st END AS st,
+      |               CASE WHEN k % 97 = 0 THEN p + 1000 ELSE p END AS p
+      |        FROM s1 WHERE NOT (k % 89 = 0 AND k % 97 <> 0)
+      |        UNION ALL
+      |        SELECT -k - 1 AS k, st, p FROM s1 WHERE k % 101 = 0)
+      |SELECT st AS o_orderstatus, COUNT(*) AS n,
+      |       CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS amount,
+      |       CAST(SUM(CASE WHEN k < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+      |FROM fin GROUP BY 1""".stripMargin) { (s, dir) =>
+    val wh = snapRoot(s, dir, "sqldml")
+    val dirKey = Tables.dirKey(dir)
+    val cat = s"graft_dml_$dirKey"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$cat.m.merge_t"
+    val srcView = s"q94_orders_$dirKey"
+    ensureBuilt(s, s"$wh/m/merge_t", 3) {
+      Tables.orders(s, dir).createOrReplaceTempView(srcView)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
+        "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+      s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, " +
+        s"o_totalprice FROM $srcView ORDER BY o_orderkey")
+      // one source, three actions; keys are unique by construction
+      // (updates %97, deletes %89 minus the update set, inserts
+      // strictly negative), satisfying MERGE's cardinality contract
+      val prev = s.conf.getOption("graft.snapshot.runtimeGroupFilterColumns")
+      s.conf.set("graft.snapshot.runtimeGroupFilterColumns", "o_orderkey")
+      try s.sql(
+        s"""MERGE INTO $tbl t USING (
+           |  SELECT o_orderkey AS k, 'U' AS st, o_totalprice + 1000 AS p,
+           |         false AS del
+           |  FROM $srcView WHERE o_orderkey % 97 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p,
+           |         true AS del
+           |  FROM $srcView WHERE o_orderkey % 89 = 0 AND o_orderkey % 97 <> 0
+           |  UNION ALL
+           |  SELECT -o_orderkey - 1 AS k, o_orderstatus AS st,
+           |         o_totalprice AS p, false AS del
+           |  FROM $srcView WHERE o_orderkey % 101 = 0) s
+           |ON t.o_orderkey = s.k
+           |WHEN MATCHED AND s.del THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_orderstatus = s.st, o_totalprice = s.p
+           |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderstatus, o_totalprice)
+           |  VALUES (s.k, s.st, s.p)""".stripMargin)
+      finally prev match {
+        case Some(v) => s.conf.set("graft.snapshot.runtimeGroupFilterColumns", v)
+        case None => s.conf.unset("graft.snapshot.runtimeGroupFilterColumns")
+      }
+    }
+    s.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amount,
+         |       CAST(SUM(CASE WHEN o_orderkey < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_inserted
+         |FROM $tbl GROUP BY 1""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
       qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead,
       qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore,
-      qSqlCatalog)
+      qSqlCatalog, qSqlUpdate, qSqlMerge)
 }

@@ -625,6 +625,21 @@ object Snapshots {
     * files this writer created are reclaimed on abort (no manifest
     * references them; vacuum could never free them).
     */
+  /** Group-replacement commit for the SQL row-level write path (UPDATE /
+    * MERGE INTO / subquery DELETE, which Spark plans as a group-based
+    * ReplaceData over the V2 table): swap the files the rewrite read for
+    * the files it wrote, against the snapshot pinned at `src`, under the
+    * same optimistic append-rebase as merge/deleteWhere. An interleaved
+    * plain append rebases freely — the result equals the serial
+    * DML-then-append schedule; a concurrent writer that removed one of
+    * the replaced files aborts (it rewrote rows this writer read).
+    */
+  private[graft] def replaceFiles(spark: SparkSession, table: String,
+      src: Long, removedNorm: Set[String], added: Seq[String], op: String,
+      reclaimOnAbort: Seq[Path]): Long =
+    publishRebase(spark, table, src, manifestFiles(spark, table, src),
+      removedNorm, added, op, reclaimOnAbort)
+
   private def publishRebase(spark: SparkSession, table: String, src: Long,
       srcFiles: Seq[String], removedNorm: Set[String], added: Seq[String],
       op: String, reclaimOnAbort: Seq[Path], token: Option[String] = None,

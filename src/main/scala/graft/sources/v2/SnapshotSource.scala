@@ -537,7 +537,20 @@ private[v2] class PruningScanBuilder(resolved: ResolvedSnapshot,
 private[v2] class SnapshotTable(path: String, tableSchema: StructType,
     resolveTable: () => ResolvedSnapshot) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** SQL `UPDATE` / `MERGE INTO` / subquery-predicate `DELETE`: Spark's
+    * rewrite rules plan these as a group-based copy-on-write ReplaceData
+    * over [[SnapshotRowLevelOperation]] (group = data file; only files
+    * that can contain a matching row rewrite — see RowLevelOps.scala).
+    * Simple translatable DELETEs still take the [[deleteWhere]] fast
+    * path via Spark's metadata-only-delete optimization.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new SnapshotRowLevelOperation(path, info.command(), resolveTable)
 
   override def name(): String = s"graft-snapshot:$path"
 

@@ -169,6 +169,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // AS OF 3 status universe that keeps fully-deleted statuses in the
     // result) + 2 join exchanges
     "q92_sql_catalog" -> 5,
+    // q93/q94: the DML runs in the one-time build; the gated SELECT is a
+    // single partial→final aggregation over the final snapshot
+    "q93_sql_update" -> 1, "q94_sql_merge" -> 1,
     // curated-v1 exceptAll feed-deletes union feed-inserts + the digest
     // agg; the DML build cycle runs as separate jobs
     "p17_incremental_curation" -> 4)

@@ -39,13 +39,24 @@ class SnapshotHammerSpec extends SparkTestBase {
         val rnd = new Random(1000L + trial)
         val table = java.nio.file.Files
           .createTempDirectory(s"hammer$trial").resolve("t").toString
-        // seed so merges always have a base version
-        Snapshots.commit(Seq((-1L, "seed")).toDF("id", "v"), table)
+        // seed so merges always have a base version; one thread-owned
+        // seed row per writer for the SQL UPDATE racer
+        Snapshots.commit(Seq((-1L, "seed"), (-2L, "seed"), (-3L, "seed"))
+          .toDF("id", "v"), table)
+        // SQL row-level DML needs a catalog route to the same table;
+        // per-trial catalog name because catalog instances bind their
+        // warehouse at first use
+        val catName = s"hammer_cat_$trial"
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          classOf[graft.sources.v2.SnapshotCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$catName.warehouse",
+          new org.apache.hadoop.fs.Path(table).getParent.toString)
 
         val start = new CountDownLatch(1)
         val done = new CountDownLatch(writers + 1)
         val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
         val mergedVal = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+        val updatedVal = new java.util.concurrent.ConcurrentHashMap[Long, String]()
         val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
         (0 until writers).foreach { w =>
@@ -54,8 +65,33 @@ class SnapshotHammerSpec extends SparkTestBase {
             try {
               (0 until opsPerWriter).foreach { op =>
                 val id = trial.toLong * 1000 + w * 100 + op
-                val dice = rnd.synchronized(rnd.nextInt(7))
-                if (dice == 6) {
+                val dice = rnd.synchronized(rnd.nextInt(8))
+                if (dice == 7) {
+                  // SQL UPDATE racing everything else: the group-based
+                  // COW ReplaceData (RowLevelOps) publishes through the
+                  // same rebase protocol — a race loss aborts and the
+                  // statement retries; per-key order is thread-local so
+                  // this thread's last UPDATE must be the final value
+                  val key = -(w + 1L)
+                  val value = s"u-$w-$op"
+                  var attempts = 0
+                  var ok = false
+                  while (!ok && attempts < 20) {
+                    try {
+                      spark.sql(s"UPDATE $catName.t SET v = '$value' " +
+                        s"WHERE id = $key")
+                      ok = true
+                    } catch {
+                      case e: Exception
+                          if e.isInstanceOf[IllegalStateException] ||
+                            (e.getCause != null &&
+                              e.getCause.isInstanceOf[IllegalStateException]) =>
+                        attempts += 1
+                    }
+                  }
+                  if (ok) updatedVal.put(key, value)
+                  else failures.add(s"sql update starved after 20 races (w$w op$op)")
+                } else if (dice == 6) {
                   // z-order rewrite racing everything else: same
                   // publishRebase contract as compact — an interleaved
                   // append must survive INTO the re-clustered manifest
@@ -166,6 +202,10 @@ class SnapshotHammerSpec extends SparkTestBase {
           s"trial $trial duplicated keys: ${collected.length} rows, ${finalRows.size} distinct")
         committed.forEach { id =>
           assert(finalRows.contains(id), s"trial $trial lost committed row $id")
+        }
+        updatedVal.forEach { (k, v) =>
+          if (!finalRows.get(k).contains(v))
+            fail(s"trial $trial sql-update key $k: ${finalRows.get(k)} != $v")
         }
         mergedVal.forEach { (k, v) =>
           if (!finalRows.get(k).contains(v)) {
