@@ -1077,10 +1077,58 @@ object Incremental {
          |FROM $tbl GROUP BY 1""".stripMargin)
   }
 
+  /** q95: SQL stored procedures under the oracle gate — the full
+    * maintenance lifecycle driven by `CALL <cat>.system.<proc>(...)`
+    * (ProcedureCatalog, SnapshotProcedures): INSERT → DELETE FROM →
+    * CALL compact (row-preserving rewrite) → CALL restore (metadata-
+    * only rollback to the pre-delete version, ACROSS the compaction).
+    * The gated read joins the restored state (must equal raw orders
+    * exactly) with `VERSION AS OF 4` (the compacted post-delete
+    * snapshot — a compaction that lost or duplicated a row, or a
+    * restore that resolved the wrong file list, breaks the hash).
+    */
+  val qSqlProcedures: QuerySpec = QuerySpec.sql(
+    "q95_sql_procedures",
+    """SELECT o_orderstatus, COUNT(*) AS n_restored,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       CAST(SUM(CASE WHEN (NOT (o_totalprice > 350000) OR o_totalprice IS NULL)
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_after_delete
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    val wh = snapRoot(s, dir, "sqldml")
+    val dirKey = Tables.dirKey(dir)
+    val cat = s"graft_dml_$dirKey"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$cat.m.proc_t"
+    val srcView = s"q95_orders_$dirKey"
+    ensureBuilt(s, s"$wh/m/proc_t", 5) {
+      Tables.orders(s, dir).createOrReplaceTempView(srcView)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
+        "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE)")
+      s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, " +
+        s"o_totalprice FROM $srcView ORDER BY o_orderkey")         // v2
+      s.sql(s"DELETE FROM $tbl WHERE o_totalprice > 350000")       // v3
+      s.sql(s"CALL $cat.system.compact(table => 'm.proc_t', num_files => 4)") // v4
+      s.sql(s"CALL $cat.system.restore(table => 'm.proc_t', version => 2)")   // v5
+    }
+    s.sql(
+      s"""SELECT u.o_orderstatus, cur.n_restored, cur.revenue,
+         |       COALESCE(del.nd, 0L) AS n_after_delete
+         |FROM (SELECT o_orderstatus, COUNT(*) AS n_restored,
+         |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |      FROM $tbl GROUP BY 1) cur
+         |JOIN (SELECT DISTINCT o_orderstatus FROM $tbl) u USING (o_orderstatus)
+         |LEFT JOIN (SELECT o_orderstatus, COUNT(*) AS nd
+         |           FROM $tbl VERSION AS OF 4 GROUP BY 1) del
+         |USING (o_orderstatus)""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
       qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead,
       qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore,
-      qSqlCatalog, qSqlUpdate, qSqlMerge)
+      qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures)
 }

@@ -48,10 +48,30 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (layout is the snapshot format's own: range/z-order rewrites).
   */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** `CALL <cat>.system.<proc>(...)` — table maintenance from SQL
+    * (compact / optimize_zorder / restore / vacuum / gc / history),
+    * delegating to [[graft.sources.Snapshots]]; see SnapshotProcedures.
+    */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    if (!ident.namespace().sameElements(SnapshotProcedures.Namespace))
+      throw new RuntimeException(
+        s"graft-snapshot: no procedure namespace ${ident.namespace().mkString(".")}")
+    SnapshotProcedures.load(ident.name(), warehouse).getOrElse(
+      throw new RuntimeException(
+        s"graft-snapshot: unknown procedure ${ident.name()}"))
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(SnapshotProcedures.Namespace))
+      SnapshotProcedures.list()
+    else Array.empty
 
   override def name(): String = catalogName
 

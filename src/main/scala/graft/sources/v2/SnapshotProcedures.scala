@@ -1,0 +1,143 @@
+package graft.sources.v2
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for snapshot-table maintenance — the Iceberg
+  * `CALL catalog.system.<proc>(...)` convention on Spark 4's
+  * ProcedureCatalog surface, so every lifecycle operation the Scala API
+  * offers is reachable from plain SQL:
+  *
+  * {{{
+  *   CALL cat.system.compact(table => 'ns.t', num_files => 4)
+  *   CALL cat.system.optimize_zorder(table => 'ns.t',
+  *        col1 => 'o_custkey', col2 => 'o_totalprice')
+  *   CALL cat.system.restore(table => 'ns.t', version => 3)
+  *   CALL cat.system.vacuum(table => 'ns.t', keep_versions => 2)
+  *   CALL cat.system.gc(table => 'ns.t')
+  * }}}
+  *
+  * Each procedure resolves the table identifier against the owning
+  * catalog's warehouse and delegates to the corresponding [[Snapshots]]
+  * operation — same commit protocol, same concurrency story as the
+  * programmatic path. The returned result set (a one-row LocalScan) is
+  * the operation's outcome: the published version for the rewrites,
+  * counts for the reclaimers. Procedures are driver-side manifests
+  * operations plus whatever distributed work the underlying op does
+  * (compact/z-order read+write data distributed; vacuum/gc touch only
+  * dead files).
+  */
+private[v2] object SnapshotProcedures {
+
+  /** All procedures live in the `system` namespace (Iceberg parity). */
+  val Namespace: Array[String] = Array("system")
+
+  def list(): Array[Identifier] =
+    all.keys.map(Identifier.of(Namespace, _)).toArray
+
+  def load(name: String, warehouse: String): Option[UnboundProcedure] =
+    all.get(name).map(mk => mk(warehouse))
+
+  private type Make = String => UnboundProcedure
+
+  private def spark = SparkSession.active
+
+  /** `ns.part.name` → `<warehouse>/ns/part/name` (the catalog's
+    * tablePath convention; segments validated the same way).
+    */
+  private def path(warehouse: String, table: String): String = {
+    val parts = table.split('.').toSeq
+    require(parts.nonEmpty && parts.forall(p =>
+      p.nonEmpty && !p.contains('/') && p != ".." && p != "."),
+      s"bad table identifier '$table' (expected ns.name)")
+    (warehouse +: parts).mkString("/")
+  }
+
+  private def param(name: String, dt: DataType): ProcedureParameter =
+    ProcedureParameter.in(name, dt).build()
+  private def param(name: String, dt: DataType, dflt: String): ProcedureParameter =
+    ProcedureParameter.in(name, dt).defaultValue(dflt).build()
+
+  private def row(vals: Any*): Array[InternalRow] =
+    Array(InternalRow.fromSeq(vals.map {
+      case s: String => UTF8String.fromString(s)
+      case other => other
+    }))
+
+  /** One-row (or N-row) result set. */
+  private final case class Result(schema: StructType, data: Array[InternalRow])
+      extends LocalScan {
+    override def rows(): Array[InternalRow] = data
+    override def readSchema(): StructType = schema
+  }
+
+  private abstract class Proc(procName: String,
+      params: Seq[ProcedureParameter], resultSchema: StructType)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    protected def run(input: InternalRow): Array[InternalRow]
+    override def call(input: InternalRow): java.util.Iterator[Scan] =
+      java.util.List.of[Scan](Result(resultSchema, run(input))).iterator()
+  }
+
+  private def schema(fields: (String, DataType)*): StructType =
+    fields.foldLeft(new StructType()) { case (s, (n, t)) => s.add(n, t) }
+
+  private val all: Map[String, Make] = Map(
+    "compact" -> (wh => new Proc("compact",
+      Seq(param("table", StringType), param("num_files", IntegerType, "1")),
+      schema("version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] =
+        row(Snapshots.compact(spark, path(wh, in.getString(0)), in.getInt(1)))
+    }),
+    "optimize_zorder" -> (wh => new Proc("optimize_zorder",
+      Seq(param("table", StringType), param("col1", StringType),
+        param("col2", StringType), param("num_files", IntegerType, "16")),
+      schema("version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] =
+        row(Snapshots.optimizeZOrder(spark, path(wh, in.getString(0)),
+          in.getString(1), in.getString(2), in.getInt(3)))
+    }),
+    "restore" -> (wh => new Proc("restore",
+      Seq(param("table", StringType), param("version", LongType)),
+      schema("version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] =
+        row(Snapshots.restore(spark, path(wh, in.getString(0)), in.getLong(1)))
+    }),
+    "vacuum" -> (wh => new Proc("vacuum",
+      Seq(param("table", StringType), param("keep_versions", IntegerType, "1")),
+      schema("files_deleted" -> IntegerType)) {
+      def run(in: InternalRow): Array[InternalRow] =
+        row(Snapshots.vacuum(spark, path(wh, in.getString(0)), in.getInt(1)))
+    }),
+    "gc" -> (wh => new Proc("gc",
+      Seq(param("table", StringType),
+        param("grace_ms", LongType, (24L * 3600 * 1000).toString)),
+      schema("files_deleted" -> IntegerType)) {
+      def run(in: InternalRow): Array[InternalRow] =
+        row(Snapshots.gc(spark, path(wh, in.getString(0)), in.getLong(1)))
+    }),
+    "history" -> (wh => new Proc("history",
+      Seq(param("table", StringType)),
+      schema("version" -> LongType, "token" -> StringType,
+        "n_files" -> IntegerType)) {
+      def run(in: InternalRow): Array[InternalRow] = {
+        val t = path(wh, in.getString(0))
+        Snapshots.history(spark, t)
+          .select("version", "token", "n_files").collect().map { r =>
+            InternalRow.fromSeq(Seq(r.getLong(0),
+              if (r.isNullAt(1)) null else UTF8String.fromString(r.getString(1)),
+              r.getInt(2)))
+          }
+      }
+    }))
+}

@@ -172,6 +172,8 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // q93/q94: the DML runs in the one-time build; the gated SELECT is a
     // single partial→final aggregation over the final snapshot
     "q93_sql_update" -> 1, "q94_sql_merge" -> 1,
+    // q95: two grouped aggs + distinct-status universe + the two joins
+    "q95_sql_procedures" -> 5,
     // curated-v1 exceptAll feed-deletes union feed-inserts + the digest
     // agg; the DML build cycle runs as separate jobs
     "p17_incremental_curation" -> 4)
