@@ -1610,6 +1610,54 @@ object Analytic {
         col("event_type"), col("n"), col("revenue"))
   }
 
+  /** Metadata-only aggregates under the ORACLE gate: the snapshot
+    * table is built from events with a DERIVED nullable key (every 7th
+    * user NULLed) across two appends, and the whole result —
+    * `COUNT(*)`, `COUNT(col)` over the nullable column, `MIN`/`MAX`
+    * over bigint and timestamp — is answered from the stats sidecar's
+    * footer counters as a driver-local scan
+    * ([[graft.sources.v2.MetadataAgg]]; SnapshotScanStatsSpec pins the
+    * LocalTableScan plan shape). The oracle re-derives every number
+    * from the raw events table, so the footer row counts, null counts,
+    * and INT64 endpoints must be EXACT, not merely conservative. At
+    * 100 TB this query class never opens a data file.
+    */
+  val qMetadataAgg: QuerySpec = QuerySpec.sql(
+    "q96_metadata_agg",
+    """WITH t AS (
+      |  SELECT event_id,
+      |         CASE WHEN user_id % 7 = 0 THEN NULL ELSE user_id END AS uid,
+      |         ts
+      |  FROM events
+      |)
+      |SELECT COUNT(*) AS n_rows,
+      |       CAST(COUNT(uid) AS BIGINT) AS n_uid,
+      |       MIN(event_id) AS min_eid, MAX(event_id) AS max_eid,
+      |       epoch_us(MIN(ts)) AS min_ts_us,
+      |       epoch_us(MAX(ts)) AS max_ts_us
+      |FROM t""".stripMargin) { (s, dir) =>
+    val root = Incremental.snapRoot(s, dir, "metaagg")
+    Incremental.ensureBuilt(s, root, 2) {
+      val e = Tables.events(s, dir).select(
+        col("event_id"),
+        when(col("user_id") % 7 =!= 0, col("user_id")).as("uid"),
+        col("ts"))
+      e.filter(col("event_id") % 2 === 0)
+        .write.format("graft-snapshot").option("path", root)
+        .mode("append").save()
+      e.filter(col("event_id") % 2 === 1)
+        .write.format("graft-snapshot").option("path", root)
+        .mode("append").save()
+    }
+    s.read.format("graft-snapshot").option("path", root).load()
+      .agg(count(lit(1)).as("n_rows"), count(col("uid")).as("n_uid"),
+        min(col("event_id")).as("min_eid"), max(col("event_id")).as("max_eid"),
+        min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"))
+      .select(col("n_rows"), col("n_uid"), col("min_eid"), col("max_eid"),
+        unix_micros(col("min_ts")).as("min_ts_us"),
+        unix_micros(col("max_ts")).as("max_ts_us"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
@@ -1619,5 +1667,5 @@ object Analytic {
       qLateral, qSkewJoin, qZOrder, qBloom, qBasketPairs, qOrderGaps, qMad,
       qPageRank, qSnapshotRoundtrip, qBfsLevels, qKmvSetOps, qHistQuantiles,
       qAttribution, qSkewInflow, qSnapshotV2, qSnapshotV2Write,
-      qTumblingWindow, qHoppingWindow)
+      qTumblingWindow, qHoppingWindow, qMetadataAgg)
 }

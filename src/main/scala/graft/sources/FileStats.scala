@@ -43,7 +43,7 @@ object FileStats {
   private def fs(spark: SparkSession, table: String) =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def norm(p: String): String = new Path(p).toUri.getPath
+  private[sources] def norm(p: String): String = new Path(p).toUri.getPath
 
   // private[sources]: SnapshotCatalog.renameTable rewrites the sidecar
   // path keys with the SAME codec (a second copy could drift)
@@ -191,6 +191,41 @@ object FileStats {
   }
 
   private def parseLine(line: String): Option[(String, String, ColRange)] =
+    parseDetail(line).map { case (p, c, _, _, r) => (p, c, r) }
+
+  /** One column's exact footer counters alongside its range: `rows` is
+    * the file's total row count (identical across the file's lines),
+    * `nulls` is the column's null count, −1 when any row group lacked
+    * it. Exactness is what separates the metadata-only AGGREGATE path
+    * from the conservative pruning path: pruning may widen, counts may
+    * not.
+    */
+  final case class ColDetail(rows: Long, nulls: Long, range: ColRange)
+
+  /** All recorded stats with exact counters: normalized path → column →
+    * detail. Same sidecar lines as [[load]]; torn lines yield nothing.
+    */
+  def loadDetail(spark: SparkSession, table: String): Map[String, Map[String, ColDetail]] = {
+    val f = fs(spark, table)
+    val dir = new Path(s"$table/stats")
+    if (!f.exists(dir)) return Map.empty
+    val lines = f.listStatus(dir).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith("stats-"))
+      .flatMap { p =>
+        val in = f.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+        finally in.close()
+      }
+    lines.flatMap { line =>
+      try parseDetail(line)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }.groupBy(_._1)
+      .map { case (p, xs) =>
+        p -> xs.map(x => x._2 -> ColDetail(x._3, x._4, x._5)).toMap
+      }
+  }
+
+  private def parseDetail(line: String): Option[(String, String, Long, Long, ColRange)] =
     line.split("\t", -1) match {
       case Array(pathB, colB, tagS, rowsS, nullsS, mnB, mxB) =>
         val tag = tagS.head
@@ -204,7 +239,7 @@ object FileStats {
         val rows = rowsS.toLong
         val nulls = nullsS.toLong
         val mn = parse(mnB)
-        Some((unb64(pathB), unb64(colB), ColRange(tag, mn, parse(mxB),
+        Some((unb64(pathB), unb64(colB), rows, nulls, ColRange(tag, mn, parse(mxB),
           hasNulls = nulls != 0, // -1 (unknown) counts as "may have"
           allNulls = rows > 0 && mn.isEmpty)))
       case _ => None
@@ -252,6 +287,12 @@ object FileStats {
     * how V2 specs observe that manifest-level skipping engaged.
     */
   @volatile private[graft] var lastSourcePrune: Option[(Int, Int)] = None
+
+  /** Test seam: (kept, total) of the most recent RUNTIME (DPP-style)
+    * prune on a plain snapshot read — how specs observe that join-time
+    * file skipping engaged.
+    */
+  @volatile private[graft] var lastRuntimePrune: Option[(Int, Int)] = None
 
   /** File skipping for the DataSourceV2 path: Spark's file sources push
     * RESOLVED Catalyst expressions (SupportsPushDownCatalystFilters) —

@@ -462,11 +462,25 @@ private[v2] final case class ResolvedSnapshot(path: String, version: Long,
   * wholesale to Spark's own parquet builder; this wrapper claims no
   * filter as handled, so row-level semantics are exactly the stock
   * path's.
+  *
+  * Two further scan-time shortcuts ride the same sidecar stats:
+  *
+  *  - METADATA-ONLY AGGREGATES ([[SupportsPushDownAggregates]]): an
+  *    unfiltered, ungrouped `COUNT(*)` / `COUNT(col)` / `MIN` / `MAX`
+  *    over exactly-countable columns is answered from the footer
+  *    counters without opening a single data file — on a 100 TB table
+  *    the query is a stats-sidecar read (see [[MetadataAgg]] for the
+  *    exactness rules that gate it).
+  *  - RUNTIME FILE SKIPPING ([[SnapshotReadScan]]): the built scan
+  *    advertises its stats-covered columns for dynamic pruning, so a
+  *    join against a selective dimension drops fact FILES at runtime
+  *    with the keys Spark harvests from the broadcast side.
   */
 private[v2] class PruningScanBuilder(resolved: ResolvedSnapshot,
     options: CaseInsensitiveStringMap) extends ScanBuilder
     with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   import org.apache.spark.sql.catalyst.expressions.Expression
 
@@ -478,6 +492,7 @@ private[v2] class PruningScanBuilder(resolved: ResolvedSnapshot,
   private val mirror = resolved.table.newScanBuilder(options)
   private var catalystFilters: Seq[Expression] = Nil
   private var required: Option[StructType] = None
+  private var metadataAgg: Option[(StructType, org.apache.spark.sql.catalyst.InternalRow)] = None
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     catalystFilters = filters
@@ -504,34 +519,197 @@ private[v2] class PruningScanBuilder(resolved: ResolvedSnapshot,
     }
   }
 
-  override def build(): org.apache.spark.sql.connector.read.Scan = {
-    val spark = SparkSession.active
-    val kept = graft.sources.FileStats.pruneResolved(
-      spark, resolved.path, resolved.files, catalystFilters)
-    if (kept.size == resolved.files.size) mirror.build()
-    else {
-      // a smaller table over the surviving files; replay the pushdown
-      val pruned = ParquetTable(
-        s"${resolved.table.name}:skip${resolved.files.size - kept.size}",
+  // Complete vs partial makes no difference to the produced row — one
+  // row of exact totals survives a final agg unchanged (sum of one
+  // count, min of one min) — but claiming COMPLETE lets Spark drop the
+  // agg node entirely.
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    metadataAgg = MetadataAgg.tryEvaluate(
+      SparkSession.active, resolved, catalystFilters, agg)
+    metadataAgg.isDefined
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (metadataAgg.isEmpty)
+      metadataAgg = MetadataAgg.tryEvaluate(
+        SparkSession.active, resolved, catalystFilters, agg)
+    metadataAgg.isDefined
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    metadataAgg match {
+      case Some((schema, row)) =>
+        new MetadataAggScan(resolved.path, resolved.version, schema, row)
+      case None =>
+        val kept = graft.sources.FileStats.pruneResolved(
+          SparkSession.active, resolved.path, resolved.files, catalystFilters)
+        new SnapshotReadScan(resolved, options, catalystFilters, required, kept)
+    }
+}
+
+/** One pre-aggregated row computed entirely from the stats sidecar —
+  * planned by Spark as a driver-local scan (`LocalTableScanExec`); the
+  * data files are never opened.
+  */
+private[v2] final class MetadataAggScan(path: String, version: Long,
+    aggSchema: StructType, row: org.apache.spark.sql.catalyst.InternalRow)
+    extends org.apache.spark.sql.connector.read.LocalScan {
+  override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = Array(row)
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"graft-snapshot metadata-agg $path v$version"
+}
+
+/** The plain-read snapshot scan: delegates the actual reading to
+  * Spark's parquet scan over the statically-pruned file list, and adds
+  * the two scan-level contracts the delegation alone cannot provide:
+  *
+  *  - [[SupportsRuntimeV2Filtering]] — Spark's dynamic pruning hands
+  *    join-key predicates (IN/= harvested from a broadcast build side)
+  *    to `filter` AFTER planning; the file list shrinks against the
+  *    manifest stats and `toBatch` rebuilds the parquet scan over the
+  *    survivors, so a selective dim-filtered join never opens
+  *    non-matching fact files. Stock parquet can only do this for
+  *    hive-style partition columns; the sidecar ranges extend it to
+  *    every stats-covered column.
+  *  - [[SupportsReportStatistics]] — sizeInBytes delegates to the
+  *    parquet scan (post static prune); numRows is the EXACT footer
+  *    row-count sum when the scan is unfiltered and every pinned file
+  *    has stats, giving the optimizer real cardinality instead of a
+  *    size-derived guess.
+  *
+  * Equality is (table version, kept files, pushed filters, projection)
+  * so AQE exchange reuse keeps working across identical subplans —
+  * runtime-pruned state deliberately does not participate (Spark
+  * mutates the scan after planning; reuse decisions predate that).
+  */
+private[v2] final class SnapshotReadScan(
+    private val resolved: ResolvedSnapshot,
+    options: CaseInsensitiveStringMap,
+    private val catalystFilters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    private val required: Option[StructType],
+    private val staticKept: Seq[String])
+    extends org.apache.spark.sql.connector.read.Scan
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.internal.connector.SupportsMetadata {
+
+  import org.apache.spark.sql.connector.read.Scan
+
+  @volatile private var files: Seq[String] = staticKept
+
+  private def buildInner(spark: SparkSession, fs0: Seq[String]): Scan = {
+    val t =
+      if (fs0.size == resolved.files.size) resolved.table
+      else ParquetTable(
+        s"${resolved.table.name}:skip${resolved.files.size - fs0.size}",
         spark, options,
         // an empty file list breaks ParquetTable's schema inference —
         // keep one file; its row groups are then pruned by parquet
-        if (kept.isEmpty) resolved.files.take(1) else kept,
+        if (fs0.isEmpty) resolved.files.take(1) else fs0,
         None, classOf[ParquetFileFormat])
-      val b = pruned.newScanBuilder(options)
-      b match {
-        case m: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
-          m.pushFilters(catalystFilters): Unit
-        case _ => ()
-      }
-      (b, required) match {
-        case (m: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns,
-            Some(s)) => m.pruneColumns(s)
-        case _ => ()
-      }
-      b.build()
+    val b = t.newScanBuilder(options)
+    b match {
+      case m: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        m.pushFilters(catalystFilters): Unit
+      case _ => ()
+    }
+    (b, required) match {
+      case (m: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns,
+          Some(s)) => m.pruneColumns(s)
+      case _ => ()
+    }
+    b.build()
+  }
+
+  @volatile private var inner: Scan = buildInner(SparkSession.active, files)
+
+  override def readSchema(): StructType = inner.readSchema()
+
+  /** Rebuilt on every call: Spark re-plans partitions after a runtime
+    * filter lands, and the rebuild picks up the pruned file list.
+    */
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    inner = buildInner(SparkSession.active, files)
+    inner.toBatch
+  }
+
+  // only columns surviving projection pruning: Spark resolves these
+  // against the scan's OUTPUT, and an unresolvable advertised column
+  // fails the query rather than skipping the optimization
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val out = readSchema().fieldNames.toSet
+    MetadataAgg.statsColumns(resolved.table.schema)
+      .filter(out.contains)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val exprs = predicates.toSeq
+      .flatMap(RowLevelScan.toCatalyst(_, resolved.table.schema))
+    if (exprs.nonEmpty) {
+      val spark = SparkSession.active
+      // preserve the STATIC-prune test seam: pruneResolved records
+      // into lastSourcePrune; the runtime prune reports separately
+      val saved = graft.sources.FileStats.lastSourcePrune
+      val before = files.size
+      files = graft.sources.FileStats.pruneResolved(
+        spark, resolved.path, files, exprs)
+      graft.sources.FileStats.lastRuntimePrune = Some((files.size, before))
+      graft.sources.FileStats.lastSourcePrune = saved
     }
   }
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val base = inner match {
+      case s: org.apache.spark.sql.connector.read.SupportsReportStatistics =>
+        s.estimateStatistics()
+      case _ => null
+    }
+    val exact: java.util.OptionalLong =
+      if (catalystFilters.nonEmpty) java.util.OptionalLong.empty()
+      else MetadataAgg.exactRowCount(SparkSession.active, resolved.path, files)
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (base != null) base.sizeInBytes() else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        if (exact.isPresent) exact
+        else if (base != null) base.numRows() else java.util.OptionalLong.empty()
+    }
+  }
+
+  // explain legibility: keep the inner parquet scan's description and
+  // metadata (PushedFilters / ReadSchema lines) visible, with the
+  // snapshot identity and file-skipping state prefixed
+  override def description(): String =
+    s"graft-snapshot ${resolved.path} v${resolved.version} " +
+      s"(${files.size}/${resolved.files.size} files) ${inner.description()}"
+
+  override def getMetaData(): Map[String, String] = {
+    val base = inner match {
+      case m: org.apache.spark.sql.internal.connector.SupportsMetadata =>
+        m.getMetaData()
+      case _ => Map.empty[String, String]
+    }
+    base + ("SnapshotFiles" -> s"${files.size}/${resolved.files.size}",
+      "SnapshotVersion" -> resolved.version.toString)
+  }
+
+  override def equals(o: Any): Boolean = o match {
+    case s: SnapshotReadScan =>
+      s.resolved.path == resolved.path &&
+        s.resolved.version == resolved.version &&
+        s.staticKept == staticKept &&
+        s.catalystFilters.map(_.canonicalized) == catalystFilters.map(_.canonicalized) &&
+        s.required == required
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    (resolved.path, resolved.version, staticKept, required).hashCode()
 }
 
 private[v2] class SnapshotTable(path: String, tableSchema: StructType,
@@ -666,4 +844,159 @@ private[v2] class SnapshotTable(path: String, tableSchema: StructType,
           }
       }
     }
+}
+
+/** Exactness rules for metadata-only aggregates over a snapshot table.
+  *
+  * The stats sidecar ([[graft.sources.FileStats]]) records, per data
+  * file and top-level column, the parquet FOOTER's row count, null
+  * count, and min/max. Pruning only needs those to be conservative;
+  * answering an aggregate needs them to be EXACT, so the evaluator
+  * declines anything outside the provably-exact core:
+  *
+  *  - only unfiltered, ungrouped aggregates (a pushed filter changes
+  *    the matching row set; footer counters describe whole files);
+  *  - every pinned file must carry sidecar lines (a file written
+  *    before stats collection, or whose footer read failed, makes
+  *    counts unknowable);
+  *  - `COUNT(*)` from row counts; `COUNT(col)` additionally needs the
+  *    column's null count known in every file (−1 = some row group
+  *    did not record it → decline);
+  *  - `MIN`/`MAX` only for integral/date/timestamp columns: their
+  *    INT32/INT64 footer endpoints are exact by format. Float/double
+  *    footers are NaN-blind and string/binary stats may be truncated
+  *    by the writer — both stay on the scan path;
+  *  - `SUM`/`AVG`/distinct aggregates have no footer counterpart →
+  *    scan path.
+  *
+  * Everything declined falls back to the ordinary pruned parquet scan;
+  * the pushdown is a pure shortcut, never a semantics change.
+  */
+private[v2] object MetadataAgg {
+  import graft.sources.FileStats
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types._
+
+  /** Top-level columns whose type lands in a stats domain — the ones
+    * the sidecar can ever have ranges for, hence the ones a runtime
+    * join-key filter can prune files with.
+    */
+  def statsColumns(schema: StructType): Array[String] =
+    schema.fields.collect {
+      case f if tagOf(f.dataType).isDefined => f.name
+    }
+
+  private def tagOf(dt: DataType): Option[Char] = dt match {
+    case ByteType | ShortType | IntegerType | LongType => Some('I')
+    case FloatType | DoubleType                        => Some('F')
+    case StringType                                    => Some('S')
+    case DateType                                      => Some('D')
+    case TimestampType | TimestampNTZType              => Some('T')
+    case _                                             => None
+  }
+
+  /** Exact total row count of `files` when every one has sidecar
+    * stats; empty otherwise. Feeds [[SnapshotReadScan]]'s reported
+    * statistics.
+    */
+  def exactRowCount(spark: SparkSession, table: String,
+      files: Seq[String]): java.util.OptionalLong = {
+    val detail = FileStats.loadDetail(spark, table)
+    val normed = files.map(FileStats.norm)
+    if (normed.forall(detail.contains))
+      java.util.OptionalLong.of(
+        normed.map(f => detail(f).values.headOption.map(_.rows).getOrElse(0L)).sum)
+    else java.util.OptionalLong.empty()
+  }
+
+  /** The aggregation's exact answer as (schema, single row), or None
+    * when any part falls outside the exact core.
+    */
+  def tryEvaluate(spark: SparkSession, resolved: ResolvedSnapshot,
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      agg: Aggregation): Option[(StructType, InternalRow)] = {
+    if (filters.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val funcs = agg.aggregateExpressions.toSeq
+    if (funcs.isEmpty) return None
+    val schema = resolved.table.schema
+    val detail = FileStats.loadDetail(spark, resolved.path)
+    val normed = resolved.files.map(FileStats.norm)
+    if (!normed.forall(detail.contains)) return None
+    val perFile = normed.map(detail)
+
+    def single(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case fr: NamedReference if fr.fieldNames.length == 1 =>
+          Some(fr.fieldNames.head)
+        case _ => None
+      }
+
+    // every line of a file carries the same footer row count
+    lazy val totalRows: Long =
+      perFile.map(_.values.headOption.map(_.rows).getOrElse(0L)).sum
+
+    def countCol(name: String): Option[Long] = {
+      val cols = perFile.map(_.get(name))
+      if (cols.forall(c => c.isDefined && c.get.nulls >= 0))
+        Some(cols.map(c => c.get.rows - c.get.nulls).sum)
+      else None
+    }
+
+    def minMax(name: String, isMin: Boolean): Option[(DataType, Any)] =
+      schema.fields.find(_.name == name).flatMap { f =>
+        val tagOpt = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType => Some('I')
+          case DateType                                      => Some('D')
+          case TimestampType | TimestampNTZType              => Some('T')
+          case _                                             => None
+        }
+        tagOpt.flatMap { tag =>
+          val cols = perFile.map(_.get(name))
+          // a file missing the column's line (schema evolution,
+          // footer-stats gap) or carrying a different physical tag
+          // makes the endpoint unknowable
+          if (cols.exists(c => c.isEmpty || c.get.range.tag != tag)) None
+          else {
+            val endpoints = cols.flatMap { c =>
+              (if (isMin) c.get.range.min else c.get.range.max)
+                .map(_.asInstanceOf[Long]) // I/D/T domains are Long
+            }
+            val v: Any =
+              if (endpoints.isEmpty) null // zero rows or all-NULL: SQL MIN/MAX is NULL
+              else {
+                val m = if (isMin) endpoints.min else endpoints.max
+                f.dataType match {
+                  case ByteType              => m.toByte
+                  case ShortType             => m.toShort
+                  case IntegerType | DateType => m.toInt
+                  case _                     => m
+                }
+              }
+            Some((f.dataType, v))
+          }
+        }
+      }
+
+    val results: Seq[Option[(StructField, Any)]] = funcs.zipWithIndex.map {
+      case (_: CountStar, i) =>
+        Some((StructField(s"agg_$i", LongType, nullable = false),
+          totalRows: Any))
+      case (c: Count, i) if !c.isDistinct =>
+        single(c.column).flatMap(countCol)
+          .map(v => (StructField(s"agg_$i", LongType, nullable = false), v: Any))
+      case (m: Min, i) =>
+        single(m.column).flatMap(minMax(_, isMin = true))
+          .map { case (dt, v) => (StructField(s"agg_$i", dt), v) }
+      case (m: Max, i) =>
+        single(m.column).flatMap(minMax(_, isMin = false))
+          .map { case (dt, v) => (StructField(s"agg_$i", dt), v) }
+      case _ => None
+    }
+    if (results.exists(_.isEmpty)) None
+    else Some((StructType(results.map(_.get._1)),
+      new GenericInternalRow(results.map(_.get._2).toArray)))
+  }
 }

@@ -176,7 +176,12 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q95_sql_procedures" -> 5,
     // curated-v1 exceptAll feed-deletes union feed-inserts + the digest
     // agg; the DML build cycle runs as separate jobs
-    "p17_incremental_curation" -> 4)
+    "p17_incremental_curation" -> 4,
+    // q96: ZERO by design — the whole aggregate is answered from the
+    // stats sidecar as a driver-local scan (metadata-only pushdown);
+    // any Exchange appearing here means the metadata path regressed
+    // to a data scan
+    "q96_metadata_agg" -> 0)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
