@@ -50,6 +50,10 @@ object Sessions {
     // footer min/max — written timestamps would be invisible to
     // FileStats data skipping
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    // storage-partitioned joins over bucketed snapshot tables: lets a
+    // scan's reported KeyGroupedPartitioning eliminate join exchanges;
+    // affects only scans that report one (bucketed snapshot tables)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     if (!spark.experimental.extraStrategies.contains(plans.TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ plans.TopKPerKeyStrategy

@@ -1658,6 +1658,53 @@ object Analytic {
         unix_micros(col("max_ts")).as("max_ts_us"))
   }
 
+  /** Storage-partitioned join under the ORACLE gate: orders and
+    * lineitem are committed as CO-BUCKETED snapshot tables
+    * (`Snapshots.commitBucketed`, bucket(8, orderkey) — Spark's own
+    * murmur3 row routing), registered in a V2 catalog, and the
+    * fact-fact equi-join on the bucket key plans with ZERO join
+    * exchanges (the scans report `KeyGroupedPartitioning`; the `merge`
+    * hint keeps the broadcast heuristic out of the way;
+    * BucketedJoinSpec pins the exchange-free plan). The oracle
+    * re-derives the per-status revenue from the raw tables, so the
+    * bucketed write path must lose or duplicate nothing. At 100 TB
+    * this join moves ZERO fact bytes across the network.
+    */
+  val qBucketedJoin: QuerySpec = QuerySpec.sql(
+    "q97_bucketed_join",
+    """SELECT o.o_orderstatus,
+      |       COUNT(*) AS n_lines,
+      |       CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY o.o_orderstatus""".stripMargin) { (s, dir) =>
+    import graft.sources.Snapshots
+    val wh = Incremental.snapRoot(s, dir, "spjwh")
+    val cat = s"spjcat_${Tables.dirKey(dir, 8)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val oT = s"$wh/ns/o"
+    val lT = s"$wh/ns/l"
+    Incremental.ensureBuilt(s, oT, 1) {
+      Snapshots.commitBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_orderstatus"),
+        oT, "o_orderkey", 8)
+    }
+    Incremental.ensureBuilt(s, lT, 1) {
+      Snapshots.commitBucketed(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        lT, "l_orderkey", 8)
+    }
+    val o = s.table(s"$cat.ns.o").hint("merge")
+    val l = s.table(s"$cat.ns.l")
+    o.join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qLagDelta, qNtile, qIntersect, qAboveAvg, qRangeFrame,
       qFunnel, qCohort, qTopKPerKey, qDispersion, qGroupingSets,
@@ -1667,5 +1714,5 @@ object Analytic {
       qLateral, qSkewJoin, qZOrder, qBloom, qBasketPairs, qOrderGaps, qMad,
       qPageRank, qSnapshotRoundtrip, qBfsLevels, qKmvSetOps, qHistQuantiles,
       qAttribution, qSkewInflow, qSnapshotV2, qSnapshotV2Write,
-      qTumblingWindow, qHoppingWindow, qMetadataAgg)
+      qTumblingWindow, qHoppingWindow, qMetadataAgg, qBucketedJoin)
 }

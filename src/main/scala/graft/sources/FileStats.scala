@@ -45,6 +45,11 @@ object FileStats {
 
   private[sources] def norm(p: String): String = new Path(p).toUri.getPath
 
+  /** Pseudo-column name of the row-count-only sentinel line (a space
+    * is illegal in a real field name, so it can never shadow one).
+    */
+  private[graft] val RowsSentinel = " rows"
+
   // private[sources]: SnapshotCatalog.renameTable rewrites the sidecar
   // path keys with the SAME codec (a second copy could drift)
   private[sources] def b64(s: String): String =
@@ -133,13 +138,21 @@ object FileStats {
           }
         }
       }
-      acc.toSeq.collect { case (name, (tag, mn, mx, nulls, true)) =>
+      val lines = acc.toSeq.collect { case (name, (tag, mn, mx, nulls, true)) =>
         Seq(b64(norm(file)), b64(name), tag.toString, rows.toString,
           nulls.toString,
           Option(mn).map(v => b64(v.toString)).getOrElse(""),
           Option(mx).map(v => b64(v.toString)).getOrElse("")
         ).mkString("\t")
       }
+      // a file with no stats-eligible column (schema anchors, exotic
+      // types) still has an exact ROW COUNT worth recording — one
+      // sentinel line under RowsSentinel (a space-prefixed name no
+      // real field can have), so COUNT(*) metadata answers and
+      // row-count statistics keep covering it
+      if (lines.nonEmpty) lines
+      else Seq(Seq(b64(norm(file)), b64(RowsSentinel), "I", rows.toString,
+        "0", "", "").mkString("\t"))
     } finally reader.close()
   }
 

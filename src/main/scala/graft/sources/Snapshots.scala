@@ -156,6 +156,21 @@ object Snapshots {
       .filter(_.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted
     FileStats.record(spark, table, newFiles) // footer-derived skipping stats
+    publishNewFiles(spark, table, newFiles, overwrite, token,
+      if (strictAppendSchema) Some(df.schema) else None, dataDir)
+  }
+
+  /** The optimistic append/overwrite publish loop shared by [[commit]]
+    * and [[commitBucketed]]: already-written `newFiles` become the next
+    * manifest version (base + new on append, new alone on overwrite),
+    * with the token replay check and the in-lock strict-append schema
+    * validation.
+    */
+  private def publishNewFiles(spark: SparkSession, table: String,
+      newFiles: Seq[String], overwrite: Boolean, token: Option[String],
+      strictSchema: Option[org.apache.spark.sql.types.StructType],
+      dataDir: Path): Long = {
+    val f = fs(spark, table)
     var attempt = 0
     while (attempt < 5) {
       val prev = versions(spark, table)
@@ -172,18 +187,20 @@ object Snapshots {
       // Here, if publish succeeds at prev.last + 1, no other commit
       // landed after this validation — exactly the invariant the check
       // protects. Footer-only driver read; the retry path is rare.
-      if (strictAppendSchema && base.nonEmpty) {
-        def sig(s: org.apache.spark.sql.types.StructType) =
-          s.fields.map(fl => (fl.name, fl.dataType)).sortBy(_._1).toSeq
-        val committed = spark.read.option("mergeSchema", "true")
-          .parquet(base: _*).schema
-        if (sig(committed) != sig(df.schema)) {
-          f.delete(dataDir, true) // no orphaned layout-mismatched files
-          throw new IllegalStateException(
-            s"graft-snapshot $table: append schema ${df.schema} does not " +
-              s"match the schema $committed of manifest v${prev.last} at " +
-              "commit time (a concurrent overwrite may have evolved the " +
-              "table; re-read and retry the append)")
+      strictSchema.foreach { want =>
+        if (base.nonEmpty) {
+          def sig(s: org.apache.spark.sql.types.StructType) =
+            s.fields.map(fl => (fl.name, fl.dataType)).sortBy(_._1).toSeq
+          val committed = spark.read.option("mergeSchema", "true")
+            .parquet(base: _*).schema
+          if (sig(committed) != sig(want)) {
+            f.delete(dataDir, true) // no orphaned layout-mismatched files
+            throw new IllegalStateException(
+              s"graft-snapshot $table: append schema $want does not " +
+                s"match the schema $committed of manifest v${prev.last} at " +
+                "commit time (a concurrent overwrite may have evolved the " +
+                "table; re-read and retry the append)")
+          }
         }
       }
       val header = s"v$v${token.map(" " + _).getOrElse("")}"
@@ -199,6 +216,115 @@ object Snapshots {
     }
     throw new IllegalStateException(
       s"snapshot commit lost the version race 5 times on $table")
+  }
+
+  /** Directory-name prefix that carries a data file's bucket id (the
+    * hive-style layout `.../__graft_bucket=<i>/part-*.parquet` written
+    * by [[commitBucketed]]); readers parse it back for
+    * storage-partitioned joins.
+    */
+  private[graft] val BucketDir = "__graft_bucket"
+
+  /** The table's bucket layout, if any: (column, numBuckets). */
+  def bucketSpec(spark: SparkSession, table: String): Option[(String, Int)] = {
+    val p = new Path(s"$table/bucketspec")
+    val f = fs(spark, table)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      text.split("\t") match {
+        case Array(c, n) => Some((c, n.toInt))
+        case _           => None
+      }
+    }
+  }
+
+  /** Persist-or-validate the table's bucket spec under an exclusive
+    * create: the loser of a concurrent first-writer race re-reads and
+    * validates. A mismatching spec always fails loudly.
+    */
+  private[graft] def ensureBucketSpec(spark: SparkSession, table: String,
+      column: String, n: Int): Unit = {
+    val f = fs(spark, table)
+    bucketSpec(spark, table) match {
+      case Some((c, m)) =>
+        require(c == column && m == n,
+          s"$table is bucketed by ($c, $m); cannot commit with ($column, $n)")
+      case None =>
+        val p = new Path(s"$table/bucketspec")
+        try {
+          val out = f.create(p, false)
+          try out.write(s"$column\t$n".getBytes("UTF-8")) finally out.close()
+        } catch {
+          case _: java.io.IOException =>
+            val got = bucketSpec(spark, table)
+            require(got.contains((column, n)),
+              s"$table bucket spec race: committed $got, attempted ($column, $n)")
+        }
+    }
+  }
+
+  /** Bucket id a file path carries, if the file sits in a
+    * [[BucketDir]] directory.
+    */
+  private[graft] def bucketOfPath(path: String): Option[Int] = {
+    val parent = new Path(path).getParent
+    if (parent == null) None
+    else parent.getName match {
+      case s if s.startsWith(BucketDir + "=") =>
+        scala.util.Try(s.substring(BucketDir.length + 1).toInt).toOption
+      case _ => None
+    }
+  }
+
+  /** Commit `df` BUCKETED by `column` (must be LongType) into `n`
+    * hash buckets — the storage layout that makes two co-bucketed
+    * snapshot tables join WITHOUT A SHUFFLE (Spark's storage-partitioned
+    * join): every row lands in the file group of
+    * `pmod(murmur3(key), n)`, recorded as a hive-style
+    * `__graft_bucket=<i>` directory per commit, and the V2 scan reports
+    * the grouping as `KeyGroupedPartitioning(bucket(n, column))` so
+    * EnsureRequirements drops both exchanges of an equi-join on the
+    * bucket column. The row router is Spark's own `hash()` (Murmur3,
+    * seed 42) — exactly what the catalog's SQL-visible `bucket`
+    * function computes, so a future shuffle-one-side plan stays
+    * consistent.
+    *
+    * The first bucketed commit persists the spec (`bucketspec`,
+    * exclusive create — concurrent first-writers race safely); every
+    * later bucketed commit must match it. Appends validate the
+    * committed schema strictly: a bucketed manifest must never mix
+    * layouts. Maintenance rewrites (compact / z-order / COW DML) write
+    * un-bucketed files; the read path then degrades gracefully to an
+    * ordinary scan (grouping is reported only while EVERY manifest
+    * file carries a bucket tag).
+    */
+  def commitBucketed(df: DataFrame, table: String, column: String, n: Int,
+      overwrite: Boolean = false, token: Option[String] = None): Long = {
+    require(n > 0, s"numBuckets must be positive, got $n")
+    val spark = df.sparkSession
+    token.foreach(t => committedVersionFor(spark, table, t)
+      .foreach(v => return v))
+    require(df.schema.fields.exists(fl => fl.name == column &&
+        fl.dataType == org.apache.spark.sql.types.LongType),
+      s"bucket column $column must be an existing BIGINT column of $df")
+    val f = fs(spark, table)
+    ensureBucketSpec(spark, table, column, n)
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
+    df.withColumn(BucketDir, pmod(hash(col(column)), lit(n)))
+      .repartition(n, col(BucketDir))
+      .write.partitionBy(BucketDir).parquet(dataDir.toString)
+    val newFiles = f.listStatus(dataDir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketDir + "="))
+      .flatMap(d => f.listStatus(d.getPath).toSeq)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    FileStats.record(spark, table, newFiles)
+    publishNewFiles(spark, table, newFiles, overwrite, token,
+      Some(df.schema), dataDir)
   }
 
   /** Stage data files for an atomic CTAS/RTAS: written under the table

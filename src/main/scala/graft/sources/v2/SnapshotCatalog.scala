@@ -44,15 +44,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * [[Snapshots.versionAsOfTimestamp]], Iceberg's newest-at-or-before).
   *
   * Deliberately unsupported (loud, not silent): `ALTER TABLE` (schema
-  * evolution goes through overwrite commits), partition transforms
-  * (layout is the snapshot format's own: range/z-order rewrites).
+  * evolution goes through overwrite commits) and partition transforms
+  * other than `bucket(n, col)` (layout is the snapshot format's own:
+  * range/z-order rewrites). `PARTITIONED BY (bucket(n, col))` IS
+  * supported — it creates a bucketed table whose co-bucketed joins
+  * plan as storage-partitioned (zero-exchange) joins, with the
+  * catalog's `bucket` V2 function as the compatibility anchor.
   */
 class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.StagingTableCatalog
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
+
+  /** The catalog's V2 functions: just `bucket` — what Spark resolves a
+    * bucketed table's reported `bucket(n, col)` transform against, the
+    * compatibility anchor of storage-partitioned joins (and callable
+    * from SQL as `<cat>.bucket(n, key)` to inspect row routing).
+    */
+  override def listFunctions(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(Array.empty, "bucket"))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace().isEmpty && ident.name() == "bucket") BucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
 
   /** `CALL <cat>.system.<proc>(...)` — table maintenance from SQL
     * (compact / optimize_zorder / restore / vacuum / gc / history),
@@ -148,11 +168,38 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, timestamp: Long): Table =
     load(ident, Map("asOfTimestamp" -> (timestamp / 1000L).toString))
 
+  /** The one supported layout transform: `PARTITIONED BY (bucket(n,
+    * col))` on a BIGINT column — the DDL route into bucketed snapshot
+    * tables (storage-partitioned joins). Everything else is the
+    * format's own business (range/z-order rewrites) and is refused.
+    */
+  private def bucketTransformOf(partitions: Array[Transform],
+      schema: StructType): Option[(String, Int)] = partitions.toSeq match {
+    case Seq() => None
+    case Seq(bt) if bt.name == "bucket" =>
+      val refs = bt.references()
+      val ns = bt.arguments().collect {
+        case l: org.apache.spark.sql.connector.expressions.Literal[_]
+            if l.dataType == org.apache.spark.sql.types.IntegerType =>
+          l.value.asInstanceOf[Int]
+      }
+      require(refs.length == 1 && refs.head.fieldNames.length == 1 &&
+          ns.length == 1,
+        s"bucket transform must be bucket(n, <one top-level column>), got $bt")
+      val c = refs.head.fieldNames.head
+      require(schema.fields.exists(f => f.name == c &&
+          f.dataType == org.apache.spark.sql.types.LongType),
+        s"bucket column $c must be an existing BIGINT column")
+      Some((c, ns.head))
+    case other => throw new IllegalArgumentException(
+      "graft-snapshot tables support PARTITIONED BY (bucket(n, col)) " +
+        "only; other layouts are the format's own (range/z-order " +
+        s"rewrites). Got: ${other.mkString(", ")}")
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft-snapshot tables manage their own layout (range/z-order " +
-        "rewrites); PARTITIONED BY is not supported")
+    val bucketed = bucketTransformOf(partitions, schema)
     val path = tablePath(ident)
     if (isTable(path))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
@@ -167,7 +214,27 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .repartition(1)
-    val (files, dataDir) = Snapshots.stageData(empty, path)
+    val (files0, dataDir) = Snapshots.stageData(empty, path)
+    // a bucketed table's schema anchor must itself carry a bucket tag,
+    // or the all-files-tagged guard would disable the key-grouped scan
+    // for the table's whole life (appends carry the anchor forever);
+    // it is empty, so bucket 0 is as true as any
+    val files = bucketed match {
+      case Some((c, n)) =>
+        Snapshots.ensureBucketSpec(spark, path, c, n)
+        val bdir = new Path(dataDir, s"${Snapshots.BucketDir}=0")
+        fs.mkdirs(bdir)
+        val moved = files0.map { fp =>
+          val src = new Path(fp)
+          val dst = new Path(bdir, src.getName)
+          require(fs.rename(src, dst), s"failed to stage $src as $dst")
+          dst.toString
+        }
+        // the stats sidecar keys by path; re-record under the new one
+        graft.sources.FileStats.record(spark, path, moved)
+        moved
+      case None => files0
+    }
     try Snapshots.publishStaged(spark, path, files, replace = false,
       orCreate = false)
     catch { case e: Throwable =>

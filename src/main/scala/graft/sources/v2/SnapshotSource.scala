@@ -594,6 +594,7 @@ private[v2] final class SnapshotReadScan(
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning
     with org.apache.spark.sql.internal.connector.SupportsMetadata {
 
   import org.apache.spark.sql.connector.read.Scan
@@ -628,12 +629,52 @@ private[v2] final class SnapshotReadScan(
 
   override def readSchema(): StructType = inner.readSchema()
 
+  /** Bucket layout this scan can REPORT: present only when the session
+    * opted into v2 bucketing, the table has a bucket spec, the bucket
+    * column survives projection pruning (Spark resolves the reported
+    * transform against the scan OUTPUT — an unresolvable column would
+    * fail the query, same trap as filterAttributes), and EVERY kept
+    * file carries a bucket tag (maintenance rewrites — compact /
+    * z-order / COW DML — write untagged files, after which the scan
+    * degrades gracefully to an ordinary one). The third element is the
+    * sorted distinct bucket ids present, which must equal the batch's
+    * partition grouping exactly.
+    */
+  private val bucketed: Option[(String, Int, Seq[Int])] = {
+    val spark = SparkSession.active
+    if (!spark.conf.get("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean) None
+    else Snapshots.bucketSpec(spark, resolved.path).flatMap { case (c, n) =>
+      if (!readSchema().fieldNames.contains(c) || staticKept.isEmpty) None
+      else {
+        val tags = staticKept.map(Snapshots.bucketOfPath)
+        if (tags.exists(_.isEmpty)) None
+        else Some((c, n, tags.flatten.distinct.sorted))
+      }
+    }
+  }
+
+  /** Storage-partitioned joins: a bucketed table's scan groups its
+    * files per bucket id and reports `KeyGroupedPartitioning(bucket(n,
+    * col))`; two co-bucketed snapshot tables equi-joined on their
+    * bucket columns then plan with ZERO exchanges (sorts stay local).
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketed match {
+      case Some((c, n, bs)) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c)),
+          bs.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
+
   /** Rebuilt on every call: Spark re-plans partitions after a runtime
     * filter lands, and the rebuild picks up the pruned file list.
     */
   override def toBatch: org.apache.spark.sql.connector.read.Batch = {
     inner = buildInner(SparkSession.active, files)
-    inner.toBatch
+    val b = inner.toBatch
+    if (bucketed.isDefined) new BucketedBatch(b) else b
   }
 
   // only columns surviving projection pruning: Spark resolves these
@@ -648,6 +689,10 @@ private[v2] final class SnapshotReadScan(
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    // a KeyGrouped-reporting scan pinned its partition count at
+    // planning time; dropping whole buckets afterwards would break the
+    // reported partitioning, so runtime pruning stands down
+    if (bucketed.isDefined) return
     val exprs = predicates.toSeq
       .flatMap(RowLevelScan.toCatalyst(_, resolved.table.schema))
     if (exprs.nonEmpty) {
@@ -712,6 +757,67 @@ private[v2] final class SnapshotReadScan(
     (resolved.path, resolved.version, staticKept, required).hashCode()
 }
 
+/** One input partition per bucket: all of a bucket's files as one
+  * task, keyed for Spark's key-grouped planning. Reading delegates to
+  * the parquet reader factory via the wrapped [[FilePartition]].
+  */
+private[v2] final case class BucketedFilePartition(index: Int,
+    asFilePartition: org.apache.spark.sql.execution.datasources.FilePartition,
+    bucket: Int)
+    extends org.apache.spark.sql.connector.read.InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+  override def preferredLocations(): Array[String] =
+    asFilePartition.preferredLocations()
+}
+
+private[v2] final class BucketedReaderFactory(
+    inner: org.apache.spark.sql.connector.read.PartitionReaderFactory)
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  private def unwrap(p: org.apache.spark.sql.connector.read.InputPartition) =
+    p.asInstanceOf[BucketedFilePartition].asFilePartition
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition) =
+    inner.createReader(unwrap(p))
+  override def createColumnarReader(p: org.apache.spark.sql.connector.read.InputPartition) =
+    inner.createColumnarReader(unwrap(p))
+  override def supportColumnarReads(p: org.apache.spark.sql.connector.read.InputPartition) =
+    inner.supportColumnarReads(unwrap(p))
+}
+
+/** Regroups the parquet batch's split-planned partitions into exactly
+  * one [[BucketedFilePartition]] per bucket id present — the partition
+  * count and ordering [[SnapshotReadScan.outputPartitioning]] promised.
+  * Coarser than parquet's size-based splits (a bucket is one task);
+  * that is the storage-partitioned-join contract, and the trade a
+  * co-located shuffle-free join makes by design.
+  */
+private[v2] final class BucketedBatch(
+    inner: org.apache.spark.sql.connector.read.Batch)
+    extends org.apache.spark.sql.connector.read.Batch {
+  import org.apache.spark.sql.execution.datasources.FilePartition
+
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val files = inner.planInputPartitions().flatMap {
+      case fp: FilePartition => fp.files
+      case other => throw new IllegalStateException(
+        s"bucketed snapshot scan expected FilePartitions, got $other")
+    }
+    files.groupBy { pf =>
+      Snapshots.bucketOfPath(pf.filePath.toString).getOrElse(
+        throw new IllegalStateException(
+          s"bucketed snapshot scan found an untagged file ${pf.filePath}"))
+    }.toSeq.sortBy(_._1).zipWithIndex.map { case ((b, fs), i) =>
+      BucketedFilePartition(i, FilePartition(i, fs.toArray), b)
+        : org.apache.spark.sql.connector.read.InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    new BucketedReaderFactory(inner.createReaderFactory())
+}
+
 private[v2] class SnapshotTable(path: String, tableSchema: StructType,
     resolveTable: () => ResolvedSnapshot) extends Table
     with SupportsRead with SupportsWrite
@@ -731,6 +837,18 @@ private[v2] class SnapshotTable(path: String, tableSchema: StructType,
     () => new SnapshotRowLevelOperation(path, info.command(), resolveTable)
 
   override def name(): String = s"graft-snapshot:$path"
+
+  /** A bucketed table advertises its layout (`bucket(n, col)`) — shown
+    * by DESCRIBE and resolved by Spark against the catalog's `bucket`
+    * function for storage-partitioned join planning.
+    */
+  override def partitioning(): Array[Transform] =
+    Snapshots.bucketSpec(SparkSession.active, path)
+      .map { case (c, n) =>
+        Array[Transform](
+          org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c))
+      }
+      .getOrElse(Array.empty)
 
   /** `DELETE FROM <catalog table> WHERE …` — Spark hands the predicate
     * as source Filters; translatable shapes route into the COW
@@ -837,8 +955,17 @@ private[v2] class SnapshotTable(path: String, tableSchema: StructType,
                       "schema; use mode(\"overwrite\") to replace it)")
                   data.select(committed.fieldNames.map(data(_)).toIndexedSeq: _*)
                 }.getOrElse(data)
-              Snapshots.commit(out, path, overwrite = wantsReplace,
-                strictAppendSchema = !wantsReplace)
+              // a bucketed table's INSERTs keep the bucket layout: every
+              // commit through any surface routes rows by the same spec,
+              // or storage-partitioned joins would silently degrade
+              Snapshots.bucketSpec(spark, path) match {
+                case Some((c, n)) =>
+                  Snapshots.commitBucketed(out, path, c, n,
+                    overwrite = wantsReplace): Unit
+                case None =>
+                  Snapshots.commit(out, path, overwrite = wantsReplace,
+                    strictAppendSchema = !wantsReplace): Unit
+              }
               ()
             }
           }
@@ -935,11 +1062,15 @@ private[v2] object MetadataAgg {
       }
 
     // every line of a file carries the same footer row count
-    lazy val totalRows: Long =
-      perFile.map(_.values.headOption.map(_.rows).getOrElse(0L)).sum
+    def fileRows(m: Map[String, FileStats.ColDetail]): Long =
+      m.values.headOption.map(_.rows).getOrElse(0L)
+    lazy val totalRows: Long = perFile.map(fileRows).sum
+    // a zero-row file (schema anchor) contributes nothing to any
+    // aggregate and need not carry per-column lines
+    lazy val nonEmpty = perFile.filter(fileRows(_) > 0)
 
     def countCol(name: String): Option[Long] = {
-      val cols = perFile.map(_.get(name))
+      val cols = nonEmpty.map(_.get(name))
       if (cols.forall(c => c.isDefined && c.get.nulls >= 0))
         Some(cols.map(c => c.get.rows - c.get.nulls).sum)
       else None
@@ -954,7 +1085,7 @@ private[v2] object MetadataAgg {
           case _                                             => None
         }
         tagOpt.flatMap { tag =>
-          val cols = perFile.map(_.get(name))
+          val cols = nonEmpty.map(_.get(name))
           // a file missing the column's line (schema evolution,
           // footer-stats gap) or carrying a different physical tag
           // makes the endpoint unknowable

@@ -1,0 +1,153 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+
+/** Storage-partitioned joins over bucketed snapshot tables: two tables
+  * committed with the same `bucket(n, key)` layout equi-join on the
+  * key with ZERO exchanges — the scan reports
+  * `KeyGroupedPartitioning(bucket(n, col))`, the catalog's `bucket`
+  * function anchors compatibility, and EnsureRequirements drops both
+  * shuffles. At 100 TB this is the difference between moving both
+  * fact tables over the network and moving nothing.
+  */
+class BucketedJoinSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val wh = {
+    val dir = Files.createTempDirectory("graftbwh").toString
+    spark.conf.set("spark.sql.catalog.bj_cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.bj_cat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS bj_cat.ns")
+    dir
+  }
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect() // materialize so AQE settles
+    "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+  }
+
+  test("co-bucketed tables join with zero exchanges; values match the unbucketed join") {
+    wh
+    val left = (1L to 4000L).toDF("k").withColumn("lv", col("k") * 3)
+    val right = (2001L to 6000L).toDF("k").withColumn("rv", col("k") % 97)
+    Snapshots.commitBucketed(left, s"$wh/ns/bl", "k", 8)
+    Snapshots.commitBucketed(right, s"$wh/ns/br", "k", 8)
+
+    // hint("merge") forces SMJ over broadcast so the exchange question
+    // is the join's, not the dimension-size heuristic's
+    val a = spark.table("bj_cat.ns.bl").hint("merge")
+    val b = spark.table("bj_cat.ns.br")
+    val joined = a.join(b, "k").agg(
+      count(lit(1)).as("n"), sum(col("lv") + col("rv")).as("s"))
+
+    val expected = left.join(right, "k")
+      .agg(count(lit(1)), sum(col("lv") + col("rv"))).head()
+    val got = joined.head()
+    assert(got.getLong(0) === expected.getLong(0))
+    assert(got.getLong(1) === expected.getLong(1))
+    assert(got.getLong(0) === 2000L)
+
+    // the join itself is exchange-free: the only Exchange left is the
+    // final single-group aggregation's
+    val plan = {
+      val j = spark.table("bj_cat.ns.bl").hint("merge")
+        .join(spark.table("bj_cat.ns.br"), "k")
+      j.collect()
+      j.queryExecution.executedPlan.toString
+    }
+    assert(!plan.contains("Exchange"),
+      s"expected a shuffle-free storage-partitioned join:\n$plan")
+    assert(plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("appends keep the layout: a second bucketed commit still joins shuffle-free") {
+    wh
+    Snapshots.commitBucketed((1L to 1000L).toDF("k").withColumn("v", col("k")),
+      s"$wh/ns/ap1", "k", 4)
+    Snapshots.commitBucketed((1001L to 2000L).toDF("k").withColumn("v", col("k")),
+      s"$wh/ns/ap1", "k", 4)
+    Snapshots.commitBucketed((1L to 2000L).toDF("k").withColumn("w", col("k") * 2),
+      s"$wh/ns/ap2", "k", 4)
+    val j = spark.table("bj_cat.ns.ap1").hint("merge")
+      .join(spark.table("bj_cat.ns.ap2"), "k")
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(j.count() === 2000L)
+  }
+
+  test("a mismatched bucket count falls back to a normal shuffled join, correct values") {
+    wh
+    Snapshots.commitBucketed((1L to 500L).toDF("k").withColumn("v", col("k")),
+      s"$wh/ns/m8", "k", 8)
+    Snapshots.commitBucketed((1L to 500L).toDF("k").withColumn("w", col("k")),
+      s"$wh/ns/m4", "k", 4)
+    val j = spark.table("bj_cat.ns.m8").hint("merge")
+      .join(spark.table("bj_cat.ns.m4"), "k")
+    assert(j.count() === 500L)
+    assert(shuffles(spark.table("bj_cat.ns.m8").hint("merge")
+      .join(spark.table("bj_cat.ns.m4"), "k")) > 0)
+  }
+
+  test("SQL DDL route: PARTITIONED BY (bucket(n, col)) + INSERT INTO routes through the bucketed writer") {
+    wh
+    spark.sql("CREATE TABLE bj_cat.ns.ddl1 (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("CREATE TABLE bj_cat.ns.ddl2 (k BIGINT, w BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO bj_cat.ns.ddl1 " +
+      "SELECT id AS k, id * 2 AS v FROM range(1, 1001)")
+    spark.sql("INSERT INTO bj_cat.ns.ddl2 " +
+      "SELECT id AS k, id * 5 AS w FROM range(500, 1501)")
+    assert(Snapshots.bucketSpec(spark, s"$wh/ns/ddl1").contains(("k", 4)))
+    val j = spark.table("bj_cat.ns.ddl1").hint("merge")
+      .join(spark.table("bj_cat.ns.ddl2"), "k")
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(j.count() === 501L)
+    // and the schema-anchor does not break metadata COUNT
+    assert(spark.sql("SELECT count(*) FROM bj_cat.ns.ddl1")
+      .head().getLong(0) === 1000L)
+  }
+
+  test("the catalog's bucket function is SQL-callable and matches the writer's row routing") {
+    wh
+    val t = s"$wh/ns/fn"
+    Snapshots.commitBucketed((1L to 200L).toDF("k").withColumn("v", col("k")),
+      t, "k", 8)
+    // every file's rows all hash to the file's directory bucket
+    val byFile = Snapshots.read(spark, t)
+      .withColumn("f", input_file_name())
+      .withColumn("b", expr("bj_cat.bucket(8, k)"))
+      .select("f", "b").distinct().collect()
+    byFile.foreach { r =>
+      val tag = Snapshots.bucketOfPath(r.getString(0))
+      assert(tag.contains(r.getInt(1)),
+        s"file ${r.getString(0)} carries rows of bucket ${r.getInt(1)}")
+    }
+    // and it agrees with Spark's own hash(): pmod(hash(k), 8)
+    val diff = (1L to 200L).toDF("k")
+      .withColumn("f1", expr("bj_cat.bucket(8, k)"))
+      .withColumn("f2", pmod(hash(col("k")), lit(8)))
+      .filter(col("f1") =!= col("f2")).count()
+    assert(diff === 0L)
+  }
+
+  test("maintenance degrades gracefully: compact un-buckets, scan falls back, rows intact") {
+    wh
+    val t = s"$wh/ns/cp"
+    Snapshots.commitBucketed((1L to 300L).toDF("k").withColumn("v", col("k")),
+      t, "k", 4)
+    Snapshots.compact(spark, t, numFiles = 1)
+    // files are untagged now: no KeyGrouped reporting, ordinary join
+    val j = spark.table("bj_cat.ns.cp").hint("merge")
+      .join(spark.table("bj_cat.ns.cp").select(col("k")), "k")
+    assert(j.count() === 300L)
+  }
+}

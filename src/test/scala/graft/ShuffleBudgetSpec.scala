@@ -181,7 +181,12 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // stats sidecar as a driver-local scan (metadata-only pushdown);
     // any Exchange appearing here means the metadata path regressed
     // to a data scan
-    "q96_metadata_agg" -> 0)
+    "q96_metadata_agg" -> 0,
+    // q97: the fact-fact join is a storage-partitioned join over
+    // co-bucketed snapshot tables — ZERO join exchanges; the single
+    // budgeted Exchange is the final 3-group aggregation's. A second
+    // Exchange appearing means the key-grouped scan reporting broke
+    "q97_bucketed_join" -> 1)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet

@@ -57,9 +57,12 @@ class SnapshotCatalogSpec extends SparkTestBase {
     val a = intercept[Exception](
       spark.sql("ALTER TABLE graft_cat.ns2.s ADD COLUMN extra STRING"))
     assert(a.getMessage.contains("ALTER TABLE is not supported"), a.getMessage)
+    // identity partitioning stays loud; bucket(n, col) is the one
+    // supported transform (BucketedJoinSpec)
     val p = intercept[Exception](spark.sql(
       "CREATE TABLE graft_cat.ns2.p (id BIGINT) PARTITIONED BY (id)"))
-    assert(p.getMessage.contains("PARTITIONED BY is not supported"), p.getMessage)
+    assert(p.getMessage.contains("PARTITIONED BY (bucket(n, col)) only"),
+      p.getMessage)
   }
 
   test("rename moves the manifest chain; drop removes; missing tables are loud") {
