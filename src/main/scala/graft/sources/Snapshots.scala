@@ -241,29 +241,48 @@ object Snapshots {
     }
   }
 
-  /** Persist-or-validate the table's bucket spec under an exclusive
-    * create: the loser of a concurrent first-writer race re-reads and
-    * validates. A mismatching spec always fails loudly.
+  /** Persist-or-validate the table's bucket spec. The spec is written
+    * to a tmp file and claimed with the same atomic no-overwrite
+    * publish every manifest uses — a crash mid-write can never leave a
+    * torn `bucketspec` that blocks all future bucketed commits (the
+    * pre-fix create+write path could). The loser of a concurrent
+    * first-writer race re-reads and validates; a mismatching spec
+    * always fails loudly. Returns true when THIS call created the
+    * spec, so a failed commit can retire it instead of leaking a
+    * routing change out of an operation that never published.
     */
   private[graft] def ensureBucketSpec(spark: SparkSession, table: String,
-      column: String, n: Int): Unit = {
+      column: String, n: Int): Boolean = {
     val f = fs(spark, table)
     bucketSpec(spark, table) match {
       case Some((c, m)) =>
         require(c == column && m == n,
           s"$table is bucketed by ($c, $m); cannot commit with ($column, $n)")
+        false
       case None =>
         val p = new Path(s"$table/bucketspec")
-        try {
-          val out = f.create(p, false)
-          try out.write(s"$column\t$n".getBytes("UTF-8")) finally out.close()
-        } catch {
-          case _: java.io.IOException =>
-            val got = bucketSpec(spark, table)
-            require(got.contains((column, n)),
-              s"$table bucket spec race: committed $got, attempted ($column, $n)")
+        val tmp = new Path(s"$table/.bucketspec.${java.util.UUID.randomUUID}.tmp")
+        val out = f.create(tmp, false)
+        try out.write(s"$column\t$n".getBytes("UTF-8")) finally out.close()
+        if (publishAtomic(f, tmp, p)) true
+        else {
+          f.delete(tmp, false)
+          val got = bucketSpec(spark, table)
+          require(got.contains((column, n)),
+            s"$table bucket spec race: committed $got, attempted ($column, $n)")
+          false
         }
     }
+  }
+
+  /** Retire the table's bucket layout: subsequent commits route
+    * unbucketed and scans degrade to ordinary parquet scans (already
+    * the behavior whenever any manifest file is untagged). Used by
+    * schema-evolving overwrites/RTAS that drop the bucket column, and
+    * by failed first-bucketed-commits cleaning up their own spec.
+    */
+  private[graft] def dropBucketSpec(spark: SparkSession, table: String): Unit = {
+    fs(spark, table).delete(new Path(s"$table/bucketspec"), false): Unit
   }
 
   /** Bucket id a file path carries, if the file sits in a
@@ -311,20 +330,44 @@ object Snapshots {
         fl.dataType == org.apache.spark.sql.types.LongType),
       s"bucket column $column must be an existing BIGINT column of $df")
     val f = fs(spark, table)
-    ensureBucketSpec(spark, table, column, n)
-    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
-    val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
-    df.withColumn(BucketDir, pmod(hash(col(column)), lit(n)))
-      .repartition(n, col(BucketDir))
-      .write.partitionBy(BucketDir).parquet(dataDir.toString)
-    val newFiles = f.listStatus(dataDir).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketDir + "="))
-      .flatMap(d => f.listStatus(d.getPath).toSeq)
-      .filter(_.getPath.getName.startsWith("part-"))
-      .map(_.getPath.toString).sorted
-    FileStats.record(spark, table, newFiles)
-    publishNewFiles(spark, table, newFiles, overwrite, token,
-      Some(df.schema), dataDir)
+    val createdSpec = ensureBucketSpec(spark, table, column, n)
+    try {
+      import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+      val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
+      df.withColumn(BucketDir, pmod(hash(col(column)), lit(n)))
+        .repartition(n, col(BucketDir))
+        .write.partitionBy(BucketDir).parquet(dataDir.toString)
+      var newFiles = f.listStatus(dataDir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketDir + "="))
+        .flatMap(d => f.listStatus(d.getPath).toSeq)
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString).sorted
+      // a zero-row input emits NO files from the dynamic-partition
+      // write (unlike commit()'s plain write, which always emits one
+      // schema-carrying file) — publishing an empty manifest would
+      // brick every read at the latest version, so anchor the schema
+      // with one empty bucket-0 file, exactly like catalog CREATE does
+      if (newFiles.isEmpty) {
+        val anchorDir = new Path(dataDir, s"$BucketDir=0")
+        df.limit(0).repartition(1).write.parquet(anchorDir.toString)
+        newFiles = f.listStatus(anchorDir).toSeq
+          .filter(_.getPath.getName.startsWith("part-"))
+          .map(_.getPath.toString).sorted
+      }
+      FileStats.record(spark, table, newFiles)
+      publishNewFiles(spark, table, newFiles, overwrite, token,
+        Some(df.schema), dataDir)
+    } catch {
+      case e: Throwable =>
+        // a commit that never published must not leave the table's
+        // write routing flipped to bucketed as a side effect — retire
+        // the spec THIS call created (a concurrent same-spec committer
+        // that slips through the window degrades gracefully: its files
+        // are tagged but unreported, and its next commit re-creates
+        // the spec)
+        if (createdSpec) dropBucketSpec(spark, table)
+        throw e
+    }
   }
 
   /** Stage data files for an atomic CTAS/RTAS: written under the table
@@ -332,8 +375,47 @@ object Snapshots {
     * reader cannot observe a half-created table, and an abort reclaims
     * the directory with nothing to undo.
     */
-  private[sources] def stageData(df: DataFrame, table: String): (Seq[String], Path) =
-    writeData(df, table)
+  private[sources] def stageData(df: DataFrame, table: String,
+      recordStats: Boolean = true): (Seq[String], Path) =
+    writeData(df, table, recordStats)
+
+  /** Stage data files BUCKETED by `column` into `n` hash buckets — the
+    * CTAS/RTAS counterpart of [[commitBucketed]]'s data write: rows
+    * route by `pmod(murmur3(key), n)` into `__graft_bucket=<i>`
+    * directories, referenced by no manifest until the staged publish.
+    * A zero-row source stages one empty bucket-0 schema anchor so the
+    * created table is readable AND every manifest file stays
+    * bucket-tagged (the all-files-tagged gate for key-grouped scans).
+    * The caller persists the bucket spec at publish time.
+    */
+  private[sources] def stageDataBucketed(df: DataFrame, table: String,
+      column: String, n: Int): (Seq[String], Path) = {
+    require(n > 0, s"numBuckets must be positive, got $n")
+    require(df.schema.fields.exists(fl => fl.name == column &&
+        fl.dataType == org.apache.spark.sql.types.LongType),
+      s"bucket column $column must be an existing BIGINT column")
+    val spark = df.sparkSession
+    val f = fs(spark, table)
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
+    df.withColumn(BucketDir, pmod(hash(col(column)), lit(n)))
+      .repartition(n, col(BucketDir))
+      .write.partitionBy(BucketDir).parquet(dataDir.toString)
+    var newFiles = f.listStatus(dataDir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketDir + "="))
+      .flatMap(d => f.listStatus(d.getPath).toSeq)
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    if (newFiles.isEmpty) {
+      val anchorDir = new Path(dataDir, s"$BucketDir=0")
+      df.limit(0).repartition(1).write.parquet(anchorDir.toString)
+      newFiles = f.listStatus(anchorDir).toSeq
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString).sorted
+    }
+    FileStats.record(spark, table, newFiles)
+    (newFiles, dataDir)
+  }
 
   /** Publish staged files as the table's next snapshot — the commit
     * step of atomic CTAS (`replace = false`: the table must still not
@@ -807,7 +889,8 @@ object Snapshots {
   /** Write `df` as new data files under the table, returning their
     * paths (sorted) and the directory for loss-reclaim.
     */
-  private def writeData(df: DataFrame, table: String): (Seq[String], Path) = {
+  private def writeData(df: DataFrame, table: String,
+      recordStats: Boolean = true): (Seq[String], Path) = {
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
     df.write.parquet(dataDir.toString)
     val f = fs(df.sparkSession, table)
@@ -817,8 +900,11 @@ object Snapshots {
       .filter(_.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted
     // footer-derived skipping stats ride along with every write (a few
-    // KB per file, no data re-read); see FileStats
-    FileStats.record(df.sparkSession, table, files)
+    // KB per file, no data re-read); see FileStats. A caller that moves
+    // the files before publish (bucketed CREATE's anchor) suppresses
+    // this and records once under the final paths — the sidecar is
+    // append-only, so a pre-move record would be a permanent dead line.
+    if (recordStats) FileStats.record(df.sparkSession, table, files)
     (files, dataDir)
   }
 

@@ -190,6 +190,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       require(schema.fields.exists(f => f.name == c &&
           f.dataType == org.apache.spark.sql.types.LongType),
         s"bucket column $c must be an existing BIGINT column")
+      // the writer validates n > 0 too, but the DDL route must fail at
+      // CREATE time — a persisted bucket(0) spec would brick every
+      // subsequent INSERT (and h % 0 divides by zero in BucketFunction)
+      require(ns.head > 0,
+        s"bucket(n, $c): numBuckets must be positive, got ${ns.head}")
       Some((c, ns.head))
     case other => throw new IllegalArgumentException(
       "graft-snapshot tables support PARTITIONED BY (bucket(n, col)) " +
@@ -211,17 +216,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     // succeed and stack two schemas into one manifest chain —
     // publishStaged(replace = false) makes the loser fail LOUDLY at
     // publish time, and its staged file is reclaimed.
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .repartition(1)
-    val (files0, dataDir) = Snapshots.stageData(empty, path)
     // a bucketed table's schema anchor must itself carry a bucket tag,
     // or the all-files-tagged guard would disable the key-grouped scan
     // for the table's whole life (appends carry the anchor forever);
-    // it is empty, so bucket 0 is as true as any
+    // it is empty, so bucket 0 is as true as any. Stats recording is
+    // deferred past the move: the sidecar keys by absolute path, so a
+    // pre-move record would be a permanent dead line parsed by every
+    // FileStats load for the table's life.
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .repartition(1)
+    val (files0, dataDir) = Snapshots.stageData(empty, path,
+      recordStats = bucketed.isEmpty)
+    var createdSpec = false
     val files = bucketed match {
       case Some((c, n)) =>
-        Snapshots.ensureBucketSpec(spark, path, c, n)
+        createdSpec = Snapshots.ensureBucketSpec(spark, path, c, n)
         val bdir = new Path(dataDir, s"${Snapshots.BucketDir}=0")
         fs.mkdirs(bdir)
         val moved = files0.map { fp =>
@@ -230,7 +240,6 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           require(fs.rename(src, dst), s"failed to stage $src as $dst")
           dst.toString
         }
-        // the stats sidecar keys by path; re-record under the new one
         graft.sources.FileStats.record(spark, path, moved)
         moved
       case None => files0
@@ -239,6 +248,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       orCreate = false)
     catch { case e: Throwable =>
       fs.delete(dataDir, true)
+      // losing the CREATE race must not contaminate the winner's table
+      // with this loser's layout (or leave a spec on a table that was
+      // never created)
+      if (createdSpec) Snapshots.dropBucketSpec(spark, path)
       e match {
         case _: org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException =>
           throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
@@ -258,12 +271,13 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
 
   private def staged(ident: Identifier, schema: StructType,
       partitions: Array[Transform], replace: Boolean,
-      orCreate: Boolean): org.apache.spark.sql.connector.catalog.StagedTable = {
-    require(partitions.isEmpty,
-      "graft-snapshot tables manage their own layout (range/z-order " +
-        "rewrites); PARTITIONED BY is not supported")
-    new StagedSnapshotTable(tablePath(ident), schema, replace, orCreate)
-  }
+      orCreate: Boolean): org.apache.spark.sql.connector.catalog.StagedTable =
+    // same DDL surface as plain CREATE: bucket(n, col) or nothing. A
+    // REPLACE's layout follows the new definition wholesale — no
+    // transform on a formerly-bucketed table retires the old spec
+    // (commitStagedChanges), exactly as it replaces the old schema.
+    new StagedSnapshotTable(tablePath(ident), schema,
+      bucketTransformOf(partitions, schema), replace, orCreate)
 
   override def stageCreate(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo)
@@ -425,7 +439,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * directory; nothing was ever visible.
     */
   private class StagedSnapshotTable(path: String, tableSchema: StructType,
-      replace: Boolean, orCreate: Boolean)
+      bucketed: Option[(String, Int)], replace: Boolean, orCreate: Boolean)
       extends org.apache.spark.sql.connector.catalog.StagedTable
       with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -455,7 +469,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
             override def toInsertableRelation
                 : org.apache.spark.sql.sources.InsertableRelation =
               (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
-                val (files, dir) = Snapshots.stageData(data, path)
+                val (files, dir) = bucketed match {
+                  case Some((c, n)) =>
+                    Snapshots.stageDataBucketed(data, path, c, n)
+                  case None => Snapshots.stageData(data, path)
+                }
                 stagedFiles = files
                 reclaim = reclaim :+ dir
               }
@@ -466,16 +484,36 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       val sp = SparkSession.active
       // an empty CTAS source stages zero files; publish one empty
       // schema-bearing file so the created table still has a schema
+      // (bucket-tagged when the definition is bucketed, or the
+      // all-files-tagged gate would never report the grouping)
       if (stagedFiles.isEmpty) {
         val empty = sp.createDataFrame(
           sp.sparkContext.emptyRDD[org.apache.spark.sql.Row], tableSchema)
           .repartition(1)
-        val (files, dir) = Snapshots.stageData(empty, path)
+        val (files, dir) = bucketed match {
+          case Some((c, n)) => Snapshots.stageDataBucketed(empty, path, c, n)
+          case None         => Snapshots.stageData(empty, path)
+        }
         stagedFiles = files
         reclaim = reclaim :+ dir
       }
       try Snapshots.publishStaged(sp, path, stagedFiles, replace, orCreate): Unit
       catch { case e: Throwable => abortStagedChanges(); throw e }
+      // the layout follows the staged definition wholesale, exactly
+      // like the schema: REPLACE retires a formerly-bucketed table's
+      // spec when the new definition has no transform (the staged
+      // files are unbucketed — a surviving spec would advertise a
+      // phantom layout and re-route the next INSERT into a mixed
+      // manifest), and installs the new spec when it does. The spec
+      // lands AFTER the publish: a reader in the window sees tagged
+      // files without a spec and degrades to an ordinary scan.
+      bucketed match {
+        case Some((c, n)) =>
+          if (replace) Snapshots.dropBucketSpec(sp, path)
+          Snapshots.ensureBucketSpec(sp, path, c, n): Unit
+        case None =>
+          if (replace) Snapshots.dropBucketSpec(sp, path)
+      }
     }
 
     override def abortStagedChanges(): Unit = {

@@ -674,7 +674,13 @@ private[v2] final class SnapshotReadScan(
   override def toBatch: org.apache.spark.sql.connector.read.Batch = {
     inner = buildInner(SparkSession.active, files)
     val b = inner.toBatch
-    if (bucketed.isDefined) new BucketedBatch(b) else b
+    // the expected bucket list is pinned from the STATIC file set:
+    // runtime pruning may empty a bucket, and the batch must still
+    // produce that partition (empty) to honor the reported grouping
+    bucketed match {
+      case Some((_, _, bs)) => new BucketedBatch(b, bs)
+      case None             => b
+    }
   }
 
   // only columns surviving projection pruning: Spark resolves these
@@ -689,10 +695,12 @@ private[v2] final class SnapshotReadScan(
 
   override def filter(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
-    // a KeyGrouped-reporting scan pinned its partition count at
-    // planning time; dropping whole buckets afterwards would break the
-    // reported partitioning, so runtime pruning stands down
-    if (bucketed.isDefined) return
+    // a KeyGrouped-reporting scan pinned its partition count and
+    // values at planning time; runtime pruning still runs (a selective
+    // dim-filtered join against a bucketed fact on a NON-bucket key is
+    // exactly the workload it exists for) — BucketedBatch re-emits an
+    // empty partition for any bucket the prune fully emptied, so the
+    // reported grouping survives file skipping
     val exprs = predicates.toSeq
       .flatMap(RowLevelScan.toCatalyst(_, resolved.table.schema))
     if (exprs.nonEmpty) {
@@ -787,14 +795,18 @@ private[v2] final class BucketedReaderFactory(
 }
 
 /** Regroups the parquet batch's split-planned partitions into exactly
-  * one [[BucketedFilePartition]] per bucket id present — the partition
-  * count and ordering [[SnapshotReadScan.outputPartitioning]] promised.
-  * Coarser than parquet's size-based splits (a bucket is one task);
-  * that is the storage-partitioned-join contract, and the trade a
-  * co-located shuffle-free join makes by design.
+  * one [[BucketedFilePartition]] per EXPECTED bucket id — the partition
+  * count, values, and ordering [[SnapshotReadScan.outputPartitioning]]
+  * promised at plan time. `expected` is pinned from the static file
+  * set: a runtime file skip may empty a bucket entirely, and the batch
+  * re-emits it as an empty partition rather than breaking the reported
+  * grouping. Coarser than parquet's size-based splits (a bucket is one
+  * task); that is the storage-partitioned-join contract, and the trade
+  * a co-located shuffle-free join makes by design.
   */
 private[v2] final class BucketedBatch(
-    inner: org.apache.spark.sql.connector.read.Batch)
+    inner: org.apache.spark.sql.connector.read.Batch,
+    expected: Seq[Int])
     extends org.apache.spark.sql.connector.read.Batch {
   import org.apache.spark.sql.execution.datasources.FilePartition
 
@@ -804,12 +816,18 @@ private[v2] final class BucketedBatch(
       case other => throw new IllegalStateException(
         s"bucketed snapshot scan expected FilePartitions, got $other")
     }
-    files.groupBy { pf =>
+    val grouped = files.groupBy { pf =>
       Snapshots.bucketOfPath(pf.filePath.toString).getOrElse(
         throw new IllegalStateException(
           s"bucketed snapshot scan found an untagged file ${pf.filePath}"))
-    }.toSeq.sortBy(_._1).zipWithIndex.map { case ((b, fs), i) =>
-      BucketedFilePartition(i, FilePartition(i, fs.toArray), b)
+    }
+    val stray = grouped.keySet -- expected.toSet
+    require(stray.isEmpty,
+      s"bucketed snapshot scan planned buckets $stray outside the " +
+        s"reported grouping $expected")
+    val none = Array.empty[org.apache.spark.sql.execution.datasources.PartitionedFile]
+    expected.sorted.zipWithIndex.map { case (b, i) =>
+      BucketedFilePartition(i, FilePartition(i, grouped.getOrElse(b, none)), b)
         : org.apache.spark.sql.connector.read.InputPartition
     }.toArray
   }
@@ -840,15 +858,20 @@ private[v2] class SnapshotTable(path: String, tableSchema: StructType,
 
   /** A bucketed table advertises its layout (`bucket(n, col)`) — shown
     * by DESCRIBE and resolved by Spark against the catalog's `bucket`
-    * function for storage-partitioned join planning.
+    * function for storage-partitioned join planning. Resolved once per
+    * table instance (analysis calls this repeatedly, and each read is
+    * an object-store round trip); a Table is loaded per query, so the
+    * cache has query lifetime — same policy as the resolveTable cache.
     */
-  override def partitioning(): Array[Transform] =
+  private lazy val cachedPartitioning: Array[Transform] =
     Snapshots.bucketSpec(SparkSession.active, path)
       .map { case (c, n) =>
         Array[Transform](
           org.apache.spark.sql.connector.expressions.Expressions.bucket(n, c))
       }
       .getOrElse(Array.empty)
+
+  override def partitioning(): Array[Transform] = cachedPartitioning
 
   /** `DELETE FROM <catalog table> WHERE …` — Spark hands the predicate
     * as source Filters; translatable shapes route into the COW
@@ -957,11 +980,27 @@ private[v2] class SnapshotTable(path: String, tableSchema: StructType,
                 }.getOrElse(data)
               // a bucketed table's INSERTs keep the bucket layout: every
               // commit through any surface routes rows by the same spec,
-              // or storage-partitioned joins would silently degrade
+              // or storage-partitioned joins would silently degrade.
+              // An OVERWRITE whose schema evolved past the bucket column
+              // (dropped/renamed/retyped) retires the layout instead —
+              // overwrite replaces the file set wholesale, so it may
+              // replace the layout too; this is also the route OUT of
+              // bucketing (there is no ALTER TABLE). Appends still fail
+              // loudly: an append cannot evolve anything.
               Snapshots.bucketSpec(spark, path) match {
-                case Some((c, n)) =>
+                case Some((c, n)) if out.schema.fields.exists(f =>
+                    f.name == c &&
+                      f.dataType == org.apache.spark.sql.types.LongType) =>
                   Snapshots.commitBucketed(out, path, c, n,
                     overwrite = wantsReplace): Unit
+                case Some((c, _)) if wantsReplace =>
+                  // commit first, drop after: a failure leaves the old
+                  // layout intact; in the window between the two a scan
+                  // sees a spec with untagged files and degrades
+                  Snapshots.commit(out, path, overwrite = true): Unit
+                  Snapshots.dropBucketSpec(spark, path)
+                case Some((c, n)) =>
+                  Snapshots.commitBucketed(out, path, c, n): Unit // loud require
                 case None =>
                   Snapshots.commit(out, path, overwrite = wantsReplace,
                     strictAppendSchema = !wantsReplace): Unit

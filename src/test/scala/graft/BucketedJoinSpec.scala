@@ -139,6 +139,136 @@ class BucketedJoinSpec extends SparkTestBase {
     assert(diff === 0L)
   }
 
+  test("a FAILED first bucketed commit retires its own spec: write routing never flips as a side effect") {
+    wh
+    val t = s"$wh/ns/failspec"
+    // an existing UNBUCKETED table with a committed schema (k, v)
+    Snapshots.commit((1L to 100L).toDF("k").withColumn("v", col("k")), t)
+    // a bucketed APPEND with a mismatched schema fails the in-lock
+    // strict validation — AFTER the spec would have been persisted
+    intercept[IllegalStateException] {
+      Snapshots.commitBucketed(
+        (1L to 10L).toDF("k").withColumn("other", col("k") * 2), t, "k", 4)
+    }
+    assert(Snapshots.bucketSpec(spark, t).isEmpty,
+      "a commit that never published must not leave the table bucketed")
+    // subsequent writes still route unbucketed and read back fine
+    Snapshots.commit((101L to 110L).toDF("k").withColumn("v", col("k")), t)
+    assert(Snapshots.read(spark, t).count() === 110L)
+  }
+
+  test("a zero-row bucketed OVERWRITE stays readable: schema anchor, spec intact") {
+    wh
+    spark.sql("CREATE TABLE bj_cat.ns.z0 (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO bj_cat.ns.z0 SELECT id AS k, id AS v FROM range(1, 101)")
+    spark.sql("INSERT OVERWRITE bj_cat.ns.z0 " +
+      "SELECT id AS k, id AS v FROM range(1, 101) WHERE id < 0")
+    assert(spark.table("bj_cat.ns.z0").count() === 0L,
+      "emptying a bucketed table must not brick reads")
+    assert(Snapshots.bucketSpec(spark, s"$wh/ns/z0").contains(("k", 4)))
+    // refilling keeps the layout: the anchor file is bucket-tagged
+    spark.sql("INSERT INTO bj_cat.ns.z0 SELECT id AS k, id AS v FROM range(1, 51)")
+    assert(spark.table("bj_cat.ns.z0").count() === 50L)
+  }
+
+  test("a schema-evolving OVERWRITE past the bucket column retires the layout (the route out of bucketing)") {
+    wh
+    val t = s"$wh/ns/unbucket"
+    Snapshots.commitBucketed((1L to 100L).toDF("k").withColumn("v", col("k")),
+      t, "k", 4)
+    assert(Snapshots.bucketSpec(spark, t).contains(("k", 4)))
+    // the overwrite replaces the file set wholesale with a shape that
+    // has no bucket column — pre-fix this threw and locked the table
+    // to its bucket column forever
+    Seq(("a", 1L), ("b", 2L)).toDF("name", "n")
+      .write.format("graft-snapshot").option("path", t).mode("overwrite").save()
+    assert(Snapshots.bucketSpec(spark, t).isEmpty,
+      "the retired layout must not advertise a phantom bucket column")
+    assert(Snapshots.read(spark, t).count() === 2L)
+    // and appends now route unbucketed against the new schema
+    Seq(("c", 3L)).toDF("name", "n")
+      .write.format("graft-snapshot").option("path", t).mode("append").save()
+    assert(Snapshots.read(spark, t).count() === 3L)
+  }
+
+  test("REPLACE TABLE AS SELECT retires a stale bucket spec (or installs the new one)") {
+    wh
+    spark.sql("CREATE TABLE bj_cat.ns.rt (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO bj_cat.ns.rt SELECT id AS k, id AS v FROM range(1, 101)")
+    // replace WITHOUT a transform: the new definition is unbucketed,
+    // so the old spec must go with the old file set
+    spark.sql("REPLACE TABLE bj_cat.ns.rt AS SELECT 42L AS answer")
+    assert(Snapshots.bucketSpec(spark, s"$wh/ns/rt").isEmpty,
+      "RTAS without a transform must retire the old layout")
+    assert(spark.table("bj_cat.ns.rt").head().getLong(0) === 42L)
+    // replace WITH a transform installs the new layout wholesale
+    spark.sql("REPLACE TABLE bj_cat.ns.rt PARTITIONED BY (bucket(2, k)) " +
+      "AS SELECT id AS k FROM range(1, 51)")
+    assert(Snapshots.bucketSpec(spark, s"$wh/ns/rt").contains(("k", 2)))
+    assert(spark.table("bj_cat.ns.rt").count() === 50L)
+  }
+
+  test("bucketed CTAS: PARTITIONED BY (bucket(n, col)) AS SELECT joins shuffle-free") {
+    wh
+    spark.sql("CREATE TABLE bj_cat.ns.ctb1 PARTITIONED BY (bucket(4, k)) " +
+      "AS SELECT id AS k, id * 2 AS v FROM range(1, 1001)")
+    spark.sql("CREATE TABLE bj_cat.ns.ctb2 PARTITIONED BY (bucket(4, k)) " +
+      "AS SELECT id AS k, id * 5 AS w FROM range(500, 1501)")
+    assert(Snapshots.bucketSpec(spark, s"$wh/ns/ctb1").contains(("k", 4)))
+    val j = spark.table("bj_cat.ns.ctb1").hint("merge")
+      .join(spark.table("bj_cat.ns.ctb2"), "k")
+    j.collect()
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(j.count() === 501L)
+  }
+
+  test("bucket(0, k) is rejected at CREATE time, before anything persists") {
+    wh
+    intercept[IllegalArgumentException] {
+      spark.sql("CREATE TABLE bj_cat.ns.b0 (k BIGINT) " +
+        "PARTITIONED BY (bucket(0, k))")
+    }
+    assert(!new java.io.File(s"$wh/ns/b0/bucketspec").exists())
+  }
+
+  test("runtime file skipping runs on bucketed scans; emptied buckets survive as empty partitions") {
+    wh
+    val t = s"$wh/ns/rskip"
+    // commit 1: one key → ONE bucket file; commit 2: a disjoint high
+    // key range → four bucket files. A runtime probe for the low key
+    // prunes all of commit 2, leaving three of four reported buckets
+    // with NO files — the batch must re-emit them empty, not break
+    // the key-grouped contract
+    Snapshots.commitBucketed(Seq(1L).toDF("k").withColumn("v", lit(7L)),
+      t, "k", 4)
+    Snapshots.commitBucketed(
+      (1000L to 1999L).toDF("k").withColumn("v", col("k")), t, "k", 4)
+    val dimPath = java.nio.file.Files.createTempDirectory("bjdim")
+      .resolve("d").toString
+    Seq((1L, "keep"), (5L, "drop")).toDF("d", "tag").write.parquet(dimPath)
+    val fact = spark.table("bj_cat.ns.rskip")
+    val dimF = spark.read.parquet(dimPath).filter(col("tag") === "keep")
+    graft.sources.FileStats.lastRuntimePrune = None
+    val joined = fact.join(dimF, fact("k") === dimF("d"))
+    val got = joined.select(col("k"), col("v")).as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 7L)))
+    graft.sources.FileStats.lastRuntimePrune match {
+      case Some((kept, total)) =>
+        assert(kept < total, s"runtime prune kept $kept/$total")
+      case None =>
+        val plan = joined.queryExecution.executedPlan.toString
+        fail(s"runtime filter never reached the bucketed scan; plan:\n$plan")
+    }
+    // and the SPJ contract is untouched on the full (unpruned) scan
+    val spj = spark.table("bj_cat.ns.rskip").hint("merge")
+      .join(spark.table("bj_cat.ns.rskip").select(col("k")), "k")
+    spj.collect()
+    assert(!spj.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("maintenance degrades gracefully: compact un-buckets, scan falls back, rows intact") {
     wh
     val t = s"$wh/ns/cp"
