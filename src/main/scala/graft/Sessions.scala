@@ -54,6 +54,12 @@ object Sessions {
     // scan's reported KeyGroupedPartitioning eliminate join exchanges;
     // affects only scans that report one (bucketed snapshot tables)
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    // one-side shuffle: a bucketed × UNBUCKETED join shuffles only the
+    // unbucketed side, hashed by the catalog's own bucket function, so
+    // the (large) bucketed fact never moves — at 100 TB that halves
+    // the join's network cost even when the other input isn't a
+    // snapshot table. Affects only plans with a KeyGrouped side.
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
     if (!spark.experimental.extraStrategies.contains(plans.TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ plans.TopKPerKeyStrategy

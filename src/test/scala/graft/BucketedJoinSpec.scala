@@ -269,6 +269,64 @@ class BucketedJoinSpec extends SparkTestBase {
     assert(!spj.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  /** Exchange count in the AQE FINAL plan only (the full toString
+    * includes the Initial Plan section, double-counting).
+    */
+  private def finalPlanExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val fin = s.split("== Initial Plan ==").head
+    "Exchange".r.findAllIn(fin).size
+  }
+
+  test("one-side shuffle: bucketed x plain join moves ONLY the plain side, hashed by the bucket function") {
+    wh
+    Snapshots.commitBucketed(
+      (1L to 4000L).toDF("k").withColumn("lv", col("k") * 3),
+      s"$wh/ns/oss", "k", 8)
+    val plainPath = java.nio.file.Files.createTempDirectory("bjplain")
+      .resolve("p").toString
+    (2001L to 6000L).toDF("k").withColumn("rv", col("k") % 97)
+      .write.parquet(plainPath)
+    val j = spark.table("bj_cat.ns.oss").hint("merge")
+      .join(spark.read.parquet(plainPath), "k")
+    // exactly ONE exchange — the plain side's, partitioned by the
+    // catalog's own bucket function into the fact's key grouping; the
+    // (large) bucketed fact never moves
+    assert(finalPlanExchanges(j) === 1)
+    val plan = j.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("keygroupedpartitioning"),
+      s"the shuffle must target the reported key grouping:\n$plan")
+    assert(plan.contains("BucketFunction"),
+      s"the shuffle must hash with the catalog bucket function:\n$plan")
+    assert(j.count() === 2000L)
+    // values match the ordinary join
+    val expected = (1L to 4000L).toDF("k").withColumn("lv", col("k") * 3)
+      .join((2001L to 6000L).toDF("k").withColumn("rv", col("k") % 97), "k")
+      .agg(sum(col("lv") + col("rv"))).head().getLong(0)
+    assert(spark.table("bj_cat.ns.oss")
+      .join(spark.read.parquet(plainPath), "k")
+      .agg(sum(col("lv") + col("rv"))).head().getLong(0) === expected)
+  }
+
+  test("groupBy on the bucket key aggregates with ZERO exchanges") {
+    wh
+    Snapshots.commitBucketed(
+      (1L to 4000L).toDF("k").withColumn("v", col("k") * 3),
+      s"$wh/ns/agg0", "k", 8)
+    // two commits so the agg provably combines across files per bucket
+    Snapshots.commitBucketed(
+      (1L to 4000L).toDF("k").withColumn("v", col("k") * 5),
+      s"$wh/ns/agg0", "k", 8)
+    val a = spark.table("bj_cat.ns.agg0").groupBy("k").agg(sum("v").as("s"))
+    assert(finalPlanExchanges(a) === 0,
+      "a bucket-key aggregation must not shuffle: the scan is already " +
+        "grouped by the key")
+    assert(a.count() === 4000L)
+    assert(a.filter(col("k") === 10L).head().getLong(1) === 80L) // 30 + 50
+  }
+
   test("maintenance degrades gracefully: compact un-buckets, scan falls back, rows intact") {
     wh
     val t = s"$wh/ns/cp"
