@@ -27,11 +27,10 @@ object SpjEconomics {
     spark.conf.set("spark.sql.catalog.se_cat.warehouse", wh)
     spark.sql("CREATE NAMESPACE IF NOT EXISTS se_cat.ns")
 
-    val t = Tables.load(spark, dir)
-    val li = t("lineitem").select(col("l_orderkey"), col("l_extendedprice"),
-      col("l_discount"))
-    val ord = t("orders").select(col("o_orderkey"), col("o_orderdate"),
-      col("o_orderpriority"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"),
+      col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_orderdate"), col("o_orderpriority"))
 
     println(s"[spj-econ] building bucketed lineitem (32 buckets) at $wh")
     val tb0 = System.nanoTime()

@@ -512,10 +512,11 @@ object Incremental {
     * n_all/revenue for the %3=2 keys and break the hash. asOf 2 proves
     * the per-batch versions time-travel (batches 0 and 1 only).
     *
-    * The MemoryStream feed collects each shard to the driver — a test-
-    * harness seam (bounded by the orders table at gate SF); on a
-    * cluster the same sink consumes any distributed source, the commit
-    * path is identical.
+    * The feed is the FILE streaming source over distributed parquet
+    * spills (one shard moved into the watched dir per drain) — no row
+    * ever touches the driver, so the registered query itself scales:
+    * at 100 TB the same sink consumes the same source, only the spill
+    * location changes.
     */
   val qStreamSnapshotWrite: QuerySpec = QuerySpec.sql(
     "q84_stream_snapshot_write",
@@ -525,24 +526,31 @@ object Incremental {
       |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
     val root = snapRoot(s, dir, "snapstreamw")
     ensureBuilt(s, root, 3) {
-      val rows = Tables.orders(s, dir)
+      val src = Tables.orders(s, dir)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
-        .collect()
-        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
-      implicit val ctx: org.apache.spark.sql.SQLContext = s.sqlContext
-      import s.implicits._
-      val mem = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, String, Double)]
+      // distributed spill: one parquet dir per %3 shard — no collect
+      val scratch = s"$root-feed-${java.util.UUID.randomUUID()}"
+      for (shard <- 0 to 2)
+        src.filter(col("o_orderkey") % 3 === shard)
+          .write.parquet(s"$scratch/shard$shard")
+      val inDir = new java.io.File(s"$scratch/in")
+      inDir.mkdirs()
       val ckNs = s"q84-${java.util.UUID.randomUUID()}"
-      val q = mem.toDF().toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+      val q = s.readStream.schema(src.schema).parquet(inDir.getPath)
         .writeStream.format("graft-snapshot")
         .option("path", root).option("checkpointLocation",
           s"${System.getProperty("java.io.tmpdir")}/$ckNs")
         .outputMode("append").start()
-      // one addData + processAllAvailable per shard = one micro-batch
-      // per shard = one snapshot version per shard, deterministically
+      // one shard moved into the watched dir + one drain = one
+      // micro-batch = one snapshot version, deterministically (no
+      // maxFilesPerTrigger: everything newly visible lands in one batch)
       for (shard <- 0 to 2) {
-        mem.addData(rows.filter(_._1 % 3 == shard).toIndexedSeq: _*)
+        new java.io.File(s"$scratch/shard$shard").listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .foreach { f =>
+            java.nio.file.Files.move(f.toPath,
+              new java.io.File(inDir, s"shard$shard-${f.getName}").toPath)
+          }
         q.processAllAvailable()
       }
       q.stop()
@@ -553,8 +561,15 @@ object Incremental {
           Map("path" -> root,
             "checkpointLocation" -> s"${System.getProperty("java.io.tmpdir")}/$ckNs"),
           Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
-        .addBatch(2, rows.filter(_._1 % 3 == 2).toIndexedSeq
-          .toDF("o_orderkey", "o_orderstatus", "o_totalprice"))
+        .addBatch(2, s.read.schema(src.schema).parquet(
+          inDir.listFiles().filter(_.getName.startsWith("shard2-"))
+            .map(_.getPath).toIndexedSeq: _*))
+      // the feed spills are consumed; reclaim them now rather than at
+      // JVM exit (the snapRoot hook only covers the table dir itself)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(scratch))
     }
     val latest = s.read.format("graft-snapshot").option("path", root).load()
       .groupBy("o_orderstatus")

@@ -123,6 +123,62 @@ class PlanLintSpec extends SparkTestBase {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("unpartitioned windows run only over bounded post-aggregation domains") {
+    // Window.orderBy with no partition spec plans as a single-partition
+    // sort — the whole input serializes through one task. That's only
+    // acceptable when the input's cardinality is a GROUP-KEY DOMAIN
+    // (dates, deciles, languages, length buckets), never a raw table.
+    // This lint pins both halves: (a) no query outside the waived set
+    // has an unpartitioned window at all, and (b) every waived site's
+    // window input subtree contains an Aggregate, so a future edit
+    // can't silently slide a raw-table scan under one of these windows.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val boundedDomain = Set(
+      "q35_lag_delta",          // lag over per-date aggregate (|dates|)
+      "t18_vocab_growth",       // running sums over 10 decile rows
+      "p8_proportional_sample", // quota ranks over |langs| rows
+      "p9_length_histogram")    // share-of-total over 5 bucket rows
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan = run(name).queryExecution.optimizedPlan
+      val unpart = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      if (unpart.isEmpty) None
+      else if (!boundedDomain(name)) Some(s"$name (unwaived unpartitioned window)")
+      else if (unpart.exists(_.child.collectFirst { case a: Aggregate => a }.isEmpty))
+        Some(s"$name (waived window's input subtree lost its Aggregate)")
+      else None
+    }
+    assert(offenders.isEmpty, s"single-partition window risk in: $offenders")
+  }
+
+  test("q84's stream feed stays distributed (no table collect during build)") {
+    // Round 6 fed the q84 snapshot-stream write by collecting the full
+    // orders table into MemoryStream — a driver-OOM at scale. The
+    // rebuilt feed spills shards to parquet and streams them through
+    // the file source; this lint pins that no Dataset action named
+    // collect*/toLocalIterator fires anywhere in the build. A fresh
+    // session forces the ensureBuilt cache to miss, so the build
+    // actually runs under the listener.
+    import scala.collection.mutable
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val s2 = spark.newSession()
+    val seen = mutable.ListBuffer.empty[String]
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        seen.synchronized { seen += funcName }: Unit
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    s2.listenerManager.register(listener)
+    try {
+      SparkEntry.queries("q84_stream_snapshot_write")(s2, sf0001)
+      Thread.sleep(500) // listener delivery is async
+      val collects = seen.synchronized(seen.toList)
+        .filter(fn => fn.startsWith("collect") || fn == "toLocalIterator")
+      assert(collects.isEmpty,
+        s"q84 build materialized data on the driver: $collects")
+    } finally s2.listenerManager.unregister(listener)
+  }
+
   test("hot row-level paths stay inside whole-stage codegen") {
     // the scan→filter→project→partial-agg pipeline of each of these must
     // run generated code (an interpreted expression in the hot path shows
