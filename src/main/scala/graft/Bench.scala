@@ -114,10 +114,27 @@ object Bench {
           val (tc, okc) = run(n, dst); spent += tc
           if (okc) {
             cold += (n -> tc)
-            if (spent < budgetSec) {
+            // STEADY-STATE warm: up to 3 reps, stop once a rep fails to
+            // improve >10% on the previous, publish the minimum. One
+            // warm rep right after the cold rep measured eviction/GC
+            // residue, not the query (round-6 close-run: s9 read e2 1.74
+            // published vs 0.57 at 3-rep steady state — the published
+            // table must be the authoritative number, no prose caveat)
+            var best = Double.MaxValue
+            var prev = Double.MaxValue
+            var reps = 0
+            var settled = false
+            while (reps < 3 && !settled && spent < budgetSec) {
               val (tw, okw) = run(n, dst); spent += tw
-              if (okw) warm += (n -> tw)
+              if (!okw) settled = true
+              else {
+                best = math.min(best, tw)
+                settled = tw >= prev * 0.9
+                prev = tw
+                reps += 1
+              }
             }
+            if (best < Double.MaxValue) warm += (n -> best)
           }
           // at the top factor each query measures against its OWN
           // working set: a prior query's cached seam is unevictable
@@ -181,11 +198,12 @@ object Bench {
       if (factor2 <= factor || warm1.isEmpty) ("", Map.empty[String, Double])
       else scaleTier("sf2", factor2, budget2, ScaleFixture.heavyQueries, base,
         Some("sf1" -> warm1), perQueryEvict = true)
-    // third curve point (the 100× predictor's third decade): only the
-    // four carry-queries run at the top factor — the working set there
-    // IS the harness memory ceiling, measured, not asserted.
+    // third curve point (the 100× predictor's third decade): the 10
+    // heaviest scaling stories run at the top factor — the working set
+    // there IS the harness memory ceiling, measured, not asserted.
+    // Budget sized for 10 queries × (cold + steady-state warm reps).
     val factor3 = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR3", "64").toInt
-    val budget3 = sys.env.getOrElse("SPARK_GRAFT_SCALE3_BUDGET_SEC", "600").toDouble
+    val budget3 = sys.env.getOrElse("SPARK_GRAFT_SCALE3_BUDGET_SEC", "1500").toDouble
     val sf3 =
       if (factor3 <= factor2 || warm2.isEmpty) ""
       else scaleTier("sf3", factor3, budget3, ScaleFixture.thirdDecadeQueries,

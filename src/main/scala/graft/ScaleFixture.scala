@@ -84,15 +84,20 @@ object ScaleFixture {
     "q64_basket_pairs", "s9_covariance", "s10_semantic_clusters")
 
   /** The third curve point (factor 64 by default) — the 100× predictor
-    * wants three decades, but the top factor's working set is the
-    * harness's memory ceiling, so only the four whose scaling stories
-    * carry the round run there: the honest-linear full scan (q1), the
-    * restructured sketch audit (q73), the in-row pair generator (q64),
-    * and the iterated graph broadcast (q67 — the round-5 weak grade).
-    * Cheap-first for budget truncation.
+    * wants three decades. Round 7 widened the set from the original 4
+    * carry-queries to the 10 heaviest scaling stories: the honest-linear
+    * full scan (q1), sessionization (q26), the restructured sketch audit
+    * (q73), the iterated graph broadcast (q67 — the round-5 weak grade),
+    * covariance + surprisal + kmeans (s9/t7/s15 — the round-6 steady-
+    * state-caveat rows, now measured by the in-loop 3-rep minimum),
+    * banded hamming pairs (d6), the linear-by-design substring
+    * fingerprint (d19), and the in-row pair generator (q64).
+    * Cheap-first (by measured 32× warm) for budget truncation.
     */
   val thirdDecadeQueries: Seq[String] = Seq(
-    "q1_agg", "q73_kmv_setops", "q67_pagerank", "q64_basket_pairs")
+    "q1_agg", "q26_sessionize", "q73_kmv_setops", "q67_pagerank",
+    "s9_covariance", "t7_surprisal", "d6_simhash_pairs",
+    "s15_kmeans_refine", "d19_substring_dedup", "q64_basket_pairs")
 
   private def replicate(df: DataFrame, factor: Int): DataFrame =
     df.withColumn("__r", explode(sequence(lit(0), lit(factor - 1))))
