@@ -176,9 +176,29 @@ object Bench {
     // built a seam included that build and is not a valid warm
     // denominator. Failed queries stay out (run() gates on ok).
     val known = SparkEntry.queries.keySet
+    // same steady-state rule as the tiers (min of up to 3 reps, stop
+    // when a rep stops improving >10%): the ratio must be steady-vs-
+    // steady on BOTH sides, or a noisy single-rep denominator skews
+    // every exponent built on it
+    def steadyRun(n: String, dir: String): Option[Double] = {
+      var best = Double.MaxValue
+      var prev = Double.MaxValue
+      var reps = 0
+      var settled = false
+      while (reps < 3 && !settled) {
+        val (t, ok) = run(n, dir)
+        if (!ok) settled = true
+        else {
+          best = math.min(best, t)
+          settled = t >= prev * 0.9
+          prev = t
+          reps += 1
+        }
+      }
+      if (best < Double.MaxValue) Some(best) else None
+    }
     val warmBase = ScaleFixture.heavyQueries.filter(known)
-      .map(n => n -> run(n, sfDir))
-      .collect { case (n, (t, true)) => n -> t }
+      .flatMap(n => steadyRun(n, sfDir).map(n -> _))
     val base = resultTimes.toMap ++ warmBase // heavy set overridden warm
     // perQueryEvict on EVERY tier: without it, earlier queries' seam
     // checkpoints stay resident and inflate later queries' measurements
