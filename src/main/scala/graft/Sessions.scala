@@ -58,7 +58,14 @@ object Sessions {
     // unbucketed side, hashed by the catalog's own bucket function, so
     // the (large) bucketed fact never moves — at 100 TB that halves
     // the join's network cost even when the other input isn't a
-    // snapshot table. Affects only plans with a KeyGrouped side.
+    // snapshot table. Affects only plans with a KeyGrouped side —
+    // i.e. only tables someone deliberately bucketed, which is the
+    // signal the fact is shuffle-dominant. Measured economics
+    // (SpjEconomics, PLANS.md round-7): at sf0.1 the eliminated
+    // shuffle is SMALLER than the fixed bucket-parallelism + sort
+    // cost (1.58 s vs 0.86 s warm), so bucketing itself stays opt-in
+    // per table; once a table IS bucketed, keeping its side pinned is
+    // strictly less data moved.
     spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
     if (!spark.experimental.extraStrategies.contains(plans.TopKPerKeyStrategy))
       spark.experimental.extraStrategies =
