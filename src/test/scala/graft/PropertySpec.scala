@@ -458,4 +458,42 @@ class PropertySpec extends SparkTestBase {
       assert(got === want, s"case $ci: banding lost or invented pairs")
     }
   }
+
+  test("LongDoubleHash equals LongMap on random workloads, survives serialization") {
+    // q67's rank vector rides this hand-rolled open-addressing map
+    // through a broadcast every iteration — a probe-chain bug would
+    // corrupt ranks silently (no exception, just wrong lookups).
+    // Reference semantics: last put wins, absent key -> default.
+    import graft.functions.LongDoubleHash
+    val keyGen = Gen.oneOf(
+      Gen.chooseNum(0L, 50L),              // dense + guaranteed overwrites
+      Gen.chooseNum(Long.MinValue + 1, Long.MaxValue)) // full domain
+    val opsGen = Gen.chooseNum(1, 300).flatMap(n =>
+      Gen.listOfN(n, Gen.zip(keyGen, Gen.chooseNum(-1e9, 1e9))))
+    samples(opsGen, 40).zipWithIndex.foreach { case (ops, ci) =>
+      val ref = scala.collection.mutable.LongMap.empty[Double]
+      // size the map at distinct-key count exactly as q67 does (ofSize
+      // of the collected row count)
+      val m = LongDoubleHash.ofSize(ops.map(_._1).distinct.size)
+      ops.foreach { case (k, v) => m.put(k, v); ref(k) = v }
+      ref.foreach { case (k, v) =>
+        assert(m.get(k, Double.NaN) === v, s"case $ci: wrong value for $k")
+      }
+      // keys never inserted come back as the default, not a neighbor's
+      // value (linear probing must terminate at the empty sentinel)
+      samples(keyGen, 20).filterNot(ref.contains).foreach { k =>
+        assert(m.get(k, -7.5) === -7.5, s"case $ci: phantom hit for $k")
+      }
+      // the broadcast contract: a serialization round-trip preserves
+      // every entry
+      val bos = new java.io.ByteArrayOutputStream()
+      new java.io.ObjectOutputStream(bos).writeObject(m)
+      val m2 = new java.io.ObjectInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[LongDoubleHash]
+      ref.foreach { case (k, v) =>
+        assert(m2.get(k, Double.NaN) === v, s"case $ci: lost $k after serde")
+      }
+    }
+  }
 }
