@@ -1140,10 +1140,59 @@ object Incremental {
          |USING (o_orderstatus)""".stripMargin)
   }
 
+  /** q98: WRITE-AUDIT-PUBLISH under the oracle gate — the Iceberg
+    * wap.branch workflow over the snapshot format. v1 of the parent is
+    * the even-doc_id half of documents (tagged 'pre-wap'); a fork
+    * stages the odd half on a branch (metadata-only — the branch's
+    * first manifest references the parent's files by path), the AUDIT
+    * rejects staged docs under 100 chars and fixes them with a
+    * copy-on-write delete ON THE BRANCH (parent readers never see the
+    * junk), and fastForward publishes the audited state as parent v2
+    * in one commit (branch data dirs renamed under the parent — no
+    * byte copy). The gated answer spans the whole story: per-lang
+    * counts of the published head AND the pre-publish row count read
+    * back through the V2 reader's `asOfTag` option — a wrong fork,
+    * missed delete, double-publish, or broken tag resolution each
+    * breaks the hash.
+    */
+  val qWapPublish: QuerySpec = QuerySpec.sql(
+    "q98_wap_publish",
+    """WITH final AS (
+      |  SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT lang, n_chars FROM documents
+      |  WHERE doc_id % 2 = 1 AND n_chars >= 100
+      |)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |       (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS n_pre
+      |FROM final GROUP BY lang""".stripMargin) { (s, dir) =>
+    val parent = snapRoot(s, dir, "wapparent")
+    val branch = snapRoot(s, dir, "wapbranch")
+    ensureBuilt(s, parent, 2) {
+      Snapshots.drop(s, branch) // a crashed prior build must not block fork
+      val docs = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 0), parent)
+      Snapshots.tag(s, parent, "pre-wap", 1L)
+      Snapshots.fork(s, parent, branch)
+      Snapshots.commit(docs.filter(col("doc_id") % 2 === 1), branch)
+      Snapshots.deleteWhere(s, branch,
+        col("doc_id") % 2 === 1 && col("n_chars") < 100)
+      Snapshots.fastForward(s, parent, branch): Unit
+    }
+    val head = s.read.format("graft-snapshot").option("path", parent).load()
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+    val pre = s.read.format("graft-snapshot")
+      .option("path", parent).option("asOfTag", "pre-wap").load()
+      .agg(count(lit(1)).as("n_pre"))
+    head.crossJoin(broadcast(pre))
+      .select(col("lang"), col("n_docs"), col("chars"), col("n_pre"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
       qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead,
       qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore,
-      qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures)
+      qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish)
 }

@@ -1102,7 +1102,13 @@ object Snapshots {
     require(keepVersions >= 1, "must keep at least the latest version")
     val f = fs(spark, table)
     val vs = versions(spark, table)
-    val (expire, keep) = vs.splitAt(math.max(0, vs.length - keepVersions))
+    // TAGGED versions never expire: a tag is a named promise that the
+    // version stays readable (and its files alive) until the tag is
+    // gone — Iceberg's ref-retention rule
+    val tagged = tags(spark, table).map(_._2).toSet
+    val (expireCand, keepTail) = vs.splitAt(math.max(0, vs.length - keepVersions))
+    val expire = expireCand.filterNot(tagged)
+    val keep = keepTail ++ expireCand.filter(tagged)
     if (expire.isEmpty) return 0
     val live = keep.flatMap(manifestFiles(spark, table, _)).toSet
     val dead = expire.flatMap(manifestFiles(spark, table, _)).toSet -- live
@@ -1115,6 +1121,210 @@ object Snapshots {
         f.delete(st.getPath, true)
     }
     dead.size
+  }
+
+  // -------------------------------------------------------------------
+  // Named refs and write-audit-publish (WAP): immutable TAGS over the
+  // version chain, and metadata-only table FORKS that stage writes for
+  // audit before a single-commit FAST-FORWARD into the parent — the
+  // Iceberg wap.branch workflow expressed over this manifest format.
+  // A fork never copies data (its first manifest references the
+  // parent's files by absolute path), so forking a 100 TB table is one
+  // small-file write; fast-forward moves only the branch's OWN new
+  // data directories (per-directory renames, no byte copy) and
+  // publishes one manifest.
+
+  private def tagPath(table: String, name: String) =
+    new Path(s"$table/ref-tag-$name.txt")
+
+  private val TagFileRe = "ref-tag-(.+)\\.txt".r
+
+  private def requireRefName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c =>
+      c.isLetterOrDigit || c == '_' || c == '-' || c == '.') &&
+      !name.forall(_.isDigit),
+      s"invalid ref name '$name' (letters/digits/._- and not all-digits " +
+        "— an all-digit name would be ambiguous with VERSION AS OF <n>)")
+
+  /** Create an immutable named tag at committed version `v` (CREATE
+    * TAG). Metadata-only: one small ref file, atomic create —
+    * re-tagging the SAME version is an idempotent no-op, re-tagging a
+    * different one fails (tags never move; use a new name). Tagged
+    * versions are protected from [[vacuum]] expiry, which transitively
+    * protects their data files from deletion.
+    */
+  def tag(spark: SparkSession, table: String, name: String, v: Long): Unit = {
+    requireRefName(name)
+    val vs = versions(spark, table)
+    require(vs.contains(v), s"version $v not in $vs")
+    tagVersion(spark, table, name) match {
+      case Some(`v`) => ()
+      case Some(w) => throw new IllegalStateException(
+        s"tag '$name' already points at v$w (tags are immutable)")
+      case None =>
+        val f = fs(spark, table)
+        val tmp = new Path(s"$table/.ref-tag-$name.${java.util.UUID.randomUUID}.tmp")
+        val out = f.create(tmp, false)
+        try out.write(s"$v\n".getBytes("UTF-8")) finally out.close()
+        if (!publishAtomic(f, tmp, tagPath(table, name))) {
+          f.delete(tmp, false)
+          // lost a create race: accept iff the winner tagged the same v
+          if (!tagVersion(spark, table, name).contains(v))
+            throw new IllegalStateException(
+              s"tag '$name' was concurrently created at a different version")
+        }
+    }
+  }
+
+  /** The version tag `name` points at, if the tag exists. */
+  def tagVersion(spark: SparkSession, table: String, name: String): Option[Long] = {
+    val f = fs(spark, table)
+    val p = tagPath(table, name)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+      finally in.close()
+    }
+  }
+
+  /** All tags of the table, (name, version), name-ascending. */
+  def tags(spark: SparkSession, table: String): Seq[(String, Long)] = {
+    val f = fs(spark, table)
+    val dir = new Path(table)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case TagFileRe(n) => tagVersion(spark, table, n).map(n -> _)
+      case _ => None
+    }).sortBy(_._1)
+  }
+
+  /** Fork the parent's head into a NEW table at `branch` (the WAP
+    * staging branch) — metadata-only at any data size: the branch's
+    * first manifest references the parent's data files by absolute
+    * path, the stats sidecars are copied (KBs) so manifest pruning
+    * keeps working on the branch, and the bucket layout carries so
+    * writes route identically. Every table operation (commit/merge/
+    * deleteWhere/DML/audit reads) then works on the branch unchanged,
+    * invisible to parent readers, until [[fastForward]] publishes it.
+    *
+    * Lifecycle contract: while a fork is open, do not [[vacuum]]/[[gc]]
+    * the parent below the fork point (the branch references those
+    * files by path). [[fastForward]]'s head-must-equal-fork-point rule
+    * makes a parent advance impossible to miss; expiry discipline is
+    * the operator's, exactly as in Iceberg's WAP.
+    */
+  def fork(spark: SparkSession, parent: String, branch: String): Long = {
+    val pvs = versions(spark, parent)
+    require(pvs.nonEmpty, s"no committed snapshot in $parent")
+    require(versions(spark, branch).isEmpty,
+      s"fork target $branch already has commits")
+    require(normPath(parent) != normPath(branch),
+      "fork target must be a different directory")
+    val head = pvs.last
+    val files = manifestFiles(spark, parent, head)
+    val f = fs(spark, branch)
+    f.mkdirs(new Path(branch))
+    val pf = fs(spark, parent)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val spec = new Path(s"$parent/bucketspec")
+    if (pf.exists(spec))
+      org.apache.hadoop.fs.FileUtil.copy(pf, spec, f,
+        new Path(s"$branch/bucketspec"), false, conf): Unit
+    val stats = new Path(s"$parent/stats")
+    if (pf.exists(stats)) pf.listStatus(stats).foreach { st =>
+      org.apache.hadoop.fs.FileUtil.copy(pf, st.getPath, f,
+        new Path(s"$branch/stats/${st.getPath.getName}"), false, conf): Unit
+    }
+    val tmp = new Path(s"$branch/.manifest-v1.${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, false)
+    try out.write((s"v1 fork-of-v$head\n" + files.mkString("\n")).getBytes("UTF-8"))
+    finally out.close()
+    if (!publishAtomic(f, tmp, new Path(s"$branch/manifest-v1.json"))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"fork target $branch was concurrently created")
+    }
+    1L
+  }
+
+  /** The parent version a fork was cut from (its v1 token), if `branch`
+    * is a fork.
+    */
+  def forkPoint(spark: SparkSession, branch: String): Option[Long] =
+    if (versions(spark, branch).isEmpty) None
+    else commitToken(spark, branch, 1L).collect {
+      case t if t.startsWith("fork-of-v") => t.stripPrefix("fork-of-v").toLong
+    }
+
+  /** PUBLISH a fork: make the branch's head the parent's next version
+    * in ONE commit (the WAP "publish" step). The branch's own data
+    * directories are RENAMED under the parent (no byte copy — the
+    * parent stays self-contained so its gc/vacuum lifecycle owns every
+    * file it references), their footer stats re-recorded under the
+    * parent, and the published manifest is the branch head's file list
+    * with those paths rewritten. Conflict rule: the parent head must
+    * still be the fork point — if the parent advanced, this fails
+    * loudly and the caller re-forks and re-stages (rebase-by-redo, the
+    * same discipline as a lost optimistic commit). The branch is
+    * dropped on success (`dropBranch=false` keeps it for inspection,
+    * but its manifests then reference moved paths).
+    */
+  def fastForward(spark: SparkSession, parent: String, branch: String,
+      dropBranch: Boolean = true): Long = {
+    val fp = forkPoint(spark, branch).getOrElse(throw new IllegalArgumentException(
+      s"$branch is not a fork (no fork-of-v token on its v1)"))
+    val pvs = versions(spark, parent)
+    require(pvs.nonEmpty && pvs.last == fp,
+      s"parent advanced since fork (head v${pvs.lastOption.getOrElse(-1L)} != " +
+        s"fork point v$fp) — re-fork and re-stage")
+    val bHead = versions(spark, branch).last
+    val bFiles = manifestFiles(spark, branch, bHead)
+    val f = fs(spark, parent)
+    val branchDataPrefix = normPath(branch) + "/data/"
+    val parentNorm = normPath(parent)
+    // branch-local data dirs to relocate: <branch>/data/<uuid>
+    val localDirs = bFiles.map(normPath).filter(_.startsWith(branchDataPrefix))
+      .map(p => p.drop(branchDataPrefix.length).takeWhile(_ != '/'))
+      .distinct
+    val dirMap = localDirs.map { u =>
+      var dst = u
+      // uuid collision with an existing parent dir is ~impossible; if
+      // it ever happens, suffix rather than merge into a foreign dir
+      while (f.exists(new Path(s"$parentNorm/data/$dst"))) dst = s"$dst-ff"
+      u -> dst
+    }.toMap
+    if (dirMap.nonEmpty) f.mkdirs(new Path(s"$parentNorm/data"))
+    dirMap.foreach { case (u, dst) =>
+      require(f.rename(new Path(s"${normPath(branch)}/data/$u"),
+        new Path(s"$parentNorm/data/$dst")),
+        s"failed to move staged data dir $u into $parent")
+    }
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    val newFiles = bFiles.map { p =>
+      val n = normPath(p)
+      if (n.startsWith(branchDataPrefix)) {
+        val rest = n.drop(branchDataPrefix.length)
+        val u = rest.takeWhile(_ != '/')
+        val np = f.makeQualified(new Path(
+          s"$parentNorm/data/${dirMap(u)}/${rest.drop(u.length + 1)}")).toString
+        moved += np
+        np
+      } else p
+    }
+    FileStats.record(spark, parent, moved.toSeq) // footer-only, pruning parity
+    val next = fp + 1
+    val tmp = new Path(s"$parent/.manifest-v$next.${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, false)
+    try out.write((s"v$next wap-of-v$bHead\n" + newFiles.mkString("\n"))
+      .getBytes("UTF-8"))
+    finally out.close()
+    if (!publishAtomic(f, tmp, new Path(s"$parent/manifest-v$next.json"))) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"parent $parent advanced during fast-forward (lost v$next) — re-fork")
+    }
+    if (dropBranch) drop(spark, branch)
+    next
   }
 
   /** Drop the whole table — manifests, data, history. Fails loudly if

@@ -160,9 +160,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
 
   override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
 
-  /** `VERSION AS OF <v>` */
+  /** `VERSION AS OF <v>` — a numeric literal is a version, anything
+    * else resolves through the table's immutable tag refs (tag names
+    * are forbidden from being all-digits, so the dispatch is
+    * unambiguous): `SELECT ... FROM t VERSION AS OF 'audited'`.
+    */
   override def loadTable(ident: Identifier, version: String): Table =
-    load(ident, Map("asOf" -> version))
+    load(ident, Map(
+      (if (version.nonEmpty && version.forall(_.isDigit)) "asOf" else "asOfTag")
+        -> version))
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands micros since epoch. */
   override def loadTable(ident: Identifier, timestamp: Long): Table =

@@ -126,6 +126,30 @@ private[v2] object SnapshotProcedures {
       def run(in: InternalRow): Array[InternalRow] =
         row(Snapshots.gc(spark, path(wh, in.getString(0)), in.getLong(1)))
     }),
+    "tag" -> (wh => new Proc("tag",
+      Seq(param("table", StringType), param("name", StringType),
+        param("version", LongType)),
+      schema("tagged_version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] = {
+        Snapshots.tag(spark, path(wh, in.getString(0)), in.getString(1),
+          in.getLong(2))
+        row(in.getLong(2))
+      }
+    }),
+    "fork" -> (wh => new Proc("fork",
+      Seq(param("table", StringType), param("branch", StringType)),
+      schema("branch_version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] =
+        row(Snapshots.fork(spark, path(wh, in.getString(0)),
+          path(wh, in.getString(1))))
+    }),
+    "fast_forward" -> (wh => new Proc("fast_forward",
+      Seq(param("table", StringType), param("branch", StringType)),
+      schema("version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] =
+        row(Snapshots.fastForward(spark, path(wh, in.getString(0)),
+          path(wh, in.getString(1))))
+    }),
     "history" -> (wh => new Proc("history",
       Seq(param("table", StringType)),
       schema("version" -> LongType, "token" -> StringType,

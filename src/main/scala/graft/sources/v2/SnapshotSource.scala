@@ -193,12 +193,19 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
           java.sql.Timestamp.valueOf(s).getTime }
       Snapshots.versionAsOfTimestamp(SparkSession.active, path, millis)
     }
-    require(asOf.isEmpty || asOfTs.isEmpty,
-      "graft-snapshot: set either asOf or asOfTimestamp, not both")
+    // named-ref time travel: .option("asOfTag", name) resolves through
+    // the table's immutable tag refs (Snapshots.tag)
+    val asOfTag = Option(options.get("asOfTag")).map { n =>
+      Snapshots.tagVersion(SparkSession.active, path, n).getOrElse(
+        throw new IllegalArgumentException(
+          s"graft-snapshot: no tag '$n' on $path"))
+    }
+    require(Seq(asOf, asOfTs, asOfTag).count(_.isDefined) <= 1,
+      "graft-snapshot: set at most one of asOf, asOfTimestamp, asOfTag")
     val spark = SparkSession.active
     // resolve "latest" to a CONCRETE version now, so the pinned file
     // list and the table name agree forever after
-    val version = asOf.orElse(asOfTs).getOrElse(
+    val version = asOf.orElse(asOfTs).orElse(asOfTag).getOrElse(
       Snapshots.versions(spark, path).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no committed snapshot in $path")))
     val files = Snapshots.dataFiles(spark, path, Some(version))

@@ -32,7 +32,9 @@ class PlanLintSpec extends SparkTestBase {
     // d20 broadcasts its 1-row ground-truth count like p4's report frames
     "d20_lsh_tradeoff",
     // t18 broadcasts the 1-row MAX(doc_id) decile edge
-    "t18_vocab_growth")
+    "t18_vocab_growth",
+    // q98 broadcasts its 1-row pre-publish count (p4's report shape)
+    "q98_wap_publish")
 
   test("no unintended CartesianProduct or nested-loop join in any registered query plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -1,0 +1,142 @@
+package graft
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+
+/** Named refs (immutable tags) + write-audit-publish forks over the
+  * snapshot format: metadata-only fork, staged-write isolation,
+  * audit-fix on the branch, single-commit fast-forward with data-dir
+  * relocation, conflict refusal, tag retention through vacuum, and the
+  * SQL surfaces (VERSION AS OF 'tag', CALL tag/fork/fast_forward).
+  */
+class WapSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"wap-$tag").toString + "/t"
+
+  test("fork is metadata-only and reads identically to the parent") {
+    val parent = freshDir("fork")
+    val branch = parent + "-b"
+    Snapshots.commit((1L to 1000L).toDF("id").withColumn("v", col("id") * 2), parent)
+    Snapshots.fork(spark, parent, branch)
+    // no data file was copied or written under the branch
+    val bData = new java.io.File(s"$branch/data")
+    assert(!bData.exists() || bData.listFiles().isEmpty,
+      "fork must not copy or write data files")
+    assert(Snapshots.read(spark, branch).orderBy("id").collect().toSeq ===
+      Snapshots.read(spark, parent).orderBy("id").collect().toSeq)
+    assert(Snapshots.forkPoint(spark, branch) === Some(1L))
+  }
+
+  test("staged writes and audit deletes stay invisible to the parent until fast-forward") {
+    val parent = freshDir("iso")
+    val branch = parent + "-b"
+    Snapshots.commit((1L to 100L).toDF("id"), parent)
+    Snapshots.fork(spark, parent, branch)
+    Snapshots.commit((101L to 200L).toDF("id"), branch)
+    Snapshots.deleteWhere(spark, branch, col("id") > 150)
+    // parent still reads exactly v1
+    assert(Snapshots.read(spark, parent).count() === 100)
+    val v = Snapshots.fastForward(spark, parent, branch)
+    assert(v === 2L)
+    val ids = Snapshots.read(spark, parent).as[Long].collect().sorted
+    assert(ids === (1L to 150L).toArray)
+    // the branch was consumed; its dir is gone and every published file
+    // lives under the parent (self-contained gc/vacuum lifecycle)
+    assert(!new java.io.File(branch).exists(), "branch must be dropped on publish")
+    val parentNorm = new org.apache.hadoop.fs.Path(parent).toUri.getPath
+    Snapshots.dataFiles(spark, parent).foreach { p =>
+      assert(new org.apache.hadoop.fs.Path(p).toUri.getPath.startsWith(parentNorm),
+        s"published file $p escaped the parent dir")
+    }
+    // the change feed across the wap commit is exactly the audited batch
+    val feed = Snapshots.changeFeed(spark, parent, 1L, 2L)
+    assert(feed.filter(col("_change_type") === "insert").count() === 50)
+    assert(feed.filter(col("_change_type") === "delete").count() === 0)
+  }
+
+  test("fast-forward refuses when the parent advanced past the fork point") {
+    val parent = freshDir("conflict")
+    val branch = parent + "-b"
+    Snapshots.commit((1L to 10L).toDF("id"), parent)
+    Snapshots.fork(spark, parent, branch)
+    Snapshots.commit((11L to 20L).toDF("id"), branch)
+    Snapshots.commit((21L to 30L).toDF("id"), parent) // concurrent advance
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.fastForward(spark, parent, branch)
+    }
+    assert(e.getMessage.contains("re-fork"))
+    // parent unharmed, branch intact for inspection
+    assert(Snapshots.read(spark, parent).count() === 20)
+    assert(Snapshots.read(spark, branch).count() === 20)
+  }
+
+  test("tags are immutable, resolve through the reader, and survive vacuum") {
+    val t = freshDir("tags")
+    Snapshots.commit((1L to 10L).toDF("id"), t)
+    Snapshots.commit((11L to 20L).toDF("id"), t)
+    Snapshots.commit((21L to 30L).toDF("id"), t)
+    Snapshots.tag(spark, t, "audited", 2L)
+    Snapshots.tag(spark, t, "audited", 2L) // same version: idempotent
+    intercept[IllegalStateException] { Snapshots.tag(spark, t, "audited", 3L) }
+    intercept[IllegalArgumentException] { Snapshots.tag(spark, t, "42", 2L) }
+    assert(Snapshots.tags(spark, t) === Seq("audited" -> 2L))
+    // V2 reader option
+    val viaTag = spark.read.format("graft-snapshot")
+      .option("path", t).option("asOfTag", "audited").load().count()
+    assert(viaTag === 20)
+    intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("path", t).option("asOfTag", "nope").load().count()
+    }
+    // vacuum keeps the tagged version alive alongside the head
+    Snapshots.vacuum(spark, t, keepVersions = 1)
+    assert(Snapshots.versions(spark, t) === Seq(2L, 3L))
+    assert(Snapshots.read(spark, t, asOf = Some(2L)).count() === 20)
+  }
+
+  test("SQL surface: VERSION AS OF 'tag' and CALL tag/fork/fast_forward") {
+    val wh = java.nio.file.Files.createTempDirectory("wapwh").toString
+    val cat = s"wapcat${System.nanoTime()}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.ns")
+    spark.sql(s"CREATE TABLE $cat.ns.t AS SELECT * FROM VALUES (1L), (2L) AS v(id)")
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES (3L)")
+    spark.sql(s"CALL $cat.system.tag(table => 'ns.t', name => 'first', version => 1)")
+    assert(spark.sql(s"SELECT * FROM $cat.ns.t VERSION AS OF 'first'").count() === 2)
+    assert(spark.sql(s"SELECT * FROM $cat.ns.t VERSION AS OF 2").count() === 3)
+    spark.sql(s"CALL $cat.system.fork(table => 'ns.t', branch => 'ns.t_wap')")
+    spark.sql(s"INSERT INTO $cat.ns.t_wap VALUES (4L), (5L)")
+    // audit on the branch via SQL DML, then publish
+    spark.sql(s"DELETE FROM $cat.ns.t_wap WHERE id = 5")
+    val v = spark.sql(
+      s"CALL $cat.system.fast_forward(table => 'ns.t', branch => 'ns.t_wap')")
+      .collect().head.getLong(0)
+    assert(v === 3L)
+    assert(spark.sql(s"SELECT * FROM $cat.ns.t").as[Long].collect().sorted ===
+      Array(1L, 2L, 3L, 4L))
+  }
+
+  test("fork carries the bucket layout and the stats sidecar") {
+    val parent = freshDir("bfork")
+    val branch = parent + "-b"
+    Snapshots.commitBucketed((1L to 512L).toDF("k")
+      .withColumn("v", col("k") % 7), parent, "k", 8)
+    Snapshots.fork(spark, parent, branch)
+    assert(Snapshots.bucketSpec(spark, branch) === Some(("k", 8)))
+    // pruning parity: the copied sidecar lets the branch skip files on
+    // a selective predicate exactly like the parent
+    val pf = graft.sources.FileStats.prune(spark, parent,
+      Snapshots.dataFiles(spark, parent), col("k") === 1L)
+    val bf = graft.sources.FileStats.prune(spark, branch,
+      Snapshots.dataFiles(spark, branch), col("k") === 1L)
+    assert(pf.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet ===
+      bf.map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet)
+    assert(bf.size < Snapshots.dataFiles(spark, branch).size,
+      "sidecar copy should allow actual pruning on the branch")
+  }
+}
