@@ -1320,6 +1320,15 @@ object Snapshots {
     finally out.close()
     if (!publishAtomic(f, tmp, new Path(s"$parent/manifest-v$next.json"))) {
       f.delete(tmp, false)
+      // a concurrent commit won v(next): roll the staged dirs back under
+      // the branch (best effort — an unmovable dir is left for the
+      // parent's gc, which sees it as unreferenced) so the branch stays
+      // inspectable and a re-fork + re-stage starts clean
+      dirMap.foreach { case (u, dst) =>
+        try f.rename(new Path(s"$parentNorm/data/$dst"),
+          new Path(s"${normPath(branch)}/data/$u")): Unit
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
       throw new IllegalStateException(
         s"parent $parent advanced during fast-forward (lost v$next) — re-fork")
     }

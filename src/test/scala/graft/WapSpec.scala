@@ -121,6 +121,51 @@ class WapSpec extends SparkTestBase {
       Array(1L, 2L, 3L, 4L))
   }
 
+  test("fast-forward racing a concurrent append: exactly one wins the version, no rows lost") {
+    // Either interleaving must leave a consistent table: if the append
+    // claims the version first, fast-forward fails loudly AND rolls the
+    // staged data dirs back under the branch (re-fork starts clean); if
+    // fast-forward wins, the append's optimistic retry rebases on top
+    // of the published wap manifest.
+    (1 to 5).foreach { round =>
+      val parent = freshDir(s"race$round")
+      val branch = parent + "-b"
+      Snapshots.commit((1L to 100L).toDF("id"), parent)
+      Snapshots.fork(spark, parent, branch)
+      Snapshots.commit((101L to 150L).toDF("id"), branch)
+      val appendRows = (1001L to 1010L).toDF("id")
+      val start = new java.util.concurrent.CountDownLatch(1)
+      var ffOk = false
+      var ffErr: Throwable = null
+      val t1 = new Thread(() => {
+        start.await()
+        try { Snapshots.fastForward(spark, parent, branch); ffOk = true }
+        catch { case e: Throwable => ffErr = e }
+      })
+      val t2 = new Thread(() => {
+        start.await()
+        Snapshots.commit(appendRows, parent): Unit
+      })
+      t1.start(); t2.start(); start.countDown()
+      t1.join(120000); t2.join(120000)
+      if (ffOk) {
+        // wap published, append rebased on top (or landed first at v2
+        // is impossible here since ff succeeded at fp+1)
+        assert(Snapshots.read(spark, parent).count() === 160,
+          s"round $round: rows lost with ff winning")
+        assert(Snapshots.versions(spark, parent) === Seq(1L, 2L, 3L))
+      } else {
+        assert(ffErr != null &&
+          ffErr.getMessage.contains("re-fork"), s"round $round: $ffErr")
+        assert(Snapshots.read(spark, parent).count() === 110,
+          s"round $round: parent corrupted by failed ff")
+        // rollback restored the branch: still reads its staged state
+        assert(Snapshots.read(spark, branch).count() === 150,
+          s"round $round: branch not restored after lost race")
+      }
+    }
+  }
+
   test("fork carries the bucket layout and the stats sidecar") {
     val parent = freshDir("bfork")
     val branch = parent + "-b"
