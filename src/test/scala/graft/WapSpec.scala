@@ -166,6 +166,50 @@ class WapSpec extends SparkTestBase {
     }
   }
 
+  test("fork + staged DML + fast-forward equals the same DML applied directly (random histories)") {
+    // The WAP detour must be semantically invisible: for any op
+    // sequence (append / COW delete / COW merge-upsert), staging it on
+    // a fork and publishing gives byte-for-byte the rows of applying it
+    // straight to the table. Randomized over op mixes and predicates.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(7L + i)))
+    val opGen: Gen[(Int, Long)] =
+      Gen.zip(Gen.chooseNum(0, 2), Gen.chooseNum(1L, 9L))
+    val caseGen: Gen[(Long, List[(Int, Long)])] =
+      Gen.zip(Gen.chooseNum(50L, 200L), Gen.listOfN(3, opGen))
+    samples(caseGen, 8).zipWithIndex.foreach { case ((n0, ops), ci) =>
+      val parent = freshDir(s"prop$ci")
+      val direct = freshDir(s"propd$ci")
+      val branch = parent + "-b"
+      val base = (1L to n0).toDF("id").withColumn("v", col("id") * 2)
+      Snapshots.commit(base, parent)
+      Snapshots.commit(base, direct)
+      Snapshots.fork(spark, parent, branch)
+      ops.zipWithIndex.foreach { case ((kind, p), oi) =>
+        def apply(t: String): Unit = kind match {
+          case 0 => // append a fresh disjoint batch
+            Snapshots.commit((1L to 20L).map(_ + 10000L * (oi + 1))
+              .toDF("id").withColumn("v", col("id") + p), t): Unit
+          case 1 => // COW delete by residue predicate
+            Snapshots.deleteWhere(spark, t, col("id") % (p + 2) === p % (p + 2)): Unit
+          case 2 => // COW merge-upsert: rewrite a key slice, add one new
+            Snapshots.merge(spark, t,
+              (1L to 15L).map(_ * p).toDF("id")
+                .withColumn("v", col("id") * 100), "id"): Unit
+        }
+        apply(branch); apply(direct)
+      }
+      Snapshots.fastForward(spark, parent, branch)
+      val got = Snapshots.read(spark, parent)
+        .orderBy("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val want = Snapshots.read(spark, direct)
+        .orderBy("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(got === want, s"case $ci (n0=$n0 ops=$ops): WAP detour changed the rows")
+    }
+  }
+
   test("fork carries the bucket layout and the stats sidecar") {
     val parent = freshDir("bfork")
     val branch = parent + "-b"
