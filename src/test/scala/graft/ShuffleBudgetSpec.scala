@@ -186,7 +186,11 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // co-bucketed snapshot tables — ZERO join exchanges; the single
     // budgeted Exchange is the final 3-group aggregation's. A second
     // Exchange appearing means the key-grouped scan reporting broke
-    "q97_bucketed_join" -> 1)
+    "q97_bucketed_join" -> 1,
+    // q98: the per-lang aggregation shuffle + the 1-row pre-publish
+    // count's broadcast; the WAP build itself (fork/audit/fast-forward)
+    // runs as separate tokened jobs, q71's convention
+    "q98_wap_publish" -> 2)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
