@@ -1189,10 +1189,60 @@ object Incremental {
       .select(col("lang"), col("n_docs"), col("chars"), col("n_pre"))
   }
 
+  /** q99: metadata-only SCHEMA EVOLUTION under the oracle gate — SQL
+    * `ALTER TABLE ADD COLUMNS` on a snapshot table. The evens land
+    * BEFORE the alter (their files have no `score` column and are
+    * never rewritten — the reader projects them onto the declared
+    * schema as typed NULLs), the odds land AFTER with real scores, and
+    * the gated aggregate spans both populations: COUNT(score) counts
+    * exactly the post-alter rows, so a reader that drops the NULL
+    * projection (or an alter that ghost-rewrites data) breaks the
+    * hash. The oracle re-derives the two-epoch table from raw
+    * documents with an explicit NULL column.
+    */
+  val qSchemaEvolution: QuerySpec = QuerySpec.sql(
+    "q99_schema_evolution",
+    """WITH t AS (
+      |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS score
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars AS score
+      |  FROM documents WHERE doc_id % 2 = 1
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(COUNT(score) AS BIGINT) AS n_scored,
+      |       CAST(SUM(COALESCE(score, 0)) AS BIGINT) AS score_sum
+      |FROM t GROUP BY lang""".stripMargin) { (s, dir) =>
+    val wh = snapRoot(s, dir, "evowh")
+    val dirKey = Tables.dirKey(dir)
+    val cat = s"graft_evo_$dirKey"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$cat.m.docs_t"
+    val srcView = s"q99_docs_$dirKey"
+    ensureBuilt(s, s"$wh/m/docs_t", 3) {
+      Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView(srcView)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING)")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang FROM $srcView " +
+        "WHERE doc_id % 2 = 0")
+      s.sql(s"ALTER TABLE $tbl ADD COLUMNS (score BIGINT)")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM $srcView " +
+        "WHERE doc_id % 2 = 1")
+    }
+    s.sql(
+      s"""SELECT lang, COUNT(*) AS n_docs, COUNT(score) AS n_scored,
+         |       SUM(COALESCE(score, 0)) AS score_sum
+         |FROM $tbl GROUP BY lang""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
       qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead,
       qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore,
-      qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish)
+      qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish,
+      qSchemaEvolution)
 }

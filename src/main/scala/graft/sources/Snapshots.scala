@@ -191,8 +191,10 @@ object Snapshots {
         if (base.nonEmpty) {
           def sig(s: org.apache.spark.sql.types.StructType) =
             s.fields.map(fl => (fl.name, fl.dataType)).sortBy(_._1).toSeq
-          val committed = spark.read.option("mergeSchema", "true")
-            .parquet(base: _*).schema
+          // an ALTER-extended table's committed shape IS the declared
+          // schema (old footers legitimately lack the added columns)
+          val committed = declaredSchema(spark, table).getOrElse(
+            spark.read.option("mergeSchema", "true").parquet(base: _*).schema)
           if (sig(committed) != sig(want)) {
             f.delete(dataDir, true) // no orphaned layout-mismatched files
             throw new IllegalStateException(
@@ -210,7 +212,12 @@ object Snapshots {
         .getBytes("UTF-8"))
       finally out.close()
       // atomic publish; claim-of-existing fails => optimistic lock
-      if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) return v
+      if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) {
+        // a schema-evolving OVERWRITE re-bases the shape on its new
+        // files — retire any ALTER override (same route as bucketspec)
+        if (overwrite && prev.nonEmpty) retireDeclaredSchema(spark, table)
+        return v
+      }
       f.delete(tmp, false)
       attempt += 1
     }
@@ -442,7 +449,12 @@ object Snapshots {
       val out = f.create(tmp, false)
       try out.write((s"v$v\n" + files.mkString("\n")).getBytes("UTF-8"))
       finally out.close()
-      if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) return v
+      if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) {
+        // RTAS re-bases the table's shape on the replacement files: a
+        // stale ALTER override must not ghost columns onto them
+        if (replace && prev.nonEmpty) retireDeclaredSchema(spark, table)
+        return v
+      }
       f.delete(tmp, false)
       attempt += 1
     }
@@ -629,7 +641,13 @@ object Snapshots {
       mergeSchema: Boolean = false): DataFrame = {
     val files = dataFiles(spark, table, asOf)
     if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
+    else declaredSchema(spark, table) match {
+      // ALTER-extended table: project every file onto the declared
+      // superset schema by name (absent columns = typed NULLs)
+      case Some(sch) => spark.read.schema(sch).parquet(files: _*)
+      case None =>
+        spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
+    }
   }
 
   /** Selective read with MANIFEST-LEVEL data skipping: the version's
@@ -1124,6 +1142,59 @@ object Snapshots {
   }
 
   // -------------------------------------------------------------------
+  // Declared schema: metadata-only ALTER TABLE ADD COLUMNS. The table's
+  // schema normally lives in the data files' footers; an ALTER writes a
+  // small `schema.json` override, and readers project every file onto
+  // it BY NAME (columns absent from a file read as typed NULLs — the
+  // standard parquet superset-schema read, zero data rewritten at any
+  // table size). No file present = exactly the old behavior, so only
+  // altered tables take this path. Adds are the ONLY metadata-sound
+  // evolution without per-field ids (Iceberg's rename/drop need ids to
+  // remap old footers); everything else still goes through overwrite
+  // commits, which RETIRE the override (the new shape governs).
+
+  private def schemaPath(table: String) = new Path(s"$table/schema.json")
+
+  /** The declared (ALTER-extended) schema, if any. */
+  def declaredSchema(spark: SparkSession,
+      table: String): Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(spark, table)
+    val p = schemaPath(table)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      Some(org.apache.spark.sql.types.DataType.fromJson(txt)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+  }
+
+  /** Install/replace the declared schema (ALTER TABLE's commit): tmp
+    * write + rename-over. Alters are admin-rare; last writer wins.
+    */
+  private[graft] def declareSchema(spark: SparkSession, table: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val f = fs(spark, table)
+    val tmp = new Path(s"$table/.schema.${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    f.delete(schemaPath(table), false)
+    require(f.rename(tmp, schemaPath(table)),
+      s"failed to publish declared schema for $table")
+  }
+
+  /** Retire the override — a schema-evolving OVERWRITE re-bases the
+    * table's shape on its new files, exactly like the bucket-spec
+    * retirement route.
+    */
+  private[sources] def retireDeclaredSchema(spark: SparkSession,
+      table: String): Unit = {
+    val f = fs(spark, table)
+    f.delete(schemaPath(table), false): Unit
+  }
+
+  // -------------------------------------------------------------------
   // Named refs and write-audit-publish (WAP): immutable TAGS over the
   // version chain, and metadata-only table FORKS that stage writes for
   // audit before a single-commit FAST-FORWARD into the parent — the
@@ -1231,6 +1302,10 @@ object Snapshots {
     if (pf.exists(spec))
       org.apache.hadoop.fs.FileUtil.copy(pf, spec, f,
         new Path(s"$branch/bucketspec"), false, conf): Unit
+    val sch = schemaPath(parent)
+    if (pf.exists(sch))
+      org.apache.hadoop.fs.FileUtil.copy(pf, sch, f,
+        schemaPath(branch), false, conf): Unit
     val stats = new Path(s"$parent/stats")
     if (pf.exists(stats)) pf.listStatus(stats).foreach { st =>
       org.apache.hadoop.fs.FileUtil.copy(pf, st.getPath, f,

@@ -308,10 +308,50 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.StagedTable =
     staged(ident, info.schema(), info.partitions(), replace = true, orCreate = true)
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft-snapshot: ALTER TABLE is not supported — schema evolution " +
-        "goes through overwrite commits (INSERT OVERWRITE with the new shape)")
+  /** Metadata-only schema evolution: ALTER TABLE ... ADD COLUMNS only.
+    * The new nullable columns land in a small `schema.json` override
+    * and every reader projects the files onto it by name (absent
+    * columns = typed NULLs — zero data rewritten at any table size).
+    * Renames/drops/type-changes are refused: without per-field ids a
+    * rename cannot remap old footers soundly (Iceberg's reason for
+    * ids); those evolutions go through overwrite commits, which retire
+    * the override.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = tablePath(ident)
+    if (!isTable(path))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "graft-snapshot: ADD COLUMNS supports top-level columns only")
+        require(a.isNullable,
+          "graft-snapshot: added columns must be nullable (existing files " +
+            "have no values for them)")
+        a
+      case other => throw new UnsupportedOperationException(
+        s"graft-snapshot: unsupported ALTER ($other) — only ADD COLUMNS is " +
+          "metadata-sound here; renames/drops/type-changes go through " +
+          "overwrite commits (INSERT OVERWRITE with the new shape)")
+    }
+    val current = loadTable(ident).columns()
+    val base = Snapshots.declaredSchema(spark, path).getOrElse {
+      current.foldLeft(new org.apache.spark.sql.types.StructType()) { (s, c) =>
+        s.add(c.name(), c.dataType(), c.nullable(),
+          Option(c.comment()).getOrElse(""))
+      }
+    }
+    val evolved = adds.foldLeft(base) { (s, a) =>
+      require(!s.fieldNames.map(_.toLowerCase).contains(
+        a.fieldNames.head.toLowerCase),
+        s"column ${a.fieldNames.head} already exists")
+      s.add(a.fieldNames.head, a.dataType, nullable = true,
+        Option(a.comment).getOrElse(""))
+    }
+    Snapshots.declareSchema(spark, path, evolved)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val path = tablePath(ident)

@@ -210,8 +210,11 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
         throw new IllegalArgumentException(s"no committed snapshot in $path")))
     val files = Snapshots.dataFiles(spark, path, Some(version))
     require(files.nonEmpty, s"snapshot v$version of $path lists no data files")
+    // ALTER-extended tables read under their declared superset schema
+    // (absent columns = typed NULLs; parquet resolves by name)
     val t = ParquetTable(s"graft-snapshot:$path@v$version",
-      spark, options, files, None, classOf[ParquetFileFormat])
+      spark, options, files, Snapshots.declaredSchema(spark, path),
+      classOf[ParquetFileFormat])
     val r = ResolvedSnapshot(path, version, files, t)
     cached = (key, r)
     r

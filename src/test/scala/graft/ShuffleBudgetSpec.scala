@@ -190,7 +190,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // q98: the per-lang aggregation shuffle + the 1-row pre-publish
     // count's broadcast; the WAP build itself (fork/audit/fast-forward)
     // runs as separate tokened jobs, q71's convention
-    "q98_wap_publish" -> 2)
+    "q98_wap_publish" -> 2,
+    // q99: one per-lang aggregation shuffle over the evolved table scan
+    "q99_schema_evolution" -> 1)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet

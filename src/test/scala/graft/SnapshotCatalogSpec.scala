@@ -47,16 +47,18 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(Snapshots.versions(spark, s"$wh/ns/t") === Seq(1L, 2L, 3L, 4L))
   }
 
-  test("append schema mismatch fails; ALTER TABLE and PARTITIONED BY are loud") {
+  test("append schema mismatch fails; non-ADD ALTER and PARTITIONED BY are loud") {
     wh
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.ns2")
     spark.sql("CREATE TABLE graft_cat.ns2.s (id BIGINT)")
     val e = intercept[Exception](
       spark.sql("INSERT INTO graft_cat.ns2.s VALUES (1, 'x')"))
     assert(e.getMessage.contains("INSERT_COLUMN_ARITY_MISMATCH"), e.getMessage)
+    // ADD COLUMNS is the one metadata-sound evolution (SchemaEvolutionSpec);
+    // renames cannot remap old footers without field ids — still loud
     val a = intercept[Exception](
-      spark.sql("ALTER TABLE graft_cat.ns2.s ADD COLUMN extra STRING"))
-    assert(a.getMessage.contains("ALTER TABLE is not supported"), a.getMessage)
+      spark.sql("ALTER TABLE graft_cat.ns2.s RENAME COLUMN id TO id2"))
+    assert(a.getMessage.contains("unsupported ALTER"), a.getMessage)
     // identity partitioning stays loud; bucket(n, col) is the one
     // supported transform (BucketedJoinSpec)
     val p = intercept[Exception](spark.sql(
