@@ -1354,6 +1354,14 @@ object Snapshots {
         s"fork point v$fp) — re-fork and re-stage")
     val bHead = versions(spark, branch).last
     val bFiles = manifestFiles(spark, branch, bHead)
+    // semantic no-op: nothing was staged (branch head still carries
+    // exactly the fork point's file set) — publish nothing, like
+    // restore-to-head; the branch is still consumed per the contract
+    if (bFiles.map(normPath).toSet ==
+        manifestFiles(spark, parent, fp).map(normPath).toSet) {
+      if (dropBranch) drop(spark, branch)
+      return fp
+    }
     val f = fs(spark, parent)
     val branchDataPrefix = normPath(branch) + "/data/"
     val parentNorm = normPath(parent)

@@ -121,6 +121,17 @@ class WapSpec extends SparkTestBase {
       Array(1L, 2L, 3L, 4L))
   }
 
+  test("fast-forward of an untouched fork is a semantic no-op (no empty wap version)") {
+    val parent = freshDir("noop")
+    val branch = parent + "-b"
+    Snapshots.commit((1L to 10L).toDF("id"), parent)
+    Snapshots.fork(spark, parent, branch)
+    val v = Snapshots.fastForward(spark, parent, branch)
+    assert(v === 1L)
+    assert(Snapshots.versions(spark, parent) === Seq(1L))
+    assert(!new java.io.File(branch).exists(), "branch still consumed on no-op")
+  }
+
   test("fast-forward racing a concurrent append: exactly one wins the version, no rows lost") {
     // Either interleaving must leave a consistent table: if the append
     // claims the version first, fast-forward fails loudly AND rolls the
