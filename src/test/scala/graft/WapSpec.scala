@@ -121,6 +121,25 @@ class WapSpec extends SparkTestBase {
       Array(1L, 2L, 3L, 4L))
   }
 
+  test("change feed across a wap publish that deleted parent rows: exact delete set, carried rows cancel") {
+    val parent = freshDir("cfdel")
+    val branch = parent + "-b"
+    Snapshots.commit((1L to 100L).toDF("id"), parent)
+    Snapshots.fork(spark, parent, branch)
+    // the audit drops parent rows ON THE BRANCH (COW rewrite of the
+    // touched file into a survivor file under the branch)
+    Snapshots.deleteWhere(spark, branch, col("id") <= 10)
+    Snapshots.fastForward(spark, parent, branch)
+    val feed = Snapshots.changeFeed(spark, parent, 1L, 2L)
+    val dels = feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted
+    assert(dels === (1L to 10L).toArray,
+      "feed must report exactly the audited-away rows as deletes")
+    // survivors were physically rewritten into a new file, but the feed
+    // is a row-level multiset diff — carried rows cancel algebraically
+    assert(feed.filter(col("_change_type") === "insert").count() === 0)
+  }
+
   test("fast-forward of an untouched fork is a semantic no-op (no empty wap version)") {
     val parent = freshDir("noop")
     val branch = parent + "-b"
