@@ -832,6 +832,19 @@ object Snapshots {
   private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(files: _*)
 
+  /** Table-aware rewrite/probe read: an ALTER-extended table's shape IS
+    * its declared schema, so merge/deleteWhere must project onto it —
+    * footer inference alone would throw on a predicate over an
+    * ALTER-added column until some file physically carries it, while
+    * every other read path already serves it as typed NULLs.
+    */
+  private def readTableFiles(spark: SparkSession, table: String,
+      files: Seq[String]): DataFrame =
+    declaredSchema(spark, table) match {
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => readFiles(spark, files)
+    }
+
   /** Optimistic publish with append-rebase (the Delta/Iceberg conflict-
     * resolution shape): attempt at `src`+1; when a concurrent commit
     * wins the version race, re-read the head and REBASE — the expensive
@@ -962,7 +975,7 @@ object Snapshots {
     if (files.nonEmpty) {
       def sig(st: org.apache.spark.sql.types.StructType) =
         st.fields.map(fl => (fl.name, fl.dataType)).sortBy(_._1).toSeq
-      val committed = readFiles(spark, files).schema
+      val committed = readTableFiles(spark, table, files).schema
       require(sig(committed) == sig(u.schema),
         s"merge updates schema ${u.schema} does not match the table's " +
           s"committed schema $committed")
@@ -974,7 +987,7 @@ object Snapshots {
     val bounds = u.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head()
     val touched =
       if (files.isEmpty || bounds.isNullAt(0)) Set.empty[String]
-      else readFiles(spark, files)
+      else readTableFiles(spark, table, files)
         .filter(col(key).between(lit(bounds.get(0)), lit(bounds.get(1))))
         .withColumn("__file", input_file_name())
         .join(broadcast(u.select(col(key))), Seq(key), "left_semi")
@@ -984,7 +997,7 @@ object Snapshots {
     // (replacements and inserts look identical from here)
     val rewritten =
       if (hit.isEmpty) u
-      else readFiles(spark, hit)
+      else readTableFiles(spark, table, hit)
         .join(broadcast(u.select(col(key))), Seq(key), "left_anti")
         .unionByName(u)
     val (newFiles, dataDir) = writeData(rewritten, table)
@@ -993,7 +1006,7 @@ object Snapshots {
     // that interleaving must abort; appends of other keys rebase freely
     def appendsConflict(appended: Seq[String]): Boolean =
       appended.nonEmpty && !bounds.isNullAt(0) && {
-        readFiles(spark, appended)
+        readTableFiles(spark, table, appended)
           .filter(col(key).between(lit(bounds.get(0)), lit(bounds.get(1))))
           .join(broadcast(u.select(col(key))), Seq(key), "left_semi")
           .limit(1).count() > 0
@@ -1023,7 +1036,7 @@ object Snapshots {
     // short-circuit the no-op (TRUNCATE on an empty table lands here)
     if (files.isEmpty) return src
     def norm(p: String) = normPath(p)
-    val touched = readFiles(spark, files)
+    val touched = readTableFiles(spark, table, files)
       .filter(predicate)
       .select(input_file_name().as("__file"))
       .distinct().collect().map(r => norm(r.getString(0))).toSet
@@ -1035,7 +1048,8 @@ object Snapshots {
         // !predicate would drop them (NOT NULL = NULL filters out), and
         // only in rewritten files, making survival layout-dependent
         val (nf, dir) = writeData(
-          readFiles(spark, hit).filter(not(coalesce(predicate, lit(false)))), table)
+          readTableFiles(spark, table, hit)
+            .filter(not(coalesce(predicate, lit(false)))), table)
         (nf, Seq(dir))
       }
     // appends interleaved with the delete rebase freely: rows committed
@@ -1313,7 +1327,14 @@ object Snapshots {
     }
     val tmp = new Path(s"$branch/.manifest-v1.${java.util.UUID.randomUUID}.tmp")
     val out = f.create(tmp, false)
-    try out.write((s"v1 fork-of-v$head\n" + files.mkString("\n")).getBytes("UTF-8"))
+    // the token embeds the PARENT'S IDENTITY, not just its version:
+    // fast_forward against the wrong parent whose head happens to equal
+    // the fork point would otherwise publish foreign absolute paths into
+    // that parent's manifest — and its vacuum would later delete another
+    // table's data files. Scheme-free normalized path; tokens are
+    // single-word (commitToken splits the header on spaces).
+    try out.write((s"v1 fork-of-v$head@${normPath(parent)}\n" +
+      files.mkString("\n")).getBytes("UTF-8"))
     finally out.close()
     if (!publishAtomic(f, tmp, new Path(s"$branch/manifest-v1.json"))) {
       f.delete(tmp, false)
@@ -1323,12 +1344,24 @@ object Snapshots {
   }
 
   /** The parent version a fork was cut from (its v1 token), if `branch`
-    * is a fork.
+    * is a fork. Tolerates both token shapes: `fork-of-v<N>` (pre-parent-
+    * identity) and `fork-of-v<N>@<parent-path>`.
     */
   def forkPoint(spark: SparkSession, branch: String): Option[Long] =
     if (versions(spark, branch).isEmpty) None
     else commitToken(spark, branch, 1L).collect {
-      case t if t.startsWith("fork-of-v") => t.stripPrefix("fork-of-v").toLong
+      case t if t.startsWith("fork-of-v") =>
+        t.stripPrefix("fork-of-v").takeWhile(_ != '@').toLong
+    }
+
+  /** The parent table a fork was cut from (scheme-free path), when the
+    * fork token recorded it.
+    */
+  def forkParent(spark: SparkSession, branch: String): Option[String] =
+    if (versions(spark, branch).isEmpty) None
+    else commitToken(spark, branch, 1L).collect {
+      case t if t.startsWith("fork-of-v") && t.contains('@') =>
+        t.dropWhile(_ != '@').drop(1)
     }
 
   /** PUBLISH a fork: make the branch's head the parent's next version
@@ -1348,17 +1381,60 @@ object Snapshots {
       dropBranch: Boolean = true): Long = {
     val fp = forkPoint(spark, branch).getOrElse(throw new IllegalArgumentException(
       s"$branch is not a fork (no fork-of-v token on its v1)"))
+    // identity check: the fork token records WHICH parent it was cut
+    // from — publishing into a different table whose head merely equals
+    // the fork point would splice foreign absolute paths into that
+    // table's manifest (and its vacuum would later delete the other
+    // table's data). Validated before any dir is moved.
+    forkParent(spark, branch).foreach { rec =>
+      require(rec == normPath(parent),
+        s"$branch was forked from $rec, not from ${normPath(parent)} — " +
+          "fast-forward refuses to publish into a foreign parent")
+    }
     val pvs = versions(spark, parent)
     require(pvs.nonEmpty && pvs.last == fp,
       s"parent advanced since fork (head v${pvs.lastOption.getOrElse(-1L)} != " +
         s"fork point v$fp) — re-fork and re-stage")
+    // declared-schema carry: an ALTER TABLE ADD COLUMNS run ON THE
+    // BRANCH must reach the parent with the publish — otherwise the
+    // published manifest mixes old-shape and new-shape files with no
+    // override and footer inference nondeterministically drops the
+    // added columns. Adds are unioned (parent column order first);
+    // a same-name type conflict has no metadata-sound resolution and
+    // refuses loudly before anything moves.
+    val pSch = declaredSchema(spark, parent)
+    val carried: Option[org.apache.spark.sql.types.StructType] =
+      (declaredSchema(spark, branch), pSch) match {
+        case (None, _) => None
+        case (Some(b), None) => Some(b)
+        case (Some(b), Some(p)) if b == p => None
+        case (Some(b), Some(p)) =>
+          for (pf <- p.fields; bf <- b.fields
+               if bf.name == pf.name && bf.dataType != pf.dataType)
+            throw new IllegalStateException(
+              s"fast-forward $branch -> $parent: column '${pf.name}' is " +
+                s"${pf.dataType.simpleString} on the parent but " +
+                s"${bf.dataType.simpleString} on the branch — declared " +
+                "schemas diverged incompatibly; resolve before publishing")
+          Some(org.apache.spark.sql.types.StructType(
+            p.fields ++ b.fields.filterNot(bf => p.fieldNames.contains(bf.name))))
+      }
+    // restore the parent's pre-publish override when a carried declare
+    // must be undone (lost race / failed rename)
+    def restoreParentSchema(): Unit = if (carried.isDefined) pSch match {
+      case Some(p) => declareSchema(spark, parent, p)
+      case None => retireDeclaredSchema(spark, parent)
+    }
     val bHead = versions(spark, branch).last
     val bFiles = manifestFiles(spark, branch, bHead)
     // semantic no-op: nothing was staged (branch head still carries
     // exactly the fork point's file set) — publish nothing, like
-    // restore-to-head; the branch is still consumed per the contract
+    // restore-to-head; the branch is still consumed per the contract.
+    // A branch-side ALTER is still metadata the parent must inherit
+    // (ALTER alone never bumps versions, so this stays a no-op commit).
     if (bFiles.map(normPath).toSet ==
         manifestFiles(spark, parent, fp).map(normPath).toSet) {
+      carried.foreach(declareSchema(spark, parent, _))
       if (dropBranch) drop(spark, branch)
       return fp
     }
@@ -1377,10 +1453,28 @@ object Snapshots {
       u -> dst
     }.toMap
     if (dirMap.nonEmpty) f.mkdirs(new Path(s"$parentNorm/data"))
-    dirMap.foreach { case (u, dst) =>
+    // every successfully relocated dir is tracked so a FAILED rename
+    // mid-loop (or a concurrent fast-forward racing the same branch)
+    // rolls the already-moved dirs back under the branch — without it a
+    // partial move leaves the branch's manifests referencing relocated
+    // paths with no published parent version and no healing path
+    val relocated = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def rollbackDirs(): Unit =
+      relocated.reverseIterator.foreach { case (u, dst) =>
+        // best effort — an unmovable dir is left for the parent's gc,
+        // which sees it as unreferenced
+        try f.rename(new Path(s"$parentNorm/data/$dst"),
+          new Path(s"${normPath(branch)}/data/$u")): Unit
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
+    try dirMap.foreach { case (u, dst) =>
       require(f.rename(new Path(s"${normPath(branch)}/data/$u"),
         new Path(s"$parentNorm/data/$dst")),
         s"failed to move staged data dir $u into $parent")
+      relocated += (u -> dst)
+    } catch { case scala.util.control.NonFatal(e) =>
+      rollbackDirs()
+      throw e
     }
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
     val newFiles = bFiles.map { p =>
@@ -1394,7 +1488,11 @@ object Snapshots {
         np
       } else p
     }
-    FileStats.record(spark, parent, moved.toSeq) // footer-only, pruning parity
+    // a carried branch-side ALTER must be visible BEFORE the manifest
+    // that first mixes old- and new-shape files is readable (the brief
+    // declare-without-commit window is additive-only: readers see the
+    // added columns as typed NULLs)
+    carried.foreach(declareSchema(spark, parent, _))
     val next = fp + 1
     val tmp = new Path(s"$parent/.manifest-v$next.${java.util.UUID.randomUUID}.tmp")
     val out = f.create(tmp, false)
@@ -1403,18 +1501,20 @@ object Snapshots {
     finally out.close()
     if (!publishAtomic(f, tmp, new Path(s"$parent/manifest-v$next.json"))) {
       f.delete(tmp, false)
-      // a concurrent commit won v(next): roll the staged dirs back under
-      // the branch (best effort — an unmovable dir is left for the
-      // parent's gc, which sees it as unreferenced) so the branch stays
+      // a concurrent commit won v(next): undo the carried declare and
+      // roll the staged dirs back under the branch so the branch stays
       // inspectable and a re-fork + re-stage starts clean
-      dirMap.foreach { case (u, dst) =>
-        try f.rename(new Path(s"$parentNorm/data/$dst"),
-          new Path(s"${normPath(branch)}/data/$u")): Unit
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
+      restoreParentSchema()
+      rollbackDirs()
       throw new IllegalStateException(
         s"parent $parent advanced during fast-forward (lost v$next) — re-fork")
     }
+    // stats for the moved files are recorded only AFTER the publish
+    // succeeded: the sidecar is append-only, so recording before a lost
+    // race would permanently append dead lines for rolled-back paths
+    // (readers tolerate missing stats conservatively — worst case one
+    // un-pruned read between publish and this record)
+    FileStats.record(spark, parent, moved.toSeq)
     if (dropBranch) drop(spark, branch)
     next
   }

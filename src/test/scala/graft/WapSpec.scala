@@ -192,6 +192,13 @@ class WapSpec extends SparkTestBase {
         // rollback restored the branch: still reads its staged state
         assert(Snapshots.read(spark, branch).count() === 150,
           s"round $round: branch not restored after lost race")
+        // stats are recorded only AFTER a successful publish, so the
+        // append-only sidecar must carry no dead lines for the
+        // rolled-back staged paths
+        graft.sources.FileStats.load(spark, parent).keySet.foreach { p =>
+          assert(new java.io.File(p).exists(),
+            s"round $round: dead stats line for rolled-back path $p")
+        }
       }
     }
   }
