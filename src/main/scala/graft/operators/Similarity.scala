@@ -901,10 +901,12 @@ object Similarity {
     * distributed summation order, and two runs of the same job would
     * train different codebooks.
     *
-    * Scale shape: each assignment pass is corpus × broadcast 16-row
-    * centroids (per-row argmax, sorts bounded by 16); the mean is ONE
-    * map-side-combined shuffle on (cell, dim) — 16×64 final groups —
-    * and every later join is on the 16-row cell key. Iterating to
+    * Scale shape: each assignment pass is a PROJECTION — the 16-row
+    * codebook is packed into one broadcast array row and the argmin is
+    * an in-row fold over its 16 entries, so assignment moves zero rows
+    * and holds zero aggregation state at any corpus size. The mean is
+    * ONE map-side-combined shuffle on (cell, dim) — 16×64 final groups
+    * — and every later join is on the 16-row cell key. Iterating to
     * convergence repeats this plan with flat lineage; no step touches
     * pairs of corpus rows.
     */
@@ -968,20 +970,42 @@ object Similarity {
       .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
       .select(col("vec_id"), int8Quant(col("v"), col("mx"), "long").as("qv"))
       .localCheckpoint() // feeds both assignment passes
-    // per-row argmin as a map-side-combinable MIN aggregate: ONE row per
-    // vector crosses the shuffle instead of 16 window-sorted candidates
-    // ((d, cid) is unique per group, so qv never participates in the
-    // struct ordering)
-    def assign(cents: DataFrame, cv: String): DataFrame =
-      q.join(broadcast(cents), lit(true))
-        .withColumn("d", sqDist(col("qv"), col(cv)))
-        .groupBy("vec_id")
-        .agg(min(struct(col("d"), col("cid"), col("qv"))).as("m"))
-        .select(col("vec_id"), col("m.qv").as("qv"), col("m.cid").as("cid"))
+    // IN-ROW argmin over the packed 16-entry codebook: the whole
+    // assignment is a projection — zero exchanges, zero aggregation
+    // state. The previous min(struct(d, cid, qv)) shape was map-side
+    // combined but the array payload forced a SORT-based aggregate over
+    // corpus × 16 rows on the second pass (measured e₃ 1.32 at the 64×
+    // tier — the spill of that sort was the entire superlinear
+    // residue). A fold over 16 array elements per row is
+    // order-independent (min by (d, cid), ties to the lower cid), so
+    // collect_list's nondeterministic packing order cannot change the
+    // result.
+    // NOT localCheckpoint'd: measured 15× SLOWER at the 64× tier with
+    // the 1-row packed frame checkpointed (73 s vs 4.9 s warm, QBench
+    // 3-rep) — keep the pack as an inline aggregate subtree. Its
+    // exchange nodes are 16-row/1-row moves; plan-node count is paid,
+    // data movement is not.
+    def packed(cents: DataFrame, cv: String): DataFrame =
+      cents.agg(collect_list(struct(col("cid"), col(cv).as("c"))).as("cs"))
+    def assign(centsPacked: DataFrame): DataFrame =
+      q.join(broadcast(centsPacked), lit(true))
+        .withColumn("m", aggregate(col("cs"),
+          struct(lit(Long.MaxValue).as("d"), lit(Long.MaxValue).as("cid")),
+          (acc, c) => {
+            val d = sqDist(col("qv"), c.getField("c"))
+            val better = (d < acc.getField("d")) ||
+              (d === acc.getField("d") && c.getField("cid") < acc.getField("cid"))
+            when(better, struct(d.as("d"), c.getField("cid").as("cid")))
+              .otherwise(acc)
+          }))
+        .select(col("vec_id"), col("qv"), col("m.cid").as("cid"))
     val cents = seedSample(q, 16)
       .select(col("vec_id").as("cid"), col("qv").as("cqv"))
       .localCheckpoint() // frozen seed codebook: assignment + shift
-    val a0 = assign(cents, "cqv").localCheckpoint() // feeds mean + n0
+    // a0 is a pure map over the q checkpoint — recomputing it for the
+    // mean and the count costs two linear scans, cheaper at every tier
+    // than materializing a second corpus-sized checkpoint
+    val a0 = assign(packed(cents, "cqv"))
     val refined0 = a0
       .select(col("cid"), posexplode(col("qv")).as(Seq("p", "qval")))
       .groupBy("cid", "p")
@@ -996,7 +1020,7 @@ object Similarity {
     val refined = cents.join(refined0, Seq("cid"), "left")
       .select(col("cid"), coalesce(col("rqv0"), col("cqv")).as("rqv"))
     val n0 = a0.groupBy("cid").agg(count(lit(1)).as("n_before"))
-    val n1 = assign(refined, "rqv").groupBy("cid")
+    val n1 = assign(packed(refined, "rqv")).groupBy("cid")
       .agg(count(lit(1)).as("n_after"))
     cents.join(refined, "cid")
       .join(n0, Seq("cid"), "left")

@@ -115,12 +115,14 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // q79 = 3: daily rollup + spine/counts join + the shared user_id
     // window partitioning (both IGNORE-NULLS passes reuse one sort)
     "q79_interpolate" -> 3,
-    // s15 = 11: MORE exchange nodes than the window form would show (9)
-    // but 16× less data moved — the argmin is a map-side-combined MIN,
-    // so one row per vector crosses each assignment shuffle instead of
-    // 16 window-sorted candidates; the (cell, dim) mean shuffle and the
-    // 16-row cell-key joins are the rest
-    "s15_kmeans_refine" -> 11,
+    // s15 = 15: the assignment passes move ZERO rows (in-row argmin
+    // over the packed broadcast codebook — round 8; 27.0 s -> 3.9 s at
+    // the 64× tier). Four more NODES than the round-7 shape, but every
+    // one is a 16-row/1-row pack-and-broadcast (the un-checkpointed
+    // pack subtree is duplicated where a0 fans out — checkpointing it
+    // measured 15× slower, see Similarity.scala); the corpus crosses
+    // only the (cell, dim) mean shuffle
+    "s15_kmeans_refine" -> 15,
     // m10 = 2: frame agg + the per-doc window; the shot rollup reuses
     // the doc_id partitioning
     "m10_shot_table" -> 2,
