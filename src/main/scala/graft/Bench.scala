@@ -66,7 +66,17 @@ object Bench {
           false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n, sfDir))
+    // SPARK_GRAFT_BENCH_SKIP: comma-separated query names to leave out
+    // of the registry pass — the drift-attribution knob (run the
+    // common subset with a suspect family's fixtures never built in
+    // this JVM, e.g. SKIP=q93_...,...,q99_... for the round-7 q9x
+    // accretion hypothesis). Skipped names are recorded in the
+    // artifact so a filtered run can never masquerade as a full one.
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(skip).map(n => n -> run(n, sfDir))
     def json(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2._1).sum
@@ -232,7 +242,31 @@ object Bench {
       if (failed.isEmpty) ""
       else s""","failed":[${failed.map("\"" + _ + "\"").mkString(",")}]"""
     val restartsJson = if (restarts == 0) "" else s""","context_restarts":$restarts"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(resultTimes)},"warm_base":${json(warmBase)},"sf":"${jstr(sfDir)}"$failedJson$restartsJson$sf1$sf2$sf3}"""
+    val skipJson = if (skip.isEmpty) ""
+      else s""","bench_skip":[${skip.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}]"""
+    // round-over-round drift as a FIRST-CLASS number: against the
+    // previous round's committed artifact (tools/bench_prev_round.json,
+    // refreshed at each round close), emit the common-subset totals —
+    // the +16% r6->r7 registry-wide drift was only visible by diffing
+    // two artifacts by hand, so it went unattributed for a round
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "tools/bench_prev_round.json")
+    val driftJson = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)), "UTF-8")
+      // line-format artifact: extract the flat "queries" object
+      val qre = """"queries":\{([^}]*)\}""".r
+      val pairs = qre.findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      val prev = """"([^"]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(pairs)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val cur = resultTimes.toMap
+      val common = prev.keySet.intersect(cur.keySet).toSeq.sorted
+      if (common.isEmpty) "" else {
+        val a = common.map(cur).sum
+        val b = common.map(prev).sum
+        s""","common_prev":{"n":${common.size},"total":$a,"prev_total":$b,"ratio":${a / b}}"""
+      }
+    } catch { case _: Throwable => "" }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(resultTimes)},"warm_base":${json(warmBase)},"sf":"${jstr(sfDir)}"$failedJson$restartsJson$skipJson$driftJson$sf1$sf2$sf3}"""
     println(line)
     // durable machine-readable copy: the driver's BENCH artifact keeps
     // only the tail of stdout, which loses the base section once the

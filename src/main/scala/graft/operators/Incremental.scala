@@ -1238,11 +1238,114 @@ object Incremental {
          |FROM $tbl GROUP BY lang""".stripMargin)
   }
 
+  /** q100: metadata-only TYPE WIDENING under the oracle gate — SQL
+    * `ALTER TABLE ... ALTER COLUMN ... TYPE BIGINT` on a snapshot table
+    * whose committed files physically carry INT32. Epoch 1 (evens)
+    * lands as INT; after the widen, epoch 2 (odds) inserts values past
+    * the int32 range. The gated aggregate sums across both physical
+    * layouts — a reader that drops the declared-schema upcast (Spark
+    * 4's parquet readers widen INT32→INT64 at scan time) or an alter
+    * that ghost-rewrites data breaks the hash. Zero bytes rewritten at
+    * any table size; the oracle re-derives the two-epoch table from
+    * raw documents. Reference intent: the staging layer's
+    * cast-and-conform regime (models/staging/stg_orders.sql:4-9)
+    * without the per-read cast.
+    */
+  val qTypeWidening: QuerySpec = QuerySpec.sql(
+    "q100_type_widening",
+    """WITH t AS (
+      |  SELECT doc_id, lang, CAST(CAST(n_chars AS INTEGER) AS BIGINT) AS w
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT doc_id, lang, n_chars + 3000000000 AS w
+      |  FROM documents WHERE doc_id % 2 = 1
+      |)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(w) AS BIGINT) AS w_sum,
+      |       CAST(MAX(w) AS BIGINT) AS w_max
+      |FROM t GROUP BY lang""".stripMargin) { (s, dir) =>
+    val wh = snapRoot(s, dir, "widenwh")
+    val dirKey = Tables.dirKey(dir)
+    val cat = s"graft_widen_$dirKey"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$cat.m.docs_w"
+    val srcView = s"q100_docs_$dirKey"
+    ensureBuilt(s, s"$wh/m/docs_w", 3) {
+      Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView(srcView)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, w INT)")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, CAST(n_chars AS INT) " +
+        s"FROM $srcView WHERE doc_id % 2 = 0")
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN w TYPE BIGINT")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars + 3000000000 " +
+        s"FROM $srcView WHERE doc_id % 2 = 1")
+    }
+    s.sql(
+      s"""SELECT lang, COUNT(*) AS n_docs, SUM(w) AS w_sum, MAX(w) AS w_max
+         |FROM $tbl GROUP BY lang""".stripMargin)
+  }
+
+  /** q101: the WAP audit workflow END-TO-END IN SQL — every step the
+    * q98 Scala path takes is reachable from `spark.sql`: CALL tag on
+    * the pre-publish version, CALL fork, SQL INSERT + DELETE audit on
+    * the branch table, CALL publish (the WAP-named fast-forward), and
+    * a time-travel read back through the tag. Same oracle semantics as
+    * q98 (evens pre-published; odds staged, audited to n_chars ≥ 100,
+    * published in one commit) so a divergence between the SQL and
+    * Scala surfaces fails one gate or the other.
+    */
+  val qSqlWap: QuerySpec = QuerySpec.sql(
+    "q101_sql_wap",
+    """WITH final AS (
+      |  SELECT lang, n_chars FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT lang, n_chars FROM documents
+      |  WHERE doc_id % 2 = 1 AND n_chars >= 100
+      |)
+      |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |       (SELECT COUNT(*) FROM documents WHERE doc_id % 2 = 0) AS n_pre
+      |FROM final GROUP BY lang""".stripMargin) { (s, dir) =>
+    val wh = snapRoot(s, dir, "sqlwapwh")
+    val dirKey = Tables.dirKey(dir)
+    val cat = s"graft_sqlwap_$dirKey"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$cat.m.docs"
+    val srcView = s"q101_docs_$dirKey"
+    ensureBuilt(s, s"$wh/m/docs", 3) {
+      Snapshots.drop(s, s"$wh/m/docs_wap") // crashed prior build
+      Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView(srcView)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl (doc_id BIGINT, lang STRING, " +
+        "n_chars BIGINT)")
+      s.sql(s"INSERT INTO $tbl SELECT doc_id, lang, n_chars FROM $srcView " +
+        "WHERE doc_id % 2 = 0")
+      s.sql(s"CALL $cat.system.tag(table => 'm.docs', name => 'pre-wap', " +
+        "version => 2)")
+      s.sql(s"CALL $cat.system.fork(table => 'm.docs', branch => 'm.docs_wap')")
+      s.sql(s"INSERT INTO $cat.m.docs_wap SELECT doc_id, lang, n_chars " +
+        s"FROM $srcView WHERE doc_id % 2 = 1")
+      s.sql(s"DELETE FROM $cat.m.docs_wap WHERE doc_id % 2 = 1 AND n_chars < 100")
+      s.sql(s"CALL $cat.system.publish(table => 'm.docs', branch => 'm.docs_wap')")
+    }
+    s.sql(
+      s"""SELECT h.lang, h.n_docs, h.chars, p.n_pre FROM
+         |  (SELECT lang, COUNT(*) AS n_docs, SUM(n_chars) AS chars
+         |   FROM $tbl GROUP BY lang) h
+         |CROSS JOIN
+         |  (SELECT COUNT(*) AS n_pre FROM $tbl VERSION AS OF 'pre-wap') p
+         |""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
       qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead,
       qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore,
       qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish,
-      qSchemaEvolution)
+      qSchemaEvolution, qTypeWidening, qSqlWap)
 }

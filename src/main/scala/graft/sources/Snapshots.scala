@@ -207,10 +207,7 @@ object Snapshots {
       }
       val header = s"v$v${token.map(" " + _).getOrElse("")}"
       val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
-      val out = f.create(tmp, false)
-      try out.write((header + "\n" + (base ++ newFiles).mkString("\n"))
-        .getBytes("UTF-8"))
-      finally out.close()
+      writeManifestBody(f, tmp, header, base ++ newFiles)
       // atomic publish; claim-of-existing fails => optimistic lock
       if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) {
         // a schema-evolving OVERWRITE re-bases the shape on its new
@@ -845,6 +842,60 @@ object Snapshots {
       case None => readFiles(spark, files)
     }
 
+  /** Above this many manifest entries, merge/deleteWhere keep their
+    * touched-file algebra DISTRIBUTED (the probe's matched paths are
+    * deduped and joined in Spark; only the hit list reaches the
+    * driver). Below it, the driver-side Set is strictly faster — no
+    * extra job. See the driver-memory envelope note on
+    * [[partitionByProbe]].
+    */
+  private def distributedProbeThreshold(spark: SparkSession): Int =
+    spark.conf.get("graft.snapshot.distributedProbeThreshold", "65536").toInt
+
+  /** Split the manifest's `files` into (hit, keep) by the probe's
+    * `__file` column (absolute `input_file_name` paths of rows the
+    * operation must rewrite). Driver-memory envelope, stated once for
+    * the whole manifest algebra: every table operation holds the
+    * CURRENT FILE LIST on the driver (the manifest is a driver-written
+    * file — ~150 B/path, so a 100 TB table at 128 MB/file is ~10⁶
+    * entries ≈ 150 MB; file-COUNT linear, never row linear). What this
+    * split controls is the ADDITIONAL footprint: below the threshold a
+    * second Set of every probed path; above it the dedup+intersection
+    * run as a join and only the HIT list (files that must rewrite —
+    * for a selective DML a handful; at worst no more than the list
+    * already held) lands back on the driver.
+    */
+  private def partitionByProbe(spark: SparkSession, files: Seq[String],
+      probe: DataFrame): (Seq[String], Seq[String]) =
+    if (files.lengthCompare(distributedProbeThreshold(spark)) <= 0) {
+      val touched = probe.distinct().collect()
+        .map(r => normPath(r.getString(0))).toSet
+      files.partition(f => touched.contains(normPath(f)))
+    } else {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, udf}
+      val normU = udf((p: String) => new Path(p).toUri.getPath)
+      val hit = files.toDF("orig")
+        .withColumn("__n", normU(col("orig")))
+        .join(probe.select(normU(col("__file")).as("__n")).distinct(),
+          Seq("__n"), "left_semi")
+        .select("orig").collect().map(_.getString(0)).toSet
+      files.partition(hit)
+    }
+
+  /** Stream a manifest body (header line + one absolute path per
+    * line): at 10⁶ entries a mkString would materialize a second
+    * ~100 MB copy of the list the driver already holds.
+    */
+  private def writeManifestBody(f: FileSystem, tmp: Path, header: String,
+      files: Iterable[String]): Unit = {
+    val out = new java.io.BufferedOutputStream(f.create(tmp, false), 1 << 16)
+    try {
+      out.write((header + "\n").getBytes("UTF-8"))
+      files.foreach(p => out.write((p + "\n").getBytes("UTF-8")))
+    } finally out.close()
+  }
+
   /** Optimistic publish with append-rebase (the Delta/Iceberg conflict-
     * resolution shape): attempt at `src`+1; when a concurrent commit
     * wins the version race, re-read the head and REBASE — the expensive
@@ -906,9 +957,7 @@ object Snapshots {
       val v = base + 1
       val header = s"v$v${token.map(" " + _).getOrElse("")}"
       val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
-      val out = f.create(tmp, false)
-      try out.write((header + "\n" + fileList.mkString("\n")).getBytes("UTF-8"))
-      finally out.close()
+      writeManifestBody(f, tmp, header, fileList)
       if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) return v
       f.delete(tmp, false)
       base = versions(spark, table).lastOption.getOrElse(base)
@@ -985,14 +1034,14 @@ object Snapshots {
     // first — parquet row-group min/max stats then skip files whose key
     // span cannot contain a match — and collect only file paths
     val bounds = u.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head()
-    val touched =
-      if (files.isEmpty || bounds.isNullAt(0)) Set.empty[String]
-      else readTableFiles(spark, table, files)
-        .filter(col(key).between(lit(bounds.get(0)), lit(bounds.get(1))))
-        .withColumn("__file", input_file_name())
-        .join(broadcast(u.select(col(key))), Seq(key), "left_semi")
-        .select("__file").distinct().collect().map(r => norm(r.getString(0))).toSet
-    val (hit, keep) = files.partition(f => touched.contains(norm(f)))
+    val (hit, keep) =
+      if (files.isEmpty || bounds.isNullAt(0)) (Seq.empty[String], files)
+      else partitionByProbe(spark, files,
+        readTableFiles(spark, table, files)
+          .filter(col(key).between(lit(bounds.get(0)), lit(bounds.get(1))))
+          .withColumn("__file", input_file_name())
+          .join(broadcast(u.select(col(key))), Seq(key), "left_semi")
+          .select("__file"))
     // survivors of the hit files (non-matched keys) + every update row
     // (replacements and inserts look identical from here)
     val rewritten =
@@ -1036,11 +1085,10 @@ object Snapshots {
     // short-circuit the no-op (TRUNCATE on an empty table lands here)
     if (files.isEmpty) return src
     def norm(p: String) = normPath(p)
-    val touched = readTableFiles(spark, table, files)
-      .filter(predicate)
-      .select(input_file_name().as("__file"))
-      .distinct().collect().map(r => norm(r.getString(0))).toSet
-    val (hit, keep) = files.partition(f => touched.contains(norm(f)))
+    val (hit, keep) = partitionByProbe(spark, files,
+      readTableFiles(spark, table, files)
+        .filter(predicate)
+        .select(input_file_name().as("__file")))
     val (newFiles, reclaim) =
       if (hit.isEmpty) (Seq.empty[String], Seq.empty[Path])
       else {

@@ -308,32 +308,56 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       : org.apache.spark.sql.connector.catalog.StagedTable =
     staged(ident, info.schema(), info.partitions(), replace = true, orCreate = true)
 
-  /** Metadata-only schema evolution: ALTER TABLE ... ADD COLUMNS only.
-    * The new nullable columns land in a small `schema.json` override
-    * and every reader projects the files onto it by name (absent
-    * columns = typed NULLs — zero data rewritten at any table size).
-    * Renames/drops/type-changes are refused: without per-field ids a
-    * rename cannot remap old footers soundly (Iceberg's reason for
-    * ids); those evolutions go through overwrite commits, which retire
-    * the override.
+  /** Metadata-only schema evolution: ALTER TABLE ... ADD COLUMNS, plus
+    * ALTER COLUMN ... TYPE when the change is a LOSSLESS WIDENING
+    * (int-family upcasts, float→double, decimal precision growth at
+    * the same scale). Both land in the small `schema.json` override —
+    * readers project every file onto it by name (absent columns =
+    * typed NULLs; narrower physical columns upcast at scan time —
+    * Spark 4's parquet readers widen INT32→INT64 etc. natively), so
+    * zero data is rewritten at any table size. Renames/drops/
+    * narrowings are refused: without per-field ids a rename cannot
+    * remap old footers soundly (Iceberg's reason for ids), and a
+    * narrowing is lossy; those evolutions go through overwrite
+    * commits, which retire the override. Reference intent: the staging
+    * layer's cast-and-conform regime (models/staging/stg_orders.sql:4-9)
+    * without the per-read cast.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val path = tablePath(ident)
     if (!isTable(path))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName) ++ ident.namespace() :+ ident.name())
-    val adds = changes.map {
-      case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          "graft-snapshot: ADD COLUMNS supports top-level columns only")
-        require(a.isNullable,
-          "graft-snapshot: added columns must be nullable (existing files " +
-            "have no values for them)")
-        a
+    import org.apache.spark.sql.types._
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale == a.scale && b.precision > a.precision
+      case _ => false
+    }
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      require(a.fieldNames.length == 1,
+        "graft-snapshot: ADD COLUMNS supports top-level columns only")
+      require(a.isNullable,
+        "graft-snapshot: added columns must be nullable (existing files " +
+          "have no values for them)")
+      a
+    }
+    val widenings = changes.collect { case u: TableChange.UpdateColumnType =>
+      require(u.fieldNames.length == 1,
+        "graft-snapshot: ALTER COLUMN TYPE supports top-level columns only")
+      u
+    }
+    changes.foreach {
+      case _: TableChange.AddColumn | _: TableChange.UpdateColumnType => ()
       case other => throw new UnsupportedOperationException(
-        s"graft-snapshot: unsupported ALTER ($other) — only ADD COLUMNS is " +
-          "metadata-sound here; renames/drops/type-changes go through " +
-          "overwrite commits (INSERT OVERWRITE with the new shape)")
+        s"graft-snapshot: unsupported ALTER ($other) — only ADD COLUMNS and " +
+          "lossless type WIDENING are metadata-sound here; renames/drops/" +
+          "narrowings go through overwrite commits (INSERT OVERWRITE with " +
+          "the new shape)")
     }
     val current = loadTable(ident).columns()
     val base = Snapshots.declaredSchema(spark, path).getOrElse {
@@ -342,7 +366,28 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           Option(c.comment()).getOrElse(""))
       }
     }
-    val evolved = adds.foldLeft(base) { (s, a) =>
+    val widened = widenings.foldLeft(base) { (s, u) =>
+      val name = u.fieldNames.head
+      val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0, s"no such column $name")
+      val f = s.fields(idx)
+      // the bucket column's hash routes writes AND storage-partitioned
+      // joins; the hash is type-sensitive, so ANY type change on it
+      // would silently split keys across buckets — checked first so
+      // the refusal names the real reason
+      require(!Snapshots.bucketSpec(spark, path).exists(_._1 == f.name),
+        s"graft-snapshot: cannot change the type of bucket column " +
+          s"${f.name} — the bucket hash is type-sensitive; rebucket via " +
+          "CREATE ... AS SELECT")
+      require(widens(f.dataType, u.newDataType),
+        s"graft-snapshot: ALTER COLUMN $name TYPE " +
+          s"${f.dataType.simpleString} -> ${u.newDataType.simpleString} is " +
+          "not a lossless widening (int-family up, float->double, decimal " +
+          "precision growth at the same scale); use INSERT OVERWRITE")
+      new org.apache.spark.sql.types.StructType(
+        s.fields.updated(idx, f.copy(dataType = u.newDataType)))
+    }
+    val evolved = adds.foldLeft(widened) { (s, a) =>
       require(!s.fieldNames.map(_.toLowerCase).contains(
         a.fieldNames.head.toLowerCase),
         s"column ${a.fieldNames.head} already exists")

@@ -150,6 +150,23 @@ private[v2] object SnapshotProcedures {
         row(Snapshots.fastForward(spark, path(wh, in.getString(0)),
           path(wh, in.getString(1))))
     }),
+    // the WAP-named alias of fast_forward: the audit workflow reads
+    // fork -> audit -> PUBLISH, and the SQL surface should speak it
+    "publish" -> (wh => new Proc("publish",
+      Seq(param("table", StringType), param("branch", StringType)),
+      schema("version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] =
+        row(Snapshots.fastForward(spark, path(wh, in.getString(0)),
+          path(wh, in.getString(1))))
+    }),
+    "tags" -> (wh => new Proc("tags",
+      Seq(param("table", StringType)),
+      schema("name" -> StringType, "version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] =
+        Snapshots.tags(spark, path(wh, in.getString(0))).map { case (n, v) =>
+          InternalRow.fromSeq(Seq(UTF8String.fromString(n), v))
+        }.toArray
+    }),
     "history" -> (wh => new Proc("history",
       Seq(param("table", StringType)),
       schema("version" -> LongType, "token" -> StringType,

@@ -34,7 +34,9 @@ class PlanLintSpec extends SparkTestBase {
     // t18 broadcasts the 1-row MAX(doc_id) decile edge
     "t18_vocab_growth",
     // q98 broadcasts its 1-row pre-publish count (p4's report shape)
-    "q98_wap_publish")
+    "q98_wap_publish",
+    // q101 broadcasts the same 1-row count, read back through the tag
+    "q101_sql_wap")
 
   test("no unintended CartesianProduct or nested-loop join in any registered query plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

@@ -85,6 +85,68 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(Snapshots.read(spark, s"$wh/ns/o").columns.toSeq === Seq("a", "b"))
   }
 
+  test("TYPE WIDENING: int32 files upcast at scan, post-widen inserts exceed int range, both read paths agree") {
+    wh
+    spark.sql("CREATE TABLE evo_cat.ns.w (id BIGINT, v INT)")
+    spark.sql("INSERT INTO evo_cat.ns.w VALUES (1L, 10), (2L, 20)")
+    val pre = Snapshots.dataFiles(spark, s"$wh/ns/w").toSet
+    spark.sql("ALTER TABLE evo_cat.ns.w ALTER COLUMN v TYPE BIGINT")
+    // metadata-only: no file rewritten
+    assert(Snapshots.dataFiles(spark, s"$wh/ns/w").toSet === pre)
+    // the committed INT32 files now read as BIGINT
+    assert(spark.sql("SELECT * FROM evo_cat.ns.w").schema("v").dataType ===
+      org.apache.spark.sql.types.LongType)
+    spark.sql("INSERT INTO evo_cat.ns.w VALUES (3L, 3000000000)")
+    val got = spark.sql(
+      "SELECT sum(v) AS s, max(v) AS m FROM evo_cat.ns.w").collect().head
+    assert((got.getLong(0), got.getLong(1)) === ((3000000030L, 3000000000L)))
+    // V1 read path projects onto the same widened shape
+    val v1 = Snapshots.read(spark, s"$wh/ns/w")
+    assert(v1.schema("v").dataType === org.apache.spark.sql.types.LongType)
+    assert(v1.agg(sum("v")).head.getLong(0) === 3000000030L)
+    // COW DML across the mixed physical layouts
+    spark.sql("UPDATE evo_cat.ns.w SET v = v + 1 WHERE id = 1")
+    assert(spark.sql("SELECT v FROM evo_cat.ns.w WHERE id = 1")
+      .head.getLong(0) === 11L)
+  }
+
+  test("widening refusals: narrowing, non-numeric, bucket column; decimal precision growth allowed") {
+    wh
+    spark.sql("CREATE TABLE evo_cat.ns.wr (id BIGINT, f FLOAT, d DECIMAL(10,2), s STRING)")
+    spark.sql("INSERT INTO evo_cat.ns.wr VALUES (1L, CAST(1.5 AS FLOAT), CAST(12.34 AS DECIMAL(10,2)), 'x')")
+    // a scale-growing change Spark's canUpCast ADMITS ((10,2)→(18,4)
+    // is "wider") but footer-projection cannot serve (scale growth
+    // rescales the stored unscaled value) hits OUR guard
+    val sc = intercept[Exception](
+      spark.sql("ALTER TABLE evo_cat.ns.wr ALTER COLUMN d TYPE DECIMAL(18,4)"))
+    assert(sc.getMessage.contains("lossless"), sc.getMessage)
+    // lossless widenings pass
+    spark.sql("ALTER TABLE evo_cat.ns.wr ALTER COLUMN f TYPE DOUBLE")
+    spark.sql("ALTER TABLE evo_cat.ns.wr ALTER COLUMN d TYPE DECIMAL(18,2)")
+    val r = spark.sql("SELECT f, d FROM evo_cat.ns.wr").collect().head
+    assert(r.getDouble(0) === 1.5)
+    assert(r.getDecimal(1).toPlainString === "12.34")
+    // outright narrowings/kind changes are rejected by Spark's analyzer
+    // before the catalog (NOT_SUPPORTED_CHANGE_COLUMN)
+    intercept[Exception](
+      spark.sql("ALTER TABLE evo_cat.ns.wr ALTER COLUMN id TYPE INT"))
+    intercept[Exception](
+      spark.sql("ALTER TABLE evo_cat.ns.wr ALTER COLUMN s TYPE BIGINT"))
+    // the bucket column's hash is type-sensitive: any type change on
+    // it would split keys across buckets — refused even for a change
+    // Spark's canUpCast admits (BIGINT → DECIMAL(20,0)); the non-bucket
+    // column of the same table still widens
+    spark.sql("CREATE TABLE evo_cat.ns.wb (k BIGINT, v INT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO evo_cat.ns.wb VALUES (1L, 10), (2L, 20)")
+    val bk = intercept[Exception](
+      spark.sql("ALTER TABLE evo_cat.ns.wb ALTER COLUMN k TYPE DECIMAL(20,0)"))
+    assert(bk.getMessage.contains("bucket column"), bk.getMessage)
+    spark.sql("ALTER TABLE evo_cat.ns.wb ALTER COLUMN v TYPE BIGINT")
+    assert(spark.sql("SELECT sum(v) AS s FROM evo_cat.ns.wb")
+      .head.getLong(0) === 30L)
+  }
+
   test("COW DML preserves evolved reads (update a table with a NULL-backed column)") {
     wh
     spark.sql("CREATE TABLE evo_cat.ns.d AS SELECT * FROM VALUES (1L), (2L), (3L) AS v(id)")

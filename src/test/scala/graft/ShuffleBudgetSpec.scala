@@ -194,7 +194,12 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // runs as separate tokened jobs, q71's convention
     "q98_wap_publish" -> 2,
     // q99: one per-lang aggregation shuffle over the evolved table scan
-    "q99_schema_evolution" -> 1)
+    "q99_schema_evolution" -> 1,
+    // q100: one per-lang aggregation shuffle over the widened-scan read
+    "q100_type_widening" -> 1,
+    // q101: per-lang aggregation + the 1-row tagged-version count
+    // broadcast (q98's shape, built via SQL CALLs)
+    "q101_sql_wap" -> 2)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet

@@ -109,12 +109,18 @@ class WapSpec extends SparkTestBase {
     spark.sql(s"CALL $cat.system.tag(table => 'ns.t', name => 'first', version => 1)")
     assert(spark.sql(s"SELECT * FROM $cat.ns.t VERSION AS OF 'first'").count() === 2)
     assert(spark.sql(s"SELECT * FROM $cat.ns.t VERSION AS OF 2").count() === 3)
+    // CALL tags lists every ref (name-ascending)
+    spark.sql(s"CALL $cat.system.tag(table => 'ns.t', name => 'second', version => 2)")
+    val listed = spark.sql(s"CALL $cat.system.tags(table => 'ns.t')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(listed === Seq("first" -> 1L, "second" -> 2L))
     spark.sql(s"CALL $cat.system.fork(table => 'ns.t', branch => 'ns.t_wap')")
     spark.sql(s"INSERT INTO $cat.ns.t_wap VALUES (4L), (5L)")
-    // audit on the branch via SQL DML, then publish
+    // audit on the branch via SQL DML, then publish (the WAP-named
+    // alias of fast_forward)
     spark.sql(s"DELETE FROM $cat.ns.t_wap WHERE id = 5")
     val v = spark.sql(
-      s"CALL $cat.system.fast_forward(table => 'ns.t', branch => 'ns.t_wap')")
+      s"CALL $cat.system.publish(table => 'ns.t', branch => 'ns.t_wap')")
       .collect().head.getLong(0)
     assert(v === 3L)
     assert(spark.sql(s"SELECT * FROM $cat.ns.t").as[Long].collect().sorted ===
