@@ -7,6 +7,7 @@ object Bench {
     def newSession(): SparkSession = {
       val s = SparkSession.builder()
         .master(s"local[$cpus]")
+        .config("spark.sql.extensions", "graft.plans.GraftPlannerExtensions")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.ui.enabled", "false")
         .getOrCreate()

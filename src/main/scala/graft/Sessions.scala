@@ -17,6 +17,11 @@ object Sessions {
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // build-time extensions: pre-CBO rules (AutoRuntimeGroupFilter)
+      // can only be injected at session construction — tune()'s
+      // post-construction experimental hooks run too late in the
+      // optimizer for anything that must precede scan planning
+      .config("spark.sql.extensions", "graft.plans.GraftPlannerExtensions")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

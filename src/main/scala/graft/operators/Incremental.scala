@@ -1024,7 +1024,12 @@ object Incremental {
     * source's join keys) plus FileStats value pruning keep unmatched
     * key-range files out of the rewrite — the same file skipping
     * `Snapshots.merge` achieves with its probe, now on the open SQL
-    * surface. The oracle rebuilds the post-merge state from raw
+    * surface. (Since round 8 this route is also DEFAULT-ON via
+    * `AutoRuntimeGroupFilter` whenever the source fits the broadcast
+    * threshold; the explicit conf is kept here because this query's
+    * source — a 3-way union of orders scans — straddles the 10 MB
+    * default threshold across SF tiers, and the gate wants ONE
+    * deterministic plan shape at every SF.) The oracle rebuilds the post-merge state from raw
     * orders (update/delete/insert algebra over the key classes), so
     * a duplicated copy, missed delete, or dropped insert breaks the
     * hash; time travel across the merge pins v2 intact.

@@ -143,6 +143,10 @@ class GraftPlannerExtensions extends (SparkSessionExtensions => Unit) {
     e.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     e.injectOptimizerRule(_ => SemiJoinRewrite)
     e.injectOptimizerRule(_ => TopKRewrite)
+    // pre-CBO: must run AFTER the analyzer's RewriteMergeIntoTable has
+    // produced the ReplaceData plan but BEFORE early scan pushdown
+    // builds the row-level scan (which reads the annotation)
+    e.injectPreCBORule(_ => graft.sources.v2.AutoRuntimeGroupFilter)
     graft.functions.SqlFunctions.all.foreach(e.injectFunction)
   }
 }

@@ -47,18 +47,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     contract) and [[FileStats]] drops every candidate file whose
   *     footer ranges cannot contain a matching row. Untouched files
   *     carry into the new manifest verbatim.
-  *  2. RUNTIME group pruning (opt-in) — for MERGE, the condition joins
-  *     against the source, so nothing is statically pushable. With
-  *     `graft.snapshot.runtimeGroupFilterColumns=<k1,k2>` set on the
-  *     session, the scan advertises those columns as runtime filter
-  *     attributes; Spark's RowLevelOperationRuntimeGroupFiltering then
+  *  2. RUNTIME group pruning (default-on when safe) — for MERGE, the
+  *     condition joins against the source, so nothing is statically
+  *     pushable. When the scan advertises key columns as runtime
+  *     filter attributes, Spark's RowLevelOperationRuntimeGroupFiltering
   *     computes the DISTINCT matching key values (a DPP-style
   *     subquery = the source's join keys for an upsert-shaped MERGE)
   *     and FileStats prunes candidates by value — the same key-range
-  *     file skipping [[Snapshots.merge]] does with its probe. Opt-in
-  *     because the subquery materializes those distinct values on the
-  *     driver: right for selective upserts, wrong for a MERGE whose
-  *     match set is the table.
+  *     file skipping [[Snapshots.merge]] does with its probe. The
+  *     subquery materializes those distinct values on the driver:
+  *     right for selective upserts, wrong for a MERGE whose match set
+  *     is the table — so [[AutoRuntimeGroupFilter]] advertises the
+  *     merge's own equi-join keys automatically exactly when the
+  *     SOURCE fits the broadcast threshold, and
+  *     `graft.snapshot.runtimeGroupFilterColumns=<k1,k2>` remains the
+  *     explicit override (it wins outright — the user asserted
+  *     selectivity). `graft.snapshot.runtimeGroupFilterAuto=false`
+  *     restores the round-6 opt-in-only behavior. An IN list larger
+  *     than `graft.snapshot.runtimeGroupFilterMaxKeys` (default 64k)
+  *     collapses to its [min,max] bounds before file pruning — O(1)
+  *     per file instead of O(keys), keeping full pruning power on
+  *     range-clustered layouts.
   *  3. Row filtering NEVER happens below the group level — a pushed
   *     condition must not drop non-matching rows from an affected file
   *     (they are copied, not deleted), so the inner parquet scan gets
@@ -87,15 +96,42 @@ private[v2] final class SnapshotRowLevelOperation(
   @volatile private var pinned: ResolvedSnapshot = null
   @volatile private[v2] var scanFiles: Seq[String] = Nil
 
+  // Set by AutoRuntimeGroupFilter (pre-CBO) when this MERGE's source
+  // fits the broadcast threshold: the target-side equi-join key
+  // columns to advertise as runtime filter attributes. Empty = the
+  // guard said full COW (or the rule never ran — same safe default).
+  @volatile private[v2] var autoKeyCols: Seq[String] = Nil
+
   private[v2] def pin(): ResolvedSnapshot = {
     if (pinned == null) pinned = resolveTable()
     pinned
   }
 
   private[v2] def applyRuntimeFilter(exprs: Seq[Expression]): Unit =
-    if (exprs.nonEmpty)
-      scanFiles = FileStats.pruneResolved(
-        SparkSession.active, path, scanFiles, exprs)
+    if (exprs.nonEmpty) {
+      val spark = SparkSession.active
+      val maxKeys = spark.conf
+        .get("graft.snapshot.runtimeGroupFilterMaxKeys", "65536").toInt
+      // an oversized IN would cost O(keys) per candidate file in
+      // FileStats.mayMatch; its [min,max] hull is O(1) per file and
+      // keeps full pruning power on range-clustered layouts
+      val shaped = exprs.map {
+        case in @ In(a, vs) if vs.length > maxKeys &&
+            vs.forall(_.isInstanceOf[Literal]) =>
+          try {
+            val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+              .getInterpretedOrdering(vs.head.dataType)
+            val values = vs.map(_.asInstanceOf[Literal].value)
+            val lo = Literal(values.min(ord), vs.head.dataType)
+            val hi = Literal(values.max(ord), vs.head.dataType)
+            org.apache.spark.sql.catalyst.expressions.And(
+              org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual(a, lo),
+              org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(a, hi))
+          } catch { case scala.util.control.NonFatal(_) => in }
+        case e => e
+      }
+      scanFiles = FileStats.pruneResolved(spark, path, scanFiles, shaped)
+    }
 
   override def command(): Command = cmd
 
@@ -152,9 +188,16 @@ private[v2] final class RowLevelScanBuilder(op: SnapshotRowLevelOperation,
     val resolved = op.pin()
     op.scanFiles = FileStats.pruneResolved(
       spark, resolved.path, resolved.files, groupFilters)
-    val keyCols = spark.conf
+    val explicit = spark.conf
       .get("graft.snapshot.runtimeGroupFilterColumns", "")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    val auto =
+      if (explicit.nonEmpty) Nil // explicit opt-in wins outright
+      else if (spark.conf
+          .get("graft.snapshot.runtimeGroupFilterAuto", "true").toBoolean)
+        op.autoKeyCols
+      else Nil
+    val keyCols = (explicit ++ auto).distinct
       .filter(c => resolved.table.schema.fieldNames.contains(c))
     if (keyCols.isEmpty)
       new RowLevelScan(op, required, options)

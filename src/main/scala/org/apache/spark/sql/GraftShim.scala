@@ -38,6 +38,19 @@ object GraftShim {
   def toRdd(df: Dataset[_]): org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd
 
+  /** The RowLevelOperation behind a row-level read relation's table, if
+    * any — `RowLevelOperationTable` is sql-private in Spark 4, so the
+    * unwrap lives here (used by the pre-CBO auto runtime-group-filter
+    * rule to find its own MERGE operation in a ReplaceData plan).
+    */
+  def rowLevelOperationOf(table: org.apache.spark.sql.connector.catalog.Table)
+      : Option[org.apache.spark.sql.connector.write.RowLevelOperation] =
+    table match {
+      case t: org.apache.spark.sql.connector.write.RowLevelOperationTable =>
+        Some(t.operation)
+      case _ => None
+    }
+
   /** A streaming-tagged frame over an InternalRow RDD (for a source's
     * empty micro-batch, where there is no file relation to re-tag).
     */

@@ -156,17 +156,59 @@ class SqlRowLevelSpec extends SparkTestBase {
     assert(before.toSet.intersect(after.toSet).size === 1,
       "runtime group filter should have kept file B out of the rewrite")
 
-    // control: the same MERGE shape without the conf rewrites every file
+    // control: with auto mode ALSO off, the same MERGE shape rewrites
+    // every file (the round-6 opt-in-only behavior)
     val (t2, path2) = freshTable()
     val before2 = Snapshots.dataFiles(spark, path2, None)
-    spark.sql(
+    spark.conf.set("graft.snapshot.runtimeGroupFilterAuto", "false")
+    try spark.sql(
       s"""MERGE INTO $t2 USING (
          |  SELECT 2 AS id, 'rg' AS grp, CAST(7 AS BIGINT) AS v) AS s
          |ON $t2.id = s.id
          |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally spark.conf.unset("graft.snapshot.runtimeGroupFilterAuto")
     val after2 = Snapshots.dataFiles(spark, path2, None)
     assert(before2.toSet.intersect(after2.toSet).isEmpty,
-      "without the runtime filter a MERGE is a full COW rewrite")
+      "with auto and opt-in both off a MERGE is a full COW rewrite")
+  }
+
+  test("auto runtime group filter: default-on for a broadcast-size MERGE source") {
+    // no conf set at all: AutoRuntimeGroupFilter reads the merge's
+    // equi-join key (id) off the ReplaceData plan, sees the one-row
+    // source fits the broadcast threshold, and advertises it — file B
+    // (ids 100-103) must carry by path
+    val (t, path) = freshTable()
+    val before = Snapshots.dataFiles(spark, path, None)
+    spark.sql(
+      s"""MERGE INTO $t USING (
+         |  SELECT 2 AS id, 'auto' AS grp, CAST(9 AS BIGINT) AS v) AS s
+         |ON $t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(t).take(2) === Seq((1L, "a", 10L), (2L, "auto", 9L)))
+    val after = Snapshots.dataFiles(spark, path, None)
+    assert(before.toSet.intersect(after.toSet).size === 1,
+      "auto runtime group filter should have kept file B out of the rewrite")
+  }
+
+  test("auto runtime group filter: source above the broadcast threshold keeps full COW") {
+    // the guard: with the broadcast threshold disabled, the source
+    // never "fits", so the rule must not advertise keys and the MERGE
+    // stays the full-COW shape (no extra subquery pass, no driver
+    // collect of a table-spanning match set)
+    val (t, path) = freshTable()
+    val before = Snapshots.dataFiles(spark, path, None)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try spark.sql(
+      s"""MERGE INTO $t USING (
+         |  SELECT 2 AS id, 'big' AS grp, CAST(9 AS BIGINT) AS v) AS s
+         |ON $t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(rows(t).take(2) === Seq((1L, "a", 10L), (2L, "big", 9L)))
+    val after = Snapshots.dataFiles(spark, path, None)
+    assert(before.toSet.intersect(after.toSet).isEmpty,
+      "above the broadcast threshold the MERGE must stay a full COW rewrite")
   }
 
   test("concurrent append between DML read and publish rebases, serial-equivalent") {
