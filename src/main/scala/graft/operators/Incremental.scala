@@ -1346,11 +1346,50 @@ object Incremental {
          |""".stripMargin)
   }
 
+  /** q102: bloom-assisted point lookup under the oracle gate — the
+    * skipping layer min/max ranges can never provide. The fixture is
+    * range-HOSTILE by construction: orders rows are striped across 8
+    * commits by `o_orderkey % 8`, so every file's key range spans the
+    * whole domain and FileStats range pruning keeps all files. With
+    * `Snapshots.setBloomSpec(o_orderkey)`, each file carries a
+    * parquet-native bloom and the multi-key lookup opens only the
+    * bloom-hit files (BloomSkipSpec pins the kept-count; this gate
+    * pins the ANSWER). The key list is every o_orderkey ≡ 1 (mod 997)
+    * — built by a BOUNDED driver collect (≤ keys/997 ≈ 160 values at
+    * sf0.1, the registry's IN-probe cap), mirroring how a real point
+    * lookup arrives: as literal keys, not as a computable predicate.
+    * The oracle re-derives the same rows from raw orders.
+    */
+  val qBloomLookup: QuerySpec = QuerySpec.sql(
+    "q102_bloom_lookup",
+    """SELECT COUNT(*) AS n,
+      |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amount
+      |FROM orders WHERE o_orderkey % 997 = 1""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "bloomt")
+    ensureBuilt(s, root, 8) {
+      Snapshots.setBloomSpec(s, root, Map("o_orderkey" -> 50000L))
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      (0 until 8).foreach { i =>
+        Snapshots.commit(o.filter(col("o_orderkey") % 8 === i), root): Unit
+      }
+    }
+    val keys = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 997 === 1)
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq.sorted
+    Snapshots.readWhere(s, root, col("o_orderkey").isin(keys: _*))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("n_cust"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)")
+          .as("amount"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
       qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead,
       qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore,
       qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish,
-      qSchemaEvolution, qTypeWidening, qSqlWap)
+      qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup)
 }

@@ -288,12 +288,16 @@ object FileStats {
         }
       }
     } catch { case scala.util.control.NonFatal(_) => return files }
-    files.filter { f =>
+    val ranged = files.filter { f =>
       stats.get(norm(f)) match {
         case None         => true
         case Some(ranges) => mayMatch(ranges, expr)
       }
     }
+    // point predicates on bloom-spec'd columns cut what ranges cannot
+    // (high-cardinality keys on non-clustered layouts); conservative
+    // like everything above
+    BloomSkip.prune(spark, table, ranged, Seq(expr))
   }
 
   /** Test seam: (kept, total) of the most recent source-filter prune —
@@ -316,7 +320,7 @@ object FileStats {
   private[graft] def pruneResolved(spark: SparkSession, table: String,
       files: Seq[String], filters: Seq[Expression]): Seq[String] = {
     val stats = load(spark, table)
-    val kept =
+    val ranged =
       if (stats.isEmpty || filters.isEmpty) files
       else files.filter { f =>
         stats.get(norm(f)) match {
@@ -324,6 +328,9 @@ object FileStats {
           case Some(ranges) => filters.forall(mayMatch(ranges, _))
         }
       }
+    // bloom probe on the range survivors — see BloomSkip (no-op unless
+    // the table has a bloom spec AND a point predicate participates)
+    val kept = BloomSkip.prune(spark, table, ranged, filters)
     lastSourcePrune = Some((kept.size, files.size))
     kept
   }

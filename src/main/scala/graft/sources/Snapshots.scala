@@ -148,7 +148,7 @@ object Snapshots {
       .foreach(v => return v))
     val f = fs(spark, table)
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
-    df.write.parquet(dataDir.toString)
+    df.write.options(bloomWriteOptions(spark, table)).parquet(dataDir.toString)
     // match on the file NAME, not the full path: a table rooted under a
     // directory containing "part-" would otherwise sweep _SUCCESS into
     // the manifest (gc's startsWith convention)
@@ -289,6 +289,71 @@ object Snapshots {
     fs(spark, table).delete(new Path(s"$table/bucketspec"), false): Unit
   }
 
+  /** The table's bloom-skipping spec: column → expected per-file NDV
+    * (sizes the parquet-native bloom at write). Empty map = no spec.
+    * See [[BloomSkip]] for the read-side contract.
+    */
+  def bloomSpec(spark: SparkSession, table: String): Map[String, Long] = {
+    val p = new Path(s"$table/bloomspec")
+    val f = fs(spark, table)
+    if (!f.exists(p)) Map.empty
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.split("\n").map(_.trim).filter(_.nonEmpty).flatMap {
+        _.split("\t") match {
+          case Array(c, n) => scala.util.Try(c -> n.toLong).toOption
+          case _           => None
+        }
+      }.toMap
+    }
+  }
+
+  /** Install (or replace) the table's bloom spec. Applies to files
+    * written AFTER the call — existing files carry no bloom and simply
+    * never bloom-prune (conservative keep), exactly like pre-stats
+    * history under [[FileStats]]. An admin-level operation: concurrent
+    * replacement races fail loudly rather than interleave.
+    */
+  def setBloomSpec(spark: SparkSession, table: String,
+      cols: Map[String, Long]): Unit = {
+    require(cols.nonEmpty, "empty bloom spec; use dropBloomSpec to retire")
+    cols.foreach { case (c, n) =>
+      require(n > 0, s"bloom NDV for $c must be positive, got $n")
+    }
+    val f = fs(spark, table)
+    val p = new Path(s"$table/bloomspec")
+    val tmp = new Path(s"$table/.bloomspec.${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(cols.toSeq.sortBy(_._1)
+      .map { case (c, n) => s"$c\t$n" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    f.delete(p, false)
+    if (!publishAtomic(f, tmp, p)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent bloomspec update on $table")
+    }
+  }
+
+  /** Retire the bloom spec: later writes carry no blooms; files that
+    * already have them keep pruning until rewritten.
+    */
+  def dropBloomSpec(spark: SparkSession, table: String): Unit =
+    fs(spark, table).delete(new Path(s"$table/bloomspec"), false): Unit
+
+  /** Parquet writer options materializing the bloom spec — stock
+    * parquet per-column keys, understood by both the DataFrame writer
+    * and the DML task writer's job Configuration.
+    */
+  private[sources] def bloomWriteOptions(spark: SparkSession,
+      table: String): Map[String, String] =
+    bloomSpec(spark, table).flatMap { case (c, n) =>
+      Seq(s"parquet.bloom.filter.enabled#$c" -> "true",
+        s"parquet.bloom.filter.expected.ndv#$c" -> n.toString)
+    }
+
   /** Bucket id a file path carries, if the file sits in a
     * [[BucketDir]] directory.
     */
@@ -340,7 +405,8 @@ object Snapshots {
       val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
       df.withColumn(BucketDir, pmod(hash(col(column)), lit(n)))
         .repartition(n, col(BucketDir))
-        .write.partitionBy(BucketDir).parquet(dataDir.toString)
+        .write.options(bloomWriteOptions(spark, table))
+        .partitionBy(BucketDir).parquet(dataDir.toString)
       var newFiles = f.listStatus(dataDir).toSeq
         .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketDir + "="))
         .flatMap(d => f.listStatus(d.getPath).toSeq)
@@ -404,7 +470,8 @@ object Snapshots {
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
     df.withColumn(BucketDir, pmod(hash(col(column)), lit(n)))
       .repartition(n, col(BucketDir))
-      .write.partitionBy(BucketDir).parquet(dataDir.toString)
+      .write.options(bloomWriteOptions(spark, table))
+      .partitionBy(BucketDir).parquet(dataDir.toString)
     var newFiles = f.listStatus(dataDir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(BucketDir + "="))
       .flatMap(d => f.listStatus(d.getPath).toSeq)
@@ -972,7 +1039,8 @@ object Snapshots {
   private def writeData(df: DataFrame, table: String,
       recordStats: Boolean = true): (Seq[String], Path) = {
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
-    df.write.parquet(dataDir.toString)
+    df.write.options(bloomWriteOptions(df.sparkSession, table))
+      .parquet(dataDir.toString)
     val f = fs(df.sparkSession, table)
     // file-NAME prefix match, like commit (a "part-" in the table path
     // must not sweep _SUCCESS into the manifest)

@@ -298,7 +298,10 @@ private[v2] final class SnapshotReplaceBatchWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new SnapshotParquetWriterFactory(dataDir, writeSchema.json,
-      SnapshotReplaceBatchWrite.parquetWriteConf())
+      SnapshotReplaceBatchWrite.parquetWriteConf() ++
+        // DML-rewritten files keep the table's parquet-native blooms
+        // (resolved on the driver; stock per-column parquet keys)
+        Snapshots.bloomWriteOptions(SparkSession.active, op.path))
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active

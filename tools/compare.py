@@ -14,7 +14,8 @@ tables, and compares: column names (sorted), row count, and a hash of the
 value matrix after sorting columns by name and rows by their stringified
 values. Prints per-query PASS/FAIL.
 """
-import sys, json, glob, hashlib, math
+import functools, sys, json, glob, hashlib, math
+print = functools.partial(print, flush=True)
 import duckdb
 import pandas as pd
 
@@ -58,9 +59,18 @@ def main():
                           "oracle_rows": oracle_rows, "err": err}
 
     con = duckdb.connect()
+    # heavy oracles at scaled tiers (pair generators over millions of
+    # docs) must spill, not eat the box: cap memory and give DuckDB a
+    # temp dir. No effect on the small-SF driver gate.
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    import os
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = p.split("/")[-1].removesuffix(".parquet")
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+        # driver sf dirs ship single files; ScaleFixture tiers are Spark
+        # output DIRECTORIES — glob their part files for DuckDB
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{src}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name in sorted(oracle):
