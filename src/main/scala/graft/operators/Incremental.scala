@@ -1385,11 +1385,46 @@ object Incremental {
           .as("amount"))
   }
 
+  /** q103: declared write sort order under the oracle gate — the
+    * Iceberg WRITE ORDERED BY shape. Orders rows arrive deliberately
+    * SCRAMBLED (hash order) across 4 commits; `setSortSpec(o_orderkey)`
+    * makes every commit range-cluster before its files land, so the
+    * gated range scan prunes by construction (WriteOrderSpec pins the
+    * disjoint per-file ranges and the DML-preserving
+    * RequiresDistributionAndOrdering path; this gate pins the ANSWER
+    * across the reordering — a clustering bug that drops or duplicates
+    * rows during the range shuffle breaks the hash).
+    */
+  val qWriteOrder: QuerySpec = QuerySpec.sql(
+    "q103_write_order",
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amount
+      |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "ordert")
+    ensureBuilt(s, root, 4) {
+      Snapshots.setSortSpec(s, root, Seq("o_orderkey"))
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      (0 until 4).foreach { i =>
+        Snapshots.commit(
+          o.filter(col("o_orderkey") % 4 === i)
+            .orderBy(hash(col("o_orderkey"))), root): Unit
+      }
+    }
+    Snapshots.readWhere(s, root,
+        col("o_orderkey").between(1000L, 5000L))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)")
+          .as("amount"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
       qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead,
       qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore,
       qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish,
-      qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup)
+      qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup, qWriteOrder)
 }

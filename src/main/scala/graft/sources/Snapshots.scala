@@ -148,7 +148,8 @@ object Snapshots {
       .foreach(v => return v))
     val f = fs(spark, table)
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
-    df.write.options(bloomWriteOptions(spark, table)).parquet(dataDir.toString)
+    applySortSpec(df, table).write
+      .options(bloomWriteOptions(spark, table)).parquet(dataDir.toString)
     // match on the file NAME, not the full path: a table rooted under a
     // directory containing "part-" would otherwise sweep _SUCCESS into
     // the manifest (gc's startsWith convention)
@@ -354,6 +355,77 @@ object Snapshots {
         s"parquet.bloom.filter.expected.ndv#$c" -> n.toString)
     }
 
+  /** The table's declared write sort order, if any — the Iceberg
+    * `WRITE ORDERED BY` shape. Every subsequent write range-clusters
+    * rows on these columns BEFORE the parquet files land, so
+    * [[FileStats]] range pruning has power by construction instead of
+    * by caller discipline (ad-hoc `ORDER BY` on inserts) or after-the-
+    * fact rewrites (`optimizeZOrder`). At 100 TB clustering is where
+    * file skipping comes from: unordered ingestion makes every file
+    * span the key domain and a selective scan opens all of them.
+    */
+  def sortSpec(spark: SparkSession, table: String): Seq[String] = {
+    val p = new Path(s"$table/sortspec")
+    val f = fs(spark, table)
+    if (!f.exists(p)) Nil
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      if (text.isEmpty) Nil else text.split("\t").toSeq
+    }
+  }
+
+  /** Install (or replace) the declared write sort order. Applies to
+    * writes AFTER the call; existing files keep their layout until
+    * rewritten (compact / z-order / DML). Columns absent from a write's
+    * schema skip the clustering for that write (conservative no-op).
+    */
+  def setSortSpec(spark: SparkSession, table: String,
+      cols: Seq[String]): Unit = {
+    require(cols.nonEmpty, "empty sort spec; use dropSortSpec to retire")
+    val f = fs(spark, table)
+    val p = new Path(s"$table/sortspec")
+    val tmp = new Path(s"$table/.sortspec.${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(cols.mkString("\t").getBytes("UTF-8"))
+    finally out.close()
+    f.delete(p, false)
+    if (!publishAtomic(f, tmp, p)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"concurrent sortspec update on $table")
+    }
+  }
+
+  /** Retire the declared write sort order (later writes land as-is). */
+  def dropSortSpec(spark: SparkSession, table: String): Unit =
+    fs(spark, table).delete(new Path(s"$table/sortspec"), false): Unit
+
+  /** Apply the table's declared sort order to an outgoing frame:
+    * range-repartition on the sort columns (disjoint per-file key
+    * ranges — what makes the resulting footers PRUNABLE) + in-partition
+    * sort (row-group locality within each file). A frame missing any
+    * sort column passes through untouched. Bucketed writes keep their
+    * bucket routing and get only the in-partition sort — the bucket IS
+    * the distribution there.
+    */
+  private def applySortSpec(df: DataFrame, table: String,
+      bucketed: Boolean = false): DataFrame = {
+    val cols = sortSpec(df.sparkSession, table)
+    if (cols.isEmpty || !cols.forall(df.schema.fieldNames.contains)) df
+    else {
+      import org.apache.spark.sql.functions.col
+      val sortCols = cols.map(col)
+      // bucketed: prefix the sort with the bucket tag, so the dynamic-
+      // partition writer's required ordering (partition col first) is
+      // already satisfied — otherwise it re-sorts by the partition col
+      // alone and the secondary clustering is lost
+      if (bucketed) df.sortWithinPartitions(col(BucketDir) +: sortCols: _*)
+      else df.repartitionByRange(sortCols: _*)
+        .sortWithinPartitions(sortCols: _*)
+    }
+  }
+
   /** Bucket id a file path carries, if the file sits in a
     * [[BucketDir]] directory.
     */
@@ -403,8 +475,8 @@ object Snapshots {
     try {
       import org.apache.spark.sql.functions.{col, hash, lit, pmod}
       val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
-      df.withColumn(BucketDir, pmod(hash(col(column)), lit(n)))
-        .repartition(n, col(BucketDir))
+      applySortSpec(df.withColumn(BucketDir, pmod(hash(col(column)), lit(n)))
+          .repartition(n, col(BucketDir)), table, bucketed = true)
         .write.options(bloomWriteOptions(spark, table))
         .partitionBy(BucketDir).parquet(dataDir.toString)
       var newFiles = f.listStatus(dataDir).toSeq
@@ -468,8 +540,8 @@ object Snapshots {
     val f = fs(spark, table)
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
-    df.withColumn(BucketDir, pmod(hash(col(column)), lit(n)))
-      .repartition(n, col(BucketDir))
+    applySortSpec(df.withColumn(BucketDir, pmod(hash(col(column)), lit(n)))
+        .repartition(n, col(BucketDir)), table, bucketed = true)
       .write.options(bloomWriteOptions(spark, table))
       .partitionBy(BucketDir).parquet(dataDir.toString)
     var newFiles = f.listStatus(dataDir).toSeq
@@ -1039,7 +1111,8 @@ object Snapshots {
   private def writeData(df: DataFrame, table: String,
       recordStats: Boolean = true): (Seq[String], Path) = {
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
-    df.write.options(bloomWriteOptions(df.sparkSession, table))
+    applySortSpec(df, table).write
+      .options(bloomWriteOptions(df.sparkSession, table))
       .parquet(dataDir.toString)
     val f = fs(df.sparkSession, table)
     // file-NAME prefix match, like commit (a "part-" in the table path

@@ -140,8 +140,8 @@ private[v2] final class SnapshotRowLevelOperation(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
-      override def build(): Write = new Write {
-        override def toBatch: BatchWrite = {
+      override def build(): Write = {
+        def toBatch0: BatchWrite = {
           val committed = pin().table.schema
           def sig(s: StructType) =
             s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
@@ -151,8 +151,31 @@ private[v2] final class SnapshotRowLevelOperation(
           new SnapshotReplaceBatchWrite(SnapshotRowLevelOperation.this,
             info.schema)
         }
-        override def description: String =
-          s"graft-snapshot sql-${cmd.toString.toLowerCase} $path"
+        val desc = s"graft-snapshot sql-${cmd.toString.toLowerCase} $path"
+        // a declared write sort order (Snapshots.setSortSpec) holds
+        // through DML rewrites: ask Spark for a range distribution +
+        // in-partition sort on the sort columns, so the files a COW
+        // UPDATE/MERGE/DELETE writes back stay as prunable as the ones
+        // it replaced. This is the stock V2 contract — Spark plans the
+        // shuffle/sort, AQE sizes it.
+        val sortCols = Snapshots.sortSpec(SparkSession.active, path)
+          .filter(c => info.schema.fieldNames.contains(c))
+        if (sortCols.isEmpty) new Write {
+          override def toBatch: BatchWrite = toBatch0
+          override def description: String = desc
+        } else new Write
+            with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+          import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+          private val orders = sortCols.map(c =>
+            Expressions.sort(Expressions.column(c), SortDirection.ASCENDING)).toArray
+          override def requiredDistribution()
+              : org.apache.spark.sql.connector.distributions.Distribution =
+            org.apache.spark.sql.connector.distributions.Distributions.ordered(orders)
+          override def requiredOrdering()
+              : Array[org.apache.spark.sql.connector.expressions.SortOrder] = orders
+          override def toBatch: BatchWrite = toBatch0
+          override def description: String = s"$desc ordered by ${sortCols.mkString(",")}"
+        }
       }
     }
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL stored procedures for snapshot-table maintenance — the Iceberg
@@ -166,6 +166,52 @@ private[v2] object SnapshotProcedures {
         Snapshots.tags(spark, path(wh, in.getString(0))).map { case (n, v) =>
           InternalRow.fromSeq(Seq(UTF8String.fromString(n), v))
         }.toArray
+    }),
+    // bloom-assisted point-lookup spec (BloomSkip): applies to files
+    // written AFTER the call; cols = "k1:ndv1,k2:ndv2"
+    "set_bloom" -> (wh => new Proc("set_bloom",
+      Seq(param("table", StringType), param("cols", StringType)),
+      schema("n_cols" -> IntegerType)) {
+      def run(in: InternalRow): Array[InternalRow] = {
+        val cols = in.getString(1).split(",").map(_.trim).filter(_.nonEmpty)
+          .map { s =>
+            s.split(":") match {
+              case Array(c, n) => c.trim -> n.trim.toLong
+              case _ => throw new IllegalArgumentException(
+                s"set_bloom cols entry '$s' (expected col:ndv)")
+            }
+          }.toMap
+        Snapshots.setBloomSpec(spark, path(wh, in.getString(0)), cols)
+        row(cols.size)
+      }
+    }),
+    // declared write sort order (Iceberg WRITE ORDERED BY): every
+    // later write range-clusters on these columns; cols = "k1,k2"
+    "set_write_order" -> (wh => new Proc("set_write_order",
+      Seq(param("table", StringType), param("cols", StringType)),
+      schema("n_cols" -> IntegerType)) {
+      def run(in: InternalRow): Array[InternalRow] = {
+        val cols = in.getString(1).split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        Snapshots.setSortSpec(spark, path(wh, in.getString(0)), cols)
+        row(cols.size)
+      }
+    }),
+    "drop_write_order" -> (wh => new Proc("drop_write_order",
+      Seq(param("table", StringType)),
+      schema("dropped" -> BooleanType)) {
+      def run(in: InternalRow): Array[InternalRow] = {
+        Snapshots.dropSortSpec(spark, path(wh, in.getString(0)))
+        row(true)
+      }
+    }),
+    "drop_bloom" -> (wh => new Proc("drop_bloom",
+      Seq(param("table", StringType)),
+      schema("dropped" -> BooleanType)) {
+      def run(in: InternalRow): Array[InternalRow] = {
+        Snapshots.dropBloomSpec(spark, path(wh, in.getString(0)))
+        row(true)
+      }
     }),
     "history" -> (wh => new Proc("history",
       Seq(param("table", StringType)),

@@ -168,6 +168,29 @@ class BloomSkipSpec extends SparkTestBase {
       "without a spec the bloom layer must not engage")
   }
 
+  test("CALL set_bloom / drop_bloom drive the spec from SQL") {
+    val wh = Files.createTempDirectory("graft-bloom-sql").toString
+    val cat = "graft_bloomsql_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    spark.sql(s"CREATE TABLE $cat.m.bt (k BIGINT, v BIGINT)")
+    val n = spark.sql(s"CALL $cat.system.set_bloom('m.bt', 'k:5000')")
+      .collect().head.getInt(0)
+    assert(n === 1)
+    assert(Snapshots.bloomSpec(spark, s"$wh/m/bt") === Map("k" -> 5000L))
+    // post-spec INSERT carries the bloom; a point read engages the layer
+    spark.sql(s"INSERT INTO $cat.m.bt SELECT id, id * 2 FROM range(1000)")
+    BloomSkip.lastBloomPrune = None
+    val got = Snapshots.readWhere(spark, s"$wh/m/bt", col("k") === 77L)
+      .select("v").collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(154L))
+    assert(BloomSkip.lastBloomPrune.nonEmpty)
+    spark.sql(s"CALL $cat.system.drop_bloom('m.bt')")
+    assert(Snapshots.bloomSpec(spark, s"$wh/m/bt").isEmpty)
+  }
+
   private implicit class SortLongs(xs: Array[Long]) {
     def toSorted: Array[Long] = { val c = xs.clone(); java.util.Arrays.sort(c); c }
   }

@@ -2,6 +2,14 @@
 """Local stand-in for the driver's DuckDB-oracle correctness gate.
 
 Usage: python3 tools/compare.py <sfDir> <verifyOutDir> [--json <artifact>]
+       [--per-query-timeout <sec>]
+
+--per-query-timeout interrupts any single oracle SQL after N seconds
+(DuckDB con.interrupt() from a watchdog thread) and records the query
+as err="oracle timeout". For SCALED-TIER runs only: an iterative oracle
+(q67's 5-round PageRank CTE) that is trivial for the engine can be
+infeasible for DuckDB at 10x+ (it spilled >45GB before this knob
+existed). The driver's sf0.01 gate never needs it.
 
 With --json, also writes a CORRECTNESS_r{N}.json-shaped artifact
 (per-query rows/schema/hash match booleans) so off-gate tiers — the
@@ -50,6 +58,9 @@ def main():
     json_out = None
     if "--json" in sys.argv:
         json_out = sys.argv[sys.argv.index("--json") + 1]
+    per_q_timeout = None
+    if "--per-query-timeout" in sys.argv:
+        per_q_timeout = float(sys.argv[sys.argv.index("--per-query-timeout") + 1])
     artifact = {}
 
     def record(name, rows_match=False, schema_match=False, hash_match=False,
@@ -64,6 +75,7 @@ def main():
     # temp dir. No effect on the small-SF driver gate.
     con.execute("SET memory_limit='40GB'")
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='30GB'")
     import os
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = p.split("/")[-1].removesuffix(".parquet")
@@ -89,7 +101,16 @@ def main():
             gdf = con.execute(f"SELECT * FROM read_parquet({files!r})").df()
             got_cols = list(gdf.columns)
             got = list(gdf.itertuples(index=False, name=None))
-            wdf = con.execute(sql).df()
+            watchdog = None
+            if per_q_timeout:
+                import threading
+                watchdog = threading.Timer(per_q_timeout, con.interrupt)
+                watchdog.start()
+            try:
+                wdf = con.execute(sql).df()
+            finally:
+                if watchdog:
+                    watchdog.cancel()
             want_cols = list(wdf.columns)
             want = list(wdf.itertuples(index=False, name=None))
         except Exception as e:
