@@ -197,6 +197,11 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q99_schema_evolution" -> 1,
     // q100: one per-lang aggregation shuffle over the widened-scan read
     "q100_type_widening" -> 1,
+    // q102: key-list collect feeds one literal IN scan; budget = the
+    // global aggregate's single final exchange + countDistinct expand
+    "q102_bloom_lookup" -> 2,
+    // q103: one per-status aggregation shuffle over the pruned read
+    "q103_write_order" -> 1,
     // q101: per-lang aggregation + the 1-row tagged-version count
     // broadcast (q98's shape, built via SQL CALLs)
     "q101_sql_wap" -> 2)
