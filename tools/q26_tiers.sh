@@ -12,11 +12,11 @@ for f in 10 32 64; do
 done
 echo "== base sf0.1 =="
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
-  sbt -batch "runMain graft.SessionizeEconomics 3" 2>&1 | grep "^Q26E"
+  sbt -batch "runMain graft.SessionizeEconomics 3" 2>&1 | grep "Q26E"
 for f in 10 32 64; do
   d=$(ls -d /tmp/graft-scale-*-x$f | head -1)
   echo "== tier x$f ($d) =="
   SPARK_GRAFT_SF_DIR=$d SPARK_GRAFT_CPUS=32 \
-    sbt -batch "runMain graft.SessionizeEconomics 3" 2>&1 | grep "^Q26E"
+    sbt -batch "runMain graft.SessionizeEconomics 3" 2>&1 | grep "Q26E"
 done
 echo "== q26 tiers done =="
