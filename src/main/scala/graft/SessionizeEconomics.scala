@@ -62,7 +62,11 @@ object SessionizeEconomics {
     def time(name: String, mk: SparkSession => DataFrame): Unit = {
       val ts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        mk(spark).count()
+        // noop sink, NOT count(): an aggregate lets ColumnPruning drop
+        // the Window operators entirely (a count over a windowed frame
+        // reads as a bare scan count), which silently guts the cuts
+        // this tool exists to compare
+        mk(spark).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"Q26E $name min ${ts.min}%.2f s reps ${ts.map(t => f"$t%.2f").mkString(",")}")
