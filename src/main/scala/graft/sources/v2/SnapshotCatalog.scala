@@ -208,6 +208,41 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         s"rewrites). Got: ${other.mkString(", ")}")
   }
 
+  /** Declared layout specs from TBLPROPERTIES — the DDL-time spelling
+    * of `Snapshots.setSortSpec` / `setBloomSpec` (CALL procedures are
+    * the post-hoc spelling):
+    *
+    * {{{
+    *   CREATE TABLE t (...) TBLPROPERTIES (
+    *     'write.order' = 'k1,k2',      -- range-cluster every write
+    *     'bloom.k1'    = '50000')      -- parquet-native blooms, NDV
+    * }}}
+    *
+    * Installed AFTER the create publishes (a lost CREATE race installs
+    * nothing), validated against the declared schema so a typo fails
+    * the DDL loudly instead of silently never clustering.
+    */
+  private def installDeclaredSpecs(path: String, schema: StructType,
+      properties: util.Map[String, String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val props = properties.asScala
+    props.get("write.order").foreach { v =>
+      val cols = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      val missing = cols.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"write.order columns not in schema: ${missing.mkString(", ")}")
+      Snapshots.setSortSpec(spark, path, cols)
+    }
+    val blooms = props.collect {
+      case (k, v) if k.startsWith("bloom.") && k.length > 6 =>
+        val c = k.substring(6)
+        require(schema.fieldNames.contains(c),
+          s"bloom column not in schema: $c")
+        c -> v.trim.toLong
+    }.toMap
+    if (blooms.nonEmpty) Snapshots.setBloomSpec(spark, path, blooms)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     val bucketed = bucketTransformOf(partitions, schema)
@@ -265,6 +300,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         case other => throw other
       }
     }
+    installDeclaredSpecs(path, schema, properties)
     loadTable(ident)
   }
 
@@ -276,14 +312,18 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   // versions stay time-travelable, like every overwrite).
 
   private def staged(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], replace: Boolean,
-      orCreate: Boolean): org.apache.spark.sql.connector.catalog.StagedTable =
+      partitions: Array[Transform], replace: Boolean, orCreate: Boolean,
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
     // same DDL surface as plain CREATE: bucket(n, col) or nothing. A
     // REPLACE's layout follows the new definition wholesale — no
     // transform on a formerly-bucketed table retires the old spec
     // (commitStagedChanges), exactly as it replaces the old schema.
+    // TBLPROPERTIES layout specs (write.order / bloom.*) install at
+    // commit, after the publish: the CTAS's OWN files land as the
+    // SELECT produced them; every write after the create clusters.
     new StagedSnapshotTable(tablePath(ident), schema,
-      bucketTransformOf(partitions, schema), replace, orCreate)
+      bucketTransformOf(partitions, schema), replace, orCreate, properties)
 
   override def stageCreate(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo)
@@ -291,7 +331,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
         Seq(catalogName) ++ ident.namespace() :+ ident.name())
-    staged(ident, info.schema(), info.partitions(), replace = false, orCreate = false)
+    staged(ident, info.schema(), info.partitions(), replace = false,
+      orCreate = false, info.properties())
   }
 
   override def stageReplace(ident: Identifier,
@@ -300,13 +341,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName) ++ ident.namespace() :+ ident.name())
-    staged(ident, info.schema(), info.partitions(), replace = true, orCreate = false)
+    staged(ident, info.schema(), info.partitions(), replace = true,
+      orCreate = false, info.properties())
   }
 
   override def stageCreateOrReplace(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo)
       : org.apache.spark.sql.connector.catalog.StagedTable =
-    staged(ident, info.schema(), info.partitions(), replace = true, orCreate = true)
+    staged(ident, info.schema(), info.partitions(), replace = true,
+      orCreate = true, info.properties())
 
   /** Metadata-only schema evolution: ALTER TABLE ... ADD COLUMNS, plus
     * ALTER COLUMN ... TYPE when the change is a LOSSLESS WIDENING
@@ -530,7 +573,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * directory; nothing was ever visible.
     */
   private class StagedSnapshotTable(path: String, tableSchema: StructType,
-      bucketed: Option[(String, Int)], replace: Boolean, orCreate: Boolean)
+      bucketed: Option[(String, Int)], replace: Boolean, orCreate: Boolean,
+      tblProps: util.Map[String, String])
       extends org.apache.spark.sql.connector.catalog.StagedTable
       with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -605,6 +649,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         case None =>
           if (replace) Snapshots.dropBucketSpec(sp, path)
       }
+      // layout specs follow the staged definition wholesale, like the
+      // bucket spec: REPLACE retires what the new definition doesn't
+      // re-declare, then the declared TBLPROPERTIES install
+      if (replace) {
+        Snapshots.dropSortSpec(sp, path)
+        Snapshots.dropBloomSpec(sp, path)
+      }
+      installDeclaredSpecs(path, tableSchema, tblProps)
     }
 
     override def abortStagedChanges(): Unit = {

@@ -75,14 +75,19 @@ class PlansSkewSpec extends SparkTestBase {
     assert(math.abs(approx - exact) / exact < 0.05)
   }
 
-  test("assignCells argmin partial-aggregates BEFORE its exchange (one row per vector crosses)") {
-    // the structural claim behind the s4/s13/s14/s15 assignment rewrite:
-    // a partial min/max of the (score, cid, payload) struct runs map-side,
-    // so the exchange carries corpus rows, not corpus x |centroids|
+  test("s15 assignment is in-row over the broadcast codebook (no sort agg, no rank)") {
+    // the structural claim behind the round-8 s15 rewrite (the former
+    // min(struct) partial aggregate's array payload forced a SORT-based
+    // aggregate whose spill made s15 the one superlinear endpoint): the
+    // 16-row codebook packs into one broadcast row and each vector
+    // folds its argmin IN-ROW — the corpus crosses no assignment
+    // exchange and holds no per-group aggregation state on the way
     val plan = SparkEntry.queries("s15_kmeans_refine")(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("partial_min") || plan.contains("partial_max"),
-      s"no map-side partial min/max in s15 plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      "codebook must reach the corpus as a broadcast, not a shuffle")
+    assert(!plan.contains("SortAggregate"),
+      s"assignment regressed to a sort-based aggregate:\n$plan")
     // and no per-vector rank window survives anywhere in the plan
     assert(!plan.contains("row_number"),
       "assignment regressed to a window rank")

@@ -119,6 +119,34 @@ class WriteOrderSpec extends SparkTestBase {
     assert(Snapshots.read(spark, path).count() === 1000L)
   }
 
+  test("TBLPROPERTIES declare the layout at DDL time (CREATE + CTAS + RTAS retire)") {
+    val wh = Files.createTempDirectory("graft-order-ddl").toString
+    val cat = "graft_orderddl_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    // plain CREATE
+    spark.sql(s"CREATE TABLE $cat.m.dt (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.order' = 'k', 'bloom.k' = '10000')")
+    assert(Snapshots.sortSpec(spark, s"$wh/m/dt") === Seq("k"))
+    assert(Snapshots.bloomSpec(spark, s"$wh/m/dt") === Map("k" -> 10000L))
+    // a typo'd column fails the DDL loudly, not silently-never-clusters
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.m.bad (k BIGINT) " +
+        "TBLPROPERTIES ('write.order' = 'nope')")
+    }
+    assert(e.getMessage.contains("nope"))
+    // CTAS carries the properties; the specs install at commit
+    spark.sql(s"CREATE TABLE $cat.m.ct TBLPROPERTIES ('write.order' = 'id') " +
+      "AS SELECT id FROM range(10)")
+    assert(Snapshots.sortSpec(spark, s"$wh/m/ct") === Seq("id"))
+    // RTAS without the property retires it (layout follows the new
+    // definition wholesale, like the bucket spec)
+    spark.sql(s"REPLACE TABLE $cat.m.ct AS SELECT id FROM range(5)")
+    assert(Snapshots.sortSpec(spark, s"$wh/m/ct").isEmpty)
+  }
+
   test("CALL set_write_order / drop_write_order drive the spec from SQL") {
     val wh = Files.createTempDirectory("graft-order-sql").toString
     val cat = "graft_ordersql_cat"
