@@ -147,9 +147,21 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   private def load(ident: Identifier, extra: Map[String, String]): Table = {
     val path = tablePath(ident)
     promoteRenameStage(new Path(path)) // heal a crash mid-rename (no-op otherwise)
-    if (!isTable(path))
+    if (!isTable(path)) {
+      // Iceberg-style METADATA TABLES: `SELECT * FROM cat.ns.t.history`
+      // parses as ident(ns=[ns,t], name=history) — when that path is
+      // not a real table but its PARENT is, serve the parent's
+      // metadata as a read-only table. A real table always wins the
+      // name (checked above), so no data table can be shadowed.
+      val ns = ident.namespace()
+      if (ns.nonEmpty && MetadataKinds.contains(ident.name())) {
+        val parentPath = tablePath(Identifier.of(ns.init, ns.last))
+        if (isTable(parentPath))
+          return metadataTable(parentPath, ident.name())
+      }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName) ++ ident.namespace() :+ ident.name())
+    }
     val p = new SnapshotProvider
     import scala.jdk.CollectionConverters._
     val opts = new CaseInsensitiveStringMap(
@@ -157,6 +169,87 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     p.getTable(p.inferSchema(opts), Array.empty,
       new util.HashMap[String, String](opts))
   }
+
+  private val MetadataKinds = Set("history", "files", "tags")
+
+  /** Read-only metadata tables over a snapshot table's manifest state
+    * (the Iceberg `db.t.history` surface):
+    *
+    *  - `t.history` — version, commit token, file count per version
+    *  - `t.files`   — current data files with bucket tag, exact row
+    *    count (stats sidecar) and on-disk size
+    *  - `t.tags`    — immutable named refs
+    *
+    * Driver-materialized ([[org.apache.spark.sql.connector.read.LocalScan]]):
+    * bounded by FILE/VERSION count, never row count — the same
+    * envelope as every manifest-algebra operation (PLANS.md posture
+    * index), and the rows are recomputed at scan-build time so each
+    * query sees the current state.
+    */
+  private def metadataTable(parentPath: String, kind: String)
+      : org.apache.spark.sql.connector.catalog.Table =
+    new org.apache.spark.sql.connector.catalog.Table
+        with org.apache.spark.sql.connector.catalog.SupportsRead {
+      import org.apache.spark.sql.connector.catalog.TableCapability
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+      import org.apache.spark.unsafe.types.UTF8String
+
+      override def name(): String = s"graft-snapshot:$parentPath.$kind"
+
+      override def schema(): StructType = kind match {
+        case "history" => new StructType()
+          .add("version", LongType).add("token", StringType)
+          .add("n_files", IntegerType)
+        case "files" => new StructType()
+          .add("path", StringType).add("bucket", IntegerType)
+          .add("rows", LongType).add("size_bytes", LongType)
+        case "tags" => new StructType()
+          .add("name", StringType).add("version", LongType)
+      }
+
+      override def capabilities(): util.Set[TableCapability] =
+        java.util.Set.of(TableCapability.BATCH_READ)
+
+      override def newScanBuilder(options: CaseInsensitiveStringMap)
+          : org.apache.spark.sql.connector.read.ScanBuilder = () =>
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = schema()
+          override def description(): String = name()
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] = {
+            import org.apache.spark.sql.catalyst.InternalRow
+            val sp = SparkSession.active
+            kind match {
+              case "history" =>
+                Snapshots.history(sp, parentPath)
+                  .select("version", "token", "n_files").collect().map { r =>
+                    InternalRow.fromSeq(Seq(r.getLong(0),
+                      if (r.isNullAt(1)) null
+                      else UTF8String.fromString(r.getString(1)),
+                      r.getInt(2)))
+                  }
+              case "tags" =>
+                Snapshots.tags(sp, parentPath).toSeq.sortBy(_._1).map {
+                  case (n, v) =>
+                    InternalRow.fromSeq(Seq(UTF8String.fromString(n), v))
+                }.toArray
+              case "files" =>
+                val detail = graft.sources.FileStats.loadDetail(sp, parentPath)
+                val fsys = new Path(parentPath).getFileSystem(
+                  sp.sparkContext.hadoopConfiguration)
+                Snapshots.dataFiles(sp, parentPath, None).map { f =>
+                  val norm = new Path(f).toUri.getPath
+                  val nRows: Any = detail.get(norm)
+                    .flatMap(_.values.headOption).map(d => Long.box(d.rows)).orNull
+                  val size: Long =
+                    try fsys.getFileStatus(new Path(f)).getLen
+                    catch { case scala.util.control.NonFatal(_) => -1L }
+                  InternalRow.fromSeq(Seq(UTF8String.fromString(f),
+                    Snapshots.bucketOfPath(f).map(Int.box).orNull, nRows, size))
+                }.toArray
+            }
+          }
+        }
+    }
 
   override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
 

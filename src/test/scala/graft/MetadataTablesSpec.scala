@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Snapshots
+
+/** Iceberg-style SQL metadata tables: `SELECT * FROM cat.ns.t.history`
+  * / `.files` / `.tags` serve the parent table's manifest state as
+  * read-only rows. Driver-materialized LocalScan, bounded by
+  * file/version count — the manifest-algebra envelope.
+  */
+class MetadataTablesSpec extends SparkTestBase {
+
+  private def freshCat(): (String, String) = {
+    val wh = Files.createTempDirectory("graft-meta").toString
+    val cat = s"graft_meta_${wh.hashCode.abs}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+    (cat, wh)
+  }
+
+  test("history / files / tags read the live manifest state from SQL") {
+    val (cat, wh) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.m.mt (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.m.mt VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $cat.m.mt VALUES (3, 'c')")
+    spark.sql(s"CALL $cat.system.tag('m.mt', 'audited', 2)")
+
+    val hist = spark.sql(s"SELECT version, n_files FROM $cat.m.mt.history " +
+      "ORDER BY version").collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(hist.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(hist.last._2 >= 2, "v3 must reference at least both insert files")
+
+    val files = spark.sql(
+      s"SELECT path, rows, size_bytes FROM $cat.m.mt.files").collect()
+    assert(files.length === hist.last._2)
+    // exact footer row counts ride the stats sidecar; sizes are real
+    assert(files.map(r => r.getLong(1)).sum === 3L,
+      "rows across current files must equal the table's row count")
+    assert(files.forall(_.getLong(2) > 0L), "on-disk sizes must be real")
+
+    val tags = spark.sql(s"SELECT name, version FROM $cat.m.mt.tags")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(tags.toSeq === Seq(("audited", 2L)))
+  }
+
+  test("the metadata suffix never shadows a real table, and misses stay loud") {
+    val (cat, _) = freshCat()
+    // a REAL table named 'history' under a namespace resolves normally
+    spark.sql(s"CREATE TABLE $cat.m.history (x BIGINT)")
+    spark.sql(s"INSERT INTO $cat.m.history VALUES (42)")
+    assert(spark.sql(s"SELECT x FROM $cat.m.history")
+      .collect().map(_.getLong(0)).toSeq === Seq(42L))
+    // a metadata suffix on a NON-table parent is a plain missing table
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.m.nope.files").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("table"))
+  }
+
+  test("files reports bucket tags on a bucketed table") {
+    val (cat, wh) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.m.bt (k BIGINT, v BIGINT) " +
+      s"PARTITIONED BY (bucket(4, k))")
+    spark.sql(s"INSERT INTO $cat.m.bt SELECT id, id FROM range(100)")
+    val buckets = spark.sql(s"SELECT bucket FROM $cat.m.bt.files").collect()
+      .map(r => if (r.isNullAt(0)) -1 else r.getInt(0))
+    assert(buckets.forall(_ >= 0), "every file of a bucketed table is tagged")
+    assert(Snapshots.bucketSpec(spark, s"$wh/m/bt") === Some(("k", 4)))
+  }
+}
