@@ -1420,11 +1420,51 @@ object Incremental {
           .as("amount"))
   }
 
+  /** q104: small-files bin-packing under the oracle gate — nine
+    * striped commits fold through `binPack` (at gate SFs every stripe
+    * is below target, so the whole tail folds to ~one file; the
+    * SELECTIVE carry-the-large-by-path behavior is size-dependent and
+    * pinned in BinPackSpec — this gate pins the ANSWER across the
+    * rewrite at every SF) and the pre-pack version stays
+    * time-travelable: the gated read joins the packed head against
+    * `asOf` the pre-pack version, so a row lost or duplicated by the
+    * fold breaks the n_pre = n_all equality the oracle encodes.
+    */
+  val qBinPack: QuerySpec = QuerySpec.sql(
+    "q104_binpack_read",
+    """SELECT o_orderstatus, COUNT(*) AS n_all,
+      |       COUNT(*) AS n_pre,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amount
+      |FROM orders GROUP BY 1""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "binpackt")
+    ensureBuilt(s, root, 9) {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      // one large commit, eight single-stripe tiny ones
+      Snapshots.commit(o.filter(col("o_orderkey") % 9 === 0), root)
+      (1 until 9).foreach { i =>
+        Snapshots.commit(o.filter(col("o_orderkey") % 9 === i), root): Unit
+      }
+    }
+    val pre = Snapshots.versions(s, root).last
+    Snapshots.binPack(s, root)
+    val packed = Snapshots.read(s, root)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_all"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)")
+          .as("amount"))
+    val before = Snapshots.read(s, root, Some(pre))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_pre"))
+    packed.join(before, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_all"), col("n_pre"), col("amount"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
       qSnapshotDelete, qStreamSnapshotRead, qSnapshotPrunedRead,
       qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore,
       qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish,
-      qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup, qWriteOrder)
+      qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup, qWriteOrder,
+      qBinPack)
 }

@@ -669,6 +669,78 @@ object Snapshots {
     }
   }
 
+  /** Selective small-files compaction (Iceberg's rewrite_data_files
+    * bin-packing shape): fold only the files BELOW `targetBytes` into
+    * ~target-sized replacements and carry everything else by path.
+    * This is the continuous-ingest maintenance primitive — streaming
+    * appends and frequent micro-commits shed small files constantly,
+    * and at 100 TB the whole-table [[compact]] is a full rewrite while
+    * this touches exactly the small tail (cost ∝ small-file bytes).
+    *
+    *  - Unbucketed tables fold all smalls together, coalesced to
+    *    ceil(smallBytes / targetBytes) outputs; a declared sort order
+    *    re-clusters them (writeData applies it, like every write).
+    *  - Bucketed tables fold smalls WITHIN each bucket (the tag is the
+    *    file's directory, so each bucket's replacement lands under its
+    *    own `__graft_bucket=N` dir and the all-files-tagged gate keeps
+    *    holding; buckets with fewer than `minInputFiles` smalls carry).
+    *  - Concurrent appends rebase in; anything that REMOVED a chosen
+    *    file (DML, another maintenance op) aborts loudly and reclaims.
+    *
+    * File sizes come from one driver listing — file-COUNT envelope,
+    * like every manifest-algebra op. Returns the new version, or the
+    * current one when there was nothing to fold.
+    */
+  def binPack(spark: SparkSession, table: String,
+      targetBytes: Long = 128L << 20, minInputFiles: Int = 2): Long = {
+    require(targetBytes > 0 && minInputFiles >= 2,
+      s"binPack needs targetBytes > 0 and minInputFiles >= 2")
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"nothing to bin-pack in $table")
+    val src = vs.last
+    val srcFiles = manifestFiles(spark, table, src)
+    val f = fs(spark, table)
+    val sized = srcFiles.flatMap { p =>
+      try Some(p -> f.getFileStatus(new Path(p)).getLen)
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
+    val smalls = sized.filter(_._2 < targetBytes)
+    val groups: Seq[(Option[Int], Seq[(String, Long)])] =
+      bucketSpec(spark, table) match {
+        case Some(_) =>
+          smalls.groupBy(s => bucketOfPath(s._1)).toSeq
+            .collect { case (Some(b), fs0) if fs0.size >= minInputFiles =>
+              (Some(b), fs0) }
+        case None if smalls.size >= minInputFiles => Seq((None, smalls))
+        case None => Nil
+      }
+    if (groups.isEmpty) return src
+    val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
+    val added = groups.flatMap { case (bucket, members) =>
+      val bytes = members.map(_._2).sum
+      val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      val outDir = bucket match {
+        case Some(b) => new Path(dataDir, s"$BucketDir=$b")
+        case None    => dataDir
+      }
+      // bucket-tagged files carry no bucket COLUMN (it lives in the
+      // path), so rereading member files and writing them under the
+      // same tag directory preserves the layout exactly
+      applySortSpec(
+        spark.read.parquet(members.map(_._1): _*).coalesce(n), table,
+        bucketed = false)
+        .write.options(bloomWriteOptions(spark, table))
+        .parquet(outDir.toString)
+      f.listStatus(outDir).toSeq
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString).sorted
+    }
+    FileStats.record(spark, table, added)
+    val removedNorm = groups.flatMap(_._2.map(m => normPath(m._1))).toSet
+    publishRebase(spark, table, src, srcFiles, removedNorm, added,
+      "binpack", Seq(dataDir))
+  }
+
   /** Transactional OPTIMIZE ZORDER BY (xCol, yCol): rewrite the CURRENT
     * snapshot with rows clustered along the 2-D Morton curve and publish
     * as a new version — rows unchanged, history intact (the same

@@ -107,6 +107,17 @@ private[v2] object SnapshotProcedures {
         row(Snapshots.optimizeZOrder(spark, path(wh, in.getString(0)),
           in.getString(1), in.getString(2), in.getInt(3)))
     }),
+    // selective small-files compaction (bin-packing): folds only files
+    // under target_mb, per bucket on bucketed tables; everything else
+    // carries by path — the continuous-ingest maintenance primitive
+    "rewrite_small_files" -> (wh => new Proc("rewrite_small_files",
+      Seq(param("table", StringType), param("target_mb", IntegerType, "128"),
+        param("min_input_files", IntegerType, "2")),
+      schema("version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] =
+        row(Snapshots.binPack(spark, path(wh, in.getString(0)),
+          in.getInt(1).toLong << 20, in.getInt(2)))
+    }),
     "restore" -> (wh => new Proc("restore",
       Seq(param("table", StringType), param("version", LongType)),
       schema("version" -> LongType)) {

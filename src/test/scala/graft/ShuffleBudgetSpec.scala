@@ -197,6 +197,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q99_schema_evolution" -> 1,
     // q100: one per-lang aggregation shuffle over the widened-scan read
     "q100_type_widening" -> 1,
+    // q104: two per-status aggregations (packed head + asOf pre-pack)
+    // + the broadcast of the 3-row pre side into the equality join
+    "q104_binpack_read" -> 3,
     // q102: key-list collect feeds one literal IN scan; budget = the
     // global aggregate's single final exchange + countDistinct expand
     "q102_bloom_lookup" -> 2,
