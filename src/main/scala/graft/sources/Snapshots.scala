@@ -796,8 +796,11 @@ object Snapshots {
         lit(-1L))
       val srcFiles = manifestFiles(spark, table, src)
       def norm(p: String) = normPath(p)
+      // the Morton layout IS this rewrite's point: a declared write
+      // order must not re-cluster it away
       val (newFiles, dataDir) = writeData(
-        df.repartitionByRange(numFiles, zkey).sortWithinPartitions(zkey), table)
+        df.repartitionByRange(numFiles, zkey).sortWithinPartitions(zkey),
+        table, applyDeclaredSort = false)
       publishRebase(spark, table, src, srcFiles, srcFiles.map(norm).toSet,
         newFiles, "zorder", Seq(dataDir),
         token = Some(s"zorder-of-v$src:$xCol,$yCol"))
@@ -1181,9 +1184,14 @@ object Snapshots {
     * paths (sorted) and the directory for loss-reclaim.
     */
   private def writeData(df: DataFrame, table: String,
-      recordStats: Boolean = true): (Seq[String], Path) = {
+      recordStats: Boolean = true,
+      applyDeclaredSort: Boolean = true): (Seq[String], Path) = {
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
-    applySortSpec(df, table).write
+    // applyDeclaredSort=false is for callers that ALREADY arranged an
+    // explicit layout the declared order must not clobber (the z-order
+    // rewrite's Morton clustering); everything else — appends, CTAS,
+    // compaction — takes the table's declared clustering here
+    (if (applyDeclaredSort) applySortSpec(df, table) else df).write
       .options(bloomWriteOptions(df.sparkSession, table))
       .parquet(dataDir.toString)
     val f = fs(df.sparkSession, table)

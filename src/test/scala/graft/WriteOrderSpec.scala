@@ -119,6 +119,31 @@ class WriteOrderSpec extends SparkTestBase {
     assert(Snapshots.read(spark, path).count() === 1000L)
   }
 
+  test("a declared order does not clobber the z-order rewrite's Morton layout") {
+    val path = freshDir()
+    import spark.implicits._
+    // declared order on k; the table's USERS then z-order by (x, y) —
+    // the rewrite's 2-D clustering must survive the declared 1-D order
+    Snapshots.setSortSpec(spark, path, Seq("k"))
+    val rows = (0 until 4000).map { i =>
+      val x = (i * 2654435761L % 1000).toLong
+      val y = (i * 40503L % 1000).toLong
+      (i.toLong, x, y)
+    }
+    noCoalesce {
+      Snapshots.commit(rows.toDF("k", "x", "y").repartition(4), path)
+      Snapshots.optimizeZOrder(spark, path, "x", "y", numFiles = 8): Unit
+    }
+    // a 2-D box predicate must prune: a k-sorted (clobbered) layout
+    // would leave every file spanning the full x/y domain
+    val all = Snapshots.dataFiles(spark, path, None)
+    val kept = FileStats.prune(spark, path, all,
+      col("x") >= 0L && col("x") < 250L && col("y") >= 0L && col("y") < 250L)
+    assert(kept.size < all.size,
+      s"z-order box pruning must survive a declared sort order " +
+        s"(kept ${kept.size}/${all.size})")
+  }
+
   test("TBLPROPERTIES declare the layout at DDL time (CREATE + CTAS + RTAS retire)") {
     val wh = Files.createTempDirectory("graft-order-ddl").toString
     val cat = "graft_orderddl_cat"
