@@ -119,6 +119,36 @@ class WriteOrderSpec extends SparkTestBase {
     assert(Snapshots.read(spark, path).count() === 1000L)
   }
 
+  test("compaction re-clusters a sort-spec'd table (declared order wins there)") {
+    val path = freshDir()
+    import spark.implicits._
+    Snapshots.setSortSpec(spark, path, Seq("k"))
+    // scrambled tiny commits, then compact: the replacement files must
+    // come back range-disjoint (compact is a rewrite like any append —
+    // unlike z-order, it has no layout of its own to protect)
+    noCoalesce {
+      (0 until 3).foreach { i =>
+        val rows = (0 until 600).map(j => (j * 3 + i).toLong)
+          .sortBy(k => k.hashCode * 2654435761L).map(k => (k, k))
+        Snapshots.commit(rows.toDF("k", "v").repartition(3), path)
+      }
+      Snapshots.compact(spark, path, numFiles = 4): Unit
+    }
+    val after = Snapshots.dataFiles(spark, path, None)
+    val stats = FileStats.load(spark, path)
+    val ranges = after.flatMap(f =>
+      stats.get(new org.apache.hadoop.fs.Path(f).toUri.getPath)
+        .flatMap(_.get("k"))).map(r =>
+      (r.min.get.asInstanceOf[Long], r.max.get.asInstanceOf[Long]))
+      .sortBy(_._1)
+    assert(ranges.size > 1, "compaction of a sorted table should emit ranged files")
+    ranges.sliding(2).foreach {
+      case Seq((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"compacted files overlap: $ranges")
+      case _ => ()
+    }
+  }
+
   test("a declared order does not clobber the z-order rewrite's Morton layout") {
     val path = freshDir()
     import spark.implicits._
