@@ -157,7 +157,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       if (ns.nonEmpty && MetadataKinds.contains(ident.name())) {
         val parentPath = tablePath(Identifier.of(ns.init, ns.last))
         if (isTable(parentPath))
-          return metadataTable(parentPath, ident.name())
+          return metadataTable(parentPath, ident.name(), extra)
       }
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName) ++ ident.namespace() :+ ident.name())
@@ -186,8 +186,16 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * index), and the rows are recomputed at scan-build time so each
     * query sees the current state.
     */
-  private def metadataTable(parentPath: String, kind: String)
-      : org.apache.spark.sql.connector.catalog.Table =
+  private def metadataTable(parentPath: String, kind: String,
+      extra: Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table = {
+    // history and tags are whole-table ledgers: an AS OF against them
+    // has no single honest meaning, so it is refused rather than
+    // silently ignored (files supports VERSION AS OF — see below)
+    if (kind != "files" && extra.nonEmpty)
+      throw new IllegalArgumentException(
+        s"graft-snapshot $parentPath.$kind: time travel is not " +
+          "supported on this metadata table")
     new org.apache.spark.sql.connector.catalog.Table
         with org.apache.spark.sql.connector.catalog.SupportsRead {
       import org.apache.spark.sql.connector.catalog.TableCapability
@@ -233,10 +241,25 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
                     InternalRow.fromSeq(Seq(UTF8String.fromString(n), v))
                 }.toArray
               case "files" =>
+                // time travel: `t.files VERSION AS OF <v|'tag'>` lists
+                // THAT version's file set — serving HEAD under an asOf
+                // would be a silent wrong answer. TIMESTAMP AS OF is
+                // refused loudly (the mapping is a data-table concern).
+                val asOf: Option[Long] = extra.get("asOf").map(_.toLong)
+                  .orElse(extra.get("asOfTag").map { t =>
+                    Snapshots.tags(sp, parentPath).toMap.getOrElse(t,
+                      throw new IllegalArgumentException(
+                        s"graft-snapshot $parentPath: no tag '$t'"))
+                  })
+                if (extra.contains("asOfTimestamp"))
+                  throw new IllegalArgumentException(
+                    s"graft-snapshot $parentPath.files: TIMESTAMP AS OF " +
+                      "is not supported on metadata tables; use " +
+                      "VERSION AS OF <version|'tag'>")
                 val detail = graft.sources.FileStats.loadDetail(sp, parentPath)
                 val fsys = new Path(parentPath).getFileSystem(
                   sp.sparkContext.hadoopConfiguration)
-                Snapshots.dataFiles(sp, parentPath, None).map { f =>
+                Snapshots.dataFiles(sp, parentPath, asOf).map { f =>
                   val norm = new Path(f).toUri.getPath
                   val nRows: Any = detail.get(norm)
                     .flatMap(_.values.headOption).map(d => Long.box(d.rows)).orNull
@@ -250,6 +273,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           }
         }
     }
+  }
 
   override def loadTable(ident: Identifier): Table = load(ident, Map.empty)
 

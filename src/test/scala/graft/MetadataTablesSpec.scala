@@ -60,6 +60,26 @@ class MetadataTablesSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("table"))
   }
 
+  test("files time-travels by version and tag; ledgers refuse AS OF loudly") {
+    val (cat, _) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.m.tt (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.m.tt VALUES (1)")
+    spark.sql(s"INSERT INTO $cat.m.tt VALUES (2)")
+    spark.sql(s"CALL $cat.system.tag('m.tt', 'two', 2)")
+    val atV2 = spark.sql(s"SELECT path FROM $cat.m.tt.files VERSION AS OF 2")
+      .count()
+    val atHead = spark.sql(s"SELECT path FROM $cat.m.tt.files").count()
+    assert(atV2 < atHead, "v2's file set must be smaller than head's")
+    assert(spark.sql(
+      s"SELECT path FROM $cat.m.tt.files VERSION AS OF 'two'").count() === atV2)
+    // history/tags are whole-table ledgers — AS OF is refused, not
+    // silently ignored
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.m.tt.history VERSION AS OF 2").collect()
+    }
+    assert(e.getMessage.contains("time travel"))
+  }
+
   test("files reports bucket tags on a bucketed table") {
     val (cat, wh) = freshCat()
     spark.sql(s"CREATE TABLE $cat.m.bt (k BIGINT, v BIGINT) " +
