@@ -79,10 +79,36 @@ object Snapshots {
     finally in.close()
   }
 
-  private def manifestFiles(spark: SparkSession, table: String, v: Long): Seq[String] =
-    // manifest body: one absolute file path per line after the header
-    // line "v<N>[ <token>]" — deliberately line-oriented, no JSON lib
+  // manifest body: one absolute file path per line after the header line
+  // "v<N>[ <token>]" — deliberately line-oriented, no JSON lib. A line
+  // prefixed "D " references a POSITION-DELETE sidecar (merge-on-read
+  // DELETE, see [[PositionDeletes]]); bare lines are data files. Old
+  // manifests carry no D lines and parse unchanged.
+  private val DeleteLinePrefix = "D "
+
+  private def manifestLines(spark: SparkSession, table: String, v: Long): Seq[String] =
     manifestText(spark, table, v).linesIterator.drop(1).filter(_.nonEmpty).toSeq
+
+  private def manifestFiles(spark: SparkSession, table: String, v: Long): Seq[String] =
+    manifestLines(spark, table, v).filterNot(_.startsWith(DeleteLinePrefix))
+
+  private def manifestDeletes(spark: SparkSession, table: String, v: Long): Seq[String] =
+    manifestLines(spark, table, v).collect {
+      case l if l.startsWith(DeleteLinePrefix) => l.drop(DeleteLinePrefix.length)
+    }
+
+  /** The position-delete sidecar files the snapshot AS OF `asOf`
+    * (default: latest) references — empty on tables whose DML has been
+    * copy-on-write only (or since the last purge/compaction).
+    */
+  def deleteFiles(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed snapshot in $table")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    manifestDeletes(spark, table, v)
+  }
 
   /** The commit token of version `v` (None for plain commits). */
   def commitToken(spark: SparkSession, table: String, v: Long): Option[String] =
@@ -97,7 +123,8 @@ object Snapshots {
     */
   def isMaintenanceCommit(spark: SparkSession, table: String, v: Long): Boolean =
     commitToken(spark, table, v).exists(t =>
-      t.startsWith("compact-of-v") || t.startsWith("zorder-of-v"))
+      t.startsWith("compact-of-v") || t.startsWith("zorder-of-v") ||
+        t.startsWith("purge-of-v"))
 
   /** The version already committed under `token`, if any — the replay
     * check behind exactly-once streaming publish.
@@ -181,6 +208,11 @@ object Snapshots {
         .foreach(w => return w))
       val base = if (overwrite || prev.isEmpty) Seq.empty
         else manifestFiles(spark, table, prev.last)
+      // an append must CARRY the base version's position-delete
+      // sidecars (the deleted rows stay deleted); an overwrite replaces
+      // the file set wholesale, deletes included
+      val baseDeletes = if (overwrite || prev.isEmpty) Seq.empty[String]
+        else manifestDeletes(spark, table, prev.last)
       // strict appends validate against the manifest version BEING
       // EXTENDED, inside the optimistic lock: a caller-side pre-check is
       // inherently racy (a schema-evolving overwrite can land between
@@ -208,7 +240,7 @@ object Snapshots {
       }
       val header = s"v$v${token.map(" " + _).getOrElse("")}"
       val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
-      writeManifestBody(f, tmp, header, base ++ newFiles)
+      writeManifestBody(f, tmp, header, base ++ newFiles, baseDeletes)
       // atomic publish; claim-of-existing fails => optimistic lock
       if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) {
         // a schema-evolving OVERWRITE re-bases the shape on its new
@@ -621,19 +653,23 @@ object Snapshots {
       require(vs.contains(v), s"version $v not in $vs")
       val head = vs.last
       val files = manifestFiles(spark, table, v)
-      // semantic no-op: the head already carries exactly v's file set
-      // (v == head, or a restore to v already landed) — re-issuing the
-      // restore after a success or a crash publishes nothing
+      val dels = manifestDeletes(spark, table, v)
+      // semantic no-op: the head already carries exactly v's file AND
+      // sidecar sets (v == head, or a restore to v already landed) —
+      // re-issuing the restore after a success or a crash publishes
+      // nothing. Restoring across a MOR delete carries v's own D lines
+      // verbatim: the restored view is exactly v's resolved view.
       def norm(p: String) = normPath(p)
-      if (head == v || manifestFiles(spark, table, head).map(norm).toSet ==
-          files.map(norm).toSet) return head
+      if (head == v ||
+          (manifestFiles(spark, table, head).map(norm).toSet ==
+            files.map(norm).toSet &&
+           manifestDeletes(spark, table, head).map(norm).toSet ==
+            dels.map(norm).toSet)) return head
       val token = s"restore-of-v$v-over-v$head"
       committedVersionFor(spark, table, token).foreach(w => return w)
       val next = head + 1
       val tmp = new Path(s"$table/.manifest-v$next.${java.util.UUID.randomUUID}.tmp")
-      val out = f.create(tmp, false)
-      try out.write((s"v$next $token\n" + files.mkString("\n")).getBytes("UTF-8"))
-      finally out.close()
+      writeManifestBody(f, tmp, s"v$next $token", files, dels)
       if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$next.json"))) return next
       f.delete(tmp, false)
       attempt += 1
@@ -662,10 +698,15 @@ object Snapshots {
     else {
       val srcFiles = manifestFiles(spark, table, src)
       def norm(p: String) = normPath(p)
+      // read() resolves outstanding MOR deletes, so the rewrite
+      // materializes the live rows; the folded-in sidecars drop from
+      // the published manifest (compaction doubles as a delete purge)
       val (newFiles, dataDir) = writeData(
         read(spark, table, Some(src)).repartition(numFiles), table)
       publishRebase(spark, table, src, srcFiles, srcFiles.map(norm).toSet,
-        newFiles, "compact", Seq(dataDir), token = Some(s"compact-of-v$src"))
+        newFiles, "compact", Seq(dataDir), token = Some(s"compact-of-v$src"),
+        removedDeletesNorm =
+          manifestDeletes(spark, table, src).map(norm).toSet)
     }
   }
 
@@ -715,6 +756,12 @@ object Snapshots {
         case None => Nil
       }
     if (groups.isEmpty) return src
+    // folded members read through the LIVE view (a delete-bearing small
+    // file's subtracted rows must not resurrect in its replacement);
+    // sidecar lines carry — entries for folded paths go stale, which
+    // the anti-join treats as matching nothing, and a later purge or
+    // compaction drops them
+    val dels = manifestDeletes(spark, table, src)
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
     val added = groups.flatMap { case (bucket, members) =>
       val bytes = members.map(_._2).sum
@@ -727,7 +774,8 @@ object Snapshots {
       // path), so rereading member files and writing them under the
       // same tag directory preserves the layout exactly
       applySortSpec(
-        spark.read.parquet(members.map(_._1): _*).coalesce(n), table,
+        liveView(spark, table, members.map(_._1), dels,
+          fs0 => spark.read.parquet(fs0: _*)).coalesce(n), table,
         bucketed = false)
         .write.options(bloomWriteOptions(spark, table))
         .parquet(outDir.toString)
@@ -801,9 +849,13 @@ object Snapshots {
       val (newFiles, dataDir) = writeData(
         df.repartitionByRange(numFiles, zkey).sortWithinPartitions(zkey),
         table, applyDeclaredSort = false)
+      // df came from read() = the resolved live view; the folded-in
+      // sidecars drop with the files they referenced
       publishRebase(spark, table, src, srcFiles, srcFiles.map(norm).toSet,
         newFiles, "zorder", Seq(dataDir),
-        token = Some(s"zorder-of-v$src:$xCol,$yCol"))
+        token = Some(s"zorder-of-v$src:$xCol,$yCol"),
+        removedDeletesNorm =
+          manifestDeletes(spark, table, src).map(norm).toSet)
     }
   }
 
@@ -851,13 +903,56 @@ object Snapshots {
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
     val files = dataFiles(spark, table, asOf)
-    if (files.isEmpty) spark.emptyDataFrame
-    else declaredSchema(spark, table) match {
+    def reader(fs0: Seq[String]): DataFrame = declaredSchema(spark, table) match {
       // ALTER-extended table: project every file onto the declared
       // superset schema by name (absent columns = typed NULLs)
-      case Some(sch) => spark.read.schema(sch).parquet(files: _*)
+      case Some(sch) => spark.read.schema(sch).parquet(fs0: _*)
       case None =>
-        spark.read.option("mergeSchema", mergeSchema.toString).parquet(files: _*)
+        spark.read.option("mergeSchema", mergeSchema.toString).parquet(fs0: _*)
+    }
+    if (files.isEmpty) spark.emptyDataFrame
+    else liveView(spark, table, files, deleteFiles(spark, table, asOf), reader)
+  }
+
+  /** Resolve the MERGE-ON-READ view of `files`: data files untouched by
+    * any position-delete sidecar read exactly as before (the hot path —
+    * zero overhead when `dels` is empty or names other files); files
+    * the sidecars reference read with their deleted positions
+    * subtracted by an anti-join on (`_metadata.file_path`,
+    * `_metadata.row_index`), broadcast while the sidecars are small.
+    * `fileColumn` optionally retains each row's source path (the DML
+    * probes need it) — taken from the same `_metadata` column on BOTH
+    * branches so path formats always agree.
+    */
+  private def liveView(spark: SparkSession, table: String,
+      files: Seq[String], dels: Seq[String],
+      reader: Seq[String] => DataFrame,
+      fileColumn: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    def withFile(df: DataFrame): DataFrame = fileColumn match {
+      case Some(c) => df.select(col("*"), col("_metadata.file_path").as(c))
+      case None => df
+    }
+    if (dels.isEmpty) withFile(reader(files))
+    else {
+      val touched = PositionDeletes.referencedDataFiles(spark, dels)
+        .map(normPath).toSet
+      val (hit, plain) = files.partition(p => touched(normPath(p)))
+      if (hit.isEmpty) withFile(reader(files))
+      else {
+        val resolved0 = PositionDeletes.subtract(
+          PositionDeletes.withRowIdentity(reader(hit)),
+          PositionDeletes.deleteSide(spark, table, dels),
+          keepIdentity = fileColumn.isDefined)
+        val resolved = fileColumn match {
+          case Some(c) => resolved0
+            .withColumnRenamed(PositionDeletes.MetaFile, c)
+            .drop(PositionDeletes.MetaPos)
+          case None => resolved0
+        }
+        if (plain.isEmpty) resolved
+        else withFile(reader(plain)).unionByName(resolved)
+      }
     }
   }
 
@@ -877,7 +972,8 @@ object Snapshots {
     val files = dataFiles(spark, table, asOf)
     val kept = FileStats.prune(spark, table, files, predicate)
     if (kept.isEmpty) read(spark, table, asOf).filter(predicate).limit(0)
-    else spark.read.parquet(kept: _*).filter(predicate)
+    else liveView(spark, table, kept, deleteFiles(spark, table, asOf),
+      fs0 => spark.read.parquet(fs0: _*)).filter(predicate)
   }
 
   /** File-granular change-data-feed: the rows ADDED between committed
@@ -897,6 +993,10 @@ object Snapshots {
     val after  = manifestFiles(spark, table, to)
     require(before.subsetOf(after.toSet),
       s"history v$from -> v$to is not append-only (files were removed)")
+    require(manifestDeletes(spark, table, from).map(normPath) ==
+        manifestDeletes(spark, table, to).map(normPath),
+      s"history v$from -> v$to includes a merge-on-read DELETE — not " +
+        "append-only; use changeFeed")
     val added = after.filterNot(before)
     // read() carries the empty-manifest guard (an empty-DataFrame commit
     // lists no files, and zero-path spark.read.parquet cannot infer schema)
@@ -967,7 +1067,10 @@ object Snapshots {
     val afterN  = after.map(normPath).toSet
     diffFeed(spark, table, to,
       removed = before.filterNot(p => afterN(normPath(p))),
-      added   = after.filterNot(p => beforeN(normPath(p))))
+      added   = after.filterNot(p => beforeN(normPath(p))),
+      fromDeletes = manifestDeletes(spark, table, from),
+      toDeletes   = manifestDeletes(spark, table, to),
+      carried     = before.filter(p => afterN(normPath(p))))
   }
 
   /** Empty feed frame carrying the `to`-snapshot's schema (+ tag). */
@@ -984,10 +1087,36 @@ object Snapshots {
     * read per version instead of two per adjacent pair.
     */
   private[sources] def diffFeed(spark: SparkSession, table: String, to: Long,
-      removed: Seq[String], added: Seq[String]): DataFrame = {
+      removed: Seq[String], added: Seq[String],
+      fromDeletes: Seq[String] = Nil, toDeletes: Seq[String] = Nil,
+      carried: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val remDf = if (removed.isEmpty) None else Some(readFiles(spark, removed))
-    val addDf = if (added.isEmpty) None else Some(readFiles(spark, added))
+    // MERGE-ON-READ awareness, exact at touched-files cost: each side
+    // is resolved under ITS OWN sidecar set, and a CARRIED data file
+    // whose applicable sidecars changed across the range (a MOR delete
+    // landed, or a restore took one back) re-reads on BOTH sides — its
+    // unchanged rows cancel in the multiset diff and exactly the
+    // position-subtracted (or resurrected) rows surface as
+    // delete/insert. Files untouched by any sidecar change still never
+    // read.
+    val fromDelN = fromDeletes.map(normPath).toSet
+    val toDelN = toDeletes.map(normPath).toSet
+    val changedSidecars =
+      fromDeletes.filterNot(p => toDelN(normPath(p))) ++
+        toDeletes.filterNot(p => fromDelN(normPath(p)))
+    val affected =
+      if (changedSidecars.isEmpty || carried.isEmpty) Seq.empty[String]
+      else {
+        val tgt = PositionDeletes.referencedDataFiles(spark, changedSidecars)
+          .map(normPath).toSet
+        carried.filter(p => tgt(normPath(p)))
+      }
+    val remAll = removed ++ affected
+    val addAll = added ++ affected
+    val remDf = if (remAll.isEmpty) None
+      else Some(liveView(spark, table, remAll, fromDeletes, readFiles(spark, _)))
+    val addDf = if (addAll.isEmpty) None
+      else Some(liveView(spark, table, addAll, toDeletes, readFiles(spark, _)))
     (remDf, addDf) match {
       case (None, None) =>
         // untouched range (from == to, or pure-metadata history): empty
@@ -1102,11 +1231,13 @@ object Snapshots {
     * ~100 MB copy of the list the driver already holds.
     */
   private def writeManifestBody(f: FileSystem, tmp: Path, header: String,
-      files: Iterable[String]): Unit = {
+      files: Iterable[String], deletes: Iterable[String] = Nil): Unit = {
     val out = new java.io.BufferedOutputStream(f.create(tmp, false), 1 << 16)
     try {
       out.write((header + "\n").getBytes("UTF-8"))
       files.foreach(p => out.write((p + "\n").getBytes("UTF-8")))
+      deletes.foreach(p =>
+        out.write((DeleteLinePrefix + p + "\n").getBytes("UTF-8")))
     } finally out.close()
   }
 
@@ -1147,10 +1278,14 @@ object Snapshots {
   private def publishRebase(spark: SparkSession, table: String, src: Long,
       srcFiles: Seq[String], removedNorm: Set[String], added: Seq[String],
       op: String, reclaimOnAbort: Seq[Path], token: Option[String] = None,
-      conflictsWith: Seq[String] => Boolean = _ => false): Long = {
+      conflictsWith: Seq[String] => Boolean = _ => false,
+      removedDeletesNorm: Set[String] = Set.empty,
+      addedDeletes: Seq[String] = Nil,
+      requireDataPresentNorm: Set[String] = Set.empty): Long = {
     val f = fs(spark, table)
     def norm(p: String) = normPath(p)
     val srcNorm = srcFiles.map(norm).toSet
+    val srcDeletesNorm = manifestDeletes(spark, table, src).map(norm).toSet
     def abort(msg: String): Nothing = {
       reclaimOnAbort.foreach(f.delete(_, true))
       throw new IllegalStateException(msg)
@@ -1162,16 +1297,40 @@ object Snapshots {
       token.foreach(t => committedVersionFor(spark, table, t).foreach { w =>
         reclaimOnAbort.foreach(f.delete(_, true)); return w })
       val cur = manifestFiles(spark, table, base)
-      if (!removedNorm.subsetOf(cur.map(norm).toSet))
+      val curNorm = cur.map(norm).toSet
+      if (!removedNorm.subsetOf(curNorm))
         abort(s"concurrent writer removed files read by $op on $table")
+      // a MOR delete's positions are keyed by data-file path: if a
+      // concurrent writer rewrote one of the files this delete targets,
+      // its entries would silently become no-ops for already-replaced
+      // rows — abort and let the caller recompute against the new head
+      if (!requireDataPresentNorm.subsetOf(curNorm))
+        abort(s"concurrent writer rewrote files targeted by $op on $table")
       if (base != src &&
           conflictsWith(cur.filterNot(p => srcNorm(norm(p)))))
         abort(s"concurrent append touches rows read by $op on $table")
+      val curDeletes = manifestDeletes(spark, table, base)
+      // a file-REWRITING op (removedNorm nonempty) read its victims at
+      // `src` and replaces them resolved against src's delete set: an
+      // interleaved MOR delete whose positions target one of those
+      // victims would be silently dropped by the replacement — abort
+      // iff such an interleave exists (reading the few new sidecars is
+      // metadata-class). MOR deletes interleaved on OTHER files rebase
+      // freely, as do two concurrent MOR deletes (their sidecars union).
+      if (base != src && removedNorm.nonEmpty) {
+        val newDeletes = curDeletes.filterNot(p => srcDeletesNorm(norm(p)))
+        if (newDeletes.nonEmpty &&
+            PositionDeletes.referencedDataFiles(spark, newDeletes)
+              .exists(p => removedNorm(norm(p))))
+          abort(s"concurrent MOR delete targets files rewritten by $op on $table")
+      }
       val fileList = cur.filterNot(p => removedNorm(norm(p))) ++ added
+      val deleteList =
+        curDeletes.filterNot(p => removedDeletesNorm(norm(p))) ++ addedDeletes
       val v = base + 1
       val header = s"v$v${token.map(" " + _).getOrElse("")}"
       val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
-      writeManifestBody(f, tmp, header, fileList)
+      writeManifestBody(f, tmp, header, fileList, deleteList)
       if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) return v
       f.delete(tmp, false)
       base = versions(spark, table).lastOption.getOrElse(base)
@@ -1210,7 +1369,7 @@ object Snapshots {
   }
 
   def merge(spark: SparkSession, table: String, updates: DataFrame, key: String): Long = {
-    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, input_file_name, lit, max, min, sum, when}
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit, max, min, sum, when}
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed snapshot in $table")
     // one materialization serves the dup-check, the bounds, the probe,
@@ -1254,20 +1413,24 @@ object Snapshots {
     // touched-file probe: restrict the scan to the updates' key RANGE
     // first — parquet row-group min/max stats then skip files whose key
     // span cannot contain a match — and collect only file paths
+    // probe and rewrite both run on the LIVE view: a row an unpurged
+    // MOR delete already subtracted must neither trigger a rewrite nor
+    // be resurrected by one
+    val dels = manifestDeletes(spark, table, src)
     val bounds = u.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head()
     val (hit, keep) =
       if (files.isEmpty || bounds.isNullAt(0)) (Seq.empty[String], files)
       else partitionByProbe(spark, files,
-        readTableFiles(spark, table, files)
+        liveView(spark, table, files, dels,
+          readTableFiles(spark, table, _), fileColumn = Some("__file"))
           .filter(col(key).between(lit(bounds.get(0)), lit(bounds.get(1))))
-          .withColumn("__file", input_file_name())
           .join(broadcast(u.select(col(key))), Seq(key), "left_semi")
           .select("__file"))
     // survivors of the hit files (non-matched keys) + every update row
     // (replacements and inserts look identical from here)
     val rewritten =
       if (hit.isEmpty) u
-      else readTableFiles(spark, table, hit)
+      else liveView(spark, table, hit, dels, readTableFiles(spark, table, _))
         .join(broadcast(u.select(col(key))), Seq(key), "left_anti")
         .unionByName(u)
     val (newFiles, dataDir) = writeData(rewritten, table)
@@ -1296,7 +1459,7 @@ object Snapshots {
     */
   def deleteWhere(spark: SparkSession, table: String,
       predicate: org.apache.spark.sql.Column): Long = {
-    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, not}
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed snapshot in $table")
     val src = vs.last
@@ -1306,10 +1469,15 @@ object Snapshots {
     // short-circuit the no-op (TRUNCATE on an empty table lands here)
     if (files.isEmpty) return src
     def norm(p: String) = normPath(p)
+    // probe and rewrite on the LIVE view: a file whose only matches
+    // were already MOR-deleted must not rewrite, and a rewrite must
+    // not resurrect subtracted rows
+    val dels = manifestDeletes(spark, table, src)
     val (hit, keep) = partitionByProbe(spark, files,
-      readTableFiles(spark, table, files)
+      liveView(spark, table, files, dels,
+        readTableFiles(spark, table, _), fileColumn = Some("__file"))
         .filter(predicate)
-        .select(input_file_name().as("__file")))
+        .select(col("__file")))
     val (newFiles, reclaim) =
       if (hit.isEmpty) (Seq.empty[String], Seq.empty[Path])
       else {
@@ -1317,7 +1485,7 @@ object Snapshots {
         // !predicate would drop them (NOT NULL = NULL filters out), and
         // only in rewritten files, making survival layout-dependent
         val (nf, dir) = writeData(
-          readTableFiles(spark, table, hit)
+          liveView(spark, table, hit, dels, readTableFiles(spark, table, _))
             .filter(not(coalesce(predicate, lit(false)))), table)
         (nf, Seq(dir))
       }
@@ -1326,6 +1494,114 @@ object Snapshots {
     // serialization — exactly what a serial schedule would produce
     publishRebase(spark, table, src, files, hit.map(norm).toSet, newFiles,
       "delete", reclaim)
+  }
+
+  /** MERGE-ON-READ DELETE: publish a new snapshot in which the rows
+    * matching `predicate` are subtracted by POSITION, without rewriting
+    * a single data file. The matched rows' (file, row-ordinal)
+    * identities are written to a small parquet sidecar and the new
+    * manifest references it alongside the untouched data files; reads
+    * of this and later versions subtract the positions with an
+    * anti-join over exactly the touched files ([[PositionDeletes]]).
+    *
+    * Scale posture (the reason this exists next to the COW
+    * [[deleteWhere]]): COW's commit cost is ∝ the BYTES of every file
+    * containing a match — a 0.1%-selective delete spread across a
+    * 100 TB table rewrites most of it. MOR's commit cost is ∝ the
+    * MATCHED ROWS (a few MB of sidecar) plus the probe scan, and the
+    * probe prunes through the manifest stats like any selective read.
+    * The read-side tax accrues per unpurged delete; [[purgeDeletes]]
+    * (or any compaction) folds the sidecars back into plain files.
+    * Same SQL NULL semantics as deleteWhere: rows where the predicate
+    * is NULL survive. Serializable like every publish here — a
+    * concurrent writer that REWROTE a targeted file aborts this commit
+    * (the positions would have gone stale), concurrent appends and
+    * disjoint MOR deletes rebase freely.
+    */
+  def deleteWhereMor(spark: SparkSession, table: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed snapshot in $table")
+    val src = vs.last
+    val files = manifestFiles(spark, table, src)
+    if (files.isEmpty) return src
+    // manifest-level skipping bounds the probe like any selective read:
+    // files whose stats cannot match never open (conservative — files
+    // without stats survive)
+    val candidates = FileStats.prune(spark, table, files, predicate)
+    if (candidates.isEmpty) return src
+    val dels = manifestDeletes(spark, table, src)
+    // the probe runs on the LIVE view (already-deleted positions are
+    // excluded, so sidecars never accumulate duplicate entries) and
+    // keeps the row-identity columns this delete is about to record
+    val scan = PositionDeletes.withRowIdentity(
+      readTableFiles(spark, table, candidates))
+    val live = if (dels.isEmpty) scan
+      else PositionDeletes.subtract(scan,
+        PositionDeletes.deleteSide(spark, table, dels), keepIdentity = true)
+    // SQL delete semantics: predicate NULL = survive, so only TRUE rows
+    // are recorded
+    val matched = live
+      .filter(coalesce(predicate, lit(false)))
+      .select(col(PositionDeletes.MetaFile).as(PositionDeletes.FileCol),
+        col(PositionDeletes.MetaPos).as(PositionDeletes.PosCol))
+    val m = matched.localCheckpoint()
+    if (m.isEmpty) return src // nothing matched: no-op, no version bump
+    val f = fs(spark, table)
+    val delDir = new Path(s"$table/deletes/${java.util.UUID.randomUUID}")
+    // one sidecar file: a selective delete's positions are tiny, and
+    // the checkpoint above makes the coalesce free
+    m.coalesce(1).write.parquet(delDir.toString)
+    val sidecars = f.listStatus(delDir).toSeq
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    // the rebase refuses if a concurrent writer rewrote any file these
+    // positions target (requireDataPresentNorm); the referenced set is
+    // bounded by the candidate file count
+    val targeted = PositionDeletes.referencedDataFiles(spark, sidecars)
+      .map(normPath).toSet
+    publishRebase(spark, table, src, files, Set.empty, Seq.empty,
+      "mor-delete", Seq(delDir), addedDeletes = sidecars,
+      requireDataPresentNorm = targeted)
+  }
+
+  /** Fold outstanding position-delete sidecars back into plain data
+    * files: ONLY the data files the sidecars reference are rewritten
+    * (with their deleted positions dropped); every untouched file
+    * carries by path, and the published manifest has no `D ` lines.
+    * This is the maintenance op that caps MOR's read-side tax — cost ∝
+    * the bytes of delete-bearing files, exactly the COW work the MOR
+    * delete deferred, now batched across every delete since the last
+    * purge (Iceberg's rewrite_position_deletes + rewrite_data_files
+    * shape). No-op (no version bump) when no sidecar is outstanding.
+    */
+  def purgeDeletes(spark: SparkSession, table: String): Long = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed snapshot in $table")
+    val src = vs.last
+    val dels = manifestDeletes(spark, table, src)
+    if (dels.isEmpty) return src
+    val files = manifestFiles(spark, table, src)
+    def norm(p: String) = normPath(p)
+    val targeted = PositionDeletes.referencedDataFiles(spark, dels)
+      .map(norm).toSet
+    // entries can reference files a later COW rewrite already replaced
+    // (stale, matching nothing) — purge only what still exists
+    val hit = files.filter(p => targeted(norm(p)))
+    if (hit.isEmpty)
+      // every entry is stale: drop the sidecar lines, rewrite nothing
+      return publishRebase(spark, table, src, files, Set.empty, Seq.empty,
+        "purge-deletes", Seq.empty, token = Some(s"purge-of-v$src"),
+        removedDeletesNorm = dels.map(norm).toSet)
+    val (newFiles, dataDir) = writeData(
+      liveView(spark, table, hit, dels, readTableFiles(spark, table, _)),
+      table)
+    // row-preserving on RESOLVED views (the purge materializes exactly
+    // the live rows) — the token lets changeFeed skip the proof
+    publishRebase(spark, table, src, files, hit.map(norm).toSet, newFiles,
+      "purge-deletes", Seq(dataDir), token = Some(s"purge-of-v$src"),
+      removedDeletesNorm = dels.map(norm).toSet)
   }
 
   /** Reclaim ORPHANED data files: files under `<table>/data/` that no
@@ -1340,14 +1616,19 @@ object Snapshots {
   def gc(spark: SparkSession, table: String,
       graceMs: Long = 24L * 3600 * 1000): Int = {
     val f = fs(spark, table)
-    val dataRoot = new Path(s"$table/data")
-    if (!f.exists(dataRoot)) return 0
+    // orphan sweep covers both write roots: data files AND position-
+    // delete sidecars (a MOR delete that crashed between its sidecar
+    // write and its publish leaves the same residue shape)
+    val roots = Seq(new Path(s"$table/data"), new Path(s"$table/deletes"))
+      .filter(f.exists)
+    if (roots.isEmpty) return 0
     def norm(p: String) = normPath(p)
     val referenced = versions(spark, table)
-      .flatMap(manifestFiles(spark, table, _)).map(norm).toSet
+      .flatMap(v => manifestFiles(spark, table, v) ++
+        manifestDeletes(spark, table, v)).map(norm).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
-    f.listStatus(dataRoot).foreach { dir =>
+    roots.flatMap(f.listStatus(_)).foreach { dir =>
       // a dir can vanish between the listing and the walk (a concurrent
       // writer finalizing its commit moves _temporary/ contents away) —
       // skip whatever cannot be listed THIS pass, the next gc sees the
@@ -1411,15 +1692,23 @@ object Snapshots {
     val expire = expireCand.filterNot(tagged)
     val keep = keepTail ++ expireCand.filter(tagged)
     if (expire.isEmpty) return 0
-    val live = keep.flatMap(manifestFiles(spark, table, _)).toSet
-    val dead = expire.flatMap(manifestFiles(spark, table, _)).toSet -- live
+    // reference-count DATA FILES and POSITION-DELETE SIDECARS alike: a
+    // sidecar referenced only by expired manifests is as dead as a data
+    // file, and a live one must survive (dropping it would resurrect
+    // deleted rows)
+    def refs(v: Long): Seq[String] =
+      manifestFiles(spark, table, v) ++ manifestDeletes(spark, table, v)
+    val live = keep.flatMap(refs).toSet
+    val dead = expire.flatMap(refs).toSet -- live
     dead.foreach(p => f.delete(new Path(p), false))
     expire.foreach(v => f.delete(new Path(s"$table/manifest-v$v.json"), false))
-    // sweep now-empty data dirs (cosmetic; correctness never lists them)
-    val dataRoot = new Path(s"$table/data")
-    if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
-      if (f.listStatus(st.getPath).forall(_.getPath.getName.startsWith("_")))
-        f.delete(st.getPath, true)
+    // sweep now-empty data/sidecar dirs (cosmetic; correctness never
+    // lists them)
+    Seq(new Path(s"$table/data"), new Path(s"$table/deletes")).foreach { root =>
+      if (f.exists(root)) f.listStatus(root).foreach { st =>
+        if (f.listStatus(st.getPath).forall(_.getPath.getName.startsWith("_")))
+          f.delete(st.getPath, true)
+      }
     }
     dead.size
   }
@@ -1595,16 +1884,15 @@ object Snapshots {
         new Path(s"$branch/stats/${st.getPath.getName}"), false, conf): Unit
     }
     val tmp = new Path(s"$branch/.manifest-v1.${java.util.UUID.randomUUID}.tmp")
-    val out = f.create(tmp, false)
     // the token embeds the PARENT'S IDENTITY, not just its version:
     // fast_forward against the wrong parent whose head happens to equal
     // the fork point would otherwise publish foreign absolute paths into
     // that parent's manifest — and its vacuum would later delete another
     // table's data files. Scheme-free normalized path; tokens are
-    // single-word (commitToken splits the header on spaces).
-    try out.write((s"v1 fork-of-v$head@${normPath(parent)}\n" +
-      files.mkString("\n")).getBytes("UTF-8"))
-    finally out.close()
+    // single-word (commitToken splits the header on spaces). Outstanding
+    // position-delete sidecars carry by path like the data files.
+    writeManifestBody(f, tmp, s"v1 fork-of-v$head@${normPath(parent)}",
+      files, manifestDeletes(spark, parent, head))
     if (!publishAtomic(f, tmp, new Path(s"$branch/manifest-v1.json"))) {
       f.delete(tmp, false)
       throw new IllegalStateException(s"fork target $branch was concurrently created")
@@ -1696,67 +1984,104 @@ object Snapshots {
     }
     val bHead = versions(spark, branch).last
     val bFiles = manifestFiles(spark, branch, bHead)
+    val bDels = manifestDeletes(spark, branch, bHead)
     // semantic no-op: nothing was staged (branch head still carries
-    // exactly the fork point's file set) — publish nothing, like
-    // restore-to-head; the branch is still consumed per the contract.
-    // A branch-side ALTER is still metadata the parent must inherit
-    // (ALTER alone never bumps versions, so this stays a no-op commit).
+    // exactly the fork point's file AND sidecar sets) — publish
+    // nothing, like restore-to-head; the branch is still consumed per
+    // the contract. A branch-side ALTER is still metadata the parent
+    // must inherit (ALTER alone never bumps versions, so this stays a
+    // no-op commit).
     if (bFiles.map(normPath).toSet ==
-        manifestFiles(spark, parent, fp).map(normPath).toSet) {
+        manifestFiles(spark, parent, fp).map(normPath).toSet &&
+        bDels.map(normPath).toSet ==
+        manifestDeletes(spark, parent, fp).map(normPath).toSet) {
       carried.foreach(declareSchema(spark, parent, _))
       if (dropBranch) drop(spark, branch)
       return fp
     }
     val f = fs(spark, parent)
-    val branchDataPrefix = normPath(branch) + "/data/"
+    val branchNorm = normPath(branch)
     val parentNorm = normPath(parent)
-    // branch-local data dirs to relocate: <branch>/data/<uuid>
-    val localDirs = bFiles.map(normPath).filter(_.startsWith(branchDataPrefix))
-      .map(p => p.drop(branchDataPrefix.length).takeWhile(_ != '/'))
-      .distinct
-    val dirMap = localDirs.map { u =>
-      var dst = u
-      // uuid collision with an existing parent dir is ~impossible; if
-      // it ever happens, suffix rather than merge into a foreign dir
-      while (f.exists(new Path(s"$parentNorm/data/$dst"))) dst = s"$dst-ff"
-      u -> dst
-    }.toMap
-    if (dirMap.nonEmpty) f.mkdirs(new Path(s"$parentNorm/data"))
+    val branchDataPrefix = branchNorm + "/data/"
+    val branchDelPrefix = branchNorm + "/deletes/"
+    // a sidecar staged ON THE BRANCH whose positions target data files
+    // ALSO staged on the branch would go stale the moment this publish
+    // renames those data dirs (positions are keyed by absolute path) —
+    // refuse before anything moves; purging on the branch folds the
+    // deletes into plain files and clears the hazard. Sidecars that
+    // target fork-carried PARENT files stay valid across their own
+    // relocation (their content references parent paths).
+    val stagedSidecars = bDels.filter(p => normPath(p).startsWith(branchDelPrefix))
+    if (stagedSidecars.nonEmpty &&
+        PositionDeletes.referencedDataFiles(spark, stagedSidecars)
+          .exists(t => normPath(t).startsWith(branchDataPrefix)))
+      throw new IllegalStateException(
+        s"fast-forward $branch -> $parent: a staged merge-on-read DELETE " +
+          "targets data files staged on the same branch; run " +
+          "Snapshots.purgeDeletes on the branch before publishing")
+    // branch-local dirs to relocate, per write root: <branch>/<root>/<uuid>
+    def localDirs(paths: Seq[String], prefix: String): Seq[String] =
+      paths.map(normPath).filter(_.startsWith(prefix))
+        .map(p => p.drop(prefix.length).takeWhile(_ != '/'))
+        .distinct
+    val moves: Seq[(String, String, Map[String, String])] =
+      Seq(("data", branchDataPrefix, localDirs(bFiles, branchDataPrefix)),
+        ("deletes", branchDelPrefix, localDirs(bDels, branchDelPrefix)))
+        .map { case (root, prefix, dirs) =>
+          val dirMap = dirs.map { u =>
+            var dst = u
+            // uuid collision with an existing parent dir is ~impossible;
+            // if it ever happens, suffix rather than merge into a
+            // foreign dir
+            while (f.exists(new Path(s"$parentNorm/$root/$dst"))) dst = s"$dst-ff"
+            u -> dst
+          }.toMap
+          if (dirMap.nonEmpty) f.mkdirs(new Path(s"$parentNorm/$root"))
+          (root, prefix, dirMap)
+        }
     // every successfully relocated dir is tracked so a FAILED rename
     // mid-loop (or a concurrent fast-forward racing the same branch)
     // rolls the already-moved dirs back under the branch — without it a
     // partial move leaves the branch's manifests referencing relocated
     // paths with no published parent version and no healing path
-    val relocated = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val relocated = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
     def rollbackDirs(): Unit =
-      relocated.reverseIterator.foreach { case (u, dst) =>
+      relocated.reverseIterator.foreach { case (root, u, dst) =>
         // best effort — an unmovable dir is left for the parent's gc,
         // which sees it as unreferenced
-        try f.rename(new Path(s"$parentNorm/data/$dst"),
-          new Path(s"${normPath(branch)}/data/$u")): Unit
+        try f.rename(new Path(s"$parentNorm/$root/$dst"),
+          new Path(s"$branchNorm/$root/$u")): Unit
         catch { case scala.util.control.NonFatal(_) => () }
       }
-    try dirMap.foreach { case (u, dst) =>
-      require(f.rename(new Path(s"${normPath(branch)}/data/$u"),
-        new Path(s"$parentNorm/data/$dst")),
-        s"failed to move staged data dir $u into $parent")
-      relocated += (u -> dst)
+    try moves.foreach { case (root, _, dirMap) =>
+      dirMap.foreach { case (u, dst) =>
+        require(f.rename(new Path(s"$branchNorm/$root/$u"),
+          new Path(s"$parentNorm/$root/$dst")),
+          s"failed to move staged $root dir $u into $parent")
+        relocated += ((root, u, dst))
+      }
     } catch { case scala.util.control.NonFatal(e) =>
       rollbackDirs()
       throw e
     }
-    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
-    val newFiles = bFiles.map { p =>
+    def rewritePaths(paths: Seq[String], root: String, prefix: String,
+        dirMap: Map[String, String],
+        onMoved: String => Unit): Seq[String] = paths.map { p =>
       val n = normPath(p)
-      if (n.startsWith(branchDataPrefix)) {
-        val rest = n.drop(branchDataPrefix.length)
+      if (n.startsWith(prefix)) {
+        val rest = n.drop(prefix.length)
         val u = rest.takeWhile(_ != '/')
         val np = f.makeQualified(new Path(
-          s"$parentNorm/data/${dirMap(u)}/${rest.drop(u.length + 1)}")).toString
-        moved += np
+          s"$parentNorm/$root/${dirMap(u)}/${rest.drop(u.length + 1)}")).toString
+        onMoved(np)
         np
       } else p
     }
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    val newFiles = rewritePaths(bFiles, "data", branchDataPrefix,
+      moves(0)._3, moved += _)
+    val newDels = rewritePaths(bDels, "deletes", branchDelPrefix,
+      moves(1)._3, _ => ())
     // a carried branch-side ALTER must be visible BEFORE the manifest
     // that first mixes old- and new-shape files is readable (the brief
     // declare-without-commit window is additive-only: readers see the
@@ -1764,10 +2089,7 @@ object Snapshots {
     carried.foreach(declareSchema(spark, parent, _))
     val next = fp + 1
     val tmp = new Path(s"$parent/.manifest-v$next.${java.util.UUID.randomUUID}.tmp")
-    val out = f.create(tmp, false)
-    try out.write((s"v$next wap-of-v$bHead\n" + newFiles.mkString("\n"))
-      .getBytes("UTF-8"))
-    finally out.close()
+    writeManifestBody(f, tmp, s"v$next wap-of-v$bHead", newFiles, newDels)
     if (!publishAtomic(f, tmp, new Path(s"$parent/manifest-v$next.json"))) {
       f.delete(tmp, false)
       // a concurrent commit won v(next): undo the carried declare and

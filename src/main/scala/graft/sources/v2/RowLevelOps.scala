@@ -209,6 +209,16 @@ private[v2] final class RowLevelScanBuilder(op: SnapshotRowLevelOperation,
   override def build(): Scan = {
     val spark = SparkSession.active
     val resolved = op.pin()
+    // the group-replacement read does not apply position-delete
+    // sidecars: rewriting a delete-bearing file would resurrect its
+    // subtracted rows into the replacement. Refuse loudly; folding the
+    // deletes in first makes the op safe (the translatable-DELETE fast
+    // path and the Scala-API merge/deleteWhere stay available on MOR
+    // tables — both run on the live view).
+    require(resolved.deletes.isEmpty,
+      s"graft-snapshot ${resolved.path}: SQL UPDATE/MERGE INTO (and " +
+        "subquery DELETE) require no outstanding position deletes — run " +
+        "CALL <catalog>.system.purge_deletes first (or Snapshots.purgeDeletes)")
     op.scanFiles = FileStats.pruneResolved(
       spark, resolved.path, resolved.files, groupFilters)
     val explicit = spark.conf

@@ -215,7 +215,8 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
     val t = ParquetTable(s"graft-snapshot:$path@v$version",
       spark, options, files, Snapshots.declaredSchema(spark, path),
       classOf[ParquetFileFormat])
-    val r = ResolvedSnapshot(path, version, files, t)
+    val r = ResolvedSnapshot(path, version, files, t,
+      Snapshots.deleteFiles(spark, path, Some(version)))
     cached = (key, r)
     r
   }
@@ -316,6 +317,17 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
 
   override def getBatch(start: Option[Offset], end: Offset): org.apache.spark.sql.DataFrame = {
     val to = ver(end)
+    // the INITIAL batch is the snapshot's resolved view: outstanding
+    // merge-on-read sidecars subtract their positions (Snapshots.read),
+    // re-tagged streaming via the InternalRow RDD route because the
+    // anti-join plan is not a bare relation asStreamingScan can re-tag
+    if (start.isEmpty && Snapshots.deleteFiles(spark, path, Some(to)).nonEmpty) {
+      val live = Snapshots.read(spark, path, Some(to))
+        .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
+          .toIndexedSeq: _*)
+      return org.apache.spark.sql.GraftShim.internalCreateStreamingDataFrame(
+        spark, org.apache.spark.sql.GraftShim.toRdd(live).map(_.copy()), schema)
+    }
     val files = start match {
       case None => Snapshots.dataFiles(spark, path, Some(to))
       case Some(s) =>
@@ -333,6 +345,8 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
           .filter(v => v > from && v <= to)
         val filesOf = chain.map(v =>
           v -> Snapshots.dataFiles(spark, path, Some(v))).toMap
+        val deletesOf = chain.map(v =>
+          v -> Snapshots.deleteFiles(spark, path, Some(v))).toMap
         chain.sliding(2).flatMap {
           case Seq(a, b) =>
             // normalized paths (the changeFeed/compact convention):
@@ -343,7 +357,12 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
               new org.apache.hadoop.fs.Path(p).toUri.getPath
             val before = filesOf(a).map(norm).toSet
             val after = filesOf(b)
-            if (before.subsetOf(after.map(norm).toSet))
+            // a MERGE-ON-READ delete changes no data file, but it is a
+            // change commit all the same — streaming the step as "zero
+            // appended files" would silently drop the deletion, so the
+            // sidecar sets must match for the append fast path too
+            if (before.subsetOf(after.map(norm).toSet) &&
+                deletesOf(a).map(norm).toSet == deletesOf(b).map(norm).toSet)
               after.filterNot(f => before(norm(f)))
             else if (skipChangeCommits) Seq.empty
             else throw new IllegalStateException(
@@ -421,10 +440,12 @@ private[v2] class SnapshotChangeFeedSource(spark: SparkSession, path: String)
         def norm(p: String) = new org.apache.hadoop.fs.Path(p).toUri.getPath
         val filesOf = chain.map(v =>
           v -> Snapshots.dataFiles(spark, path, Some(v))).toMap
+        val deletesOf = chain.map(v =>
+          v -> Snapshots.deleteFiles(spark, path, Some(v))).toMap
         chain.sliding(2).flatMap {
-          // a compaction/z-order step is row-preserving by the rebase
-          // contract — skip the O(moved-bytes) diff that would prove
-          // its feed empty (the +1 check is defensive against any
+          // a compaction/z-order/purge step is row-preserving by the
+          // rebase contract — skip the O(moved-bytes) diff that would
+          // prove its feed empty (the +1 check is defensive against any
           // future non-prefix retention hiding a DML commit in the gap)
           case Seq(a, b) if b == a + 1 &&
               Snapshots.isMaintenanceCommit(spark, path, b) => None
@@ -433,7 +454,9 @@ private[v2] class SnapshotChangeFeedSource(spark: SparkSession, path: String)
             val afterN  = filesOf(b).map(norm).toSet
             Some(Snapshots.diffFeed(spark, path, b,
               removed = filesOf(a).filterNot(p => afterN(norm(p))),
-              added   = filesOf(b).filterNot(p => beforeN(norm(p)))))
+              added   = filesOf(b).filterNot(p => beforeN(norm(p))),
+              fromDeletes = deletesOf(a), toDeletes = deletesOf(b),
+              carried = filesOf(a).filter(p => afterN(norm(p)))))
           case _ => None
         }.reduceOption(_ unionByName _)
     }
@@ -460,7 +483,8 @@ private[v2] class SnapshotChangeFeedSource(spark: SparkSession, path: String)
   * stock parquet table over those files.
   */
 private[v2] final case class ResolvedSnapshot(path: String, version: Long,
-    files: Seq[String], table: ParquetTable)
+    files: Seq[String], table: ParquetTable,
+    deletes: Seq[String] = Nil)
 
 /** The scan builder that makes MANIFEST-LEVEL data skipping automatic
   * for `spark.read.format("graft-snapshot")`: the filters Catalyst
@@ -533,22 +557,38 @@ private[v2] class PruningScanBuilder(resolved: ResolvedSnapshot,
   // row of exact totals survives a final agg unchanged (sum of one
   // count, min of one min) — but claiming COMPLETE lets Spark drop the
   // agg node entirely.
+  // outstanding merge-on-read sidecars: the footer counters include the
+  // position-subtracted rows, so a metadata-only answer would overcount
+  // — the gate is correctness, not a missed optimization (a purge or
+  // compaction restores it)
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    metadataAgg = MetadataAgg.tryEvaluate(
-      SparkSession.active, resolved, catalystFilters, agg)
-    metadataAgg.isDefined
-  }
-
-  override def pushAggregation(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (metadataAgg.isEmpty)
+    if (resolved.deletes.isEmpty)
       metadataAgg = MetadataAgg.tryEvaluate(
         SparkSession.active, resolved, catalystFilters, agg)
     metadataAgg.isDefined
   }
 
-  override def build(): org.apache.spark.sql.connector.read.Scan =
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (metadataAgg.isEmpty && resolved.deletes.isEmpty)
+      metadataAgg = MetadataAgg.tryEvaluate(
+        SparkSession.active, resolved, catalystFilters, agg)
+    metadataAgg.isDefined
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    // a snapshot with outstanding position deletes is readable ONLY
+    // through the live-view rewrite (graft.plans.MorDeleteRewrite,
+    // registered by GraftPlannerExtensions at analysis time) — a plan
+    // that still carries this relation at scan-build time would read
+    // deleted rows back. Failing loudly beats silent resurrection.
+    require(resolved.deletes.isEmpty,
+      s"graft-snapshot ${resolved.path} v${resolved.version} has " +
+        s"${resolved.deletes.size} outstanding position-delete sidecar(s); " +
+        "reads require spark.sql.extensions=graft.plans.GraftPlannerExtensions " +
+        "(the merge-on-read rewrite), or fold the deletes in with " +
+        "Snapshots.purgeDeletes/compact")
     metadataAgg match {
       case Some((schema, row)) =>
         new MetadataAggScan(resolved.path, resolved.version, schema, row)
@@ -557,6 +597,7 @@ private[v2] class PruningScanBuilder(resolved: ResolvedSnapshot,
           SparkSession.active, resolved.path, resolved.files, catalystFilters)
         new SnapshotReadScan(resolved, options, catalystFilters, required, kept)
     }
+  }
 }
 
 /** One pre-aggregated row computed entirely from the stats sidecar —
@@ -846,7 +887,7 @@ private[v2] final class BucketedBatch(
     new BucketedReaderFactory(inner.createReaderFactory())
 }
 
-private[v2] class SnapshotTable(path: String, tableSchema: StructType,
+private[graft] class SnapshotTable(path: String, tableSchema: StructType,
     resolveTable: () => ResolvedSnapshot) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -865,6 +906,17 @@ private[v2] class SnapshotTable(path: String, tableSchema: StructType,
     () => new SnapshotRowLevelOperation(path, info.command(), resolveTable)
 
   override def name(): String = s"graft-snapshot:$path"
+
+  /** (table path, pinned version) iff that version carries outstanding
+    * position-delete sidecars — the merge-on-read rewrite's trigger
+    * (graft.plans.MorDeleteRewrite). Rides the memoized resolution, so
+    * the per-analysis cost on sidecar-free tables is a cached field
+    * read, not manifest I/O.
+    */
+  private[graft] def morState: Option[(String, Long)] = {
+    val r = resolveTable()
+    if (r.deletes.nonEmpty) Some((r.path, r.version)) else None
+  }
 
   /** A bucketed table advertises its layout (`bucket(n, col)`) — shown
     * by DESCRIBE and resolved by Spark against the catalog's `bucket`

@@ -1,0 +1,262 @@
+package graft
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+
+/** Merge-on-read position deletes over the snapshot format: sidecar
+  * commit without data-file rewrite, live-view reads (Scala + SQL),
+  * stacking, purge, interplay with COW DML / compaction / restore /
+  * time travel / change feed / vacuum / WAP, and the refusal edges.
+  */
+class MorDeleteSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"mor-$tag").toString + "/t"
+
+  private def idsOf(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("id").as[Long].collect().sorted.toSeq
+
+  test("MOR delete subtracts rows without touching a data file") {
+    val t = freshDir("basic")
+    Snapshots.commit((1L to 1000L).toDF("id").withColumn("v", col("id") * 3), t)
+    val filesBefore = Snapshots.dataFiles(spark, t).toSet
+    val v = Snapshots.deleteWhereMor(spark, t, col("id") % 10 === 0)
+    assert(v === 2L)
+    // the data-file set is IDENTICAL — only a sidecar was added
+    assert(Snapshots.dataFiles(spark, t).toSet === filesBefore)
+    assert(Snapshots.deleteFiles(spark, t).size === 1)
+    assert(idsOf(Snapshots.read(spark, t)) ===
+      (1L to 1000L).filterNot(_ % 10 == 0))
+    // time travel to v1 still sees every row
+    assert(Snapshots.read(spark, t, Some(1L)).count() === 1000)
+    // and the sum over a non-key column proves full rows, not just ids
+    val sum = Snapshots.read(spark, t).agg(org.apache.spark.sql.functions.sum("v"))
+      .head().getLong(0)
+    assert(sum === (1L to 1000L).filterNot(_ % 10 == 0).map(_ * 3).sum)
+  }
+
+  test("MOR matches COW row-for-row on the same predicate") {
+    val cow = freshDir("cow")
+    val mor = freshDir("mor")
+    val data = (1L to 5000L).toDF("id")
+      .withColumn("grp", col("id") % 7)
+    Snapshots.commit(data, cow)
+    Snapshots.commit(data, mor)
+    Snapshots.deleteWhere(spark, cow, col("grp") === 3)
+    Snapshots.deleteWhereMor(spark, mor, col("grp") === 3)
+    assert(idsOf(Snapshots.read(spark, mor)) === idsOf(Snapshots.read(spark, cow)))
+  }
+
+  test("predicate-NULL rows survive, exactly like SQL DELETE") {
+    val t = freshDir("null")
+    Snapshots.commit(
+      Seq((1L, Option(1)), (2L, Option.empty[Int]), (3L, Option(9)))
+        .toDF("id", "x"), t)
+    Snapshots.deleteWhereMor(spark, t, col("x") > 5)
+    assert(idsOf(Snapshots.read(spark, t)) === Seq(1L, 2L))
+  }
+
+  test("stacked MOR deletes accumulate; sidecars never duplicate positions") {
+    val t = freshDir("stack")
+    Snapshots.commit((1L to 100L).toDF("id"), t)
+    Snapshots.deleteWhereMor(spark, t, col("id") <= 20)
+    Snapshots.deleteWhereMor(spark, t, col("id") <= 40) // overlaps the first
+    assert(idsOf(Snapshots.read(spark, t)) === (41L to 100L))
+    assert(Snapshots.deleteFiles(spark, t).size === 2)
+    // the second sidecar records only the 20 NEWLY deleted positions
+    val second = Snapshots.deleteFiles(spark, t)
+      .diff(Snapshots.deleteFiles(spark, t, Some(2L)))
+    assert(spark.read.parquet(second: _*).count() === 20)
+  }
+
+  test("no-match MOR delete is a version-preserving no-op") {
+    val t = freshDir("noop")
+    Snapshots.commit((1L to 50L).toDF("id"), t)
+    assert(Snapshots.deleteWhereMor(spark, t, col("id") > 999) === 1L)
+    assert(Snapshots.versions(spark, t) === Seq(1L))
+  }
+
+  test("purge folds sidecars into plain files, rewriting only touched files") {
+    val t = freshDir("purge")
+    // two separate commits = two file groups; delete rows of the first only
+    Snapshots.commit((1L to 100L).toDF("id"), t)
+    Snapshots.commit((1000L to 1100L).toDF("id"), t)
+    Snapshots.deleteWhereMor(spark, t, col("id") < 50)
+    val untouched = Snapshots.dataFiles(spark, t)
+      .filterNot(p => graft.sources.PositionDeletes
+        .referencedDataFiles(spark, Snapshots.deleteFiles(spark, t))
+        .map(q => new org.apache.hadoop.fs.Path(q).toUri.getPath).toSet
+        .contains(new org.apache.hadoop.fs.Path(p).toUri.getPath))
+    val v = Snapshots.purgeDeletes(spark, t)
+    assert(Snapshots.deleteFiles(spark, t).isEmpty)
+    assert(idsOf(Snapshots.read(spark, t)) === ((50L to 100L) ++ (1000L to 1100L)))
+    // every file the sidecars did NOT reference carried by path
+    val after = Snapshots.dataFiles(spark, t).toSet
+    untouched.foreach(p => assert(after.contains(p), s"untouched $p was rewritten"))
+    // purge is maintenance: the change feed across it is empty
+    assert(Snapshots.changeFeed(spark, t, v - 1, v).count() === 0)
+    // re-purge is a no-op
+    assert(Snapshots.purgeDeletes(spark, t) === v)
+  }
+
+  test("compact resolves and drops sidecars; feed across it is empty") {
+    val t = freshDir("compact")
+    Snapshots.commit((1L to 300L).toDF("id"), t)
+    Snapshots.deleteWhereMor(spark, t, col("id") % 3 === 0)
+    val v = Snapshots.compact(spark, t, numFiles = 2)
+    assert(Snapshots.deleteFiles(spark, t).isEmpty)
+    assert(idsOf(Snapshots.read(spark, t)) ===
+      (1L to 300L).filterNot(_ % 3 == 0))
+    assert(Snapshots.changeFeed(spark, t, v - 1, v).count() === 0)
+  }
+
+  test("COW merge and COW delete on a MOR table neither resurrect nor double-delete") {
+    val t = freshDir("cowmix")
+    Snapshots.commit((1L to 200L).toDF("id").withColumn("v", lit(0L)), t)
+    Snapshots.deleteWhereMor(spark, t, col("id") <= 50)
+    // merge updates keys 40-60: 40-50 are MOR-deleted -> pure inserts
+    Snapshots.merge(spark, t,
+      (40L to 60L).toDF("id").withColumn("v", lit(9L)), "id")
+    val rows = Snapshots.read(spark, t).select("id", "v").as[(Long, Long)]
+      .collect().toMap
+    assert(rows.keySet === ((40L to 200L).toSet))
+    assert((40L to 60L).forall(rows(_) == 9L))
+    assert((61L to 200L).forall(rows(_) == 0L))
+    // COW delete over a range straddling live and MOR-deleted rows
+    Snapshots.deleteWhere(spark, t, col("id").between(45L, 70L))
+    assert(idsOf(Snapshots.read(spark, t).select("id")) ===
+      ((40L to 44L) ++ (71L to 200L)))
+  }
+
+  test("changeFeed across a MOR delete is exactly the subtracted rows") {
+    val t = freshDir("feed")
+    Snapshots.commit((1L to 100L).toDF("id"), t)
+    Snapshots.deleteWhereMor(spark, t, col("id") > 90)
+    val feed = Snapshots.changeFeed(spark, t, 1L, 2L)
+    assert(feed.filter(col("_change_type") === "insert").count() === 0)
+    assert(feed.filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq === (91L to 100L))
+    // changes() (append-only fast path) refuses across it
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.changes(spark, t, 1L, 2L).count()
+    }
+    assert(e.getMessage.contains("merge-on-read"))
+  }
+
+  test("restore across a MOR delete resurrects; feed reports the inserts") {
+    val t = freshDir("restore")
+    Snapshots.commit((1L to 100L).toDF("id"), t)
+    Snapshots.deleteWhereMor(spark, t, col("id") > 90) // v2
+    val v3 = Snapshots.restore(spark, t, 1L)
+    assert(v3 === 3L)
+    assert(Snapshots.read(spark, t).count() === 100)
+    val feed = Snapshots.changeFeed(spark, t, 2L, 3L)
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("id").as[Long].collect().sorted.toSeq === (91L to 100L))
+    assert(feed.filter(col("_change_type") === "delete").count() === 0)
+    // restore TO the MOR version carries its sidecar
+    val v4 = Snapshots.restore(spark, t, 2L)
+    assert(Snapshots.deleteFiles(spark, t, Some(v4)).nonEmpty)
+    assert(Snapshots.read(spark, t).count() === 90)
+  }
+
+  test("appends after a MOR delete carry the sidecar; readWhere subtracts") {
+    val t = freshDir("append")
+    Snapshots.commit((1L to 100L).toDF("id"), t)
+    Snapshots.deleteWhereMor(spark, t, col("id") === 7L)
+    Snapshots.commit((101L to 110L).toDF("id"), t)
+    assert(Snapshots.deleteFiles(spark, t).size === 1)
+    assert(Snapshots.read(spark, t).count() === 109)
+    assert(idsOf(Snapshots.readWhere(spark, t, col("id") < 10)) ===
+      Seq(1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L))
+  }
+
+  test("vacuum keeps live sidecars, reclaims expired ones; gc sweeps orphans") {
+    val t = freshDir("vacuum")
+    Snapshots.commit((1L to 100L).toDF("id"), t)
+    Snapshots.deleteWhereMor(spark, t, col("id") === 1L) // v2, sidecar A
+    Snapshots.compact(spark, t) // v3: sidecar A now referenced only by v2
+    val sidecarA = Snapshots.deleteFiles(spark, t, Some(2L)).head
+    val f = new java.io.File(new org.apache.hadoop.fs.Path(sidecarA).toUri.getPath)
+    assert(f.exists())
+    Snapshots.vacuum(spark, t, keepVersions = 1)
+    assert(!f.exists(), "expired sidecar must be reclaimed by vacuum")
+    assert(Snapshots.read(spark, t).count() === 99)
+    // orphaned sidecar (crashed writer residue) is gc'd after grace
+    val orphanDir = new java.io.File(s"$t/deletes/orphan-dir")
+    orphanDir.mkdirs()
+    val orphan = new java.io.File(orphanDir, "part-orphan.parquet")
+    orphan.createNewFile()
+    assert(Snapshots.gc(spark, t, graceMs = 0L) >= 1)
+    assert(!orphan.exists())
+  }
+
+  test("SQL reads of a MOR table go through the live-view rewrite") {
+    val t = freshDir("sql")
+    Snapshots.commit((1L to 500L).toDF("id").withColumn("v", col("id") * 2), t)
+    Snapshots.deleteWhereMor(spark, t, col("id") <= 100)
+    // format read
+    val df = spark.read.format("graft-snapshot").option("path", t).load()
+    assert(df.count() === 400)
+    assert(df.filter(col("id") <= 150).count() === 50) // pushdown path
+    // aggregate (the metadata-agg shortcut must NOT answer from footers)
+    assert(df.agg(count(lit(1))).head().getLong(0) === 400)
+    // join through the rewrite
+    val dim = (90L to 110L).toDF("id")
+    assert(df.join(dim, "id").count() === 10)
+    // time travel still reads the pre-delete version
+    assert(spark.read.format("graft-snapshot").option("path", t)
+      .option("asOf", "1").load().count() === 500)
+  }
+
+  test("WAP: fork carries parent sidecars; branch MOR delete on parent files publishes") {
+    val parent = freshDir("wapp")
+    val branch = parent + "-b"
+    Snapshots.commit((1L to 100L).toDF("id"), parent)
+    Snapshots.deleteWhereMor(spark, parent, col("id") === 50L)
+    Snapshots.fork(spark, parent, branch)
+    assert(Snapshots.read(spark, branch).count() === 99)
+    // audit finds more bad rows; MOR-delete them ON THE BRANCH (targets
+    // fork-carried parent files -> publishable)
+    Snapshots.deleteWhereMor(spark, branch, col("id") === 60L)
+    val v = Snapshots.fastForward(spark, parent, branch)
+    assert(Snapshots.read(spark, parent, Some(v)).count() === 98)
+    assert(idsOf(Snapshots.read(spark, parent)).intersect(Seq(50L, 60L)).isEmpty)
+  }
+
+  test("WAP: branch MOR delete over branch-staged data refuses until purge") {
+    val parent = freshDir("wapr")
+    val branch = parent + "-b"
+    Snapshots.commit((1L to 10L).toDF("id"), parent)
+    Snapshots.fork(spark, parent, branch)
+    Snapshots.commit((11L to 20L).toDF("id"), branch) // staged on branch
+    Snapshots.deleteWhereMor(spark, branch, col("id") === 15L) // targets staged file
+    val e = intercept[IllegalStateException] {
+      Snapshots.fastForward(spark, parent, branch)
+    }
+    assert(e.getMessage.contains("purge"))
+    // branch survives the refusal; purging clears the hazard
+    Snapshots.purgeDeletes(spark, branch)
+    val v = Snapshots.fastForward(spark, parent, branch)
+    assert(idsOf(Snapshots.read(spark, parent, Some(v))) ===
+      ((1L to 20L).filterNot(_ == 15L)))
+  }
+
+  test("sidecar schema and content: (file_path, pos) of exactly the matched rows") {
+    val t = freshDir("sidecar")
+    Snapshots.commit((0L to 99L).toDF("id").coalesce(1), t)
+    Snapshots.deleteWhereMor(spark, t, col("id") < 3)
+    val sc = spark.read.parquet(Snapshots.deleteFiles(spark, t): _*)
+    assert(sc.columns.toSeq === Seq("file_path", "pos"))
+    // a single coalesced file written from an ordered range: positions
+    // 0,1,2 are exactly ids 0,1,2
+    assert(sc.select("pos").as[Long].collect().sorted.toSeq === Seq(0L, 1L, 2L))
+    val dataNorm = Snapshots.dataFiles(spark, t)
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
+    sc.select("file_path").as[String].collect().foreach { p =>
+      assert(dataNorm.contains(new org.apache.hadoop.fs.Path(p).toUri.getPath))
+    }
+  }
+}
