@@ -1459,6 +1459,94 @@ object Incremental {
       .select(col("o_orderstatus"), col("n_all"), col("n_pre"), col("amount"))
   }
 
+  /** q105: MERGE-ON-READ DELETE under the oracle gate — the sidecar
+    * half of the DML story (the COW half is q33/q95). Two STACKED
+    * position-delete commits land on the documents table without
+    * rewriting one data file (commit cost ∝ matched rows — the 100 TB
+    * shape for selective deletes; MorDeleteSpec pins the no-rewrite
+    * invariant, this gate pins the ANSWER at every SF): the gated read
+    * is the doubly-subtracted live view per lang, joined with the
+    * pre-delete row count through time travel — a position subtracted
+    * twice, resurrected by the anti-join, or leaked by the carried-file
+    * split breaks the hash.
+    */
+  val qMorDelete: QuerySpec = QuerySpec.sql(
+    "q105_mor_delete",
+    """WITH live AS (
+      |  SELECT lang, n_chars FROM documents
+      |  WHERE (NOT (n_chars < 200) OR n_chars IS NULL)
+      |    AND (NOT (doc_id % 10 = 3) OR doc_id IS NULL))
+      |SELECT lang, COUNT(*) AS n_live, CAST(SUM(n_chars) AS BIGINT) AS chars,
+      |       (SELECT COUNT(*) FROM documents) AS n_pre
+      |FROM live GROUP BY lang""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "mordel")
+    ensureBuilt(s, root, 3) {
+      Snapshots.commit(
+        Tables.documents(s, dir).select("doc_id", "lang", "n_chars"), root)
+      Snapshots.deleteWhereMor(s, root, col("n_chars") < 200)
+      Snapshots.deleteWhereMor(s, root, col("doc_id") % 10 === 3): Unit
+    }
+    val head = Snapshots.read(s, root)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_live"), sum("n_chars").as("chars"))
+    val pre = Snapshots.read(s, root, Some(1L)).agg(count(lit(1)).as("n_pre"))
+    head.crossJoin(broadcast(pre))
+      .select(col("lang"), col("n_live"), col("chars"), col("n_pre"))
+  }
+
+  /** q106: the MOR lifecycle END-TO-END IN SQL — `write.delete.mode`
+    * declared at DDL time routes plain `DELETE FROM` onto sidecars, the
+    * pre-purge version stays readable through `VERSION AS OF` (the
+    * time-traveled read resolves under ITS OWN sidecar set via the
+    * analysis-time rewrite), `.delete_files` reports the outstanding
+    * sidecars, and `CALL purge_deletes` folds them back into plain
+    * files row-preservingly. The gated answer ties all four together:
+    * post-purge per-status aggregates, the v4 (two-sidecars-
+    * outstanding) count, and the sidecar count itself.
+    */
+  val qMorSql: QuerySpec = QuerySpec.sql(
+    "q106_mor_sql",
+    """WITH live AS (
+      |  SELECT o_orderstatus, o_totalprice FROM orders
+      |  WHERE (NOT (o_totalprice > 400000) OR o_totalprice IS NULL)
+      |    AND (NOT (o_orderstatus = 'P') OR o_orderstatus IS NULL))
+      |SELECT o_orderstatus, COUNT(*) AS n_live,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_mor, CAST(2 AS BIGINT) AS n_sidecars
+      |FROM live GROUP BY 1""".stripMargin) { (s, dir) =>
+    val wh = snapRoot(s, dir, "morsql")
+    val dirKey = Tables.dirKey(dir)
+    val cat = s"graft_mor_$dirKey"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$cat.m.mor_t"
+    val srcView = s"q106_orders_$dirKey"
+    ensureBuilt(s, s"$wh/m/mor_t", 5) {
+      Tables.orders(s, dir).createOrReplaceTempView(srcView)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
+        "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")      // v1
+      s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, " +
+        s"o_totalprice FROM $srcView")                                // v2
+      s.sql(s"DELETE FROM $tbl WHERE o_totalprice > 400000")          // v3: sidecar
+      s.sql(s"DELETE FROM $tbl WHERE o_orderstatus = 'P'")           // v4: sidecar
+      s.sql(s"CALL $cat.system.purge_deletes(table => 'm.mor_t')")    // v5
+    }
+    s.sql(
+      s"""SELECT cur.o_orderstatus, cur.n_live, cur.revenue, mor.n_mor,
+         |       sc.n_sidecars
+         |FROM (SELECT o_orderstatus, COUNT(*) AS n_live,
+         |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |      FROM $tbl GROUP BY 1) cur
+         |JOIN (SELECT o_orderstatus, COUNT(*) AS n_mor
+         |      FROM $tbl VERSION AS OF 4 GROUP BY 1) mor
+         |USING (o_orderstatus)
+         |CROSS JOIN (SELECT COUNT(*) AS n_sidecars
+         |            FROM $tbl.delete_files VERSION AS OF 4) sc""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
@@ -1466,5 +1554,5 @@ object Incremental {
       qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore,
       qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish,
       qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup, qWriteOrder,
-      qBinPack)
+      qBinPack, qMorDelete, qMorSql)
 }

@@ -433,6 +433,45 @@ object Snapshots {
   def dropSortSpec(spark: SparkSession, table: String): Unit =
     fs(spark, table).delete(new Path(s"$table/sortspec"), false): Unit
 
+  /** The table's declared DELETE routing — `copy-on-write` (default:
+    * files containing matches rewrite, [[deleteWhere]]) or
+    * `merge-on-read` (position-delete sidecars, [[deleteWhereMor]]).
+    * SQL `DELETE FROM` on a catalog table consults this; the Scala API
+    * stays explicit (callers pick the method). Declared via
+    * TBLPROPERTIES ('write.delete.mode') at DDL time or ALTER TABLE SET
+    * TBLPROPERTIES after.
+    */
+  val CowMode = "copy-on-write"
+  val MorMode = "merge-on-read"
+
+  def deleteMode(spark: SparkSession, table: String): String = {
+    val p = new Path(s"$table/deletemode")
+    val f = fs(spark, table)
+    if (!f.exists(p)) CowMode
+    else {
+      val in = f.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      if (text == MorMode) MorMode else CowMode
+    }
+  }
+
+  def setDeleteMode(spark: SparkSession, table: String, mode: String): Unit = {
+    require(mode == CowMode || mode == MorMode,
+      s"write.delete.mode must be '$CowMode' or '$MorMode', got '$mode'")
+    val f = fs(spark, table)
+    val p = new Path(s"$table/deletemode")
+    if (mode == CowMode) { f.delete(p, false); return } // default = no file
+    val tmp = new Path(s"$table/.deletemode.${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(mode.getBytes("UTF-8")) finally out.close()
+    f.delete(p, false)
+    if (!publishAtomic(f, tmp, p)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"concurrent deletemode update on $table")
+    }
+  }
+
   /** Apply the table's declared sort order to an outgoing frame:
     * range-repartition on the sort columns (disjoint per-file key
     * ranges — what makes the resulting footers PRUNABLE) + in-partition
@@ -900,9 +939,24 @@ object Snapshots {
     * `mergeSchema` unions the footers' schemas when commits evolved the
     * schema (added columns read as null in older files).
     */
+  /** One manifest read resolving both line kinds — the shared first
+    * step of every read path (data files, position-delete sidecars).
+    */
+  private def resolvedLists(spark: SparkSession, table: String,
+      asOf: Option[Long]): (Seq[String], Seq[String]) = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed snapshot in $table")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val lines = manifestLines(spark, table, v)
+    (lines.filterNot(_.startsWith(DeleteLinePrefix)),
+      lines.collect { case l if l.startsWith(DeleteLinePrefix) =>
+        l.drop(DeleteLinePrefix.length) })
+  }
+
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
-    val files = dataFiles(spark, table, asOf)
+    val (files, dels) = resolvedLists(spark, table, asOf)
     def reader(fs0: Seq[String]): DataFrame = declaredSchema(spark, table) match {
       // ALTER-extended table: project every file onto the declared
       // superset schema by name (absent columns = typed NULLs)
@@ -911,7 +965,7 @@ object Snapshots {
         spark.read.option("mergeSchema", mergeSchema.toString).parquet(fs0: _*)
     }
     if (files.isEmpty) spark.emptyDataFrame
-    else liveView(spark, table, files, deleteFiles(spark, table, asOf), reader)
+    else liveView(spark, table, files, dels, reader)
   }
 
   /** Resolve the MERGE-ON-READ view of `files`: data files untouched by
@@ -969,10 +1023,10 @@ object Snapshots {
   def readWhere(spark: SparkSession, table: String,
       predicate: org.apache.spark.sql.Column,
       asOf: Option[Long] = None): DataFrame = {
-    val files = dataFiles(spark, table, asOf)
+    val (files, dels) = resolvedLists(spark, table, asOf)
     val kept = FileStats.prune(spark, table, files, predicate)
     if (kept.isEmpty) read(spark, table, asOf).filter(predicate).limit(0)
-    else liveView(spark, table, kept, deleteFiles(spark, table, asOf),
+    else liveView(spark, table, kept, dels,
       fs0 => spark.read.parquet(fs0: _*)).filter(predicate)
   }
 
@@ -1878,6 +1932,10 @@ object Snapshots {
     if (pf.exists(sch))
       org.apache.hadoop.fs.FileUtil.copy(pf, sch, f,
         schemaPath(branch), false, conf): Unit
+    val dm = new Path(s"$parent/deletemode")
+    if (pf.exists(dm))
+      org.apache.hadoop.fs.FileUtil.copy(pf, dm, f,
+        new Path(s"$branch/deletemode"), false, conf): Unit
     val stats = new Path(s"$parent/stats")
     if (pf.exists(stats)) pf.listStatus(stats).foreach { st =>
       org.apache.hadoop.fs.FileUtil.copy(pf, st.getPath, f,

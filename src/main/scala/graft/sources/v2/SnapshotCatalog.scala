@@ -170,7 +170,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       new util.HashMap[String, String](opts))
   }
 
-  private val MetadataKinds = Set("history", "files", "tags")
+  private val MetadataKinds = Set("history", "files", "tags", "delete_files")
 
   /** Read-only metadata tables over a snapshot table's manifest state
     * (the Iceberg `db.t.history` surface):
@@ -192,7 +192,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     // history and tags are whole-table ledgers: an AS OF against them
     // has no single honest meaning, so it is refused rather than
     // silently ignored (files supports VERSION AS OF — see below)
-    if (kind != "files" && extra.nonEmpty)
+    if (kind != "files" && kind != "delete_files" && extra.nonEmpty)
       throw new IllegalArgumentException(
         s"graft-snapshot $parentPath.$kind: time travel is not " +
           "supported on this metadata table")
@@ -213,6 +213,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           .add("rows", LongType).add("size_bytes", LongType)
         case "tags" => new StructType()
           .add("name", StringType).add("version", LongType)
+        case "delete_files" => new StructType()
+          .add("path", StringType).add("positions", LongType)
+          .add("size_bytes", LongType)
       }
 
       override def capabilities(): util.Set[TableCapability] =
@@ -240,7 +243,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
                   case (n, v) =>
                     InternalRow.fromSeq(Seq(UTF8String.fromString(n), v))
                 }.toArray
-              case "files" =>
+              case "files" | "delete_files" =>
                 // time travel: `t.files VERSION AS OF <v|'tag'>` lists
                 // THAT version's file set — serving HEAD under an asOf
                 // would be a silent wrong answer. TIMESTAMP AS OF is
@@ -253,9 +256,26 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
                   })
                 if (extra.contains("asOfTimestamp"))
                   throw new IllegalArgumentException(
-                    s"graft-snapshot $parentPath.files: TIMESTAMP AS OF " +
+                    s"graft-snapshot $parentPath.$kind: TIMESTAMP AS OF " +
                       "is not supported on metadata tables; use " +
                       "VERSION AS OF <version|'tag'>")
+                if (kind == "delete_files") {
+                  // outstanding merge-on-read sidecars of the version:
+                  // path, recorded positions (footer row count — a
+                  // sidecar row IS one deleted position), on-disk size
+                  val fsys = new Path(parentPath).getFileSystem(
+                    sp.sparkContext.hadoopConfiguration)
+                  return Snapshots.deleteFiles(sp, parentPath, asOf).map { p =>
+                    val (n, size) =
+                      try {
+                        val st = fsys.getFileStatus(new Path(p))
+                        (sp.read.parquet(p).count(), st.getLen)
+                      } catch {
+                        case scala.util.control.NonFatal(_) => (-1L, -1L)
+                      }
+                    InternalRow.fromSeq(Seq(UTF8String.fromString(p), n, size))
+                  }.toArray
+                }
                 val detail = graft.sources.FileStats.loadDetail(sp, parentPath)
                 val fsys = new Path(parentPath).getFileSystem(
                   sp.sparkContext.hadoopConfiguration)
@@ -358,6 +378,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         c -> v.trim.toLong
     }.toMap
     if (blooms.nonEmpty) Snapshots.setBloomSpec(spark, path, blooms)
+    // DELETE routing: 'merge-on-read' = position-delete sidecars,
+    // 'copy-on-write' (default) = touched-file rewrites
+    props.get("write.delete.mode").foreach(
+      Snapshots.setDeleteMode(spark, path, _))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -498,7 +522,27 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         b.scale == a.scale && b.precision > a.precision
       case _ => false
     }
-    val adds = changes.collect { case a: TableChange.AddColumn =>
+    // ALTER TABLE SET/UNSET TBLPROPERTIES for the declared DELETE
+    // routing — metadata-only, like the DDL-time spelling
+    changes.foreach {
+      case s: TableChange.SetProperty if s.property == "write.delete.mode" =>
+        Snapshots.setDeleteMode(spark, path, s.value)
+      case r: TableChange.RemoveProperty if r.property == "write.delete.mode" =>
+        Snapshots.setDeleteMode(spark, path, Snapshots.CowMode)
+      case p @ (_: TableChange.SetProperty | _: TableChange.RemoveProperty) =>
+        // a silently-swallowed property is a lie to the DDL author
+        throw new UnsupportedOperationException(
+          s"graft-snapshot: unsupported table property change ($p) — " +
+            "'write.delete.mode' is the one ALTER-able property; layout " +
+            "specs (write.order / bloom.*) change via CALL procedures")
+      case _ => ()
+    }
+    val schemaChanges = changes.filter {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => false
+      case _ => true
+    }
+    if (schemaChanges.isEmpty) return loadTable(ident)
+    val adds = schemaChanges.collect { case a: TableChange.AddColumn =>
       require(a.fieldNames.length == 1,
         "graft-snapshot: ADD COLUMNS supports top-level columns only")
       require(a.isNullable,
@@ -506,18 +550,18 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           "have no values for them)")
       a
     }
-    val widenings = changes.collect { case u: TableChange.UpdateColumnType =>
+    val widenings = schemaChanges.collect { case u: TableChange.UpdateColumnType =>
       require(u.fieldNames.length == 1,
         "graft-snapshot: ALTER COLUMN TYPE supports top-level columns only")
       u
     }
-    changes.foreach {
+    schemaChanges.foreach {
       case _: TableChange.AddColumn | _: TableChange.UpdateColumnType => ()
       case other => throw new UnsupportedOperationException(
-        s"graft-snapshot: unsupported ALTER ($other) — only ADD COLUMNS and " +
-          "lossless type WIDENING are metadata-sound here; renames/drops/" +
-          "narrowings go through overwrite commits (INSERT OVERWRITE with " +
-          "the new shape)")
+        s"graft-snapshot: unsupported ALTER ($other) — only ADD COLUMNS, " +
+          "lossless type WIDENING, and write.delete.mode TBLPROPERTIES are " +
+          "metadata-sound here; renames/drops/narrowings go through " +
+          "overwrite commits (INSERT OVERWRITE with the new shape)")
     }
     val current = loadTable(ident).columns()
     val base = Snapshots.declaredSchema(spark, path).getOrElse {

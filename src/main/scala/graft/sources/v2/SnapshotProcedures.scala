@@ -118,6 +118,15 @@ private[v2] object SnapshotProcedures {
         row(Snapshots.binPack(spark, path(wh, in.getString(0)),
           in.getInt(1).toLong << 20, in.getInt(2)))
     }),
+    // fold outstanding merge-on-read position-delete sidecars back into
+    // plain data files (only sidecar-touched files rewrite); returns the
+    // published version (unchanged head when nothing was outstanding)
+    "purge_deletes" -> (wh => new Proc("purge_deletes",
+      Seq(param("table", StringType)),
+      schema("version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] =
+        row(Snapshots.purgeDeletes(spark, path(wh, in.getString(0))))
+    }),
     "restore" -> (wh => new Proc("restore",
       Seq(param("table", StringType), param("version", LongType)),
       schema("version" -> LongType)) {

@@ -974,9 +974,17 @@ private[graft] class SnapshotTable(path: String, tableSchema: StructType,
 
   override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.functions.lit
+    val spark = SparkSession.active
     val pred = filters.flatMap(toColumn)
       .reduceOption(_ && _).getOrElse(lit(true))
-    Snapshots.deleteWhere(SparkSession.active, path, pred): Unit
+    // 'write.delete.mode' = 'merge-on-read' routes to the position-
+    // delete sidecar path (commit cost ∝ matched rows); the default
+    // stays copy-on-write (files containing matches rewrite). Both run
+    // on the live view, so they stack in any order.
+    if (Snapshots.deleteMode(spark, path) == Snapshots.MorMode)
+      Snapshots.deleteWhereMor(spark, path, pred): Unit
+    else
+      Snapshots.deleteWhere(spark, path, pred): Unit
   }
 
   override def schema(): StructType = tableSchema

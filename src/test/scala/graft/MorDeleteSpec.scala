@@ -244,6 +244,80 @@ class MorDeleteSpec extends SparkTestBase {
       ((1L to 20L).filterNot(_ == 15L)))
   }
 
+  private lazy val wh = {
+    val dir = java.nio.file.Files.createTempDirectory("morwh").toString
+    spark.conf.set("spark.sql.catalog.mor_cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mor_cat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS mor_cat.ns")
+    dir
+  }
+
+  test("SQL: write.delete.mode='merge-on-read' routes DELETE FROM to sidecars") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mor_cat.ns.m1")
+    spark.sql("CREATE TABLE mor_cat.ns.m1 (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO mor_cat.ns.m1 SELECT id, id * 2 FROM range(1000)")
+    val filesBefore = Snapshots.dataFiles(spark, s"$wh/ns/m1").toSet
+    spark.sql("DELETE FROM mor_cat.ns.m1 WHERE id < 100")
+    // no data file rewrote; a sidecar appeared
+    assert(Snapshots.dataFiles(spark, s"$wh/ns/m1").toSet === filesBefore)
+    assert(Snapshots.deleteFiles(spark, s"$wh/ns/m1").size === 1)
+    assert(spark.sql("SELECT count(*) FROM mor_cat.ns.m1").head().getLong(0) === 900)
+    assert(spark.sql("SELECT sum(v) FROM mor_cat.ns.m1").head().getLong(0) ===
+      (100L until 1000L).map(_ * 2).sum)
+    // metadata table lists the sidecar with its recorded positions
+    val df = spark.sql("SELECT * FROM mor_cat.ns.m1.delete_files").collect()
+    assert(df.length === 1 && df.head.getLong(1) === 100L)
+    // CALL purge_deletes folds it back in
+    val v = spark.sql("CALL mor_cat.system.purge_deletes(table => 'ns.m1')")
+      .head().getLong(0)
+    assert(Snapshots.deleteFiles(spark, s"$wh/ns/m1").isEmpty)
+    assert(spark.sql("SELECT count(*) FROM mor_cat.ns.m1").head().getLong(0) === 900)
+    assert(spark.sql(s"SELECT count(*) FROM mor_cat.ns.m1 VERSION AS OF ${v - 1}")
+      .head().getLong(0) === 900)
+    assert(spark.sql("SELECT count(*) FROM mor_cat.ns.m1.delete_files")
+      .head().getLong(0) === 0)
+  }
+
+  test("SQL: ALTER TABLE SET TBLPROPERTIES flips delete routing both ways") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mor_cat.ns.m2")
+    spark.sql("CREATE TABLE mor_cat.ns.m2 (id BIGINT)")
+    spark.sql("INSERT INTO mor_cat.ns.m2 SELECT id FROM range(100)")
+    // default COW: the delete rewrites the touched file
+    spark.sql("DELETE FROM mor_cat.ns.m2 WHERE id = 0")
+    assert(Snapshots.deleteFiles(spark, s"$wh/ns/m2").isEmpty)
+    spark.sql("ALTER TABLE mor_cat.ns.m2 SET TBLPROPERTIES " +
+      "('write.delete.mode' = 'merge-on-read')")
+    spark.sql("DELETE FROM mor_cat.ns.m2 WHERE id = 1")
+    assert(Snapshots.deleteFiles(spark, s"$wh/ns/m2").size === 1)
+    spark.sql("ALTER TABLE mor_cat.ns.m2 UNSET TBLPROPERTIES ('write.delete.mode')")
+    spark.sql("DELETE FROM mor_cat.ns.m2 WHERE id = 2")
+    // back to COW: no new sidecar, and the old one still applies
+    assert(Snapshots.deleteFiles(spark, s"$wh/ns/m2").size <= 1)
+    assert(spark.sql("SELECT count(*) FROM mor_cat.ns.m2").head().getLong(0) === 97)
+  }
+
+  test("SQL: UPDATE/MERGE INTO refuse on outstanding deletes, naming the purge") {
+    wh
+    spark.sql("DROP TABLE IF EXISTS mor_cat.ns.m3")
+    spark.sql("CREATE TABLE mor_cat.ns.m3 (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read')")
+    spark.sql("INSERT INTO mor_cat.ns.m3 SELECT id, 0 FROM range(100)")
+    spark.sql("DELETE FROM mor_cat.ns.m3 WHERE id = 5")
+    val e = intercept[Exception] {
+      spark.sql("UPDATE mor_cat.ns.m3 SET v = 1 WHERE id = 6")
+    }
+    assert(e.getMessage.contains("purge_deletes"))
+    // purge, then the UPDATE goes through
+    spark.sql("CALL mor_cat.system.purge_deletes(table => 'ns.m3')")
+    spark.sql("UPDATE mor_cat.ns.m3 SET v = 1 WHERE id = 6")
+    assert(spark.sql("SELECT v FROM mor_cat.ns.m3 WHERE id = 6")
+      .head().getLong(0) === 1L)
+  }
+
   test("sidecar schema and content: (file_path, pos) of exactly the matched rows") {
     val t = freshDir("sidecar")
     Snapshots.commit((0L to 99L).toDF("id").coalesce(1), t)

@@ -36,7 +36,10 @@ class PlanLintSpec extends SparkTestBase {
     // q98 broadcasts its 1-row pre-publish count (p4's report shape)
     "q98_wap_publish",
     // q101 broadcasts the same 1-row count, read back through the tag
-    "q101_sql_wap")
+    "q101_sql_wap",
+    // q105/q106 broadcast a 1-row pre-delete / sidecar count (q98's
+    // report shape); their data-path joins are broadcast-hash anti
+    "q105_mor_delete", "q106_mor_sql")
 
   test("no unintended CartesianProduct or nested-loop join in any registered query plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

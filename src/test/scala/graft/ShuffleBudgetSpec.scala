@@ -205,6 +205,13 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q102_bloom_lookup" -> 2,
     // q103: one per-status aggregation shuffle over the pruned read
     "q103_write_order" -> 1,
+    // q105: per-lang agg shuffle + the MOR anti-join's broadcast
+    // delete side + the 1-row pre-delete count (agg + broadcast)
+    "q105_mor_delete" -> 4,
+    // q106: two per-status aggs (post-purge head + asOf v4 under two
+    // sidecars), the v4 read's broadcast delete side, the cur/mor
+    // join, and the 1-row sidecar-count cross join broadcast
+    "q106_mor_sql" -> 6,
     // q101: per-lang aggregation + the 1-row tagged-version count
     // broadcast (q98's shape, built via SQL CALLs)
     "q101_sql_wap" -> 2)
