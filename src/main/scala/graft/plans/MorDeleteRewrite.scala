@@ -46,6 +46,12 @@ class MorDeleteRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def liveViewOf(r: DataSourceV2Relation): Option[LogicalPlan] =
     r.table match {
+      // a read that references the row-identity metadata columns keeps
+      // its native scan: RowIdentityScan subtracts outstanding
+      // positions itself (it is position-aware by construction), and
+      // the V1 live view could not produce those columns anyway
+      case _ if r.output.exists(a =>
+          graft.sources.v2.RowIdentity.isIdentity(a.name)) => None
       case t: graft.sources.v2.SnapshotTable =>
         t.morState.map { case (path, version) =>
           val live = Snapshots.read(spark, path, Some(version))
@@ -62,6 +68,14 @@ class MorDeleteRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // fire once the (sub)plan is fully resolved: the rewrite preserves
     // every attribute id, so nothing above re-resolves
     if (!plan.resolved) return plan
+    // resolver-window guard: ResolveReferences can bind a metadata
+    // column (e.g. __gr_pos) from the relation's metadataOutput one
+    // iteration BEFORE AddMetadataColumns promotes it into the
+    // relation's output — the plan reports resolved, but an operator
+    // still has missingInput. Rewriting in that window would strip the
+    // metadata column for good; waiting one iteration lets the
+    // promotion land (after which the identity guard below skips).
+    if (plan.exists(p => p.missingInput.nonEmpty)) return plan
     val shields = shieldedTargets(plan)
     def shielded(r: LogicalPlan): Boolean =
       shields.exists(_.exists(_ eq r))

@@ -444,8 +444,22 @@ object Snapshots {
   val CowMode = "copy-on-write"
   val MorMode = "merge-on-read"
 
-  def deleteMode(spark: SparkSession, table: String): String = {
-    val p = new Path(s"$table/deletemode")
+  /** Per-command DML routing kinds (Iceberg's property family):
+    * `delete` gates plain `DELETE FROM` AND the subquery-DELETE
+    * row-level plan; `update`/`merge` gate SQL UPDATE / MERGE INTO. In
+    * merge-on-read mode the command plans as a position-delta write
+    * (sidecar + appended rows, [[graft.sources.v2.SnapshotDeltaOperation]]);
+    * copy-on-write (default) keeps the group-based file rewrite.
+    */
+  val DmlKinds: Seq[String] = Seq("delete", "update", "merge")
+
+  private def modeFile(table: String, kind: String): Path = {
+    require(DmlKinds.contains(kind), s"unknown DML kind '$kind'")
+    new Path(s"$table/${kind}mode")
+  }
+
+  def dmlMode(spark: SparkSession, table: String, kind: String): String = {
+    val p = modeFile(table, kind)
     val f = fs(spark, table)
     if (!f.exists(p)) CowMode
     else {
@@ -456,21 +470,28 @@ object Snapshots {
     }
   }
 
-  def setDeleteMode(spark: SparkSession, table: String, mode: String): Unit = {
+  def setDmlMode(spark: SparkSession, table: String, kind: String,
+      mode: String): Unit = {
     require(mode == CowMode || mode == MorMode,
-      s"write.delete.mode must be '$CowMode' or '$MorMode', got '$mode'")
+      s"write.$kind.mode must be '$CowMode' or '$MorMode', got '$mode'")
     val f = fs(spark, table)
-    val p = new Path(s"$table/deletemode")
+    val p = modeFile(table, kind)
     if (mode == CowMode) { f.delete(p, false); return } // default = no file
-    val tmp = new Path(s"$table/.deletemode.${java.util.UUID.randomUUID}.tmp")
+    val tmp = new Path(s"$table/.${kind}mode.${java.util.UUID.randomUUID}.tmp")
     val out = f.create(tmp, false)
     try out.write(mode.getBytes("UTF-8")) finally out.close()
     f.delete(p, false)
     if (!publishAtomic(f, tmp, p)) {
       f.delete(tmp, false)
-      throw new IllegalStateException(s"concurrent deletemode update on $table")
+      throw new IllegalStateException(s"concurrent ${kind}mode update on $table")
     }
   }
+
+  def deleteMode(spark: SparkSession, table: String): String =
+    dmlMode(spark, table, "delete")
+
+  def setDeleteMode(spark: SparkSession, table: String, mode: String): Unit =
+    setDmlMode(spark, table, "delete", mode)
 
   /** Apply the table's declared sort order to an outgoing frame:
     * range-repartition on the sort columns (disjoint per-file key
@@ -1329,6 +1350,28 @@ object Snapshots {
     publishRebase(spark, table, src, manifestFiles(spark, table, src),
       removedNorm, added, op, reclaimOnAbort)
 
+  /** Delta (merge-on-read) commit for the SQL row-level write path
+    * (UPDATE / MERGE INTO / subquery DELETE on a `merge-on-read`-mode
+    * table, planned by Spark as a WriteDelta over the V2 table): carry
+    * every prior file, append the new data files, reference the new
+    * position-delete sidecars. Same serializable contract as
+    * [[deleteWhereMor]]: a concurrent writer that rewrote any file the
+    * new positions target aborts this commit (the positions would be
+    * stale); benign interleaved appends and disjoint MOR deletes rebase
+    * freely.
+    */
+  private[graft] def publishDelta(spark: SparkSession, table: String,
+      src: Long, dataFiles: Seq[String], sidecars: Seq[String], op: String,
+      reclaimOnAbort: Seq[Path]): Long = {
+    val targeted =
+      if (sidecars.isEmpty) Set.empty[String]
+      else PositionDeletes.referencedDataFiles(spark, sidecars)
+        .map(normPath).toSet
+    publishRebase(spark, table, src, manifestFiles(spark, table, src),
+      Set.empty, dataFiles, op, reclaimOnAbort, addedDeletes = sidecars,
+      requireDataPresentNorm = targeted)
+  }
+
   private def publishRebase(spark: SparkSession, table: String, src: Long,
       srcFiles: Seq[String], removedNorm: Set[String], added: Seq[String],
       op: String, reclaimOnAbort: Seq[Path], token: Option[String] = None,
@@ -1932,10 +1975,12 @@ object Snapshots {
     if (pf.exists(sch))
       org.apache.hadoop.fs.FileUtil.copy(pf, sch, f,
         schemaPath(branch), false, conf): Unit
-    val dm = new Path(s"$parent/deletemode")
-    if (pf.exists(dm))
-      org.apache.hadoop.fs.FileUtil.copy(pf, dm, f,
-        new Path(s"$branch/deletemode"), false, conf): Unit
+    DmlKinds.foreach { kind =>
+      val dm = new Path(s"$parent/${kind}mode")
+      if (pf.exists(dm))
+        org.apache.hadoop.fs.FileUtil.copy(pf, dm, f,
+          new Path(s"$branch/${kind}mode"), false, conf): Unit
+    }
     val stats = new Path(s"$parent/stats")
     if (pf.exists(stats)) pf.listStatus(stats).foreach { st =>
       org.apache.hadoop.fs.FileUtil.copy(pf, st.getPath, f,

@@ -1,0 +1,458 @@
+package graft.sources.v2
+
+import java.util.UUID
+
+import graft.sources.{FileStats, PositionDeletes, Snapshots}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.connector.catalog.MetadataColumn
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.datasources.{FileFormat, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DELTA-BASED (merge-on-read) row-level operations for the snapshot
+  * format — the second half of the SQL DML story. The group-based COW
+  * path (RowLevelOps.scala) rewrites every file that CONTAINS a match;
+  * this path writes only the CHANGES: matched rows' (file, position)
+  * identities go to a position-delete sidecar, updated/inserted rows go
+  * to new data files, and untouched bytes are never rewritten. Commit
+  * cost is ∝ the match set, not ∝ touched-file bytes — on a 100 TB
+  * table a 0.1%-scattered UPDATE that would COW-rewrite most files
+  * becomes a few MB of sidecar + the updated rows.
+  *
+  * This is Spark's own first-class connector contract for the shape
+  * ([[org.apache.spark.sql.connector.write.SupportsDelta]], the API
+  * Iceberg's position-delta mode rides): the analyzer's
+  * RewriteUpdateTable / RewriteMergeIntoTable / RewriteDeleteFromTable
+  * plan a `WriteDelta` whose scan exposes each row's identity through
+  * the table's metadata columns (`__gr_file`, `__gr_pos` — see
+  * [[RowIdentity]]) and whose writer receives per-row
+  * delete/update/insert calls with the identity projected alongside.
+  * Nothing here re-implements the rewrite; the connector supplies the
+  * three seams Spark asks for:
+  *
+  *  1. the ROW-IDENTITY SCAN ([[RowIdentityScan]]) — a parquet read
+  *     over the (FileStats-pruned) file list that also produces the
+  *     row's data-file path and its ordinal within that file. The
+  *     ordinal rides the parquet reader's own row-index machinery (the
+  *     same mechanism behind `_metadata.row_index`, exact under splits
+  *     and row-group pruning); rows already subtracted by OUTSTANDING
+  *     sidecars are skipped, so stacked MOR DML never records a
+  *     position twice.
+  *  2. the DELTA WRITE ([[SnapshotDeltaBatchWrite]]) — each task
+  *     streams deletes into a position-delete sidecar and
+  *     updates/inserts into new data files (both through the same
+  *     [[SnapshotParquetWriter]] the COW write uses), and the driver
+  *     publishes one manifest commit: all prior files carried, new
+  *     data files appended, new sidecars added as `D ` lines.
+  *  3. the CONFLICT contract — the publish refuses if a concurrent
+  *     writer rewrote any file the new positions target (the rebase's
+  *     `requireDataPresentNorm`, same serializable-writer rule as the
+  *     Scala-API [[Snapshots.deleteWhereMor]]).
+  *
+  * Routing: `write.update.mode` / `write.merge.mode` / subquery-DELETE
+  * `write.delete.mode` TBLPROPERTIES select `merge-on-read` per
+  * command ([[Snapshots.dmlMode]]); the default stays copy-on-write.
+  * Reads of the result resolve through the analysis-time live-view
+  * rewrite ([[graft.plans.MorDeleteRewrite]]) until a purge/compaction
+  * folds the sidecars back in.
+  */
+private[graft] object RowIdentity {
+
+  /** Metadata-column names (Iceberg's `_file`/`_pos`, double-underscored
+    * to stay out of user schemas). Non-nullable by contract — Spark's
+    * row-level rewrite refuses nullable row IDs.
+    */
+  val FileCol = "__gr_file"
+  val PosCol = "__gr_pos"
+
+  def isIdentity(name: String): Boolean = name == FileCol || name == PosCol
+
+  val columns: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name: String = FileCol
+      override def dataType: DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment: String = "absolute data-file path of the row"
+    },
+    new MetadataColumn {
+      override def name: String = PosCol
+      override def dataType: DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment: String = "row ordinal within its data file"
+    })
+
+  /** The exact string `_metadata.file_path` yields for a manifest path —
+    * sidecar entries must compare EQUAL to the V1 metadata column on the
+    * live-view anti-join side, so the emitted string is the FULLY
+    * QUALIFIED path (manifest entries may be scheme-less: the V2 task
+    * writers record raw `dir/part-...` strings, while V1 `listStatus`
+    * qualifies — an unqualified sidecar entry would silently never
+    * match and the deleted row would resurrect).
+    */
+  def filePathString(fs: org.apache.hadoop.fs.FileSystem,
+      manifestPath: String): String =
+    fs.makeQualified(new Path(manifestPath)).toString
+}
+
+/** One whole data file per partition: the reader needs file-stable row
+  * ordinals, and a per-file partition keeps the delete-skip set local.
+  * `deleted` is the sorted ordinals already subtracted by outstanding
+  * sidecars (empty on sidecar-free tables).
+  */
+private[v2] final case class RowIdentityPartition(
+    file: String, emitPath: String, length: Long,
+    deleted: Array[Long]) extends InputPartition
+
+/** Scan producing data columns plus the row-identity metadata columns.
+  * `output` is the pruned schema Spark requested (data columns in any
+  * order, optionally `__gr_file`/`__gr_pos` anywhere); the reader maps
+  * each output field to the parquet row, the partition's file path, or
+  * the parquet-reader-generated row index.
+  *
+  * Filters are applied at FILE granularity only (FileStats pruning by
+  * the caller); nothing is pushed into parquet, so the scan's rows per
+  * surviving file are exactly the file's live rows. Driver memory:
+  * outstanding-deleted positions for the kept files are loaded once and
+  * shipped per partition — bounded by unpurged deleted rows (the same
+  * envelope as [[PositionDeletes.deleteSide]]'s broadcast; purge folds
+  * it to zero).
+  */
+private[v2] final class RowIdentityScan(
+    tablePath: String,
+    dataSchema: StructType,
+    output: StructType,
+    files: Seq[String],
+    deletes: Seq[String]) extends Scan {
+
+  override def readSchema(): StructType = output
+
+  override def description(): String =
+    s"graft-snapshot row-identity $tablePath (${files.size} files)"
+
+  override def toBatch: Batch = {
+    val spark = SparkSession.active
+    val dataFields = output.fields.filterNot(f => RowIdentity.isIdentity(f.name))
+    // reader row = requested data columns (in output order) + the
+    // parquet row-index column the reader fills natively. The temp
+    // field must be NULLABLE: the parquet reader treats a required
+    // missing column as an error, while an optional one is null-filled
+    // and then OVERWRITTEN by the row-index generator
+    val readerSchema = StructType(dataFields :+ StructField(
+      ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME, LongType, nullable = true))
+    val posIdx = dataFields.length
+    val plan: Array[Int] = output.fields.map { f =>
+      if (f.name == RowIdentity.FileCol) -1
+      else if (f.name == RowIdentity.PosCol) -2
+      else dataFields.indexWhere(_.name == f.name)
+    }
+    val dataTypes: Array[DataType] = dataFields.map(_.dataType)
+    val options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false")
+    val readerFor = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark,
+      dataSchema = dataSchema,
+      partitionSchema = StructType(Nil),
+      requiredSchema = readerSchema,
+      filters = Nil,
+      options = options,
+      hadoopConf = spark.sessionState.newHadoopConfWithOptions(options))
+    // deleted ordinals grouped per kept file (scheme-insensitive match)
+    val deletedByFile: Map[String, Array[Long]] =
+      if (deletes.isEmpty) Map.empty
+      else {
+        import org.apache.spark.sql.functions.col
+        spark.read.schema(PositionDeletes.schema).parquet(deletes: _*)
+          .select(col(PositionDeletes.FileCol), col(PositionDeletes.PosCol))
+          .collect()
+          .groupBy(r => new Path(r.getString(0)).toUri.getPath)
+          .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }
+      }
+    val fsys = new Path(tablePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts: Array[InputPartition] = files.map { f =>
+      val len = fsys.getFileStatus(new Path(f)).getLen
+      RowIdentityPartition(f, RowIdentity.filePathString(fsys, f), len,
+        deletedByFile.getOrElse(new Path(f).toUri.getPath, Array.emptyLongArray))
+        : InputPartition
+    }.toArray
+    new RowIdentityBatch(readerFor, plan, dataTypes, posIdx, parts)
+  }
+}
+
+private[v2] final class RowIdentityBatch(
+    readerFor: PartitionedFile => Iterator[InternalRow],
+    plan: Array[Int], dataTypes: Array[DataType], posIdx: Int,
+    parts: Array[InputPartition]) extends Batch {
+  override def planInputPartitions(): Array[InputPartition] = parts
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RowIdentityReaderFactory(readerFor, plan, dataTypes, posIdx)
+}
+
+private[v2] final class RowIdentityReaderFactory(
+    readerFor: PartitionedFile => Iterator[InternalRow],
+    plan: Array[Int], dataTypes: Array[DataType], posIdx: Int)
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new RowIdentityReader(readerFor, plan, dataTypes, posIdx,
+      p.asInstanceOf[RowIdentityPartition])
+}
+
+private[v2] final class RowIdentityReader(
+    readerFor: PartitionedFile => Iterator[InternalRow],
+    plan: Array[Int], dataTypes: Array[DataType], posIdx: Int,
+    part: RowIdentityPartition) extends PartitionReader[InternalRow] {
+
+  private val inner = readerFor(PartitionedFile(
+    InternalRow.empty, SparkPath.fromPathString(part.file), 0L, part.length,
+    Array.empty[String], 0L, part.length))
+  // the exact string the V1 `_metadata.file_path` column would carry —
+  // sidecar entries written from this value anti-join cleanly on read
+  private val fileUtf8 = UTF8String.fromString(part.emitPath)
+  private var current: InternalRow = null
+
+  override def next(): Boolean = {
+    while (inner.hasNext) {
+      val r = inner.next()
+      val pos = r.getLong(posIdx)
+      if (part.deleted.isEmpty ||
+          java.util.Arrays.binarySearch(part.deleted, pos) < 0) {
+        val out = new Array[Any](plan.length)
+        var i = 0
+        while (i < plan.length) {
+          val p = plan(i)
+          out(i) =
+            if (p == -1) fileUtf8
+            else if (p == -2) java.lang.Long.valueOf(pos)
+            else if (r.isNullAt(p)) null
+            // copy out of the (possibly reused/vectorized) reader row
+            else InternalRow.copyValue(r.get(p, dataTypes(p)))
+          i += 1
+        }
+        current = new GenericInternalRow(out)
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = inner match {
+    case c: java.io.Closeable => c.close()
+    case _ => ()
+  }
+}
+
+/** The merge-on-read row-level operation: Spark plans UPDATE / MERGE /
+  * subquery-DELETE over it as a WriteDelta (per-row change log) instead
+  * of a group rewrite. Row identity = the table's metadata columns.
+  */
+private[v2] final class SnapshotDeltaOperation(
+    val path: String, cmd: Command,
+    resolveTable: () => ResolvedSnapshot)
+    extends RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  @volatile private var pinned: ResolvedSnapshot = null
+  private[v2] def pin(): ResolvedSnapshot = {
+    if (pinned == null) pinned = resolveTable()
+    pinned
+  }
+
+  override def command(): Command = cmd
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(RowIdentity.FileCol),
+    Expressions.column(RowIdentity.PosCol))
+
+  override def requiredMetadataAttributes(): Array[NamedReference] = Array.empty
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new DeltaScanBuilder(this, options)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = {
+        // inserts/updates must carry the committed column set (order is
+        // free: parquet resolves by name); a DELETE's row schema is
+        // empty and its data writer never materializes
+        if (info.schema().nonEmpty) {
+          val committed = pin().table.schema
+          def sig(s: StructType) =
+            s.fields.map(f => (f.name, f.dataType)).sortBy(_._1).toSeq
+          require(sig(committed) == sig(info.schema()),
+            s"graft-snapshot $path: mor-$cmd write schema " +
+              s"${info.schema()} does not match committed schema $committed")
+        }
+        new SnapshotDeltaWrite(SnapshotDeltaOperation.this, info.schema())
+      }
+    }
+
+  override def description: String = s"graft-snapshot mor-$cmd $path"
+}
+
+/** Scan builder for the delta read: pushed filters prune FILES through
+  * the footer stats (a selective MOR UPDATE probes only the files whose
+  * ranges can match); every filter is returned residual and none
+  * reaches parquet, so row ordinals stay trivially aligned with the
+  * file scan and Spark re-applies the condition row-level above.
+  */
+private[v2] final class DeltaScanBuilder(op: SnapshotDeltaOperation,
+    options: CaseInsensitiveStringMap) extends ScanBuilder
+    with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+
+  private var groupFilters: Seq[Expression] = Nil
+  private var required: Option[StructType] = None
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    groupFilters = filters
+    filters
+  }
+
+  override def pushedFilters: Array[Predicate] = Array.empty
+
+  override def pruneColumns(s: StructType): Unit = required = Some(s)
+
+  override def build(): Scan = {
+    val spark = SparkSession.active
+    val resolved = op.pin()
+    val kept = FileStats.pruneResolved(
+      spark, resolved.path, resolved.files, groupFilters)
+    val output = required.getOrElse(StructType(
+      resolved.table.schema.fields ++
+        Seq(StructField(RowIdentity.FileCol, StringType, nullable = false),
+          StructField(RowIdentity.PosCol, LongType, nullable = false))))
+    new RowIdentityScan(resolved.path, resolved.table.schema, output,
+      kept, resolved.deletes)
+  }
+}
+
+private[v2] final class SnapshotDeltaWrite(op: SnapshotDeltaOperation,
+    rowSchema: StructType) extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite = new SnapshotDeltaBatchWrite(op, rowSchema)
+  override def description(): String =
+    s"graft-snapshot mor-${op.command} ${op.path}"
+}
+
+private[v2] final case class SnapshotDeltaMessage(
+    dataFiles: Seq[String], deleteFiles: Seq[String]) extends WriterCommitMessage
+
+/** The distributed delta write: tasks write a position-delete sidecar
+  * (matched rows) and new data files (updated/inserted rows); the
+  * driver publishes ONE manifest commit carrying every prior file,
+  * appending the new data files and referencing the sidecars. A lost
+  * optimistic race against a writer that rewrote a targeted file aborts
+  * (positions would be stale); benign interleaved appends rebase.
+  */
+private[v2] final class SnapshotDeltaBatchWrite(op: SnapshotDeltaOperation,
+    rowSchema: StructType) extends DeltaBatchWrite {
+
+  private val dataDir = s"${op.path}/data/${UUID.randomUUID}"
+  private val delDir = s"${op.path}/deletes/${UUID.randomUUID}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    new SnapshotDeltaWriterFactory(dataDir, delDir, rowSchema.json,
+      SnapshotReplaceBatchWrite.parquetWriteConf() ++
+        Snapshots.bloomWriteOptions(SparkSession.active, op.path))
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val data = messages.iterator.collect {
+      case m: SnapshotDeltaMessage => m.dataFiles
+    }.flatten.toSeq.sorted
+    val dels = messages.iterator.collect {
+      case m: SnapshotDeltaMessage => m.deleteFiles
+    }.flatten.toSeq.sorted
+    if (data.isEmpty && dels.isEmpty) return // nothing matched: no-op
+    FileStats.record(spark, op.path, data)
+    Snapshots.publishDelta(spark, op.path, op.pin().version, data, dels,
+      s"sql-${op.command.toString.toLowerCase}-mor",
+      Seq(new Path(dataDir), new Path(delDir)))
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    Seq(dataDir, delDir).foreach { d =>
+      val p = new Path(d)
+      p.getFileSystem(conf).delete(p, true): Unit
+    }
+  }
+}
+
+private[v2] final class SnapshotDeltaWriterFactory(dataDir: String,
+    delDir: String, rowSchemaJson: String, conf: Map[String, String])
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new SnapshotDeltaWriter(dataDir, delDir, rowSchemaJson, conf,
+      partitionId, taskId)
+}
+
+/** Per-task delta writer: deletes stream into a sidecar parquet file,
+  * updates/inserts into a data parquet file — both lazily created, so a
+  * task with no matches contributes nothing. The `id` rows arrive
+  * projected in rowId() order = exactly the sidecar schema
+  * (file_path, pos).
+  */
+private[v2] final class SnapshotDeltaWriter(dataDir: String, delDir: String,
+    rowSchemaJson: String, conf: Map[String, String],
+    partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
+
+  private var dataW: SnapshotParquetWriter = null
+  private var delW: SnapshotParquetWriter = null
+
+  private def data(): SnapshotParquetWriter = {
+    if (dataW == null)
+      dataW = new SnapshotParquetWriter(dataDir, rowSchemaJson, conf,
+        partitionId, taskId)
+    dataW
+  }
+
+  private def del(): SnapshotParquetWriter = {
+    if (delW == null)
+      delW = new SnapshotParquetWriter(delDir, PositionDeletes.schema.json,
+        conf, partitionId, taskId)
+    delW
+  }
+
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    del().write(id)
+
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = {
+    del().write(id)
+    data().write(row)
+  }
+
+  override def insert(row: InternalRow): Unit = data().write(row)
+
+  override def commit(): WriterCommitMessage = {
+    def files(w: SnapshotParquetWriter): Seq[String] =
+      if (w == null) Nil
+      else w.commit() match {
+        case SnapshotFilesMessage(fs) => fs
+        case _ => Nil
+      }
+    SnapshotDeltaMessage(files(dataW), files(delW))
+  }
+
+  override def abort(): Unit = {
+    if (dataW != null) dataW.abort()
+    if (delW != null) delW.abort()
+  }
+
+  override def close(): Unit = {
+    if (dataW != null) dataW.close()
+    if (delW != null) delW.close()
+  }
+}

@@ -378,10 +378,13 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         c -> v.trim.toLong
     }.toMap
     if (blooms.nonEmpty) Snapshots.setBloomSpec(spark, path, blooms)
-    // DELETE routing: 'merge-on-read' = position-delete sidecars,
-    // 'copy-on-write' (default) = touched-file rewrites
-    props.get("write.delete.mode").foreach(
-      Snapshots.setDeleteMode(spark, path, _))
+    // DML routing per command: 'merge-on-read' = position-delete
+    // sidecars + appended rows (delta write), 'copy-on-write' (default)
+    // = touched-file rewrites
+    Snapshots.DmlKinds.foreach { kind =>
+      props.get(s"write.$kind.mode").foreach(
+        Snapshots.setDmlMode(spark, path, kind, _))
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -522,19 +525,22 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         b.scale == a.scale && b.precision > a.precision
       case _ => false
     }
-    // ALTER TABLE SET/UNSET TBLPROPERTIES for the declared DELETE
-    // routing — metadata-only, like the DDL-time spelling
+    // ALTER TABLE SET/UNSET TBLPROPERTIES for the declared DML routing
+    // — metadata-only, like the DDL-time spelling
+    val dmlModeProps = Snapshots.DmlKinds.map(k => s"write.$k.mode" -> k).toMap
     changes.foreach {
-      case s: TableChange.SetProperty if s.property == "write.delete.mode" =>
-        Snapshots.setDeleteMode(spark, path, s.value)
-      case r: TableChange.RemoveProperty if r.property == "write.delete.mode" =>
-        Snapshots.setDeleteMode(spark, path, Snapshots.CowMode)
+      case s: TableChange.SetProperty if dmlModeProps.contains(s.property) =>
+        Snapshots.setDmlMode(spark, path, dmlModeProps(s.property), s.value)
+      case r: TableChange.RemoveProperty if dmlModeProps.contains(r.property) =>
+        Snapshots.setDmlMode(spark, path, dmlModeProps(r.property),
+          Snapshots.CowMode)
       case p @ (_: TableChange.SetProperty | _: TableChange.RemoveProperty) =>
         // a silently-swallowed property is a lie to the DDL author
         throw new UnsupportedOperationException(
           s"graft-snapshot: unsupported table property change ($p) — " +
-            "'write.delete.mode' is the one ALTER-able property; layout " +
-            "specs (write.order / bloom.*) change via CALL procedures")
+            "'write.{delete,update,merge}.mode' are the ALTER-able " +
+            "properties; layout specs (write.order / bloom.*) change via " +
+            "CALL procedures")
       case _ => ()
     }
     val schemaChanges = changes.filter {

@@ -544,11 +544,22 @@ private[v2] class PruningScanBuilder(resolved: ResolvedSnapshot,
       case _ => Array.empty
     }
 
+  // the ORIGINAL pruned schema when it references the row-identity
+  // metadata columns (__gr_file/__gr_pos) — those route to the
+  // identity-producing scan; the inner parquet builder only ever sees
+  // data columns
+  private var identityRequested: Option[StructType] = None
+
   override def pruneColumns(s: StructType): Unit = {
-    required = Some(s)
+    val dataOnly =
+      if (s.fields.exists(f => RowIdentity.isIdentity(f.name))) {
+        identityRequested = Some(s)
+        StructType(s.fields.filterNot(f => RowIdentity.isIdentity(f.name)))
+      } else s
+    required = Some(dataOnly)
     mirror match {
       case m: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
-        m.pruneColumns(s)
+        m.pruneColumns(dataOnly)
       case _ => ()
     }
   }
@@ -578,6 +589,17 @@ private[v2] class PruningScanBuilder(resolved: ResolvedSnapshot,
   }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
+    // a query referencing the row-identity metadata columns takes the
+    // identity-producing scan: filters still prune files through the
+    // stats (then re-apply row-level above — none were claimed), and
+    // outstanding sidecars are subtracted natively (position-aware by
+    // construction), so this path needs no live-view rewrite
+    identityRequested.foreach { out =>
+      val kept = graft.sources.FileStats.pruneResolved(
+        SparkSession.active, resolved.path, resolved.files, catalystFilters)
+      return new RowIdentityScan(resolved.path, resolved.table.schema, out,
+        kept, resolved.deletes)
+    }
     // a snapshot with outstanding position deletes is readable ONLY
     // through the live-view rewrite (graft.plans.MorDeleteRewrite,
     // registered by GraftPlannerExtensions at analysis time) — a plan
@@ -891,19 +913,46 @@ private[graft] class SnapshotTable(path: String, tableSchema: StructType,
     resolveTable: () => ResolvedSnapshot) extends Table
     with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
   /** SQL `UPDATE` / `MERGE INTO` / subquery-predicate `DELETE`: Spark's
-    * rewrite rules plan these as a group-based copy-on-write ReplaceData
-    * over [[SnapshotRowLevelOperation]] (group = data file; only files
-    * that can contain a matching row rewrite — see RowLevelOps.scala).
-    * Simple translatable DELETEs still take the [[deleteWhere]] fast
-    * path via Spark's metadata-only-delete optimization.
+    * rewrite rules plan these per the table's declared per-command mode
+    * ([[Snapshots.dmlMode]]): copy-on-write (default) as a group-based
+    * ReplaceData over [[SnapshotRowLevelOperation]] (group = data file;
+    * only files that can contain a matching row rewrite — see
+    * RowLevelOps.scala); merge-on-read as a position-delta WriteDelta
+    * over [[SnapshotDeltaOperation]] (matched rows → sidecar,
+    * updated/inserted rows → appended files; no rewrite — see
+    * DeltaRowLevelOps.scala). Simple translatable DELETEs still take
+    * the [[deleteWhere]] fast path via Spark's metadata-only-delete
+    * optimization, which itself routes by mode.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    () => new SnapshotRowLevelOperation(path, info.command(), resolveTable)
+    () => {
+      import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+      val kind = info.command() match {
+        case Command.DELETE => "delete"
+        case Command.UPDATE => "update"
+        case Command.MERGE => "merge"
+      }
+      if (Snapshots.dmlMode(SparkSession.active, path, kind) == Snapshots.MorMode)
+        new SnapshotDeltaOperation(path, info.command(), resolveTable)
+      else
+        new SnapshotRowLevelOperation(path, info.command(), resolveTable)
+    }
+
+  /** Row-identity metadata columns (`__gr_file`, `__gr_pos` — Iceberg's
+    * `_file`/`_pos` shape): resolvable in any query over the table and
+    * the row-ID contract of the merge-on-read delta write. Produced by
+    * [[RowIdentityScan]] when referenced; hidden from `SELECT *`. A
+    * (pathological) user schema that claims the names shadows them.
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (tableSchema.fieldNames.exists(RowIdentity.isIdentity)) Array.empty
+    else RowIdentity.columns
 
   override def name(): String = s"graft-snapshot:$path"
 
