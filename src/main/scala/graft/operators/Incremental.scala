@@ -1547,6 +1547,118 @@ object Incremental {
          |            FROM $tbl.delete_files VERSION AS OF 4) sc""".stripMargin)
   }
 
+  /** q107: DELTA-BASED (merge-on-read) SQL UPDATE under the oracle gate
+    * — `write.update.mode = 'merge-on-read'` plans the UPDATE as a
+    * position-delta WriteDelta: the matched rows' identities land in a
+    * sidecar, the updated rows in appended files, and NO data file
+    * rewrites (commit cost ∝ matched rows — the 100 TB shape for a
+    * scattered UPDATE, where COW would rewrite nearly every file). The
+    * gated answer reads the live view per status and joins head vs the
+    * pre-update version for the changed-row count, so a resurrected
+    * position, a lost update, or a double-applied delta breaks the
+    * hash. MorDmlSpec pins the no-rewrite invariant.
+    */
+  val qMorUpdate: QuerySpec = QuerySpec.sql(
+    "q107_mor_update",
+    """WITH upd AS (
+      |  SELECT o_orderstatus,
+      |         CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 100
+      |              ELSE o_totalprice END AS price
+      |  FROM orders)
+      |SELECT o_orderstatus, COUNT(*) AS n_live,
+      |       CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       (SELECT COUNT(*) FROM orders WHERE o_orderkey % 7 = 3) AS n_changed
+      |FROM upd GROUP BY 1""".stripMargin) { (s, dir) =>
+    val wh = snapRoot(s, dir, "morupd")
+    val dirKey = Tables.dirKey(dir)
+    val cat = s"graft_morupd_$dirKey"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$cat.m.upd_t"
+    val srcView = s"q107_orders_$dirKey"
+    ensureBuilt(s, s"$wh/m/upd_t", 3) {
+      Tables.orders(s, dir).createOrReplaceTempView(srcView)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
+        "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('write.update.mode' = 'merge-on-read')")      // v1
+      s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, " +
+        s"o_totalprice FROM $srcView")                                // v2
+      s.sql(s"UPDATE $tbl SET o_totalprice = o_totalprice + 100 " +
+        "WHERE o_orderkey % 7 = 3")                        // v3: delta
+    }
+    s.sql(
+      s"""SELECT cur.o_orderstatus, cur.n_live, cur.revenue, ch.n_changed
+         |FROM (SELECT o_orderstatus, COUNT(*) AS n_live,
+         |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |      FROM $tbl GROUP BY 1) cur
+         |CROSS JOIN (SELECT COUNT(*) AS n_changed
+         |            FROM $tbl c JOIN $tbl VERSION AS OF 2 p USING (o_orderkey)
+         |            WHERE c.o_totalprice <> p.o_totalprice) ch""".stripMargin)
+  }
+
+  /** q108: DELTA-BASED (merge-on-read) SQL MERGE under the oracle gate
+    * — `write.merge.mode = 'merge-on-read'` plans the upsert as a
+    * WriteDelta: matched target rows are position-deleted, updated and
+    * brand-new rows append, every prior file carries by path. The gated
+    * answer aggregates the post-merge live view per status and carries
+    * the pre-merge row count through time travel, so a duplicated
+    * upsert, a missed insert, or a stale position breaks the hash.
+    */
+  val qMorMerge: QuerySpec = QuerySpec.sql(
+    "q108_mor_merge",
+    """WITH merged AS (
+      |  SELECT CASE WHEN o_orderkey % 10 = 1 THEN 'X' ELSE o_orderstatus END
+      |           AS o_orderstatus,
+      |         CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice + 5
+      |              ELSE o_totalprice END AS price
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT 'Z' AS o_orderstatus, CAST(1.5 AS DOUBLE) AS price
+      |  FROM orders WHERE o_orderkey % 100 = 7)
+      |SELECT o_orderstatus, COUNT(*) AS n_live,
+      |       CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       (SELECT COUNT(*) FROM orders) AS n_pre
+      |FROM merged GROUP BY 1""".stripMargin) { (s, dir) =>
+    val wh = snapRoot(s, dir, "mormrg")
+    val dirKey = Tables.dirKey(dir)
+    val cat = s"graft_mormrg_$dirKey"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val tbl = s"$cat.m.mrg_t"
+    val srcView = s"q108_orders_$dirKey"
+    ensureBuilt(s, s"$wh/m/mrg_t", 3) {
+      Tables.orders(s, dir).createOrReplaceTempView(srcView)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.m")
+      s.sql(s"CREATE TABLE IF NOT EXISTS $tbl " +
+        "(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) " +
+        "TBLPROPERTIES ('write.merge.mode' = 'merge-on-read')")       // v1
+      s.sql(s"INSERT INTO $tbl SELECT o_orderkey, o_orderstatus, " +
+        s"o_totalprice FROM $srcView")                                // v2
+      s.sql(
+        s"""MERGE INTO $tbl t USING (
+           |  SELECT o_orderkey, 'X' AS o_orderstatus,
+           |         CAST(o_totalprice AS DOUBLE) + 5 AS o_totalprice
+           |  FROM $srcView WHERE o_orderkey % 10 = 1
+           |  UNION ALL
+           |  SELECT o_orderkey + 700000000 AS o_orderkey,
+           |         'Z' AS o_orderstatus, CAST(1.5 AS DOUBLE) AS o_totalprice
+           |  FROM $srcView WHERE o_orderkey % 100 = 7
+           |) s ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)  // v3: delta
+    }
+    s.sql(
+      s"""SELECT cur.o_orderstatus, cur.n_live, cur.revenue, pre.n_pre
+         |FROM (SELECT o_orderstatus, COUNT(*) AS n_live,
+         |             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+         |      FROM $tbl GROUP BY 1) cur
+         |CROSS JOIN (SELECT COUNT(*) AS n_pre
+         |            FROM $tbl VERSION AS OF 2) pre""".stripMargin)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
@@ -1554,5 +1666,5 @@ object Incremental {
       qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore,
       qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish,
       qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup, qWriteOrder,
-      qBinPack, qMorDelete, qMorSql)
+      qBinPack, qMorDelete, qMorSql, qMorUpdate, qMorMerge)
 }

@@ -39,7 +39,11 @@ class PlanLintSpec extends SparkTestBase {
     "q101_sql_wap",
     // q105/q106 broadcast a 1-row pre-delete / sidecar count (q98's
     // report shape); their data-path joins are broadcast-hash anti
-    "q105_mor_delete", "q106_mor_sql")
+    "q105_mor_delete", "q106_mor_sql",
+    // q107/q108 broadcast a 1-row changed-count / pre-merge count
+    // (same report shape); the changed-count probe itself is an
+    // equi-join on o_orderkey
+    "q107_mor_update", "q108_mor_merge")
 
   test("no unintended CartesianProduct or nested-loop join in any registered query plan") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted

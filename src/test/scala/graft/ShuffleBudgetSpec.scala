@@ -214,7 +214,14 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q106_mor_sql" -> 6,
     // q101: per-lang aggregation + the 1-row tagged-version count
     // broadcast (q98's shape, built via SQL CALLs)
-    "q101_sql_wap" -> 2)
+    "q101_sql_wap" -> 2,
+    // q107: per-status agg over the live view (anti-join broadcast
+    // delete side rides it), the head-vs-v2 changed-count join's two
+    // key shuffles + its agg, and the 1-row cross-join broadcast
+    "q107_mor_update" -> 6,
+    // q108: per-status agg over the post-merge live view (broadcast
+    // delete side), + the 1-row pre-merge count cross-join broadcast
+    "q108_mor_merge" -> 3)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
