@@ -103,6 +103,18 @@ private[graft] object RowIdentity {
   def filePathString(fs: org.apache.hadoop.fs.FileSystem,
       manifestPath: String): String =
     fs.makeQualified(new Path(manifestPath)).toString
+
+  /** Source-filter translations of the pushable subset of `filters` —
+    * everything referencing an identity column (parquet cannot resolve
+    * it) or untranslatable stays out; the caller re-applies ALL filters
+    * row-level regardless, so the subset choice is purely an I/O
+    * optimization.
+    */
+  def translatable(filters: Seq[Expression])
+      : Seq[org.apache.spark.sql.sources.Filter] =
+    filters
+      .filterNot(_.references.exists(a => isIdentity(a.name)))
+      .flatMap(org.apache.spark.sql.GraftShim.translateFilter)
 }
 
 /** One whole data file per partition: the reader needs file-stable row
@@ -133,7 +145,8 @@ private[v2] final class RowIdentityScan(
     dataSchema: StructType,
     output: StructType,
     files: Seq[String],
-    deletes: Seq[String]) extends Scan {
+    deletes: Seq[String],
+    pushed: Seq[org.apache.spark.sql.sources.Filter] = Nil) extends Scan {
 
   override def readSchema(): StructType = output
 
@@ -158,12 +171,18 @@ private[v2] final class RowIdentityScan(
     }
     val dataTypes: Array[DataType] = dataFields.map(_.dataType)
     val options = Map(FileFormat.OPTION_RETURNING_BATCH -> "false")
+    // pushed filters reach parquet's row-group/page pruning; row
+    // ordinals stay FILE-ABSOLUTE under pruning (the row-index
+    // generator derives them from the page store's row ranges — the
+    // same contract `_metadata.row_index` rides upstream), and Spark
+    // re-applies every filter above (none was claimed), so pushdown is
+    // a pure I/O win for selective probes
     val readerFor = new ParquetFileFormat().buildReaderWithPartitionValues(
       spark,
       dataSchema = dataSchema,
       partitionSchema = StructType(Nil),
       requiredSchema = readerSchema,
-      filters = Nil,
+      filters = pushed,
       options = options,
       hadoopConf = spark.sessionState.newHadoopConfWithOptions(options))
     // deleted ordinals grouped per kept file (scheme-insensitive match)
@@ -333,7 +352,7 @@ private[v2] final class DeltaScanBuilder(op: SnapshotDeltaOperation,
         Seq(StructField(RowIdentity.FileCol, StringType, nullable = false),
           StructField(RowIdentity.PosCol, LongType, nullable = false))))
     new RowIdentityScan(resolved.path, resolved.table.schema, output,
-      kept, resolved.deletes)
+      kept, resolved.deletes, RowIdentity.translatable(groupFilters))
   }
 }
 

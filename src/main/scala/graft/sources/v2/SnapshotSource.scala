@@ -598,7 +598,7 @@ private[v2] class PruningScanBuilder(resolved: ResolvedSnapshot,
       val kept = graft.sources.FileStats.pruneResolved(
         SparkSession.active, resolved.path, resolved.files, catalystFilters)
       return new RowIdentityScan(resolved.path, resolved.table.schema, out,
-        kept, resolved.deletes)
+        kept, resolved.deletes, RowIdentity.translatable(catalystFilters))
     }
     // a snapshot with outstanding position deletes is readable ONLY
     // through the live-view rewrite (graft.plans.MorDeleteRewrite,

@@ -11,6 +11,14 @@ object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Catalyst→source filter translation (protected[sql] in Spark 4) —
+    * used by the row-identity scan to hand its pushable predicates to
+    * parquet's row-group/page pruning.
+    */
+  def translateFilter(e: Expression): Option[org.apache.spark.sql.sources.Filter] =
+    org.apache.spark.sql.execution.datasources.DataSourceStrategy
+      .translateFilter(e, supportNestedPredicatePushdown = true)
+
   /** Wrap a LogicalPlan as a DataFrame (classic Dataset.ofRows is
     * sql-private in Spark 4).
     */

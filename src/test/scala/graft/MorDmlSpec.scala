@@ -221,6 +221,16 @@ class MorDmlSpec extends SparkTestBase {
       .head().getLong(0) === 1L)
   }
 
+  test("change feed across a MOR UPDATE emits the delete+insert pair") {
+    val (t, path) = freshTable("'write.update.mode' = 'merge-on-read'")
+    val v = Snapshots.versions(spark, path).last
+    spark.sql(s"UPDATE $t SET v = v + 7 WHERE id = 3")
+    val feed = Snapshots.changeFeed(spark, path, v, v + 1)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"),
+        r.getAs[String]("_change_type"))).sortBy(x => (x._1, x._3))
+    assert(feed.toSeq === Seq((3L, 30L, "delete"), (3L, 37L, "insert")))
+  }
+
   test("MOR UPDATE on an ALTER-evolved table serves added columns as NULLs") {
     val (t, path) = freshTable("'write.update.mode' = 'merge-on-read'")
     spark.sql(s"ALTER TABLE $t ADD COLUMNS (note STRING)")
