@@ -82,20 +82,65 @@ object Snapshots {
   // manifest body: one absolute file path per line after the header line
   // "v<N>[ <token>]" — deliberately line-oriented, no JSON lib. A line
   // prefixed "D " references a POSITION-DELETE sidecar (merge-on-read
-  // DELETE, see [[PositionDeletes]]); bare lines are data files. Old
-  // manifests carry no D lines and parse unchanged.
+  // DELETE, see [[PositionDeletes]]); a line prefixed "E <scope> "
+  // references an EQUALITY-DELETE sidecar (streaming upsert,
+  // [[upsertEq]]) whose key rows subtract from every data file ADDED AT
+  // OR BEFORE version `scope` (files appended later — including the
+  // upsert's own — are exempt; Iceberg's sequence-number semantics).
+  // Bare lines are data files. Old manifests carry neither prefix and
+  // parse unchanged.
   private val DeleteLinePrefix = "D "
+  private val EqLinePrefix = "E "
 
   private def manifestLines(spark: SparkSession, table: String, v: Long): Seq[String] =
     manifestText(spark, table, v).linesIterator.drop(1).filter(_.nonEmpty).toSeq
 
   private def manifestFiles(spark: SparkSession, table: String, v: Long): Seq[String] =
-    manifestLines(spark, table, v).filterNot(_.startsWith(DeleteLinePrefix))
+    manifestLines(spark, table, v).filterNot(l =>
+      l.startsWith(DeleteLinePrefix) || l.startsWith(EqLinePrefix))
 
   private def manifestDeletes(spark: SparkSession, table: String, v: Long): Seq[String] =
     manifestLines(spark, table, v).collect {
       case l if l.startsWith(DeleteLinePrefix) => l.drop(DeleteLinePrefix.length)
     }
+
+  private def parseEqLine(l: String): (Long, String) = {
+    val rest = l.drop(EqLinePrefix.length)
+    val sp = rest.indexOf(' ')
+    (rest.take(sp).toLong, rest.drop(sp + 1))
+  }
+
+  private def manifestEqDeletes(spark: SparkSession, table: String,
+      v: Long): Seq[(Long, String)] =
+    manifestLines(spark, table, v).collect {
+      case l if l.startsWith(EqLinePrefix) => parseEqLine(l)
+    }
+
+  /** The (scope, path) equality-delete sidecars the snapshot AS OF
+    * `asOf` references — empty except between an [[upsertEq]] and the
+    * next [[purgeEqDeletes]].
+    */
+  def eqDeleteFiles(spark: SparkSession, table: String,
+      asOf: Option[Long] = None): Seq[(Long, String)] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed snapshot in $table")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    manifestEqDeletes(spark, table, v)
+  }
+
+  /** Refusal gate for operations that have no sound semantics while
+    * EQUALITY deletes are outstanding (their subtraction is keyed and
+    * version-scoped, so file-granular rewrites and diffs cannot reason
+    * about them the way they do about position sidecars). Each caller
+    * is an explicit decision, not an oversight — fold the deletes in
+    * with [[purgeEqDeletes]] and the operation proceeds.
+    */
+  private def requireNoEqDeletes(spark: SparkSession, table: String,
+      op: String, v: Long): Unit =
+    require(manifestEqDeletes(spark, table, v).isEmpty,
+      s"$op on $table requires no outstanding equality deletes — run " +
+        "Snapshots.purgeEqDeletes (SQL: CALL <catalog>.system.purge_eq_deletes) first")
 
   /** The position-delete sidecar files the snapshot AS OF `asOf`
     * (default: latest) references — empty on tables whose DML has been
@@ -124,7 +169,7 @@ object Snapshots {
   def isMaintenanceCommit(spark: SparkSession, table: String, v: Long): Boolean =
     commitToken(spark, table, v).exists(t =>
       t.startsWith("compact-of-v") || t.startsWith("zorder-of-v") ||
-        t.startsWith("purge-of-v"))
+        t.startsWith("purge-of-v") || t.startsWith("purge-eq-of-v"))
 
   /** The version already committed under `token`, if any — the replay
     * check behind exactly-once streaming publish.
@@ -213,6 +258,12 @@ object Snapshots {
       // the file set wholesale, deletes included
       val baseDeletes = if (overwrite || prev.isEmpty) Seq.empty[String]
         else manifestDeletes(spark, table, prev.last)
+      // equality-delete lines carry through appends with their ORIGINAL
+      // scopes (the appended files' add-version is v > every scope, so
+      // new rows are exempt by construction); an overwrite replaces the
+      // row set wholesale and drops them like the D lines
+      val baseEq = if (overwrite || prev.isEmpty) Seq.empty[(Long, String)]
+        else manifestEqDeletes(spark, table, prev.last)
       // strict appends validate against the manifest version BEING
       // EXTENDED, inside the optimistic lock: a caller-side pre-check is
       // inherently racy (a schema-evolving overwrite can land between
@@ -240,7 +291,7 @@ object Snapshots {
       }
       val header = s"v$v${token.map(" " + _).getOrElse("")}"
       val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
-      writeManifestBody(f, tmp, header, base ++ newFiles, baseDeletes)
+      writeManifestBody(f, tmp, header, base ++ newFiles, baseDeletes, baseEq)
       // atomic publish; claim-of-existing fails => optimistic lock
       if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) {
         // a schema-evolving OVERWRITE re-bases the shape on its new
@@ -714,6 +765,10 @@ object Snapshots {
       val head = vs.last
       val files = manifestFiles(spark, table, v)
       val dels = manifestDeletes(spark, table, v)
+      // equality lines restore verbatim too: their scopes are absolute
+      // versions <= v over exactly v's file set, so the restored view
+      // is v's resolved view bit-for-bit
+      val eqs = manifestEqDeletes(spark, table, v)
       // semantic no-op: the head already carries exactly v's file AND
       // sidecar sets (v == head, or a restore to v already landed) —
       // re-issuing the restore after a success or a crash publishes
@@ -724,12 +779,15 @@ object Snapshots {
           (manifestFiles(spark, table, head).map(norm).toSet ==
             files.map(norm).toSet &&
            manifestDeletes(spark, table, head).map(norm).toSet ==
-            dels.map(norm).toSet)) return head
+            dels.map(norm).toSet &&
+           manifestEqDeletes(spark, table, head).map { case (s0, p) =>
+             (s0, norm(p)) }.toSet ==
+            eqs.map { case (s0, p) => (s0, norm(p)) }.toSet)) return head
       val token = s"restore-of-v$v-over-v$head"
       committedVersionFor(spark, table, token).foreach(w => return w)
       val next = head + 1
       val tmp = new Path(s"$table/.manifest-v$next.${java.util.UUID.randomUUID}.tmp")
-      writeManifestBody(f, tmp, s"v$next $token", files, dels)
+      writeManifestBody(f, tmp, s"v$next $token", files, dels, eqs)
       if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$next.json"))) return next
       f.delete(tmp, false)
       attempt += 1
@@ -763,10 +821,15 @@ object Snapshots {
       // the published manifest (compaction doubles as a delete purge)
       val (newFiles, dataDir) = writeData(
         read(spark, table, Some(src)).repartition(numFiles), table)
+      // EVERY src file rewrites through the fully-resolved read(), so
+      // position AND equality sidecars fold in and their lines drop —
+      // compaction doubles as both purges
       publishRebase(spark, table, src, srcFiles, srcFiles.map(norm).toSet,
         newFiles, "compact", Seq(dataDir), token = Some(s"compact-of-v$src"),
         removedDeletesNorm =
-          manifestDeletes(spark, table, src).map(norm).toSet)
+          manifestDeletes(spark, table, src).map(norm).toSet,
+        removedEqNorm =
+          manifestEqDeletes(spark, table, src).map(e => norm(e._2)).toSet)
     }
   }
 
@@ -799,6 +862,7 @@ object Snapshots {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"nothing to bin-pack in $table")
     val src = vs.last
+    requireNoEqDeletes(spark, table, "binPack", src)
     val srcFiles = manifestFiles(spark, table, src)
     val f = fs(spark, table)
     val sized = srcFiles.flatMap { p =>
@@ -915,7 +979,9 @@ object Snapshots {
         newFiles, "zorder", Seq(dataDir),
         token = Some(s"zorder-of-v$src:$xCol,$yCol"),
         removedDeletesNorm =
-          manifestDeletes(spark, table, src).map(norm).toSet)
+          manifestDeletes(spark, table, src).map(norm).toSet,
+        removedEqNorm =
+          manifestEqDeletes(spark, table, src).map(e => norm(e._2)).toSet)
     }
   }
 
@@ -960,24 +1026,28 @@ object Snapshots {
     * `mergeSchema` unions the footers' schemas when commits evolved the
     * schema (added columns read as null in older files).
     */
-  /** One manifest read resolving both line kinds — the shared first
-    * step of every read path (data files, position-delete sidecars).
+  /** One manifest read resolving every line kind — the shared first
+    * step of every read path (data files, position-delete sidecars,
+    * equality-delete sidecars with their scopes).
     */
   private def resolvedLists(spark: SparkSession, table: String,
-      asOf: Option[Long]): (Seq[String], Seq[String]) = {
+      asOf: Option[Long]): (Long, Seq[String], Seq[String], Seq[(Long, String)]) = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed snapshot in $table")
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val lines = manifestLines(spark, table, v)
-    (lines.filterNot(_.startsWith(DeleteLinePrefix)),
+    (v,
+      lines.filterNot(l =>
+        l.startsWith(DeleteLinePrefix) || l.startsWith(EqLinePrefix)),
       lines.collect { case l if l.startsWith(DeleteLinePrefix) =>
-        l.drop(DeleteLinePrefix.length) })
+        l.drop(DeleteLinePrefix.length) },
+      lines.collect { case l if l.startsWith(EqLinePrefix) => parseEqLine(l) })
   }
 
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
-    val (files, dels) = resolvedLists(spark, table, asOf)
+    val (v, files, dels, eqs) = resolvedLists(spark, table, asOf)
     def reader(fs0: Seq[String]): DataFrame = declaredSchema(spark, table) match {
       // ALTER-extended table: project every file onto the declared
       // superset schema by name (absent columns = typed NULLs)
@@ -986,7 +1056,95 @@ object Snapshots {
         spark.read.option("mergeSchema", mergeSchema.toString).parquet(fs0: _*)
     }
     if (files.isEmpty) spark.emptyDataFrame
-    else liveView(spark, table, files, dels, reader)
+    else if (eqs.isEmpty) liveView(spark, table, files, dels, reader)
+    else applyEqDeletes(spark, table, v, files, dels, eqs, reader)
+  }
+
+  // reserved internal column names of the equality-delete resolution
+  private val EqFileCol = "__ge_file"
+  private val EqAddVCol = "__ge_addv"
+  private val EqScopeCol = "__ge_scope"
+
+  /** Per-file ADD VERSION (the version whose manifest first references
+    * the file) for every file in version `v`'s manifest — the quantity
+    * equality-delete scopes compare against. Driver-side walk of the
+    * retained manifests up to `v` (manifest-scale, not data-scale); a
+    * file already present in the OLDEST retained manifest maps to that
+    * version, which is exact while history is un-vacuumed — and vacuum
+    * refuses to run under an outstanding equality delete precisely so
+    * this derivation stays exact.
+    */
+  private def fileAddVersions(spark: SparkSession, table: String,
+      v: Long): Map[String, Long] = {
+    val m = scala.collection.mutable.HashMap.empty[String, Long]
+    versions(spark, table).filter(_ <= v).sorted.foreach { w =>
+      manifestFiles(spark, table, w).foreach { p =>
+        val n = normPath(p)
+        if (!m.contains(n)) m(n) = w
+      }
+    }
+    m.toMap
+  }
+
+  /** The key-column names every outstanding equality sidecar uses —
+    * one shared set by [[upsertEq]]'s contract (validated at commit, so
+    * the read path stays a single anti-join).
+    */
+  private def eqKeyColumns(spark: SparkSession,
+      eqs: Seq[(Long, String)]): Seq[String] =
+    spark.read.parquet(eqs.head._2).schema.fieldNames.toSeq.sorted
+
+  /** Resolve the EQUALITY-DELETE view: rows of files ADDED AT OR BEFORE
+    * an outstanding sidecar's scope whose key columns match one of its
+    * key rows are subtracted; files appended after every scope read
+    * clean. One anti-join: the data side carries its file's add-version
+    * (broadcast file→version map over `_metadata.file_path`), the
+    * delete side the union of sidecars with their scopes (broadcast
+    * while small — the accumulated upsert keys since the last purge,
+    * the same envelope class as [[PositionDeletes.deleteSide]]).
+    * Position deletes are applied first (the two forms compose).
+    */
+  private def applyEqDeletes(spark: SparkSession, table: String, v: Long,
+      files: Seq[String], dels: Seq[String], eqs: Seq[(Long, String)],
+      reader: Seq[String] => DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    val addV = fileAddVersions(spark, table, v)
+    val maxScope = eqs.map(_._1).max
+    // unknown files (never in a retained manifest — impossible outside
+    // corruption) fall conservatively IN scope
+    val (affected, clean) =
+      files.partition(p => addV.getOrElse(normPath(p), 0L) <= maxScope)
+    if (affected.isEmpty) return liveView(spark, table, files, dels, reader)
+    val sample = reader(affected.take(1))
+    require(!sample.columns.exists(c =>
+        c == EqFileCol || c == EqAddVCol || c == EqScopeCol),
+      s"data schema must not contain reserved columns $EqFileCol/$EqAddVCol/$EqScopeCol")
+    val keys = eqKeyColumns(spark, eqs)
+    require(keys.forall(sample.columns.contains),
+      s"equality-delete keys $keys not all present in the table schema")
+    val fsys = fs(spark, table)
+    import spark.implicits._
+    val addVDf = broadcast(affected.map(p =>
+        (fsys.makeQualified(new Path(p)).toString, addV(normPath(p))))
+      .toDF(EqFileCol, EqAddVCol))
+    val withV = liveView(spark, table, affected, dels, reader,
+      fileColumn = Some(EqFileCol)).join(addVDf, Seq(EqFileCol))
+    val eqFrame = eqs.map { case (scope, p) =>
+      spark.read.parquet(p).withColumn(EqScopeCol, lit(scope)) }
+      .reduce(_ unionByName _)
+    val eqBytes = eqs.map { case (_, p) =>
+      try fsys.getFileStatus(new Path(p)).getLen
+      catch { case scala.util.control.NonFatal(_) => Long.MaxValue / 1024 }
+    }.sum
+    val threshold = spark.conf
+      .get("graft.snapshot.eqDeleteBroadcastBytes", (64L << 20).toString).toLong
+    val eqSide = if (eqBytes <= threshold) broadcast(eqFrame) else eqFrame
+    val cond = keys.map(k => withV(k) === eqSide(k)).reduce(_ && _) &&
+      withV(EqAddVCol) <= eqSide(EqScopeCol)
+    val resolved = withV.join(eqSide, cond, "left_anti")
+      .drop(EqFileCol, EqAddVCol)
+    if (clean.isEmpty) resolved
+    else liveView(spark, table, clean, dels, reader).unionByName(resolved)
   }
 
   /** Resolve the MERGE-ON-READ view of `files`: data files untouched by
@@ -1044,10 +1202,14 @@ object Snapshots {
   def readWhere(spark: SparkSession, table: String,
       predicate: org.apache.spark.sql.Column,
       asOf: Option[Long] = None): DataFrame = {
-    val (files, dels) = resolvedLists(spark, table, asOf)
+    val (v, files, dels, eqs) = resolvedLists(spark, table, asOf)
     val kept = FileStats.prune(spark, table, files, predicate)
     if (kept.isEmpty) read(spark, table, asOf).filter(predicate).limit(0)
-    else liveView(spark, table, kept, dels,
+    else if (eqs.isEmpty) liveView(spark, table, kept, dels,
+      fs0 => spark.read.parquet(fs0: _*)).filter(predicate)
+    // file pruning and equality subtraction commute: pruning keeps
+    // whole files, the subtraction removes rows within them
+    else applyEqDeletes(spark, table, v, kept, dels, eqs,
       fs0 => spark.read.parquet(fs0: _*)).filter(predicate)
   }
 
@@ -1072,6 +1234,10 @@ object Snapshots {
         manifestDeletes(spark, table, to).map(normPath),
       s"history v$from -> v$to includes a merge-on-read DELETE — not " +
         "append-only; use changeFeed")
+    require(manifestEqDeletes(spark, table, from).map(e => normPath(e._2)) ==
+        manifestEqDeletes(spark, table, to).map(e => normPath(e._2)),
+      s"history v$from -> v$to includes an equality-delete upsert — not " +
+        "append-only (the upsert batches ARE the change log)")
     val added = after.filterNot(before)
     // read() carries the empty-manifest guard (an empty-DataFrame commit
     // lists no files, and zero-path spark.read.parquet cannot infer schema)
@@ -1136,6 +1302,18 @@ object Snapshots {
     if (between.nonEmpty && gapFree &&
         between.forall(isMaintenanceCommit(spark, table, _)))
       return emptyFeed(spark, table, to)
+    // an equality-delete upsert inside the range would need a keyed,
+    // version-scoped diff this file-granular feed cannot express (and
+    // the upsert batches ARE the change log — feed from them). Ranges
+    // on either side of the upsert/purge pair stay feedable; a range
+    // that is purely the purge is maintenance-skipped above.
+    require(manifestEqDeletes(spark, table, from)
+        .map(e => (e._1, normPath(e._2))).toSet ==
+      manifestEqDeletes(spark, table, to)
+        .map(e => (e._1, normPath(e._2))).toSet,
+      s"changeFeed v$from -> v$to crosses an equality-delete commit on " +
+        s"$table — feed from the upsert batches, or feed across the " +
+        "purged boundary")
     val before = manifestFiles(spark, table, from)
     val after  = manifestFiles(spark, table, to)
     val beforeN = before.map(normPath).toSet
@@ -1306,13 +1484,16 @@ object Snapshots {
     * ~100 MB copy of the list the driver already holds.
     */
   private def writeManifestBody(f: FileSystem, tmp: Path, header: String,
-      files: Iterable[String], deletes: Iterable[String] = Nil): Unit = {
+      files: Iterable[String], deletes: Iterable[String] = Nil,
+      eqDeletes: Iterable[(Long, String)] = Nil): Unit = {
     val out = new java.io.BufferedOutputStream(f.create(tmp, false), 1 << 16)
     try {
       out.write((header + "\n").getBytes("UTF-8"))
       files.foreach(p => out.write((p + "\n").getBytes("UTF-8")))
       deletes.foreach(p =>
         out.write((DeleteLinePrefix + p + "\n").getBytes("UTF-8")))
+      eqDeletes.foreach { case (scope, p) =>
+        out.write((EqLinePrefix + scope + " " + p + "\n").getBytes("UTF-8")) }
     } finally out.close()
   }
 
@@ -1378,7 +1559,9 @@ object Snapshots {
       conflictsWith: Seq[String] => Boolean = _ => false,
       removedDeletesNorm: Set[String] = Set.empty,
       addedDeletes: Seq[String] = Nil,
-      requireDataPresentNorm: Set[String] = Set.empty): Long = {
+      requireDataPresentNorm: Set[String] = Set.empty,
+      removedEqNorm: Set[String] = Set.empty,
+      addedEqDeletes: Seq[String] = Nil): Long = {
     val f = fs(spark, table)
     def norm(p: String) = normPath(p)
     val srcNorm = srcFiles.map(norm).toSet
@@ -1425,9 +1608,25 @@ object Snapshots {
       val deleteList =
         curDeletes.filterNot(p => removedDeletesNorm(norm(p))) ++ addedDeletes
       val v = base + 1
+      // a NEW equality delete's scope is pinned at publish time to the
+      // version it lands over: after a rebase past interleaved appends,
+      // those appended files fall INSIDE the scope — exactly the serial
+      // upsert-after-append schedule the rebase claims equivalence to
+      val curEq = manifestEqDeletes(spark, table, base)
+      // a file REWRITE moves rows into files whose add-version escapes
+      // every outstanding equality-delete scope — the subtracted rows
+      // would resurrect. Rewriting ops refuse up front; this guards the
+      // INTERLEAVED case (an upsertEq landing mid-rebase).
+      if (removedNorm.nonEmpty &&
+          curEq.exists { case (_, p) => !removedEqNorm(norm(p)) })
+        abort(s"$op rewrites files while equality deletes are outstanding " +
+          s"on $table — run purgeEqDeletes first")
+      val eqList = curEq
+        .filterNot { case (_, p) => removedEqNorm(norm(p)) } ++
+        addedEqDeletes.map(p => (v - 1, p))
       val header = s"v$v${token.map(" " + _).getOrElse("")}"
       val tmp = new Path(s"$table/.manifest-v$v.${java.util.UUID.randomUUID}.tmp")
-      writeManifestBody(f, tmp, header, fileList, deleteList)
+      writeManifestBody(f, tmp, header, fileList, deleteList, eqList)
       if (publishAtomic(f, tmp, new Path(s"$table/manifest-v$v.json"))) return v
       f.delete(tmp, false)
       base = versions(spark, table).lastOption.getOrElse(base)
@@ -1492,6 +1691,7 @@ object Snapshots {
     require(contract.getLong(1) == 0,
       s"merge updates contain ${contract.getLong(1)} duplicate value(s) of key '$key'")
     val src = vs.last
+    requireNoEqDeletes(spark, table, "merge (copy-on-write upsert)", src)
     val files = manifestFiles(spark, table, src)
     // schema contract up front: MERGE carries the table's shape. The
     // hit-file path would fail loudly in unionByName, but the hit-EMPTY
@@ -1560,6 +1760,7 @@ object Snapshots {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed snapshot in $table")
     val src = vs.last
+    requireNoEqDeletes(spark, table, "deleteWhere (copy-on-write DELETE)", src)
     val files = manifestFiles(spark, table, src)
     // a zero-file snapshot (empty-DataFrame commit) has nothing to
     // delete; readFiles on an empty list cannot infer a schema, so
@@ -1621,6 +1822,7 @@ object Snapshots {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed snapshot in $table")
     val src = vs.last
+    requireNoEqDeletes(spark, table, "deleteWhereMor (position-delete DELETE)", src)
     val files = manifestFiles(spark, table, src)
     if (files.isEmpty) return src
     // manifest-level skipping bounds the probe like any selective read:
@@ -1673,10 +1875,167 @@ object Snapshots {
     * purge (Iceberg's rewrite_position_deletes + rewrite_data_files
     * shape). No-op (no version bump) when no sidecar is outstanding.
     */
+  /** STREAMING-UPSERT commit via EQUALITY DELETES (Iceberg v2's second
+    * delete form — the Flink-CDC-into-Iceberg shape): replace any
+    * existing row whose `keys` match a batch row and append the batch,
+    * in ONE commit whose cost is ∝ THE BATCH ALONE. No target probe,
+    * no file read, no rewrite: the batch appends as new data files and
+    * its key set lands as an equality-delete sidecar whose SCOPE is
+    * the pre-commit version — rows of files added at or before the
+    * scope with a matching key are subtracted at read time; the
+    * batch's own files (and everything appended later) are exempt by
+    * construction. This is the op that makes continuous CDC ingest
+    * into a 100 TB table O(batch) per commit where [[merge]] pays a
+    * probe of the key-range files every batch; the deferred cost is
+    * the read-side anti-join, capped by [[purgeEqDeletes]] (or any
+    * compaction) exactly like position deletes.
+    *
+    * Contract: `keys` non-empty and present in the batch; no NULL and
+    * no duplicate key values in one batch (the [[merge]] contract);
+    * every outstanding sidecar of the table shares the same key set
+    * (the read path stays one anti-join); the batch carries the
+    * table's committed schema. `token` gives exactly-once replay for
+    * streaming. Serializable: interleaved appends/upserts rebase (the
+    * scope is pinned at publish, so the serial schedule's semantics
+    * hold); an interleaved file REWRITE aborts this commit.
+    */
+  def upsertEq(spark: SparkSession, table: String, updates: DataFrame,
+      keys: Seq[String], token: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit, struct, sum, when}
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed snapshot in $table — commit a " +
+      "schema-bearing version first (CREATE TABLE / Snapshots.commit)")
+    token.foreach(t => committedVersionFor(spark, table, t).foreach(v => return v))
+    require(keys.nonEmpty, "upsertEq needs at least one key column")
+    val missing = keys.filterNot(updates.columns.contains)
+    require(missing.isEmpty, s"upsertEq keys not in batch: $missing")
+    require(!updates.columns.exists(c =>
+        c == EqFileCol || c == EqAddVCol || c == EqScopeCol),
+      s"batch schema must not contain reserved columns $EqFileCol/$EqAddVCol/$EqScopeCol")
+    val src = vs.last
+    // one shared key set across all outstanding sidecars
+    val existing = manifestEqDeletes(spark, table, src)
+    if (existing.nonEmpty) {
+      val have = eqKeyColumns(spark, existing)
+      require(have == keys.sorted,
+        s"outstanding equality deletes key on $have; this batch keys on " +
+          s"${keys.sorted} — purge before changing the key set")
+    }
+    val u = org.apache.spark.sql.GraftShim.logicalPlan(updates) match {
+      case _: org.apache.spark.sql.execution.LogicalRDD => updates
+      case _ => updates.localCheckpoint()
+    }
+    // merge's input contract, on the composite key
+    val k = struct(keys.map(col): _*)
+    val contract = u.groupBy(k.as("__k"))
+      .agg(count(lit(1)).as("n"),
+        org.apache.spark.sql.functions.max(
+          when(keys.map(col(_).isNull).reduce(_ || _), 1).otherwise(0))
+          .as("hasnull"))
+      .agg(
+        coalesce(sum(when(col("hasnull") === 1, col("n"))), lit(0L)).as("nulls"),
+        count(when(col("n") > 1, lit(1))).as("dups"))
+      .head()
+    require(contract.getLong(0) == 0,
+      s"upsertEq batch contains ${contract.getLong(0)} NULL key value(s) — " +
+        "NULL never matches; filter or assign keys upstream")
+    require(contract.getLong(1) == 0,
+      s"upsertEq batch contains ${contract.getLong(1)} duplicate key value(s)")
+    // schema contract (merge's): the batch carries the table's shape
+    val files = manifestFiles(spark, table, src)
+    if (files.nonEmpty) {
+      def sig(st: org.apache.spark.sql.types.StructType) =
+        st.fields.map(fl => (fl.name, fl.dataType)).sortBy(_._1).toSeq
+      val committed = readTableFiles(spark, table, files).schema
+      require(sig(committed) == sig(u.schema),
+        s"upsertEq batch schema ${u.schema} does not match the table's " +
+          s"committed schema $committed")
+    }
+    val f = fs(spark, table)
+    val (newFiles, dataDir) = writeData(u, table)
+    val eqDir = new Path(s"$table/eqdeletes/${java.util.UUID.randomUUID}")
+    // the batch's key set IS the delete — tiny (one row per batch row)
+    u.select(keys.map(col): _*).coalesce(1).write.parquet(eqDir.toString)
+    val sidecars = f.listStatus(eqDir).toSeq
+      .filter(_.getPath.getName.startsWith("part-"))
+      .map(_.getPath.toString).sorted
+    def norm(p: String) = normPath(p)
+    // interleaved appends rebase (the publish-time scope covers them —
+    // the serial upsert-after-append schedule); an interleaved REWRITE
+    // would let rows escape the scope, so their absence is required
+    publishRebase(spark, table, src, files, Set.empty, newFiles,
+      "upsert-eq", Seq(dataDir, eqDir), token = token,
+      addedEqDeletes = sidecars,
+      requireDataPresentNorm = files.map(norm).toSet)
+  }
+
+  /** Fold outstanding EQUALITY deletes back into plain data files: an
+    * exact probe finds the in-scope files that CONTAIN a matching key;
+    * only those rewrite (through the fully-resolved view, so position
+    * deletes targeting them fold too); every other file carries by
+    * path, and the published manifest has no `E ` lines. No-op when
+    * none are outstanding. The maintenance op that caps the upsert
+    * stream's read-side tax — cost ∝ the bytes of key-hit files,
+    * batched across every upsert since the last purge.
+    */
+  def purgeEqDeletes(spark: SparkSession, table: String): Long = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed snapshot in $table")
+    val src = vs.last
+    val eqs = manifestEqDeletes(spark, table, src)
+    if (eqs.isEmpty) return src
+    val files = manifestFiles(spark, table, src)
+    val dels = manifestDeletes(spark, table, src)
+    def norm(p: String) = normPath(p)
+    val addV = fileAddVersions(spark, table, src)
+    val maxScope = eqs.map(_._1).max
+    val inScope = files.filter(p => addV.getOrElse(norm(p), 0L) <= maxScope)
+    val fsys = fs(spark, table)
+    val keys = eqKeyColumns(spark, eqs)
+    // exact hit probe: in-scope files whose LIVE rows match a key under
+    // that key's scope (semi-join twin of the read path's anti-join)
+    val hit: Seq[String] =
+      if (inScope.isEmpty) Nil
+      else {
+        import spark.implicits._
+        val addVDf = broadcast(inScope.map(p =>
+            (fsys.makeQualified(new Path(p)).toString, addV(norm(p))))
+          .toDF(EqFileCol, EqAddVCol))
+        val withV = liveView(spark, table, inScope, dels,
+          readTableFiles(spark, table, _), fileColumn = Some(EqFileCol))
+          .join(addVDf, Seq(EqFileCol))
+        val eqFrame = eqs.map { case (scope, p) =>
+          spark.read.parquet(p).withColumn(EqScopeCol, lit(scope)) }
+          .reduce(_ unionByName _)
+        val cond = keys.map(c => withV(c) === eqFrame(c)).reduce(_ && _) &&
+          withV(EqAddVCol) <= eqFrame(EqScopeCol)
+        val hitStrs = withV.join(broadcast(eqFrame), cond, "left_semi")
+          .select(EqFileCol).distinct().collect().map(_.getString(0)).toSet
+        val byQualified = inScope.map(p =>
+          fsys.makeQualified(new Path(p)).toString -> p).toMap
+        hitStrs.toSeq.flatMap(byQualified.get)
+      }
+    if (hit.isEmpty)
+      // keys match nothing (already purged rows, or inserts-only
+      // upserts): drop the E lines, rewrite nothing — row-preserving
+      return publishRebase(spark, table, src, files, Set.empty, Seq.empty,
+        "purge-eq", Seq.empty, token = Some(s"purge-eq-of-v$src"),
+        removedEqNorm = eqs.map(e => norm(e._2)).toSet)
+    // rewrite ONLY the hit files, fully resolved (position + equality)
+    val resolvedHit = applyEqDeletes(spark, table, src, hit, dels, eqs,
+      readTableFiles(spark, table, _))
+    val (newFiles, dataDir) = writeData(resolvedHit, table)
+    publishRebase(spark, table, src, files, hit.map(norm).toSet, newFiles,
+      "purge-eq", Seq(dataDir), token = Some(s"purge-eq-of-v$src"),
+      removedEqNorm = eqs.map(e => norm(e._2)).toSet)
+  }
+
   def purgeDeletes(spark: SparkSession, table: String): Long = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed snapshot in $table")
     val src = vs.last
+    requireNoEqDeletes(spark, table, "purgeDeletes", src)
     val dels = manifestDeletes(spark, table, src)
     if (dels.isEmpty) return src
     val files = manifestFiles(spark, table, src)
@@ -1713,16 +2072,17 @@ object Snapshots {
   def gc(spark: SparkSession, table: String,
       graceMs: Long = 24L * 3600 * 1000): Int = {
     val f = fs(spark, table)
-    // orphan sweep covers both write roots: data files AND position-
-    // delete sidecars (a MOR delete that crashed between its sidecar
-    // write and its publish leaves the same residue shape)
-    val roots = Seq(new Path(s"$table/data"), new Path(s"$table/deletes"))
-      .filter(f.exists)
+    // orphan sweep covers every write root: data files, position-delete
+    // sidecars, and equality-delete sidecars (any writer that crashed
+    // between its sidecar write and its publish leaves the same shape)
+    val roots = Seq(new Path(s"$table/data"), new Path(s"$table/deletes"),
+      new Path(s"$table/eqdeletes")).filter(f.exists)
     if (roots.isEmpty) return 0
     def norm(p: String) = normPath(p)
     val referenced = versions(spark, table)
       .flatMap(v => manifestFiles(spark, table, v) ++
-        manifestDeletes(spark, table, v)).map(norm).toSet
+        manifestDeletes(spark, table, v) ++
+        manifestEqDeletes(spark, table, v).map(_._2)).map(norm).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
     roots.flatMap(f.listStatus(_)).foreach { dir =>
@@ -1781,6 +2141,12 @@ object Snapshots {
     require(keepVersions >= 1, "must keep at least the latest version")
     val f = fs(spark, table)
     val vs = versions(spark, table)
+    // a data file's ADD VERSION (what equality-delete scopes compare
+    // against) is derived by walking retained manifests — expiring
+    // history under an outstanding scope would shift first-sighting
+    // versions forward and silently exempt in-scope files. Purge, then
+    // vacuum (the maintenance pairing the upsert stream runs anyway).
+    if (vs.nonEmpty) requireNoEqDeletes(spark, table, "vacuum", vs.last)
     // TAGGED versions never expire: a tag is a named promise that the
     // version stays readable (and its files alive) until the tag is
     // gone — Iceberg's ref-retention rule
@@ -1789,19 +2155,21 @@ object Snapshots {
     val expire = expireCand.filterNot(tagged)
     val keep = keepTail ++ expireCand.filter(tagged)
     if (expire.isEmpty) return 0
-    // reference-count DATA FILES and POSITION-DELETE SIDECARS alike: a
+    // reference-count DATA FILES and BOTH sidecar kinds alike: a
     // sidecar referenced only by expired manifests is as dead as a data
     // file, and a live one must survive (dropping it would resurrect
     // deleted rows)
     def refs(v: Long): Seq[String] =
-      manifestFiles(spark, table, v) ++ manifestDeletes(spark, table, v)
+      manifestFiles(spark, table, v) ++ manifestDeletes(spark, table, v) ++
+        manifestEqDeletes(spark, table, v).map(_._2)
     val live = keep.flatMap(refs).toSet
     val dead = expire.flatMap(refs).toSet -- live
     dead.foreach(p => f.delete(new Path(p), false))
     expire.foreach(v => f.delete(new Path(s"$table/manifest-v$v.json"), false))
     // sweep now-empty data/sidecar dirs (cosmetic; correctness never
     // lists them)
-    Seq(new Path(s"$table/data"), new Path(s"$table/deletes")).foreach { root =>
+    Seq(new Path(s"$table/data"), new Path(s"$table/deletes"),
+      new Path(s"$table/eqdeletes")).foreach { root =>
       if (f.exists(root)) f.listStatus(root).foreach { st =>
         if (f.listStatus(st.getPath).forall(_.getPath.getName.startsWith("_")))
           f.delete(st.getPath, true)
@@ -1961,6 +2329,11 @@ object Snapshots {
       s"fork target $branch already has commits")
     require(normPath(parent) != normPath(branch),
       "fork target must be a different directory")
+    // equality-delete scopes are PARENT version numbers; a branch's
+    // versions restart at 1, so carried scopes would misclassify every
+    // branch-staged file. Purge first — the fork then carries plain
+    // files (+ position sidecars, which are version-free).
+    requireNoEqDeletes(spark, parent, "fork", pvs.last)
     val head = pvs.last
     val files = manifestFiles(spark, parent, head)
     val f = fs(spark, branch)
@@ -2086,6 +2459,10 @@ object Snapshots {
       case None => retireDeclaredSchema(spark, parent)
     }
     val bHead = versions(spark, branch).last
+    // equality-delete scopes are BRANCH version numbers; published into
+    // the parent's numbering they would misclassify files. Purge on the
+    // branch, then publish (position sidecars are version-free and carry).
+    requireNoEqDeletes(spark, branch, "fast-forward (branch side)", bHead)
     val bFiles = manifestFiles(spark, branch, bHead)
     val bDels = manifestDeletes(spark, branch, bHead)
     // semantic no-op: nothing was staged (branch head still carries

@@ -345,6 +345,13 @@ private[v2] final class DeltaScanBuilder(op: SnapshotDeltaOperation,
   override def build(): Scan = {
     val spark = SparkSession.active
     val resolved = op.pin()
+    // the delta probe subtracts POSITION sidecars natively; EQUALITY
+    // subtraction is a keyed, scoped join it cannot express — purge
+    // first (the equality form's own DML is upsertEq, not this path)
+    require(resolved.eqDeletes.isEmpty,
+      s"graft-snapshot ${resolved.path}: merge-on-read DML requires no " +
+        "outstanding equality deletes — run " +
+        "CALL <catalog>.system.purge_eq_deletes first (or Snapshots.purgeEqDeletes)")
     val kept = FileStats.pruneResolved(
       spark, resolved.path, resolved.files, groupFilters)
     val output = required.getOrElse(StructType(

@@ -219,6 +219,12 @@ private[v2] final class RowLevelScanBuilder(op: SnapshotRowLevelOperation,
       s"graft-snapshot ${resolved.path}: SQL UPDATE/MERGE INTO (and " +
         "subquery DELETE) require no outstanding position deletes — run " +
         "CALL <catalog>.system.purge_deletes first (or Snapshots.purgeDeletes)")
+    // a COW group rewrite under an outstanding equality delete would
+    // move rows into files outside every scope — resurrection
+    require(resolved.eqDeletes.isEmpty,
+      s"graft-snapshot ${resolved.path}: SQL UPDATE/MERGE INTO (and " +
+        "subquery DELETE) require no outstanding equality deletes — run " +
+        "CALL <catalog>.system.purge_eq_deletes first (or Snapshots.purgeEqDeletes)")
     op.scanFiles = FileStats.pruneResolved(
       spark, resolved.path, resolved.files, groupFilters)
     val explicit = spark.conf

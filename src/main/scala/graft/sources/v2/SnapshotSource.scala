@@ -216,7 +216,8 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
       spark, options, files, Snapshots.declaredSchema(spark, path),
       classOf[ParquetFileFormat])
     val r = ResolvedSnapshot(path, version, files, t,
-      Snapshots.deleteFiles(spark, path, Some(version)))
+      Snapshots.deleteFiles(spark, path, Some(version)),
+      Snapshots.eqDeleteFiles(spark, path, Some(version)))
     cached = (key, r)
     r
   }
@@ -321,7 +322,9 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
     // merge-on-read sidecars subtract their positions (Snapshots.read),
     // re-tagged streaming via the InternalRow RDD route because the
     // anti-join plan is not a bare relation asStreamingScan can re-tag
-    if (start.isEmpty && Snapshots.deleteFiles(spark, path, Some(to)).nonEmpty) {
+    if (start.isEmpty &&
+        (Snapshots.deleteFiles(spark, path, Some(to)).nonEmpty ||
+          Snapshots.eqDeleteFiles(spark, path, Some(to)).nonEmpty)) {
       val live = Snapshots.read(spark, path, Some(to))
         .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
           .toIndexedSeq: _*)
@@ -347,6 +350,8 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
           v -> Snapshots.dataFiles(spark, path, Some(v))).toMap
         val deletesOf = chain.map(v =>
           v -> Snapshots.deleteFiles(spark, path, Some(v))).toMap
+        val eqOf = chain.map(v =>
+          v -> Snapshots.eqDeleteFiles(spark, path, Some(v))).toMap
         chain.sliding(2).flatMap {
           case Seq(a, b) =>
             // normalized paths (the changeFeed/compact convention):
@@ -357,12 +362,17 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
               new org.apache.hadoop.fs.Path(p).toUri.getPath
             val before = filesOf(a).map(norm).toSet
             val after = filesOf(b)
-            // a MERGE-ON-READ delete changes no data file, but it is a
-            // change commit all the same — streaming the step as "zero
-            // appended files" would silently drop the deletion, so the
-            // sidecar sets must match for the append fast path too
+            // a MERGE-ON-READ delete (either sidecar kind) changes no
+            // data file, but it is a change commit all the same —
+            // streaming the step as "zero appended files" would
+            // silently drop the deletion, so the sidecar sets must
+            // match for the append fast path too. An upsertEq step
+            // fails BOTH checks (it adds files AND an E line), so its
+            // appended rows never stream as a plain append.
             if (before.subsetOf(after.map(norm).toSet) &&
-                deletesOf(a).map(norm).toSet == deletesOf(b).map(norm).toSet)
+                deletesOf(a).map(norm).toSet == deletesOf(b).map(norm).toSet &&
+                eqOf(a).map(e => (e._1, norm(e._2))).toSet ==
+                  eqOf(b).map(e => (e._1, norm(e._2))).toSet)
               after.filterNot(f => before(norm(f)))
             else if (skipChangeCommits) Seq.empty
             else throw new IllegalStateException(
@@ -442,6 +452,8 @@ private[v2] class SnapshotChangeFeedSource(spark: SparkSession, path: String)
           v -> Snapshots.dataFiles(spark, path, Some(v))).toMap
         val deletesOf = chain.map(v =>
           v -> Snapshots.deleteFiles(spark, path, Some(v))).toMap
+        val eqOf = chain.map(v =>
+          v -> Snapshots.eqDeleteFiles(spark, path, Some(v))).toMap
         chain.sliding(2).flatMap {
           // a compaction/z-order/purge step is row-preserving by the
           // rebase contract — skip the O(moved-bytes) diff that would
@@ -450,6 +462,14 @@ private[v2] class SnapshotChangeFeedSource(spark: SparkSession, path: String)
           case Seq(a, b) if b == a + 1 &&
               Snapshots.isMaintenanceCommit(spark, path, b) => None
           case Seq(a, b) =>
+            // an equality-delete upsert inside the step needs a keyed,
+            // scoped diff this file-granular feed cannot express — the
+            // upsert batches ARE the change log (changeFeed's contract)
+            require(eqOf(a).map(e => (e._1, norm(e._2))).toSet ==
+                eqOf(b).map(e => (e._1, norm(e._2))).toSet,
+              s"graft-snapshot change-feed stream $path: v$a -> v$b " +
+                "crosses an equality-delete commit — feed from the " +
+                "upsert batches instead")
             val beforeN = filesOf(a).map(norm).toSet
             val afterN  = filesOf(b).map(norm).toSet
             Some(Snapshots.diffFeed(spark, path, b,
@@ -484,7 +504,8 @@ private[v2] class SnapshotChangeFeedSource(spark: SparkSession, path: String)
   */
 private[v2] final case class ResolvedSnapshot(path: String, version: Long,
     files: Seq[String], table: ParquetTable,
-    deletes: Seq[String] = Nil)
+    deletes: Seq[String] = Nil,
+    eqDeletes: Seq[(Long, String)] = Nil)
 
 /** The scan builder that makes MANIFEST-LEVEL data skipping automatic
   * for `spark.read.format("graft-snapshot")`: the filters Catalyst
@@ -574,7 +595,7 @@ private[v2] class PruningScanBuilder(resolved: ResolvedSnapshot,
   // compaction restores it)
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (resolved.deletes.isEmpty)
+    if (resolved.deletes.isEmpty && resolved.eqDeletes.isEmpty)
       metadataAgg = MetadataAgg.tryEvaluate(
         SparkSession.active, resolved, catalystFilters, agg)
     metadataAgg.isDefined
@@ -582,7 +603,8 @@ private[v2] class PruningScanBuilder(resolved: ResolvedSnapshot,
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (metadataAgg.isEmpty && resolved.deletes.isEmpty)
+    if (metadataAgg.isEmpty && resolved.deletes.isEmpty &&
+        resolved.eqDeletes.isEmpty)
       metadataAgg = MetadataAgg.tryEvaluate(
         SparkSession.active, resolved, catalystFilters, agg)
     metadataAgg.isDefined
@@ -595,22 +617,29 @@ private[v2] class PruningScanBuilder(resolved: ResolvedSnapshot,
     // outstanding sidecars are subtracted natively (position-aware by
     // construction), so this path needs no live-view rewrite
     identityRequested.foreach { out =>
+      // position-aware by construction, but EQUALITY subtraction is a
+      // keyed join this scan cannot express — purge first
+      require(resolved.eqDeletes.isEmpty,
+        s"graft-snapshot ${resolved.path}: row-identity column reads " +
+          "require no outstanding equality deletes — run " +
+          "Snapshots.purgeEqDeletes (CALL purge_eq_deletes) first")
       val kept = graft.sources.FileStats.pruneResolved(
         SparkSession.active, resolved.path, resolved.files, catalystFilters)
       return new RowIdentityScan(resolved.path, resolved.table.schema, out,
         kept, resolved.deletes, RowIdentity.translatable(catalystFilters))
     }
-    // a snapshot with outstanding position deletes is readable ONLY
-    // through the live-view rewrite (graft.plans.MorDeleteRewrite,
+    // a snapshot with outstanding sidecars (either kind) is readable
+    // ONLY through the live-view rewrite (graft.plans.MorDeleteRewrite,
     // registered by GraftPlannerExtensions at analysis time) — a plan
     // that still carries this relation at scan-build time would read
     // deleted rows back. Failing loudly beats silent resurrection.
-    require(resolved.deletes.isEmpty,
+    require(resolved.deletes.isEmpty && resolved.eqDeletes.isEmpty,
       s"graft-snapshot ${resolved.path} v${resolved.version} has " +
-        s"${resolved.deletes.size} outstanding position-delete sidecar(s); " +
+        s"${resolved.deletes.size} position-delete and " +
+        s"${resolved.eqDeletes.size} equality-delete sidecar(s) outstanding; " +
         "reads require spark.sql.extensions=graft.plans.GraftPlannerExtensions " +
         "(the merge-on-read rewrite), or fold the deletes in with " +
-        "Snapshots.purgeDeletes/compact")
+        "Snapshots.purgeDeletes/purgeEqDeletes/compact")
     metadataAgg match {
       case Some((schema, row)) =>
         new MetadataAggScan(resolved.path, resolved.version, schema, row)
@@ -964,7 +993,11 @@ private[graft] class SnapshotTable(path: String, tableSchema: StructType,
     */
   private[graft] def morState: Option[(String, Long)] = {
     val r = resolveTable()
-    if (r.deletes.nonEmpty) Some((r.path, r.version)) else None
+    // either sidecar kind routes the read through the live-view rewrite
+    // (Snapshots.read resolves both: position anti-join + scoped
+    // equality anti-join)
+    if (r.deletes.nonEmpty || r.eqDeletes.nonEmpty) Some((r.path, r.version))
+    else None
   }
 
   /** A bucketed table advertises its layout (`bucket(n, col)`) — shown

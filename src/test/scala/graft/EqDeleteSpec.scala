@@ -1,0 +1,230 @@
+package graft
+
+import graft.sources.Snapshots
+import org.apache.spark.sql.functions._
+
+/** Equality deletes (Iceberg v2's second delete form) — the streaming
+  * upsert shape: `Snapshots.upsertEq` commits a batch as appended files
+  * plus a key-set sidecar scoped to the pre-commit version, with ZERO
+  * target reads. Pins: upsert semantics (replace + insert), scope
+  * exemption (a batch never deletes its own rows; later appends are
+  * exempt), stacking, composition with position deletes, purge folding
+  * (hit-files-only rewrite), time travel, exactly-once tokens, the
+  * refusal surface (rewriting ops, feeds, vacuum, fork), and the V2/SQL
+  * read path.
+  */
+class EqDeleteSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"eq-$tag").toString + "/t"
+
+  private def rows(t: String): Seq[(Long, String)] =
+    Snapshots.read(spark, t).select("id", "v").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+
+  private def base(t: String): Unit =
+    Snapshots.commit(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"))
+      .toDF("id", "v"), t): Unit
+
+  test("upsertEq replaces matched keys and appends new ones — zero rewrites") {
+    val t = freshDir("basic")
+    base(t)
+    val before = Snapshots.dataFiles(spark, t).toSet
+    val v = Snapshots.upsertEq(spark, t,
+      Seq((2L, "B!"), (9L, "i")).toDF("id", "v"), Seq("id"))
+    assert(v === 2L)
+    assert(before.subsetOf(Snapshots.dataFiles(spark, t).toSet))
+    assert(Snapshots.eqDeleteFiles(spark, t).map(_._1) === Seq(1L)) // scope
+    assert(rows(t) === Seq((1L, "a"), (2L, "B!"), (3L, "c"), (4L, "d"), (9L, "i")))
+    // time travel: v1 unaffected
+    assert(Snapshots.read(spark, t, Some(1L)).count() === 4L)
+  }
+
+  test("stacked upserts: the LATEST batch wins; earlier upserted rows subtract") {
+    val t = freshDir("stack")
+    base(t)
+    Snapshots.upsertEq(spark, t, Seq((2L, "x1")).toDF("id", "v"), Seq("id"))
+    Snapshots.upsertEq(spark, t, Seq((2L, "x2"), (3L, "y2")).toDF("id", "v"), Seq("id"))
+    assert(rows(t) === Seq((1L, "a"), (2L, "x2"), (3L, "y2"), (4L, "d")))
+    // intermediate state is time-travelable
+    assert(Snapshots.read(spark, t, Some(2L)).filter(col("id") === 2)
+      .select("v").as[String].head() === "x1")
+  }
+
+  test("scope exemption: a plain append AFTER the upsert keeps matching keys") {
+    val t = freshDir("exempt")
+    base(t)
+    Snapshots.upsertEq(spark, t, Seq((2L, "up")).toDF("id", "v"), Seq("id"))
+    // appended later: addVersion > scope, so the key-2 row survives
+    Snapshots.commit(Seq((2L, "late")).toDF("id", "v"), t)
+    val got = rows(t).filter(_._1 == 2L).map(_._2).sorted
+    assert(got === Seq("late", "up"))
+  }
+
+  test("input contract: NULL keys, duplicate keys, changed key sets refuse") {
+    val t = freshDir("contract")
+    base(t)
+    val nullKey = intercept[IllegalArgumentException] {
+      Snapshots.upsertEq(spark, t,
+        Seq((Option.empty[Long], "n")).toDF("id", "v"), Seq("id"))
+    }
+    assert(nullKey.getMessage.contains("NULL key"))
+    val dup = intercept[IllegalArgumentException] {
+      Snapshots.upsertEq(spark, t,
+        Seq((5L, "p"), (5L, "q")).toDF("id", "v"), Seq("id"))
+    }
+    assert(dup.getMessage.contains("duplicate key"))
+    Snapshots.upsertEq(spark, t, Seq((1L, "u")).toDF("id", "v"), Seq("id"))
+    val keyChange = intercept[IllegalArgumentException] {
+      Snapshots.upsertEq(spark, t, Seq((2L, "w")).toDF("id", "v"), Seq("v"))
+    }
+    assert(keyChange.getMessage.contains("purge before changing the key set"))
+  }
+
+  test("exactly-once: a replayed token returns the committed version, writes nothing") {
+    val t = freshDir("token")
+    base(t)
+    val v1 = Snapshots.upsertEq(spark, t, Seq((1L, "u")).toDF("id", "v"),
+      Seq("id"), token = Some("batch-7"))
+    val files = Snapshots.dataFiles(spark, t).toSet
+    val v2 = Snapshots.upsertEq(spark, t, Seq((1L, "DIFFERENT")).toDF("id", "v"),
+      Seq("id"), token = Some("batch-7"))
+    assert(v1 === v2)
+    assert(Snapshots.dataFiles(spark, t).toSet === files)
+    assert(rows(t).find(_._1 == 1L).get._2 === "u")
+  }
+
+  test("purgeEqDeletes folds: only key-hit files rewrite, answer unchanged") {
+    val t = freshDir("purge")
+    // two files with disjoint key ranges
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), t)
+    Snapshots.commit(Seq((100L, "x"), (101L, "y")).toDF("id", "v"), t)
+    Snapshots.upsertEq(spark, t, Seq((2L, "B")).toDF("id", "v"), Seq("id"))
+    val pre = rows(t)
+    val beforeFiles = Snapshots.dataFiles(spark, t)
+    val v = Snapshots.purgeEqDeletes(spark, t)
+    assert(Snapshots.eqDeleteFiles(spark, t).isEmpty)
+    assert(rows(t) === pre)
+    val after = Snapshots.dataFiles(spark, t).toSet
+    // exactly ONE prior file contains the matched key (id=2) and
+    // rewrites; every other file — the 100/101 ones and the upsert's
+    // own (outside the scope) — carries by path
+    val carried = beforeFiles.toSet.intersect(after)
+    assert(carried.size === beforeFiles.size - 1,
+      s"expected exactly one rewritten file, before=$beforeFiles after=$after")
+    assert((after -- carried).nonEmpty)
+    // purge is maintenance: re-running is a no-op
+    assert(Snapshots.purgeEqDeletes(spark, t) === v)
+  }
+
+  test("no-match purge drops the E lines without rewriting anything") {
+    val t = freshDir("purgenm")
+    base(t)
+    // inserts only — no existing key matches
+    Snapshots.upsertEq(spark, t, Seq((50L, "new")).toDF("id", "v"), Seq("id"))
+    val files = Snapshots.dataFiles(spark, t).toSet
+    Snapshots.purgeEqDeletes(spark, t)
+    assert(Snapshots.eqDeleteFiles(spark, t).isEmpty)
+    assert(Snapshots.dataFiles(spark, t).toSet === files)
+    assert(rows(t).map(_._1) === Seq(1L, 2L, 3L, 4L, 50L))
+  }
+
+  test("composes with position deletes: MOR delete, then upsert, both apply") {
+    val t = freshDir("compose")
+    base(t)
+    Snapshots.deleteWhereMor(spark, t, col("id") === 3)
+    Snapshots.upsertEq(spark, t, Seq((4L, "D!")).toDF("id", "v"), Seq("id"))
+    assert(rows(t) === Seq((1L, "a"), (2L, "b"), (4L, "D!")))
+    // purge folds both sidecar kinds (position deletes targeting the
+    // rewritten files turn stale-harmless; the eq lines drop)
+    Snapshots.purgeEqDeletes(spark, t)
+    assert(rows(t) === Seq((1L, "a"), (2L, "b"), (4L, "D!")))
+    assert(Snapshots.eqDeleteFiles(spark, t).isEmpty)
+  }
+
+  test("compact folds equality deletes like a purge") {
+    val t = freshDir("compactfold")
+    base(t)
+    Snapshots.upsertEq(spark, t, Seq((1L, "A")).toDF("id", "v"), Seq("id"))
+    Snapshots.compact(spark, t, numFiles = 1)
+    assert(Snapshots.eqDeleteFiles(spark, t).isEmpty)
+    assert(rows(t) === Seq((1L, "A"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("restore across an upsert reproduces each side exactly") {
+    val t = freshDir("restore")
+    base(t)                                                        // v1
+    Snapshots.upsertEq(spark, t, Seq((1L, "A")).toDF("id", "v"), Seq("id")) // v2
+    Snapshots.restore(spark, t, 1L)                                // v3
+    assert(rows(t) === Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    Snapshots.restore(spark, t, 2L)                                // v4
+    assert(rows(t) === Seq((1L, "A"), (2L, "b"), (3L, "c"), (4L, "d")))
+    assert(Snapshots.eqDeleteFiles(spark, t).map(_._1) === Seq(1L))
+  }
+
+  test("rewriting ops, feeds, vacuum, and fork refuse while eq deletes are outstanding") {
+    val t = freshDir("refuse")
+    base(t)
+    Snapshots.upsertEq(spark, t, Seq((1L, "A")).toDF("id", "v"), Seq("id"))
+    def refused(f: => Any): String =
+      intercept[IllegalArgumentException](f).getMessage
+    assert(refused(Snapshots.deleteWhere(spark, t, col("id") === 1))
+      .contains("equality deletes"))
+    assert(refused(Snapshots.deleteWhereMor(spark, t, col("id") === 1))
+      .contains("equality deletes"))
+    assert(refused(Snapshots.merge(spark, t,
+      Seq((1L, "m")).toDF("id", "v"), "id")).contains("equality deletes"))
+    assert(refused(Snapshots.binPack(spark, t)).contains("equality deletes"))
+    assert(refused(Snapshots.purgeDeletes(spark, t)).contains("equality deletes"))
+    assert(refused(Snapshots.vacuum(spark, t)).contains("equality deletes"))
+    assert(refused(Snapshots.fork(spark, t, freshDir("refuse-br")))
+      .contains("equality deletes"))
+    assert(refused(Snapshots.changes(spark, t, 1L, 2L))
+      .contains("equality-delete"))
+    assert(refused(Snapshots.changeFeed(spark, t, 1L, 2L))
+      .contains("equality-delete"))
+    // and after a purge, the same ops proceed
+    Snapshots.purgeEqDeletes(spark, t)
+    Snapshots.deleteWhere(spark, t, col("id") === 4)
+    assert(rows(t).map(_._1) === Seq(1L, 2L, 3L))
+  }
+
+  test("vacuum after purge reference-counts eq sidecars out; gc spares live ones") {
+    val t = freshDir("lifecycle")
+    base(t)
+    Snapshots.upsertEq(spark, t, Seq((1L, "A")).toDF("id", "v"), Seq("id"))
+    // gc with zero grace: the sidecar is REFERENCED — must survive
+    Snapshots.gc(spark, t, graceMs = 0)
+    assert(rows(t).find(_._1 == 1L).get._2 === "A")
+    Snapshots.purgeEqDeletes(spark, t)   // v3: no E lines
+    val reclaimed = Snapshots.vacuum(spark, t, keepVersions = 1)
+    assert(reclaimed > 0) // the expired sidecar + replaced files died
+    assert(rows(t) === Seq((1L, "A"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("SQL/V2 read path resolves outstanding eq deletes via the rewrite") {
+    val t = freshDir("v2")
+    base(t)
+    Snapshots.upsertEq(spark, t,
+      Seq((2L, "B"), (7L, "new")).toDF("id", "v"), Seq("id"))
+    val df = spark.read.format("graft-snapshot").load(t)
+    assert(df.count() === 5L) // NOT the footer count (6) — agg gate off
+    assert(df.filter(col("id") === 2).select("v").as[String].head() === "B")
+    // time travel through the V2 option route
+    assert(spark.read.format("graft-snapshot").option("asOf", "1")
+      .load(t).count() === 4L)
+  }
+
+  test("composite keys: two-column equality subtraction") {
+    val t = freshDir("composite")
+    Snapshots.commit(Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))
+      .toDF("id", "grp", "m"), t)
+    Snapshots.upsertEq(spark, t,
+      Seq((1L, "y", 99.0)).toDF("id", "grp", "m"), Seq("id", "grp"))
+    val got = Snapshots.read(spark, t).select("id", "grp", "m")
+      .as[(Long, String, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq((1L, "x", 10.0), (1L, "y", 99.0), (2L, "x", 30.0)))
+  }
+}
