@@ -1659,6 +1659,77 @@ object Incremental {
          |            FROM $tbl VERSION AS OF 2) pre""".stripMargin)
   }
 
+  /** q109: EQUALITY-DELETE streaming upserts under the oracle gate —
+    * Iceberg v2's second delete form, the Flink-CDC-into-Iceberg ingest
+    * shape. Two stacked `upsertEq` batches with OVERLAPPING keys land
+    * (commit cost ∝ the batch alone — no target probe, no rewrite; the
+    * 100 TB shape for continuous CDC where even `merge`'s probe pays a
+    * key-range read per batch), then `purgeEqDeletes` folds the
+    * sidecars back into plain files. The gated answer aggregates the
+    * post-purge head per status and joins the v3 (two-sidecars-
+    * outstanding) count read through the scoped anti-join, so a
+    * last-writer-wins violation (batch 2 must beat batch 1 on shared
+    * keys), a row resurrected by the purge, a leaked pre-image, or a
+    * scope that wrongly subtracts a batch's own rows breaks the hash.
+    * EqDeleteSpec pins the no-rewrite/carry/refusal invariants.
+    */
+  val qEqUpsert: QuerySpec = QuerySpec.sql(
+    "q109_eq_upsert",
+    """WITH b1 AS (
+      |  SELECT o_orderkey, 'U1' AS o_orderstatus,
+      |         o_totalprice + 10 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 13 = 2),
+      |b2 AS (
+      |  SELECT o_orderkey, 'U2' AS o_orderstatus,
+      |         o_totalprice * 2 AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 26 = 2
+      |  UNION ALL
+      |  SELECT o_orderkey + 900000000 AS o_orderkey,
+      |         'N' AS o_orderstatus, CAST(1.5 AS DOUBLE) AS o_totalprice
+      |  FROM orders WHERE o_orderkey % 100 = 11),
+      |live AS (
+      |  SELECT o_orderstatus, o_totalprice FROM orders
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b1)
+      |    AND o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice FROM b1
+      |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM b2)
+      |  UNION ALL
+      |  SELECT o_orderstatus, o_totalprice FROM b2)
+      |SELECT o_orderstatus, COUNT(*) AS n_live,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_mor
+      |FROM live GROUP BY 1""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "equps")
+    ensureBuilt(s, root, 4) {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Snapshots.commit(o, root)                                     // v1
+      val b1 = o.filter(col("o_orderkey") % 13 === 2)
+        .select(col("o_orderkey"), lit("U1").as("o_orderstatus"),
+          (col("o_totalprice") + 10).as("o_totalprice"))
+      Snapshots.upsertEq(s, root, b1, Seq("o_orderkey"))            // v2
+      val b2 = o.filter(col("o_orderkey") % 26 === 2)
+        .select(col("o_orderkey"), lit("U2").as("o_orderstatus"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .union(o.filter(col("o_orderkey") % 100 === 11)
+          .select((col("o_orderkey") + 900000000L).as("o_orderkey"),
+            lit("N").as("o_orderstatus"),
+            lit(1.5).cast("double").as("o_totalprice")))
+      Snapshots.upsertEq(s, root, b2, Seq("o_orderkey"))            // v3
+      Snapshots.purgeEqDeletes(s, root): Unit                       // v4
+    }
+    val head = Snapshots.read(s, root).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_live"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)")
+          .as("revenue"))
+    val mor = Snapshots.read(s, root, Some(3L))
+      .groupBy("o_orderstatus").agg(count(lit(1)).as("n_mor"))
+    head.join(mor, Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("n_live"), col("revenue"),
+        col("n_mor"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
@@ -1666,5 +1737,5 @@ object Incremental {
       qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore,
       qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish,
       qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup, qWriteOrder,
-      qBinPack, qMorDelete, qMorSql, qMorUpdate, qMorMerge)
+      qBinPack, qMorDelete, qMorSql, qMorUpdate, qMorMerge, qEqUpsert)
 }

@@ -215,7 +215,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           .add("name", StringType).add("version", LongType)
         case "delete_files" => new StructType()
           .add("path", StringType).add("positions", LongType)
-          .add("size_bytes", LongType)
+          .add("size_bytes", LongType).add("kind", StringType)
+          .add("scope", LongType)
       }
 
       override def capabilities(): util.Set[TableCapability] =
@@ -260,21 +261,33 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
                       "is not supported on metadata tables; use " +
                       "VERSION AS OF <version|'tag'>")
                 if (kind == "delete_files") {
-                  // outstanding merge-on-read sidecars of the version:
-                  // path, recorded positions (footer row count — a
-                  // sidecar row IS one deleted position), on-disk size
+                  // outstanding merge-on-read sidecars of the version,
+                  // BOTH delete forms: path, recorded rows (footer
+                  // count — a position-sidecar row IS one deleted
+                  // position; an equality-sidecar row is one keyed
+                  // subtraction), on-disk size, kind, and (equality
+                  // only) the version scope the keys subtract under
                   val fsys = new Path(parentPath).getFileSystem(
                     sp.sparkContext.hadoopConfiguration)
-                  return Snapshots.deleteFiles(sp, parentPath, asOf).map { p =>
-                    val (n, size) =
-                      try {
-                        val st = fsys.getFileStatus(new Path(p))
-                        (sp.read.parquet(p).count(), st.getLen)
-                      } catch {
-                        case scala.util.control.NonFatal(_) => (-1L, -1L)
-                      }
-                    InternalRow.fromSeq(Seq(UTF8String.fromString(p), n, size))
-                  }.toArray
+                  def info(p: String): (Long, Long) =
+                    try {
+                      val st = fsys.getFileStatus(new Path(p))
+                      (sp.read.parquet(p).count(), st.getLen)
+                    } catch {
+                      case scala.util.control.NonFatal(_) => (-1L, -1L)
+                    }
+                  val pos = Snapshots.deleteFiles(sp, parentPath, asOf).map { p =>
+                    val (n, size) = info(p)
+                    InternalRow.fromSeq(Seq(UTF8String.fromString(p), n, size,
+                      UTF8String.fromString("position"), null))
+                  }
+                  val eqs = Snapshots.eqDeleteFiles(sp, parentPath, asOf).map {
+                    case (scope, p) =>
+                      val (n, size) = info(p)
+                      InternalRow.fromSeq(Seq(UTF8String.fromString(p), n, size,
+                        UTF8String.fromString("equality"), scope))
+                  }
+                  return (pos ++ eqs).toArray
                 }
                 val detail = graft.sources.FileStats.loadDetail(sp, parentPath)
                 val fsys = new Path(parentPath).getFileSystem(

@@ -127,6 +127,33 @@ private[v2] object SnapshotProcedures {
       def run(in: InternalRow): Array[InternalRow] =
         row(Snapshots.purgeDeletes(spark, path(wh, in.getString(0))))
     }),
+    // fold outstanding EQUALITY-delete sidecars back into plain data
+    // files (only key-HIT files rewrite; position deletes targeting
+    // them fold too); returns the published version (unchanged head
+    // when nothing was outstanding)
+    "purge_eq_deletes" -> (wh => new Proc("purge_eq_deletes",
+      Seq(param("table", StringType)),
+      schema("version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] =
+        row(Snapshots.purgeEqDeletes(spark, path(wh, in.getString(0))))
+    }),
+    // CDC upsert via equality deletes (the Flink-into-Iceberg ingest
+    // shape, in SQL): appends `source` (a resolvable table/view name)
+    // and equality-deletes its key set in ONE commit — no target
+    // probe, no rewrite, cost ∝ the batch alone. `token` gives
+    // exactly-once replay for streaming feeders.
+    "upsert_eq" -> (wh => new Proc("upsert_eq",
+      Seq(param("table", StringType), param("source", StringType),
+        param("keys", StringType), param("token", StringType, "NULL")),
+      schema("version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] = {
+        val keys = in.getString(2).split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val token = if (in.isNullAt(3)) None else Option(in.getString(3))
+        row(Snapshots.upsertEq(spark, path(wh, in.getString(0)),
+          spark.table(in.getString(1)), keys, token))
+      }
+    }),
     "restore" -> (wh => new Proc("restore",
       Seq(param("table", StringType), param("version", LongType)),
       schema("version" -> LongType)) {

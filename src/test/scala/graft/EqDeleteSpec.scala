@@ -217,6 +217,44 @@ class EqDeleteSpec extends SparkTestBase {
       .load(t).count() === 4L)
   }
 
+  test("SQL lifecycle: CALL upsert_eq / .delete_files kinds / CALL purge_eq_deletes") {
+    val dir = java.nio.file.Files.createTempDirectory("eqwh").toString
+    spark.conf.set("spark.sql.catalog.eq_cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    spark.conf.set("spark.sql.catalog.eq_cat.warehouse", dir)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS eq_cat.ns")
+    spark.sql("CREATE TABLE eq_cat.ns.e1 (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO eq_cat.ns.e1 SELECT id, id * 2 FROM range(100)")
+    val filesBefore = Snapshots.dataFiles(spark, s"$dir/ns/e1").toSet
+    // the CDC batch arrives as a view; one CALL commits it O(batch)
+    spark.range(0, 10).selectExpr("id * 10 AS id", "CAST(999 AS BIGINT) AS v")
+      .createOrReplaceTempView("eq_updates")
+    val v = spark.sql("CALL eq_cat.system.upsert_eq(table => 'ns.e1', " +
+      "source => 'eq_updates', keys => 'id', token => 'b1')")
+      .head().getLong(0)
+    // zero rewrites; exactly-once on the token
+    assert(filesBefore.subsetOf(Snapshots.dataFiles(spark, s"$dir/ns/e1").toSet))
+    assert(spark.sql("CALL eq_cat.system.upsert_eq(table => 'ns.e1', " +
+      "source => 'eq_updates', keys => 'id', token => 'b1')")
+      .head().getLong(0) === v)
+    // live view: 100 base rows, 10 replaced (ids 0,10,..,90)
+    assert(spark.sql("SELECT count(*) FROM eq_cat.ns.e1").head().getLong(0) === 100L)
+    assert(spark.sql("SELECT sum(v) FROM eq_cat.ns.e1 WHERE id % 10 = 0 AND id < 100")
+      .head().getLong(0) === 9990L)
+    // metadata table reports the sidecar as kind=equality with its scope
+    val df = spark.sql("SELECT kind, positions, scope " +
+      "FROM eq_cat.ns.e1.delete_files").collect()
+    assert(df.length === 1 && df.head.getString(0) === "equality" &&
+      df.head.getLong(1) === 10L && df.head.getLong(2) === v - 1)
+    // purge folds it; answer unchanged; sidecar gone
+    spark.sql("CALL eq_cat.system.purge_eq_deletes(table => 'ns.e1')")
+    assert(Snapshots.eqDeleteFiles(spark, s"$dir/ns/e1").isEmpty)
+    assert(spark.sql("SELECT count(*) FROM eq_cat.ns.e1.delete_files")
+      .head().getLong(0) === 0L)
+    assert(spark.sql("SELECT sum(v) FROM eq_cat.ns.e1").head().getLong(0) ===
+      (0L until 100L).filter(_ % 10 != 0).map(_ * 2).sum + 10L * 999L)
+  }
+
   test("composite keys: two-column equality subtraction") {
     val t = freshDir("composite")
     Snapshots.commit(Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))

@@ -221,7 +221,11 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q107_mor_update" -> 6,
     // q108: per-status agg over the post-merge live view (broadcast
     // delete side), + the 1-row pre-merge count cross-join broadcast
-    "q108_mor_merge" -> 3)
+    "q108_mor_merge" -> 3,
+    // q109: post-purge per-status agg shuffle + the asOf-v3 read's two
+    // scoped eq-delete anti-join broadcasts + its agg shuffle + the
+    // final head-vs-v3 broadcast join
+    "q109_eq_upsert" -> 5)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
