@@ -1934,7 +1934,8 @@ object Snapshots {
           .as("hasnull"))
       .agg(
         coalesce(sum(when(col("hasnull") === 1, col("n"))), lit(0L)).as("nulls"),
-        count(when(col("n") > 1, lit(1))).as("dups"))
+        count(when(col("n") > 1, lit(1))).as("dups"),
+        coalesce(sum(col("n")), lit(0L)).as("total"))
       .head()
     require(contract.getLong(0) == 0,
       s"upsertEq batch contains ${contract.getLong(0)} NULL key value(s) — " +
@@ -1952,7 +1953,18 @@ object Snapshots {
           s"committed schema $committed")
     }
     val f = fs(spark, table)
-    val (newFiles, dataDir) = writeData(u, table)
+    // CDC batches are small relative to the shuffle width that produced
+    // them — one file per upstream partition would accrete near-empty
+    // files EVERY commit, and at a CDC stream's commit rate the file
+    // count (manifest size, footer reads, purge probes) becomes the
+    // real 100 TB cost. Bound the batch's file count by its rows (the
+    // contract scan already counted them); binPack still owns the tail.
+    val rowsPerFile = spark.conf
+      .get("graft.snapshot.upsertEqRowsPerFile", (1L << 18).toString).toLong
+    val nFiles = math.max(1L, math.min(u.rdd.getNumPartitions.toLong,
+      (contract.getLong(2) + rowsPerFile - 1) / rowsPerFile)).toInt
+    val uw = if (nFiles < u.rdd.getNumPartitions) u.coalesce(nFiles) else u
+    val (newFiles, dataDir) = writeData(uw, table)
     val eqDir = new Path(s"$table/eqdeletes/${java.util.UUID.randomUUID}")
     // the batch's key set IS the delete — tiny (one row per batch row)
     u.select(keys.map(col): _*).coalesce(1).write.parquet(eqDir.toString)

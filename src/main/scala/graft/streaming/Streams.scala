@@ -205,6 +205,70 @@ object Streams {
       }
       .start()
 
+  /** Streaming CDC upserts via EQUALITY DELETES — the ZERO-PROBE twin
+    * of [[mergeSink]] (Flink's upsert-into-Iceberg shape): each
+    * micro-batch commits as appended data files plus a key-set sidecar
+    * in one tokened publish with NO read of the target, so commit cost
+    * is the batch alone where mergeSink pays a key-range probe of the
+    * table every batch — the O(batch) shape continuous CDC into a
+    * 100 TB table needs. The trade is read-side: every outstanding
+    * sidecar adds one scoped anti-join until a purge or compaction
+    * folds it, so `purgeEvery` (0 = never) runs
+    * [[graft.sources.Snapshots.purgeEqDeletes]] every N batches —
+    * commits stay O(batch), the read tax stays bounded, and the purge
+    * touches only key-HIT files. Cross-batch ordering is positional
+    * (a later batch beats an earlier one — upsertEq's version scope IS
+    * last-writer-wins), matching the in-order delivery a CDC source
+    * provides per checkpoint; within a batch the highest `seqCol` row
+    * survives, satisfying upsertEq's unique-key contract. NULL-keyed
+    * rows are filtered (mergeSink's poison-pill rule: a refusal would
+    * replay forever). Exactly-once via checkpoint-scoped batch tokens;
+    * a lost optimistic race against a concurrent file rewrite retries
+    * against the new snapshot.
+    */
+  def upsertEqSink(df: DataFrame, table: String, keys: Seq[String],
+      seqCol: String, checkpointDir: String,
+      purgeEvery: Int = 0): StreamingQuery = {
+    val app = checkpointApp(checkpointDir)
+    df.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, row_number}
+        import org.apache.spark.sql.expressions.Window
+        val tieBreak = batch.columns
+          .filterNot(c => keys.contains(c) || c == seqCol).map(col).toSeq
+        val latest = batch.filter(keys.map(col(_).isNotNull).reduce(_ && _))
+          .withColumn("__rn", row_number().over(
+            Window.partitionBy(keys.map(col): _*)
+              .orderBy((col(seqCol).desc +: tieBreak.map(_.desc)): _*)))
+          .filter(col("__rn") === 1).drop("__rn")
+          .localCheckpoint()
+        val snaps = graft.sources.Snapshots
+        // token-idempotent empty seed (mergeSink's racing-seeders rule)
+        if (snaps.versions(batch.sparkSession, table).isEmpty)
+          snaps.commit(latest.limit(0), table,
+            token = Some("graft-upsertEqSink-seed")): Unit
+        if (!latest.isEmpty) {
+          var attempt = 0
+          var done = false
+          while (!done) try {
+            snaps.upsertEq(batch.sparkSession, table, latest, keys,
+              token = Some(s"graft-upsertEqSink-$app-$batchId")): Unit
+            done = true
+          } catch {
+            // a concurrent REWRITE (compaction/purge) aborted the
+            // publish; re-resolve and retry — appends rebase inside
+            // upsertEq itself and never land here
+            case _: IllegalStateException if attempt < 5 => attempt += 1
+          }
+        }
+        if (purgeEvery > 0 && (batchId + 1) % purgeEvery == 0)
+          snaps.purgeEqDeletes(batch.sparkSession, table): Unit
+      }
+      .start()
+  }
+
   /** Streaming DEDUP ingest into a [[graft.sources.Snapshots]] table:
     * each micro-batch is deduplicated within itself (exact text hash)
     * and against everything already committed — exact via fingerprint,

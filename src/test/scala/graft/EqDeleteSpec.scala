@@ -255,6 +255,40 @@ class EqDeleteSpec extends SparkTestBase {
       (0L until 100L).filter(_ % 10 != 0).map(_ * 2).sum + 10L * 999L)
   }
 
+  test("streaming upsertEqSink: zero-probe CDC commits, LWW across batches, purgeEvery folds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val t = freshDir("sink")
+    val ck = java.nio.file.Files.createTempDirectory("equpsck").toString
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    // (key, seq, value): in-batch dup of key 1 — highest seq wins
+    mem.addData((1L, 10L, "a"), (2L, 10L, "b"), (1L, 11L, "a2"))
+    val q1 = streaming.Streams.upsertEqSink(
+      mem.toDF().toDF("k", "seq", "v"), t, Seq("k"), "seq", ck)
+    q1.processAllAvailable(); q1.stop()
+    val filesAfterB1 = Snapshots.dataFiles(spark, t).toSet
+    assert(Snapshots.eqDeleteFiles(spark, t).size === 1)
+    // batch 2 (new sink, same checkpoint): cross-batch upsert + insert;
+    // purgeEvery=2 folds both sidecars after this batch
+    mem.addData((2L, 20L, "b2"), (3L, 20L, "c"))
+    val q2 = streaming.Streams.upsertEqSink(
+      mem.toDF().toDF("k", "seq", "v"), t, Seq("k"), "seq", ck,
+      purgeEvery = 2)
+    q2.processAllAvailable(); q2.stop()
+    def state() = Snapshots.read(spark, t)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet
+    assert(state() === Set((1L, "a2"), (2L, "b2"), (3L, "c")))
+    // the purge folded every sidecar; pre-purge batch-1 files carried
+    // into batch 2's commit untouched (zero-probe, zero-rewrite)
+    assert(Snapshots.eqDeleteFiles(spark, t).isEmpty)
+    val preP = Snapshots.versions(spark, t).last - 1
+    assert(filesAfterB1.subsetOf(
+      Snapshots.dataFiles(spark, t, Some(preP)).toSet))
+    // time travel: the sidecars-outstanding version resolves the same
+    assert(Snapshots.read(spark, t, Some(preP))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSet === state())
+  }
+
   test("composite keys: two-column equality subtraction") {
     val t = freshDir("composite")
     Snapshots.commit(Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))
