@@ -108,6 +108,36 @@ object EqUpsertEconomics {
       math.abs(c1._2 - c2._2) < 1e-6 * math.abs(c1._2),
       s"sums diverged: $a $b $c1 $c2")
     println(s"EQECON rows ${a._1}")
+
+    // ---- D: the PRUNED purge probe on a write-ordered table ----
+    // key-range upserts on a clustered table: the probe's IN-list
+    // prune (FileStats ranges) should cut the candidate set to the
+    // key-range files; A/B via graft.snapshot.eqProbeInListMaxKeys=0
+    def clustered(tag: String): String = {
+      val tD = s"$wh/e/$tag"
+      Snapshots.setSortSpec(spark, tD, Seq("o_orderkey"))
+      Snapshots.commit(o, tD)
+      val maxKey = spark.sql("SELECT max(o_orderkey) FROM eqecon_src")
+        .head().getLong(0)
+      val bD = spark.sql(
+        s"""SELECT o_orderkey, 'T' AS o_orderstatus,
+           |       o_totalprice + 9 AS o_totalprice
+           |FROM eqecon_src WHERE o_orderkey >= ${(maxKey * 0.99).toLong}
+           |""".stripMargin)
+      Snapshots.upsertEq(spark, tD, bD, Seq("o_orderkey"))
+      tD
+    }
+    val tOn = clustered("equpsrange1")
+    spark.conf.set("graft.snapshot.eqProbeMinCandidates", "0")
+    t("eq_purge_range_pruned")(Snapshots.purgeEqDeletes(spark, tOn))
+    spark.conf.unset("graft.snapshot.eqProbeMinCandidates")
+    val tOff = clustered("equpsrange2")
+    spark.conf.set("graft.snapshot.eqProbeInListMaxKeys", "0")
+    t("eq_purge_range_unpruned")(Snapshots.purgeEqDeletes(spark, tOff))
+    spark.conf.unset("graft.snapshot.eqProbeInListMaxKeys")
+    val dOn = agg(Snapshots.read(spark, tOn))
+    val dOff = agg(Snapshots.read(spark, tOff))
+    assert(dOn == dOff, s"pruned vs unpruned purge diverged: $dOn $dOff")
     spark.stop()
   }
 }

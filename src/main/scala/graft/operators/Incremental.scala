@@ -1730,6 +1730,61 @@ object Incremental {
         col("n_mor"))
   }
 
+  /** q110: INCREMENTAL CONSUMPTION OVER AN EQUALITY-DELETE UPSERT —
+    * the change feed now crosses eq commits (batch rows feed as
+    * inserts, replaced pre-images as deletes, via the key-hit probe),
+    * so downstream incremental consumers work over CDC-ingested
+    * tables. The gated answer maintains a per-lang aggregate PURELY
+    * incrementally — base aggregate at v1 plus the signed feed delta —
+    * while the oracle recomputes the post-upsert state directly: a
+    * pre-image the feed missed, a double-fed insert, or a wrongly
+    * subtracted batch row leaves the incremental aggregate diverged
+    * and breaks the hash. The 100 TB point: the feed costs the batch
+    * files + the key-HIT carried files, never the table.
+    */
+  val qEqCdf: QuerySpec = QuerySpec.sql(
+    "q110_eq_cdf",
+    """WITH b AS (
+      |  SELECT doc_id, lang, n_chars + 1000 AS n_chars
+      |  FROM documents WHERE doc_id % 7 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 10000000 AS doc_id, 'new' AS lang,
+      |         CAST(42 AS BIGINT) AS n_chars
+      |  FROM documents WHERE doc_id % 50 = 7),
+      |live AS (
+      |  SELECT lang, n_chars FROM documents WHERE doc_id % 7 <> 3
+      |  UNION ALL
+      |  SELECT lang, n_chars FROM b)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS chars
+      |FROM live GROUP BY lang""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "eqcdf")
+    ensureBuilt(s, root, 2) {
+      val d = Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      Snapshots.commit(d, root)                                     // v1
+      val b = d.filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), col("lang"),
+          (col("n_chars") + 1000L).as("n_chars"))
+        .union(d.filter(col("doc_id") % 50 === 7)
+          .select((col("doc_id") + 10000000L).as("doc_id"),
+            lit("new").as("lang"), lit(42L).as("n_chars")))
+      Snapshots.upsertEq(s, root, b, Seq("doc_id")): Unit           // v2
+    }
+    val base = Snapshots.read(s, root, Some(1L)).groupBy("lang")
+      .agg(count(lit(1)).as("n0"), sum("n_chars").as("c0"))
+    val delta = Snapshots.changeFeed(s, root, 1L, 2L)
+      .withColumn("w",
+        when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy("lang")
+      .agg(sum(col("w")).as("dn"), sum(col("w") * col("n_chars")).as("dc"))
+    base.join(delta, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("c0"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .cast("bigint").as("chars"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
@@ -1737,5 +1792,6 @@ object Incremental {
       qZOrderOptimize, qChangeFeed, qStreamChangeFeed, qSnapshotRestore,
       qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish,
       qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup, qWriteOrder,
-      qBinPack, qMorDelete, qMorSql, qMorUpdate, qMorMerge, qEqUpsert)
+      qBinPack, qMorDelete, qMorSql, qMorUpdate, qMorMerge, qEqUpsert,
+      qEqCdf)
 }

@@ -1237,7 +1237,8 @@ object Snapshots {
     require(manifestEqDeletes(spark, table, from).map(e => normPath(e._2)) ==
         manifestEqDeletes(spark, table, to).map(e => normPath(e._2)),
       s"history v$from -> v$to includes an equality-delete upsert — not " +
-        "append-only (the upsert batches ARE the change log)")
+        "append-only; use changeFeed (it feeds the upsert as " +
+        "insert + pre-image delete pairs)")
     val added = after.filterNot(before)
     // read() carries the empty-manifest guard (an empty-DataFrame commit
     // lists no files, and zero-path spark.read.parquet cannot infer schema)
@@ -1265,22 +1266,27 @@ object Snapshots {
 
   /** Row-level CHANGE FEED between committed versions `from` and `to`,
     * valid across ARBITRARY DML history — append, COW merge, delete,
-    * overwrite, compaction, z-order — where `changes` (the append-only
+    * overwrite, compaction, z-order, MERGE-ON-READ sidecars of BOTH
+    * forms (position and equality) — where `changes` (the append-only
     * fast path) refuses. Emits the snapshot-to-snapshot multiset diff
     * with a `_change_type` column: `insert` for rows present at `to`
     * but not `from`, `delete` for the reverse; an update surfaces as
     * its delete+insert pair (the format tracks files, not row
     * identities — same contract as Delta CDF without per-commit change
-    * files).
+    * files). An equality-delete UPSERT feeds its exact CDC semantics:
+    * batch rows as inserts, the replaced pre-images as deletes.
     *
-    * Scale posture: the diff NEVER reads carried files. A file in both
-    * manifests contributes identical rows to both sides of the multiset
+    * Scale posture: the diff NEVER reads carried files it doesn't have
+    * to. A file in both manifests whose applicable sidecars did not
+    * change contributes identical rows to both sides of the multiset
     * difference and cancels algebraically — (C ⊎ A) ∖ (C ⊎ R) = A ∖ R —
-    * so only the files the DML actually removed (R) or added (A) are
-    * scanned and shuffled. On a 100 TB table a small merge touches a
-    * handful of files and the feed costs exactly those files, not a
-    * two-snapshot anti-join over the table. The EXCEPT ALL itself is
-    * one hash-partitioned count-compare over the touched rows.
+    * so the scan set is: files the DML removed (R) or added (A), plus
+    * carried files a CHANGED sidecar actually touches (position: the
+    * sidecar's referenced files; equality: the key-hit probe over
+    * in-scope candidates). On a 100 TB table a small merge or upsert
+    * touches a handful of files and the feed costs exactly those files,
+    * not a two-snapshot anti-join over the table. The EXCEPT ALL itself
+    * is one hash-partitioned count-compare over the touched rows.
     */
   def changeFeed(spark: SparkSession, table: String, from: Long,
       to: Long): DataFrame = {
@@ -1302,18 +1308,6 @@ object Snapshots {
     if (between.nonEmpty && gapFree &&
         between.forall(isMaintenanceCommit(spark, table, _)))
       return emptyFeed(spark, table, to)
-    // an equality-delete upsert inside the range would need a keyed,
-    // version-scoped diff this file-granular feed cannot express (and
-    // the upsert batches ARE the change log — feed from them). Ranges
-    // on either side of the upsert/purge pair stay feedable; a range
-    // that is purely the purge is maintenance-skipped above.
-    require(manifestEqDeletes(spark, table, from)
-        .map(e => (e._1, normPath(e._2))).toSet ==
-      manifestEqDeletes(spark, table, to)
-        .map(e => (e._1, normPath(e._2))).toSet,
-      s"changeFeed v$from -> v$to crosses an equality-delete commit on " +
-        s"$table — feed from the upsert batches, or feed across the " +
-        "purged boundary")
     val before = manifestFiles(spark, table, from)
     val after  = manifestFiles(spark, table, to)
     val beforeN = before.map(normPath).toSet
@@ -1323,7 +1317,9 @@ object Snapshots {
       added   = after.filterNot(p => beforeN(normPath(p))),
       fromDeletes = manifestDeletes(spark, table, from),
       toDeletes   = manifestDeletes(spark, table, to),
-      carried     = before.filter(p => afterN(normPath(p))))
+      carried     = before.filter(p => afterN(normPath(p))),
+      fromEqDeletes = manifestEqDeletes(spark, table, from),
+      toEqDeletes   = manifestEqDeletes(spark, table, to))
   }
 
   /** Empty feed frame carrying the `to`-snapshot's schema (+ tag). */
@@ -1342,7 +1338,9 @@ object Snapshots {
   private[sources] def diffFeed(spark: SparkSession, table: String, to: Long,
       removed: Seq[String], added: Seq[String],
       fromDeletes: Seq[String] = Nil, toDeletes: Seq[String] = Nil,
-      carried: Seq[String] = Nil): DataFrame = {
+      carried: Seq[String] = Nil,
+      fromEqDeletes: Seq[(Long, String)] = Nil,
+      toEqDeletes: Seq[(Long, String)] = Nil): DataFrame = {
     import org.apache.spark.sql.functions.lit
     // MERGE-ON-READ awareness, exact at touched-files cost: each side
     // is resolved under ITS OWN sidecar set, and a CARRIED data file
@@ -1364,12 +1362,37 @@ object Snapshots {
           .map(normPath).toSet
         carried.filter(p => tgt(normPath(p)))
       }
-    val remAll = removed ++ affected
-    val addAll = added ++ affected
+    // EQUALITY-delete awareness, same algebra, keyed probe: a carried
+    // file's live rows can only differ across the range if a sidecar
+    // in the symmetric difference SUBTRACTS from it — it is in the
+    // changed sidecar's scope AND contains a matching live key (the
+    // purge probe, at key-column-scan cost over in-scope candidates).
+    // An upsert step then feeds exactly its CDC semantics: the batch's
+    // files surface as inserts, the replaced pre-images as deletes; a
+    // purge cancels algebraically (rewritten hit files appear on both
+    // sides fully resolved).
+    val eqFromSet = fromEqDeletes.map(e => (e._1, normPath(e._2))).toSet
+    val eqToSet = toEqDeletes.map(e => (e._1, normPath(e._2))).toSet
+    val changedEq =
+      fromEqDeletes.filterNot(e => eqToSet((e._1, normPath(e._2)))) ++
+        toEqDeletes.filterNot(e => eqFromSet((e._1, normPath(e._2))))
+    val affectedEq =
+      if (changedEq.isEmpty || carried.isEmpty) Seq.empty[String]
+      else {
+        val already = (affected ++ removed).map(normPath).toSet
+        eqHitFiles(spark, table, to,
+          carried.filterNot(p => already(normPath(p))), toDeletes, changedEq)
+      }
+    def resolved(v: Long, files: Seq[String], dels: Seq[String],
+        eqs: Seq[(Long, String)]): DataFrame =
+      if (eqs.isEmpty) liveView(spark, table, files, dels, readFiles(spark, _))
+      else applyEqDeletes(spark, table, v, files, dels, eqs, readFiles(spark, _))
+    val remAll = removed ++ affected ++ affectedEq
+    val addAll = added ++ affected ++ affectedEq
     val remDf = if (remAll.isEmpty) None
-      else Some(liveView(spark, table, remAll, fromDeletes, readFiles(spark, _)))
+      else Some(resolved(to, remAll, fromDeletes, fromEqDeletes))
     val addDf = if (addAll.isEmpty) None
-      else Some(liveView(spark, table, addAll, toDeletes, readFiles(spark, _)))
+      else Some(resolved(to, addAll, toDeletes, toEqDeletes))
     (remDf, addDf) match {
       case (None, None) =>
         // untouched range (from == to, or pure-metadata history): empty
@@ -1990,8 +2013,78 @@ object Snapshots {
     * stream's read-side tax — cost ∝ the bytes of key-hit files,
     * batched across every upsert since the last purge.
     */
-  def purgeEqDeletes(spark: SparkSession, table: String): Long = {
+  /** The candidate files whose LIVE rows match any of `eqs`' keys under
+    * that key's version scope — the EXACT key-hit probe shared by
+    * [[purgeEqDeletes]] (its rewrite set) and the equality-aware
+    * [[changeFeed]] (its affected-carried set). Cost: one scan of the
+    * in-scope candidates (position deletes resolved first so dead rows
+    * can't hit); the returned list is file-count bounded.
+    */
+  private def eqHitFiles(spark: SparkSession, table: String, v: Long,
+      candidates: Seq[String], dels: Seq[String],
+      eqs: Seq[(Long, String)]): Seq[String] = {
     import org.apache.spark.sql.functions.{broadcast, lit}
+    if (eqs.isEmpty || candidates.isEmpty) return Nil
+    def norm(p: String) = normPath(p)
+    val addV = fileAddVersions(spark, table, v)
+    val maxScope = eqs.map(_._1).max
+    val inScope0 = candidates.filter(p => addV.getOrElse(norm(p), 0L) <= maxScope)
+    if (inScope0.isEmpty) return Nil
+    val fsys = fs(spark, table)
+    val keys = eqKeyColumns(spark, eqs)
+    val eqFrame = eqs.map { case (scope, p) =>
+      spark.read.parquet(p).withColumn(EqScopeCol, lit(scope)) }
+      .reduce(_ unionByName _)
+    // STATS-PRUNED probe: the sidecar key sets are broadcast-size by
+    // the read path's own envelope, so when they stay under the IN-list
+    // cap an IN predicate per key column prunes the in-scope candidates
+    // through FileStats ranges + blooms BEFORE any row is read — on a
+    // write-ordered (or bloom-specced) table the probe then opens only
+    // the key-range files, not every in-scope file. Per-column lists
+    // are conservative for composite keys (a file must contain SOME
+    // value of EACH column to possibly match); any failure, oversized
+    // list, or absent stats keeps every candidate.
+    // ...and a candidate-count floor: below it the stats walk + the
+    // key-collect job cost more than the full probe saves (measured at
+    // sf0.1/32 files: pruned 1.18 s vs unpruned 0.92 s — the prune's
+    // win is file-count-unbounded, its loss a small constant)
+    val inListCap = spark.conf
+      .get("graft.snapshot.eqProbeInListMaxKeys", "65536").toInt
+    val minCandidates = spark.conf
+      .get("graft.snapshot.eqProbeMinCandidates", "64").toInt
+    val inScope =
+      if (inListCap <= 0 || inScope0.size < minCandidates) inScope0
+      else try {
+        import org.apache.spark.sql.functions.col
+        keys.foldLeft(inScope0) { (cand, k) =>
+          if (cand.isEmpty) cand
+          else {
+            val vals = eqFrame.select(k).distinct()
+              .limit(inListCap + 1).collect().map(_.get(0))
+            if (vals.length > inListCap || vals.contains(null)) cand
+            else FileStats.prune(spark, table, cand,
+              col(k).isin(vals.toIndexedSeq: _*))
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => inScope0 }
+    if (inScope.isEmpty) return Nil
+    import spark.implicits._
+    val addVDf = broadcast(inScope.map(p =>
+        (fsys.makeQualified(new Path(p)).toString, addV(norm(p))))
+      .toDF(EqFileCol, EqAddVCol))
+    val withV = liveView(spark, table, inScope, dels,
+      readTableFiles(spark, table, _), fileColumn = Some(EqFileCol))
+      .join(addVDf, Seq(EqFileCol))
+    val cond = keys.map(c => withV(c) === eqFrame(c)).reduce(_ && _) &&
+      withV(EqAddVCol) <= eqFrame(EqScopeCol)
+    val hitStrs = withV.join(broadcast(eqFrame), cond, "left_semi")
+      .select(EqFileCol).distinct().collect().map(_.getString(0)).toSet
+    val byQualified = inScope.map(p =>
+      fsys.makeQualified(new Path(p)).toString -> p).toMap
+    hitStrs.toSeq.flatMap(byQualified.get)
+  }
+
+  def purgeEqDeletes(spark: SparkSession, table: String): Long = {
     val vs = versions(spark, table)
     require(vs.nonEmpty, s"no committed snapshot in $table")
     val src = vs.last
@@ -2000,34 +2093,9 @@ object Snapshots {
     val files = manifestFiles(spark, table, src)
     val dels = manifestDeletes(spark, table, src)
     def norm(p: String) = normPath(p)
-    val addV = fileAddVersions(spark, table, src)
-    val maxScope = eqs.map(_._1).max
-    val inScope = files.filter(p => addV.getOrElse(norm(p), 0L) <= maxScope)
-    val fsys = fs(spark, table)
-    val keys = eqKeyColumns(spark, eqs)
     // exact hit probe: in-scope files whose LIVE rows match a key under
     // that key's scope (semi-join twin of the read path's anti-join)
-    val hit: Seq[String] =
-      if (inScope.isEmpty) Nil
-      else {
-        import spark.implicits._
-        val addVDf = broadcast(inScope.map(p =>
-            (fsys.makeQualified(new Path(p)).toString, addV(norm(p))))
-          .toDF(EqFileCol, EqAddVCol))
-        val withV = liveView(spark, table, inScope, dels,
-          readTableFiles(spark, table, _), fileColumn = Some(EqFileCol))
-          .join(addVDf, Seq(EqFileCol))
-        val eqFrame = eqs.map { case (scope, p) =>
-          spark.read.parquet(p).withColumn(EqScopeCol, lit(scope)) }
-          .reduce(_ unionByName _)
-        val cond = keys.map(c => withV(c) === eqFrame(c)).reduce(_ && _) &&
-          withV(EqAddVCol) <= eqFrame(EqScopeCol)
-        val hitStrs = withV.join(broadcast(eqFrame), cond, "left_semi")
-          .select(EqFileCol).distinct().collect().map(_.getString(0)).toSet
-        val byQualified = inScope.map(p =>
-          fsys.makeQualified(new Path(p)).toString -> p).toMap
-        hitStrs.toSeq.flatMap(byQualified.get)
-      }
+    val hit: Seq[String] = eqHitFiles(spark, table, src, files, dels, eqs)
     if (hit.isEmpty)
       // keys match nothing (already purged rows, or inserts-only
       // upserts): drop the E lines, rewrite nothing — row-preserving

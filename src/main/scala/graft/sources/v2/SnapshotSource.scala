@@ -462,21 +462,17 @@ private[v2] class SnapshotChangeFeedSource(spark: SparkSession, path: String)
           case Seq(a, b) if b == a + 1 &&
               Snapshots.isMaintenanceCommit(spark, path, b) => None
           case Seq(a, b) =>
-            // an equality-delete upsert inside the step needs a keyed,
-            // scoped diff this file-granular feed cannot express — the
-            // upsert batches ARE the change log (changeFeed's contract)
-            require(eqOf(a).map(e => (e._1, norm(e._2))).toSet ==
-                eqOf(b).map(e => (e._1, norm(e._2))).toSet,
-              s"graft-snapshot change-feed stream $path: v$a -> v$b " +
-                "crosses an equality-delete commit — feed from the " +
-                "upsert batches instead")
+            // an equality-delete upsert inside the step feeds through
+            // the keyed diff: batch rows as inserts, replaced
+            // pre-images as deletes (diffFeed's eq-aware probe)
             val beforeN = filesOf(a).map(norm).toSet
             val afterN  = filesOf(b).map(norm).toSet
             Some(Snapshots.diffFeed(spark, path, b,
               removed = filesOf(a).filterNot(p => afterN(norm(p))),
               added   = filesOf(b).filterNot(p => beforeN(norm(p))),
               fromDeletes = deletesOf(a), toDeletes = deletesOf(b),
-              carried = filesOf(a).filter(p => afterN(norm(p)))))
+              carried = filesOf(a).filter(p => afterN(norm(p))),
+              fromEqDeletes = eqOf(a), toEqDeletes = eqOf(b)))
           case _ => None
         }.reduceOption(_ unionByName _)
     }

@@ -183,12 +183,110 @@ class EqDeleteSpec extends SparkTestBase {
       .contains("equality deletes"))
     assert(refused(Snapshots.changes(spark, t, 1L, 2L))
       .contains("equality-delete"))
-    assert(refused(Snapshots.changeFeed(spark, t, 1L, 2L))
-      .contains("equality-delete"))
     // and after a purge, the same ops proceed
     Snapshots.purgeEqDeletes(spark, t)
     Snapshots.deleteWhere(spark, t, col("id") === 4)
     assert(rows(t).map(_._1) === Seq(1L, 2L, 3L))
+  }
+
+  test("changeFeed across an upsert: batch rows insert, pre-images delete") {
+    val t = freshDir("feed")
+    base(t)                                                  // v1: 4 rows
+    Snapshots.upsertEq(spark, t,
+      Seq((2L, "B!"), (9L, "i")).toDF("id", "v"), Seq("id")) // v2
+    def feed(from: Long, to: Long) =
+      Snapshots.changeFeed(spark, t, from, to)
+        .select("id", "v", "_change_type").as[(Long, String, String)]
+        .collect().toSet
+    val f12 = feed(1L, 2L)
+    assert(f12 === Set((2L, "B!", "insert"), (9L, "i", "insert"),
+      (2L, "b", "delete")))
+    // across upsert + purge: same net feed (the purge cancels
+    // algebraically — rewritten hit files resolve on both sides)
+    Snapshots.purgeEqDeletes(spark, t)                       // v3
+    assert(feed(1L, 3L) === f12)
+    // the pure-purge step is maintenance: empty feed
+    assert(Snapshots.changeFeed(spark, t, 2L, 3L).isEmpty)
+  }
+
+  test("changeFeed across stacked upserts: LWW endpoints, intermediates cancel") {
+    val t = freshDir("feedstack")
+    base(t)
+    Snapshots.upsertEq(spark, t, Seq((2L, "x1")).toDF("id", "v"), Seq("id"))
+    Snapshots.upsertEq(spark, t,
+      Seq((2L, "x2"), (3L, "y2")).toDF("id", "v"), Seq("id"))
+    // v1 -> v3 is endpoint-to-endpoint: x1 (alive only at v2) cancels —
+    // its file arrives on the add side already subtracted by batch 2's
+    // sidecar; only the true endpoint diff surfaces
+    val f = Snapshots.changeFeed(spark, t, 1L, 3L)
+      .select("id", "v", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(f === Set((2L, "b", "delete"), (3L, "c", "delete"),
+      (2L, "x2", "insert"), (3L, "y2", "insert")))
+    // a CDF mirror reproduces the table: v1 rows minus deletes plus inserts
+    val v1 = Snapshots.read(spark, t, Some(1L)).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    val mirror = v1 -- f.filter(_._3 == "delete").map(c => (c._1, c._2)) ++
+      f.filter(_._3 == "insert").map(c => (c._1, c._2))
+    assert(mirror === rows(t).toSet)
+  }
+
+  test("streaming readChangeFeed crosses an upsert commit as delete+insert pairs") {
+    import org.apache.spark.sql.functions.col
+    val t = freshDir("feedstream")
+    base(t)
+    val q = spark.readStream.format("graft-snapshot").option("path", t)
+      .option("readChangeFeed", "true").load()
+      .writeStream.format("memory").queryName("eq_cdf")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("eqcdfck").toString)
+      .start()
+    q.processAllAvailable() // initial snapshot: 4 inserts
+    assert(spark.table("eq_cdf").count() === 4)
+    Snapshots.upsertEq(spark, t,
+      Seq((2L, "B"), (9L, "i")).toDF("id", "v"), Seq("id"))
+    q.processAllAvailable()
+    q.stop()
+    val changes = spark.table("eq_cdf")
+      .filter(col("_change_type") === "delete" || col("v").isin("B", "i"))
+      .select("id", "v", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(changes === Set((2L, "b", "delete"), (2L, "B", "insert"),
+      (9L, "i", "insert")))
+  }
+
+  test("pruned purge probe (IN-list over FileStats) ≡ unpruned; hit set stays key-range") {
+    def mk(tag: String): String = {
+      val t = freshDir(tag)
+      Snapshots.setSortSpec(spark, t, Seq("id"))
+      Snapshots.commit(spark.range(0, 1000)
+        .selectExpr("id", "CAST(id AS STRING) AS v")
+        .repartitionByRange(8, col("id")), t)
+      Snapshots.upsertEq(spark, t,
+        spark.range(900, 950).selectExpr("id", "'up' AS v"), Seq("id"))
+      t
+    }
+    val t1 = mk("prune1")
+    val before1 = Snapshots.dataFiles(spark, t1).toSet
+    // force the prune path despite the small fixture (the floor exists
+    // because the walk only pays off past ~64 candidates)
+    spark.conf.set("graft.snapshot.eqProbeMinCandidates", "0")
+    try Snapshots.purgeEqDeletes(spark, t1)
+    finally spark.conf.unset("graft.snapshot.eqProbeMinCandidates")
+    val t2 = mk("prune2")
+    val before2 = Snapshots.dataFiles(spark, t2).toSet
+    spark.conf.set("graft.snapshot.eqProbeInListMaxKeys", "0")
+    try Snapshots.purgeEqDeletes(spark, t2)
+    finally spark.conf.unset("graft.snapshot.eqProbeInListMaxKeys")
+    def state(t: String) = Snapshots.read(spark, t).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    assert(state(t1) === state(t2))
+    assert(state(t1).count(_._2 == "up") === 50)
+    // both routes rewrite the same files: only the key-range tail was
+    // hit, the range-clustered head carries by path on both
+    assert((before1 intersect Snapshots.dataFiles(spark, t1).toSet).size ===
+      (before2 intersect Snapshots.dataFiles(spark, t2).toSet).size)
+    assert((before1 intersect Snapshots.dataFiles(spark, t1).toSet).nonEmpty)
   }
 
   test("vacuum after purge reference-counts eq sidecars out; gc spares live ones") {

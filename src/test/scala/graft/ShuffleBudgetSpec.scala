@@ -225,7 +225,11 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // q109: post-purge per-status agg shuffle + the asOf-v3 read's two
     // scoped eq-delete anti-join broadcasts + its agg shuffle + the
     // final head-vs-v3 broadcast join
-    "q109_eq_upsert" -> 5)
+    "q109_eq_upsert" -> 5,
+    // q110: base-agg shuffle + the eq-resolved feed's anti-join
+    // broadcasts (add side) + delta-agg shuffle + the full-outer
+    // base-vs-delta join's exchanges
+    "q110_eq_cdf" -> 8)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
