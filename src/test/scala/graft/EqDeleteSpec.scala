@@ -387,6 +387,33 @@ class EqDeleteSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(2))).toSet === state())
   }
 
+  test("upsertEq on an ALTER-evolved table: declared schema governs the contract") {
+    val t = freshDir("evolve")
+    base(t)
+    // ALTER TABLE ADD COLUMNS (score DOUBLE): metadata-only override
+    val evolved = Snapshots.read(spark, t).schema
+      .add("score", org.apache.spark.sql.types.DoubleType)
+    Snapshots.declareSchema(spark, t, evolved)
+    // a CDC batch carrying the evolved shape commits; old files read
+    // the added column as typed NULLs, batch rows carry real values
+    Snapshots.upsertEq(spark, t,
+      Seq((2L, "B", 0.9), (9L, "i", 0.5)).toDF("id", "v", "score"),
+      Seq("id"))
+    val got = Snapshots.read(spark, t).select("id", "v", "score")
+      .as[(Long, String, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got === Seq((1L, "a", None), (2L, "B", Some(0.9)),
+      (3L, "c", None), (4L, "d", None), (9L, "i", Some(0.5))))
+    // the purge folds through the declared schema too
+    Snapshots.purgeEqDeletes(spark, t)
+    assert(Snapshots.read(spark, t).select("id", "v", "score")
+      .as[(Long, String, Option[Double])].collect().sortBy(_._1).toSeq === got)
+    // a batch in the PRE-evolution shape refuses loudly (the declared
+    // schema IS the committed schema now)
+    val ex = intercept[IllegalArgumentException](Snapshots.upsertEq(spark, t,
+      Seq((3L, "x")).toDF("id", "v"), Seq("id")))
+    assert(ex.getMessage.contains("schema"))
+  }
+
   test("composite keys: two-column equality subtraction") {
     val t = freshDir("composite")
     Snapshots.commit(Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))
