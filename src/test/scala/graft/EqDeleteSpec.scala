@@ -414,6 +414,68 @@ class EqDeleteSpec extends SparkTestBase {
     assert(ex.getMessage.contains("schema"))
   }
 
+  test("hammer: concurrent upsertEq writers + an appender converge to the serial schedule") {
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      (0 until 6).foreach { trial =>
+        val t = freshDir(s"hammer$trial")
+        Snapshots.commit((0L until 300L).toDF("id")
+          .withColumn("v", lit("base")), t)
+        val start = new CountDownLatch(1)
+        val fails = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+        val tasks = (0 until 3).map { k =>
+          pool.submit(new Runnable {
+            def run(): Unit = try {
+              start.await()
+              (1 to 2).foreach { i =>
+                // thread-disjoint keys: serial-schedule convergence is
+                // deterministic under ANY interleaving; each batch also
+                // inserts one brand-new key
+                val b = ((k * 100) until (k * 100 + 30)).map(id =>
+                    (id.toLong, s"t$k-b$i"))
+                  .toDF("id", "v")
+                  .union(Seq((1000L + k * 10 + i, s"new-t$k-b$i"))
+                    .toDF("id", "v"))
+                Snapshots.upsertEq(spark, t, b, Seq("id")): Unit
+              }
+            } catch { case e: Throwable => fails.add(e) }
+          })
+        } :+ pool.submit(new Runnable {
+          def run(): Unit = try {
+            start.await()
+            Snapshots.commit((2000L until 2040L).toDF("id")
+              .withColumn("v", lit("app")), t): Unit
+          } catch { case e: Throwable => fails.add(e) }
+        })
+        start.countDown()
+        tasks.foreach(_.get(120, TimeUnit.SECONDS))
+        assert(fails.isEmpty, s"trial $trial writers failed: ${fails.peek()}")
+        def state() = Snapshots.read(spark, t).select("id", "v")
+          .as[(Long, String)].collect().toMap
+        val got = state()
+        // every upserted key carries its thread's LAST batch value
+        // (scopes serialize: the later commit's sidecar covers the
+        // earlier one's files); inserted + appended keys land once;
+        // untouched base keys stay
+        (0 until 3).foreach { k =>
+          ((k * 100) until (k * 100 + 30)).foreach(id =>
+            assert(got(id.toLong) === s"t$k-b2", s"trial $trial key $id"))
+          (1 to 2).foreach(i =>
+            assert(got(1000L + k * 10 + i) === s"new-t$k-b$i"))
+        }
+        assert((250L until 290L).forall(got(_) == "base"))
+        assert((2000L until 2040L).forall(got(_) == "app"))
+        assert(got.size === 300 + 6 + 40, s"trial $trial size ${got.size}")
+        // versions contiguous; purge folds and preserves the answer
+        val vs = Snapshots.versions(spark, t)
+        assert(vs === (vs.head to vs.last))
+        Snapshots.purgeEqDeletes(spark, t)
+        assert(state() === got)
+      }
+    } finally pool.shutdownNow()
+  }
+
   test("composite keys: two-column equality subtraction") {
     val t = freshDir("composite")
     Snapshots.commit(Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))
