@@ -1785,6 +1785,54 @@ object Incremental {
           .cast("bigint").as("chars"))
   }
 
+  /** q111: PER-COMMIT change feed (Delta's `table_changes` shape)
+    * under the oracle gate — the AUDIT view [[q89/q110's endpoint
+    * algebra deliberately cancels]]: every change row is attributed to
+    * the `_commit_version` that produced it across a mixed history
+    * (MOR position DELETE at v2, then an equality-delete upsert at v3
+    * composing over the outstanding sidecar). The oracle reconstructs
+    * both commits' exact change sets independently: v2's deletes are
+    * the predicate matches, v3's inserts are the batch, v3's deletes
+    * are the matched LIVE pre-images (matches the v2 sidecar already
+    * killed are NOT re-deleted) — one misattributed version, leaked
+    * dead row, or lost pair breaks the hash.
+    */
+  val qCdfByVersion: QuerySpec = QuerySpec.sql(
+    "q111_cdf_by_version",
+    """WITH ch AS (
+      |  SELECT 2 AS commit_version, 'delete' AS change_type,
+      |         o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_totalprice > 400000
+      |  UNION ALL
+      |  SELECT 3, 'insert', 'U', o_totalprice + 7
+      |  FROM orders WHERE o_orderkey % 11 = 4
+      |  UNION ALL
+      |  SELECT 3, 'delete', o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 11 = 4
+      |    AND NOT (o_totalprice > 400000))
+      |SELECT commit_version, change_type, o_orderstatus,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amount
+      |FROM ch GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val root = snapRoot(s, dir, "cdfbyv")
+    ensureBuilt(s, root, 3) {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Snapshots.commit(o, root)                                     // v1
+      Snapshots.deleteWhereMor(s, root, col("o_totalprice") > 400000) // v2
+      val b = o.filter(col("o_orderkey") % 11 === 4)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 7).as("o_totalprice"))
+      Snapshots.upsertEq(s, root, b, Seq("o_orderkey")): Unit       // v3
+    }
+    Snapshots.changeFeedByVersion(s, root, 1L, 3L)
+      .groupBy(col("_commit_version").cast("int").as("commit_version"),
+        col("_change_type").as("change_type"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)")
+          .as("amount"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
@@ -1793,5 +1841,5 @@ object Incremental {
       qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish,
       qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup, qWriteOrder,
       qBinPack, qMorDelete, qMorSql, qMorUpdate, qMorMerge, qEqUpsert,
-      qEqCdf)
+      qEqCdf, qCdfByVersion)
 }

@@ -1322,6 +1322,36 @@ object Snapshots {
       toEqDeletes   = manifestEqDeletes(spark, table, to))
   }
 
+  /** PER-COMMIT change feed (Delta's `table_changes` shape): the union
+    * of each step's row-level diff between `from` and `to`, every row
+    * tagged with the `_commit_version` that produced it. Unlike
+    * [[changeFeed]] (endpoint algebra — an insert-then-delete inside
+    * the range cancels), this is the AUDIT view: intermediate states
+    * surface, attributed to their commits. Maintenance steps
+    * (compact / z-order / either purge) are row-preserving and skip.
+    * Cost: the sum of the steps' touched files — exactly what the
+    * streaming CDF source pays walking the same chain.
+    */
+  def changeFeedByVersion(spark: SparkSession, table: String, from: Long,
+      to: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val vs = versions(spark, table)
+    require(vs.contains(from) && vs.contains(to) && from <= to,
+      s"need committed versions $from <= $to in $vs")
+    val chain = vs.filter(v => v >= from && v <= to)
+    val steps = chain.sliding(2).flatMap {
+      case Seq(a, b) if b == a + 1 && isMaintenanceCommit(spark, table, b) =>
+        None
+      case Seq(a, b) =>
+        Some(changeFeed(spark, table, a, b)
+          .withColumn("_commit_version", lit(b)))
+      case _ => None
+    }.toSeq
+    if (steps.isEmpty)
+      emptyFeed(spark, table, to).withColumn("_commit_version", lit(to)).limit(0)
+    else steps.reduce(_ unionByName _)
+  }
+
   /** Empty feed frame carrying the `to`-snapshot's schema (+ tag). */
   private[sources] def emptyFeed(spark: SparkSession, table: String,
       to: Long): DataFrame = {

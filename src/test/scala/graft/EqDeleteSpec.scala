@@ -476,6 +476,26 @@ class EqDeleteSpec extends SparkTestBase {
     } finally pool.shutdownNow()
   }
 
+  test("changeFeedByVersion is the audit view: intermediates attributed, not canceled") {
+    val t = freshDir("audit")
+    base(t)                                                          // v1
+    Snapshots.upsertEq(spark, t, Seq((2L, "mid")).toDF("id", "v"), Seq("id")) // v2
+    Snapshots.upsertEq(spark, t, Seq((2L, "fin")).toDF("id", "v"), Seq("id")) // v3
+    val byV = Snapshots.changeFeedByVersion(spark, t, 1L, 3L)
+      .select("_commit_version", "id", "v", "_change_type")
+      .as[(Long, Long, String, String)].collect().toSet
+    assert(byV === Set((2L, 2L, "b", "delete"), (2L, 2L, "mid", "insert"),
+      (3L, 2L, "mid", "delete"), (3L, 2L, "fin", "insert")))
+    // the endpoint feed cancels the intermediate state
+    val ep = Snapshots.changeFeed(spark, t, 1L, 3L)
+      .select("id", "v", "_change_type")
+      .as[(Long, String, String)].collect().toSet
+    assert(ep === Set((2L, "b", "delete"), (2L, "fin", "insert")))
+    // a purge step contributes nothing to the audit view either
+    Snapshots.purgeEqDeletes(spark, t)                               // v4
+    assert(Snapshots.changeFeedByVersion(spark, t, 3L, 4L).isEmpty)
+  }
+
   test("composite keys: two-column equality subtraction") {
     val t = freshDir("composite")
     Snapshots.commit(Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))

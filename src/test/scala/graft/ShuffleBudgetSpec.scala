@@ -229,7 +229,11 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // q110: base-agg shuffle + the eq-resolved feed's anti-join
     // broadcasts (add side) + delta-agg shuffle + the full-outer
     // base-vs-delta join's exchanges
-    "q110_eq_cdf" -> 8)
+    "q110_eq_cdf" -> 8,
+    // q111: two per-step diffs (v1→v2 position, v2→v3 eq) — each side's
+    // sidecar/add-version broadcasts + the EXCEPT-ALL count-compare
+    // shuffles — then the final per-(version,type,status) agg
+    "q111_cdf_by_version" -> 15)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
