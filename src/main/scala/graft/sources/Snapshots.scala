@@ -1339,6 +1339,15 @@ object Snapshots {
     require(vs.contains(from) && vs.contains(to) && from <= to,
       s"need committed versions $from <= $to in $vs")
     val chain = vs.filter(v => v >= from && v <= to)
+    // plan-size envelope: one unioned subplan per step — a poll-window
+    // range (the streaming source's shape) is fine, a whole-history
+    // walk is a driver-plan explosion. Consume wide ranges in windows.
+    val maxCommits = spark.conf
+      .get("graft.snapshot.feedMaxCommits", "256").toInt
+    require(chain.size <= maxCommits,
+      s"changeFeedByVersion v$from -> v$to spans ${chain.size - 1} " +
+        s"commits (> $maxCommits) — consume the range in windows, or " +
+        "raise graft.snapshot.feedMaxCommits")
     val steps = chain.sliding(2).flatMap {
       case Seq(a, b) if b == a + 1 && isMaintenanceCommit(spark, table, b) =>
         None

@@ -494,6 +494,13 @@ class EqDeleteSpec extends SparkTestBase {
     // a purge step contributes nothing to the audit view either
     Snapshots.purgeEqDeletes(spark, t)                               // v4
     assert(Snapshots.changeFeedByVersion(spark, t, 3L, 4L).isEmpty)
+    // plan-size envelope: over-wide ranges refuse with the window hint
+    spark.conf.set("graft.snapshot.feedMaxCommits", "2")
+    try {
+      val ex = intercept[IllegalArgumentException](
+        Snapshots.changeFeedByVersion(spark, t, 1L, 4L))
+      assert(ex.getMessage.contains("windows"))
+    } finally spark.conf.unset("graft.snapshot.feedMaxCommits")
   }
 
   test("composite keys: two-column equality subtraction") {
