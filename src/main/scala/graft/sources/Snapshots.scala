@@ -1074,16 +1074,31 @@ object Snapshots {
     * refuses to run under an outstanding equality delete precisely so
     * this derivation stays exact.
     */
+  // memo for fileAddVersions: manifests are immutable once published,
+  // and ANY history mutation (commit, vacuum's prefix expiry, restore)
+  // changes the retained-version list, so (table, v, versions-hash) is
+  // a sound key. Bounded: a per-commit CDC window walk would otherwise
+  // be steps x history manifest reads (review finding, round 8).
+  private val addVMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), Map[String, Long]]()
+
   private def fileAddVersions(spark: SparkSession, table: String,
       v: Long): Map[String, Long] = {
+    val vs = versions(spark, table)
+    val key = (table, v, vs.hashCode)
+    val hit = addVMemo.get(key)
+    if (hit != null) return hit
     val m = scala.collection.mutable.HashMap.empty[String, Long]
-    versions(spark, table).filter(_ <= v).sorted.foreach { w =>
+    vs.filter(_ <= v).sorted.foreach { w =>
       manifestFiles(spark, table, w).foreach { p =>
         val n = normPath(p)
         if (!m.contains(n)) m(n) = w
       }
     }
-    m.toMap
+    val out = m.toMap
+    if (addVMemo.size > 64) addVMemo.clear()
+    addVMemo.put(key, out)
+    out
   }
 
   /** The key-column names every outstanding equality sidecar uses —
@@ -1344,15 +1359,28 @@ object Snapshots {
     // walk is a driver-plan explosion. Consume wide ranges in windows.
     val maxCommits = spark.conf
       .get("graft.snapshot.feedMaxCommits", "256").toInt
-    require(chain.size <= maxCommits,
+    require(chain.size - 1 <= maxCommits,
       s"changeFeedByVersion v$from -> v$to spans ${chain.size - 1} " +
         s"commits (> $maxCommits) — consume the range in windows, or " +
         "raise graft.snapshot.feedMaxCommits")
+    // one manifest read per version (the streaming source's pattern),
+    // not two per adjacent pair; add-version walks are memoized
+    def norm(p: String) = normPath(p)
+    val filesOf = chain.map(v => v -> manifestFiles(spark, table, v)).toMap
+    val delsOf  = chain.map(v => v -> manifestDeletes(spark, table, v)).toMap
+    val eqOf    = chain.map(v => v -> manifestEqDeletes(spark, table, v)).toMap
     val steps = chain.sliding(2).flatMap {
       case Seq(a, b) if b == a + 1 && isMaintenanceCommit(spark, table, b) =>
         None
       case Seq(a, b) =>
-        Some(changeFeed(spark, table, a, b)
+        val beforeN = filesOf(a).map(norm).toSet
+        val afterN  = filesOf(b).map(norm).toSet
+        Some(diffFeed(spark, table, b,
+          removed = filesOf(a).filterNot(p => afterN(norm(p))),
+          added   = filesOf(b).filterNot(p => beforeN(norm(p))),
+          fromDeletes = delsOf(a), toDeletes = delsOf(b),
+          carried = filesOf(a).filter(p => afterN(norm(p))),
+          fromEqDeletes = eqOf(a), toEqDeletes = eqOf(b))
           .withColumn("_commit_version", lit(b)))
       case _ => None
     }.toSeq
@@ -1422,16 +1450,20 @@ object Snapshots {
         eqHitFiles(spark, table, to,
           carried.filterNot(p => already(normPath(p))), toDeletes, changedEq)
       }
-    def resolved(v: Long, files: Seq[String], dels: Seq[String],
+    // both sides resolve their add-versions at `to` ON PURPOSE: a
+    // file's add version is its FIRST manifest appearance, identical
+    // whether walked to `from` or `to` for any file present at either
+    // endpoint — and one walk (memoized) serves both sides
+    def resolved(files: Seq[String], dels: Seq[String],
         eqs: Seq[(Long, String)]): DataFrame =
       if (eqs.isEmpty) liveView(spark, table, files, dels, readFiles(spark, _))
-      else applyEqDeletes(spark, table, v, files, dels, eqs, readFiles(spark, _))
+      else applyEqDeletes(spark, table, to, files, dels, eqs, readFiles(spark, _))
     val remAll = removed ++ affected ++ affectedEq
     val addAll = added ++ affected ++ affectedEq
     val remDf = if (remAll.isEmpty) None
-      else Some(resolved(to, remAll, fromDeletes, fromEqDeletes))
+      else Some(resolved(remAll, fromDeletes, fromEqDeletes))
     val addDf = if (addAll.isEmpty) None
-      else Some(resolved(to, addAll, toDeletes, toEqDeletes))
+      else Some(resolved(addAll, toDeletes, toEqDeletes))
     (remDf, addDf) match {
       case (None, None) =>
         // untouched range (from == to, or pure-metadata history): empty
@@ -2062,8 +2094,22 @@ object Snapshots {
   private def eqHitFiles(spark: SparkSession, table: String, v: Long,
       candidates: Seq[String], dels: Seq[String],
       eqs: Seq[(Long, String)]): Seq[String] = {
-    import org.apache.spark.sql.functions.{broadcast, lit}
     if (eqs.isEmpty || candidates.isEmpty) return Nil
+    // sidecars in ONE probe can carry DIFFERENT key sets — legal when
+    // the probe spans a purge boundary (upsertEq's shared-key invariant
+    // holds per VERSION, not per feed range): a blind union of their
+    // frames would throw on mismatched columns and key on the wrong
+    // set. Probe each key set independently; union the hits.
+    eqs.groupBy(e => spark.read.parquet(e._2).schema.fieldNames.toSeq.sorted)
+      .values.flatMap(g =>
+        eqHitFilesOneKeySet(spark, table, v, candidates, dels, g))
+      .toSeq.distinct
+  }
+
+  private def eqHitFilesOneKeySet(spark: SparkSession, table: String,
+      v: Long, candidates: Seq[String], dels: Seq[String],
+      eqs: Seq[(Long, String)]): Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, lit}
     def norm(p: String) = normPath(p)
     val addV = fileAddVersions(spark, table, v)
     val maxScope = eqs.map(_._1).max

@@ -503,6 +503,30 @@ class EqDeleteSpec extends SparkTestBase {
     } finally spark.conf.unset("graft.snapshot.feedMaxCommits")
   }
 
+  test("feed crosses a purge boundary where the KEY SET changed (mixed-key probe)") {
+    val t = freshDir("mixedkeys")
+    Snapshots.commit(Seq((1L, "x", 10.0), (2L, "x", 20.0), (3L, "y", 30.0))
+      .toDF("id", "grp", "m"), t)                                    // v1
+    Snapshots.upsertEq(spark, t,
+      Seq((2L, "x", 99.0)).toDF("id", "grp", "m"), Seq("id"))        // v2
+    Snapshots.purgeEqDeletes(spark, t)                               // v3
+    Snapshots.upsertEq(spark, t,
+      Seq((3L, "y", 77.0)).toDF("id", "grp", "m"), Seq("id", "grp")) // v4
+    // the range's changed-sidecar set mixes key sets ['id'] and
+    // ['id','grp'] — legal across the purge; the probe groups by key
+    // set instead of blowing up on a mismatched union
+    val f = Snapshots.changeFeed(spark, t, 2L, 4L)
+      .select("id", "grp", "m", "_change_type")
+      .as[(Long, String, Double, String)].collect().toSet
+    assert(f === Set((3L, "y", 30.0, "delete"), (3L, "y", 77.0, "insert")))
+    // per-commit view attributes each upsert; the purge step is silent
+    val byV = Snapshots.changeFeedByVersion(spark, t, 1L, 4L)
+      .select("_commit_version", "id", "m", "_change_type")
+      .as[(Long, Long, Double, String)].collect().toSet
+    assert(byV === Set((2L, 2L, 20.0, "delete"), (2L, 2L, 99.0, "insert"),
+      (4L, 3L, 30.0, "delete"), (4L, 3L, 77.0, "insert")))
+  }
+
   test("composite keys: two-column equality subtraction") {
     val t = freshDir("composite")
     Snapshots.commit(Seq((1L, "x", 10.0), (1L, "y", 20.0), (2L, "x", 30.0))
