@@ -1076,16 +1076,54 @@ object Snapshots {
     */
   // memo for fileAddVersions: manifests are immutable once published,
   // and ANY history mutation (commit, vacuum's prefix expiry, restore)
-  // changes the retained-version list, so (table, v, versions-hash) is
-  // a sound key. Bounded: a per-commit CDC window walk would otherwise
-  // be steps x history manifest reads (review finding, round 8).
+  // changes the retained-version list, so (table, v, versions) is
+  // a sound key — EXCEPT across a DROP + re-CREATE at the same path,
+  // which reproduces the same version NUMBERS (1..N) with new content.
+  // Two guards close that (round-8 review finding): the key carries the
+  // manifest FILE's identity (mtime+len — a recreated manifest is a new
+  // write), and [[drop]]/renameTable invalidate the table's entries
+  // in-JVM. The versions Seq itself is in the key (not its Int hash) so
+  // a hash collision can never alias two histories. Bounded: a
+  // per-commit CDC window walk would otherwise be steps x history
+  // manifest reads (review finding, round 8).
   private val addVMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long, Int), Map[String, Long]]()
+    new java.util.concurrent.ConcurrentHashMap[
+      (String, Long, Seq[Long], (Long, Long)), Map[String, Long]]()
+
+  /** Memo of each equality sidecar's sorted key-column names. Sidecar
+    * files are immutable and live under UUID dirs, so the path is a
+    * sound key; [[invalidateMemos]] clears a dropped table's entries
+    * anyway. Saves a driver footer read per sidecar per probe — the
+    * streaming CDF source and changeFeedByVersion probe per
+    * step/micro-batch (round-8 review finding).
+    */
+  private val eqKeySetMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  private def eqSidecarKeys(spark: SparkSession, path: String): Seq[String] = {
+    val hit = eqKeySetMemo.get(path)
+    if (hit != null) return hit
+    val ks = spark.read.parquet(path).schema.fieldNames.toSeq.sorted
+    if (eqKeySetMemo.size > 4096) eqKeySetMemo.clear()
+    eqKeySetMemo.put(path, ks)
+    ks
+  }
+
+  /** Drop this table's entries from the in-JVM metadata memos — called
+    * by [[drop]] and the catalog's renameTable so a DROP + re-CREATE at
+    * the same path can never be served a dead table's cached map.
+    */
+  private[graft] def invalidateMemos(table: String): Unit = {
+    val n = normPath(table)
+    addVMemo.keySet.removeIf(k => normPath(k._1) == n)
+    eqKeySetMemo.keySet.removeIf(p => normPath(p).startsWith(n + "/"))
+  }
 
   private def fileAddVersions(spark: SparkSession, table: String,
       v: Long): Map[String, Long] = {
     val vs = versions(spark, table)
-    val key = (table, v, vs.hashCode)
+    val st = fs(spark, table).getFileStatus(new Path(s"$table/manifest-v$v.json"))
+    val key = (table, v, vs, (st.getModificationTime, st.getLen))
     val hit = addVMemo.get(key)
     if (hit != null) return hit
     val m = scala.collection.mutable.HashMap.empty[String, Long]
@@ -1107,7 +1145,7 @@ object Snapshots {
     */
   private def eqKeyColumns(spark: SparkSession,
       eqs: Seq[(Long, String)]): Seq[String] =
-    spark.read.parquet(eqs.head._2).schema.fieldNames.toSeq.sorted
+    eqSidecarKeys(spark, eqs.head._2)
 
   /** Resolve the EQUALITY-DELETE view: rows of files ADDED AT OR BEFORE
     * an outstanding sidecar's scope whose key columns match one of its
@@ -2100,7 +2138,7 @@ object Snapshots {
     // holds per VERSION, not per feed range): a blind union of their
     // frames would throw on mismatched columns and key on the wrong
     // set. Probe each key set independently; union the hits.
-    eqs.groupBy(e => spark.read.parquet(e._2).schema.fieldNames.toSeq.sorted)
+    eqs.groupBy(e => eqSidecarKeys(spark, e._2))
       .values.flatMap(g =>
         eqHitFilesOneKeySet(spark, table, v, candidates, dels, g))
       .toSeq.distinct
@@ -2766,5 +2804,6 @@ object Snapshots {
     val root = new Path(table)
     if (f.exists(root))
       require(f.delete(root, true), s"failed to drop snapshot table $table")
+    invalidateMemos(table)
   }
 }

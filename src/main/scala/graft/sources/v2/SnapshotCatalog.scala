@@ -697,6 +697,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         }
     }
     require(fs.rename(src, dst), s"rename $src -> $dst failed")
+    // the source path may be re-created later with the same version
+    // numbers — its cached metadata memos must not survive the rename
+    Snapshots.invalidateMemos(src.toString)
     promoteRenameStage(dst)
   }
 

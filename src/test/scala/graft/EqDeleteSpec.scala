@@ -537,4 +537,24 @@ class EqDeleteSpec extends SparkTestBase {
       .as[(Long, String, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
     assert(got === Seq((1L, "x", 10.0), (1L, "y", 99.0), (2L, "x", 30.0)))
   }
+
+  test("DROP + re-CREATE at the same path never serves a stale add-version memo") {
+    // the recreated table reproduces the same version NUMBERS (1, 2) —
+    // a memo keyed only on (table, version, versions-hash) would serve
+    // the DEAD table's file→add-version map, under which the new
+    // upsert's own data file falls back to add-version 0 (in scope for
+    // its own sidecar) and the upserted row silently vanishes
+    // (round-8 review finding: addVMemo never invalidated by drop)
+    val t = freshDir("recreate")
+    base(t)
+    Snapshots.upsertEq(spark, t, Seq((2L, "B!")).toDF("id", "v"), Seq("id"))
+    // this read memoizes fileAddVersions for (t, v2, [1, 2])
+    assert(rows(t) === Seq((1L, "a"), (2L, "B!"), (3L, "c"), (4L, "d")))
+    Snapshots.drop(spark, t)
+    // same path, same version numbers, different files
+    Snapshots.commit(Seq((1L, "n1"), (2L, "n2")).toDF("id", "v"), t)
+    Snapshots.upsertEq(spark, t, Seq((2L, "UP")).toDF("id", "v"), Seq("id"))
+    assert(rows(t) === Seq((1L, "n1"), (2L, "UP")),
+      "recreated table must resolve its own files' add-versions, not the dead table's")
+  }
 }
