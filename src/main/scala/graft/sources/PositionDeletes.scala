@@ -52,6 +52,19 @@ private[graft] object PositionDeletes {
       deleteFiles: Seq[String]): DataFrame = {
     val df = spark.read.schema(schema).parquet(deleteFiles: _*)
       .select(col(FileCol).as("__dd_file"), col(PosCol).as("__dd_pos"))
+    if (exceedsBroadcast(spark, table, deleteFiles)) df else broadcast(df)
+  }
+
+  /** True when the sidecars' total bytes exceed the broadcast/driver
+    * threshold (`graft.snapshot.deleteBroadcastBytes`, 64 MB default) —
+    * the shared routing decision of the read path's anti-join
+    * (broadcast vs shuffle) and the delta-DML scan's delete application
+    * (driver-built ordinal arrays vs task-side sidecar reads). An
+    * unstat-able sidecar counts as huge: both fallbacks are the
+    * correctness-identical conservative route.
+    */
+  private[graft] def exceedsBroadcast(spark: SparkSession, table: String,
+      deleteFiles: Seq[String]): Boolean = {
     val f = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = deleteFiles.map { p =>
       try f.getFileStatus(new Path(p)).getLen
@@ -59,7 +72,7 @@ private[graft] object PositionDeletes {
     }.sum
     val threshold = spark.conf
       .get("graft.snapshot.deleteBroadcastBytes", (64L << 20).toString).toLong
-    if (bytes <= threshold) broadcast(df) else df
+    bytes > threshold
   }
 
   /** Distinct data-file paths the sidecars reference — the set of files
