@@ -83,6 +83,59 @@ object Bench {
     val total = results.map(_._2._1).sum
     val resultTimes = results.map { case (n, (t, _)) => n -> t }
 
+    // FRESH-JVM steady state, emitted INTO the artifact (round-8 judge
+    // prescription #2: the official tier pass recorded a degraded-JVM
+    // 64× — q26 warm 14.24 s where every fresh JVM reads ~2.8 s — and
+    // the correcting evidence lived only in PLANS.md prose). Forks one
+    // child JVM per tier (same flags/classpath as this forked run),
+    // runs the third-decade heavies min-of-3 with per-query eviction,
+    // and parses QBench's QBJSON line. A child that times out or dies
+    // records an error object instead of numbers — never silence.
+    def steadyBlock(dir: String, qs: Seq[String],
+        key: String = "steady"): String = {
+      if (qs.isEmpty || sys.env.getOrElse("SPARK_GRAFT_STEADY", "1") != "1")
+        return ""
+      val budget = sys.env.getOrElse("SPARK_GRAFT_STEADY_BUDGET_SEC", "1200").toLong
+      try {
+        import scala.jdk.CollectionConverters._
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", System.getProperty("java.class.path"), "graft.QBench") ++
+          qs ++ Seq("3")
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.environment().put("SPARK_GRAFT_SF_DIR", dir)
+        pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+        pb.environment().put("SPARK_GRAFT_QB_EVICT", "1")
+        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+        val p = pb.start()
+        val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val pump = new Thread(() => {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(p.getInputStream, "UTF-8"))
+          var l = br.readLine()
+          while (l != null) { lines.add(l); l = br.readLine() }
+        })
+        pump.setDaemon(true)
+        pump.start()
+        val done = p.waitFor(budget, java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) {
+          p.destroyForcibly()
+          s""","$key":{"error":"timeout ${budget}s"}"""
+        } else {
+          pump.join(5000)
+          lines.asScala.toSeq.reverse.find(_.startsWith("QBJSON ")) match {
+            case Some(l) if p.exitValue() == 0 =>
+              s""","$key":${l.stripPrefix("QBJSON ")}"""
+            case _ => s""","$key":{"error":"exit ${p.exitValue()}"}"""
+          }
+        }
+      } catch { case e: Throwable =>
+        s""","$key":{"error":"${jstr(e.getClass.getSimpleName)}"}"""
+      }
+    }
+
     // scale-stress tiers: rebuild the fixture N× up (disjoint key
     // shards — ScaleFixture scaladoc) and re-run the expensive tail in the
     // SAME warm JVM, so ratio ≈ data-scaling behavior, not setup noise.
@@ -156,6 +209,10 @@ object Bench {
         }
         val skipped = queries.drop(attempted)
         val warmMap = warm.toMap
+        // fresh-JVM steady state for this tier's third-decade subset —
+        // runs regardless of budget truncation (own budget, own JVM)
+        val steadyJson =
+          steadyBlock(dst, queries.filter(ScaleFixture.thirdDecadeQueries.toSet))
         // ratios are strictly warm-vs-warm; a budget-truncated warm pass
         // (or a failed run) yields no ratio rather than a wrong number
         def ratiosVs(ref: Map[String, Double]): Seq[(String, Double)] =
@@ -170,7 +227,7 @@ object Bench {
           s""""ratio_vs_$refLabel":${json(ratiosVs(ref))},"""
         }.getOrElse("")
         (s""","$label":{"factor":$factor,"build_sec":$buildSec,""" +
-          s""""queries":${json(cold.toSeq)},"warm":${json(warm.toSeq)},""" +
+          s""""queries":${json(cold.toSeq)},"warm":${json(warm.toSeq)}$steadyJson,""" +
           s""""ratio_vs_base":${json(ratiosVs(base))},$extra""" +
           s""""skipped":[${skipped.map("\"" + _ + "\"").mkString(",")}]}""",
           warmMap)
@@ -211,6 +268,10 @@ object Bench {
     val warmBase = ScaleFixture.heavyQueries.filter(known)
       .flatMap(n => steadyRun(n, sfDir).map(n -> _))
     val base = resultTimes.toMap ++ warmBase // heavy set overridden warm
+    // fresh-JVM base point for the third-decade curve: the same
+    // steady-vs-steady series as the tiers, with zero shared-JVM state
+    val steadyBase = steadyBlock(sfDir,
+      ScaleFixture.thirdDecadeQueries.filter(known), key = "steady_base")
     // perQueryEvict on EVERY tier: without it, earlier queries' seam
     // checkpoints stay resident and inflate later queries' measurements
     // (q64@10x measured 41 s warm inside the tier vs 7 s isolated —
@@ -267,7 +328,7 @@ object Bench {
         s""","common_prev":{"n":${common.size},"total":$a,"prev_total":$b,"ratio":${a / b}}"""
       }
     } catch { case _: Throwable => "" }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(resultTimes)},"warm_base":${json(warmBase)},"sf":"${jstr(sfDir)}"$failedJson$restartsJson$skipJson$driftJson$sf1$sf2$sf3}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(resultTimes)},"warm_base":${json(warmBase)},"sf":"${jstr(sfDir)}"$failedJson$restartsJson$skipJson$driftJson$steadyBase$sf1$sf2$sf3}"""
     println(line)
     // durable machine-readable copy: the driver's BENCH artifact keeps
     // only the tail of stdout, which loses the base section once the
