@@ -1797,8 +1797,34 @@ object Incremental {
     * killed are NOT re-deleted) — one misattributed version, leaked
     * dead row, or lost pair breaks the hash.
     */
-  val qCdfByVersion: QuerySpec = QuerySpec.sql(
-    "q111_cdf_by_version",
+  /** The mixed-history CDC fixture q111 and q112 SHARE (one build per
+    * JVM per dir — the round-8 registry-time finding asked for exactly
+    * this fixture reuse): orders at v1, MOR position DELETE at v2, an
+    * equality-delete upsert at v3 composing over the outstanding
+    * sidecar.
+    */
+  private def cdfByVersionTable(s: SparkSession, dir: String): String = {
+    val root = snapRoot(s, dir, "cdfbyv")
+    ensureBuilt(s, root, 3) {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Snapshots.commit(o, root)                                     // v1
+      Snapshots.deleteWhereMor(s, root, col("o_totalprice") > 400000) // v2
+      val b = o.filter(col("o_orderkey") % 11 === 4)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 7).as("o_totalprice"))
+      Snapshots.upsertEq(s, root, b, Seq("o_orderkey")): Unit       // v3
+    }
+    root
+  }
+
+  /** The shared q111/q112 oracle: both surfaces must reproduce the same
+    * per-commit change sets, reconstructed independently from raw
+    * orders (v2's deletes = predicate matches; v3's inserts = the
+    * batch; v3's deletes = matched LIVE pre-images — rows the v2
+    * sidecar already killed are NOT re-deleted).
+    */
+  private val CdfByVersionOracle: String =
     """WITH ch AS (
       |  SELECT 2 AS commit_version, 'delete' AS change_type,
       |         o_orderstatus, o_totalprice
@@ -1813,24 +1839,40 @@ object Incremental {
       |SELECT commit_version, change_type, o_orderstatus,
       |       COUNT(*) AS n,
       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amount
-      |FROM ch GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
-    val root = snapRoot(s, dir, "cdfbyv")
-    ensureBuilt(s, root, 3) {
-      val o = Tables.orders(s, dir)
-        .select("o_orderkey", "o_orderstatus", "o_totalprice")
-      Snapshots.commit(o, root)                                     // v1
-      Snapshots.deleteWhereMor(s, root, col("o_totalprice") > 400000) // v2
-      val b = o.filter(col("o_orderkey") % 11 === 4)
-        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-          (col("o_totalprice") + 7).as("o_totalprice"))
-      Snapshots.upsertEq(s, root, b, Seq("o_orderkey")): Unit       // v3
-    }
-    Snapshots.changeFeedByVersion(s, root, 1L, 3L)
+      |FROM ch GROUP BY 1, 2, 3""".stripMargin
+
+  private def cdfChangeAgg(feed: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    feed
       .groupBy(col("_commit_version").cast("int").as("commit_version"),
         col("_change_type").as("change_type"), col("o_orderstatus"))
       .agg(count(lit(1)).as("n"),
         expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)")
           .as("amount"))
+
+  val qCdfByVersion: QuerySpec = QuerySpec.sql(
+    "q111_cdf_by_version", CdfByVersionOracle) { (s, dir) =>
+    cdfChangeAgg(Snapshots.changeFeedByVersion(s, cdfByVersionTable(s, dir), 1L, 3L))
+  }
+
+  /** q112: the change feed through PLAIN SQL — `CALL
+    * cat.system.table_changes(table, from, to)` (Delta's
+    * `table_changes` / Iceberg's CDC-procedure convention) over the
+    * SAME committed fixture as q111, under the same oracle: the SQL
+    * surface (procedure arg binding, dynamic result schema = table
+    * columns + CDC metadata, Catalyst row conversion) must reproduce
+    * the Scala API's exact change sets.
+    */
+  val qSqlTableChanges: QuerySpec = QuerySpec.sql(
+    "q112_sql_table_changes", CdfByVersionOracle) { (s, dir) =>
+    val root = cdfByVersionTable(s, dir)
+    val f = new java.io.File(root)
+    val cat = s"graft_tmpcat_${Tables.dirKey(dir)}"
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.v2.SnapshotCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", f.getParent)
+    cdfChangeAgg(s.sql(s"CALL $cat.system.table_changes(" +
+      s"table => '${f.getName}', from_version => 1, to_version => 3)"))
   }
 
   val all: Seq[QuerySpec] =
@@ -1841,5 +1883,5 @@ object Incremental {
       qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish,
       qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup, qWriteOrder,
       qBinPack, qMorDelete, qMorSql, qMorUpdate, qMorMerge, qEqUpsert,
-      qEqCdf, qCdfByVersion)
+      qEqCdf, qCdfByVersion, qSqlTableChanges)
 }

@@ -89,6 +89,26 @@ private[v2] object SnapshotProcedures {
       java.util.List.of[Scan](Result(resultSchema, run(input))).iterator()
   }
 
+  /** A procedure whose RESULT SCHEMA depends on the call arguments
+    * (e.g. `table_changes`: the target table's columns + the CDC
+    * metadata columns). Spark's InvokeProcedures rule materializes the
+    * returned Scan into a LocalRelation with the scan's own schema, so
+    * the schema is free to be computed inside the call.
+    */
+  private abstract class DynProc(procName: String,
+      params: Seq[ProcedureParameter])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    protected def run(input: InternalRow): (StructType, Array[InternalRow])
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val (sch, rows) = run(input)
+      java.util.List.of[Scan](Result(sch, rows)).iterator()
+    }
+  }
+
   private def schema(fields: (String, DataType)*): StructType =
     fields.foldLeft(new StructType()) { case (s, (n, t)) => s.add(n, t) }
 
@@ -258,6 +278,29 @@ private[v2] object SnapshotProcedures {
       def run(in: InternalRow): Array[InternalRow] = {
         Snapshots.dropBloomSpec(spark, path(wh, in.getString(0)))
         row(true)
+      }
+    }),
+    // version-ranged per-commit change feed (Delta's `table_changes`
+    // shape, as a CALL): rows changed between from_version (exclusive)
+    // and to_version (inclusive), each attributed to its
+    // `_commit_version` with `_change_type` delete/insert — the SQL
+    // face of Snapshots.changeFeedByVersion, same manifest-diff scan
+    // set (added/removed/key-hit files only, never a history rescan).
+    // The result is a procedure LocalScan, i.e. driver-materialized:
+    // right-sized because a CALL's result set is the CHANGE set, not
+    // the table, and changeFeedByVersion refuses over-wide ranges with
+    // a window hint — a data-scale feed belongs on the streaming CDF
+    // source (`readChangeFeed`), not on CALL.
+    "table_changes" -> (wh => new DynProc("table_changes",
+      Seq(param("table", StringType), param("from_version", LongType),
+        param("to_version", LongType))) {
+      def run(in: InternalRow): (StructType, Array[InternalRow]) = {
+        val df = Snapshots.changeFeedByVersion(spark,
+          path(wh, in.getString(0)), in.getLong(1), in.getLong(2))
+        val sch = df.schema
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(sch)
+        (sch, df.collect().map(r => conv(r).asInstanceOf[InternalRow]))
       }
     }),
     "history" -> (wh => new Proc("history",

@@ -77,6 +77,31 @@ class SqlProceduresSpec extends SparkTestBase {
     assert(spark.sql("SELECT sum(v) FROM proc_cat.ns.g").head().getLong(0) === 100L)
   }
 
+  test("CALL table_changes returns the version-ranged per-commit feed") {
+    val t = mk("tc")
+    spark.sql(s"DELETE FROM proc_cat.ns.$t WHERE id = 2")          // v4
+    spark.sql(s"INSERT INTO proc_cat.ns.$t VALUES (5, 50)")        // v5
+    val feed = spark.sql("CALL proc_cat.system.table_changes(" +
+      "table => 'ns.tc', from_version => 3, to_version => 5)")
+    // dynamic result schema: table columns + the CDC metadata pair
+    assert(feed.columns.toSet ===
+      Set("id", "v", "_change_type", "_commit_version"))
+    val rows = feed.select("_commit_version", "_change_type", "id", "v")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(rows === Set((4L, "delete", 2L, 20L), (5L, "insert", 5L, 50L)))
+    // empty range: zero rows, not an error
+    assert(spark.sql("CALL proc_cat.system.table_changes(" +
+      "table => 'ns.tc', from_version => 5, to_version => 5)").count() === 0L)
+    // the Scala guard surfaces through SQL: an uncommitted version
+    // refuses loudly instead of returning a silent empty feed
+    val e = intercept[Exception] {
+      spark.sql("CALL proc_cat.system.table_changes(" +
+        "table => 'ns.tc', from_version => 1, to_version => 99)")
+    }
+    assert(e.getMessage.contains("99"))
+  }
+
   test("SHOW PROCEDURES lists the system namespace; unknown procedure fails loudly") {
     wh
     val df = spark.sql("SHOW PROCEDURES IN proc_cat.system")
