@@ -112,11 +112,17 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
     require(!(cdf && skip),
       "graft-snapshot: readChangeFeed already represents change commits " +
         "as delete+insert rows; drop skipChangeCommits")
+    // Delta's flag, same semantics, default TRUE: a checkpointed offset
+    // that vacuum expired refuses loudly unless the user opts into
+    // resuming from the oldest retained version (gap commits lost)
+    val fodl = parameters.get("failOnDataLoss")
+      .orElse(parameters.get("failondataloss")).forall(_.toBoolean)
     if (cdf)
-      new SnapshotChangeFeedSource(sqlContext.sparkSession, parameters("path"))
+      new SnapshotChangeFeedSource(sqlContext.sparkSession, parameters("path"),
+        failOnDataLoss = fodl)
     else
       new SnapshotStreamSource(sqlContext.sparkSession, parameters("path"),
-        skipChangeCommits = skip)
+        skipChangeCommits = skip, failOnDataLoss = fodl)
   }
 
   /** `writeStream.format("graft-snapshot")`: the table advertises no
@@ -299,8 +305,56 @@ private[v2] class SnapshotStreamSink(path: String, tokenNamespace: String,
   * keep flowing. An appended file later compacted away in the same
   * poll window still streams from its original (retained) version.
   */
+/** The vacuum-vs-lagging-reader contract both streaming sources share:
+  * a resuming stream whose checkpointed offset `from` is no longer a
+  * retained version cannot reconstruct the commits between the
+  * checkpoint and the oldest retained manifest (vacuum is prefix
+  * expiry, so "from missing" means exactly that gap). Default: refuse
+  * loudly, naming the remedy — Delta's `failOnDataLoss` story. With
+  * `failOnDataLoss=false` the stream resumes from the OLDEST retained
+  * version and the gap's commits are accepted as lost (they are
+  * baseline state from the stream's point of view — NOT re-delivered,
+  * NOT silently merged into later diffs).
+  */
+private[v2] object StreamRetention {
+  def baseline(spark: SparkSession, path: String, from: Long, to: Long,
+      failOnDataLoss: Boolean): Long = {
+    val retained = Snapshots.versions(spark, path)
+    if (from == to || retained.contains(from)) from
+    else if (!failOnDataLoss) retained.headOption.filter(_ <= to).getOrElse(to)
+    else throw new IllegalStateException(
+      s"graft-snapshot stream $path: checkpointed offset v$from was " +
+        s"vacuumed (retained: ${retained.mkString(", ")}) — the commits " +
+        "between the checkpoint and the oldest retained version are " +
+        "unrecoverable. Restart the stream with a fresh checkpoint " +
+        "(re-reads the current snapshot), or set " +
+        ".option(\"failOnDataLoss\", \"false\") to resume from the oldest " +
+        "retained version, accepting the gap as lost")
+  }
+
+  /** The END-offset twin: a restart REPLAYS the last checkpointed batch
+    * (the V1 Source recovery contract), and if vacuum expired that
+    * batch's end version its frame cannot be reconstructed. True =
+    * retained, serve normally; false (only under failOnDataLoss=false)
+    * = serve an empty frame — safe when the sink committed the batch,
+    * and the accepted loss when it did not; default refuses loudly.
+    */
+  def endRetained(spark: SparkSession, path: String, to: Long,
+      failOnDataLoss: Boolean): Boolean = {
+    val retained = Snapshots.versions(spark, path)
+    if (retained.contains(to)) true
+    else if (!failOnDataLoss) false
+    else throw new IllegalStateException(
+      s"graft-snapshot stream $path: checkpointed batch end v$to was " +
+        s"vacuumed (retained: ${retained.mkString(", ")}) — the replayed " +
+        "batch cannot be reconstructed. Restart the stream with a fresh " +
+        "checkpoint, or set .option(\"failOnDataLoss\", \"false\") to " +
+        "serve it empty (data loss only if the sink never committed it)")
+  }
+}
+
 private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
-    skipChangeCommits: Boolean = false)
+    skipChangeCommits: Boolean = false, failOnDataLoss: Boolean = true)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.Offset
@@ -318,6 +372,10 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
 
   override def getBatch(start: Option[Offset], end: Offset): org.apache.spark.sql.DataFrame = {
     val to = ver(end)
+    if (!StreamRetention.endRetained(spark, path, to, failOnDataLoss))
+      return org.apache.spark.sql.GraftShim.internalCreateStreamingDataFrame(
+        spark, spark.sparkContext
+          .emptyRDD[org.apache.spark.sql.catalyst.InternalRow], schema)
     // the INITIAL batch is the snapshot's resolved view: outstanding
     // merge-on-read sidecars subtract their positions (Snapshots.read),
     // re-tagged streaming via the InternalRow RDD route because the
@@ -334,7 +392,7 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
     val files = start match {
       case None => Snapshots.dataFiles(spark, path, Some(to))
       case Some(s) =>
-        val from = ver(s)
+        val from = StreamRetention.baseline(spark, path, ver(s), to, failOnDataLoss)
         // walk the retained version chain pairwise: each step is an
         // append (before ⊆ after — stream exactly its appended files)
         // or a change commit (a rewrite replaced files: those rows are
@@ -417,7 +475,8 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
   * distributed and lazily when the micro-batch executes (rows copied:
   * the scan reuses row objects).
   */
-private[v2] class SnapshotChangeFeedSource(spark: SparkSession, path: String)
+private[v2] class SnapshotChangeFeedSource(spark: SparkSession, path: String,
+    failOnDataLoss: Boolean = true)
     extends org.apache.spark.sql.execution.streaming.Source {
 
   import org.apache.spark.sql.execution.streaming.Offset
@@ -438,11 +497,13 @@ private[v2] class SnapshotChangeFeedSource(spark: SparkSession, path: String)
   override def getBatch(start: Option[Offset], end: Offset): org.apache.spark.sql.DataFrame = {
     val to = ver(end)
     val feed: Option[org.apache.spark.sql.DataFrame] = start match {
+      case _ if !StreamRetention.endRetained(spark, path, to, failOnDataLoss) =>
+        None // vacuumed replayed batch, accepted under failOnDataLoss=false
       case None =>
         Some(Snapshots.read(spark, path, Some(to))
           .withColumn("_change_type", lit("insert")))
       case Some(s) =>
-        val from = ver(s)
+        val from = StreamRetention.baseline(spark, path, ver(s), to, failOnDataLoss)
         val chain = from +: Snapshots.versions(spark, path)
           .filter(v => v > from && v <= to)
         // one manifest read per version (not two per adjacent pair):

@@ -63,6 +63,70 @@ class SnapshotStreamReadSpec extends SparkTestBase {
     assert(Snapshots.versions(spark, dst).size === 2)
   }
 
+  test("a vacuumed checkpoint offset refuses loudly by default (failOnDataLoss)") {
+    // the Delta failOnDataLoss story: the stream checkpointed at v2,
+    // went down, v3/v4 landed, vacuum expired everything but v4 — the
+    // commits between checkpoint and oldest retained version are
+    // unrecoverable and the restart must say so, not guess
+    val src = tbl("vacsrc")
+    val dst = tbl("vacdst")
+    val ck = Files.createTempDirectory("vacck").toString
+    Snapshots.commit((1L to 10L).toDF("id"), src)   // v1
+    Snapshots.commit((11L to 20L).toDF("id"), src)  // v2
+    def pipe() = spark.readStream.format("graft-snapshot").option("path", src)
+      .load()
+      .writeStream.format("graft-snapshot")
+      .option("path", dst).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    val q1 = pipe()
+    q1.processAllAvailable(); q1.stop() // checkpoint at v2
+    Snapshots.commit((21L to 30L).toDF("id"), src)  // v3
+    Snapshots.commit((31L to 40L).toDF("id"), src)  // v4
+    assert(Snapshots.vacuum(spark, src, keepVersions = 1) >= 0)
+    assert(Snapshots.versions(spark, src) === Seq(4L))
+    val q2 = pipe()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.processAllAvailable()
+      q2.awaitTermination(10000)
+    }
+    q2.stop()
+    def hasVacuumed(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("vacuumed")) ||
+        hasVacuumed(t.getCause))
+    assert(hasVacuumed(err), s"unexpected failure: ${err.getMessage}")
+    // nothing was guessed into the sink
+    assert(Snapshots.read(spark, dst).count() === 20)
+  }
+
+  test("failOnDataLoss=false resumes from the oldest retained version; the gap is lost") {
+    val src = tbl("fodlsrc")
+    val dst = tbl("fodldst")
+    val ck = Files.createTempDirectory("fodlck").toString
+    def pipe(fodl: Boolean) = spark.readStream.format("graft-snapshot")
+      .option("path", src).option("failOnDataLoss", fodl.toString).load()
+      .writeStream.format("graft-snapshot")
+      .option("path", dst).option("checkpointLocation", ck)
+      .outputMode("append").start()
+    Snapshots.commit((1L to 10L).toDF("id"), src)   // v1
+    Snapshots.commit((11L to 20L).toDF("id"), src)  // v2
+    val q1 = pipe(fodl = true)
+    q1.processAllAvailable(); q1.stop() // checkpoint at v2
+    Snapshots.commit((21L to 30L).toDF("id"), src)  // v3 (will be the gap)
+    Snapshots.commit((31L to 40L).toDF("id"), src)  // v4 (baseline after vacuum)
+    Snapshots.vacuum(spark, src, keepVersions = 1)
+    val q2 = pipe(fodl = false)
+    q2.processAllAvailable()
+    // the stream is live again; a new commit flows normally
+    Snapshots.commit((41L to 50L).toDF("id"), src)  // v5
+    q2.processAllAvailable(); q2.stop()
+    val got = Snapshots.read(spark, dst).select("id").as[Long].collect().sorted.toSeq
+    // 1-20 delivered before the outage; 21-40 are the DOCUMENTED loss
+    // (baseline state at resume — not re-delivered, not merged into a
+    // later diff); 41-50 flow after resume
+    assert(got === ((1L to 20L) ++ (41L to 50L)),
+      s"gap semantics violated: $got")
+  }
+
   test("an overwrite in the tailed history fails the stream loudly") {
     val t = tbl("ovw")
     Snapshots.commit((1L to 10L).toDF("id"), t)
