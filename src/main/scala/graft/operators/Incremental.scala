@@ -1875,6 +1875,76 @@ object Incremental {
       s"table => '${f.getName}', from_version => 1, to_version => 3)"))
   }
 
+  /** The INTERLEAVED-DML fixture q113/q114 share (one build per JVM per
+    * dir): the round-9 scaled-DML gate's chain — every lakehouse write
+    * form stacked on one table, so the 10× artifact
+    * (`tools/correctness_sf1_dml.json`) hash-gates their composition at
+    * tier scale, not just at gate SF.
+    *   v1 commit orders → v2 upsertEq (keys o_orderkey%7=3: status 'U1',
+    *   price+1000) → v3 purge_eq (key-hit rewrite) → v4 MOR DELETE
+    *   (price>400000, position sidecar) → v5 compact (delete-aware fold).
+    */
+  private def dmlChainTable(s: SparkSession, dir: String): String = {
+    val root = snapRoot(s, dir, "dmlchain")
+    ensureBuilt(s, root, 5) {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Snapshots.commit(o, root)                                     // v1
+      val batch = o.filter(col("o_orderkey") % 7 === 3)
+        .select(col("o_orderkey"), lit("U1").as("o_orderstatus"),
+          (col("o_totalprice") + 1000).as("o_totalprice"))
+      Snapshots.upsertEq(s, root, batch, Seq("o_orderkey"))         // v2
+      Snapshots.purgeEqDeletes(s, root)                             // v3
+      Snapshots.deleteWhereMor(s, root, col("o_totalprice") > 400000) // v4
+      Snapshots.compact(s, root): Unit                              // v5
+    }
+    root
+  }
+
+  /** q113: the chain's FINAL state — upsert semantics, purge's key-hit
+    * rewrite, the position-sidecar subtraction, and compact's
+    * delete-aware fold must compose to exactly the oracle's CASE +
+    * filter algebra over raw orders.
+    */
+  val qDmlChain: QuerySpec = QuerySpec.sql(
+    "q113_dml_chain",
+    """WITH up AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 3 THEN 'U1' ELSE o_orderstatus END AS o_orderstatus,
+      |         CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amount
+      |FROM up WHERE NOT (o_totalprice > 400000) GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+    Snapshots.read(s, dmlChainTable(s, dir))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)")
+          .as("amount"))
+  }
+
+  /** q114: the chain's INTERMEDIATE state via time travel to v2 — the
+    * equality-delete read path (scoped anti-join over outstanding
+    * sidecars) resolved at tier scale, pinned before purge folded it.
+    */
+  val qDmlChainTt: QuerySpec = QuerySpec.sql(
+    "q114_dml_chain_tt",
+    """WITH up AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 3 THEN 'U1' ELSE o_orderstatus END AS o_orderstatus,
+      |         CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice
+      |  FROM orders)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amount
+      |FROM up GROUP BY 1""".stripMargin) { (s, dir) =>
+    Snapshots.read(s, dmlChainTable(s, dir), Some(2L))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)")
+          .as("amount"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
@@ -1883,5 +1953,5 @@ object Incremental {
       qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish,
       qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup, qWriteOrder,
       qBinPack, qMorDelete, qMorSql, qMorUpdate, qMorMerge, qEqUpsert,
-      qEqCdf, qCdfByVersion, qSqlTableChanges)
+      qEqCdf, qCdfByVersion, qSqlTableChanges, qDmlChain, qDmlChainTt)
 }
