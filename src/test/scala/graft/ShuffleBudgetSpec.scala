@@ -233,7 +233,17 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // q111: two per-step diffs (v1→v2 position, v2→v3 eq) — each side's
     // sidecar/add-version broadcasts + the EXCEPT-ALL count-compare
     // shuffles — then the final per-(version,type,status) agg
-    "q111_cdf_by_version" -> 15)
+    "q111_cdf_by_version" -> 15,
+    // q112: the CALL's feed is a driver-materialized LocalScan (its own
+    // plan ran inside the procedure invocation); the query plan itself
+    // is one agg shuffle over the local relation
+    "q112_sql_table_changes" -> 1,
+    // q113: one per-status agg over the compacted head (the chain's
+    // sidecars all folded — clean scan, no anti-join)
+    "q113_dml_chain" -> 1,
+    // q114: per-status agg over the asOf-v2 read = the eq-delete scoped
+    // anti-join's two broadcasts (sidecar frame + add-version map)
+    "q114_dml_chain_tt" -> 3)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet
