@@ -298,9 +298,23 @@ private[v2] object SnapshotProcedures {
         val df = Snapshots.changeFeedByVersion(spark,
           path(wh, in.getString(0)), in.getLong(1), in.getLong(2))
         val sch = df.schema
+        // a CALL's result set is driver-materialized: cap it LOUDLY
+        // (limit cap+1, count the overflow) instead of letting a wide
+        // DML's change set OOM the driver — the distributed consumers
+        // (readChangeFeed stream / Scala changeFeedByVersion) have no
+        // such bound and are the right tool past it
+        val cap = spark.conf
+          .get("graft.snapshot.procedureMaxRows", "1000000").toLong
+        val rows = df.limit((cap + 1).min(Int.MaxValue).toInt).collect()
+        require(rows.length <= cap,
+          s"table_changes(${in.getString(0)}, v${in.getLong(1)} -> " +
+            s"v${in.getLong(2)}): change set exceeds $cap rows " +
+            "(graft.snapshot.procedureMaxRows) — a CALL's result is " +
+            "driver-materialized; consume a feed this size through " +
+            "readChangeFeed (streaming) or Snapshots.changeFeedByVersion")
         val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
           .createToCatalystConverter(sch)
-        (sch, df.collect().map(r => conv(r).asInstanceOf[InternalRow]))
+        (sch, rows.map(r => conv(r).asInstanceOf[InternalRow]))
       }
     }),
     "history" -> (wh => new Proc("history",

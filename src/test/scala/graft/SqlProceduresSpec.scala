@@ -100,6 +100,16 @@ class SqlProceduresSpec extends SparkTestBase {
         "table => 'ns.tc', from_version => 1, to_version => 99)")
     }
     assert(e.getMessage.contains("99"))
+    // driver-materialization cap: a change set over the row cap refuses
+    // with the distributed-consumer hint instead of OOMing the driver
+    try {
+      spark.conf.set("graft.snapshot.procedureMaxRows", "1")
+      val big = intercept[Exception] {
+        spark.sql("CALL proc_cat.system.table_changes(" +
+          "table => 'ns.tc', from_version => 3, to_version => 5)")
+      }
+      assert(big.getMessage.contains("readChangeFeed"))
+    } finally spark.conf.unset("graft.snapshot.procedureMaxRows")
   }
 
   test("SHOW PROCEDURES lists the system namespace; unknown procedure fails loudly") {
