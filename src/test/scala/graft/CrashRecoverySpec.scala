@@ -159,6 +159,62 @@ class CrashRecoverySpec extends SparkTestBase {
     assert(pts > 0)
   }
 
+  test("vacuum survives a crash at every step: head always readable, retry completes expiry") {
+    // vacuum needs its own invariants: a crash mid-expiry legitimately
+    // leaves a SUBSET of the old manifests (and possibly expired
+    // versions whose files are already gone — vacuumed history has no
+    // read contract), so full state equality is wrong. What must hold
+    // at every crash point: the LATEST version reads exactly the same
+    // rows, it is never expired itself, and a retry finishes the expiry
+    // to exactly the clean-run end state.
+    val parent = Files.createTempDirectory("crash-vacuum").toString
+    def build(r: String): Unit = {
+      Snapshots.commit(df(1 to 4), r)
+      Snapshots.commit(df(5 to 8), r)
+      Snapshots.compact(spark, r, 1): Unit // v3: v1/v2 files become expirable
+    }
+    def headRows(r: String): Seq[(Long, String)] =
+      Snapshots.read(spark, r).select("id", "v").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+    val ref = s"crash:$parent/ref"
+    build(ref)
+    Snapshots.vacuum(spark, ref, keepVersions = 1)
+    val afterRows = headRows(ref)
+    val afterVersions = Snapshots.versions(spark, ref)
+    assert(afterVersions === Seq(3L))
+    val filter = (p: String) =>
+      p.contains(parent) && !p.contains("_temporary") && !p.contains("_SUCCESS")
+    var k = 0
+    var completed = false
+    var crashPoints = 0
+    while (!completed && k <= 80) {
+      val root = s"crash:$parent/t$k"
+      CrashFsHook.disable()
+      build(root)
+      CrashFsHook.arm(k, filter)
+      val threw =
+        try { Snapshots.vacuum(spark, root, keepVersions = 1); false }
+        catch {
+          case _: Throwable if CrashFsHook.fired => true
+          case t: Throwable => CrashFsHook.disable(); throw t
+        }
+      val crashed = threw || CrashFsHook.fired
+      CrashFsHook.disable()
+      if (crashed) crashPoints += 1 else completed = true
+      val vs = Snapshots.versions(spark, root)
+      assert(vs.nonEmpty && vs.last == 3L && vs.toSet.subsetOf(Set(1L, 2L, 3L)),
+        s"vacuum crash@$k: latest version lost or alien versions appeared: $vs")
+      assert(headRows(root) === afterRows,
+        s"vacuum crash@$k: the latest snapshot's rows changed")
+      Snapshots.vacuum(spark, root, keepVersions = 1) // retry
+      assert(Snapshots.versions(spark, root) === afterVersions,
+        s"vacuum crash@$k: retry did not finish the expiry")
+      assert(headRows(root) === afterRows)
+      k += 1
+    }
+    assert(completed && crashPoints > 0)
+  }
+
   test("gc survives a crash at every step and a retry reclaims the orphan") {
     // negative grace puts the cutoff in the future (a freshly-written
     // orphan would otherwise sit INSIDE the default grace window); the
