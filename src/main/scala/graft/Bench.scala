@@ -99,8 +99,20 @@ object Bench {
       try {
         import scala.jdk.CollectionConverters._
         val javaBin = System.getProperty("java.home") + "/bin/java"
-        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-          .getInputArguments.asScala.toSeq
+        // drop agent/debug/JFR flags before forking: a fixed jdwp port
+        // or an in-use JFR recording path makes the child fail to START,
+        // and the steady artifact would degrade to an opaque error. An
+        // env override replaces the inherited flags entirely.
+        val jvmArgs = sys.env.get("SPARK_GRAFT_STEADY_JVM_ARGS") match {
+          case Some(o) => o.split(' ').map(_.trim).filter(_.nonEmpty).toSeq
+          case None => java.lang.management.ManagementFactory.getRuntimeMXBean
+            .getInputArguments.asScala.toSeq.filterNot { a =>
+              a.startsWith("-agentlib:") || a.startsWith("-agentpath:") ||
+              a.startsWith("-javaagent:") || a.startsWith("-Xrunjdwp") ||
+              a.startsWith("-XX:StartFlightRecording") ||
+              a.startsWith("-XX:FlightRecorderOptions")
+            }
+        }
         val cmd = Seq(javaBin) ++ jvmArgs ++
           Seq("-cp", System.getProperty("java.class.path"), "graft.QBench") ++
           qs ++ Seq("3")
@@ -108,7 +120,6 @@ object Bench {
         pb.environment().put("SPARK_GRAFT_SF_DIR", dir)
         pb.environment().put("SPARK_GRAFT_CPUS", cpus)
         pb.environment().put("SPARK_GRAFT_QB_EVICT", "1")
-        pb.redirectError(ProcessBuilder.Redirect.DISCARD)
         val p = pb.start()
         val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
         val pump = new Thread(() => {
@@ -119,16 +130,34 @@ object Bench {
         })
         pump.setDaemon(true)
         pump.start()
+        // keep a bounded tail of the child's stderr: when the child dies
+        // the error object carries the diagnostic instead of discarding it
+        val errTail = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+        val errPump = new Thread(() => {
+          val br = new java.io.BufferedReader(
+            new java.io.InputStreamReader(p.getErrorStream, "UTF-8"))
+          var l = br.readLine()
+          while (l != null) {
+            errTail.add(l)
+            while (errTail.size > 5) errTail.poll()
+            l = br.readLine()
+          }
+        })
+        errPump.setDaemon(true)
+        errPump.start()
         val done = p.waitFor(budget, java.util.concurrent.TimeUnit.SECONDS)
         if (!done) {
           p.destroyForcibly()
           s""","$key":{"error":"timeout ${budget}s"}"""
         } else {
           pump.join(5000)
+          errPump.join(1000)
           lines.asScala.toSeq.reverse.find(_.startsWith("QBJSON ")) match {
             case Some(l) if p.exitValue() == 0 =>
               s""","$key":${l.stripPrefix("QBJSON ")}"""
-            case _ => s""","$key":{"error":"exit ${p.exitValue()}"}"""
+            case _ =>
+              val diag = jstr(errTail.asScala.mkString(" | ").takeRight(400))
+              s""","$key":{"error":"exit ${p.exitValue()}","stderr_tail":"$diag"}"""
           }
         }
       } catch { case e: Throwable =>
@@ -336,6 +365,14 @@ object Bench {
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "tools/bench_full_latest.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable => System.err.println(s"bench artifact write failed: $e") }
+    // LAST stdout line: a compact summary guaranteed to fit the driver's
+    // bounded stdout tail, so BENCH_rNN.json.parsed stops being null
+    // (round-9 judge finding #3 — the full line above exceeds the tail
+    // once the tier sections grow, truncating its head mid-JSON). The
+    // queries map here carries the most expensive rows only; the full
+    // per-query map lives in the line above and in `full_artifact`.
+    val top = resultTimes.sortBy(-_._2).take(25).sortBy(_._1)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${resultTimes.size},"queries":${json(top)},"sf":"${jstr(sfDir)}","full_artifact":"${jstr(outPath)}"$restartsJson$driftJson}""")
     spark.stop()
   }
 }

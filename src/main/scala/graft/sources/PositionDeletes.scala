@@ -60,18 +60,24 @@ private[graft] object PositionDeletes {
     * the shared routing decision of the read path's anti-join
     * (broadcast vs shuffle) and the delta-DML scan's delete application
     * (driver-built ordinal arrays vs task-side sidecar reads). An
-    * unstat-able sidecar counts as huge: both fallbacks are the
-    * correctness-identical conservative route.
+    * unstat-able sidecar forces the conservative route outright — a
+    * short-circuit, not a sentinel byte count, so many stat failures
+    * can never overflow the sum back below the threshold.
     */
   private[graft] def exceedsBroadcast(spark: SparkSession, table: String,
       deleteFiles: Seq[String]): Boolean = {
     val f = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = deleteFiles.map { p =>
-      try f.getFileStatus(new Path(p)).getLen
-      catch { case scala.util.control.NonFatal(_) => Long.MaxValue / 1024 }
-    }.sum
     val threshold = spark.conf
       .get("graft.snapshot.deleteBroadcastBytes", (64L << 20).toString).toLong
+    var bytes = 0L
+    deleteFiles.foreach { p =>
+      val len =
+        try f.getFileStatus(new Path(p)).getLen
+        catch { case scala.util.control.NonFatal(_) => return true }
+      bytes = try math.addExact(bytes, math.max(len, 0L))
+        catch { case _: ArithmeticException => return true }
+      if (bytes > threshold) return true
+    }
     bytes > threshold
   }
 

@@ -1134,6 +1134,12 @@ object Snapshots {
       }
     }
     val out = m.toMap
+    // only the latest history state of a table can be live: any commit /
+    // vacuum / restore changed `vs`, so drop this table's entries under
+    // other version lists before inserting (a long-lived streaming-CDF
+    // JVM probing per micro-batch would otherwise accrete one dead
+    // full-size Map per commit until the global clear)
+    addVMemo.keySet.removeIf(k => k._1 == table && k._3 != vs)
     if (addVMemo.size > 64) addVMemo.clear()
     addVMemo.put(key, out)
     out

@@ -245,8 +245,8 @@ private[v2] final class RowIdentityScan(
             }.toArray.sortBy(_.path)
           }
       }
-    RowIdentityScan.lastDeleteRoute =
-      if (deletes.isEmpty) "none" else if (taskSide) "task" else "driver"
+    RowIdentityScan.recordRoute(tablePath,
+      if (deletes.isEmpty) "none" else if (taskSide) "task" else "driver")
     // serializable sidecar reader for the task route (null otherwise:
     // the closure drags the parquet read support into every partition)
     val sidecarReaderFor: PartitionedFile => Iterator[InternalRow] =
@@ -272,12 +272,24 @@ private[v2] final class RowIdentityScan(
 }
 
 private[graft] object RowIdentityScan {
-  /** Test hook: the delete-application route the last planned scan
-    * took — "none" (no outstanding sidecars), "driver" (ordinal arrays
-    * built driver-side, below threshold), or "task" (sidecars read by
-    * the partition readers; the driver map is provably never built).
+  /** Test hook: the delete-application route the last planned scan of a
+    * given TABLE took — "none" (no outstanding sidecars), "driver"
+    * (ordinal arrays built driver-side, below threshold), or "task"
+    * (sidecars read by the partition readers; the driver map is
+    * provably never built). Keyed by table path rather than a single
+    * JVM-global var so a concurrent scan of another table (parallel
+    * suites, background queries) can never overwrite the observation
+    * between a DML statement and its assertion (round-9 review
+    * finding). Bounded: a test-observability map must never be a leak.
     */
-  @volatile private[graft] var lastDeleteRoute: String = "none"
+  private val routes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def recordRoute(tablePath: String, route: String): Unit = {
+    if (routes.size > 256) routes.clear()
+    routes.put(new Path(tablePath).toUri.getPath, route)
+  }
+  private[graft] def routeFor(tablePath: String): String =
+    Option(routes.get(new Path(tablePath).toUri.getPath)).getOrElse("none")
 }
 
 private[v2] final class RowIdentityBatch(

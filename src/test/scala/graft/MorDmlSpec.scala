@@ -154,7 +154,7 @@ class MorDmlSpec extends SparkTestBase {
     // through the task-side route; same answers, route flag proves the
     // driver map was never built.
     import graft.sources.v2.RowIdentityScan
-    val (t, _) = freshTable(
+    val (t, path) = freshTable(
       "'write.update.mode' = 'merge-on-read', " +
         "'write.merge.mode' = 'merge-on-read', " +
         "'write.delete.mode' = 'merge-on-read'")
@@ -162,12 +162,12 @@ class MorDmlSpec extends SparkTestBase {
     try {
       spark.conf.set("graft.snapshot.deleteBroadcastBytes", "1")
       spark.sql(s"UPDATE $t SET v = v + 5 WHERE grp = 'a'")
-      assert(RowIdentityScan.lastDeleteRoute === "task",
+      assert(RowIdentityScan.routeFor(path) === "task",
         "an over-threshold sidecar set must route task-side")
       spark.sql(s"MERGE INTO $t tgt USING (SELECT * FROM VALUES " +
         "(2, 'a', 777), (200, 'e', 2000) AS s(id, grp, v)) s ON tgt.id = s.id " +
         "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
-      assert(RowIdentityScan.lastDeleteRoute === "task")
+      assert(RowIdentityScan.routeFor(path) === "task")
       assert(rows(t) === Seq((1L, "a", 15L), (2L, "a", 777L), (4L, "b", 40L),
         (100L, "c", 1000L), (101L, "c", 1010L), (102L, "d", 1020L),
         (103L, "d", 1030L), (200L, "e", 2000L)))
@@ -175,7 +175,7 @@ class MorDmlSpec extends SparkTestBase {
     // default threshold: the same shape stays on the driver route (the
     // cheap path for the common few-MB sidecar case)
     spark.sql(s"UPDATE $t SET v = 0 WHERE id = 4")
-    assert(RowIdentityScan.lastDeleteRoute === "driver")
+    assert(RowIdentityScan.routeFor(path) === "driver")
     assert(rows(t).find(_._1 == 4L).get._3 === 0L)
   }
 
