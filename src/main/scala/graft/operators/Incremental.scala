@@ -1945,6 +1945,64 @@ object Incremental {
           .as("amount"))
   }
 
+  /** The FIELD-ID EVOLUTION fixture (one build per JVM per dir): the
+    * round-10 metadata-only RENAME/DROP COLUMN surface stacked across
+    * write epochs, all through the SQL ALTER surface:
+    *   v1 commit even-key orders (o_orderkey, o_orderstatus,
+    *   o_totalprice) → RENAME o_totalprice→amount → v2 append odd keys
+    *   under the new name → DROP COLUMN o_orderstatus → v3 COW DELETE
+    *   WHERE amount > 500000 (the predicate targets the renamed column
+    *   over BOTH epochs' footers) → RENAME amount→price → ADD COLUMNS
+    *   o_orderstatus (the re-added name gets a FRESH field id — the
+    *   dropped column's bytes still physically present in epoch-1/2
+    *   files must NOT resurrect).
+    * Zero data files are rewritten by any ALTER (the DELETE rewrites
+    * only its matched files); old footers resolve by field id.
+    */
+  private def fieldIdTable(s: SparkSession, dir: String): String = {
+    val root = snapRoot(s, dir, "fieldids")
+    ensureBuilt(s, root, 3) {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), root)   // v1
+      val f = new java.io.File(root)
+      val cat = s"graft_fidcat_${Tables.dirKey(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", f.getParent)
+      val t = s"$cat.`${f.getName}`"
+      s.sql(s"ALTER TABLE $t RENAME COLUMN o_totalprice TO amount")
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 =!= 0)
+        .withColumnRenamed("o_totalprice", "amount"), root)           // v2
+      s.sql(s"ALTER TABLE $t DROP COLUMN o_orderstatus")
+      Snapshots.deleteWhere(s, root, col("amount") > 500000)          // v3
+      s.sql(s"ALTER TABLE $t RENAME COLUMN amount TO price")
+      s.sql(s"ALTER TABLE $t ADD COLUMNS (o_orderstatus STRING)")
+    }
+    root
+  }
+
+  /** q115: the evolved table's final state — renamed columns must serve
+    * every epoch's values by id, the dropped-then-re-added column must
+    * read NULL (n_status = 0 pins no-resurrection), and the COW delete
+    * on the renamed column must match the oracle's filter algebra over
+    * raw orders.
+    */
+  val qFieldIdEvolution: QuerySpec = QuerySpec.sql(
+    "q115_fieldid_evolution",
+    """SELECT o_orderkey % 10 AS k, COUNT(*) AS n,
+      |       CAST(COUNT(CASE WHEN FALSE THEN 1 END) AS BIGINT) AS n_status,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amount
+      |FROM orders WHERE NOT (o_totalprice > 500000) GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+    Snapshots.read(s, fieldIdTable(s, dir))
+      .groupBy((col("o_orderkey") % 10).as("k"))
+      .agg(count(lit(1)).as("n"),
+        count(col("o_orderstatus")).as("n_status"),
+        expr("CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)")
+          .as("amount"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
@@ -1953,5 +2011,6 @@ object Incremental {
       qSqlCatalog, qSqlUpdate, qSqlMerge, qSqlProcedures, qWapPublish,
       qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup, qWriteOrder,
       qBinPack, qMorDelete, qMorSql, qMorUpdate, qMorMerge, qEqUpsert,
-      qEqCdf, qCdfByVersion, qSqlTableChanges, qDmlChain, qDmlChainTt)
+      qEqCdf, qCdfByVersion, qSqlTableChanges, qDmlChain, qDmlChainTt,
+      qFieldIdEvolution)
 }

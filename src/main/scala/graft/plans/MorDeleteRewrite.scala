@@ -40,9 +40,19 @@ class MorDeleteRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case d: DeleteFromTable => d.table
       case u: UpdateTable => u.table
       case m: MergeIntoTable => m.targetTable
-      case w: V2WriteCommand => w.table
       case i: InsertIntoStatement => i.table
     }
+  // V2WriteCommand targets are deliberately NOT shielded: `table` is a
+  // FIELD of AppendData/OverwriteByExpression/ReplaceData/WriteDelta,
+  // not a child, so the tree transform never touches the write binding
+  // — while the QUERY side may legitimately re-read the same relation
+  // instance and must see the live view. The concrete case: an
+  // insert-only MERGE plans as AppendData over an anti-join whose
+  // build side IS the target relation instance; shielding it left the
+  // raw delete-bearing scan in the plan and the read failed loudly at
+  // scan build (round-10 finding). Row-level commands are safe without
+  // the shield too: their query's read relation wraps a
+  // RowLevelOperationTable, which liveViewOf never matches.
 
   private def liveViewOf(r: DataSourceV2Relation): Option[LogicalPlan] =
     r.table match {

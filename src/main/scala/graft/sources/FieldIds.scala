@@ -1,0 +1,230 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField, StructType}
+
+/** Per-field ID assignment — the metadata that makes ALTER TABLE
+  * RENAME/DROP COLUMN sound as METADATA-ONLY operations (Iceberg's
+  * reason for field ids: a name is a label, an id is an identity).
+  *
+  * The table-root sidecar `fieldids.json` holds `{"next":N,
+  * "fields":{"name":id,...}}` — the CURRENT logical name of every
+  * column and its immutable id, plus a never-reused allocation cursor.
+  * Every data write stamps the assignment into the outgoing schema as
+  * `parquet.field.id` field metadata, which Spark's parquet writer
+  * persists into the footers (`spark.sql.parquet.fieldId.write.enabled`,
+  * default on). A rename re-labels the map key and re-declares the
+  * schema override; a drop removes the entry WITHOUT lowering `next`,
+  * so a re-added name gets a fresh id and the dropped column's bytes in
+  * old files can never resurrect under it. Readers pass the id-carrying
+  * declared schema to the stock parquet reader with
+  * `spark.sql.parquet.fieldId.read.enabled` — files written under any
+  * historical name resolve by id, zero data rewritten at any table
+  * size.
+  *
+  * SOUNDNESS INVARIANT: renames/drops are only honored when the state
+  * file has existed since every live data file was written (created at
+  * table birth, or at a full-rewrite adoption point — an overwrite
+  * commit or a full compaction, both of which replace the entire file
+  * set with freshly-stamped files). A reader asked to id-match a file
+  * whose footer carries no ids fails LOUDLY (Spark's own refusal), so
+  * a violated invariant can never produce silent nulls.
+  *
+  * Reference intent: the staging layer's wholesale re-labeling
+  * (models/staging/stg_customers.sql:3-9 renames every source column)
+  * without a per-read projection or a data rewrite.
+  */
+private[graft] object FieldIds {
+
+  /** Spark's parquet field-id metadata key (ParquetUtils.FIELD_ID_METADATA_KEY). */
+  val MetaKey = "parquet.field.id"
+
+  final case class State(next: Int, fields: Map[String, Int]) {
+    def idOf(name: String): Option[Int] = fields.get(name)
+  }
+
+  private def statePath(table: String) = new Path(s"$table/fieldids.json")
+
+  private def fs(spark: SparkSession, table: String) =
+    new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // serialization is hand-rolled like the manifest: names escape quote/
+  // backslash/control chars so a pathological column name cannot break
+  // the file
+  private def esc(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => "\\u%04x".format(c.toInt)
+    case c => c.toString
+  }
+  private def unesc(s: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case '"' => b += '"'; i += 2
+          case '\\' => b += '\\'; i += 2
+          case 'u' if i + 5 < s.length + 1 =>
+            b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
+          case o => b += o; i += 2
+        }
+      } else { b += c; i += 1 }
+    }
+    b.toString
+  }
+
+  def load(spark: SparkSession, table: String): Option[State] = {
+    val f = fs(spark, table)
+    val p = statePath(table)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    Some(parse(txt))
+  }
+
+  private[sources] def parse(txt: String): State = {
+    val next = """"next"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException(
+        s"fieldids.json missing next: $txt"))
+    // entries are "<escaped name>":<id> inside the fields object; the
+    // regex tolerates escaped quotes inside the name
+    val body = """"fields"\s*:\s*\{(.*)\}""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse("")
+    val entry = """"((?:[^"\\]|\\.)*)"\s*:\s*(\d+)""".r
+    State(next, entry.findAllMatchIn(body)
+      .map(m => unesc(m.group(1)) -> m.group(2).toInt).toMap)
+  }
+
+  private[sources] def render(st: State): String =
+    s"""{"next":${st.next},"fields":{""" +
+      st.fields.toSeq.sortBy(_._2)
+        .map { case (n, i) => s""""${esc(n)}":$i""" }.mkString(",") + "}}"
+
+  /** Persist (tmp write + rename-over — same last-writer-wins regime as
+    * the declared schema; field-id mutations are admin-rare).
+    */
+  def save(spark: SparkSession, table: String, st: State): Unit = {
+    val f = fs(spark, table)
+    val tmp = new Path(s"$table/.fieldids.${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(render(st).getBytes("UTF-8")) finally out.close()
+    f.delete(statePath(table), false)
+    require(f.rename(tmp, statePath(table)),
+      s"failed to publish field-id state for $table")
+  }
+
+  /** Assign ids 1..n for `schema` and persist — the table-birth hook
+    * (and the full-rewrite adoption hook: an overwrite commit or a
+    * full compaction replaces every file with freshly-stamped ones, so
+    * initializing there re-establishes the invariant). Idempotent via
+    * the caller's existence check.
+    */
+  def init(spark: SparkSession, table: String, schema: StructType): State = {
+    val st = State(schema.fields.length + 1,
+      schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap)
+    save(spark, table, st)
+    st
+  }
+
+  /** Extend `st` with fresh ids for names in `schema` it does not map
+    * (persisting if anything changed), and return the schema with the
+    * id metadata attached. The single write-side chokepoint: appends
+    * see no new names (strict schema), overwrites/ALTER ADD extend.
+    */
+  def extendAndAttach(spark: SparkSession, table: String, st: State,
+      schema: StructType): (State, StructType) = {
+    var cur = st
+    schema.fields.foreach { f =>
+      if (!cur.fields.contains(f.name))
+        cur = State(cur.next + 1, cur.fields + (f.name -> cur.next))
+    }
+    if (cur ne st) save(spark, table, cur)
+    (cur, attach(cur, schema))
+  }
+
+  /** `schema` with each mapped field's id in its metadata (unmapped
+    * fields — internal columns like the bucket tag — pass through).
+    */
+  def attach(st: State, schema: StructType): StructType =
+    StructType(schema.fields.map { f =>
+      st.idOf(f.name) match {
+        case Some(id) => f.copy(metadata = withId(f.metadata, id))
+        case None => f
+      }
+    })
+
+  private def withId(m: Metadata, id: Int): Metadata =
+    new MetadataBuilder().withMetadata(m).putLong(MetaKey, id.toLong).build()
+
+  /** True when any field carries an id — the read-side dispatch. */
+  def hasIds(schema: StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(MetaKey))
+
+  /** Stamp the assignment onto an outgoing frame (a metadata-only
+    * projection — stays inside whole-stage codegen). Extends the state
+    * for unmapped names first, so the footer a file is born with always
+    * matches the persisted assignment.
+    */
+  def stamp(spark: SparkSession, table: String, st: State,
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (cur, _) = extendAndAttach(spark, table, st, df.schema)
+    df.select(df.schema.fields.map { f =>
+      cur.idOf(f.name) match {
+        case Some(id) => col(f.name).as(f.name, withId(f.metadata, id))
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** Enable Spark's parquet id-matching on this session (idempotent;
+    * harmless for schemas without ids — those keep name matching).
+    */
+  def enableRead(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
+  /** RENAME COLUMN in the state: same id, new label. */
+  def rename(st: State, from: String, to: String): State = {
+    val id = st.fields.getOrElse(from,
+      throw new IllegalArgumentException(s"no field-id entry for $from"))
+    State(st.next, st.fields - from + (to -> id))
+  }
+
+  /** DROP COLUMN in the state: entry removed, cursor NOT lowered —
+    * a later re-add of the name gets a fresh id (no resurrection).
+    */
+  def drop(st: State, name: String): State =
+    State(st.next, st.fields - name)
+
+  /** Adopt a carried (fast-forward) schema's id metadata into the
+    * parent's state: branch-assigned ids for branch-added columns keep
+    * their identity (branch files were stamped with them), and the
+    * cursor advances past every adopted id. Refuses an id claimed by
+    * DIFFERENT names on the two sides — concurrent ALTERs diverged and
+    * an id-matched read would alias two columns.
+    */
+  def syncFromCarried(spark: SparkSession, table: String, st: State,
+      carried: StructType): State = {
+    var cur = st
+    carried.fields.foreach { f =>
+      if (f.metadata.contains(MetaKey)) {
+        val id = f.metadata.getLong(MetaKey).toInt
+        cur.fields.find { case (n, i) => i == id && n != f.name }.foreach {
+          case (other, _) => throw new IllegalStateException(
+            s"graft-snapshot $table: field id $id is '$other' on the " +
+              s"parent but '${f.name}' on the branch — concurrent ALTERs " +
+              "diverged; re-create the branch from the current parent")
+        }
+        if (!cur.fields.contains(f.name))
+          cur = State(math.max(cur.next, id + 1), cur.fields + (f.name -> id))
+      }
+    }
+    if (cur ne st) save(spark, table, cur)
+    cur
+  }
+}

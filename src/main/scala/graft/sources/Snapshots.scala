@@ -212,12 +212,13 @@ object Snapshots {
     * carries it, that version is returned and nothing is written — the
     * exactly-once contract a replayed streaming micro-batch needs.
     */
-  def commit(df: DataFrame, table: String, overwrite: Boolean = false,
+  def commit(df0: DataFrame, table: String, overwrite: Boolean = false,
       token: Option[String] = None,
       strictAppendSchema: Boolean = false): Long = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     token.foreach(t => committedVersionFor(spark, table, t)
       .foreach(v => return v))
+    val df = stampFieldIds(df0, table, overwrite)
     val f = fs(spark, table)
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
     applySortSpec(df, table).write
@@ -231,6 +232,42 @@ object Snapshots {
     FileStats.record(spark, table, newFiles) // footer-derived skipping stats
     publishNewFiles(spark, table, newFiles, overwrite, token,
       if (strictAppendSchema) Some(df.schema) else None, dataDir)
+  }
+
+  /** Stamp the table's field-id assignment ([[FieldIds]]) onto an
+    * outgoing frame so its parquet footers carry per-field ids — the
+    * write half of metadata-only RENAME/DROP COLUMN. State is created
+    * at table birth (first commit / catalog CREATE); a table that
+    * predates field ids ADOPTS them at any FULL-rewrite point — an
+    * overwrite commit or a whole-table [[compact]] — because those
+    * replace every live file with freshly-stamped ones. Append-only
+    * legacy tables stay unstamped (and renames refuse on them).
+    */
+  private def stampFieldIds(df: DataFrame, table: String,
+      fullRewrite: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    FieldIds.load(spark, table) match {
+      case Some(st) =>
+        // a full rewrite REPLACES the column set: entries for names the
+        // new shape no longer carries are pruned (cursor untouched), so
+        // a later re-add of such a name gets a fresh id and can never
+        // alias the retired column's bytes in time-travelable files
+        val base =
+          if (!fullRewrite) st
+          else {
+            val names = df.schema.fieldNames.toSet
+            val pruned = FieldIds.State(st.next, st.fields.filter {
+              case (n, _) => names(n) })
+            if (pruned.fields != st.fields)
+              FieldIds.save(spark, table, pruned)
+            pruned
+          }
+        FieldIds.stamp(spark, table, base, df)
+      case None if fullRewrite || versions(spark, table).isEmpty =>
+        FieldIds.stamp(spark, table,
+          FieldIds.init(spark, table, df.schema), df)
+      case None => df
+    }
   }
 
   /** The optimistic append/overwrite publish loop shared by [[commit]]
@@ -604,12 +641,13 @@ object Snapshots {
     * ordinary scan (grouping is reported only while EVERY manifest
     * file carries a bucket tag).
     */
-  def commitBucketed(df: DataFrame, table: String, column: String, n: Int,
+  def commitBucketed(df0: DataFrame, table: String, column: String, n: Int,
       overwrite: Boolean = false, token: Option[String] = None): Long = {
     require(n > 0, s"numBuckets must be positive, got $n")
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     token.foreach(t => committedVersionFor(spark, table, t)
       .foreach(v => return v))
+    val df = stampFieldIds(df0, table, overwrite)
     require(df.schema.fields.exists(fl => fl.name == column &&
         fl.dataType == org.apache.spark.sql.types.LongType),
       s"bucket column $column must be an existing BIGINT column of $df")
@@ -673,9 +711,10 @@ object Snapshots {
     * bucket-tagged (the all-files-tagged gate for key-grouped scans).
     * The caller persists the bucket spec at publish time.
     */
-  private[sources] def stageDataBucketed(df: DataFrame, table: String,
+  private[sources] def stageDataBucketed(df0: DataFrame, table: String,
       column: String, n: Int): (Seq[String], Path) = {
     require(n > 0, s"numBuckets must be positive, got $n")
+    val df = stampFieldIds(df0, table, fullRewrite = false)
     require(df.schema.fields.exists(fl => fl.name == column &&
         fl.dataType == org.apache.spark.sql.types.LongType),
       s"bucket column $column must be an existing BIGINT column")
@@ -816,6 +855,12 @@ object Snapshots {
     else {
       val srcFiles = manifestFiles(spark, table, src)
       def norm(p: String) = normPath(p)
+      // a whole-table compaction rewrites EVERY live file, so it is a
+      // field-id ADOPTION point for tables that predate the assignment
+      // (writeData stamps once state exists) — after it, metadata-only
+      // RENAME/DROP COLUMN become available
+      if (FieldIds.load(spark, table).isEmpty)
+        FieldIds.init(spark, table, read(spark, table, Some(src)).schema): Unit
       // read() resolves outstanding MOR deletes, so the rewrite
       // materializes the live rows; the folded-in sidecars drop from
       // the published manifest (compaction doubles as a delete purge)
@@ -1302,7 +1347,10 @@ object Snapshots {
     // read() carries the empty-manifest guard (an empty-DataFrame commit
     // lists no files, and zero-path spark.read.parquet cannot infer schema)
     if (added.isEmpty) read(spark, table, Some(to)).limit(0)
-    else spark.read.parquet(added: _*)
+    // table-aware read: an ALTER-evolved table's committed shape is its
+    // declared schema — renamed columns resolve by field id, added ones
+    // null-fill — so the feed always speaks the CURRENT names
+    else readTableFiles(spark, table, added)
   }
 
   /** Project `df` onto `fields` (name + type), filling columns it does
@@ -1500,8 +1548,14 @@ object Snapshots {
     // endpoint — and one walk (memoized) serves both sides
     def resolved(files: Seq[String], dels: Seq[String],
         eqs: Seq[(Long, String)]): DataFrame =
-      if (eqs.isEmpty) liveView(spark, table, files, dels, readFiles(spark, _))
-      else applyEqDeletes(spark, table, to, files, dels, eqs, readFiles(spark, _))
+      // table-aware read (not raw readFiles): across a RENAME COLUMN
+      // both endpoints' files project onto the declared id-mapped
+      // schema, so the diff compares rows under one set of names
+      // instead of mis-aligning two epochs' physical labels
+      if (eqs.isEmpty)
+        liveView(spark, table, files, dels, readTableFiles(spark, table, _))
+      else applyEqDeletes(spark, table, to, files, dels, eqs,
+        readTableFiles(spark, table, _))
     val remAll = removed ++ affected ++ affectedEq
     val addAll = added ++ affected ++ affectedEq
     val remDf = if (remAll.isEmpty) None
@@ -1776,9 +1830,10 @@ object Snapshots {
   /** Write `df` as new data files under the table, returning their
     * paths (sorted) and the directory for loss-reclaim.
     */
-  private def writeData(df: DataFrame, table: String,
+  private def writeData(df0: DataFrame, table: String,
       recordStats: Boolean = true,
       applyDeclaredSort: Boolean = true): (Seq[String], Path) = {
+    val df = stampFieldIds(df0, table, fullRewrite = false)
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
     // applyDeclaredSort=false is for callers that ALREADY arranged an
     // explicit layout the declared order must not clobber (the z-order
@@ -2401,7 +2456,12 @@ object Snapshots {
 
   private def schemaPath(table: String) = new Path(s"$table/schema.json")
 
-  /** The declared (ALTER-extended) schema, if any. */
+  /** The declared (ALTER-extended) schema, if any. When it carries
+    * field ids (any post-rename/drop declaration does), Spark's parquet
+    * id-matching is switched on for the session here — the single
+    * chokepoint every read path resolves the override through — so old
+    * footers written under historical column names resolve by id.
+    */
   def declaredSchema(spark: SparkSession,
       table: String): Option[org.apache.spark.sql.types.StructType] = {
     val f = fs(spark, table)
@@ -2411,8 +2471,10 @@ object Snapshots {
       val in = f.open(p)
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
-      Some(org.apache.spark.sql.types.DataType.fromJson(txt)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      val sch = org.apache.spark.sql.types.DataType.fromJson(txt)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      if (FieldIds.hasIds(sch)) FieldIds.enableRead(spark)
+      Some(sch)
     }
   }
 
@@ -2557,6 +2619,14 @@ object Snapshots {
     if (pf.exists(sch))
       org.apache.hadoop.fs.FileUtil.copy(pf, sch, f,
         schemaPath(branch), false, conf): Unit
+    // the field-id assignment forks with the table: branch writes stamp
+    // the SAME ids as the parent's files, so a fast-forward publishes
+    // id-consistent footers (branch-side ALTERs extend the branch copy;
+    // fastForward adopts them back via FieldIds.syncFromCarried)
+    val fids = new Path(s"$parent/fieldids.json")
+    if (pf.exists(fids))
+      org.apache.hadoop.fs.FileUtil.copy(pf, fids, f,
+        new Path(s"$branch/fieldids.json"), false, conf): Unit
     DmlKinds.foreach { kind =>
       val dm = new Path(s"$parent/${kind}mode")
       if (pf.exists(dm))
@@ -2661,6 +2731,16 @@ object Snapshots {
           Some(org.apache.spark.sql.types.StructType(
             p.fields ++ b.fields.filterNot(bf => p.fieldNames.contains(bf.name))))
       }
+    // adopt branch-assigned field ids BEFORE anything moves: branch-added
+    // columns keep the identity their staged files were stamped with, and
+    // an id claimed by DIFFERENT names on the two sides (a branch-side
+    // rename racing a parent-side one) refuses loudly while the parent is
+    // still untouched. Adopted-but-unpublished entries are harmless —
+    // they only reserve ids.
+    carried.foreach { c =>
+      FieldIds.load(spark, parent).foreach(
+        FieldIds.syncFromCarried(spark, parent, _, c): Unit)
+    }
     // restore the parent's pre-publish override when a carried declare
     // must be undone (lost race / failed rename)
     def restoreParentSchema(): Unit = if (carried.isDefined) pSch match {

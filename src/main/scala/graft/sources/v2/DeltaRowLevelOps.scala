@@ -500,7 +500,13 @@ private[v2] final class SnapshotDeltaBatchWrite(op: SnapshotDeltaOperation,
   private val delDir = s"${op.path}/deletes/${UUID.randomUUID}"
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
-    new SnapshotDeltaWriterFactory(dataDir, delDir, rowSchema.json,
+    // appended data files keep the table's field-id assignment (the
+    // position sidecar keeps its own name-keyed schema — sidecar reads
+    // are name-matched; see SnapshotDeltaWriter.del())
+    new SnapshotDeltaWriterFactory(dataDir, delDir,
+      graft.sources.FieldIds.load(SparkSession.active, op.path)
+        .map(graft.sources.FieldIds.attach(_, rowSchema))
+        .getOrElse(rowSchema).json,
       SnapshotReplaceBatchWrite.parquetWriteConf() ++
         Snapshots.bloomWriteOptions(SparkSession.active, op.path))
 

@@ -336,7 +336,12 @@ private[v2] final class SnapshotReplaceBatchWrite(
   private def norm(p: String): String = new Path(p).toUri.getPath
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new SnapshotParquetWriterFactory(dataDir, writeSchema.json,
+    // DML-rewritten files carry the table's field-id assignment like
+    // every other write (the invariant RENAME/DROP COLUMN rides on)
+    new SnapshotParquetWriterFactory(dataDir,
+      graft.sources.FieldIds.load(SparkSession.active, op.path)
+        .map(graft.sources.FieldIds.attach(_, writeSchema))
+        .getOrElse(writeSchema).json,
       SnapshotReplaceBatchWrite.parquetWriteConf() ++
         // DML-rewritten files keep the table's parquet-native blooms
         // (resolved on the driver; stock per-column parquet keys)

@@ -43,9 +43,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * version pinning as the reader options (timestamps via
   * [[Snapshots.versionAsOfTimestamp]], Iceberg's newest-at-or-before).
   *
-  * Deliberately unsupported (loud, not silent): `ALTER TABLE` (schema
-  * evolution goes through overwrite commits) and partition transforms
-  * other than `bucket(n, col)` (layout is the snapshot format's own:
+  * Schema evolution is METADATA-ONLY across the whole ALTER surface a
+  * lakehouse user reaches for: ADD COLUMNS, lossless type widening,
+  * and — via per-field ids ([[graft.sources.FieldIds]]) — RENAME and
+  * DROP COLUMN. Type narrowing goes through overwrite commits (loud,
+  * not silent). Partition transforms other than `bucket(n, col)` are
+  * refused (layout is the snapshot format's own:
   * range/z-order rewrites). `PARTITIONED BY (bucket(n, col))` IS
   * supported — it creates a bucketed table whose co-bucketed joins
   * plan as storage-partitioned (zero-exchange) joins, with the
@@ -574,13 +577,25 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         "graft-snapshot: ALTER COLUMN TYPE supports top-level columns only")
       u
     }
+    val renames = schemaChanges.collect { case r: TableChange.RenameColumn =>
+      require(r.fieldNames.length == 1,
+        "graft-snapshot: RENAME COLUMN supports top-level columns only")
+      r
+    }
+    val drops = schemaChanges.collect { case d: TableChange.DeleteColumn =>
+      require(d.fieldNames.length == 1,
+        "graft-snapshot: DROP COLUMN supports top-level columns only")
+      d
+    }
     schemaChanges.foreach {
-      case _: TableChange.AddColumn | _: TableChange.UpdateColumnType => ()
+      case _: TableChange.AddColumn | _: TableChange.UpdateColumnType |
+           _: TableChange.RenameColumn | _: TableChange.DeleteColumn => ()
       case other => throw new UnsupportedOperationException(
-        s"graft-snapshot: unsupported ALTER ($other) — only ADD COLUMNS, " +
-          "lossless type WIDENING, and write.delete.mode TBLPROPERTIES are " +
-          "metadata-sound here; renames/drops/narrowings go through " +
-          "overwrite commits (INSERT OVERWRITE with the new shape)")
+        s"graft-snapshot: unsupported ALTER ($other) — ADD COLUMNS, " +
+          "lossless type WIDENING, RENAME COLUMN, DROP COLUMN, and " +
+          "write.delete.mode TBLPROPERTIES are the metadata-sound ALTERs " +
+          "here; narrowings go through overwrite commits (INSERT " +
+          "OVERWRITE with the new shape)")
     }
     val current = loadTable(ident).columns()
     val base = Snapshots.declaredSchema(spark, path).getOrElse {
@@ -617,7 +632,86 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       s.add(a.fieldNames.head, a.dataType, nullable = true,
         Option(a.comment).getOrElse(""))
     }
-    Snapshots.declareSchema(spark, path, evolved)
+
+    // ---- RENAME / DROP COLUMN: metadata-only via per-field ids ----
+    // A name is a label; the field ID assigned at write time is the
+    // identity (Iceberg's reason for ids). Old footers resolve by id
+    // under the new name, a dropped column's id is never reused, zero
+    // data rewrites at any table size. Sound ONLY when every live file
+    // was stamped — guaranteed for tables whose id state has existed
+    // since birth, re-establishable for legacy tables at any full
+    // rewrite (INSERT OVERWRITE, whole-table compact).
+    var renamedDropped = evolved
+    if (renames.nonEmpty || drops.nonEmpty) {
+      var st = graft.sources.FieldIds.load(spark, path).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft-snapshot $path: RENAME/DROP COLUMN need the table's " +
+            "per-field id assignment, which this table predates — adopt " +
+            "ids with a full rewrite first (INSERT OVERWRITE, or CALL " +
+            "compact), then retry"))
+      require(Snapshots.eqDeleteFiles(spark, path).isEmpty,
+        s"graft-snapshot $path: RENAME/DROP COLUMN refuse under " +
+          "outstanding equality-delete sidecars (their keys match by " +
+          "column NAME) — CALL purge_eq_deletes first")
+      val bucketCol = Snapshots.bucketSpec(spark, path).map(_._1)
+      val sortCols = Snapshots.sortSpec(spark, path)
+      val bloomCols = Snapshots.bloomSpec(spark, path).keySet
+      def requireUnreferenced(name: String, what: String): Unit = {
+        require(!bucketCol.contains(name),
+          s"graft-snapshot: cannot $what bucket column $name — the " +
+            "bucket layout routes by it; rebucket via CREATE ... AS SELECT")
+        require(!sortCols.contains(name),
+          s"graft-snapshot: cannot $what declared sort column $name — " +
+            "clear the write order first (CALL drop_write_order), then " +
+            "re-declare it under the new shape")
+        require(!bloomCols.contains(name),
+          s"graft-snapshot: cannot $what bloom-indexed column $name — " +
+            "drop the bloom spec first (CALL drop_bloom), then re-declare")
+      }
+      renames.foreach { r =>
+        val from = r.fieldNames.head
+        val to = r.newName
+        val idx = renamedDropped.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+        require(idx >= 0, s"no such column $from")
+        val exact = renamedDropped.fields(idx).name
+        requireUnreferenced(exact, s"rename")
+        require(!renamedDropped.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"column $to already exists")
+        require(!to.startsWith("__gr_") && !to.startsWith("__gd_") &&
+            !to.startsWith("__ge_") && !to.startsWith("__dd_"),
+          s"graft-snapshot: $to is a reserved internal column prefix")
+        st = graft.sources.FieldIds.rename(st, exact, to)
+        renamedDropped = StructType(renamedDropped.fields.updated(idx,
+          renamedDropped.fields(idx).copy(name = to)))
+      }
+      drops.foreach { d =>
+        val name = d.fieldNames.head
+        val idx = renamedDropped.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        if (idx < 0) {
+          if (!d.ifExists) throw new IllegalArgumentException(
+            s"no such column $name")
+        } else {
+          val exact = renamedDropped.fields(idx).name
+          requireUnreferenced(exact, s"drop")
+          require(renamedDropped.fields.length > 1,
+            s"graft-snapshot: cannot drop the only column $exact")
+          st = graft.sources.FieldIds.drop(st, exact)
+          renamedDropped = StructType(
+            renamedDropped.fields.patch(idx, Nil, 1))
+        }
+      }
+      graft.sources.FieldIds.save(spark, path, st)
+    }
+    // declare with the id assignment attached whenever the table has
+    // one (extends it for ALTER-ADDed names) — the declared schema is
+    // then self-contained: readers id-match old footers from it alone
+    val declared = graft.sources.FieldIds.load(spark, path) match {
+      case Some(st) =>
+        graft.sources.FieldIds.extendAndAttach(spark, path, st,
+          renamedDropped)._2
+      case None => renamedDropped
+    }
+    Snapshots.declareSchema(spark, path, declared)
     loadTable(ident)
   }
 

@@ -447,8 +447,12 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
         spark, spark.sparkContext
           .emptyRDD[org.apache.spark.sql.catalyst.InternalRow], schema)
     else // re-tag the relation first: a select would wrap it in a Project
+      // pinned to the source's schema (the committed shape at query
+      // start): strict appends can't diverge from it, and on an
+      // ALTER-evolved table renamed columns resolve by field id while
+      // added ones null-fill — a raw footer read would speak old names
       org.apache.spark.sql.GraftShim
-        .asStreamingScan(spark.read.parquet(files: _*))
+        .asStreamingScan(spark.read.schema(schema).parquet(files: _*))
         .select(schema.fieldNames.map(org.apache.spark.sql.functions.col)
           .toIndexedSeq: _*)
   }

@@ -46,19 +46,160 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(spark.sql("SELECT * FROM evo_cat.ns.e VERSION AS OF 1").columns.length === 3)
   }
 
-  test("refusals: rename/drop/type-change, nested adds, duplicate adds") {
+  test("refusals: type-change, duplicate adds, rename/drop guard rails") {
     wh
     spark.sql("CREATE TABLE evo_cat.ns.r AS SELECT * FROM VALUES (1L) AS v(id)")
-    intercept[Exception](
-      spark.sql("ALTER TABLE evo_cat.ns.r RENAME COLUMN id TO id2"))
-    intercept[Exception](
-      spark.sql("ALTER TABLE evo_cat.ns.r DROP COLUMN id"))
     intercept[Exception](
       spark.sql("ALTER TABLE evo_cat.ns.r ALTER COLUMN id TYPE INT"))
     spark.sql("ALTER TABLE evo_cat.ns.r ADD COLUMNS (x BIGINT)")
     val dup = intercept[Exception](
       spark.sql("ALTER TABLE evo_cat.ns.r ADD COLUMNS (x BIGINT)"))
     assert(dup.getMessage.toLowerCase.contains("exist"), dup.getMessage)
+    // rename to an existing name refuses
+    val clash = intercept[Exception](
+      spark.sql("ALTER TABLE evo_cat.ns.r RENAME COLUMN id TO x"))
+    assert(clash.getMessage.toLowerCase.contains("exist"), clash.getMessage)
+    // reserved internal prefixes refuse
+    intercept[Exception](
+      spark.sql("ALTER TABLE evo_cat.ns.r RENAME COLUMN id TO __gr_file"))
+    // dropping the only DATA column of a 1-column table refuses
+    spark.sql("CREATE TABLE evo_cat.ns.r1 AS SELECT * FROM VALUES (1L) AS v(id)")
+    val only = intercept[Exception](
+      spark.sql("ALTER TABLE evo_cat.ns.r1 DROP COLUMN id"))
+    assert(only.getMessage.contains("only column"), only.getMessage)
+    // a LEGACY table (no field-id state — predates the assignment)
+    // refuses renames/drops, naming the adoption remedy
+    spark.sql("CREATE TABLE evo_cat.ns.rl AS SELECT * FROM VALUES (1L, 2L) AS v(id, v)")
+    new java.io.File(s"$wh/ns/rl/fieldids.json").delete()
+    val legacy = intercept[Exception](
+      spark.sql("ALTER TABLE evo_cat.ns.rl RENAME COLUMN v TO w"))
+    assert(legacy.getMessage.contains("per-field id"), legacy.getMessage)
+    // the bucket column refuses rename/drop (the layout routes by it)
+    spark.sql("CREATE TABLE evo_cat.ns.rb (k BIGINT, v BIGINT) " +
+      "PARTITIONED BY (bucket(4, k))")
+    spark.sql("INSERT INTO evo_cat.ns.rb VALUES (1L, 10L)")
+    val bkt = intercept[Exception](
+      spark.sql("ALTER TABLE evo_cat.ns.rb RENAME COLUMN k TO kk"))
+    assert(bkt.getMessage.contains("bucket column"), bkt.getMessage)
+    // outstanding equality deletes refuse (their keys match by NAME)
+    spark.sql("CREATE TABLE evo_cat.ns.re AS SELECT * FROM VALUES (1L, 10L) AS v(id, v)")
+    Snapshots.upsertEq(spark, s"$wh/ns/re", Seq((1L, 11L)).toDF("id", "v"), Seq("id"))
+    val eq = intercept[Exception](
+      spark.sql("ALTER TABLE evo_cat.ns.re RENAME COLUMN v TO w"))
+    assert(eq.getMessage.contains("purge_eq_deletes"), eq.getMessage)
+  }
+
+  test("RENAME COLUMN: metadata-only, old footers resolve by field id, inserts + filters + both read paths agree") {
+    wh
+    spark.sql("CREATE TABLE evo_cat.ns.m AS SELECT * FROM VALUES " +
+      "(1L, 10L, 'a'), (2L, 20L, 'b') AS v(id, v, tag)")
+    val pre = Snapshots.dataFiles(spark, s"$wh/ns/m").toSet
+    spark.sql("ALTER TABLE evo_cat.ns.m RENAME COLUMN v TO amount")
+    // metadata-only: no file rewritten
+    assert(Snapshots.dataFiles(spark, s"$wh/ns/m").toSet === pre)
+    // pre-rename files serve their values under the NEW name
+    assert(spark.sql("SELECT id, amount FROM evo_cat.ns.m ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 10L), (2L, 20L)))
+    // post-rename insert under the new shape; filter on the renamed
+    // column spans both epochs' files
+    spark.sql("INSERT INTO evo_cat.ns.m VALUES (3L, 30L, 'c')")
+    assert(spark.sql("SELECT sum(amount) AS s FROM evo_cat.ns.m WHERE amount >= 20")
+      .head.getLong(0) === 50L)
+    // V1 read path agrees
+    val v1 = Snapshots.read(spark, s"$wh/ns/m")
+    assert(v1.columns.toSeq === Seq("id", "amount", "tag"))
+    assert(v1.agg(sum("amount")).head.getLong(0) === 60L)
+    // time travel reads under the CURRENT names (the override governs
+    // all reads, same documented rule as ADD COLUMNS)
+    assert(spark.sql("SELECT amount FROM evo_cat.ns.m VERSION AS OF 1 ORDER BY amount")
+      .collect().map(_.getLong(0)).toSeq === Seq(10L, 20L))
+    // rename CHAIN: a second rename over the same identity still
+    // resolves the original footers
+    spark.sql("ALTER TABLE evo_cat.ns.m RENAME COLUMN amount TO price")
+    assert(spark.sql("SELECT sum(price) AS s FROM evo_cat.ns.m").head.getLong(0) === 60L)
+  }
+
+  test("RENAME COLUMN: COW and MOR DML across mixed-epoch files") {
+    wh
+    spark.sql("CREATE TABLE evo_cat.ns.md AS SELECT * FROM VALUES " +
+      "(1L, 10L), (2L, 20L), (3L, 30L) AS v(id, v)")
+    spark.sql("ALTER TABLE evo_cat.ns.md RENAME COLUMN v TO qty")
+    // COW UPDATE targets the renamed column on pre-rename files
+    spark.sql("UPDATE evo_cat.ns.md SET qty = qty + 1 WHERE id = 2")
+    assert(spark.sql("SELECT qty FROM evo_cat.ns.md ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(10L, 21L, 30L))
+    // MOR delete through a position sidecar, read back across epochs
+    // (merge mode too: the later MERGE must run as a position delta —
+    // COW DML refuses under outstanding sidecars by design)
+    spark.sql("ALTER TABLE evo_cat.ns.md SET TBLPROPERTIES " +
+      "('write.delete.mode' = 'merge-on-read', " +
+      " 'write.merge.mode' = 'merge-on-read')")
+    spark.sql("DELETE FROM evo_cat.ns.md WHERE qty = 10")
+    assert(Snapshots.deleteFiles(spark, s"$wh/ns/md").nonEmpty)
+    assert(spark.sql("SELECT id FROM evo_cat.ns.md ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq === Seq(2L, 3L))
+    // MERGE with the new name; change feed across the whole epoch chain
+    // speaks the current names
+    spark.sql("MERGE INTO evo_cat.ns.md t USING (SELECT 9L AS id, 90L AS qty) s " +
+      "ON t.id = s.id WHEN NOT MATCHED THEN INSERT *")
+    val feed = Snapshots.changeFeed(spark, s"$wh/ns/md", 1,
+      Snapshots.versions(spark, s"$wh/ns/md").last)
+    assert(feed.columns.contains("qty") && !feed.columns.contains("v"))
+    val ins = feed.filter(col("_change_type") === "insert")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ins.contains(9L))
+  }
+
+  test("DROP COLUMN is metadata-only; a re-added name gets a fresh id and never resurrects old bytes") {
+    wh
+    spark.sql("CREATE TABLE evo_cat.ns.dr AS SELECT * FROM VALUES " +
+      "(1L, 'classified', 10L), (2L, 'secret', 20L) AS v(id, note, v)")
+    val pre = Snapshots.dataFiles(spark, s"$wh/ns/dr").toSet
+    spark.sql("ALTER TABLE evo_cat.ns.dr DROP COLUMN note")
+    assert(Snapshots.dataFiles(spark, s"$wh/ns/dr").toSet === pre)
+    assert(spark.sql("SELECT * FROM evo_cat.ns.dr").columns.toSeq === Seq("id", "v"))
+    // re-add the NAME: a fresh field id — the dropped column's bytes in
+    // the old files must NOT resurrect under it
+    spark.sql("ALTER TABLE evo_cat.ns.dr ADD COLUMNS (note STRING)")
+    val back = spark.sql("SELECT note FROM evo_cat.ns.dr").collect()
+    assert(back.forall(_.isNullAt(0)),
+      s"dropped column resurrected: ${back.mkString(",")}")
+    // and the re-added column takes values going forward
+    spark.sql("INSERT INTO evo_cat.ns.dr VALUES (3L, 30L, 'fresh')")
+    assert(spark.sql("SELECT note FROM evo_cat.ns.dr WHERE id = 3")
+      .head.getString(0) === "fresh")
+  }
+
+  test("fast-forward refuses a branch whose rename diverged the field-id mapping") {
+    wh
+    spark.sql("CREATE TABLE evo_cat.ns.ff AS SELECT * FROM VALUES (1L, 10L) AS v(id, v)")
+    Snapshots.fork(spark, s"$wh/ns/ff", s"$wh/ns/ff_b")
+    // the branch renames v -> v_b while the parent keeps v: the carried
+    // schema would claim id 2 under two names — refuse loudly
+    spark.conf.set("spark.sql.catalog.evo_cat.warehouse", wh) // unchanged; keep ctx
+    val cat = new graft.sources.v2.SnapshotCatalog
+    // rename on the branch through the engine API (catalog points at the
+    // parent namespace; drive the branch rename via a second catalog load)
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS evo_cat.ns") // no-op anchor
+    // branch rename via direct state + declare (what a branch-side
+    // catalog would do)
+    val st = graft.sources.FieldIds.load(spark, s"$wh/ns/ff_b").get
+    graft.sources.FieldIds.save(spark, s"$wh/ns/ff_b",
+      graft.sources.FieldIds.rename(st, "v", "v_b"))
+    val sch = Snapshots.read(spark, s"$wh/ns/ff_b").schema
+    val renamed = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
+      if (f.name == "v") f.copy(name = "v_b") else f))
+    Snapshots.declareSchema(spark, s"$wh/ns/ff_b",
+      graft.sources.FieldIds.attach(
+        graft.sources.FieldIds.load(spark, s"$wh/ns/ff_b").get, renamed))
+    // stage something so fastForward has a publish to attempt
+    Snapshots.commit(Seq((5L, 50L)).toDF("id", "v_b"), s"$wh/ns/ff_b")
+    val e = intercept[Exception](
+      Snapshots.fastForward(spark, s"$wh/ns/ff", s"$wh/ns/ff_b"))
+    assert(e.getMessage.contains("diverged"), e.getMessage)
+    Snapshots.drop(spark, s"$wh/ns/ff_b")
+    val _ = cat
   }
 
   test("INSERT OVERWRITE retires the override; fork carries it") {

@@ -241,6 +241,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // q113: one per-status agg over the compacted head (the chain's
     // sidecars all folded — clean scan, no anti-join)
     "q113_dml_chain" -> 1,
+    // q115: one group-by agg over the rename/drop-evolved read (the
+    // ALTERs are metadata-only — the id-mapped scan adds no exchange)
+    "q115_fieldid_evolution" -> 1,
     // q114: per-status agg over the asOf-v2 read = the eq-delete scoped
     // anti-join's two broadcasts (sidecar frame + add-version map)
     "q114_dml_chain_tt" -> 3)
