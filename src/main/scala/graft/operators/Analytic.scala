@@ -1028,6 +1028,22 @@ object Analytic {
       nodeRows.foreach(row => m.put(row.getLong(0), 1.0 / n))
       m
     }
+    // TIER-GATE TRACE (round-10 verdict #3): with `graft.pagerank.traceDir`
+    // set, every iteration's FULL rank vector dumps as raw (node, r)
+    // parquet. tools/tier_gate.py then verifies the whole chain in
+    // DuckDB WITHOUT recursion — each R_k is one join+aggregation away
+    // from the engine's own R_{k-1}, so by induction from the uniform
+    // R_0 the final vector is verified EXACTLY at tier scales where the
+    // recursive-CTE oracle is infeasible (it spilled >27 GB at 10×).
+    val traceDir = s.conf.getOption("graft.pagerank.traceDir")
+      .orElse(sys.env.get("GRAFT_PAGERANK_TRACE"))
+    def trace(k: Int, rows: Array[org.apache.spark.sql.Row]): Unit =
+      traceDir.foreach { d =>
+        import s.implicits._
+        rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+          .toDF("node", "r").coalesce(1)
+          .write.mode("overwrite").parquet(s"$d/r$k")
+      }
     var out: DataFrame = null
     for (i <- 1 to 5) {
       val bc = sc.broadcast(rank)
@@ -1042,6 +1058,7 @@ object Analytic {
         // collect IS this round's materialization (what localCheckpoint
         // did, without leaving a block-manager resident behind)
         val rows = next.collect()
+        trace(i, rows)
         val m = LongDoubleHash.ofSize(rows.length)
         rows.foreach(row => m.put(row.getLong(0), row.getDouble(1)))
         rank = m
@@ -1049,6 +1066,10 @@ object Analytic {
         // final round stays a DataFrame; eager checkpoint pins the
         // result so the last broadcast can be released immediately too
         out = next.localCheckpoint()
+        traceDir.foreach { d =>
+          out.select("node", "r").coalesce(1)
+            .write.mode("overwrite").parquet(s"$d/r5")
+        }
       }
       bc.destroy()
     }

@@ -165,6 +165,35 @@ private[graft] object FieldIds {
   def hasIds(schema: StructType): Boolean =
     schema.fields.exists(_.metadata.contains(MetaKey))
 
+  /** `schema` with every field-id annotation removed. Applied at every
+    * FOOTER-INFERENCE boundary: Spark's parquet schema conversion
+    * copies footer ids into the inferred StructType's metadata, and
+    * with id-matching enabled session-wide an inferred id-carrying
+    * schema would then REQUIRE ids of every file — breaking reads of
+    * tables that mix stamped files with externally-written ones. The
+    * contract is: ids reach a read schema ONLY from the declared
+    * schema, where the all-files-stamped invariant holds.
+    */
+  def strip(schema: StructType): StructType =
+    if (!hasIds(schema)) schema
+    else StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(MetaKey)) f
+      else f.copy(metadata = withoutId(f.metadata))
+    })
+
+  // Metadata is an immutable json-backed map with no remove — filter
+  // through its json form (json4s ships inside Spark)
+  private def withoutId(m: Metadata): Metadata = {
+    import org.json4s.JObject
+    val jm = org.json4s.jackson.JsonMethods
+    jm.parse(m.json) match {
+      case o: JObject =>
+        Metadata.fromJson(jm.compact(jm.render(
+          JObject(o.obj.filterNot(_._1 == MetaKey)))))
+      case _ => m
+    }
+  }
+
   /** Stamp the assignment onto an outgoing frame (a metadata-only
     * projection — stays inside whole-stage codegen). Extends the state
     * for unmapped names first, so the footer a file is born with always

@@ -42,16 +42,63 @@ private[graft] object PositionDeletes {
   val MetaFile = "__gd_file"
   val MetaPos = "__gd_pos"
 
-  /** The delete-side frame over `deleteFiles`, broadcast when the
-    * sidecars are small (the common case — a selective delete's
-    * positions are a few MB even on a huge table). Above the threshold
+  /** True when the sidecar at `path` is a v2 DELETION VECTOR file (one
+    * row per data file, positions roaring/RLE-encoded in a binary
+    * column — [[DeleteVectors]]) rather than the v1 one-row-per-
+    * position layout. Dispatch is the footer schema; memoized like the
+    * equality-sidecar key sets (sidecar files are immutable, and the
+    * change feed probes per micro-batch).
+    */
+  private val kindMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private[graft] def isDvSidecar(spark: SparkSession, path: String): Boolean = {
+    val hit = kindMemo.get(path)
+    if (hit != null) return hit.booleanValue()
+    val isDv = spark.read.parquet(path).schema.fieldNames
+      .contains(DeleteVectors.DvCol)
+    if (kindMemo.size > 4096) kindMemo.clear()
+    kindMemo.put(path, java.lang.Boolean.valueOf(isDv))
+    isDv
+  }
+
+  private[graft] def invalidateKindMemo(tableNorm: String): Unit =
+    kindMemo.keySet.removeIf(p =>
+      new Path(p).toUri.getPath.startsWith(tableNorm + "/"))
+
+  /** The delete-side frame over `deleteFiles` — (\_\_dd_file, \_\_dd_pos)
+    * pairs whichever sidecar layout(s) recorded them: v1 rows pass
+    * through, v2 deletion vectors decode DISTRIBUTED (each task expands
+    * its files' bitmaps; memory ∝ one file's deletions). Broadcast when
+    * the decoded side is small (the common case — a selective delete's
+    * positions are a few MB even on a huge table); above the threshold
     * the anti-join falls back to a shuffle join; correctness is
     * identical.
     */
   def deleteSide(spark: SparkSession, table: String,
       deleteFiles: Seq[String]): DataFrame = {
-    val df = spark.read.schema(schema).parquet(deleteFiles: _*)
-      .select(col(FileCol).as("__dd_file"), col(PosCol).as("__dd_pos"))
+    val (dvFiles, v1Files) = deleteFiles.partition(isDvSidecar(spark, _))
+    val v1 = if (v1Files.isEmpty) None
+      else Some(spark.read.schema(schema).parquet(v1Files: _*)
+        .select(col(FileCol).as("__dd_file"), col(PosCol).as("__dd_pos")))
+    val v2 = if (dvFiles.isEmpty) None
+      else {
+        import spark.implicits._
+        Some(spark.read.schema(DeleteVectors.schema).parquet(dvFiles: _*)
+          .select(col(FileCol), col(DeleteVectors.DvCol))
+          .as[(String, Array[Byte])]
+          .flatMap { case (f, b) =>
+            DeleteVectors.decode(b).iterator.map(p => (f, p)) }
+          .toDF("__dd_file", "__dd_pos"))
+      }
+    val df = (v1, v2) match {
+      case (Some(a), Some(b)) => a.union(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        import spark.implicits._
+        spark.emptyDataset[(String, Long)].toDF("__dd_file", "__dd_pos")
+    }
     if (exceedsBroadcast(spark, table, deleteFiles)) df else broadcast(df)
   }
 
@@ -69,12 +116,25 @@ private[graft] object PositionDeletes {
     val f = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val threshold = spark.conf
       .get("graft.snapshot.deleteBroadcastBytes", (64L << 20).toString).toLong
+    // a DELETION-VECTOR sidecar's bytes understate the decoded
+    // (file, pos) rows the broadcast/driver route materializes — scale
+    // them by a conservative expansion factor (scattered positions
+    // decode ~2 B -> 8 B ordinal + row overhead; runs expand far more,
+    // which is exactly when the task route should win)
+    val dvFactor = spark.conf
+      .get("graft.snapshot.dvExpansionFactor", "16").toLong
     var bytes = 0L
     deleteFiles.foreach { p =>
-      val len =
+      val raw =
         try f.getFileStatus(new Path(p)).getLen
         catch { case scala.util.control.NonFatal(_) => return true }
-      bytes = try math.addExact(bytes, math.max(len, 0L))
+      val len =
+        try
+          if (isDvSidecar(spark, p)) math.multiplyExact(math.max(raw, 0L), dvFactor)
+          else math.max(raw, 0L)
+        catch { case _: ArithmeticException => return true
+                case scala.util.control.NonFatal(_) => return true }
+      bytes = try math.addExact(bytes, len)
         catch { case _: ArithmeticException => return true }
       if (bytes > threshold) return true
     }
@@ -89,7 +149,11 @@ private[graft] object PositionDeletes {
   def referencedDataFiles(spark: SparkSession,
       deleteFiles: Seq[String]): Seq[String] =
     if (deleteFiles.isEmpty) Seq.empty
-    else spark.read.schema(schema).parquet(deleteFiles: _*)
+    // file_path-only projection reads BOTH sidecar layouts (v1 rows and
+    // v2 deletion vectors share the column) without decoding anything
+    else spark.read
+      .schema(new StructType().add(FileCol, StringType, nullable = false))
+      .parquet(deleteFiles: _*)
       .select(FileCol).distinct().collect().map(_.getString(0)).toSeq
 
   /** Append the `_metadata`-derived (file, pos) identity columns to a

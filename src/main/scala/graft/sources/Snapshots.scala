@@ -1098,7 +1098,14 @@ object Snapshots {
       // superset schema by name (absent columns = typed NULLs)
       case Some(sch) => spark.read.schema(sch).parquet(fs0: _*)
       case None =>
-        spark.read.option("mergeSchema", mergeSchema.toString).parquet(fs0: _*)
+        val raw = spark.read
+          .option("mergeSchema", mergeSchema.toString).parquet(fs0: _*)
+        // inference copies footer field ids into the schema; ids only
+        // ever enter a read schema from the DECLARED override (where
+        // the all-files-stamped invariant holds) — see FieldIds.strip
+        if (!FieldIds.hasIds(raw.schema)) raw
+        else spark.read.option("mergeSchema", mergeSchema.toString)
+          .schema(FieldIds.strip(raw.schema)).parquet(fs0: _*)
     }
     if (files.isEmpty) spark.emptyDataFrame
     else if (eqs.isEmpty) liveView(spark, table, files, dels, reader)
@@ -1162,6 +1169,7 @@ object Snapshots {
     val n = normPath(table)
     addVMemo.keySet.removeIf(k => normPath(k._1) == n)
     eqKeySetMemo.keySet.removeIf(p => normPath(p).startsWith(n + "/"))
+    PositionDeletes.invalidateKindMemo(n)
   }
 
   private def fileAddVersions(spark: SparkSession, table: String,
@@ -1614,8 +1622,11 @@ object Snapshots {
     * evolved table a single footer's schema would silently drop (or
     * fail on) columns other files carry.
     */
-  private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(files: _*)
+  private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(files: _*)
+    if (!FieldIds.hasIds(raw.schema)) raw
+    else spark.read.schema(FieldIds.strip(raw.schema)).parquet(files: _*)
+  }
 
   /** Table-aware rewrite/probe read: an ALTER-extended table's shape IS
     * its declared schema, so merge/deleteWhere must project onto it —
@@ -2042,9 +2053,29 @@ object Snapshots {
     if (m.isEmpty) return src // nothing matched: no-op, no version bump
     val f = fs(spark, table)
     val delDir = new Path(s"$table/deletes/${java.util.UUID.randomUUID}")
-    // one sidecar file: a selective delete's positions are tiny, and
-    // the checkpoint above makes the coalesce free
-    m.coalesce(1).write.parquet(delDir.toString)
+    // DELETION-VECTOR sidecar (default): one row per touched data file,
+    // its positions roaring/RLE-encoded ([[DeleteVectors]]) — the
+    // round-9 read-tax table measured the v1 one-row-per-position
+    // layout at ~4 B/position on disk plus a path string per row; the
+    // DV collapses range deletes to bytes/run and scattered ones to
+    // ~2 B/position, raising the broadcast envelope accordingly. The
+    // per-file groupBy holds one FILE's positions per task (the same
+    // memory class as reading the file). `false` keeps the v1 layout
+    // (both read forever — dispatch is the footer schema).
+    if (spark.conf.get("graft.snapshot.deleteVectorWrite", "true").toBoolean) {
+      import spark.implicits._
+      m.as[(String, Long)].groupByKey(_._1)
+        .mapGroups { (file, it) =>
+          val arr = it.map(_._2).toArray
+          (file, arr.length.toLong, DeleteVectors.encode(arr))
+        }
+        .toDF(PositionDeletes.FileCol, DeleteVectors.CardCol,
+          DeleteVectors.DvCol)
+        .coalesce(1).write.parquet(delDir.toString)
+    } else
+      // one sidecar file: a selective delete's positions are tiny, and
+      // the checkpoint above makes the coalesce free
+      m.coalesce(1).write.parquet(delDir.toString)
     val sidecars = f.listStatus(delDir).toSeq
       .filter(_.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted

@@ -124,7 +124,8 @@ private[graft] object RowIdentity {
   * strings, no per-row Path parsing).
   */
 private[v2] final case class SidecarSlice(
-    path: String, length: Long, raw: Array[String])
+    path: String, length: Long, raw: Array[String],
+    isDv: Boolean = false)
 
 /** One whole data file per partition: the reader needs file-stable row
   * ordinals, and a per-file partition keeps the delete-skip set local.
@@ -212,16 +213,37 @@ private[v2] final class RowIdentityScan(
     val taskSide = deletes.nonEmpty &&
       PositionDeletes.exceedsBroadcast(spark, tablePath, deletes)
     // BELOW the threshold: deleted ordinals grouped per kept file
-    // driver-side (scheme-insensitive match), shipped in the partitions
+    // driver-side (scheme-insensitive match), shipped in the partitions.
+    // Both sidecar layouts feed the same map — v1 rows collect and
+    // group; v2 deletion vectors collect one (file, dv) row per touched
+    // file and decode driver-side (the threshold already scaled their
+    // bytes by the expansion factor, so this route only runs when the
+    // decoded positions fit comfortably)
     val deletedByFile: Map[String, Array[Long]] =
       if (deletes.isEmpty || taskSide) Map.empty
       else {
         import org.apache.spark.sql.functions.col
-        spark.read.schema(PositionDeletes.schema).parquet(deletes: _*)
-          .select(col(PositionDeletes.FileCol), col(PositionDeletes.PosCol))
-          .collect()
-          .groupBy(r => new Path(r.getString(0)).toUri.getPath)
-          .map { case (k, rs) => k -> rs.map(_.getLong(1)).sorted }
+        val (dvSc, v1Sc) =
+          deletes.partition(PositionDeletes.isDvSidecar(spark, _))
+        val v1Pairs: Array[(String, Long)] =
+          if (v1Sc.isEmpty) Array.empty
+          else spark.read.schema(PositionDeletes.schema).parquet(v1Sc: _*)
+            .select(col(PositionDeletes.FileCol), col(PositionDeletes.PosCol))
+            .collect().map(r => (r.getString(0), r.getLong(1)))
+        val dvPairs: Array[(String, Long)] =
+          if (dvSc.isEmpty) Array.empty
+          else spark.read.schema(graft.sources.DeleteVectors.schema)
+            .parquet(dvSc: _*)
+            .select(col(PositionDeletes.FileCol),
+              col(graft.sources.DeleteVectors.DvCol))
+            .collect().flatMap { r =>
+              val f = r.getString(0)
+              graft.sources.DeleteVectors.decode(r.getAs[Array[Byte]](1))
+                .map(p => (f, p))
+            }
+        (v1Pairs ++ dvPairs)
+          .groupBy(r => new Path(r._1).toUri.getPath)
+          .map { case (k, rs) => k -> rs.map(_._2).sorted.distinct }
       }
     // ABOVE the threshold: prune sidecars to the data files they
     // reference with a DISTRIBUTED distinct over the file_path column —
@@ -241,7 +263,8 @@ private[v2] final class RowIdentityScan(
         refs.groupBy { case (raw, _) => new Path(raw).toUri.getPath }
           .map { case (norm, pairs) =>
             norm -> pairs.groupBy(_._2).map { case (sc, ps) =>
-              SidecarSlice(sc, lenOf(sc), ps.map(_._1).distinct)
+              SidecarSlice(sc, lenOf(sc), ps.map(_._1).distinct,
+                PositionDeletes.isDvSidecar(spark, sc))
             }.toArray.sortBy(_.path)
           }
       }
@@ -259,6 +282,18 @@ private[v2] final class RowIdentityScan(
         filters = Nil,
         options = options,
         hadoopConf = spark.sessionState.newHadoopConfWithOptions(options))
+    // DELETION-VECTOR slices read through their own schema; the task
+    // decodes only the vectors whose raw file spelling matches ITS file
+    val dvReaderFor: PartitionedFile => Iterator[InternalRow] =
+      if (!taskSide) null
+      else new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark,
+        dataSchema = graft.sources.DeleteVectors.schema,
+        partitionSchema = StructType(Nil),
+        requiredSchema = graft.sources.DeleteVectors.schema,
+        filters = Nil,
+        options = options,
+        hadoopConf = spark.sessionState.newHadoopConfWithOptions(options))
     val parts: Array[InputPartition] = files.map { f =>
       val len = fsys.getFileStatus(new Path(f)).getLen
       val norm = new Path(f).toUri.getPath
@@ -267,7 +302,7 @@ private[v2] final class RowIdentityScan(
         sidecarsByFile.getOrElse(norm, Array.empty))
         : InputPartition
     }.toArray
-    new RowIdentityBatch(readerFor, sidecarReaderFor, plan, dataTypes, posIdx, parts)
+    new RowIdentityBatch(readerFor, sidecarReaderFor, dvReaderFor, plan, dataTypes, posIdx, parts)
   }
 }
 
@@ -295,26 +330,30 @@ private[graft] object RowIdentityScan {
 private[v2] final class RowIdentityBatch(
     readerFor: PartitionedFile => Iterator[InternalRow],
     sidecarReaderFor: PartitionedFile => Iterator[InternalRow],
+    dvReaderFor: PartitionedFile => Iterator[InternalRow],
     plan: Array[Int], dataTypes: Array[DataType], posIdx: Int,
     parts: Array[InputPartition]) extends Batch {
   override def planInputPartitions(): Array[InputPartition] = parts
   override def createReaderFactory(): PartitionReaderFactory =
-    new RowIdentityReaderFactory(readerFor, sidecarReaderFor, plan, dataTypes, posIdx)
+    new RowIdentityReaderFactory(readerFor, sidecarReaderFor, dvReaderFor,
+      plan, dataTypes, posIdx)
 }
 
 private[v2] final class RowIdentityReaderFactory(
     readerFor: PartitionedFile => Iterator[InternalRow],
     sidecarReaderFor: PartitionedFile => Iterator[InternalRow],
+    dvReaderFor: PartitionedFile => Iterator[InternalRow],
     plan: Array[Int], dataTypes: Array[DataType], posIdx: Int)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new RowIdentityReader(readerFor, sidecarReaderFor, plan, dataTypes, posIdx,
-      p.asInstanceOf[RowIdentityPartition])
+    new RowIdentityReader(readerFor, sidecarReaderFor, dvReaderFor,
+      plan, dataTypes, posIdx, p.asInstanceOf[RowIdentityPartition])
 }
 
 private[v2] final class RowIdentityReader(
     readerFor: PartitionedFile => Iterator[InternalRow],
     sidecarReaderFor: PartitionedFile => Iterator[InternalRow],
+    dvReaderFor: PartitionedFile => Iterator[InternalRow],
     plan: Array[Int], dataTypes: Array[DataType], posIdx: Int,
     part: RowIdentityPartition) extends PartitionReader[InternalRow] {
 
@@ -337,11 +376,16 @@ private[v2] final class RowIdentityReader(
       part.sidecars.foreach { sc =>
         val want: Set[UTF8String] =
           sc.raw.iterator.map(UTF8String.fromString).toSet
-        val it = sidecarReaderFor(PartitionedFile(
-          InternalRow.empty, SparkPath.fromPathString(sc.path), 0L,
-          sc.length, Array.empty[String], 0L, sc.length))
+        val it = (if (sc.isDv) dvReaderFor else sidecarReaderFor)(
+          PartitionedFile(
+            InternalRow.empty, SparkPath.fromPathString(sc.path), 0L,
+            sc.length, Array.empty[String], 0L, sc.length))
         try it.foreach { r =>
-          if (want.contains(r.getUTF8String(0))) buf += r.getLong(1)
+          if (want.contains(r.getUTF8String(0))) {
+            if (sc.isDv)
+              buf ++= graft.sources.DeleteVectors.decode(r.getBinary(2))
+            else buf += r.getLong(1)
+          }
         } finally it match {
           case c: java.io.Closeable => c.close()
           case _ => ()
@@ -502,13 +546,17 @@ private[v2] final class SnapshotDeltaBatchWrite(op: SnapshotDeltaOperation,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
     // appended data files keep the table's field-id assignment (the
     // position sidecar keeps its own name-keyed schema — sidecar reads
-    // are name-matched; see SnapshotDeltaWriter.del())
+    // are name-matched; see SnapshotDeltaWriter.del()). The deletion-
+    // vector write decision is captured HERE, on the driver, so every
+    // task writes the same sidecar layout.
     new SnapshotDeltaWriterFactory(dataDir, delDir,
       graft.sources.FieldIds.load(SparkSession.active, op.path)
         .map(graft.sources.FieldIds.attach(_, rowSchema))
         .getOrElse(rowSchema).json,
       SnapshotReplaceBatchWrite.parquetWriteConf() ++
-        Snapshots.bloomWriteOptions(SparkSession.active, op.path))
+        Snapshots.bloomWriteOptions(SparkSession.active, op.path),
+      dvWrite = SparkSession.active.conf
+        .get("graft.snapshot.deleteVectorWrite", "true").toBoolean)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -536,22 +584,35 @@ private[v2] final class SnapshotDeltaBatchWrite(op: SnapshotDeltaOperation,
 }
 
 private[v2] final class SnapshotDeltaWriterFactory(dataDir: String,
-    delDir: String, rowSchemaJson: String, conf: Map[String, String])
-    extends DeltaWriterFactory {
+    delDir: String, rowSchemaJson: String, conf: Map[String, String],
+    dvWrite: Boolean) extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new SnapshotDeltaWriter(dataDir, delDir, rowSchemaJson, conf,
-      partitionId, taskId)
+      partitionId, taskId, dvWrite)
 }
 
-/** Per-task delta writer: deletes stream into a sidecar parquet file,
-  * updates/inserts into a data parquet file — both lazily created, so a
-  * task with no matches contributes nothing. The `id` rows arrive
-  * projected in rowId() order = exactly the sidecar schema
-  * (file_path, pos).
+/** Per-task delta writer: updates/inserts stream into a data parquet
+  * file (lazily created, so a task with no matches contributes
+  * nothing). Deletes take one of two sidecar layouts, decided on the
+  * driver: DELETION VECTORS (default — matched ordinals buffer per
+  * data file and flush as one roaring/RLE row per file at commit;
+  * task memory ∝ the task's matched rows, the same class as its scan)
+  * or the v1 one-row-per-position stream. The `id` rows arrive
+  * projected in rowId() order = (file_path, pos).
   */
 private[v2] final class SnapshotDeltaWriter(dataDir: String, delDir: String,
     rowSchemaJson: String, conf: Map[String, String],
-    partitionId: Int, taskId: Long) extends DeltaWriter[InternalRow] {
+    partitionId: Int, taskId: Long, dvWrite: Boolean = false)
+    extends DeltaWriter[InternalRow] {
+
+  // DV route: per-file ordinal buffers, flushed at commit
+  private val dvBuf =
+    new scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayBuilder.ofLong]()
+
+  private def bufferDelete(id: InternalRow): Unit =
+    dvBuf.getOrElseUpdate(id.getUTF8String(0).toString,
+      new scala.collection.mutable.ArrayBuilder.ofLong) += id.getLong(1)
 
   private var dataW: SnapshotParquetWriter = null
   private var delW: SnapshotParquetWriter = null
@@ -571,17 +632,30 @@ private[v2] final class SnapshotDeltaWriter(dataDir: String, delDir: String,
   }
 
   override def delete(metadata: InternalRow, id: InternalRow): Unit =
-    del().write(id)
+    if (dvWrite) bufferDelete(id) else del().write(id)
 
   override def update(metadata: InternalRow, id: InternalRow,
       row: InternalRow): Unit = {
-    del().write(id)
+    if (dvWrite) bufferDelete(id) else del().write(id)
     data().write(row)
   }
 
   override def insert(row: InternalRow): Unit = data().write(row)
 
   override def commit(): WriterCommitMessage = {
+    // flush buffered deletion vectors: one row per touched file
+    if (dvBuf.nonEmpty) {
+      val w = new SnapshotParquetWriter(delDir,
+        graft.sources.DeleteVectors.schema.json, conf, partitionId, taskId)
+      delW = w
+      dvBuf.foreach { case (file, b) =>
+        val arr = b.result()
+        w.write(new GenericInternalRow(Array[Any](
+          UTF8String.fromString(file), arr.length.toLong,
+          graft.sources.DeleteVectors.encode(arr))))
+      }
+      dvBuf.clear()
+    }
     def files(w: SnapshotParquetWriter): Seq[String] =
       if (w == null) Nil
       else w.commit() match {

@@ -218,9 +218,18 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
     require(files.nonEmpty, s"snapshot v$version of $path lists no data files")
     // ALTER-extended tables read under their declared superset schema
     // (absent columns = typed NULLs; parquet resolves by name)
-    val t = ParquetTable(s"graft-snapshot:$path@v$version",
-      spark, options, files, Snapshots.declaredSchema(spark, path),
-      classOf[ParquetFileFormat])
+    val declared = Snapshots.declaredSchema(spark, path)
+    val t0 = ParquetTable(s"graft-snapshot:$path@v$version",
+      spark, options, files, declared, classOf[ParquetFileFormat])
+    // footer inference copies field ids into the schema; ids only enter
+    // a read schema from the DECLARED override (FieldIds.strip scaladoc)
+    val t =
+      if (declared.isDefined ||
+          !graft.sources.FieldIds.hasIds(t0.schema)) t0
+      else ParquetTable(s"graft-snapshot:$path@v$version",
+        spark, options, files,
+        Some(graft.sources.FieldIds.strip(t0.schema)),
+        classOf[ParquetFileFormat])
     val r = ResolvedSnapshot(path, version, files, t,
       Snapshots.deleteFiles(spark, path, Some(version)),
       Snapshots.eqDeleteFiles(spark, path, Some(version)))

@@ -66,9 +66,11 @@ class MorDeleteSpec extends SparkTestBase {
     assert(idsOf(Snapshots.read(spark, t)) === (41L to 100L))
     assert(Snapshots.deleteFiles(spark, t).size === 2)
     // the second sidecar records only the 20 NEWLY deleted positions
+    // (cardinality column of the deletion-vector layout)
     val second = Snapshots.deleteFiles(spark, t)
       .diff(Snapshots.deleteFiles(spark, t, Some(2L)))
-    assert(spark.read.parquet(second: _*).count() === 20)
+    assert(spark.read.parquet(second: _*)
+      .agg(sum("card")).head.getLong(0) === 20L)
   }
 
   test("no-match MOR delete is a version-preserving no-op") {
@@ -318,19 +320,37 @@ class MorDeleteSpec extends SparkTestBase {
       .head().getLong(0) === 1L)
   }
 
-  test("sidecar schema and content: (file_path, pos) of exactly the matched rows") {
+  test("sidecar layouts: v2 deletion vector by default, v1 rows under the conf; both read together") {
     val t = freshDir("sidecar")
     Snapshots.commit((0L to 99L).toDF("id").coalesce(1), t)
     Snapshots.deleteWhereMor(spark, t, col("id") < 3)
+    // default layout: ONE row per touched file, positions RLE-encoded
     val sc = spark.read.parquet(Snapshots.deleteFiles(spark, t): _*)
-    assert(sc.columns.toSeq === Seq("file_path", "pos"))
-    // a single coalesced file written from an ordered range: positions
-    // 0,1,2 are exactly ids 0,1,2
-    assert(sc.select("pos").as[Long].collect().sorted.toSeq === Seq(0L, 1L, 2L))
+    assert(sc.columns.toSeq === Seq("file_path", "card", "dv"))
+    assert(sc.count() === 1L)
+    val r = sc.collect().head
+    assert(r.getLong(1) === 3L)
+    assert(graft.sources.DeleteVectors
+      .decode(r.getAs[Array[Byte]](2)).toSeq === Seq(0L, 1L, 2L))
     val dataNorm = Snapshots.dataFiles(spark, t)
       .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath).toSet
-    sc.select("file_path").as[String].collect().foreach { p =>
-      assert(dataNorm.contains(new org.apache.hadoop.fs.Path(p).toUri.getPath))
-    }
+    assert(dataNorm.contains(
+      new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath))
+    // the conf pins the v1 one-row-per-position layout; the table then
+    // carries BOTH layouts and every read resolves them together
+    try {
+      spark.conf.set("graft.snapshot.deleteVectorWrite", "false")
+      Snapshots.deleteWhereMor(spark, t, col("id") >= 97)
+    } finally spark.conf.unset("graft.snapshot.deleteVectorWrite")
+    val both = Snapshots.deleteFiles(spark, t)
+    assert(both.size === 2)
+    val v1 = both.filterNot(graft.sources.PositionDeletes.isDvSidecar(spark, _))
+    assert(v1.size === 1)
+    assert(spark.read.parquet(v1: _*).columns.toSeq === Seq("file_path", "pos"))
+    assert(idsOf(Snapshots.read(spark, t)) === (3L to 96L))
+    // purge folds BOTH layouts back into plain files
+    Snapshots.purgeDeletes(spark, t)
+    assert(Snapshots.deleteFiles(spark, t).isEmpty)
+    assert(idsOf(Snapshots.read(spark, t)) === (3L to 96L))
   }
 }

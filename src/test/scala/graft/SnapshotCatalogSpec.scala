@@ -54,11 +54,20 @@ class SnapshotCatalogSpec extends SparkTestBase {
     val e = intercept[Exception](
       spark.sql("INSERT INTO graft_cat.ns2.s VALUES (1, 'x')"))
     assert(e.getMessage.contains("INSERT_COLUMN_ARITY_MISMATCH"), e.getMessage)
-    // ADD COLUMNS is the one metadata-sound evolution (SchemaEvolutionSpec);
-    // renames cannot remap old footers without field ids — still loud
+    // RENAME is metadata-sound WITH field ids (SchemaEvolutionSpec);
+    // without them (a legacy table) old footers cannot remap — still
+    // loud, naming the adoption remedy
+    val whPath = spark.conf.get("spark.sql.catalog.graft_cat.warehouse")
+    new java.io.File(s"$whPath/ns2/s/fieldids.json").delete()
     val a = intercept[Exception](
       spark.sql("ALTER TABLE graft_cat.ns2.s RENAME COLUMN id TO id2"))
-    assert(a.getMessage.contains("unsupported ALTER"), a.getMessage)
+    assert(a.getMessage.contains("per-field id"), a.getMessage)
+    // a nested-field ALTER stays unsupported outright
+    val nest = intercept[Exception](
+      spark.sql("ALTER TABLE graft_cat.ns2.s ADD COLUMNS (x.y BIGINT)"))
+    assert(nest.getMessage.toLowerCase.contains("top-level") ||
+      nest.getMessage.toLowerCase.contains("cannot be resolved"),
+      nest.getMessage)
     // identity partitioning stays loud; bucket(n, col) is the one
     // supported transform (BucketedJoinSpec)
     val p = intercept[Exception](spark.sql(
