@@ -2624,6 +2624,82 @@ object Snapshots {
     * makes a parent advance impossible to miss; expiry discipline is
     * the operator's, exactly as in Iceberg's WAP.
     */
+  // ---- long-lived NAMED BRANCHES over the fork mechanism ------------
+  // A branch is a fork directory REGISTERED in its parent under
+  // `ref-branch-<name>.txt` (name = the branch dir's basename). The ref
+  // makes the branch a first-class part of the parent's lifecycle:
+  //  * reads resolve it by name (`.option("branch", b)` on the format,
+  //    `VERSION AS OF '<branch>'` through the catalog);
+  //  * the parent's vacuum/gc treat every registered branch HEAD's
+  //    file references as live (a branch references parent files by
+  //    absolute path — expiring them under it would break the branch);
+  //  * fast_forward with keepBranch re-bases the branch onto the new
+  //    parent head in place, so stage -> publish -> keep staging cycles
+  //    run under one stable name (multi-publish, not one-shot WAP).
+  // Per-branch retention stays the branch table's own vacuum.
+
+  private def branchRefPath(table: String, name: String) =
+    new Path(s"$table/ref-branch-$name.txt")
+
+  private val BranchFileRe = "ref-branch-(.+)\\.txt".r
+
+  /** Registered branches of `table`: (name, branch table path). */
+  def branches(spark: SparkSession, table: String): Seq[(String, String)] = {
+    val f = fs(spark, table)
+    val root = new Path(table)
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case BranchFileRe(name) =>
+          val in = f.open(st.getPath)
+          val p = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+          Some(name -> p)
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  /** The registered branch path for `name`, if the branch still exists
+    * (a stale ref whose directory is gone resolves to None).
+    */
+  def branchPathOf(spark: SparkSession, table: String,
+      name: String): Option[String] =
+    branches(spark, table).collectFirst {
+      case (n, p) if n == name && versions(spark, p).nonEmpty => p
+    }
+
+  private def writeBranchRef(spark: SparkSession, parent: String,
+      branch: String): Unit = {
+    val name = new Path(branch).getName
+    requireRefName(name)
+    val f = fs(spark, parent)
+    val tmp = new Path(s"$parent/.ref-branch.${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(normPath(branch).getBytes("UTF-8")) finally out.close()
+    f.delete(branchRefPath(parent, name), false)
+    require(f.rename(tmp, branchRefPath(parent, name)),
+      s"failed to register branch $name on $parent")
+  }
+
+  private def removeBranchRef(spark: SparkSession, parent: String,
+      branch: String): Unit = {
+    val name = new Path(branch).getName
+    fs(spark, parent).delete(branchRefPath(parent, name), false): Unit
+  }
+
+  /** File references every registered branch's HEAD holds — the
+    * cross-table keep set the parent's vacuum/gc must honor. Stale refs
+    * (dropped branch dirs) contribute nothing.
+    */
+  private def branchHeadRefs(spark: SparkSession, table: String): Set[String] =
+    branches(spark, table).flatMap { case (_, bp) =>
+      versions(spark, bp).lastOption.toSeq.flatMap { v =>
+        manifestFiles(spark, bp, v) ++ manifestDeletes(spark, bp, v) ++
+          manifestEqDeletes(spark, bp, v).map(_._2)
+      }
+    }.map(normPath).toSet
+
   def fork(spark: SparkSession, parent: String, branch: String): Long = {
     val pvs = versions(spark, parent)
     require(pvs.nonEmpty, s"no committed snapshot in $parent")

@@ -61,34 +61,35 @@ def read_result(out_dir, name):
 
 # ---------------------------------------------------------------- q67
 
-EDGE_CTES = """
-edges AS (
-  SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
-         CAST(COUNT(*) AS DOUBLE) AS w
-  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-  GROUP BY 1, 2
-), e AS (
-  SELECT src, dst, w FROM edges
-  UNION ALL SELECT dst, src, w FROM edges
-), deg AS (SELECT src, SUM(w) AS wout FROM e GROUP BY 1),
-nn AS (SELECT COUNT(*) AS n FROM deg)
-"""
-
-
 def check_q67(con, verify_out, trace_dir):
+    # materialize the graph ONCE as temp tables: the CTE form re-inlines
+    # the 6M-row lineitem-orders join per reference and DuckDB's planner
+    # spilled >27 GB on it — exactly the infeasibility this gate routes
+    # around. Materialized, the whole graph is ~160k nodes / 12M edges
+    # and each verification step is a sub-second join.
+    con.sql("""CREATE OR REPLACE TEMP TABLE pr_edges AS
+        SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+               CAST(COUNT(*) AS DOUBLE) AS w
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY 1, 2""")
+    con.sql("""CREATE OR REPLACE TEMP TABLE pr_e AS
+        SELECT src, dst, w FROM pr_edges
+        UNION ALL SELECT dst, src, w FROM pr_edges""")
+    con.sql("""CREATE OR REPLACE TEMP TABLE pr_deg AS
+        SELECT src, SUM(w) AS wout FROM pr_e GROUP BY 1""")
+    n = con.sql("SELECT count(*) FROM pr_deg").fetchone()[0]
     stages = []
     for k in range(1, 6):
         prev = (
-            "SELECT src AS node, 1.0 / nn.n AS r FROM deg CROSS JOIN nn"
+            f"SELECT src AS node, 1.0 / {n} AS r FROM pr_deg"
             if k == 1 else
             f"SELECT node, r FROM read_parquet('{trace_dir}/r{k-1}/*.parquet')")
         step = con.sql(f"""
-            WITH {EDGE_CTES}, prev AS ({prev})
             SELECT e.dst AS node,
-                   ROUND((0.15 / nn.n + 0.85 * SUM(p.r * (e.w / d.wout))) * 1000000, 2) AS rank_ppm
-            FROM e JOIN prev p ON p.node = e.src
-                   JOIN deg d ON d.src = e.src CROSS JOIN nn
-            GROUP BY e.dst, nn.n""").fetchall()
+                   ROUND((0.15 / {n} + 0.85 * SUM(p.r * (e.w / d.wout))) * 1000000, 2) AS rank_ppm
+            FROM pr_e e JOIN ({prev}) p ON p.node = e.src
+                 JOIN pr_deg d ON d.src = e.src
+            GROUP BY e.dst""").fetchall()
         eng = con.sql(f"""
             SELECT node, ROUND(r * 1000000, 2) AS rank_ppm
             FROM read_parquet('{trace_dir}/r{k}/*.parquet')""").fetchall()
