@@ -2003,6 +2003,55 @@ object Incremental {
           .as("amount"))
   }
 
+  /** The NAMED-BRANCH fixture (one build per JVM per dir): the
+    * round-10 long-lived branch surface driven end to end —
+    *   v1 commit even-key orders → fork branch `audit` (registered on
+    *   the parent) → TWO branch commits (odd keys %4==1 then %4==3,
+    *   multi-commit history) → keep-alive publish (v2; the branch
+    *   re-bases in place under the same name) → a THIRD branch commit
+    *   (key+10000000 echo rows) → second publish (v3) — the
+    *   stage→publish→keep-staging cycle one stable name carries.
+    * The final read resolves the parent's head across both publishes.
+    */
+  private def branchPubTable(s: SparkSession, dir: String): String = {
+    val root = snapRoot(s, dir, "branchpub")
+    ensureBuilt(s, root, 3) {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), root)   // v1
+      val br = s"$root/br-audit"
+      Snapshots.fork(s, root, br)
+      Snapshots.commit(o.filter(col("o_orderkey") % 4 === 1), br)
+      Snapshots.commit(o.filter(col("o_orderkey") % 4 === 3), br)
+      Snapshots.fastForward(s, root, br, dropBranch = false)          // v2
+      Snapshots.commit(o.filter(col("o_orderkey") % 100 === 7)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_totalprice")), br)
+      Snapshots.fastForward(s, root, br, dropBranch = false)          // v3
+    }
+    root
+  }
+
+  /** q116: the branch-publish chain's final state — both keep-alive
+    * publishes' rows land exactly once, the echo rows under their
+    * shifted keys, against the oracle's reconstruction from raw orders.
+    */
+  val qBranchPublish: QuerySpec = QuerySpec.sql(
+    "q116_branch_publish",
+    """SELECT k, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amount
+      |FROM (
+      |  SELECT o_orderkey % 10 AS k, o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT (o_orderkey + 10000000) % 10 AS k, o_totalprice
+      |  FROM orders WHERE o_orderkey % 100 = 7
+      |) GROUP BY k""".stripMargin) { (s, dir) =>
+    Snapshots.read(s, branchPubTable(s, dir))
+      .groupBy((col("o_orderkey") % 10).as("k"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)")
+          .as("amount"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
@@ -2012,5 +2061,5 @@ object Incremental {
       qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup, qWriteOrder,
       qBinPack, qMorDelete, qMorSql, qMorUpdate, qMorMerge, qEqUpsert,
       qEqCdf, qCdfByVersion, qSqlTableChanges, qDmlChain, qDmlChainTt,
-      qFieldIdEvolution)
+      qFieldIdEvolution, qBranchPublish)
 }

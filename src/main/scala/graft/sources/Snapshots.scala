@@ -2377,7 +2377,8 @@ object Snapshots {
     val referenced = versions(spark, table)
       .flatMap(v => manifestFiles(spark, table, v) ++
         manifestDeletes(spark, table, v) ++
-        manifestEqDeletes(spark, table, v).map(_._2)).map(norm).toSet
+        manifestEqDeletes(spark, table, v).map(_._2)).map(norm).toSet ++
+      branchHeadRefs(spark, table) // registered branches hold references
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
     roots.flatMap(f.listStatus(_)).foreach { dir =>
@@ -2457,8 +2458,12 @@ object Snapshots {
     def refs(v: Long): Seq[String] =
       manifestFiles(spark, table, v) ++ manifestDeletes(spark, table, v) ++
         manifestEqDeletes(spark, table, v).map(_._2)
-    val live = keep.flatMap(refs).toSet
-    val dead = expire.flatMap(refs).toSet -- live
+    // registered branch HEADS hold references into this table by
+    // absolute path (a fork copies no data) — their files are as live
+    // as a tagged version's
+    val live = keep.flatMap(refs).map(normPath).toSet ++
+      branchHeadRefs(spark, table)
+    val dead = expire.flatMap(refs).filterNot(p => live(normPath(p))).toSet
     dead.foreach(p => f.delete(new Path(p), false))
     expire.foreach(v => f.delete(new Path(s"$table/manifest-v$v.json"), false))
     // sweep now-empty data/sidecar dirs (cosmetic; correctness never
@@ -2759,6 +2764,9 @@ object Snapshots {
       f.delete(tmp, false)
       throw new IllegalStateException(s"fork target $branch was concurrently created")
     }
+    // register the branch on its parent: reads resolve it by name and
+    // the parent's vacuum/gc keep its head's references alive
+    writeBranchRef(spark, parent, branch)
     1L
   }
 
@@ -2983,6 +2991,14 @@ object Snapshots {
     // un-pruned read between publish and this record)
     FileStats.record(spark, parent, moved.toSeq)
     if (dropBranch) drop(spark, branch)
+    else {
+      // LONG-LIVED branch: re-base it onto the published head in place
+      // (its staged dirs just moved into the parent, so its old
+      // manifests are dead) — the name and ref survive and the next
+      // stage -> publish cycle continues from the new state
+      drop(spark, branch)
+      fork(spark, parent, branch): Unit
+    }
     next
   }
 
@@ -2995,8 +3011,15 @@ object Snapshots {
   def drop(spark: SparkSession, table: String): Unit = {
     val f = fs(spark, table)
     val root = new Path(table)
-    if (f.exists(root))
+    if (f.exists(root)) {
+      // a registered BRANCH deregisters from its parent on drop, so the
+      // parent's vacuum/gc stop holding its references alive (stale
+      // refs are tolerated everywhere, this just tidies eagerly)
+      try forkParent(spark, table).foreach(p =>
+        removeBranchRef(spark, p, table))
+      catch { case scala.util.control.NonFatal(_) => () }
       require(f.delete(root, true), s"failed to drop snapshot table $table")
+    }
     invalidateMemos(table)
   }
 }

@@ -150,6 +150,20 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   private def load(ident: Identifier, extra: Map[String, String]): Table = {
     val path = tablePath(ident)
     promoteRenameStage(new Path(path)) // heal a crash mid-rename (no-op otherwise)
+    // `VERSION AS OF '<name>'`: immutable TAGS win the name; otherwise a
+    // registered long-lived BRANCH resolves to its own table at head —
+    // the Iceberg branch-read surface through plain SQL
+    extra.get("asOfTag").foreach { t =>
+      if (isTable(path) && Snapshots.tagVersion(spark, path, t).isEmpty)
+        Snapshots.branchPathOf(spark, path, t).foreach { bp =>
+          val p2 = new SnapshotProvider
+          import scala.jdk.CollectionConverters._
+          val opts = new CaseInsensitiveStringMap(
+            (Map("path" -> bp) ++ (extra - "asOfTag")).asJava)
+          return p2.getTable(p2.inferSchema(opts), Array.empty,
+            new util.HashMap[String, String](opts))
+        }
+    }
     if (!isTable(path)) {
       // Iceberg-style METADATA TABLES: `SELECT * FROM cat.ns.t.history`
       // parses as ident(ns=[ns,t], name=history) — when that path is

@@ -177,10 +177,20 @@ class SnapshotProvider extends org.apache.spark.sql.connector.catalog.TableProvi
     */
   @volatile private var cached: (Map[String, String], ResolvedSnapshot) = null
 
-  private def pathOf(options: CaseInsensitiveStringMap): String =
-    Option(options.get("path")).getOrElse(
+  private def pathOf(options: CaseInsensitiveStringMap): String = {
+    val base = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "graft-snapshot requires .option(\"path\", <table dir>)"))
+    // `.option("branch", name)` targets a registered long-lived branch
+    // of the table — reads AND writes resolve to the branch's own
+    // directory (registered at fork; see Snapshots branch refs)
+    Option(options.get("branch")) match {
+      case Some(b) => Snapshots.branchPathOf(SparkSession.active, base, b)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft-snapshot: no registered branch '$b' on $base"))
+      case None => base
+    }
+  }
 
   private def resolve(options: CaseInsensitiveStringMap): ResolvedSnapshot = {
     import scala.jdk.CollectionConverters._

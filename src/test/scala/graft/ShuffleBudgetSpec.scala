@@ -241,6 +241,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // q113: one per-status agg over the compacted head (the chain's
     // sidecars all folded — clean scan, no anti-join)
     "q113_dml_chain" -> 1,
+    // q116: one group-by agg over the parent head after two keep-alive
+    // branch publishes (publishes are manifest-only — no read exchange)
+    "q116_branch_publish" -> 1,
     // q115: one group-by agg over the rename/drop-evolved read (the
     // ALTERs are metadata-only — the id-mapped scan adds no exchange)
     "q115_fieldid_evolution" -> 1,
