@@ -167,7 +167,7 @@ object FileStats {
     case _ => null
   }
 
-  private def cmp(tag: Char, a: Any, b: Any): Int = tag match {
+  private[sources] def cmp(tag: Char, a: Any, b: Any): Int = tag match {
     case 'F' => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
     case 'S' => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
     case _   => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])

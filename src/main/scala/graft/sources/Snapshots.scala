@@ -3002,6 +3002,134 @@ object Snapshots {
     next
   }
 
+  /** AUTOMATED MAINTENANCE POLICY — `CALL cat.system.maintain(table)`:
+    * inspect the manifest state and apply the maintenance the measured
+    * economics (PLANS.md curves) say the table needs, in order. The
+    * autopilot a 100 TB operator runs on a schedule instead of watching
+    * four knobs per table. Decision matrix (each step's threshold cites
+    * its curve):
+    *
+    *  1. EQUALITY sidecars outstanding → `purgeEqDeletes`. They add a
+    *     keyed scoped anti-join to every read AND block vacuum /
+    *     rename / fork (the add-version derivation must stay exact), so
+    *     any outstanding set is worth folding (round-8 eq-upsert
+    *     economics: purge cost ∝ key-HIT files only).
+    *  2. POSITION sidecars past the envelope → `purgeDeletes` when the
+    *     estimated DECODED delete side exceeds half
+    *     `graft.snapshot.deleteBroadcastBytes`. Below that the read tax
+    *     is join-shaped, not volume-shaped (round-9/10 read-tax curve:
+    *     ~2.4× flat once ANY sidecar exists, near-linear growth after),
+    *     so purging tiny sidecars buys little; past half the threshold
+    *     the broadcast envelope (a memory cap, not a latency knob) is
+    *     approaching and purge cost is still ∝ touched files.
+    *  3. SMALL-FILE tail → `binPack` when at least `minInputFiles`
+    *     files sit under `targetBytes` (cost ∝ small-file bytes only —
+    *     the continuous-ingest primitive; binPack's own no-op rules
+    *     make a re-run free).
+    *  4. CLUSTERING DRIFT vs the declared write order → full re-sort
+    *     `compact` into ceil(bytes/target) files when the DISORDER of
+    *     the first declared sort column exceeds
+    *     `graft.maintain.disorder` (default 0.5): disorder = fraction
+    *     of files (sorted by range min) whose range overlaps the next
+    *     file's — 0 on a freshly clustered table, ~1 on round-robin
+    *     ingest. Threshold at 0.5 because the SPJ/pruning crossover
+    *     (PLANS.md) shows range-pruning pays once files are mostly
+    *     disjoint; a full re-sort is the one data-∝-table-bytes action
+    *     here, so it fires only on real drift.
+    *
+    * Returns one (action, detail, version) row per action taken; an
+    * already-maintained table returns NO rows (idempotence is the
+    * spec-pinned contract).
+    */
+  def maintain(spark: SparkSession, table: String,
+      targetBytes: Long = 128L << 20,
+      minInputFiles: Int = 4): Seq[(String, String, Long)] = {
+    val vs = versions(spark, table)
+    require(vs.nonEmpty, s"no committed snapshot in $table")
+    val actions = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    // 1. equality sidecars
+    val eqs = manifestEqDeletes(spark, table, versions(spark, table).last)
+    if (eqs.nonEmpty) {
+      val v = purgeEqDeletes(spark, table)
+      actions += (("purge_eq_deletes", s"${eqs.size} sidecar(s) folded", v))
+    }
+    // 2. position sidecars vs the decoded-envelope threshold
+    val dels = deleteFiles(spark, table)
+    if (dels.nonEmpty) {
+      val f = fs(spark, table)
+      val dvFactor = spark.conf
+        .get("graft.snapshot.dvExpansionFactor", "16").toLong
+      val decoded = dels.map { p =>
+        val len = try f.getFileStatus(new Path(p)).getLen
+        catch { case scala.util.control.NonFatal(_) => Long.MaxValue / 1024 }
+        if (PositionDeletes.isDvSidecar(spark, p)) len * dvFactor else len
+      }.sum
+      val threshold = spark.conf
+        .get("graft.snapshot.deleteBroadcastBytes", (64L << 20).toString).toLong
+      if (decoded * 2 > threshold) {
+        val v = purgeDeletes(spark, table)
+        actions += (("purge_deletes",
+          s"${dels.size} sidecar(s), ~$decoded decoded bytes folded", v))
+      }
+    }
+    // 3. small-file tail
+    {
+      val f = fs(spark, table)
+      val files = dataFiles(spark, table)
+      val smalls = files.count { p =>
+        try f.getFileStatus(new Path(p)).getLen < targetBytes
+        catch { case scala.util.control.NonFatal(_) => false }
+      }
+      if (smalls >= minInputFiles) {
+        val before = versions(spark, table).last
+        val v = binPack(spark, table, targetBytes, minInputFiles)
+        if (v != before)
+          actions += (("rewrite_small_files", s"$smalls small file(s)", v))
+      }
+    }
+    // 4. clustering drift vs the declared write order
+    sortSpec(spark, table).headOption.foreach { sortCol =>
+      val files = dataFiles(spark, table)
+      if (files.length > 1) {
+        val stats = FileStats.load(spark, table)
+        val ranges = files.flatMap(p =>
+          stats.get(normPath(p)).flatMap(_.get(sortCol))
+            .filter(r => r.min.isDefined && r.max.isDefined))
+        // only judge drift when every file carries a range — partial
+        // stats would understate overlap and misfire either way
+        if (ranges.length == files.length) {
+          val tag = ranges.head.tag
+          val sorted = ranges.sortWith((a, b) =>
+            FileStats.cmp(tag, a.min.get, b.min.get) < 0)
+          val overlaps = sorted.sliding(2).count {
+            case Seq(a, b) => FileStats.cmp(tag, b.min.get, a.max.get) <= 0
+            case _ => false
+          }
+          val disorder = overlaps.toDouble / (files.length - 1)
+          val limit = spark.conf.get("graft.maintain.disorder", "0.5").toDouble
+          if (disorder > limit) {
+            val f = fs(spark, table)
+            val totalBytes = files.map { p =>
+              try f.getFileStatus(new Path(p)).getLen
+              catch { case scala.util.control.NonFatal(_) => 0L }
+            }.sum
+            val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+            val before = versions(spark, table).last
+            // the rewrite re-clusters through writeData's declared-order
+            // range partition (disjoint per-file ranges), so the next
+            // maintain reads disorder 0 — idempotence. compact's own
+            // already-compacted guard can decline; never report a no-op.
+            val v = compact(spark, table, n)
+            if (v != before)
+              actions += (("compact_resort",
+                f"disorder $disorder%.2f over '$sortCol' re-clustered by declared order", v))
+          }
+        }
+      }
+    }
+    actions.toSeq
+  }
+
   /** Drop the whole table — manifests, data, history. Fails loudly if
     * the filesystem could not remove the root (a silent partial delete
     * followed by a rebuild is the table-corruption class the q81

@@ -174,6 +174,23 @@ private[v2] object SnapshotProcedures {
           spark.table(in.getString(1)), keys, token))
       }
     }),
+    // the AUTOPILOT: inspect manifest state, apply what the measured
+    // economics say the table needs — purge_eq / purge / bin-pack /
+    // re-cluster, in that order (Snapshots.maintain's decision matrix,
+    // thresholds cited from PLANS.md curves). One row per action taken;
+    // an already-maintained table returns no rows.
+    "maintain" -> (wh => new Proc("maintain",
+      Seq(param("table", StringType), param("target_mb", IntegerType, "128"),
+        param("min_input_files", IntegerType, "4")),
+      schema("action" -> StringType, "detail" -> StringType,
+        "version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] =
+        Snapshots.maintain(spark, path(wh, in.getString(0)),
+          in.getInt(1).toLong << 20, in.getInt(2)).map { case (a, d, v) =>
+          InternalRow.fromSeq(Seq(UTF8String.fromString(a),
+            UTF8String.fromString(d), v))
+        }.toArray
+    }),
     "restore" -> (wh => new Proc("restore",
       Seq(param("table", StringType), param("version", LongType)),
       schema("version" -> LongType)) {
