@@ -342,6 +342,73 @@ object Relational {
       .groupBy("k").agg(count(lit(1)).as("n"))
   }
 
+  /** VARIANT ingestion for truly-dynamic JSON (round-10 verdict #6 —
+    * SURVEY §1.2's semi-structured mapping, upgraded from fixed-path
+    * `get_json_object` to Spark 4's open-schema VariantType): payloads
+    * whose SHAPE varies row to row (three nested layouts + a malformed
+    * tail) parse ONCE into a variant column — no schema declaration, no
+    * per-path re-parse — and typed paths extract lazily from the binary
+    * encoding. The quarantine contract is row-granular: `try_parse_json`
+    * turns malformed payloads into NULL variants (never a task failure,
+    * the m11 decode-quarantine rule applied to JSON), and they surface
+    * as their own `__quarantined` group so ingest loss is always
+    * visible, never silent. Scale posture: parse-once + binary
+    * extraction is the 100 TB answer to heterogeneous event streams —
+    * one pass over the strings, paths decoded per reference without
+    * re-tokenizing, all codegen-native expressions. Oracle mirrors the
+    * same payload construction and extraction with DuckDB's JSON
+    * functions under a `json_valid` guard.
+    */
+  val q117Variant: QuerySpec = QuerySpec.sql(
+    "q117_variant_ingest",
+    """WITH payloads AS (
+      |  SELECT CASE
+      |    WHEN event_type = 'click' THEN
+      |      '{"kind":"click","meta":{"uid":' || user_id || ',"tags":["a","b"]},"vals":[' || (event_id % 5) || ',' || (event_id % 7) || ']}'
+      |    WHEN event_type = 'view' THEN
+      |      '{"kind":"view","n":' || (event_id % 100) || '}'
+      |    WHEN event_type = 'error' THEN
+      |      '{"kind":"error","detail":{"code":' || (user_id % 13) || '}}'
+      |    ELSE '{"kind":"' || event_type || '", broken'
+      |  END AS payload FROM events
+      |), parsed AS (
+      |  SELECT CASE WHEN json_valid(payload) THEN payload END AS j
+      |  FROM payloads
+      |)
+      |SELECT CASE WHEN j IS NOT NULL
+      |            THEN json_extract_string(j, '$.kind')
+      |            ELSE '__quarantined' END AS kind,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(json_extract(j, '$.meta.uid') AS BIGINT)) AS BIGINT) AS sum_uid,
+      |       CAST(SUM(CAST(json_extract(j, '$.n') AS BIGINT)) AS BIGINT) AS sum_n,
+      |       CAST(SUM(CAST(json_extract(j, '$.detail.code') AS BIGINT)) AS BIGINT) AS sum_code,
+      |       CAST(SUM(CAST(json_extract(j, '$.vals[1]') AS BIGINT)) AS BIGINT) AS sum_val1
+      |FROM parsed GROUP BY 1""".stripMargin) { (s, dir) =>
+    val payload = expr(
+      """CASE
+        |  WHEN event_type = 'click' THEN
+        |    concat('{"kind":"click","meta":{"uid":', user_id, ',"tags":["a","b"]},"vals":[', event_id % 5, ',', event_id % 7, ']}')
+        |  WHEN event_type = 'view' THEN
+        |    concat('{"kind":"view","n":', event_id % 100, '}')
+        |  WHEN event_type = 'error' THEN
+        |    concat('{"kind":"error","detail":{"code":', user_id % 13, '}}')
+        |  ELSE concat('{"kind":"', event_type, '", broken')
+        |END""".stripMargin)
+    Tables.events(s, dir)
+      .select(payload.as("payload"))
+      .select(expr("try_parse_json(payload)").as("v"))
+      .select(
+        expr("coalesce(variant_get(v, '$.kind', 'string'), '__quarantined')").as("kind"),
+        expr("variant_get(v, '$.meta.uid', 'bigint')").as("uid"),
+        expr("variant_get(v, '$.n', 'bigint')").as("n0"),
+        expr("variant_get(v, '$.detail.code', 'bigint')").as("code"),
+        expr("variant_get(v, '$.vals[1]', 'bigint')").as("val1"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), sum("uid").as("sum_uid"),
+        sum("n0").as("sum_n"), sum("code").as("sum_code"),
+        sum("val1").as("sum_val1"))
+  }
+
   /** Regex extraction (F9: zgrep error_type + filename patterns). */
   val q20Regex: QuerySpec = QuerySpec.sql(
     "q20_regex_extract",
@@ -670,6 +737,7 @@ object Relational {
     q1Agg, q2Filter, q3JoinNation, q4Semi, q5Anti, q6TopK, q7Window,
     q8Distinct, q9Having, q10Union, q11Ilike, q12CaseWhen, q13DatePred,
     q14MultiSort, q15Md5, q16AggJoin, q17Rank, q18Rollup, q19Json, q20Regex,
+    q117Variant,
     q21DailyKpi, q22Investigation, q23Mode, q24Sample, q25Stratified,
     q26Sessionize, q27Cube, q28Except, q31Scd2, q32Pivot, q33Percentiles,
     q34Salted)

@@ -241,6 +241,9 @@ class ShuffleBudgetSpec extends SparkTestBase {
     // q113: one per-status agg over the compacted head (the chain's
     // sidecars all folded — clean scan, no anti-join)
     "q113_dml_chain" -> 1,
+    // q117: one group-by agg over the parse-once variant extraction
+    // (parse + typed path gets are all narrow codegen expressions)
+    "q117_variant_ingest" -> 1,
     // q116: one group-by agg over the parent head after two keep-alive
     // branch publishes (publishes are manifest-only — no read exchange)
     "q116_branch_publish" -> 1,
