@@ -187,7 +187,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       new util.HashMap[String, String](opts))
   }
 
-  private val MetadataKinds = Set("history", "files", "tags", "delete_files")
+  private val MetadataKinds =
+    Set("history", "files", "tags", "delete_files", "branches")
 
   /** Read-only metadata tables over a snapshot table's manifest state
     * (the Iceberg `db.t.history` surface):
@@ -230,6 +231,9 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           .add("rows", LongType).add("size_bytes", LongType)
         case "tags" => new StructType()
           .add("name", StringType).add("version", LongType)
+        case "branches" => new StructType()
+          .add("name", StringType).add("path", StringType)
+          .add("head_version", LongType)
         case "delete_files" => new StructType()
           .add("path", StringType).add("positions", LongType)
           .add("size_bytes", LongType).add("kind", StringType)
@@ -260,6 +264,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
                 Snapshots.tags(sp, parentPath).toSeq.sortBy(_._1).map {
                   case (n, v) =>
                     InternalRow.fromSeq(Seq(UTF8String.fromString(n), v))
+                }.toArray
+              case "branches" =>
+                // registered long-lived branches and their current heads
+                // (a stale ref whose table is gone reports head NULL)
+                Snapshots.branches(sp, parentPath).map { case (n, p) =>
+                  InternalRow.fromSeq(Seq(UTF8String.fromString(n),
+                    UTF8String.fromString(p),
+                    Snapshots.versions(sp, p).lastOption
+                      .map(Long.box).orNull))
                 }.toArray
               case "files" | "delete_files" =>
                 // time travel: `t.files VERSION AS OF <v|'tag'>` lists

@@ -71,6 +71,10 @@ class BranchSpec extends SparkTestBase {
     val viaSql = spark.sql("SELECT id FROM br_cat.main_t VERSION AS OF 'dev'")
       .as[Long].collect().sorted.toSeq
     assert(viaSql === ids(b))
+    // the branches METADATA TABLE lists the registered refs + heads
+    val meta = spark.sql("SELECT name, head_version FROM br_cat.main_t.branches")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(meta === Seq(("dev", Snapshots.versions(spark, b).last)))
     // a TAG with the same name would win; an unknown name stays loud
     val e = intercept[Exception](
       spark.sql("SELECT id FROM br_cat.main_t VERSION AS OF 'nosuch'").collect())
