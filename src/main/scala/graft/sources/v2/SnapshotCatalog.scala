@@ -766,6 +766,16 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
         Seq(catalogName) ++ oldIdent.namespace() :+ oldIdent.name())
     require(!fs.exists(dst), s"rename target $dst already exists")
+    // branch refs and fork tokens hold ABSOLUTE paths in both
+    // directions (parent ref -> branch dir, branch token -> parent);
+    // renaming under a live branch would strand both sides. Loud
+    // refusal with the remedy beats a dangling branch.
+    val liveBranches = Snapshots.branches(spark, src.toString)
+      .filter { case (_, bp) => Snapshots.versions(spark, bp).nonEmpty }
+    require(liveBranches.isEmpty,
+      s"graft-snapshot: cannot rename $src — it has registered " +
+        s"branch(es) ${liveBranches.map(_._1).mkString(", ")}; publish or " +
+        "drop them first (fast_forward / DROP on the branch table)")
     fs.mkdirs(dst.getParent)
     // Manifests (and the stats sidecars' path keys) hold ABSOLUTE file
     // paths, so a rename must rewrite them against the new root. The

@@ -83,7 +83,16 @@ class BranchSpec extends SparkTestBase {
     val e2 = intercept[Exception](spark.read.format("graft-snapshot")
       .option("path", t).option("branch", "nosuch").load())
     assert(e2.getMessage.contains("no registered branch"), e2.getMessage)
+    // renaming a parent under a live branch refuses (refs hold absolute
+    // paths in both directions — a rename would strand them)
+    val rn = intercept[Exception](
+      spark.sql("ALTER TABLE br_cat.main_t RENAME TO main_renamed"))
+    assert(rn.getMessage.contains("registered"), rn.getMessage)
     Snapshots.drop(spark, b)
+    // with the branch gone, the rename proceeds (and back)
+    spark.sql("ALTER TABLE br_cat.main_t RENAME TO main_renamed")
+    assert(spark.sql("SELECT count(*) FROM br_cat.main_renamed").head.getLong(0) >= 10L)
+    spark.sql("ALTER TABLE br_cat.main_renamed RENAME TO main_t")
   }
 
   test("parent vacuum and gc keep branch-referenced files alive; per-branch retention") {
