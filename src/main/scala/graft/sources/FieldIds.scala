@@ -44,7 +44,17 @@ private[graft] object FieldIds {
     def idOf(name: String): Option[Int] = fields.get(name)
   }
 
-  private def statePath(table: String) = new Path(s"$table/fieldids.json")
+  // state lives in VERSIONED files published by atomic create —
+  // fieldids-v{N}.json — so every mutation is a compare-and-swap on N:
+  // two concurrent schema-extending writers can never both win the same
+  // slot and allocate one id to two different names (the silent-alias
+  // class a last-writer-wins overwrite permits). The unversioned
+  // fieldids.json is the legacy layout, read as version 0 and
+  // superseded by the first CAS publish.
+  private def legacyPath(table: String) = new Path(s"$table/fieldids.json")
+  private def versionedPath(table: String, v: Long) =
+    new Path(s"$table/fieldids-v$v.json")
+  private val VersionedRe = "fieldids-v(\\d+)\\.json".r
 
   private def fs(spark: SparkSession, table: String) =
     new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -67,7 +77,7 @@ private[graft] object FieldIds {
         s.charAt(i + 1) match {
           case '"' => b += '"'; i += 2
           case '\\' => b += '\\'; i += 2
-          case 'u' if i + 5 < s.length + 1 =>
+          case 'u' if i + 5 < s.length =>
             b += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar; i += 6
           case o => b += o; i += 2
         }
@@ -76,14 +86,28 @@ private[graft] object FieldIds {
     b.toString
   }
 
-  def load(spark: SparkSession, table: String): Option[State] = {
+  def load(spark: SparkSession, table: String): Option[State] =
+    loadWithVersion(spark, table)._1
+
+  /** Current state plus the storage version it was read at (0 = legacy
+    * file or no state) — the CAS token [[mutate]] publishes against.
+    */
+  private def loadWithVersion(spark: SparkSession,
+      table: String): (Option[State], Long) = {
     val f = fs(spark, table)
-    val p = statePath(table)
-    if (!f.exists(p)) return None
+    val root = new Path(table)
+    val latest =
+      try f.listStatus(root).iterator.flatMap(st => st.getPath.getName match {
+        case VersionedRe(n) => Some(n.toLong)
+        case _ => None
+      }).foldLeft(0L)(math.max)
+      catch { case _: java.io.FileNotFoundException => 0L }
+    val p = if (latest > 0) versionedPath(table, latest) else legacyPath(table)
+    if (!f.exists(p)) return (None, 0L)
     val in = f.open(p)
     val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
-    Some(parse(txt))
+    (Some(parse(txt)), latest)
   }
 
   private[sources] def parse(txt: String): State = {
@@ -105,47 +129,106 @@ private[graft] object FieldIds {
       st.fields.toSeq.sortBy(_._2)
         .map { case (n, i) => s""""${esc(n)}":$i""" }.mkString(",") + "}}"
 
-  /** Persist (tmp write + rename-over — same last-writer-wins regime as
-    * the declared schema; field-id mutations are admin-rare).
+  /** Attempt to publish `st` as storage version `v` — an ATOMIC CREATE
+    * (tmp write + rename-to-nonexistent), so exactly one of two racers
+    * wins the slot. Returns false on a lost race.
     */
-  def save(spark: SparkSession, table: String, st: State): Unit = {
+  private def casPublish(spark: SparkSession, table: String, v: Long,
+      st: State): Boolean = {
     val f = fs(spark, table)
     val tmp = new Path(s"$table/.fieldids.${java.util.UUID.randomUUID}.tmp")
     val out = f.create(tmp, false)
     try out.write(render(st).getBytes("UTF-8")) finally out.close()
-    f.delete(statePath(table), false)
-    require(f.rename(tmp, statePath(table)),
-      s"failed to publish field-id state for $table")
+    // Snapshots.publishAtomic: fails iff dst exists — POSIX rename(2)
+    // silently REPLACES, so on file: paths the slot is claimed with a
+    // hard link (EEXIST is atomic), same as the manifest publish
+    if (!Snapshots.publishAtomic(f, tmp, versionedPath(table, v))) {
+      f.delete(tmp, false); false
+    } else true
+  }
+
+  /** Atomically transform the table's field-id state: load the latest,
+    * apply `f`, publish at the next storage version via atomic create;
+    * a lost race reloads and RE-APPLIES `f` to the winner's state — the
+    * read-modify-write is serializable, never last-writer-wins. `f`
+    * receives None when the table has no state yet. A no-op transform
+    * (f returns the loaded state) publishes nothing.
+    */
+  def mutate(spark: SparkSession, table: String,
+      f: Option[State] => State): State = {
+    var attempt = 0
+    while (attempt < 64) {
+      val (cur, ver) = loadWithVersion(spark, table)
+      val next = f(cur)
+      if (cur.contains(next)) return next
+      if (casPublish(spark, table, ver + 1, next)) return next
+      attempt += 1
+      // jittered backoff: under N-writer contention exactly one CAS
+      // wins per round, so a loser needs up to N rounds — spacing the
+      // retries out keeps the losers from thundering on every slot
+      Thread.sleep(
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(1L, 10L * attempt))
+    }
+    throw new IllegalStateException(
+      s"graft-snapshot $table: lost 64 straight field-id publish races")
+  }
+
+  /** Drop the table's field-id state entirely — the ROLLBACK hook for
+    * an adoption point whose full rewrite failed after init (leaving
+    * the state in place would claim an all-files-stamped invariant the
+    * surviving old files violate).
+    */
+  private[graft] def deleteState(spark: SparkSession, table: String): Unit = {
+    val f = fs(spark, table)
+    f.delete(legacyPath(table), false)
+    try f.listStatus(new Path(table)).foreach { st =>
+      st.getPath.getName match {
+        case VersionedRe(_) => f.delete(st.getPath, false): Unit
+        case _ => ()
+      }
+    } catch { case _: java.io.FileNotFoundException => () }
   }
 
   /** Assign ids 1..n for `schema` and persist — the table-birth hook
     * (and the full-rewrite adoption hook: an overwrite commit or a
     * full compaction replaces every file with freshly-stamped ones, so
-    * initializing there re-establishes the invariant). Idempotent via
-    * the caller's existence check.
+    * initializing there re-establishes the invariant). Idempotent AND
+    * race-safe: an existing state wins outright.
     */
-  def init(spark: SparkSession, table: String, schema: StructType): State = {
-    val st = State(schema.fields.length + 1,
-      schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap)
-    save(spark, table, st)
-    st
-  }
+  def init(spark: SparkSession, table: String, schema: StructType): State =
+    mutate(spark, table, cur => cur.getOrElse(
+      State(schema.fields.length + 1,
+        schema.fields.zipWithIndex.map { case (f, i) => f.name -> (i + 1) }.toMap)))
 
-  /** Extend `st` with fresh ids for names in `schema` it does not map
-    * (persisting if anything changed), and return the schema with the
-    * id metadata attached. The single write-side chokepoint: appends
-    * see no new names (strict schema), overwrites/ALTER ADD extend.
+  /** Extend the state with fresh ids for names in `schema` it does not
+    * map (a CAS [[mutate]] when anything changed — two concurrent
+    * schema-extending writers can never allocate one id to two names),
+    * and return the schema with the id metadata attached. The single
+    * write-side chokepoint: appends see no new names (strict schema),
+    * overwrites/ALTER ADD extend.
     */
   def extendAndAttach(spark: SparkSession, table: String, st: State,
       schema: StructType): (State, StructType) = {
-    var cur = st
-    schema.fields.foreach { f =>
-      if (!cur.fields.contains(f.name))
-        cur = State(cur.next + 1, cur.fields + (f.name -> cur.next))
+    def extend(base: State): State = {
+      var cur = base
+      schema.fields.foreach { f =>
+        if (!cur.fields.contains(f.name))
+          cur = State(cur.next + 1, cur.fields + (f.name -> cur.next))
+      }
+      cur
     }
-    if (cur ne st) save(spark, table, cur)
+    val cur =
+      if (schema.fields.forall(f => st.fields.contains(f.name))) st
+      else mutate(spark, table, opt => extend(opt.getOrElse(st)))
     (cur, attach(cur, schema))
   }
+
+  /** Copy the latest state of `from` to `to` (the fork hook: branch
+    * writes stamp the parent's ids). No-op when `from` has none.
+    */
+  private[graft] def copyTo(spark: SparkSession, from: String,
+      to: String): Unit =
+    load(spark, from).foreach(st => mutate(spark, to, _ => st): Unit)
 
   /** `schema` with each mapped field's id in its metadata (unmapped
     * fields — internal columns like the bucket tag — pass through).
@@ -201,10 +284,18 @@ private[graft] object FieldIds {
     */
   def stamp(spark: SparkSession, table: String, st: State,
       df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.functions.col
     val (cur, _) = extendAndAttach(spark, table, st, df.schema)
+    stampWith(cur, df)
+  }
+
+  /** Stamp from a state held IN MEMORY, persisting nothing — the
+    * table-birth / legacy-adoption path, where the state file must not
+    * exist until the freshly-stamped file set is durably published.
+    */
+  private[graft] def stampWith(st: State, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
     df.select(df.schema.fields.map { f =>
-      cur.idOf(f.name) match {
+      st.idOf(f.name) match {
         case Some(id) => col(f.name).as(f.name, withId(f.metadata, id))
         case None => col(f.name)
       }
@@ -238,22 +329,22 @@ private[graft] object FieldIds {
     * an id-matched read would alias two columns.
     */
   def syncFromCarried(spark: SparkSession, table: String, st: State,
-      carried: StructType): State = {
-    var cur = st
-    carried.fields.foreach { f =>
-      if (f.metadata.contains(MetaKey)) {
-        val id = f.metadata.getLong(MetaKey).toInt
-        cur.fields.find { case (n, i) => i == id && n != f.name }.foreach {
-          case (other, _) => throw new IllegalStateException(
-            s"graft-snapshot $table: field id $id is '$other' on the " +
-              s"parent but '${f.name}' on the branch — concurrent ALTERs " +
-              "diverged; re-create the branch from the current parent")
+      carried: StructType): State =
+    mutate(spark, table, opt => {
+      var cur = opt.getOrElse(st)
+      carried.fields.foreach { f =>
+        if (f.metadata.contains(MetaKey)) {
+          val id = f.metadata.getLong(MetaKey).toInt
+          cur.fields.find { case (n, i) => i == id && n != f.name }.foreach {
+            case (other, _) => throw new IllegalStateException(
+              s"graft-snapshot $table: field id $id is '$other' on the " +
+                s"parent but '${f.name}' on the branch — concurrent ALTERs " +
+                "diverged; re-create the branch from the current parent")
+          }
+          if (!cur.fields.contains(f.name))
+            cur = State(math.max(cur.next, id + 1), cur.fields + (f.name -> id))
         }
-        if (!cur.fields.contains(f.name))
-          cur = State(math.max(cur.next, id + 1), cur.fields + (f.name -> id))
       }
-    }
-    if (cur ne st) save(spark, table, cur)
-    cur
-  }
+      cur
+    })
 }

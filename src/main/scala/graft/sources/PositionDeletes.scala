@@ -62,9 +62,71 @@ private[graft] object PositionDeletes {
     isDv
   }
 
-  private[graft] def invalidateKindMemo(tableNorm: String): Unit =
+  private[graft] def invalidateKindMemo(tableNorm: String): Unit = {
     kindMemo.keySet.removeIf(p =>
       new Path(p).toUri.getPath.startsWith(tableNorm + "/"))
+    cardMemo.keySet.removeIf(p =>
+      new Path(p).toUri.getPath.startsWith(tableNorm + "/"))
+  }
+
+  /** Exact decoded cardinality of a v2 DV sidecar: Σ of its `card`
+    * column — one row per touched data file, written by the encoder
+    * (the sidecar knows precisely how many positions it holds, so the
+    * routing estimate never trusts the COMPRESSED byte size, which a
+    * RUN container understates by 100-1000×). Metadata-class read,
+    * memoized forever: sidecar files are immutable.
+    */
+  private val cardMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def dvCardinality(spark: SparkSession, path: String): Long = {
+    val hit = cardMemo.get(path)
+    if (hit != null) return hit.longValue()
+    import org.apache.spark.sql.functions.sum
+    val card = spark.read
+      .schema(new StructType().add(DeleteVectors.CardCol, LongType, nullable = false))
+      .parquet(path)
+      .agg(sum(col(DeleteVectors.CardCol))).head.getLong(0)
+    if (cardMemo.size > 4096) cardMemo.clear()
+    cardMemo.put(path, java.lang.Long.valueOf(card))
+    card
+  }
+
+  /** ~bytes one decoded (file, pos) row costs on the broadcast/driver
+    * route: an 8 B ordinal plus per-row object/path-reference overhead.
+    */
+  private val DecodedRowBytes = 16L
+
+  /** Estimated DECODED bytes of the delete side across `deleteFiles`,
+    * saturating at Long.MaxValue; an unstat-able or unreadable sidecar
+    * returns Long.MaxValue outright (the conservative route — many
+    * failures can never overflow the sum back below a threshold).
+    * v1 sidecars estimate by file length (their on-disk rows ARE the
+    * decoded rows, within compression noise); v2 deletion vectors use
+    * the sidecar's exact per-file `card` column × ~16 B — the
+    * compressed byte length is NOT a proxy there (a broad range delete
+    * records millions of contiguous positions in a few-KB RUN
+    * container, exactly the shape that must take the task route).
+    */
+  private[graft] def decodedBytesEstimate(spark: SparkSession, table: String,
+      deleteFiles: Seq[String]): Long = {
+    val f = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var bytes = 0L
+    deleteFiles.foreach { p =>
+      val len =
+        try {
+          if (isDvSidecar(spark, p))
+            math.multiplyExact(math.max(dvCardinality(spark, p), 0L), DecodedRowBytes)
+          else math.max(f.getFileStatus(new Path(p)).getLen, 0L)
+        } catch {
+          case _: ArithmeticException => return Long.MaxValue
+          case scala.util.control.NonFatal(_) => return Long.MaxValue
+        }
+      bytes = try math.addExact(bytes, len)
+        catch { case _: ArithmeticException => return Long.MaxValue }
+    }
+    bytes
+  }
 
   /** The delete-side frame over `deleteFiles` — (\_\_dd_file, \_\_dd_pos)
     * pairs whichever sidecar layout(s) recorded them: v1 rows pass
@@ -102,43 +164,19 @@ private[graft] object PositionDeletes {
     if (exceedsBroadcast(spark, table, deleteFiles)) df else broadcast(df)
   }
 
-  /** True when the sidecars' total bytes exceed the broadcast/driver
-    * threshold (`graft.snapshot.deleteBroadcastBytes`, 64 MB default) —
-    * the shared routing decision of the read path's anti-join
-    * (broadcast vs shuffle) and the delta-DML scan's delete application
-    * (driver-built ordinal arrays vs task-side sidecar reads). An
-    * unstat-able sidecar forces the conservative route outright — a
-    * short-circuit, not a sentinel byte count, so many stat failures
-    * can never overflow the sum back below the threshold.
+  /** True when the sidecars' estimated DECODED bytes exceed the
+    * broadcast/driver threshold (`graft.snapshot.deleteBroadcastBytes`,
+    * 64 MB default) — the shared routing decision of the read path's
+    * anti-join (broadcast vs shuffle) and the delta-DML scan's delete
+    * application (driver-built ordinal arrays vs task-side sidecar
+    * reads). An unstat-able sidecar forces the conservative route
+    * outright (the estimate saturates to Long.MaxValue).
     */
   private[graft] def exceedsBroadcast(spark: SparkSession, table: String,
       deleteFiles: Seq[String]): Boolean = {
-    val f = new Path(table).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val threshold = spark.conf
       .get("graft.snapshot.deleteBroadcastBytes", (64L << 20).toString).toLong
-    // a DELETION-VECTOR sidecar's bytes understate the decoded
-    // (file, pos) rows the broadcast/driver route materializes — scale
-    // them by a conservative expansion factor (scattered positions
-    // decode ~2 B -> 8 B ordinal + row overhead; runs expand far more,
-    // which is exactly when the task route should win)
-    val dvFactor = spark.conf
-      .get("graft.snapshot.dvExpansionFactor", "16").toLong
-    var bytes = 0L
-    deleteFiles.foreach { p =>
-      val raw =
-        try f.getFileStatus(new Path(p)).getLen
-        catch { case scala.util.control.NonFatal(_) => return true }
-      val len =
-        try
-          if (isDvSidecar(spark, p)) math.multiplyExact(math.max(raw, 0L), dvFactor)
-          else math.max(raw, 0L)
-        catch { case _: ArithmeticException => return true
-                case scala.util.control.NonFatal(_) => return true }
-      bytes = try math.addExact(bytes, len)
-        catch { case _: ArithmeticException => return true }
-      if (bytes > threshold) return true
-    }
-    bytes > threshold
+    decodedBytesEstimate(spark, table, deleteFiles) > threshold
   }
 
   /** Distinct data-file paths the sidecars reference — the set of files

@@ -46,7 +46,7 @@ object Snapshots {
     * the version is claimed with a hard link instead — link(2) fails
     * with EEXIST atomically — and the tmp name is dropped after.
     */
-  private def publishAtomic(f: FileSystem, tmp: Path, dst: Path): Boolean =
+  private[sources] def publishAtomic(f: FileSystem, tmp: Path, dst: Path): Boolean =
     if (f.getScheme == "file") {
       try {
         java.nio.file.Files.createLink(
@@ -218,7 +218,7 @@ object Snapshots {
     val spark = df0.sparkSession
     token.foreach(t => committedVersionFor(spark, table, t)
       .foreach(v => return v))
-    val df = stampFieldIds(df0, table, overwrite)
+    val (df, postPublish) = stampFieldIds(df0, table, overwrite)
     val f = fs(spark, table)
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
     applySortSpec(df, table).write
@@ -230,8 +230,10 @@ object Snapshots {
       .filter(_.getPath.getName.startsWith("part-"))
       .map(_.getPath.toString).sorted
     FileStats.record(spark, table, newFiles) // footer-derived skipping stats
-    publishNewFiles(spark, table, newFiles, overwrite, token,
+    val v = publishNewFiles(spark, table, newFiles, overwrite, token,
       if (strictAppendSchema) Some(df.schema) else None, dataDir)
+    postPublish()
+    v
   }
 
   /** Stamp the table's field-id assignment ([[FieldIds]]) onto an
@@ -242,31 +244,45 @@ object Snapshots {
     * overwrite commit or a whole-table [[compact]] — because those
     * replace every live file with freshly-stamped ones. Append-only
     * legacy tables stay unstamped (and renames refuse on them).
+    *
+    * Returns the stamped frame plus a POST-PUBLISH hook for the state
+    * changes that are UNSAFE to persist before the new file set is
+    * durable: a full rewrite's prune of retired names (persisting it
+    * first would retire ids of still-live columns if the overwrite then
+    * failed — a later re-add + rename could then silently mis-read old
+    * stamped files), and a birth/adoption init (a state file claiming
+    * the all-files-stamped invariant must not outlive a failed
+    * overwrite whose old unstamped files survive). Fresh-id EXTENSIONS
+    * persist eagerly — a burned id on a failed write is harmless, the
+    * cursor never reuses it.
     */
   private def stampFieldIds(df: DataFrame, table: String,
-      fullRewrite: Boolean): DataFrame = {
+      fullRewrite: Boolean): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
+    val noop = () => ()
     FieldIds.load(spark, table) match {
       case Some(st) =>
-        // a full rewrite REPLACES the column set: entries for names the
-        // new shape no longer carries are pruned (cursor untouched), so
-        // a later re-add of such a name gets a fresh id and can never
-        // alias the retired column's bytes in time-travelable files
-        val base =
-          if (!fullRewrite) st
-          else {
-            val names = df.schema.fieldNames.toSet
-            val pruned = FieldIds.State(st.next, st.fields.filter {
-              case (n, _) => names(n) })
-            if (pruned.fields != st.fields)
-              FieldIds.save(spark, table, pruned)
-            pruned
-          }
-        FieldIds.stamp(spark, table, base, df)
+        val stamped = FieldIds.stamp(spark, table, st, df)
+        if (!fullRewrite) (stamped, noop)
+        else {
+          // a full rewrite REPLACES the column set: retire exactly the
+          // names THIS rewrite dropped (cursor untouched, so a later
+          // re-add gets a fresh id and can never alias the retired
+          // column's bytes in time-travelable files); names a
+          // concurrent ALTER adds meanwhile are left alone
+          val retire = st.fields.keySet -- df.schema.fieldNames
+          if (retire.isEmpty) (stamped, noop)
+          else (stamped, () => FieldIds.mutate(spark, table, opt =>
+            opt.map(c => FieldIds.State(c.next, c.fields -- retire))
+              .getOrElse(FieldIds.State(st.next, st.fields -- retire))): Unit)
+        }
       case None if fullRewrite || versions(spark, table).isEmpty =>
-        FieldIds.stamp(spark, table,
-          FieldIds.init(spark, table, df.schema), df)
-      case None => df
+        val fresh = FieldIds.State(df.schema.fields.length + 1,
+          df.schema.fields.zipWithIndex.map { case (f, i) =>
+            f.name -> (i + 1) }.toMap)
+        (FieldIds.stampWith(fresh, df),
+          () => FieldIds.mutate(spark, table, cur => cur.getOrElse(fresh)): Unit)
+      case None => (df, noop)
     }
   }
 
@@ -647,7 +663,7 @@ object Snapshots {
     val spark = df0.sparkSession
     token.foreach(t => committedVersionFor(spark, table, t)
       .foreach(v => return v))
-    val df = stampFieldIds(df0, table, overwrite)
+    val (df, postPublish) = stampFieldIds(df0, table, overwrite)
     require(df.schema.fields.exists(fl => fl.name == column &&
         fl.dataType == org.apache.spark.sql.types.LongType),
       s"bucket column $column must be an existing BIGINT column of $df")
@@ -678,8 +694,10 @@ object Snapshots {
           .map(_.getPath.toString).sorted
       }
       FileStats.record(spark, table, newFiles)
-      publishNewFiles(spark, table, newFiles, overwrite, token,
+      val v = publishNewFiles(spark, table, newFiles, overwrite, token,
         Some(df.schema), dataDir)
+      postPublish()
+      v
     } catch {
       case e: Throwable =>
         // a commit that never published must not leave the table's
@@ -714,7 +732,10 @@ object Snapshots {
   private[sources] def stageDataBucketed(df0: DataFrame, table: String,
       column: String, n: Int): (Seq[String], Path) = {
     require(n > 0, s"numBuckets must be positive, got $n")
-    val df = stampFieldIds(df0, table, fullRewrite = false)
+    // eager hook for the same reason as writeData: only birth init can
+    // fire here, harmless on a fresh CTAS dir
+    val (df, postStage) = stampFieldIds(df0, table, fullRewrite = false)
+    postStage()
     require(df.schema.fields.exists(fl => fl.name == column &&
         fl.dataType == org.apache.spark.sql.types.LongType),
       s"bucket column $column must be an existing BIGINT column")
@@ -859,22 +880,33 @@ object Snapshots {
       // field-id ADOPTION point for tables that predate the assignment
       // (writeData stamps once state exists) — after it, metadata-only
       // RENAME/DROP COLUMN become available
-      if (FieldIds.load(spark, table).isEmpty)
+      val adopting = FieldIds.load(spark, table).isEmpty
+      if (adopting)
         FieldIds.init(spark, table, read(spark, table, Some(src)).schema): Unit
-      // read() resolves outstanding MOR deletes, so the rewrite
-      // materializes the live rows; the folded-in sidecars drop from
-      // the published manifest (compaction doubles as a delete purge)
-      val (newFiles, dataDir) = writeData(
-        read(spark, table, Some(src)).repartition(numFiles), table)
-      // EVERY src file rewrites through the fully-resolved read(), so
-      // position AND equality sidecars fold in and their lines drop —
-      // compaction doubles as both purges
-      publishRebase(spark, table, src, srcFiles, srcFiles.map(norm).toSet,
-        newFiles, "compact", Seq(dataDir), token = Some(s"compact-of-v$src"),
-        removedDeletesNorm =
-          manifestDeletes(spark, table, src).map(norm).toSet,
-        removedEqNorm =
-          manifestEqDeletes(spark, table, src).map(e => norm(e._2)).toSet)
+      try {
+        // read() resolves outstanding MOR deletes, so the rewrite
+        // materializes the live rows; the folded-in sidecars drop from
+        // the published manifest (compaction doubles as a delete purge)
+        val (newFiles, dataDir) = writeData(
+          read(spark, table, Some(src)).repartition(numFiles), table)
+        // EVERY src file rewrites through the fully-resolved read(), so
+        // position AND equality sidecars fold in and their lines drop —
+        // compaction doubles as both purges
+        publishRebase(spark, table, src, srcFiles, srcFiles.map(norm).toSet,
+          newFiles, "compact", Seq(dataDir), token = Some(s"compact-of-v$src"),
+          removedDeletesNorm =
+            manifestDeletes(spark, table, src).map(norm).toSet,
+          removedEqNorm =
+            manifestEqDeletes(spark, table, src).map(e => norm(e._2)).toSet)
+      } catch {
+        // the ADOPTION init must not outlive a failed rewrite: the old
+        // unstamped files stayed live, so a surviving state file would
+        // claim an all-files-stamped invariant they violate (and a
+        // later RENAME would be honored unsoundly)
+        case scala.util.control.NonFatal(e) =>
+          if (adopting) FieldIds.deleteState(spark, table)
+          throw e
+      }
     }
   }
 
@@ -1844,7 +1876,14 @@ object Snapshots {
   private def writeData(df0: DataFrame, table: String,
       recordStats: Boolean = true,
       applyDeclaredSort: Boolean = true): (Seq[String], Path) = {
-    val df = stampFieldIds(df0, table, fullRewrite = false)
+    // the post-publish hook runs EAGERLY here: the only state change
+    // this path can produce is the CTAS/stageData birth init (every
+    // other caller requires committed versions, where the hook is a
+    // no-op), and a birth init on a fresh table dir is harmless even if
+    // the staged publish later aborts — no old files exist for the
+    // all-files-stamped invariant to misjudge
+    val (df, postPublish) = stampFieldIds(df0, table, fullRewrite = false)
+    postPublish()
     val dataDir = new Path(s"$table/data/${java.util.UUID.randomUUID}")
     // applyDeclaredSort=false is for callers that ALREADY arranged an
     // explicit layout the declared order must not clobber (the z-order
@@ -2706,6 +2745,11 @@ object Snapshots {
     }.map(normPath).toSet
 
   def fork(spark: SparkSession, parent: String, branch: String): Long = {
+    // the branch registers under its basename, so validate it BEFORE
+    // any filesystem work — failing after the branch dir is created
+    // and published would leave an unregistered (vacuum-unprotected)
+    // fork on disk
+    requireRefName(new Path(branch).getName)
     val pvs = versions(spark, parent)
     require(pvs.nonEmpty, s"no committed snapshot in $parent")
     require(versions(spark, branch).isEmpty,
@@ -2735,10 +2779,7 @@ object Snapshots {
     // the SAME ids as the parent's files, so a fast-forward publishes
     // id-consistent footers (branch-side ALTERs extend the branch copy;
     // fastForward adopts them back via FieldIds.syncFromCarried)
-    val fids = new Path(s"$parent/fieldids.json")
-    if (pf.exists(fids))
-      org.apache.hadoop.fs.FileUtil.copy(pf, fids, f,
-        new Path(s"$branch/fieldids.json"), false, conf): Unit
+    FieldIds.copyTo(spark, parent, branch)
     DmlKinds.foreach { kind =>
       val dm = new Path(s"$parent/${kind}mode")
       if (pf.exists(dm))
@@ -3053,20 +3094,19 @@ object Snapshots {
       val v = purgeEqDeletes(spark, table)
       actions += (("purge_eq_deletes", s"${eqs.size} sidecar(s) folded", v))
     }
-    // 2. position sidecars vs the decoded-envelope threshold
+    // 2. position sidecars vs the decoded-envelope threshold — the SAME
+    // estimate the read path routes on (PositionDeletes.
+    // decodedBytesEstimate: v1 by file length, v2 by the sidecar's
+    // exact per-file `card` column, saturating to Long.MaxValue on any
+    // stat/read failure so a failure FORCES the purge rather than
+    // silently skipping it)
     val dels = deleteFiles(spark, table)
     if (dels.nonEmpty) {
-      val f = fs(spark, table)
-      val dvFactor = spark.conf
-        .get("graft.snapshot.dvExpansionFactor", "16").toLong
-      val decoded = dels.map { p =>
-        val len = try f.getFileStatus(new Path(p)).getLen
-        catch { case scala.util.control.NonFatal(_) => Long.MaxValue / 1024 }
-        if (PositionDeletes.isDvSidecar(spark, p)) len * dvFactor else len
-      }.sum
+      val decoded = PositionDeletes.decodedBytesEstimate(spark, table, dels)
       val threshold = spark.conf
         .get("graft.snapshot.deleteBroadcastBytes", (64L << 20).toString).toLong
-      if (decoded * 2 > threshold) {
+      // decoded > threshold/2, written overflow-free (decoded saturates)
+      if (decoded > threshold / 2) {
         val v = purgeDeletes(spark, table)
         actions += (("purge_deletes",
           s"${dels.size} sidecar(s), ~$decoded decoded bytes folded", v))

@@ -680,12 +680,18 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     // rewrite (INSERT OVERWRITE, whole-table compact).
     var renamedDropped = evolved
     if (renames.nonEmpty || drops.nonEmpty) {
-      var st = graft.sources.FieldIds.load(spark, path).getOrElse(
+      graft.sources.FieldIds.load(spark, path).getOrElse(
         throw new UnsupportedOperationException(
           s"graft-snapshot $path: RENAME/DROP COLUMN need the table's " +
             "per-field id assignment, which this table predates — adopt " +
             "ids with a full rewrite first (INSERT OVERWRITE, or CALL " +
             "compact), then retry"))
+      // id-state mutations are COLLECTED and applied in one CAS
+      // (FieldIds.mutate re-applies them to the winner's state on a
+      // lost publish race — a concurrent schema-extending append can
+      // never be silently overwritten by this ALTER)
+      val idOps = scala.collection.mutable.ArrayBuffer
+        .empty[graft.sources.FieldIds.State => graft.sources.FieldIds.State]
       require(Snapshots.eqDeleteFiles(spark, path).isEmpty,
         s"graft-snapshot $path: RENAME/DROP COLUMN refuse under " +
           "outstanding equality-delete sidecars (their keys match by " +
@@ -717,7 +723,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         require(!to.startsWith("__gr_") && !to.startsWith("__gd_") &&
             !to.startsWith("__ge_") && !to.startsWith("__dd_"),
           s"graft-snapshot: $to is a reserved internal column prefix")
-        st = graft.sources.FieldIds.rename(st, exact, to)
+        idOps += (st => graft.sources.FieldIds.rename(st, exact, to))
         renamedDropped = StructType(renamedDropped.fields.updated(idx,
           renamedDropped.fields(idx).copy(name = to)))
       }
@@ -732,12 +738,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           requireUnreferenced(exact, s"drop")
           require(renamedDropped.fields.length > 1,
             s"graft-snapshot: cannot drop the only column $exact")
-          st = graft.sources.FieldIds.drop(st, exact)
+          idOps += (st => graft.sources.FieldIds.drop(st, exact))
           renamedDropped = StructType(
             renamedDropped.fields.patch(idx, Nil, 1))
         }
       }
-      graft.sources.FieldIds.save(spark, path, st)
+      graft.sources.FieldIds.mutate(spark, path, opt =>
+        idOps.foldLeft(opt.getOrElse(throw new IllegalStateException(
+          s"graft-snapshot $path: field-id state vanished mid-ALTER")))(
+          (s, op) => op(s))): Unit
     }
     // declare with the id assignment attached whenever the table has
     // one (extends it for ALTER-ADDed names) — the declared schema is

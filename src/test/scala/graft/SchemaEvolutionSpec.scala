@@ -70,7 +70,7 @@ class SchemaEvolutionSpec extends SparkTestBase {
     // a LEGACY table (no field-id state — predates the assignment)
     // refuses renames/drops, naming the adoption remedy
     spark.sql("CREATE TABLE evo_cat.ns.rl AS SELECT * FROM VALUES (1L, 2L) AS v(id, v)")
-    new java.io.File(s"$wh/ns/rl/fieldids.json").delete()
+    graft.sources.FieldIds.deleteState(spark, s"$wh/ns/rl")
     val legacy = intercept[Exception](
       spark.sql("ALTER TABLE evo_cat.ns.rl RENAME COLUMN v TO w"))
     assert(legacy.getMessage.contains("per-field id"), legacy.getMessage)
@@ -184,9 +184,8 @@ class SchemaEvolutionSpec extends SparkTestBase {
     spark.sql(s"CREATE NAMESPACE IF NOT EXISTS evo_cat.ns") // no-op anchor
     // branch rename via direct state + declare (what a branch-side
     // catalog would do)
-    val st = graft.sources.FieldIds.load(spark, s"$wh/ns/ff_b").get
-    graft.sources.FieldIds.save(spark, s"$wh/ns/ff_b",
-      graft.sources.FieldIds.rename(st, "v", "v_b"))
+    graft.sources.FieldIds.mutate(spark, s"$wh/ns/ff_b", opt =>
+      graft.sources.FieldIds.rename(opt.get, "v", "v_b"))
     val sch = Snapshots.read(spark, s"$wh/ns/ff_b").schema
     val renamed = org.apache.spark.sql.types.StructType(sch.fields.map(f =>
       if (f.name == "v") f.copy(name = "v_b") else f))
@@ -299,5 +298,54 @@ class SchemaEvolutionSpec extends SparkTestBase {
     val rows = spark.sql("SELECT id, score FROM evo_cat.ns.d ORDER BY id")
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
     assert(rows.toSeq === Seq((1L, 99L), (2L, -1L), (3L, -1L), (4L, 40L)))
+  }
+
+  test("concurrent field-id extensions never allocate one id to two names (CAS)") {
+    import graft.sources.FieldIds
+    val dir = java.nio.file.Files.createTempDirectory("fid-cas").toString + "/t"
+    Snapshots.commit(Seq((1L, 2L)).toDF("id", "v"), dir)
+    val st0 = FieldIds.load(spark, dir).get
+    // 16 writers race to allocate ids for 16 DIFFERENT new columns —
+    // under the old last-writer-wins save, racers routinely persisted
+    // the same `next` for different names (one id naming two columns =
+    // a later id-matched read silently serving one column's bytes as
+    // the other)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (0 until 16).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Int] {
+          def call(): Int = {
+            val schema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField(
+                s"c$i", org.apache.spark.sql.types.LongType)))
+            FieldIds.extendAndAttach(spark, dir, st0, schema)
+              ._1.fields(s"c$i")
+          }
+        })
+      }
+      val got = tasks.map(_.get())
+      assert(got.distinct.size === 16, s"duplicate ids allocated: $got")
+      val fin = FieldIds.load(spark, dir).get
+      (0 until 16).foreach(i => assert(fin.fields(s"c$i") === got(i),
+        s"persisted state lost c$i's allocation"))
+      assert(fin.next > st0.next + 15)
+    } finally pool.shutdown()
+  }
+
+  test("legacy fieldids.json with a truncated trailing escape loads without throwing") {
+    import graft.sources.FieldIds
+    val dir = java.nio.file.Files.createTempDirectory("fid-esc").toString + "/t"
+    new java.io.File(dir).mkdirs()
+    // hand-crafted legacy file whose last name ends in '\u12' (cut off
+    // mid-escape) — tolerated like any other malformed escape, never a
+    // StringIndexOutOfBounds
+    // the name bytes are x, backslash, u, 1, 2 — assembled by concat
+    // because the Scala lexer would otherwise eat a literal \ u escape
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/fieldids.json"),
+      """{"next":3,"fields":{"id":1,"x""" + "\\" + """u12":2}}""")
+    val st = FieldIds.load(spark, dir).get
+    assert(st.next === 3)
+    assert(st.fields.values.toSet === Set(1, 2))
   }
 }

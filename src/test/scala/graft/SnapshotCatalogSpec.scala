@@ -58,7 +58,7 @@ class SnapshotCatalogSpec extends SparkTestBase {
     // without them (a legacy table) old footers cannot remap — still
     // loud, naming the adoption remedy
     val whPath = spark.conf.get("spark.sql.catalog.graft_cat.warehouse")
-    new java.io.File(s"$whPath/ns2/s/fieldids.json").delete()
+    graft.sources.FieldIds.deleteState(spark, s"$whPath/ns2/s")
     val a = intercept[Exception](
       spark.sql("ALTER TABLE graft_cat.ns2.s RENAME COLUMN id TO id2"))
     assert(a.getMessage.contains("per-field id"), a.getMessage)
