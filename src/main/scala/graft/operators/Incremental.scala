@@ -2052,6 +2052,59 @@ object Incremental {
           .as("amount"))
   }
 
+  /** The TRANSFORM-PARTITIONING fixture (one build per JVM per dir):
+    * hidden partitioning + spec evolution driven end to end —
+    *   epoch 1 `months(o_orderdate)` → v1 commit even-key orders
+    *   (files month-clustered) → epoch 2 evolve to `days(o_orderdate)`
+    *   (METADATA-ONLY — zero rewrites; v1's files keep their month
+    *   layout) → v2 append odd keys (day-clustered) → v3 COW DELETE
+    *   (the rewrite re-clusters its output under the CURRENT spec).
+    * A time-predicate read prunes BOTH epochs' files through the
+    * footer stats on the SOURCE column — Iceberg's evolution semantics
+    * (reference layout: fct_orders.sql:15 partitions by
+    * toYYYYMM(order_ts); revenue_analysis/main.ipynb:290-301 by date).
+    */
+  private def partSpecTable(s: SparkSession, dir: String): String = {
+    val root = snapRoot(s, dir, "partspec")
+    ensureBuilt(s, root, 3) {
+      val o = Tables.orders(s, dir)
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+      graft.sources.PartitionSpecs.evolve(s, root, "months", "o_orderdate",
+        None, Some(o.schema)): Unit
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), root)   // v1
+      graft.sources.PartitionSpecs.evolve(s, root, "days", "o_orderdate",
+        None, Some(o.schema)): Unit
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 =!= 0), root)   // v2
+      Snapshots.deleteWhere(s, root, col("o_totalprice") > 400000)    // v3
+    }
+    root
+  }
+
+  /** q118: a half-year window over the spec-evolved table — the filter
+    * hits month-epoch AND day-epoch files, the COW delete's surviving
+    * rows must match the oracle's filter algebra over raw orders, and
+    * the monthly rollup pins the transform value derivation.
+    */
+  val qPartitionEvolution: QuerySpec = QuerySpec.sql(
+    "q118_partition_evolution",
+    """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amount
+      |FROM orders
+      |WHERE NOT (o_totalprice > 400000)
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+      |GROUP BY 1""".stripMargin) { (s, dir) =>
+    Snapshots.read(s, partSpecTable(s, dir))
+      .filter(expr("o_orderdate >= TIMESTAMP_NTZ '1995-01-01 00:00:00'") &&
+        expr("o_orderdate < TIMESTAMP_NTZ '1995-07-01 00:00:00'"))
+      .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("ym"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)")
+          .as("amount"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
@@ -2061,5 +2114,5 @@ object Incremental {
       qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup, qWriteOrder,
       qBinPack, qMorDelete, qMorSql, qMorUpdate, qMorMerge, qEqUpsert,
       qEqCdf, qCdfByVersion, qSqlTableChanges, qDmlChain, qDmlChainTt,
-      qFieldIdEvolution, qBranchPublish)
+      qFieldIdEvolution, qBranchPublish, qPartitionEvolution)
 }

@@ -597,29 +597,45 @@ object Snapshots {
   def setDeleteMode(spark: SparkSession, table: String, mode: String): Unit =
     setDmlMode(spark, table, "delete", mode)
 
-  /** Apply the table's declared sort order to an outgoing frame:
-    * range-repartition on the sort columns (disjoint per-file key
+  /** Apply the table's declared layout to an outgoing frame: the
+    * PARTITION TRANSFORM's clustering value first (hidden partitioning
+    * — [[PartitionSpecs]]), then the declared sort order within it;
+    * range-repartition on the combined keys (disjoint per-file key
     * ranges — what makes the resulting footers PRUNABLE) + in-partition
     * sort (row-group locality within each file). A frame missing any
-    * sort column passes through untouched. Bucketed writes keep their
-    * bucket routing and get only the in-partition sort — the bucket IS
-    * the distribution there.
+    * sort column skips the sort keys; one missing the transform column
+    * skips the transform (conservative pass-through). Bucketed writes
+    * keep their bucket routing and get only the in-partition sort — the
+    * bucket IS the distribution there.
     */
   private def applySortSpec(df: DataFrame, table: String,
       bucketed: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val cols = sortSpec(df.sparkSession, table)
-    if (cols.isEmpty || !cols.forall(df.schema.fieldNames.contains)) df
-    else {
-      import org.apache.spark.sql.functions.col
-      val sortCols = cols.map(col)
-      // bucketed: prefix the sort with the bucket tag, so the dynamic-
-      // partition writer's required ordering (partition col first) is
-      // already satisfied — otherwise it re-sorts by the partition col
-      // alone and the secondary clustering is lost
-      if (bucketed) df.sortWithinPartitions(col(BucketDir) +: sortCols: _*)
-      else df.repartitionByRange(sortCols: _*)
-        .sortWithinPartitions(sortCols: _*)
-    }
+    val sortCols =
+      if (cols.isEmpty || !cols.forall(df.schema.fieldNames.contains)) Nil
+      else cols.map(col)
+    val partCol = PartitionSpecs.current(df.sparkSession, table)
+      .flatMap(PartitionSpecs.transformColumn(_, df))
+    val keys = partCol.toSeq ++ sortCols
+    if (keys.isEmpty) df
+    // bucketed: prefix the sort with the bucket tag, so the dynamic-
+    // partition writer's required ordering (partition col first) is
+    // already satisfied — otherwise it re-sorts by the partition col
+    // alone and the secondary clustering is lost
+    else if (bucketed) df.sortWithinPartitions(col(BucketDir) +: keys: _*)
+    // a PARTITION TRANSFORM pins the partition count explicitly: an
+    // explicit-N range exchange is user-specified, so AQE cannot
+    // coalesce it away and collapse the value-aligned file boundaries
+    // the layout promises (range boundaries land ON transform values,
+    // so non-empty partitions ≈ distinct values, not N — a small write
+    // still lands few files). Plain sort-order writes keep the adaptive
+    // count (coalescing small clustered writes is pure win there).
+    else if (partCol.isDefined)
+      df.repartitionByRange(
+          df.sparkSession.sessionState.conf.numShufflePartitions, keys: _*)
+        .sortWithinPartitions(keys: _*)
+    else df.repartitionByRange(keys: _*).sortWithinPartitions(keys: _*)
   }
 
   /** Bucket id a file path carries, if the file sits in a
@@ -2775,6 +2791,14 @@ object Snapshots {
     if (pf.exists(sch))
       org.apache.hadoop.fs.FileUtil.copy(pf, sch, f,
         schemaPath(branch), false, conf): Unit
+    val pspec = new Path(s"$parent/partitionspec")
+    if (pf.exists(pspec))
+      org.apache.hadoop.fs.FileUtil.copy(pf, pspec, f,
+        new Path(s"$branch/partitionspec"), false, conf): Unit
+    val sspec = new Path(s"$parent/sortspec")
+    if (pf.exists(sspec))
+      org.apache.hadoop.fs.FileUtil.copy(pf, sspec, f,
+        new Path(s"$branch/sortspec"), false, conf): Unit
     // the field-id assignment forks with the table: branch writes stamp
     // the SAME ids as the parent's files, so a fast-forward publishes
     // id-consistent footers (branch-side ALTERs extend the branch copy;
@@ -3127,8 +3151,13 @@ object Snapshots {
           actions += (("rewrite_small_files", s"$smalls small file(s)", v))
       }
     }
-    // 4. clustering drift vs the declared write order
-    sortSpec(spark, table).headOption.foreach { sortCol =>
+    // 4. clustering drift vs the declared write order (or, absent one,
+    // the partition transform's source column — transform clustering is
+    // what the spec promises future reads, so drift against it is the
+    // same measured signal)
+    sortSpec(spark, table).headOption
+      .orElse(PartitionSpecs.current(spark, table).map(_.column))
+      .foreach { sortCol =>
       val files = dataFiles(spark, table)
       if (files.length > 1) {
         val stats = FileStats.load(spark, table)

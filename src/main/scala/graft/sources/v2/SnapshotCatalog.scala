@@ -364,11 +364,37 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier, timestamp: Long): Table =
     load(ident, Map("asOfTimestamp" -> (timestamp / 1000L).toString))
 
-  /** The one supported layout transform: `PARTITIONED BY (bucket(n,
-    * col))` on a BIGINT column — the DDL route into bucketed snapshot
-    * tables (storage-partitioned joins). Everything else is the
-    * format's own business (range/z-order rewrites) and is refused.
+  /** Supported layout transforms for `PARTITIONED BY`:
+    *  - `bucket(n, col)` on a BIGINT column — hash-bucketed layout
+    *    (storage-partitioned joins);
+    *  - ONE hidden-partitioning transform — `years|months|days|hours
+    *    (ts)`, `truncate(n, col)`, or a bare column (identity) — a
+    *    clustering spec ([[graft.sources.PartitionSpecs]]): writes
+    *    range-cluster on the transform value and reads prune through
+    *    footer stats on the SOURCE column, the reference's
+    *    `toYYYYMM(order_ts)` mart layout without a partition column
+    *    in the schema.
+    * Combinations are refused (one layout owner per table).
     */
+  private def layoutOf(partitions: Array[Transform], schema: StructType)
+      : (Option[(String, Int)], Option[(String, String, Option[Int])]) =
+    partitions.toSeq match {
+      case Seq(t) if t.name != "bucket" &&
+          graft.sources.PartitionSpecs.AllTransforms.contains(t.name) =>
+        val refs = t.references()
+        require(refs.length == 1 && refs.head.fieldNames.length == 1,
+          s"partition transform must reference one top-level column, got $t")
+        val c = refs.head.fieldNames.head
+        val arg = t.arguments().collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.dataType == org.apache.spark.sql.types.IntegerType =>
+            l.value.asInstanceOf[Int]
+        }.headOption
+        graft.sources.PartitionSpecs.validate(t.name, c, arg, schema)
+        (None, Some((t.name, c, arg)))
+      case other => (bucketTransformOf(other.toArray, schema), None)
+    }
+
   private def bucketTransformOf(partitions: Array[Transform],
       schema: StructType): Option[(String, Int)] = partitions.toSeq match {
     case Seq() => None
@@ -393,9 +419,10 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         s"bucket(n, $c): numBuckets must be positive, got ${ns.head}")
       Some((c, ns.head))
     case other => throw new IllegalArgumentException(
-      "graft-snapshot tables support PARTITIONED BY (bucket(n, col)) " +
-        "only; other layouts are the format's own (range/z-order " +
-        s"rewrites). Got: ${other.mkString(", ")}")
+      "graft-snapshot tables support PARTITIONED BY with ONE layout " +
+        "transform: bucket(n, col), years/months/days/hours(ts), " +
+        "truncate(n, col), or a bare column (identity). " +
+        s"Got: ${other.mkString(", ")}")
   }
 
   /** Declared layout specs from TBLPROPERTIES — the DDL-time spelling
@@ -442,7 +469,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val bucketed = bucketTransformOf(partitions, schema)
+    val (bucketed, partSpec) = layoutOf(partitions, schema)
     val path = tablePath(ident)
     if (isTable(path))
       throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
@@ -497,6 +524,13 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         case other => throw other
       }
     }
+    // the hidden-partitioning spec installs after the exclusive publish
+    // (epoch 1): the CREATE's own anchor file is empty, so clustering
+    // starts with the first INSERT, like the declared write order
+    partSpec.foreach { case (t, c, a) =>
+      graft.sources.PartitionSpecs.evolve(spark, path, t, c, a,
+        Some(schema)): Unit
+    }
     installDeclaredSpecs(path, schema, properties)
     loadTable(ident)
   }
@@ -520,7 +554,7 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     // commit, after the publish: the CTAS's OWN files land as the
     // SELECT produced them; every write after the create clusters.
     new StagedSnapshotTable(tablePath(ident), schema,
-      bucketTransformOf(partitions, schema), replace, orCreate, properties)
+      layoutOf(partitions, schema), replace, orCreate, properties)
 
   override def stageCreate(ident: Identifier,
       info: org.apache.spark.sql.connector.catalog.TableInfo)
@@ -906,12 +940,15 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     * directory; nothing was ever visible.
     */
   private class StagedSnapshotTable(path: String, tableSchema: StructType,
-      bucketed: Option[(String, Int)], replace: Boolean, orCreate: Boolean,
+      layout: (Option[(String, Int)], Option[(String, String, Option[Int])]),
+      replace: Boolean, orCreate: Boolean,
       tblProps: util.Map[String, String])
       extends org.apache.spark.sql.connector.catalog.StagedTable
       with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
     import org.apache.spark.sql.connector.catalog.TableCapability
+
+    private val (bucketed, partSpec) = layout
 
     @volatile private var stagedFiles: Seq[String] = Seq.empty
     @volatile private var reclaim: Seq[Path] = Seq.empty
@@ -981,6 +1018,20 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           Snapshots.ensureBucketSpec(sp, path, c, n): Unit
         case None =>
           if (replace) Snapshots.dropBucketSpec(sp, path)
+      }
+      // hidden-partitioning spec follows the staged definition the same
+      // way: install the declared transform (skipping a no-op re-
+      // declare), or append a retirement epoch on a REPLACE without one
+      partSpec match {
+        case Some((t, c, a)) =>
+          val cur = graft.sources.PartitionSpecs.current(sp, path)
+          if (!cur.exists(s => s.transform == t && s.column == c && s.arg == a))
+            graft.sources.PartitionSpecs.evolve(sp, path, t, c, a,
+              Some(tableSchema)): Unit
+        case None =>
+          if (replace &&
+              graft.sources.PartitionSpecs.current(sp, path).isDefined)
+            graft.sources.PartitionSpecs.evolve(sp, path, "none", ""): Unit
       }
       // layout specs follow the staged definition wholesale, like the
       // bucket spec: REPLACE retires what the new definition doesn't

@@ -191,6 +191,35 @@ private[v2] object SnapshotProcedures {
             UTF8String.fromString(d), v))
         }.toArray
     }),
+    // SPEC EVOLUTION for hidden partitioning: append a new transform
+    // epoch (metadata-only — existing files keep their layout and stay
+    // prunable via footer stats; future writes cluster under the new
+    // spec). `spec` is 'years|months|days|hours(col)', 'truncate(n,
+    // col)', a bare column (identity), or 'none' to retire.
+    "evolve_partition_spec" -> (wh => new Proc("evolve_partition_spec",
+      Seq(param("table", StringType), param("spec", StringType)),
+      schema("epoch" -> IntegerType, "spec" -> StringType)) {
+      def run(in: InternalRow): Array[InternalRow] = {
+        val p = path(wh, in.getString(0))
+        val raw = in.getString(1).trim
+        val Shape = """(\w+)\(\s*(?:(\d+)\s*,\s*)?([^)]+?)\s*\)""".r
+        val (t, c, a) = raw match {
+          case "none" => ("none", "", None)
+          case Shape(tr, null, col) => (tr, col, None)
+          case Shape(tr, n, col) => (tr, col, Some(n.toInt))
+          case bare if bare.nonEmpty && !bare.contains('(') =>
+            ("identity", bare, None)
+          case other => throw new IllegalArgumentException(
+            s"cannot parse partition spec '$other'")
+        }
+        val sch = if (t == "none") None
+          else Some(Snapshots.read(spark, p).schema)
+        val epoch = graft.sources.PartitionSpecs.evolve(spark, p, t, c, a, sch)
+        Array(InternalRow.fromSeq(Seq(epoch,
+          UTF8String.fromString(if (t == "none") "none"
+          else graft.sources.PartitionSpecs.Spec(epoch, t, c, a).describe))))
+      }
+    }),
     "restore" -> (wh => new Proc("restore",
       Seq(param("table", StringType), param("version", LongType)),
       schema("version" -> LongType)) {
