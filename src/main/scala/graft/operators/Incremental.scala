@@ -2105,6 +2105,68 @@ object Incremental {
           .as("amount"))
   }
 
+  /** The MATERIALIZED-VIEW fixture (one build per JVM per dir): the
+    * declarative incremental MV lifecycle over an interleaved DML
+    * chain —
+    *   v1 commit even-key orders (amount = DECIMAL(18,4) of
+    *   o_totalprice, so the incremental sums are EXACT) → CREATE MV
+    *   (group by o_orderstatus; n = count(*), amount = sum(amount)),
+    *   full-computed at v1 → v2 append odd keys → v3 COW MERGE upsert
+    *   (keys %7==3 → status 'U1', amount+1000) → v4 MOR DELETE
+    *   (keys %10==0) → refresh folds ONLY the v1→v4 change feed into
+    *   the stored groups (cost ∝ touched files + MV size, never ∝
+    *   base). Reference analog: the dbt incremental mart
+    *   (fct_orders.sql:9-16) declared, not hand-rolled.
+    */
+  private def mvTable(s: SparkSession, dir: String): String = {
+    val root = snapRoot(s, dir, "mvbase")
+    val mv = snapRoot(s, dir, "mvview") // own root → own cleanup hook
+    ensureBuilt(s, root, 4) {
+      graft.sources.MaterializedViews.drop(s, mv) // stale MV from a prior build
+      val o = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,4)").as("amount"))
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), root)   // v1
+      graft.sources.MaterializedViews.create(s, mv, root,
+        groupBy = Seq("o_orderstatus"),
+        aggs = Seq(
+          graft.sources.MaterializedViews.AggDef("count", "*", "n"),
+          graft.sources.MaterializedViews.AggDef("sum", "amount", "amount")))
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 =!= 0), root)   // v2
+      Snapshots.merge(s, root,
+        o.filter(col("o_orderkey") % 7 === 3)
+          .withColumn("o_orderstatus", lit("U1"))
+          .withColumn("amount",
+            (col("amount") + 1000).cast("decimal(18,4)")),
+        "o_orderkey")                                                 // v3
+      Snapshots.deleteWhereMor(s, root, col("o_orderkey") % 10 === 0) // v4
+      graft.sources.MaterializedViews.refresh(s, mv): Unit
+    }
+    mv
+  }
+
+  /** q119: the refreshed MV's served rows must equal the oracle's full
+    * recompute of the same DML algebra over raw orders — the base+delta
+    * == recompute identity, DECLARED (create/refresh) instead of proven
+    * by hand (q70).
+    */
+  val qMaterializedView: QuerySpec = QuerySpec.sql(
+    "q119_materialized_view",
+    """WITH up AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 7 = 3 THEN 'U1' ELSE o_orderstatus END AS o_orderstatus,
+      |         CAST(CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 1000 ELSE o_totalprice END
+      |              AS DECIMAL(18,4)) AS amount
+      |  FROM orders)
+      |SELECT o_orderstatus, COUNT(*) AS n,
+      |       CAST(SUM(amount) AS DOUBLE) AS amount
+      |FROM up WHERE NOT (o_orderkey % 10 = 0) GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+    graft.sources.MaterializedViews.read(s, mvTable(s, dir))
+      .select(col("o_orderstatus"), col("n"),
+        col("amount").cast("double").as("amount"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
@@ -2114,5 +2176,6 @@ object Incremental {
       qSchemaEvolution, qTypeWidening, qSqlWap, qBloomLookup, qWriteOrder,
       qBinPack, qMorDelete, qMorSql, qMorUpdate, qMorMerge, qEqUpsert,
       qEqCdf, qCdfByVersion, qSqlTableChanges, qDmlChain, qDmlChainTt,
-      qFieldIdEvolution, qBranchPublish, qPartitionEvolution)
+      qFieldIdEvolution, qBranchPublish, qPartitionEvolution,
+      qMaterializedView)
 }

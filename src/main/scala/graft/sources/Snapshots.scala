@@ -2609,7 +2609,7 @@ object Snapshots {
 
   private val TagFileRe = "ref-tag-(.+)\\.txt".r
 
-  private def requireRefName(name: String): Unit =
+  private[sources] def requireRefName(name: String): Unit =
     require(name.nonEmpty && name.forall(c =>
       c.isLetterOrDigit || c == '_' || c == '-' || c == '.') &&
       !name.forall(_.isDigit),
@@ -3194,6 +3194,19 @@ object Snapshots {
                 f"disorder $disorder%.2f over '$sortCol' re-clustered by declared order", v))
           }
         }
+      }
+    }
+    // 5. STALE MATERIALIZED VIEWS registered on this table → refresh.
+    // Cost ∝ the feed since each view's last refresh plus the view's
+    // own size (never ∝ this table) — see MaterializedViews. Runs LAST:
+    // steps 1-4 may commit maintenance versions, and one refresh after
+    // them folds everything (maintenance commits are row-preserving, so
+    // they add nothing to the feed anyway).
+    MaterializedViews.registered(spark, table).foreach { case (name, mvPath) =>
+      val head = versions(spark, table).last
+      if (MaterializedViews.refreshedThrough(spark, mvPath) != head) {
+        val v = MaterializedViews.refresh(spark, mvPath)
+        actions += (("refresh_mv", s"$name caught up to base v$head", v))
       }
     }
     actions.toSeq

@@ -220,6 +220,41 @@ private[v2] object SnapshotProcedures {
           else graft.sources.PartitionSpecs.Spec(epoch, t, c, a).describe))))
       }
     }),
+    // DECLARATIVE INCREMENTAL MATERIALIZED VIEW over the change feed
+    // (graft.sources.MaterializedViews): `aggs` is a comma list of
+    // 'op(col) as alias' with op in count|sum|avg (count(*) allowed);
+    // `filter` an optional row-local predicate; refresh folds only the
+    // base's CDC since the last refresh. Non-incrementalizable
+    // aggregates refuse loudly at create.
+    "create_materialized_view" -> (wh => new Proc("create_materialized_view",
+      Seq(param("view", StringType), param("base", StringType),
+        param("group_by", StringType), param("aggs", StringType),
+        param("filter", StringType, "NULL")),
+      schema("version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] = {
+        val AggShape = """(\w+)\(\s*([^)]*?)\s*\)\s+[aA][sS]\s+(\w+)""".r
+        val aggs = in.getString(3).split(",").map(_.trim).filter(_.nonEmpty)
+          .map {
+            case AggShape(op, c, alias) =>
+              graft.sources.MaterializedViews.AggDef(op,
+                if (c.isEmpty) "*" else c, alias)
+            case other => throw new IllegalArgumentException(
+              s"cannot parse aggregate '$other' (want 'op(col) as alias')")
+          }.toSeq
+        val filter = if (in.isNullAt(4)) None else Option(in.getString(4))
+        row(graft.sources.MaterializedViews.create(spark,
+          path(wh, in.getString(0)), path(wh, in.getString(1)),
+          in.getString(2).split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+          aggs, filter))
+      }
+    }),
+    "refresh_mv" -> (wh => new Proc("refresh_mv",
+      Seq(param("view", StringType)),
+      schema("version" -> LongType)) {
+      def run(in: InternalRow): Array[InternalRow] =
+        row(graft.sources.MaterializedViews.refresh(spark,
+          path(wh, in.getString(0))))
+    }),
     "restore" -> (wh => new Proc("restore",
       Seq(param("table", StringType), param("version", LongType)),
       schema("version" -> LongType)) {
