@@ -169,7 +169,8 @@ object Snapshots {
   def isMaintenanceCommit(spark: SparkSession, table: String, v: Long): Boolean =
     commitToken(spark, table, v).exists(t =>
       t.startsWith("compact-of-v") || t.startsWith("zorder-of-v") ||
-        t.startsWith("purge-of-v") || t.startsWith("purge-eq-of-v"))
+        t.startsWith("purge-of-v") || t.startsWith("purge-eq-of-v") ||
+        t.startsWith("binpack-of-v"))
 
   /** The version already committed under `token`, if any — the replay
     * check behind exactly-once streaming publish.
@@ -1003,7 +1004,7 @@ object Snapshots {
     FileStats.record(spark, table, added)
     val removedNorm = groups.flatMap(_._2.map(m => normPath(m._1))).toSet
     publishRebase(spark, table, src, srcFiles, removedNorm, added,
-      "binpack", Seq(dataDir))
+      "binpack", Seq(dataDir), token = Some(s"binpack-of-v$src"))
   }
 
   /** Transactional OPTIMIZE ZORDER BY (xCol, yCol): rewrite the CURRENT
@@ -1374,32 +1375,53 @@ object Snapshots {
   }
 
   /** File-granular change-data-feed: the rows ADDED between committed
-    * versions `from` and `to`, read directly from the data files that
-    * `to`'s manifest references and `from`'s does not. No anti-join, no
-    * full-table diff — at 100 TB the CDC read touches only the appended
-    * files (Delta/Iceberg's incremental-read shape for append-only
-    * history). An overwrite commit replaces the file set wholesale, so
-    * the feed refuses non-additive history rather than silently
-    * misreporting it.
+    * versions `from` and `to`, read directly from the data files each
+    * APPEND step introduced. No anti-join, no full-table diff — at
+    * 100 TB the CDC read touches only the appended files (Delta/
+    * Iceberg's incremental-read shape for append-only history).
+    *
+    * The history is walked PER STEP, so row-preserving MAINTENANCE
+    * commits (compact / z-order / bin-pack / either purge, identified
+    * by their commit tokens) no longer blind the feed: they contribute
+    * zero rows, and an append's ORIGINAL files stay readable even after
+    * a later compaction rewrote them away — the manifests in [from, to]
+    * are retained (the range validated against live versions), and
+    * vacuum never reclaims a file a retained manifest references. A
+    * step that CHANGES rows — overwrite, COW DML, MOR delete, equality
+    * upsert — still refuses loudly rather than silently misreporting;
+    * that's [[changeFeed]]'s job.
     */
   def changes(spark: SparkSession, table: String, from: Long, to: Long): DataFrame = {
     val vs = versions(spark, table)
     require(vs.contains(from) && vs.contains(to) && from <= to,
       s"need committed versions $from <= $to in $vs")
-    val before = manifestFiles(spark, table, from).toSet
-    val after  = manifestFiles(spark, table, to)
-    require(before.subsetOf(after.toSet),
-      s"history v$from -> v$to is not append-only (files were removed)")
-    require(manifestDeletes(spark, table, from).map(normPath) ==
-        manifestDeletes(spark, table, to).map(normPath),
-      s"history v$from -> v$to includes a merge-on-read DELETE — not " +
-        "append-only; use changeFeed")
-    require(manifestEqDeletes(spark, table, from).map(e => normPath(e._2)) ==
-        manifestEqDeletes(spark, table, to).map(e => normPath(e._2)),
-      s"history v$from -> v$to includes an equality-delete upsert — not " +
-        "append-only; use changeFeed (it feeds the upsert as " +
-        "insert + pre-image delete pairs)")
-    val added = after.filterNot(before)
+    val chain = vs.filter(v => v >= from && v <= to)
+    val filesOf = chain.map(v => v -> manifestFiles(spark, table, v)).toMap
+    val deletesOf = chain.map(v =>
+      v -> manifestDeletes(spark, table, v).map(normPath)).toMap
+    val eqOf = chain.map(v =>
+      v -> manifestEqDeletes(spark, table, v).map(e => (e._1, normPath(e._2)))).toMap
+    val added = chain.sliding(2).flatMap {
+      case Seq(a, b) =>
+        val beforeN = filesOf(a).map(normPath).toSet
+        val after = filesOf(b)
+        if (beforeN.subsetOf(after.map(normPath).toSet) &&
+            deletesOf(a) == deletesOf(b) && eqOf(a) == eqOf(b))
+          after.filterNot(p => beforeN(normPath(p)))
+        else if (isMaintenanceCommit(spark, table, b)) Seq.empty
+        else if (deletesOf(a) != deletesOf(b))
+          throw new IllegalArgumentException(
+            s"history v$a -> v$b includes a merge-on-read DELETE — not " +
+              "append-only; use changeFeed")
+        else if (eqOf(a) != eqOf(b))
+          throw new IllegalArgumentException(
+            s"history v$a -> v$b includes an equality-delete upsert — " +
+              "not append-only; use changeFeed (it feeds the upsert as " +
+              "insert + pre-image delete pairs)")
+        else throw new IllegalArgumentException(
+          s"history v$a -> v$b is not append-only (files were removed)")
+      case _ => Seq.empty
+    }.toSeq
     // read() carries the empty-manifest guard (an empty-DataFrame commit
     // lists no files, and zero-path spark.read.parquet cannot infer schema)
     if (added.isEmpty) read(spark, table, Some(to)).limit(0)

@@ -451,6 +451,15 @@ private[v2] class SnapshotStreamSource(spark: SparkSession, path: String,
                 eqOf(a).map(e => (e._1, norm(e._2))).toSet ==
                   eqOf(b).map(e => (e._1, norm(e._2))).toSet)
               after.filterNot(f => before(norm(f)))
+            // a ROW-PRESERVING maintenance rewrite (compact / z-order /
+            // bin-pack / either purge, identified by its commit token)
+            // moved rows between files without changing any — the step
+            // streams nothing, and earlier appends' ORIGINAL files stay
+            // readable because their manifests are retained. A mid-
+            // stream compaction no longer kills every incremental
+            // consumer.
+            else if (Snapshots.isMaintenanceCommit(spark, path, b))
+              Seq.empty
             else if (skipChangeCommits) Seq.empty
             else throw new IllegalStateException(
               s"graft-snapshot stream $path: history v$a -> v$b is not " +
