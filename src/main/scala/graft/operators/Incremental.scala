@@ -2211,6 +2211,66 @@ object Incremental {
           .as("amount"))
   }
 
+  /** The COLUMN-DEFAULTS fixture (one build per JVM per dir):
+    *   v1 commit even-key orders (no flag column) → ALTER ADD COLUMNS
+    *   (o_flag STRING DEFAULT 'unknown') — METADATA-ONLY; epoch-1
+    *   files never rewrite, their reads substitute the initial default
+    *   → v2 SQL INSERT of odd keys with real values AND explicit NULLs
+    *   (which must stay NULL — the file carries the column) → v3 COW
+    *   DELETE whose rewrite materializes the default into survivors.
+    * Reference intent: stg_customers.sql:7's ifNull(…,'Unknown')
+    * backfill, done once in metadata instead of per read.
+    */
+  private def defaultsTable(s: SparkSession, dir: String): String = {
+    val root = snapRoot(s, dir, "coldefaults")
+    ensureBuilt(s, root, 3) {
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_totalprice")
+      Snapshots.commit(o.filter(col("o_orderkey") % 2 === 0), root)   // v1
+      val f = new java.io.File(root)
+      val cat = s"graft_defcat_${Tables.dirKey(dir)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.v2.SnapshotCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", f.getParent)
+      val t = s"$cat.`${f.getName}`"
+      s.sql(s"ALTER TABLE $t ADD COLUMNS (o_flag STRING DEFAULT 'unknown')")
+      o.filter(col("o_orderkey") % 2 =!= 0)
+        .createOrReplaceTempView(s"defaults_src_${Tables.dirKey(dir)}")
+      s.sql(s"""INSERT INTO $t
+        |SELECT o_orderkey, o_totalprice,
+        |       CASE WHEN o_orderkey % 5 = 0 THEN NULL
+        |            WHEN o_orderkey % 3 = 0 THEN 'fizz'
+        |            ELSE 'buzz' END
+        |FROM defaults_src_${Tables.dirKey(dir)}""".stripMargin)      // v2
+      Snapshots.deleteWhere(s, root, col("o_totalprice") > 500000)    // v3
+    }
+    root
+  }
+
+  /** q121: mixed-epoch reads — old files serve the initial default,
+    * new files serve written values including explicit NULLs, the COW
+    * delete's rewrite preserves both — against the oracle's CASE
+    * reconstruction over raw orders.
+    */
+  val qColumnDefaults: QuerySpec = QuerySpec.sql(
+    "q121_column_defaults",
+    """WITH t AS (
+      |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'unknown'
+      |              WHEN o_orderkey % 5 = 0 THEN NULL
+      |              WHEN o_orderkey % 3 = 0 THEN 'fizz'
+      |              ELSE 'buzz' END AS o_flag,
+      |         o_totalprice
+      |  FROM orders)
+      |SELECT o_flag, COUNT(*) AS n,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS amount
+      |FROM t WHERE NOT (o_totalprice > 500000) GROUP BY 1""".stripMargin) {
+    (s, dir) =>
+    Snapshots.read(s, defaultsTable(s, dir))
+      .groupBy("o_flag")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)")
+          .as("amount"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(qSnapshotCdf, qIncrementalAgg, qMergeUpsert, dIncrementalDedup,
       dStreamDedup, qCompactedRead, qScd2Merge, qStreamSnapshotWrite,
@@ -2221,5 +2281,5 @@ object Incremental {
       qBinPack, qMorDelete, qMorSql, qMorUpdate, qMorMerge, qEqUpsert,
       qEqCdf, qCdfByVersion, qSqlTableChanges, qDmlChain, qDmlChainTt,
       qFieldIdEvolution, qBranchPublish, qPartitionEvolution,
-      qMaterializedView, qCdcAcrossCompact)
+      qMaterializedView, qCdcAcrossCompact, qColumnDefaults)
 }

@@ -538,6 +538,57 @@ object Snapshots {
   def dropSortSpec(spark: SparkSession, table: String): Unit =
     fs(spark, table).delete(new Path(s"$table/sortspec"), false): Unit
 
+  /** Declared HISTORY RETENTION policy — (keepVersions, keepDays), each
+    * optional: keep at least N versions AND everything younger than T
+    * days (manifest publish time). [[maintain]] expires past it; with
+    * no policy declared, maintain never expires history (expiry is an
+    * irreversible data deletion — it must be opted into, never a
+    * default). Tagged versions and registered branch heads survive any
+    * policy ([[vacuum]]'s standing rule). A streaming reader lagging
+    * behind an expired offset hits the vacuumed-offset contract:
+    * failOnDataLoss=true (default) fails loudly, =false resumes from
+    * the oldest retained version — set keepDays past the longest
+    * consumer outage you intend to tolerate.
+    */
+  def retention(spark: SparkSession,
+      table: String): Option[(Option[Int], Option[Int])] = {
+    val p = new Path(s"$table/retention")
+    val f = fs(spark, table)
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val kv = txt.linesIterator.flatMap(_.split('=') match {
+      case Array(k, v) => Some(k.trim -> v.trim.toInt)
+      case _ => None
+    }).toMap
+    Some((kv.get("versions"), kv.get("days")))
+  }
+
+  def setRetention(spark: SparkSession, table: String,
+      keepVersions: Option[Int], keepDays: Option[Int]): Unit = {
+    require(keepVersions.nonEmpty || keepDays.nonEmpty,
+      "retention needs versions and/or days; use dropRetention to retire")
+    keepVersions.foreach(n => require(n >= 1,
+      s"retention.versions must keep at least the head, got $n"))
+    keepDays.foreach(d => require(d >= 0, s"retention.days negative: $d"))
+    val body = keepVersions.map(n => s"versions=$n").toSeq ++
+      keepDays.map(d => s"days=$d")
+    val f = fs(spark, table)
+    val p = new Path(s"$table/retention")
+    val tmp = new Path(s"$table/.retention.${java.util.UUID.randomUUID}.tmp")
+    val out = f.create(tmp, false)
+    try out.write(body.mkString("\n").getBytes("UTF-8")) finally out.close()
+    f.delete(p, false)
+    if (!publishAtomic(f, tmp, p)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"concurrent retention update on $table")
+    }
+  }
+
+  def dropRetention(spark: SparkSession, table: String): Unit =
+    fs(spark, table).delete(new Path(s"$table/retention"), false): Unit
+
   /** The table's declared DELETE routing — `copy-on-write` (default:
     * files containing matches rewrite, [[deleteWhere]]) or
     * `merge-on-read` (position-delete sidecars, [[deleteWhereMor]]).
@@ -3229,6 +3280,43 @@ object Snapshots {
       if (MaterializedViews.refreshedThrough(spark, mvPath) != head) {
         val v = MaterializedViews.refresh(spark, mvPath)
         actions += (("refresh_mv", s"$name caught up to base v$head", v))
+      }
+    }
+    // 6. DECLARED RETENTION → expire history. Opt-in only (expiry is an
+    // irreversible deletion; no policy, no expiry): keep at least
+    // `versions` AND everything younger than `days` (manifest publish
+    // time). Runs LAST — after the MV refreshes above consumed their
+    // feeds (expiring a view's refresh mark first would force its
+    // full-recompute fallback), and after steps 1-4 possibly appended
+    // maintenance versions (which are then subject to the same policy
+    // on the NEXT pass — never expiring the head they just published).
+    // Tags and registered branch heads survive per vacuum's standing
+    // rule; lagging streams hit the vacuumed-offset failOnDataLoss
+    // contract, so size `days` past the longest consumer outage.
+    retention(spark, table).foreach { case (keepV, keepD) =>
+      val vs2 = versions(spark, table)
+      val f = fs(spark, table)
+      val now = System.currentTimeMillis()
+      val youngEnough = keepD.map { d =>
+        val cutoff = now - d.toLong * 24L * 3600 * 1000
+        vs2.count { v =>
+          try f.getFileStatus(new Path(s"$table/manifest-v$v.json"))
+            .getModificationTime >= cutoff
+          catch { case scala.util.control.NonFatal(_) => true }
+        }
+      }.getOrElse(0)
+      val keep = math.max(math.max(keepV.getOrElse(1), 1), youngEnough)
+      if (vs2.length > keep) {
+        val reclaimed = vacuum(spark, table, keep)
+        val after = versions(spark, table)
+        // all-tagged candidates expire nothing: no action row (the
+        // idempotent-second-pass contract reports real work only)
+        if (after.length < vs2.length)
+          actions += (("expire_history",
+            s"${vs2.length - after.length} version(s) expired past " +
+              s"policy(versions=${keepV.getOrElse(1)}" +
+              keepD.map(d => s", days=$d").getOrElse("") +
+              s"), $reclaimed file(s) reclaimed", after.last))
       }
     }
     actions.toSeq

@@ -62,6 +62,25 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var warehouse: String = _
 
+  /** COLUMN DEFAULT VALUES (Iceberg-v3 / Delta shape): declaring the
+    * capability makes Spark route `DEFAULT <expr>` through CREATE/ALTER
+    * — the catalog persists them as the standard field-metadata pair
+    * (CURRENT_DEFAULT: applied by Spark to INSERTs that omit the
+    * column; EXISTS_DEFAULT: the folded literal Spark's parquet readers
+    * substitute for columns MISSING FROM A FILE). An ALTER ADD ...
+    * DEFAULT is therefore metadata-only at any table size: files
+    * predating the column serve the initial default, files written
+    * after it serve their stored values — including explicit NULLs,
+    * which a lazy `coalesce` would corrupt. Reference intent: the
+    * staging layer's `ifNull(..., 'Unknown')` backfill
+    * (stg_customers.sql:7) without a per-read projection.
+    */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE)
+
   /** The catalog's V2 functions: just `bucket` — what Spark resolves a
     * bucketed table's reported `bucket(n, col)` transform against, the
     * compatibility anchor of storage-partitioned joins (and callable
@@ -465,6 +484,12 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       props.get(s"write.$kind.mode").foreach(
         Snapshots.setDmlMode(spark, path, kind, _))
     }
+    // history retention policy (maintain()'s expiry step): keep at
+    // least N versions AND everything younger than T days
+    val rv = props.get("retention.versions").map(_.trim.toInt)
+    val rd = props.get("retention.days").map(_.trim.toInt)
+    if (rv.nonEmpty || rd.nonEmpty)
+      Snapshots.setRetention(spark, path, rv, rd)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -531,6 +556,16 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       graft.sources.PartitionSpecs.evolve(spark, path, t, c, a,
         Some(schema)): Unit
     }
+    // a CREATE with column DEFAULTs must persist them declaratively —
+    // the anchor footer alone is not the contract the INSERT resolver
+    // and the file-missing-column reader consult
+    val curKey = org.apache.spark.sql.catalyst.util
+      .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+    val exKey = org.apache.spark.sql.catalyst.util
+      .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY
+    if (schema.fields.exists(f =>
+        f.metadata.contains(curKey) || f.metadata.contains(exKey)))
+      Snapshots.declareSchema(spark, path, schema)
     installDeclaredSpecs(path, schema, properties)
     loadTable(ident)
   }
@@ -658,15 +693,23 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
         "graft-snapshot: DROP COLUMN supports top-level columns only")
       d
     }
+    val defaultUpdates = schemaChanges.collect {
+      case u: TableChange.UpdateColumnDefaultValue =>
+        require(u.fieldNames.length == 1,
+          "graft-snapshot: ALTER COLUMN SET DEFAULT supports top-level " +
+            "columns only")
+        u
+    }
     schemaChanges.foreach {
       case _: TableChange.AddColumn | _: TableChange.UpdateColumnType |
-           _: TableChange.RenameColumn | _: TableChange.DeleteColumn => ()
+           _: TableChange.RenameColumn | _: TableChange.DeleteColumn |
+           _: TableChange.UpdateColumnDefaultValue => ()
       case other => throw new UnsupportedOperationException(
         s"graft-snapshot: unsupported ALTER ($other) — ADD COLUMNS, " +
-          "lossless type WIDENING, RENAME COLUMN, DROP COLUMN, and " +
-          "write.delete.mode TBLPROPERTIES are the metadata-sound ALTERs " +
-          "here; narrowings go through overwrite commits (INSERT " +
-          "OVERWRITE with the new shape)")
+          "lossless type WIDENING, RENAME COLUMN, DROP COLUMN, " +
+          "SET/DROP DEFAULT, and write.delete.mode TBLPROPERTIES are " +
+          "the metadata-sound ALTERs here; narrowings go through " +
+          "overwrite commits (INSERT OVERWRITE with the new shape)")
     }
     val current = loadTable(ident).columns()
     val base = Snapshots.declaredSchema(spark, path).getOrElse {
@@ -696,12 +739,58 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       new org.apache.spark.sql.types.StructType(
         s.fields.updated(idx, f.copy(dataType = u.newDataType)))
     }
-    val evolved = adds.foldLeft(widened) { (s, a) =>
+    val added = adds.foldLeft(widened) { (s, a) =>
       require(!s.fieldNames.map(_.toLowerCase).contains(
         a.fieldNames.head.toLowerCase),
         s"column ${a.fieldNames.head} already exists")
-      s.add(a.fieldNames.head, a.dataType, nullable = true,
-        Option(a.comment).getOrElse(""))
+      // DEFAULT on an added column: CURRENT_DEFAULT carries the
+      // declared SQL (future INSERTs), EXISTS_DEFAULT the folded
+      // literal (files that predate the column substitute it at read —
+      // Spark's parquet readers apply it natively for file-missing
+      // columns, so explicit NULLs written after the ALTER stay NULL)
+      val md = Option(a.defaultValue()) match {
+        case Some(d) =>
+          val lit = Option(d.getValue).getOrElse(
+            throw new UnsupportedOperationException(
+              s"graft-snapshot: DEFAULT for ${a.fieldNames.head} does " +
+                "not fold to a literal — only constant defaults are " +
+                "metadata-sound for existing files"))
+          val litSql = org.apache.spark.sql.catalyst.expressions
+            .Literal(lit.value, lit.dataType).sql
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString(org.apache.spark.sql.catalyst.util
+              .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY,
+              Option(d.getSql).getOrElse(litSql))
+            .putString(org.apache.spark.sql.catalyst.util
+              .ResolveDefaultColumns.EXISTS_DEFAULT_COLUMN_METADATA_KEY,
+              litSql)
+            .build()
+        case None => org.apache.spark.sql.types.Metadata.empty
+      }
+      StructType(s.fields :+ org.apache.spark.sql.types.StructField(
+        a.fieldNames.head, a.dataType, nullable = true, md)
+        .withComment(Option(a.comment).getOrElse("")))
+    }
+    // SET/DROP DEFAULT: changes ONLY what future INSERTs fill in
+    // (CURRENT_DEFAULT); the initial default old files read
+    // (EXISTS_DEFAULT) is immutable once declared — rewriting history's
+    // meaning is exactly what defaults must never do
+    val evolved = defaultUpdates.foldLeft(added) { (s, u) =>
+      val name = u.fieldNames.head
+      val idx = s.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(idx >= 0, s"no such column $name")
+      val f = s.fields(idx)
+      val curKey = org.apache.spark.sql.catalyst.util
+        .ResolveDefaultColumns.CURRENT_DEFAULT_COLUMN_METADATA_KEY
+      val mb = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+      val newSql = Option(u.newCurrentDefault()).map(_.getSql)
+        .orElse(Option(u.newDefaultValue()).filter(_.nonEmpty))
+      val md = newSql match {
+        case Some(sql) => mb.putString(curKey, sql).build()
+        case None => mb.remove(curKey).build()
+      }
+      StructType(s.fields.updated(idx, f.copy(metadata = md)))
     }
 
     // ---- RENAME / DROP COLUMN: metadata-only via per-field ids ----

@@ -255,6 +255,28 @@ private[v2] object SnapshotProcedures {
         row(graft.sources.MaterializedViews.refresh(spark,
           path(wh, in.getString(0))))
     }),
+    // declare (or retire, with both args NULL-able via 0 sentinel
+    // avoided: pass -1 to clear) the history-retention policy that
+    // maintain()'s expiry step enforces
+    "set_retention" -> (wh => new Proc("set_retention",
+      Seq(param("table", StringType), param("keep_versions", IntegerType, "NULL"),
+        param("keep_days", IntegerType, "NULL")),
+      schema("policy" -> StringType)) {
+      def run(in: InternalRow): Array[InternalRow] = {
+        val p = path(wh, in.getString(0))
+        val kv = if (in.isNullAt(1)) None else Some(in.getInt(1))
+        val kd = if (in.isNullAt(2)) None else Some(in.getInt(2))
+        if (kv.isEmpty && kd.isEmpty) {
+          Snapshots.dropRetention(spark, p)
+          Array(InternalRow.fromSeq(Seq(UTF8String.fromString("none"))))
+        } else {
+          Snapshots.setRetention(spark, p, kv, kd)
+          Array(InternalRow.fromSeq(Seq(UTF8String.fromString(
+            (kv.map(n => s"versions=$n").toSeq ++
+              kd.map(d => s"days=$d")).mkString(",")))))
+        }
+      }
+    }),
     "restore" -> (wh => new Proc("restore",
       Seq(param("table", StringType), param("version", LongType)),
       schema("version" -> LongType)) {

@@ -117,4 +117,41 @@ class MaintainSpec extends SparkTestBase {
     assert(a.map(_._2) === a.map(_._2).sorted)
     assert(actions("stack").isEmpty)
   }
+
+  test("declared retention: expiry fires past policy, tags and branch heads survive, second pass no-op") {
+    wh
+    import graft.sources.Snapshots
+    val path = s"$wh/ns/ret"
+    spark.sql("CREATE TABLE mnt_cat.ns.ret AS SELECT * FROM VALUES (1L, 10L) AS v(id, v)")
+    (2L to 6L).foreach(i =>
+      spark.sql(s"INSERT INTO mnt_cat.ns.ret VALUES ($i, ${i * 10})"))
+    assert(Snapshots.versions(spark, path).length === 6)
+    // tag v2 and fork a branch at the head: both must survive expiry
+    Snapshots.tag(spark, path, "audited", 2L)
+    Snapshots.fork(spark, path, s"$wh/ns/ret_br")
+    // NO policy declared: maintain never expires (opt-in contract) —
+    // it may still bin-pack the 6 tiny commits (a new version, no
+    // history lost)
+    assert(!actions("ret").exists(_._1 == "expire_history"))
+    assert(Snapshots.versions(spark, path).length >= 6)
+    spark.sql("CALL mnt_cat.system.set_retention(table => 'ns.ret', " +
+      "keep_versions => 2)")
+    val a = actions("ret")
+    assert(a.exists(_._1 == "expire_history"), s"got $a")
+    val vs = Snapshots.versions(spark, path)
+    // kept: the last two (policy) + v2 (tagged); everything else gone
+    assert(vs.length === 3 && vs.head === 2L, s"got $vs")
+    // tagged version still readable; branch (cut at v6) still readable
+    assert(Snapshots.read(spark, path, Some(2L)).count() === 2L)
+    assert(Snapshots.read(spark, s"$wh/ns/ret_br").count() === 6L)
+    // second pass: nothing to expire
+    assert(!actions("ret").exists(_._1 == "expire_history"))
+    // a days-based policy with a huge window keeps everything
+    spark.sql("CALL mnt_cat.system.set_retention(table => 'ns.ret', " +
+      "keep_versions => 1, keep_days => 365)")
+    assert(!actions("ret").exists(_._1 == "expire_history"))
+    // clearing the policy (both NULL) disables expiry again
+    spark.sql("CALL mnt_cat.system.set_retention(table => 'ns.ret')")
+    assert(Snapshots.retention(spark, path).isEmpty)
+  }
 }

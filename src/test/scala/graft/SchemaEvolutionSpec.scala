@@ -300,6 +300,49 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(rows.toSeq === Seq((1L, 99L), (2L, -1L), (3L, -1L), (4L, 40L)))
   }
 
+  test("column defaults: initial default for pre-ADD files, explicit NULL stays NULL, SET DEFAULT is future-only") {
+    wh
+    spark.sql("CREATE TABLE evo_cat.ns.cd AS SELECT * FROM VALUES (1L), (2L) AS v(id)")
+    spark.sql("ALTER TABLE evo_cat.ns.cd ADD COLUMNS (tag STRING DEFAULT 'unknown')")
+    // epoch-1 files: metadata-only — nothing rewritten
+    val files1 = Snapshots.dataFiles(spark, s"$wh/ns/cd").toSet
+    assert(files1 === Snapshots.dataFiles(spark, s"$wh/ns/cd").toSet)
+    // post-ALTER inserts: omitted column takes the CURRENT default,
+    // explicit NULL stays NULL (files carry the column — a lazy
+    // coalesce would corrupt this)
+    spark.sql("INSERT INTO evo_cat.ns.cd (id) VALUES (3L)")
+    spark.sql("INSERT INTO evo_cat.ns.cd VALUES (4L, NULL), (5L, 'real')")
+    def rows() = spark.sql("SELECT id, tag FROM evo_cat.ns.cd ORDER BY id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) "<null>" else r.getString(1))).toSeq
+    assert(rows() === Seq((1L, "unknown"), (2L, "unknown"), (3L, "unknown"),
+      (4L, "<null>"), (5L, "real")))
+    // both read paths agree
+    assert(Snapshots.read(spark, s"$wh/ns/cd").filter(col("tag") === "unknown")
+      .count() === 3L)
+    // SET DEFAULT changes FUTURE inserts only; old files keep reading
+    // the initial default (rewriting history's meaning is what
+    // defaults must never do)
+    spark.sql("ALTER TABLE evo_cat.ns.cd ALTER COLUMN tag SET DEFAULT 'later'")
+    spark.sql("INSERT INTO evo_cat.ns.cd (id) VALUES (6L)")
+    assert(rows() === Seq((1L, "unknown"), (2L, "unknown"), (3L, "unknown"),
+      (4L, "<null>"), (5L, "real"), (6L, "later")))
+    // CREATE-time defaults work the same
+    spark.sql("CREATE TABLE evo_cat.ns.cd2 (id BIGINT, s STRING DEFAULT 'born')")
+    spark.sql("INSERT INTO evo_cat.ns.cd2 (id) VALUES (1L)")
+    assert(spark.sql("SELECT s FROM evo_cat.ns.cd2").head.getString(0) === "born")
+    // a COW rewrite (DELETE) materializes the default into survivors
+    // without changing what they serve
+    spark.sql("DELETE FROM evo_cat.ns.cd WHERE id = 2")
+    assert(rows() === Seq((1L, "unknown"), (3L, "unknown"),
+      (4L, "<null>"), (5L, "real"), (6L, "later")))
+    // non-constant defaults refuse loudly (not metadata-sound for
+    // existing files)
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE evo_cat.ns.cd ADD COLUMNS (r DOUBLE DEFAULT rand())"))
+    assert(e.getMessage.toLowerCase.contains("default"), e.getMessage)
+  }
+
   test("concurrent field-id extensions never allocate one id to two names (CAS)") {
     import graft.sources.FieldIds
     val dir = java.nio.file.Files.createTempDirectory("fid-cas").toString + "/t"
