@@ -252,7 +252,19 @@ class ShuffleBudgetSpec extends SparkTestBase {
     "q115_fieldid_evolution" -> 1,
     // q114: per-status agg over the asOf-v2 read = the eq-delete scoped
     // anti-join's two broadcasts (sidecar frame + add-version map)
-    "q114_dml_chain_tt" -> 3)
+    "q114_dml_chain_tt" -> 3,
+    // q118: one group-by agg over the spec-evolved table (the month/day
+    // transform epochs are write-side clustering — no read exchange)
+    "q118_partition_evolution" -> 1,
+    // q119: the MV read is a plain projected scan of the stored groups
+    // — the refresh already paid its exchanges at build time
+    "q119_materialized_view" -> 0,
+    // q120: one group-by agg over the per-step feed's appended files
+    // (maintenance steps contribute no files, so no extra scan legs)
+    "q120_cdc_across_compact" -> 1,
+    // q121: one group-by agg; the initial-default substitution happens
+    // inside the parquet readers (no plan node, no exchange)
+    "q121_column_defaults" -> 1)
 
   test("every registered query stays within its exchange budget") {
     val unbudgeted = SparkEntry.queries.keySet -- budget.keySet

@@ -68,12 +68,17 @@ class SnapshotCatalogSpec extends SparkTestBase {
     assert(nest.getMessage.toLowerCase.contains("top-level") ||
       nest.getMessage.toLowerCase.contains("cannot be resolved"),
       nest.getMessage)
-    // identity partitioning stays loud; bucket(n, col) is the one
-    // supported transform (BucketedJoinSpec)
+    // since round 11, identity/time/truncate transforms create a
+    // HIDDEN-PARTITIONING clustering spec (PartitionSpecSpec);
+    // multi-transform layouts stay loud — one layout owner per table
+    spark.sql("CREATE TABLE graft_cat.ns2.p (id BIGINT) PARTITIONED BY (id)")
+    assert(graft.sources.PartitionSpecs
+      .current(spark, s"$whPath/ns2/p")
+      .exists(s => s.transform == "identity" && s.column == "id"))
     val p = intercept[Exception](spark.sql(
-      "CREATE TABLE graft_cat.ns2.p (id BIGINT) PARTITIONED BY (id)"))
-    assert(p.getMessage.contains("PARTITIONED BY (bucket(n, col)) only"),
-      p.getMessage)
+      "CREATE TABLE graft_cat.ns2.p2 (id BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (bucket(4, id), days(ts))"))
+    assert(p.getMessage.contains("ONE layout transform"), p.getMessage)
   }
 
   test("rename moves the manifest chain; drop removes; missing tables are loud") {
