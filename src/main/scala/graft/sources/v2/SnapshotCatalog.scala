@@ -207,7 +207,8 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
   }
 
   private val MetadataKinds =
-    Set("history", "files", "tags", "delete_files", "branches")
+    Set("history", "files", "tags", "delete_files", "branches",
+      "partition_specs", "materialized_views", "retention")
 
   /** Read-only metadata tables over a snapshot table's manifest state
     * (the Iceberg `db.t.history` surface):
@@ -216,6 +217,11 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
     *  - `t.files`   — current data files with bucket tag, exact row
     *    count (stats sidecar) and on-disk size
     *  - `t.tags`    — immutable named refs
+    *  - `t.branches` — registered long-lived branches + heads
+    *  - `t.delete_files` — outstanding MOR sidecars, both forms
+    *  - `t.partition_specs` — hidden-partitioning epoch ledger
+    *  - `t.materialized_views` — registered views + staleness
+    *  - `t.retention` — the declared history-retention policy
     *
     * Driver-materialized ([[org.apache.spark.sql.connector.read.LocalScan]]):
     * bounded by FILE/VERSION count, never row count — the same
@@ -257,6 +263,16 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
           .add("path", StringType).add("positions", LongType)
           .add("size_bytes", LongType).add("kind", StringType)
           .add("scope", LongType)
+        case "partition_specs" => new StructType()
+          .add("epoch", IntegerType).add("transform", StringType)
+          .add("source_column", StringType).add("arg", IntegerType)
+          .add("is_current", org.apache.spark.sql.types.BooleanType)
+        case "materialized_views" => new StructType()
+          .add("name", StringType).add("path", StringType)
+          .add("refreshed_through", LongType).add("base_head", LongType)
+          .add("stale", org.apache.spark.sql.types.BooleanType)
+        case "retention" => new StructType()
+          .add("keep_versions", IntegerType).add("keep_days", IntegerType)
       }
 
       override def capabilities(): util.Set[TableCapability] =
@@ -293,6 +309,38 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
                     Snapshots.versions(sp, p).lastOption
                       .map(Long.box).orNull))
                 }.toArray
+              case "partition_specs" =>
+                // the hidden-partitioning epoch ledger; the last
+                // non-`none` epoch (if last overall) is current
+                val eps = graft.sources.PartitionSpecs.epochs(sp, parentPath)
+                val cur = graft.sources.PartitionSpecs.current(sp, parentPath)
+                eps.map { s =>
+                  InternalRow.fromSeq(Seq(s.epoch,
+                    UTF8String.fromString(s.transform),
+                    if (s.column.isEmpty) null
+                    else UTF8String.fromString(s.column),
+                    s.arg.map(Int.box).orNull,
+                    Boolean.box(cur.contains(s))))
+                }.toArray
+              case "materialized_views" =>
+                // registered incremental views + their staleness vs
+                // this table's head
+                val head = Snapshots.versions(sp, parentPath).lastOption
+                graft.sources.MaterializedViews.registered(sp, parentPath)
+                  .map { case (n, p) =>
+                    val through = scala.util.Try(graft.sources
+                      .MaterializedViews.refreshedThrough(sp, p)).toOption
+                    InternalRow.fromSeq(Seq(UTF8String.fromString(n),
+                      UTF8String.fromString(p),
+                      through.map(Long.box).orNull,
+                      head.map(Long.box).orNull,
+                      Boolean.box(through != head)))
+                  }.toArray
+              case "retention" =>
+                Snapshots.retention(sp, parentPath).toArray.map {
+                  case (kv, kd) => InternalRow.fromSeq(Seq(
+                    kv.map(Int.box).orNull, kd.map(Int.box).orNull))
+                }
               case "files" | "delete_files" =>
                 // time travel: `t.files VERSION AS OF <v|'tag'>` lists
                 // THAT version's file set — serving HEAD under an asOf

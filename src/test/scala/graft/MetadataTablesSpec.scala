@@ -90,4 +90,38 @@ class MetadataTablesSpec extends SparkTestBase {
     assert(buckets.forall(_ >= 0), "every file of a bucketed table is tagged")
     assert(Snapshots.bucketSpec(spark, s"$wh/m/bt") === Some(("k", 4)))
   }
+
+  test("partition_specs / materialized_views / retention expose the round-11 surfaces") {
+    val (cat, wh) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.m.ps (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (months(ts))")
+    spark.sql(s"CALL $cat.system.evolve_partition_spec(" +
+      "table => 'm.ps', spec => 'days(ts)')")
+    val specs = spark.sql(s"SELECT epoch, transform, source_column, is_current " +
+      s"FROM $cat.m.ps.partition_specs ORDER BY epoch").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+    assert(specs.toSeq === Seq((1, "months", "ts", false),
+      (2, "days", "ts", true)))
+    // retention: empty until declared, one row after
+    assert(spark.sql(s"SELECT * FROM $cat.m.ps.retention").count() === 0L)
+    spark.sql(s"CALL $cat.system.set_retention(table => 'm.ps', " +
+      "keep_versions => 3, keep_days => 30)")
+    val ret = spark.sql(s"SELECT keep_versions, keep_days " +
+      s"FROM $cat.m.ps.retention").head
+    assert(ret.getInt(0) === 3 && ret.getInt(1) === 30)
+    // materialized_views: registered + staleness vs the base head
+    spark.sql(s"CREATE TABLE $cat.m.mb AS SELECT * FROM VALUES " +
+      "(1L, 'x', 5L), (2L, 'y', 7L) AS t(id, grp, v)")
+    spark.sql(s"CALL $cat.system.create_materialized_view(" +
+      "view => 'm.mbv', base => 'm.mb', group_by => 'grp', " +
+      "aggs => 'sum(v) as sv')")
+    def mvRow() = spark.sql(s"SELECT name, refreshed_through, base_head, " +
+      s"stale FROM $cat.m.mb.materialized_views").head
+    assert(mvRow().getString(0) === "mbv" && !mvRow().getBoolean(3))
+    spark.sql(s"INSERT INTO $cat.m.mb VALUES (3L, 'x', 100L)")
+    assert(mvRow().getBoolean(3), "an un-refreshed view reports stale")
+    spark.sql(s"CALL $cat.system.refresh_mv(view => 'm.mbv')")
+    val r = mvRow()
+    assert(!r.getBoolean(3) && r.getLong(1) === r.getLong(2))
+  }
 }
