@@ -14,8 +14,12 @@ run / fork := true
 // The driver parses the LAST stdout line of `sbt runMain graft.Bench`
 // as JSON; sbt's "[success] Total time..." banner prints after the
 // forked JVM's output and has kept BENCH_rNN.json.parsed null for two
-// rounds. Suppress it globally — the exit code still reports failure.
+// rounds. Suppress it globally (the exit code still reports failure),
+// and pass the forked JVM's stdout through RAW — the default
+// LoggedOutput strategy prefixes every line with "[info] ", which is
+// just as fatal to a JSON parse as the banner was.
 Global / showSuccess := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
