@@ -870,7 +870,14 @@ class SnapshotCatalog extends TableCatalog with SupportsNamespaces
       val bucketCol = Snapshots.bucketSpec(spark, path).map(_._1)
       val sortCols = Snapshots.sortSpec(spark, path)
       val bloomCols = Snapshots.bloomSpec(spark, path).keySet
+      val partCol = graft.sources.PartitionSpecs.current(spark, path)
+        .map(_.column)
       def requireUnreferenced(name: String, what: String): Unit = {
+        require(!partCol.contains(name),
+          s"graft-snapshot: cannot $what partition-transform column " +
+            s"$name — the current partition spec clusters by it; evolve " +
+            "the spec first (CALL evolve_partition_spec with another " +
+            "column, or 'none'), then retry")
         require(!bucketCol.contains(name),
           s"graft-snapshot: cannot $what bucket column $name — the " +
             "bucket layout routes by it; rebucket via CREATE ... AS SELECT")

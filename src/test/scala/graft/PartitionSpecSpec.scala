@@ -169,6 +169,21 @@ class PartitionSpecSpec extends SparkTestBase {
       s"CALL $c.system.evolve_partition_spec(table => 'ns.r4', " +
         "spec => 'fortnights(ts)')"))
     assert(e4.getMessage.contains("unknown partition transform"), e4.getMessage)
+    // renaming/dropping the transform's SOURCE column would silently
+    // degrade the declared layout — refused like sort/bucket/bloom
+    // columns, naming the evolve remedy
+    spark.sql(s"INSERT INTO $c.ns.r4 VALUES (1, TIMESTAMP '1995-01-01 00:00:00')")
+    val e5 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $c.ns.r4 RENAME COLUMN ts TO ts2"))
+    assert(e5.getMessage.contains("partition-transform column"), e5.getMessage)
+    val e6 = intercept[Exception](spark.sql(
+      s"ALTER TABLE $c.ns.r4 DROP COLUMN ts"))
+    assert(e6.getMessage.contains("partition-transform column"), e6.getMessage)
+    // after retiring the spec, the rename goes through
+    spark.sql(s"CALL $c.system.evolve_partition_spec(table => 'ns.r4', " +
+      "spec => 'none')")
+    spark.sql(s"ALTER TABLE $c.ns.r4 RENAME COLUMN ts TO ts2")
+    assert(spark.sql(s"SELECT ts2 FROM $c.ns.r4").count() === 1L)
   }
 
   test("REPLACE without a transform retires the spec; fork carries it; none round-trips") {
