@@ -1072,6 +1072,36 @@ private[graft] class SnapshotTable(path: String, tableSchema: StructType,
     if (tableSchema.fieldNames.exists(RowIdentity.isIdentity)) Array.empty
     else RowIdentity.columns
 
+  /** `SHOW TBLPROPERTIES` / `DESCRIBE EXTENDED` surface: the table's
+    * declared layout and lifecycle specs, recomputed per call from
+    * their sidecars (a handful of metadata-class reads — the same
+    * envelope as resolving the table at all), so what SHOW prints is
+    * always what the NEXT write/maintain actually does.
+    */
+  override def properties(): java.util.Map[String, String] = {
+    val sp = SparkSession.active
+    val m = new java.util.HashMap[String, String]()
+    Snapshots.bucketSpec(sp, path).foreach { case (c, n) =>
+      m.put("bucket.column", c); m.put("bucket.count", n.toString)
+    }
+    val sort = Snapshots.sortSpec(sp, path)
+    if (sort.nonEmpty) m.put("write.order", sort.mkString(","))
+    Snapshots.DmlKinds.foreach { k =>
+      val mode = Snapshots.dmlMode(sp, path, k)
+      if (mode != Snapshots.CowMode) m.put(s"write.$k.mode", mode)
+    }
+    graft.sources.PartitionSpecs.current(sp, path).foreach(s =>
+      m.put("partition.spec", s.describe))
+    Snapshots.retention(sp, path).foreach { case (kv, kd) =>
+      kv.foreach(n => m.put("retention.versions", n.toString))
+      kd.foreach(d => m.put("retention.days", d.toString))
+    }
+    Snapshots.bloomSpec(sp, path).foreach { case (c, n) =>
+      m.put(s"bloom.$c", n.toString)
+    }
+    m
+  }
+
   override def name(): String = s"graft-snapshot:$path"
 
   /** (table path, pinned version) iff that version carries outstanding

@@ -124,4 +124,25 @@ class MetadataTablesSpec extends SparkTestBase {
     val r = mvRow()
     assert(!r.getBoolean(3) && r.getLong(1) === r.getLong(2))
   }
+
+  test("SHOW TBLPROPERTIES reflects the declared specs live") {
+    val (cat, _) = freshCat()
+    spark.sql(s"CREATE TABLE $cat.m.tp (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts)) " +
+      "TBLPROPERTIES ('write.delete.mode' = 'merge-on-read', " +
+      "'retention.versions' = '5')")
+    def props() = spark.sql(s"SHOW TBLPROPERTIES $cat.m.tp").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val p0 = props()
+    assert(p0.get("partition.spec") === Some("days(ts)"))
+    assert(p0.get("write.delete.mode") === Some("merge-on-read"))
+    assert(p0.get("retention.versions") === Some("5"))
+    // live: evolving the spec changes what SHOW prints
+    spark.sql(s"CALL $cat.system.evolve_partition_spec(" +
+      "table => 'm.tp', spec => 'months(ts)')")
+    assert(props().get("partition.spec") === Some("months(ts)"))
+    spark.sql(s"CALL $cat.system.evolve_partition_spec(" +
+      "table => 'm.tp', spec => 'none')")
+    assert(!props().contains("partition.spec"))
+  }
 }
