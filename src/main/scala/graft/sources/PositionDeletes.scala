@@ -217,4 +217,16 @@ private[graft] object PositionDeletes {
       "left_anti")
     if (keepIdentity) joined else joined.drop(MetaFile, MetaPos)
   }
+
+  /** Keep exactly the scan rows whose (file, pos) identity the delete
+    * side records — the change feed's fast path for a pure MOR-delete
+    * step (the deleted pre-images, one semi-join instead of a
+    * two-sided EXCEPT ALL). Drops the identity columns.
+    */
+  def matched(withIdentity: DataFrame, deletes: DataFrame): DataFrame =
+    withIdentity.join(deletes,
+      withIdentity(MetaFile) === deletes("__dd_file") &&
+        withIdentity(MetaPos) === deletes("__dd_pos"),
+      "left_semi")
+      .drop(MetaFile, MetaPos)
 }

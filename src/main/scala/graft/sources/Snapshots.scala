@@ -1671,6 +1671,38 @@ object Snapshots {
         eqHitFiles(spark, table, to,
           carried.filterNot(p => already(normPath(p))), toDeletes, changedEq)
       }
+    // FAST PATH — a pure position-delete step (the MOR DELETE commit
+    // shape): no files added or removed, no equality sidecars anywhere
+    // in the pair, and every from-side sidecar still present at `to`
+    // (sidecars were only ADDED). Then live(to) ⊆ live(from) as
+    // multisets, so the generic two-sided EXCEPT ALL reduces EXACTLY
+    // to "the from-live rows the NEW sidecars kill": inserts are
+    // impossible, and the deletes are a (file,pos) semi-join of the
+    // from-live view against the new sidecars' decoded positions.
+    // Row position is a unique identity, so this emits the same value
+    // rows at the same multiplicities as the EXCEPT ALL algebra —
+    // while scanning the affected files ONCE (vs four times) and
+    // paying zero aggregation exchanges (vs two), the difference the
+    // per-commit feed walk and the streaming CDF source pay per MOR
+    // delete in the chain. Pinned equivalent to the generic algebra by
+    // MorDeleteSpec ("fast path == generic EXCEPT ALL algebra").
+    if (removed.isEmpty && added.isEmpty && changedSidecars.nonEmpty &&
+        fromEqDeletes.isEmpty && toEqDeletes.isEmpty &&
+        fromDelN.subsetOf(toDelN) &&
+        spark.conf.get("graft.snapshot.feedFastPath", "true").toBoolean) {
+      if (affected.isEmpty) return emptyFeed(spark, table, to)
+      val newSidecars = toDeletes.filterNot(p => fromDelN(normPath(p)))
+      val scan = PositionDeletes.withRowIdentity(
+        readTableFiles(spark, table, affected))
+      val fromLive =
+        if (fromDeletes.isEmpty) scan
+        else PositionDeletes.subtract(scan,
+          PositionDeletes.deleteSide(spark, table, fromDeletes),
+          keepIdentity = true)
+      return PositionDeletes.matched(fromLive,
+          PositionDeletes.deleteSide(spark, table, newSidecars))
+        .withColumn("_change_type", lit("delete"))
+    }
     // both sides resolve their add-versions at `to` ON PURPOSE: a
     // file's add version is its FIRST manifest appearance, identical
     // whether walked to `from` or `to` for any file present at either

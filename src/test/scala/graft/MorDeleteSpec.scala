@@ -147,6 +147,34 @@ class MorDeleteSpec extends SparkTestBase {
     assert(e.getMessage.contains("merge-on-read"))
   }
 
+  test("feed fast path == generic EXCEPT ALL algebra on stacked MOR deletes") {
+    // duplicate VALUES on purpose: the fast path joins by (file, pos)
+    // identity while the generic path diffs value multisets — they must
+    // agree even when distinct positions hold identical rows
+    val t = freshDir("fastpath")
+    Snapshots.commit((1L to 300L).toDF("id")
+      .withColumn("v", col("id") % 10), t)          // v1
+    Snapshots.deleteWhereMor(spark, t, col("id") > 250)          // v2
+    Snapshots.deleteWhereMor(spark, t, col("id") % 7 === 0)      // v3 (stacked)
+    def rows(from: Long, to: Long, fast: Boolean) = {
+      spark.conf.set("graft.snapshot.feedFastPath", fast.toString)
+      try Snapshots.changeFeed(spark, t, from, to)
+        .select("_change_type", "id", "v").as[(String, Long, Long)]
+        .collect().sorted.toSeq
+      finally spark.conf.unset("graft.snapshot.feedFastPath")
+    }
+    // step with empty from-side sidecars, step with stacked sidecars,
+    // and the two-step endpoint range
+    for ((f, s) <- Seq((1L, 2L), (2L, 3L), (1L, 3L))) {
+      val fastRows = rows(f, s, fast = true)
+      assert(fastRows === rows(f, s, fast = false), s"range v$f->v$s")
+      assert(fastRows.nonEmpty && fastRows.forall(_._1 == "delete"))
+    }
+    // exact content of the stacked step: %7 rows still live at v2
+    assert(rows(2L, 3L, fast = true).map(_._2) ===
+      (1L to 250L).filter(_ % 7 == 0).sorted)
+  }
+
   test("restore across a MOR delete resurrects; feed reports the inserts") {
     val t = freshDir("restore")
     Snapshots.commit((1L to 100L).toDF("id"), t)
