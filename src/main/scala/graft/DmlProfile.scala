@@ -15,10 +15,25 @@ object DmlProfile {
     val spark = Sessions.local(cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt,
       appName = "dml-profile")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val tasks = new java.util.concurrent.atomic.AtomicInteger()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (sys.env.contains("SPARK_GRAFT_PROF_SITES"))
+          println("DMLPROF-SITE " +
+            j.stageInfos.lastOption.map(_.name).getOrElse("?"))
+      }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet(): Unit
+    })
     def t[A](what: String)(f: => A): A = {
+      val (j0, k0) = (jobs.get(), tasks.get())
       val t0 = System.nanoTime()
       val r = f
-      println(f"DMLPROF $what ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(50) // let listener events drain
+      println(f"DMLPROF $what $sec%.2f s jobs=${jobs.get() - j0} tasks=${tasks.get() - k0}")
       r
     }
     val o = Tables.orders(spark, dir)

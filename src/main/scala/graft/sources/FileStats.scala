@@ -273,7 +273,12 @@ object FileStats {
     // read. Schema comes from one footer; no data is read. Any failure
     // to recover a Filter condition falls back to keeping every file.
     val expr: Expression = try {
-      val probe = spark.read.parquet(files.head).filter(predicate)
+      // driver-side footer schema: a schema-less spark.read pays an
+      // inference JOB just to translate the predicate
+      val probeScan = scala.util.Try(FooterSchemas.of(spark, files.head))
+        .map(s => spark.read.schema(s).parquet(files.head))
+        .getOrElse(spark.read.parquet(files.head))
+      val probe = probeScan.filter(predicate)
       val plan = probe.queryExecution.optimizedPlan
       plan.collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition

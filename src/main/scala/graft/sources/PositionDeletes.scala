@@ -55,7 +55,9 @@ private[graft] object PositionDeletes {
   private[graft] def isDvSidecar(spark: SparkSession, path: String): Boolean = {
     val hit = kindMemo.get(path)
     if (hit != null) return hit.booleanValue()
-    val isDv = spark.read.parquet(path).schema.fieldNames
+    // driver-side footer read — a schema-less spark.read pays a job
+    val isDv = scala.util.Try(FooterSchemas.of(spark, path).fieldNames.toSeq)
+      .getOrElse(spark.read.parquet(path).schema.fieldNames.toSeq)
       .contains(DeleteVectors.DvCol)
     if (kindMemo.size > 4096) kindMemo.clear()
     kindMemo.put(path, java.lang.Boolean.valueOf(isDv))
@@ -67,6 +69,7 @@ private[graft] object PositionDeletes {
       new Path(p).toUri.getPath.startsWith(tableNorm + "/"))
     cardMemo.keySet.removeIf(p =>
       new Path(p).toUri.getPath.startsWith(tableNorm + "/"))
+    invalidateRefFilesMemo(tableNorm)
   }
 
   /** Exact decoded cardinality of a v2 DV sidecar: Σ of its `card`
@@ -184,15 +187,47 @@ private[graft] object PositionDeletes {
     * of files ever touched by an unpurged delete (metadata-class, like
     * the manifest itself).
     */
+  // memo: sidecar files are immutable (UUID-dir paths, never rewritten
+  // in place), so the referenced-file set of a given sidecar LIST is
+  // stable for the life of the JVM; the read path resolves it on EVERY
+  // read of a table with outstanding sidecars and the feed walk once
+  // per step, each a full (small) Spark job whose ~0.2 s is pure
+  // overhead on repeat plans. invalidateKindMemo clears a dropped
+  // table's entries with the other per-sidecar memos.
+  private val refFilesMemo =
+    new java.util.concurrent.ConcurrentHashMap[Seq[String], Seq[String]]()
+
+  /** Seed the memo from the writer's side: the MOR delete already
+    * collected the touched-file set before encoding the sidecar, so the
+    * first read never pays the resolution job either.
+    */
+  private[graft] def seedReferencedFiles(deleteFiles: Seq[String],
+      referenced: Seq[String]): Unit =
+    refFilesMemo.put(deleteFiles.sorted, referenced): Unit
+
+  private[graft] def invalidateRefFilesMemo(tableNorm: String): Unit =
+    refFilesMemo.keySet.removeIf(k => k.exists(p =>
+      new Path(p).toUri.getPath.startsWith(tableNorm + "/")))
+
   def referencedDataFiles(spark: SparkSession,
       deleteFiles: Seq[String]): Seq[String] =
     if (deleteFiles.isEmpty) Seq.empty
-    // file_path-only projection reads BOTH sidecar layouts (v1 rows and
-    // v2 deletion vectors share the column) without decoding anything
-    else spark.read
-      .schema(new StructType().add(FileCol, StringType, nullable = false))
-      .parquet(deleteFiles: _*)
-      .select(FileCol).distinct().collect().map(_.getString(0)).toSeq
+    else {
+      val key = deleteFiles.sorted
+      val hit = refFilesMemo.get(key)
+      if (hit != null) hit
+      else {
+        // file_path-only projection reads BOTH sidecar layouts (v1 rows
+        // and v2 deletion vectors share the column) without decoding
+        val out = spark.read
+          .schema(new StructType().add(FileCol, StringType, nullable = false))
+          .parquet(deleteFiles: _*)
+          .select(FileCol).distinct().collect().map(_.getString(0)).toSeq
+        if (refFilesMemo.size > 4096) refFilesMemo.clear()
+        refFilesMemo.put(key, out)
+        out
+      }
+    }
 
   /** Append the `_metadata`-derived (file, pos) identity columns to a
     * parquet scan — the left side of the anti-join.

@@ -331,8 +331,10 @@ object Snapshots {
             s.fields.map(fl => (fl.name, fl.dataType)).sortBy(_._1).toSeq
           // an ALTER-extended table's committed shape IS the declared
           // schema (old footers legitimately lack the added columns)
-          val committed = declaredSchema(spark, table).getOrElse(
-            spark.read.option("mergeSchema", "true").parquet(base: _*).schema)
+          val committed = declaredSchema(spark, table)
+            .orElse(FooterSchemas.uniform(spark, base))
+            .getOrElse(
+              spark.read.option("mergeSchema", "true").parquet(base: _*).schema)
           if (sig(committed) != sig(want)) {
             f.delete(dataDir, true) // no orphaned layout-mismatched files
             throw new IllegalStateException(
@@ -1044,7 +1046,7 @@ object Snapshots {
       // same tag directory preserves the layout exactly
       applySortSpec(
         liveView(spark, table, members.map(_._1), dels,
-          fs0 => spark.read.parquet(fs0: _*)).coalesce(n), table,
+          fs0 => readInferred(spark, fs0)).coalesce(n), table,
         bucketed = false)
         .write.options(bloomWriteOptions(spark, table))
         .parquet(outDir.toString)
@@ -1190,6 +1192,30 @@ object Snapshots {
       lines.collect { case l if l.startsWith(EqLinePrefix) => parseEqLine(l) })
   }
 
+  /** Schema-less parquet read of the engine's OWN immutable files,
+    * without the inference JOB when every footer agrees: Spark 4 runs a
+    * distributed footer pass per schema-less `spark.read.parquet`, and
+    * the DML/feed machinery plans several such reads per operation —
+    * measured at ~0.15 s of pure job overhead each (DmlProfile). The
+    * driver-side footer memo ([[FooterSchemas]]) serves the schema
+    * instead; files that DISAGREE (a mid-history schema evolution) fall
+    * back to Spark's own inference, preserving its merge/first-file
+    * semantics exactly. Inference-boundary rule: field ids only ever
+    * enter a read schema from the DECLARED override, so the resolved
+    * schema is stripped either way — see [[FieldIds.strip]].
+    */
+  private def readInferred(spark: SparkSession, files: Seq[String],
+      mergeSchema: Boolean = false): DataFrame =
+    FooterSchemas.uniform(spark, files) match {
+      case Some(s) => spark.read.schema(FieldIds.strip(s)).parquet(files: _*)
+      case None =>
+        val raw = spark.read
+          .option("mergeSchema", mergeSchema.toString).parquet(files: _*)
+        if (!FieldIds.hasIds(raw.schema)) raw
+        else spark.read.option("mergeSchema", mergeSchema.toString)
+          .schema(FieldIds.strip(raw.schema)).parquet(files: _*)
+    }
+
   def read(spark: SparkSession, table: String, asOf: Option[Long] = None,
       mergeSchema: Boolean = false): DataFrame = {
     val (v, files, dels, eqs) = resolvedLists(spark, table, asOf)
@@ -1197,15 +1223,7 @@ object Snapshots {
       // ALTER-extended table: project every file onto the declared
       // superset schema by name (absent columns = typed NULLs)
       case Some(sch) => spark.read.schema(sch).parquet(fs0: _*)
-      case None =>
-        val raw = spark.read
-          .option("mergeSchema", mergeSchema.toString).parquet(fs0: _*)
-        // inference copies footer field ids into the schema; ids only
-        // ever enter a read schema from the DECLARED override (where
-        // the all-files-stamped invariant holds) — see FieldIds.strip
-        if (!FieldIds.hasIds(raw.schema)) raw
-        else spark.read.option("mergeSchema", mergeSchema.toString)
-          .schema(FieldIds.strip(raw.schema)).parquet(fs0: _*)
+      case None => readInferred(spark, fs0, mergeSchema)
     }
     if (files.isEmpty) spark.emptyDataFrame
     else if (eqs.isEmpty) liveView(spark, table, files, dels, reader)
@@ -1255,7 +1273,9 @@ object Snapshots {
   private def eqSidecarKeys(spark: SparkSession, path: String): Seq[String] = {
     val hit = eqKeySetMemo.get(path)
     if (hit != null) return hit
-    val ks = spark.read.parquet(path).schema.fieldNames.toSeq.sorted
+    // driver-side footer read — a schema-less spark.read pays a job
+    val ks = scala.util.Try(FooterSchemas.of(spark, path).fieldNames.toSeq)
+      .getOrElse(spark.read.parquet(path).schema.fieldNames.toSeq).sorted
     if (eqKeySetMemo.size > 4096) eqKeySetMemo.clear()
     eqKeySetMemo.put(path, ks)
     ks
@@ -1269,7 +1289,9 @@ object Snapshots {
     val n = normPath(table)
     addVMemo.keySet.removeIf(k => normPath(k._1) == n)
     eqKeySetMemo.keySet.removeIf(p => normPath(p).startsWith(n + "/"))
+    eqHitMemo.keySet.removeIf(k => normPath(k._1) == n)
     PositionDeletes.invalidateKindMemo(n)
+    FooterSchemas.invalidate(n)
   }
 
   private def fileAddVersions(spark: SparkSession, table: String,
@@ -1342,7 +1364,7 @@ object Snapshots {
     val withV = liveView(spark, table, affected, dels, reader,
       fileColumn = Some(EqFileCol)).join(addVDf, Seq(EqFileCol))
     val eqFrame = eqs.map { case (scope, p) =>
-      spark.read.parquet(p).withColumn(EqScopeCol, lit(scope)) }
+      readInferred(spark, Seq(p)).withColumn(EqScopeCol, lit(scope)) }
       .reduce(_ unionByName _)
     val eqBytes = eqs.map { case (_, p) =>
       try fsys.getFileStatus(new Path(p)).getLen
@@ -1418,11 +1440,11 @@ object Snapshots {
     val kept = FileStats.prune(spark, table, files, predicate)
     if (kept.isEmpty) read(spark, table, asOf).filter(predicate).limit(0)
     else if (eqs.isEmpty) liveView(spark, table, kept, dels,
-      fs0 => spark.read.parquet(fs0: _*)).filter(predicate)
+      fs0 => readInferred(spark, fs0)).filter(predicate)
     // file pruning and equality subtraction commute: pruning keeps
     // whole files, the subtraction removes rows within them
     else applyEqDeletes(spark, table, v, kept, dels, eqs,
-      fs0 => spark.read.parquet(fs0: _*)).filter(predicate)
+      fs0 => readInferred(spark, fs0)).filter(predicate)
   }
 
   /** File-granular change-data-feed: the rows ADDED between committed
@@ -1775,11 +1797,8 @@ object Snapshots {
     * evolved table a single footer's schema would silently drop (or
     * fail on) columns other files carry.
     */
-  private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame = {
-    val raw = spark.read.option("mergeSchema", "true").parquet(files: _*)
-    if (!FieldIds.hasIds(raw.schema)) raw
-    else spark.read.schema(FieldIds.strip(raw.schema)).parquet(files: _*)
-  }
+  private def readFiles(spark: SparkSession, files: Seq[String]): DataFrame =
+    readInferred(spark, files, mergeSchema = true)
 
   /** Table-aware rewrite/probe read: an ALTER-extended table's shape IS
     * its declared schema, so merge/deleteWhere must project onto it —
@@ -2040,14 +2059,17 @@ object Snapshots {
       case _: org.apache.spark.sql.execution.LogicalRDD => updates
       case _ => updates.localCheckpoint()
     }
-    // one job answers both input-contract checks: a NULL key can never
+    // one job answers both input-contract checks — a NULL key can never
     // match a table row (rejecting loudly beats silently inserting an
     // unmatchable row), and MERGE is undefined when two source rows
-    // target one key (Delta/Iceberg's "multiple source rows matched")
+    // target one key (Delta/Iceberg's "multiple source rows matched") —
+    // AND the key bounds the touched-file probe scans by (folding the
+    // former separate min/max job into the same aggregation)
     val contract = u.groupBy(col(key)).agg(count(lit(1)).as("n"))
       .agg(
         coalesce(sum(when(col(key).isNull, col("n"))), lit(0L)).as("nulls"),
-        count(when(col(key).isNotNull && col("n") > 1, lit(1))).as("dups"))
+        count(when(col(key).isNotNull && col("n") > 1, lit(1))).as("dups"),
+        min(col(key)).as("lo"), max(col(key)).as("hi"))
       .head()
     require(contract.getLong(0) == 0,
       s"merge updates contain ${contract.getLong(0)} NULL value(s) of key " +
@@ -2078,7 +2100,7 @@ object Snapshots {
     // MOR delete already subtracted must neither trigger a rewrite nor
     // be resurrected by one
     val dels = manifestDeletes(spark, table, src)
-    val bounds = u.agg(min(col(key)).as("lo"), max(col(key)).as("hi")).head()
+    val bounds = org.apache.spark.sql.Row(contract.get(2), contract.get(3))
     val (hit, keep) =
       if (files.isEmpty || bounds.isNullAt(0)) (Seq.empty[String], files)
       else partitionByProbe(spark, files,
@@ -2210,7 +2232,13 @@ object Snapshots {
       .select(col(PositionDeletes.MetaFile).as(PositionDeletes.FileCol),
         col(PositionDeletes.MetaPos).as(PositionDeletes.PosCol))
     val m = matched.localCheckpoint()
-    if (m.isEmpty) return src // nothing matched: no-op, no version bump
+    // one collect answers the no-op check AND the targeted-file set the
+    // publish guard and the sidecar's referenced-file resolution both
+    // need (separate isEmpty + post-write referencedDataFiles jobs
+    // otherwise — pure per-job overhead at commit latency)
+    val touchedFiles = m.select(PositionDeletes.FileCol).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (touchedFiles.isEmpty) return src // nothing matched: no version bump
     val f = fs(spark, table)
     val delDir = new Path(s"$table/deletes/${java.util.UUID.randomUUID}")
     // DELETION-VECTOR sidecar (default): one row per touched data file,
@@ -2241,9 +2269,10 @@ object Snapshots {
       .map(_.getPath.toString).sorted
     // the rebase refuses if a concurrent writer rewrote any file these
     // positions target (requireDataPresentNorm); the referenced set is
-    // bounded by the candidate file count
-    val targeted = PositionDeletes.referencedDataFiles(spark, sidecars)
-      .map(normPath).toSet
+    // bounded by the candidate file count — already collected above, so
+    // seed the sidecar→files memo instead of re-reading what we wrote
+    PositionDeletes.seedReferencedFiles(sidecars, touchedFiles)
+    val targeted = touchedFiles.map(normPath).toSet
     publishRebase(spark, table, src, files, Set.empty, Seq.empty,
       "mor-delete", Seq(delDir), addedDeletes = sidecars,
       requireDataPresentNorm = targeted)
@@ -2381,19 +2410,41 @@ object Snapshots {
     * in-scope candidates (position deletes resolved first so dead rows
     * can't hit); the returned list is file-count bounded.
     */
+  /** Memo of the key-hit probe's result. Sound because every input is
+    * immutable content: data files and sidecars live under UUID dirs
+    * and are never rewritten in place, and (table, v) pins the add-
+    * version map. The probe is a full (small) Spark job that the feed
+    * walk re-runs on every plan of the same range — a streaming CDF
+    * consumer polls it per micro-batch, q112 re-probes exactly q111's
+    * step — so repeat plans should pay a map lookup, not a scan.
+    * [[invalidateMemos]] clears a dropped/renamed table's entries.
+    */
+  private val eqHitMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Seq[Long], Seq[String], Seq[String], Seq[(Long, String)]),
+    Seq[String]]()
+
   private def eqHitFiles(spark: SparkSession, table: String, v: Long,
       candidates: Seq[String], dels: Seq[String],
       eqs: Seq[(Long, String)]): Seq[String] = {
     if (eqs.isEmpty || candidates.isEmpty) return Nil
+    // the retained-version list is in the key (addVMemo's rule): a
+    // history mutation between probes shifts fileAddVersions' floor
+    val key = (table, v, versions(spark, table),
+      candidates.sorted, dels.sorted, eqs.sortBy(_._2))
+    val hit = eqHitMemo.get(key)
+    if (hit != null) return hit
     // sidecars in ONE probe can carry DIFFERENT key sets — legal when
     // the probe spans a purge boundary (upsertEq's shared-key invariant
     // holds per VERSION, not per feed range): a blind union of their
     // frames would throw on mismatched columns and key on the wrong
     // set. Probe each key set independently; union the hits.
-    eqs.groupBy(e => eqSidecarKeys(spark, e._2))
+    val out = eqs.groupBy(e => eqSidecarKeys(spark, e._2))
       .values.flatMap(g =>
         eqHitFilesOneKeySet(spark, table, v, candidates, dels, g))
       .toSeq.distinct
+    if (eqHitMemo.size > 1024) eqHitMemo.clear()
+    eqHitMemo.put(key, out)
+    out
   }
 
   private def eqHitFilesOneKeySet(spark: SparkSession, table: String,
@@ -2408,7 +2459,7 @@ object Snapshots {
     val fsys = fs(spark, table)
     val keys = eqKeyColumns(spark, eqs)
     val eqFrame = eqs.map { case (scope, p) =>
-      spark.read.parquet(p).withColumn(EqScopeCol, lit(scope)) }
+      readInferred(spark, Seq(p)).withColumn(EqScopeCol, lit(scope)) }
       .reduce(_ unionByName _)
     // STATS-PRUNED probe: the sidecar key sets are broadcast-size by
     // the read path's own envelope, so when they stay under the IN-list

@@ -59,6 +59,18 @@ object GraftShim {
       case _ => None
     }
 
+  /** Parquet MessageType → Spark schema under the session's conf flags
+    * (the converter is sql-private) — the fallback for footers without
+    * a serialized Spark schema in the driver-side inference path.
+    */
+  def footerSchema(spark: SparkSession,
+      msg: org.apache.parquet.schema.MessageType)
+      : org.apache.spark.sql.types.StructType =
+    new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(
+        spark.asInstanceOf[classic.SparkSession].sessionState.conf)
+      .convert(msg)
+
   /** A streaming-tagged frame over an InternalRow RDD (for a source's
     * empty micro-batch, where there is no file relation to re-tag).
     */
